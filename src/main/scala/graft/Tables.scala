@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md) plus
+  * shared helpers for DuckDB-oracle numeric parity.
+  *
+  * Design note (100 TB posture): all loaders return lazy DataFrames over
+  * parquet — Catalyst pushes filters/column pruning down to the scan, so
+  * callers never pay for columns they don't read. Nothing here collects.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's parquet
+    * reader rejects by default. We read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
+    * exactly what DuckDB does when it coerces TIMESTAMP_NS to TIMESTAMP —
+    * so oracle comparisons on `ts` agree bit-for-bit.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      // cast to NTZ so ts round-trips through parquet exactly like the
+      // source tables' naive timestamps (session TZ is pinned UTC)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  // ---- Oracle-parity numeric helpers -----------------------------------
+  //
+  // Double summation is order-dependent, and Spark and DuckDB will not add
+  // partitions in the same order — so any SUM over doubles is cast to
+  // decimal first (exact, order-independent) and the aggregate result is
+  // cast to an explicit DECIMAL(38,6) so both engines report the identical
+  // logical type. Inputs are 2-decimal money values, so DECIMAL(18,6)
+  // loses nothing.
+
+  /** Cast a (possibly computed) double column to exact decimal before
+    * aggregation. */
+  def dec(c: Column): Column = c.cast("decimal(18,6)")
+
+  /** Order-independent exact sum of a double column. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("decimal(38,6)")
+
+  /** Deterministic average: exact decimal sum, then one double division. */
+  def davg(c: Column): Column =
+    (sum(dec(c)).cast("double") / count(c)).cast("decimal(38,6)")
+
+  /** SQL fragments for the same helpers, for DuckDB oracle text. */
+  def sqlDsum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+  def sqlDavg(e: String): String =
+    s"CAST(CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / COUNT($e) AS DECIMAL(38,6))"
+}

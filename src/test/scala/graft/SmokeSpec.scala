@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM per `sbt test` fork). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf0001 = "/root/testdata/sf0.001"
+}
+
+class SmokeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry flagship returns rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+  }
+
+  test("every registered query runs on sf0.001 and every oracle key exists") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle without query: $k"))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      withClue(s"$name should produce rows at sf0.001: ") { assert(n >= 0) }
+    }
+  }
+
+  test("queries that must be non-empty at sf0.001") {
+    Seq("q01_pricing_summary", "q03_top_revenue_orders", "q05_nation_revenue",
+        "q07_customers_without_orders", "q13_set_ops", "q25_event_range_join")
+      .foreach { name =>
+        withClue(name) { assert(SparkEntry.queries(name)(spark, sf0001).count() > 0) }
+      }
+  }
+}

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local differential harness mimicking the driver's DuckDB-oracle check.
+
+Usage: python3 tools/verify_local.py [sfDir] [outDir] [--skip-spark]
+
+Runs graft.Verify via sbt (unless --skip-spark and outDir already has
+results), then for each query: executes the oracle SQL in DuckDB over views
+of the testdata parquet and compares (sorted columns, sorted rows) with
+exact equality, reporting per-query PASS/FAIL and first diffs.
+
+Driver-side tooling only — never imported by the Scala library.
+"""
+import json, math, subprocess, sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    # Decimal vs float vs numpy scalars: compare by canonical repr.
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return ("num", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("num", v)
+    if hasattr(v, "item"):
+        v = v.item()
+        return norm_cell(v)
+    return v
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    out.sort(key=lambda t: tuple((str(type(x)), str(x)) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
+    if "--skip-spark" not in sys.argv:
+        r = subprocess.run(
+            ["sbt", f'runMain graft.Verify {sf} {out}'],
+            capture_output=True, text=True, cwd="/root/repo")
+        if r.returncode != 0:
+            print(r.stdout[-4000:]); print(r.stderr[-4000:])
+            sys.exit(1)
+        for line in r.stderr.splitlines():
+            if "[verify]" in line:
+                print(line)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.loads((out / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        qdir = out / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            g_cols, g_rows = canon(got.fetchall(), got.columns)
+            exp = con.sql(oracle[name])
+            e_cols, e_rows = canon(exp.fetchall(), exp.columns)
+        except Exception as ex:
+            print(f"FAIL {name}: {ex}"); n_fail += 1; continue
+        if g_cols != e_cols:
+            print(f"FAIL {name}: cols spark={g_cols} oracle={e_cols}")
+            n_fail += 1; continue
+        if len(g_rows) != len(e_rows):
+            print(f"FAIL {name}: rowcount spark={len(g_rows)} oracle={len(e_rows)}")
+            n_fail += 1; continue
+        bad = [(a, b) for a, b in zip(g_rows, e_rows) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(g_rows)} rows differ; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
