@@ -1,0 +1,180 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.dsum
+
+/** CDC semantics as oracle-checked queries over the driver's `events`
+  * table (the streaming/CDC stand-in per FIXTURES.md). The mapping:
+  * user_id = key, ts/event_id = offset order, event_type encodes the op
+  * (signup→c, error→d, everything else→u).
+  */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def opOf(spark: SparkSession) = {
+    import spark.implicits._
+    when($"event_type" === "signup", "c")
+      .when($"event_type" === "error", "d")
+      .otherwise("u")
+  }
+
+  /** O10/O11/O13: snapshot = latest row per key, delete-tombstones removed. */
+  def c01SnapshotLatest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = Tables.events(spark, dir).withColumn("op", opOf(spark))
+    Apply.snapshot(log, Seq("user_id"), Seq($"ts", $"event_id"))
+      .select($"user_id", $"event_id".as("last_event_id"), $"event_type", $"value")
+  }
+
+  /** O4: topic→table routing by last dot-segment. */
+  def c02TopicRoute(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("topic", concat(lit("dbserver1.testdb."), $"event_type"))
+      .withColumn("table", Envelope.tableFromTopic($"topic"))
+      .groupBy($"table").agg(count(lit(1)).as("n"))
+  }
+
+  /** O6: normalization — the >1e12 epoch-ms heuristic and legacy null
+    * erasure, as pure column expressions. */
+  def c03Normalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("raw_ms", $"value" * lit(3.0e11))
+      .select(
+        $"event_id",
+        // explicit floor: Spark's double→long cast truncates while DuckDB's
+        // rounds — floor() agrees in both engines
+        floor(Normalize.epochMillisHeuristic($"raw_ms")).as("normalized_ts"),
+        Normalize.boolToInt($"value" > 10).as("is_big"),
+        Normalize.legacyNullToEmpty(get_json_object($"props", "$.missing")).as("legacy_null"))
+  }
+
+  /** O3: envelope build → parse round-trip; output the re-extracted fields.
+    * Exercises from_json against [[Envelope.schema]] end-to-end. */
+  def c04EnvelopeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val env = Tables.events(spark, dir)
+      .withColumn("op", opOf(spark))
+      .withColumn("value_json", to_json(struct(
+        struct($"op",
+               struct($"user_id".cast("string").as("user_id"),
+                      $"value".cast("string").as("value")).as("after"),
+               unix_millis($"ts".cast("timestamp")).as("ts_ms")).as("payload"))))
+    val reparsed = env.withColumn("env",
+      from_json($"value_json", Envelope.schema))
+    reparsed.select(
+      $"event_id",
+      $"env.payload.op".as("op"),
+      element_at($"env.payload.after", "user_id").cast("long").as("after_user_id"),
+      element_at($"env.payload.after", "value").cast("double").as("after_value"))
+  }
+
+  /** O12: DLQ routing — malformed payloads split out, not dropped. */
+  def c05DlqSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      // corrupt the prefix: Spark's from_json tolerates trailing garbage
+      // after a complete JSON value, but both engines reject a bad prefix
+      .withColumn("payload",
+        when($"event_id" % 97 === 0, concat(lit("x"), $"props")).otherwise($"props"))
+      .withColumn("route",
+        when(from_json($"payload", Envelope.payloadType).isNull, "dlq").otherwise("good"))
+      .groupBy($"event_type", $"route").agg(count(lit(1)).as("n"))
+  }
+
+  /** Replay idempotence: snapshot(log ∪ log) ≡ snapshot(log) — the
+    * property that makes the reference's duplicate-on-restart harmless
+    * in this engine. Output must equal c01. */
+  def c06ReplayIdempotent(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = Tables.events(spark, dir).withColumn("op", opOf(spark))
+    val doubled = log.unionByName(log)
+    // row_number over a doubled log is ambiguous between the two copies of
+    // the head row; dropDuplicates first makes replay explicit.
+    Apply.snapshot(doubled.dropDuplicates("event_id"), Seq("user_id"), Seq($"ts", $"event_id"))
+      .select($"user_id", $"event_id".as("last_event_id"), $"event_type", $"value")
+  }
+
+  /** Per-table micro-batch apply stats: the shape of the foreachBatch
+    * writer — how many upserts/tombstones each table receives per
+    * micro-batch bucket (ts bucketed per hour here). */
+  def c07ApplyStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("op", opOf(spark))
+      .withColumn("bucket", date_trunc("hour", $"ts").cast("timestamp_ntz"))
+      .groupBy($"bucket")
+      .agg(count(when($"op".isin("c", "u", "r"), 1)).as("n_upserts"),
+           count(when($"op" === "d", 1)).as("n_tombstones"),
+           dsum($"value").as("batch_value"))
+  }
+
+  private val opSql =
+    "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+
+  val queries: Map[String, Q] = Map(
+    "c01_cdc_snapshot_latest"   -> c01SnapshotLatest _,
+    "c02_cdc_topic_route"       -> c02TopicRoute _,
+    "c03_cdc_normalize"         -> c03Normalize _,
+    "c04_cdc_envelope_roundtrip" -> c04EnvelopeRoundtrip _,
+    "c05_cdc_dlq_split"         -> c05DlqSplit _,
+    "c06_cdc_replay_idempotent" -> c06ReplayIdempotent _,
+    "c07_cdc_apply_stats"       -> c07ApplyStats _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "c01_cdc_snapshot_latest" ->
+      s"""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
+            SELECT *, $opSql AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+          WHERE rn = 1 AND op <> 'd'""",
+    "c02_cdc_topic_route" ->
+      """SELECT REGEXP_EXTRACT('dbserver1.testdb.' || event_type, '[^.]+$') AS "table",
+                COUNT(*) AS n
+         FROM events GROUP BY 1""",
+    "c03_cdc_normalize" ->
+      """SELECT event_id,
+                CAST(FLOOR(CASE WHEN value * 3.0e11 > 1e12
+                                THEN FLOOR(value * 3.0e11 / 1000)
+                                ELSE value * 3.0e11 END) AS BIGINT) AS normalized_ts,
+                CAST(value > 10 AS INT) AS is_big,
+                COALESCE(json_extract_string(props, '$.missing'), '') AS legacy_null
+         FROM events""",
+    "c04_cdc_envelope_roundtrip" ->
+      """SELECT event_id, CASE WHEN event_type = 'signup' THEN 'c'
+                               WHEN event_type = 'error' THEN 'd'
+                               ELSE 'u' END AS op,
+                user_id AS after_user_id,
+                CAST(CAST(value AS VARCHAR) AS DOUBLE) AS after_value
+         FROM events""",
+    "c05_cdc_dlq_split" ->
+      """SELECT event_type,
+                CASE WHEN NOT json_valid(CASE WHEN event_id % 97 = 0
+                                              THEN 'x' || props ELSE props END)
+                     THEN 'dlq' ELSE 'good' END AS route,
+                COUNT(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "c06_cdc_replay_idempotent" ->
+      s"""WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events),
+              dedup AS (SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS dd
+                FROM doubled) WHERE dd = 1)
+          SELECT user_id, event_id AS last_event_id, event_type, value FROM (
+            SELECT *, $opSql AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM dedup) t
+          WHERE rn = 1 AND op <> 'd'""",
+    "c07_cdc_apply_stats" ->
+      s"""SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket,
+          COUNT(CASE WHEN $opSql IN ('c','u','r') THEN 1 END) AS n_upserts,
+          COUNT(CASE WHEN $opSql = 'd' THEN 1 END) AS n_tombstones,
+          ${Tables.sqlDsum("value")} AS batch_value
+          FROM events GROUP BY 1""",
+  )
+}

@@ -1,0 +1,77 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Debezium-style CDC envelope handling (reference: consumer_to_file.py:206-215,
+  * 237-238 — `json.loads` then `payload.op/before/after`; schemas are disabled
+  * [docker-compose.yml:70-71] so payloads are schemaless JSON).
+  *
+  * Spark-native design: one `from_json` against an explicit envelope
+  * StructType whose `before`/`after` are `map<string,string>` — the dynamic
+  * per-table schema is recovered later by [[SchemaEvolution]]. Parsing is a
+  * single codegen'd expression; corrupt records are *routed*, not retried
+  * (the reference's per-column retry loop [consumer_to_file.py:225-235] is a
+  * row-at-a-time anti-pattern at scale — and its bisect is dead code anyway).
+  */
+object Envelope {
+
+  /** Schemaless-JSON envelope: values coerced to strings; typed later. */
+  val payloadType: MapType = MapType(StringType, StringType)
+
+  val schema: StructType = StructType(Seq(
+    StructField("payload", StructType(Seq(
+      StructField("op", StringType),
+      StructField("before", payloadType),
+      StructField("after", payloadType),
+      StructField("source", MapType(StringType, StringType)),
+      StructField("ts_ms", LongType))))))
+
+  /** Topic → table routing (reference: `msg.topic().split('.')[-1]`
+    * [consumer_to_file.py:211]). */
+  def tableFromTopic(topic: Column): Column =
+    element_at(split(topic, "\\."), -1)
+
+  /** Topic prefix filter (reference: consumer_to_file.py:10, 172-180).
+    * The reference's own prefixes never match its connector's topics — a
+    * bug noted in SURVEY.md §7; prefixes are a parameter here. */
+  def topicHasPrefix(topic: Column, prefixes: Seq[String]): Column =
+    prefixes.map(p => topic.startsWith(p)).reduce(_ || _)
+
+  /** Parse raw Kafka-style records into envelope columns + DLQ routing.
+    *
+    * Input: `topic: string`, `value: string` (+ any passthrough columns,
+    * e.g. offset). Output adds:
+    *  - `table`  — last dot-segment of topic
+    *  - `op`, `before`, `after`, `ts_ms` — envelope projection
+    *  - `is_dlq` — true when the value is unparseable or has no payload
+    *    (reference DLQs both cases [consumer_to_file.py:207-209, 248-250])
+    *
+    * All columns are expressions — the whole parse stays inside
+    * WholeStageCodegen; at 100 TB this is a map-only stage with no shuffle.
+    */
+  def parse(raw: DataFrame, topicCol: String = "topic", valueCol: String = "value"): DataFrame = {
+    val parsed = from_json(col(valueCol), schema)
+    raw
+      .withColumn("_env", parsed)
+      .withColumn("table", tableFromTopic(col(topicCol)))
+      .withColumn("op", col("_env.payload.op"))
+      .withColumn("before", col("_env.payload.before"))
+      .withColumn("after", col("_env.payload.after"))
+      .withColumn("ts_ms", col("_env.payload.ts_ms"))
+      .withColumn("is_dlq", col("_env").isNull || col("_env.payload").isNull)
+      .drop("_env")
+  }
+
+  /** The DLQ side-output: failed records plus error context (reference
+    * appends a rich error block to dlq_errors.txt [consumer_to_file.py:72-86];
+    * here a DataFrame any sink can consume). */
+  def dlq(parsed: DataFrame, valueCol: String = "value"): DataFrame =
+    parsed.filter(col("is_dlq"))
+      .withColumn("error", lit("unparseable envelope or missing payload"))
+      .withColumn("raw", col(valueCol))
+
+  /** Valid records ready for apply. */
+  def good(parsed: DataFrame): DataFrame = parsed.filter(!col("is_dlq"))
+}
