@@ -1,0 +1,312 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents`: exact (content-hash groupBy),
+  * MinHash+LSH (shingle → minhash → band → bucket self-join → jaccard
+  * verify), SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * The source corpus has no duplicates (500/500 distinct md5 at sf0.01), so
+  * each query plants deterministic duplicates first — exact copies
+  * (doc_id+1_000_000, every 10th doc) and near copies with the first token
+  * dropped (doc_id+2_000_000, every 10th doc offset 5) — and must find
+  * exactly those.
+  *
+  * Hashing is the oracle-portable scheme of [[TextAnalysis]]: dictionary
+  * ids + affine hashes mod a prime (exact integer arithmetic in Spark and
+  * DuckDB alike). At 100 TB swap the dictionary for xxhash64 — the
+  * pipeline shape (explode → min-agg → band → self-join on bucket) is
+  * unchanged, and that shape is the scalable part: LSH turns the O(n²)
+  * pair problem into a per-bucket join.
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val P = 1000003L // hash modulus (prime)
+
+  /** documents ∪ planted exact copies ∪ planted near copies. */
+  def corpusWithCopies(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val exact = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = base.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+              expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    base.unionByName(exact).unionByName(near)
+  }
+
+  val corpusSql: String =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id,
+                substring(text, instr(text, ' ') + 1) AS text
+         FROM documents WHERE doc_id % 10 = 5)"""
+
+  /** Distinct word-3-gram shingles per document. */
+  def shingles(corpus: DataFrame): DataFrame = {
+    val t = corpus.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val t2 = t.select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"), col("tok").as("tok2"))
+    val t3 = t.select(col("doc_id").as("d3"), (col("pos") - 2).as("p3"), col("tok").as("tok3"))
+    t.join(t2, col("doc_id") === col("d2") && col("pos") === col("p2"))
+      .join(t3, col("doc_id") === col("d3") && col("pos") === col("p3"))
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("tok2"), col("tok3")).as("shingle"))
+      .distinct()
+  }
+
+  val shinglesSql: String =
+    """tok AS (
+         SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok,
+                unnest(range(0, len(string_split_regex(text, '\s+')))) AS pos
+         FROM corpus),
+       shingle AS (
+         SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+         FROM tok a
+         JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)"""
+
+  /** Shingle dictionary (lexicographic dense ids — oracle-portable). */
+  def shingleDict(sh: DataFrame): DataFrame =
+    sh.select(col("shingle")).distinct()
+      .withColumn("sid", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("shingle"))).cast("long"))
+
+  val shingleDictSql: String =
+    """dict AS (
+         SELECT shingle, CAST(DENSE_RANK() OVER (ORDER BY shingle) AS BIGINT) AS sid
+         FROM (SELECT DISTINCT shingle FROM shingle))"""
+
+  // --- d01: exact dedup -------------------------------------------------
+
+  /** Exact dedup: md5-content groups, canonical = min doc_id. */
+  def d01Exact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    corpusWithCopies(Tables.documents(spark, dir))
+      .groupBy(md5($"text".cast("binary")).as("content_hash"))
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .filter($"n_copies" > 1)
+  }
+
+  // --- d02: MinHash + LSH ----------------------------------------------
+
+  val K = 8 // minhash functions; banded 2-per-band → 4 bands
+  def aCoef(i: Int): Long = 37L + 101L * i
+  def bCoef(i: Int): Long = 17L + 997L * i
+
+  /** Per-doc minhash signature columns min_0..min_{K-1}. */
+  def signatures(shWithIds: DataFrame): DataFrame =
+    shWithIds.groupBy(col("doc_id")).agg(
+      min((col("sid") * aCoef(0) + bCoef(0)) % P).as("min_0"),
+      (1 until K).map(i => min((col("sid") * aCoef(i) + bCoef(i)) % P).as(s"min_$i")): _*)
+
+  def d02MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val sh = shingles(corpus).cache()
+    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid")
+    val sig = signatures(ids)
+    // band keys: (band index, the band's two signature values)
+    val bands = (0 until K / 2).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}")).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    // verify: true shingle jaccard ≥ 0.5 (integer cross-multiplication)
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
+      .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
+      .filter($"s1" === $"s2")
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+      .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+      .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+      .select($"id1", $"id2", $"inter", $"n1", $"n2",
+        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).cast("decimal(38,6)").as("jacc_pct"))
+  }
+
+  // --- d03: SimHash -----------------------------------------------------
+
+  val SimBits = 16
+
+  def d03SimHash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val sh = shingles(corpus)
+    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid")
+    val bitSums = ids.groupBy($"doc_id").agg(
+      sum(when((($"sid" * (2 * 0 + 3)) % P) % 2 === 1, 1).otherwise(-1)).as("bs_0"),
+      (1 until SimBits).map(b =>
+        sum(when((($"sid" * (2 * b + 3)) % P) % 2 === 1, 1).otherwise(-1)).as(s"bs_$b")): _*)
+    val simhash = (0 until SimBits).map(b =>
+      when(col(s"bs_$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    bitSums.select($"doc_id", simhash.as("simhash"))
+  }
+
+  // --- d04: n-gram Jaccard on planted pairs ----------------------------
+
+  /** Jaccard over 3-gram shingles for constructed pair lists: exact pairs,
+    * near pairs, and unrelated control pairs. */
+  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val sh = shingles(corpus)
+    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid")
+    val base = Tables.documents(spark, dir).select($"doc_id")
+    val pairs =
+      base.filter($"doc_id" % 10 === 0).select($"doc_id".as("id1"), ($"doc_id" + 1000000L).as("id2"), lit("exact").as("kind"))
+        .unionByName(base.filter($"doc_id" % 10 === 5).select($"doc_id".as("id1"), ($"doc_id" + 2000000L).as("id2"), lit("near").as("kind")))
+        .unionByName(base.filter($"doc_id" % 10 === 0 && $"doc_id" % 20 === 0)
+          .select($"doc_id".as("id1"), ($"doc_id" + 5).as("id2"), lit("control").as("kind")))
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
+      .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
+      .filter($"s1" === $"s2")
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+      .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+      .select($"kind", $"id1", $"id2", $"inter", $"n1", $"n2",
+        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).cast("decimal(38,6)").as("jacc_pct"))
+  }
+
+  // --- d05: embedding-cosine near-dup ----------------------------------
+
+  /** Embeddings ∪ exact copies (vec_id+100_000, every 20th) ∪ sign-flipped
+    * first-component copies (vec_id+200_000, every 20th offset 10). Scores
+    * planted pairs with exact-decimal dot products. */
+  def d05EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val aug = e
+      .unionByName(e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+      .unionByName(e.filter($"vec_id" % 20 === 10)
+        .select(($"vec_id" + 200000L).as("vec_id"),
+          concat(array(-element_at($"embedding", 1)), slice($"embedding", 2, 63)).as("embedding")))
+    val pairs = e.filter($"vec_id" % 20 === 0)
+        .select($"vec_id".as("id1"), ($"vec_id" + 100000L).as("id2"), lit("exact").as("kind"))
+      .unionByName(e.filter($"vec_id" % 20 === 10)
+        .select($"vec_id".as("id1"), ($"vec_id" + 200000L).as("id2"), lit("flip").as("kind")))
+    val withVecs = pairs
+      .join(aug.select($"vec_id".as("id1"), $"embedding".as("e1")), "id1")
+      .join(aug.select($"vec_id".as("id2"), $"embedding".as("e2")), "id2")
+    withVecs.select($"kind", $"id1", $"id2",
+        Similarity.cosine($"e1", $"e2").as("cos_sim"))
+      .filter($"cos_sim" >= 0.5)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup"   -> d01Exact _,
+    "d02_minhash_lsh"   -> d02MinHashLsh _,
+    "d03_simhash"       -> d03SimHash _,
+    "d04_ngram_jaccard" -> d04NgramJaccard _,
+    "d05_embedding_neardup" -> d05EmbeddingNearDup _,
+  )
+
+  private def minExprs: String = (0 until K).map(i =>
+    s"MIN((sid * ${aCoef(i)} + ${bCoef(i)}) % $P) AS min_$i").mkString(",\n               ")
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      s"""WITH $corpusSql
+          SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS n_copies
+          FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1""",
+    "d02_minhash_lsh" ->
+      s"""WITH $corpusSql,
+          $shinglesSql,
+          $shingleDictSql,
+          ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
+          sig AS (SELECT doc_id, $minExprs FROM ids GROUP BY doc_id),
+          bands AS (
+            ${(0 until K / 2).map(b =>
+              s"SELECT doc_id, $b AS band, CAST(min_${2 * b} AS VARCHAR) || ':' || CAST(min_${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
+              .mkString("\n            UNION ALL\n            ")}),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY doc_id),
+          inter AS (
+            SELECT c.id1, c.id2, COUNT(*) AS inter
+            FROM cand c
+            JOIN ids a ON a.doc_id = c.id1
+            JOIN ids b ON b.doc_id = c.id2 AND a.sid = b.sid
+            GROUP BY c.id1, c.id2)
+          SELECT i.id1, i.id2, i.inter, s1.n AS n1, s2.n AS n2,
+                 CAST(i.inter * 100.0 / (s1.n + s2.n - i.inter) AS DECIMAL(38,6)) AS jacc_pct
+          FROM inter i
+          JOIN sizes s1 ON s1.doc_id = i.id1
+          JOIN sizes s2 ON s2.doc_id = i.id2
+          WHERE i.inter * 2 >= (s1.n + s2.n - i.inter)""",
+    "d03_simhash" ->
+      s"""WITH $corpusSql,
+          $shinglesSql,
+          $shingleDictSql,
+          ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle))
+          SELECT doc_id,
+                 CAST(${(0 until SimBits).map(b =>
+                   s"(CASE WHEN SUM(CASE WHEN ((sid * ${2 * b + 3}) % $P) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
+                   .mkString(" + ")} AS BIGINT) AS simhash
+          FROM ids GROUP BY doc_id""",
+    "d04_ngram_jaccard" ->
+      s"""WITH $corpusSql,
+          $shinglesSql,
+          $shingleDictSql,
+          ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
+          pairs AS (
+            SELECT doc_id AS id1, doc_id + 1000000 AS id2, 'exact' AS kind
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000, 'near' FROM documents WHERE doc_id % 10 = 5
+            UNION ALL
+            SELECT doc_id, doc_id + 5, 'control' FROM documents WHERE doc_id % 20 = 0),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY doc_id),
+          inter AS (
+            SELECT p.id1, p.id2, COUNT(*) AS inter
+            FROM pairs p
+            JOIN ids a ON a.doc_id = p.id1
+            JOIN ids b ON b.doc_id = p.id2 AND a.sid = b.sid
+            GROUP BY p.id1, p.id2)
+          SELECT p.kind, p.id1, p.id2, COALESCE(i.inter, 0) AS inter,
+                 s1.n AS n1, s2.n AS n2,
+                 CAST(COALESCE(i.inter, 0) * 100.0 / (s1.n + s2.n - COALESCE(i.inter, 0))
+                      AS DECIMAL(38,6)) AS jacc_pct
+          FROM pairs p
+          LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
+          JOIN sizes s1 ON s1.doc_id = p.id1
+          JOIN sizes s2 ON s2.doc_id = p.id2""",
+    "d05_embedding_neardup" ->
+      s"""WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0
+            UNION ALL
+            SELECT vec_id + 200000,
+                   [-embedding[1]] || embedding[2:] AS embedding
+            FROM embeddings WHERE vec_id % 20 = 10),
+          pairs AS (
+            SELECT vec_id AS id1, vec_id + 100000 AS id2, 'exact' AS kind
+            FROM embeddings WHERE vec_id % 20 = 0
+            UNION ALL
+            SELECT vec_id, vec_id + 200000, 'flip' FROM embeddings WHERE vec_id % 20 = 10)
+          SELECT p.kind, p.id1, p.id2, ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cos_sim
+          FROM pairs p
+          JOIN aug a ON a.vec_id = p.id1
+          JOIN aug b ON b.vec_id = p.id2
+          WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.5""",
+  )
+}

@@ -1,0 +1,133 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal column handling: media payloads are opaque `binary` columns
+  * with typed metadata; decode / feature-extraction runs as a partition-
+  * local typed transformation (`mapPartitions` over a `Dataset`) — the
+  * Scala-engine analog of a Pandas-UDF-over-`mapInPandas` stage: batch
+  * shape per partition, no shuffle, schema declared up front.
+  *
+  * The actual codec is STUBBED (no image/audio libraries in this
+  * environment): [[StubDecoder.decode]] derives deterministic pseudo-
+  * features from the bytes. Everything around it — the binary column
+  * plumbing, metadata schema, partitioning, the typed batch interface —
+  * is real and oracle-/test-covered. Swapping in a real decoder changes
+  * one function.
+  */
+object Multimodal {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A media record: opaque payload + typed metadata. */
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
+                         n_bytes: Long)
+
+  /** Extracted features (what a real decoder would emit). */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                           n_chunks: Long, checksum: Long, brightness: Double)
+
+  /** Build a media table from `documents`: the text bytes act as the
+    * opaque payload (UTF-8), with a kind derived from the source. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id".as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        ($"doc_id" % 3 + 1).cast("int")).as("kind"),
+      encode($"text", "UTF-8").as("payload"),
+      octet_length(encode($"text", "UTF-8")).cast("long").as("n_bytes"))
+  }
+
+  /** The stubbed decoder: deterministic features from raw bytes. A real
+    * implementation would decode image frames / audio samples here; the
+    * interface (bytes in, fixed-schema features out, partition-local) is
+    * the production one. */
+  object StubDecoder {
+    val ChunkSize = 256L
+    def decode(r: MediaRecord): MediaFeatures = {
+      var sum = 0L
+      var i = 0
+      while (i < r.payload.length) { sum += (r.payload(i) & 0xff).toLong * (i + 1); i += 1 }
+      MediaFeatures(
+        media_id = r.media_id,
+        kind = r.kind,
+        n_bytes = r.n_bytes,
+        n_chunks = (r.n_bytes + ChunkSize - 1) / ChunkSize,
+        checksum = sum % 1000000007L,
+        brightness = if (r.payload.isEmpty) 0.0
+                     else (sum % 256).toDouble / 255.0)
+    }
+  }
+
+  /** The mapPartitions feature-extraction stage (batched, partition-local —
+    * the shape a real decode stage needs: one decoder instance per
+    * partition, streaming through records). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init would go here (codec handles, buffers)
+      it.map(StubDecoder.decode)
+    }
+  }
+
+  /** Metadata + chunking query — the part of the pipeline that stays in
+    * pure column expressions (and therefore has a DuckDB oracle). */
+  def m01MediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).select(
+      $"media_id", $"kind", $"n_bytes",
+      // integer div: Column./ on longs yields double in Spark
+      expr(s"(n_bytes + ${StubDecoder.ChunkSize - 1}) div ${StubDecoder.ChunkSize}").as("n_chunks"),
+      substring(upper(hex($"payload")), 1, 16).as("head_hex"))
+  }
+
+  /** Feature extraction through the typed mapPartitions stage, then a
+    * relational aggregation over its output: proves the decode stage
+    * composes with the rest of the engine. Oracle replicates the stub's
+    * arithmetic in SQL. */
+  def m02MediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir).as[MediaRecord]
+    extractFeatures(media).toDF()
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+           sum($"n_chunks").as("total_chunks"),
+           (sum($"checksum") % 1000000007L).as("checksum_agg"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_media_meta"     -> m01MediaMeta _,
+    "m02_media_features" -> m02MediaFeatures _,
+  )
+
+  private val kindSql =
+    "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
+
+  val oracles: Map[String, String] = Map(
+    "m01_media_meta" ->
+      s"""SELECT doc_id AS media_id, $kindSql AS kind,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
+          substring(upper(hex(encode(text))), 1, 16) AS head_hex
+          FROM documents""",
+    "m02_media_features" ->
+      s"""WITH bytes AS (
+            SELECT doc_id, $kindSql AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   unnest(range(1, octet_length(encode(text)) + 1)) AS i,
+                   unnest(list_transform(range(1, octet_length(encode(text)) + 1),
+                          j -> ord(substring(text, j, 1)))) AS byte_val
+            FROM documents),
+          per_doc AS (
+            SELECT doc_id, kind, ANY_VALUE(n_bytes) AS n_bytes,
+                   SUM(byte_val * i) % 1000000007 AS checksum
+            FROM bytes GROUP BY doc_id, kind)
+          SELECT kind, COUNT(*) AS n_media,
+                 CAST(SUM((n_bytes + 255) // 256) AS BIGINT) AS total_chunks,
+                 CAST(SUM(checksum) % 1000000007 AS BIGINT) AS checksum_agg
+          FROM per_doc GROUP BY kind""",
+  )
+}

