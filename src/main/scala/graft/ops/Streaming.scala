@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.dsum
+
+/** Streaming operator surface (SURVEY.md §2.2 "Streaming"): windowed
+  * aggregation (tumbling/sliding/session), watermarked dedup, and the
+  * foreachBatch CDC upsert.
+  *
+  * Every transformation here is a plain `DataFrame => DataFrame` so the
+  * SAME code runs in two execution modes:
+  *  - batch over the events parquet → these are the oracle-checked
+  *    `queries` entries below (window semantics are identical in batch);
+  *  - streaming via `readStream`/`MemoryStream` → covered by
+  *    StreamingSpec, which asserts stream-vs-batch parity on the same
+  *    input. That parity is the correctness contract of this module.
+  *
+  * Scale: windowed aggs shuffle once on (window, key) — with watermarks
+  * the state store evicts closed windows, so state is bounded by
+  * (watermark horizon × key cardinality), not by stream length.
+  */
+object Streaming {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+              col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding 1-hour windows every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").cast("timestamp_ntz").as("window_start"), col("n"))
+
+  /** Session windows per user with a 5-minute inactivity gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "5 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("w.start").cast("timestamp_ntz").as("session_start"),
+              col("n_events"))
+
+  /** First event per (user, type) — the deterministic batch twin of
+    * dropDuplicatesWithinWatermark (streaming keeps first arrival; batch
+    * keeps min event_id, which for the generator is arrival order). */
+  def firstPerUserType(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"))
+
+  // --- oracle-checked batch instantiations ------------------------------
+
+  def w01Tumbling(spark: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(spark, dir))
+
+  def w02Sliding(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(spark, dir))
+
+  def w03Session(spark: SparkSession, dir: String): DataFrame =
+    sessionCounts(Tables.events(spark, dir))
+
+  def w04DedupFirst(spark: SparkSession, dir: String): DataFrame =
+    firstPerUserType(Tables.events(spark, dir))
+
+  val queries: Map[String, Q] = Map(
+    "w01_tumbling_window" -> w01Tumbling _,
+    "w02_sliding_window"  -> w02Sliding _,
+    "w03_session_window"  -> w03Session _,
+    "w04_dedup_first"     -> w04DedupFirst _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "w01_tumbling_window" ->
+      s"""SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+          event_type, COUNT(*) AS n, ${Tables.sqlDsum("value")} AS total_value
+          FROM events GROUP BY 1, 2""",
+    // Spark's sliding window: event belongs to windows starting at
+    // floor_to_slide(ts) - k*slide for k = 0..(size/slide - 1)
+    "w02_sliding_window" ->
+      """SELECT CAST(time_bucket(INTERVAL '15 minutes', ts)
+                     - k * INTERVAL '15 minutes' AS TIMESTAMP) AS window_start,
+                COUNT(*) AS n
+         FROM (SELECT ts, unnest(range(0, 4)) AS k FROM events)
+         GROUP BY 1""",
+    // session windows via the gaps-and-islands rewrite: a new session
+    // starts when the previous event of the user is >= 5 minutes older
+    "w03_session_window" ->
+      """WITH flagged AS (
+           SELECT user_id, ts,
+                  CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '5 minutes'
+                         OR LAG(ts) OVER w IS NULL
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         numbered AS (
+           SELECT user_id, ts,
+                  SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                COUNT(*) AS n_events
+         FROM numbered GROUP BY user_id, sid""",
+    "w04_dedup_first" ->
+      """SELECT user_id, event_type, MIN(event_id) AS first_event_id
+         FROM events GROUP BY user_id, event_type""",
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{Apply, Envelope}
+import graft.gen.Workload
+import graft.ops.Streaming
+
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double)
+
+/** Stream-vs-batch parity: every Streaming transformation must produce the
+  * same result when driven through a real StreamingQuery (MemoryStream →
+  * memory sink) as when run in batch over the same rows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val rows: Seq[Ev] =
+    Tables.events(spark, sf0001)
+      .select($"event_id", $"ts".cast("timestamp"), $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq
+
+  private def runStream(name: String)(xform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(500))
+    ms.addData(rows.drop(500))
+    // event-time watermarks require TIMESTAMP (LTZ) — session TZ is UTC,
+    // so instants match the batch NTZ values exactly
+    val q = xform(ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("tumbling window: streaming == batch") {
+    val streamed = runStream("tumble")(Streaming.tumblingCounts)
+    val batch = Streaming.tumblingCounts(Tables.events(spark, sf0001))
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("session window: streaming == batch") {
+    val streamed = runStream("sess")(Streaming.sessionCounts)
+    val batch = Streaming.sessionCounts(Tables.events(spark, sf0001))
+    assert(canon(streamed) == canon(batch))
+  }
+
+  test("streaming dedup-within-watermark emits one row per key") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // duplicate the whole feed — dedup must collapse the copies
+    ms.addData(rows.take(200))
+    ms.addData(rows.take(200))
+    val q = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedupw")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedupw")
+    assert(got.count() == 200)
+    assert(got.select("event_id").distinct().count() == 200)
+  }
+
+  test("foreachBatch CDC upsert converges to the batch snapshot") {
+    implicit val sq = spark.sqlContext
+    val envelopes = Envelope.parse(Workload.employeeCdc(spark, n = 300, nKeys = 30))
+    val feed = envelopes.select($"offset", $"topic", $"value")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val ms = MemoryStream[(Long, String, String)]
+    feed.grouped(100).foreach(b => ms.addData(b.toSeq))
+    // state table maintained by per-batch merge (the foreachBatch upsert)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val q = ms.toDF().toDF("offset", "topic", "value")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val parsed = Envelope.good(Envelope.parse(batch))
+          .withColumn("id", coalesce(element_at($"after", "id"), element_at($"before", "id")).cast("int"))
+          .select($"offset", $"op", $"id", $"after")
+        val merged = state match {
+          case None => parsed
+          case Some(s) => s.unionByName(parsed)
+        }
+        // keep only latest per key — the merge step of an upsert sink
+        state = Some(Apply.snapshot(merged, Seq("id"), Seq($"offset"))
+          .unionByName(merged.filter($"op" === "d")) // retain tombstones for later batches
+          .localCheckpoint(true))
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val full = Envelope.good(Envelope.parse(Workload.employeeCdc(spark, n = 300, nKeys = 30)))
+      .withColumn("id", coalesce(element_at($"after", "id"), element_at($"before", "id")).cast("int"))
+      .select($"offset", $"op", $"id", $"after")
+    val expect = Apply.snapshot(full, Seq("id"), Seq($"offset"))
+      .select($"id", element_at($"after", "salary").as("salary"))
+    val got = Apply.snapshot(state.get, Seq("id"), Seq($"offset"))
+      .select($"id", element_at($"after", "salary").as("salary"))
+    assert(canon(got) == canon(expect))
+  }
+}
