@@ -36,6 +36,22 @@ class SmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct is within rsd of exact counts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val approx = ops.Relational2.q28ApproxDistinct(spark, sf0001)
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("p"), countDistinct($"l_orderkey").as("o"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    joined.foreach { r =>
+      val (ap, ep) = (r.getAs[Long]("approx_parts").toDouble, r.getAs[Long]("p").toDouble)
+      val (ao, eo) = (r.getAs[Long]("approx_orders").toDouble, r.getAs[Long]("o").toDouble)
+      assert(math.abs(ap - ep) / ep < 0.1, s"parts estimate off: $ap vs $ep")
+      assert(math.abs(ao - eo) / eo < 0.1, s"orders estimate off: $ao vs $eo")
+    }
+  }
+
   test("queries that must be non-empty at sf0.001") {
     Seq("q01_pricing_summary", "q03_top_revenue_orders", "q05_nation_revenue",
         "q07_customers_without_orders", "q13_set_ops", "q25_event_range_join")
