@@ -48,16 +48,21 @@ object Dedup {
                 substring(text, instr(text, ' ') + 1) AS text
          FROM documents WHERE doc_id % 10 = 5)"""
 
-  /** Distinct word-3-gram shingles per document. */
+  /** Distinct word-3-gram shingles per document — a single map-side array
+    * transform (no joins, no explode-shuffle until the final distinct).
+    * At 100 TB this is the difference between a scan and three shuffles. */
   def shingles(corpus: DataFrame): DataFrame = {
-    val t = corpus.select(col("doc_id"),
-      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
-    val t2 = t.select(col("doc_id").as("d2"), (col("pos") - 1).as("p2"), col("tok").as("tok2"))
-    val t3 = t.select(col("doc_id").as("d3"), (col("pos") - 2).as("p3"), col("tok").as("tok3"))
-    t.join(t2, col("doc_id") === col("d2") && col("pos") === col("p2"))
-      .join(t3, col("doc_id") === col("d3") && col("pos") === col("p3"))
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("tok2"), col("tok3")).as("shingle"))
-      .distinct()
+    // tokenize in its OWN projection: expressions inside a higher-order
+    // lambda are not CSE'd, so referencing split(...) directly would
+    // re-split the text for every array element
+    val t = corpus.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val sh = when(size(col("toks")) >= 3,
+      transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+                            element_at(col("toks"), i + 2),
+                            element_at(col("toks"), i + 3))))
+      .otherwise(array())
+    t.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
   }
 
   val shinglesSql: String =
@@ -108,8 +113,10 @@ object Dedup {
   def d02MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    val sh = shingles(corpus).cache()
-    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid")
+    val sh = shingles(corpus)
+    // cache AFTER the dictionary join: sig, both verify sides, and sizes
+    // all reuse (doc_id, sid) — recomputing it would redo the dict join 4×
+    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid").cache()
     val sig = signatures(ids)
     // band keys: (band index, the band's two signature values)
     val bands = (0 until K / 2).map { b =>
@@ -160,7 +167,7 @@ object Dedup {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sh = shingles(corpus)
-    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid")
+    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid").cache()
     val base = Tables.documents(spark, dir).select($"doc_id")
     val pairs =
       base.filter($"doc_id" % 10 === 0).select($"doc_id".as("id1"), ($"doc_id" + 1000000L).as("id2"), lit("exact").as("kind"))

@@ -127,16 +127,19 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
-  /** Top word-3-gram frequencies (deterministic top-20). */
+  /** Top word-3-gram frequencies (deterministic top-20). Shingling is a
+    * map-side array transform — the only shuffle is the count aggregation,
+    * and TakeOrderedAndProject handles the top-k without a global sort. */
   def t06NgramFreq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val t = tokenized(docs)
-    val t2 = t.select($"doc_id".as("d2"), ($"pos" - 1).as("p2"), $"tok".as("tok2"))
-    val t3 = t.select($"doc_id".as("d3"), ($"pos" - 2).as("p3"), $"tok".as("tok3"))
-    t.join(t2, $"doc_id" === $"d2" && $"pos" === $"p2")
-      .join(t3, $"doc_id" === $"d3" && $"pos" === $"p3")
-      .select(concat_ws(" ", $"tok", $"tok2", $"tok3").as("ngram"))
+    val sh = when(size($"toks") >= 3,
+      transform(sequence(lit(0), size($"toks") - 3),
+        i => concat_ws(" ", element_at($"toks", i + 1), element_at($"toks", i + 2),
+                            element_at($"toks", i + 3))))
+      .otherwise(array())
+    Tables.documents(spark, dir)
+      .select(tokens($"text").as("toks")) // own projection: no CSE in lambdas
+      .select(explode(sh).as("ngram"))
       .groupBy($"ngram").agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"ngram")
       .limit(20)
