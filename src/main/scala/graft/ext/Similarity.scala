@@ -29,10 +29,17 @@ object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
   /** Left-fold dot product of two float arrays as doubles (exact parity
-    * with the DuckDB fragment in [[dotSql]]). */
-  def dot(a: Column, b: Column): Column =
+    * with the DuckDB fragment in [[dotSql]]). Kept as the executable
+    * specification of [[dot]]'s semantics — the spec asserts bit-equality. */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Production dot product: the codegen'd [[graft.functions.FloatVectorDot]]
+    * expression — same left-fold IEEE semantics, no per-element lambda or
+    * intermediate array (3× per cosine, per row, it matters). */
+  def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecDot(a, b)
 
   def dotSql(a: String, b: String): String =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
@@ -58,7 +65,8 @@ object Similarity {
   /** Bucket id column for an embedding: sign bits of the 8 plane dots. */
   def lshBucket(e: Column): Column =
     (0 until NPlanes).map { t =>
-      val w = array((1 to 64).map(j => lit(planeWeight(t, j).toDouble)): _*)
+      // float literals: weights are small integers, exact in float32
+      val w = array((1 to 64).map(j => lit(planeWeight(t, j).toFloat)): _*)
       when(dot(w, e) > 0, 1L << t).otherwise(0L)
     }.reduce(_ + _)
 

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Codegen'd dot product over two `array<float>` columns.
+  *
+  * The composable form — `aggregate(zip_with(a, b, (x,y) => x*y), 0.0, +)`
+  * — allocates an intermediate array and evaluates lambda closures per
+  * element; inside a 64-dim cosine it runs three times per row. This
+  * expression generates a primitive multiply-add loop instead: no
+  * allocation, no virtual calls, stays inside WholeStageCodegen.
+  *
+  * Semantics intentionally mirror the fold form for equal-length inputs:
+  * accumulation is left-to-right from +0.0 in doubles, so results are
+  * bit-identical with `Similarity.dotFold` (and with the DuckDB
+  * `list_reduce` oracle fragment). Unequal lengths use the shorter length
+  * (the fold form would return null via zip_with's null padding — don't
+  * feed it ragged vectors; embeddings are fixed-dim).
+  */
+case class FloatVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+
+  /** Register `vec_dot` in a session's function registry (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+
+  /** Column API for [[FloatVectorDot]]: resolved through the function
+    * registry of the active session (the Column↔Expression bridge is
+    * private[sql] in Spark 4). */
+  def vecDot(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("vec_dot", a, b)
+  }
+}
