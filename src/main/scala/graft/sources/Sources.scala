@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (SURVEY.md §2.2 "Scans / sources").
+  *
+  * The reference's IO edges: Kafka consume [consumer_to_file.py:183-204],
+  * MySQL JDBC [data_inserter.py:8-14], ClickHouse JDBC jar on the Spark
+  * shell classpath [spark.sh:21-25], and an append-only DLQ text file
+  * [consumer_to_file.py:72-86]. Spark-native: `spark.read.{parquet,csv,
+  * json,jdbc}` and `spark.readStream.format("kafka")`; this module pins
+  * down the engine's conventions for each:
+  *  - **explicit schemas always** (schema inference is a driver-side scan
+  *    at 100 TB, and nondeterministic under sampling);
+  *  - **corrupt records are routed, not dropped** (PERMISSIVE +
+  *    `_corrupt_record` column → DLQ side-output, same contract as
+  *    [[graft.cdc.Envelope.parse]]);
+  *  - **writes declare layout**: `partitionBy` for pruning +
+  *    `sortWithinPartitions` as the MergeTree-ORDER-BY analog
+  *    [consumer_to_file.py:148-149].
+  *
+  * Kafka itself needs a broker (none in this environment) — its contract
+  * is exercised through MemoryStream in StreamingSpec; the option surface
+  * below documents the production configuration.
+  */
+object Sources {
+
+  // Parsing happens via from_json/from_csv over a text scan, NOT the
+  // file-source schema option: the file sources' internal _corrupt_record
+  // column refuses pruned scans that reference only it (so e.g.
+  // dlq(df).count() would throw), and the expression form keeps the whole
+  // parse inside codegen with no cache requirement.
+
+  private def parseOpts = Map(
+    "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
+
+  /** Read JSON-lines with an explicit schema; malformed lines land in
+    * `_corrupt_record` instead of vanishing. */
+  def jsonWithDlq(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val full = schema.add("_corrupt_record", "string")
+    spark.read.text(path)
+      .select(from_json(col("value"), full, parseOpts).as("r"))
+      .select(col("r.*"))
+  }
+
+  /** Read CSV with an explicit schema + corrupt routing. */
+  def csvWithDlq(spark: SparkSession, path: String, schema: StructType,
+                 header: Boolean = true): DataFrame = {
+    val full = schema.add("_corrupt_record", "string")
+    val headerLine = schema.fieldNames.mkString(",")
+    val text = spark.read.text(path)
+    val body = if (header) text.filter(col("value") =!= headerLine) else text
+    body
+      .select(from_csv(col("value"), full, parseOpts).as("r"))
+      .select(col("r.*"))
+  }
+
+  def good(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
+  /** DLQ side-output. Keeps every parsed column alongside the raw record:
+    * context for debugging, and Spark refuses scans that reference ONLY
+    * the internal corrupt column. */
+  def dlq(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNotNull)
+      .withColumn("raw", col("_corrupt_record"))
+      .withColumn("error", lit("unparseable record"))
+      .withColumn("dlq_ts", current_timestamp())
+      .drop("_corrupt_record")
+
+  /** Analytical-table write: partition layout for pruning + in-partition
+    * sort key (the Spark analog of `ENGINE=MergeTree ORDER BY <pk>`
+    * [consumer_to_file.py:145-150]). */
+  def writeTable(df: DataFrame, path: String, partitionCols: Seq[String],
+                 sortCols: Seq[String]): Unit = {
+    // partition columns lead the sort: FileFormatWriter inserts its own
+    // (non-stable) sort on partition columns when rows aren't already
+    // ordered by them, which would destroy the secondary sort key
+    val order = (partitionCols ++ sortCols).map(col)
+    val sorted = if (order.nonEmpty) df.sortWithinPartitions(order: _*) else df
+    val w = sorted.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Create-if-absent write (reference `CREATE TABLE IF NOT EXISTS`
+    * [data_inserter.py:18-25, setup.sh:59-63]): SaveMode.Ignore is a
+    * no-op when the target already exists. */
+  def writeTableIfAbsent(df: DataFrame, path: String): Unit =
+    df.write.mode("ignore").parquet(path)
+
+  /** Kafka source options for the production path (no broker here; see
+    * StreamingSpec for the MemoryStream-driven contract tests). Mirrors
+    * the reference consumer: earliest offsets, pattern-subscribed topics
+    * [consumer_to_file.py:10, 172-186] — checkpointing replaces its
+    * fresh-group-id-per-run replay semantics. */
+  def kafkaOptions(brokers: String, topicPattern: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> brokers,
+    "subscribePattern" -> topicPattern,
+    "startingOffsets" -> "earliest",
+    "failOnDataLoss" -> "false")
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+import java.nio.file.{Files, Paths}
+
+class SourcesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val p = Paths.get("target", "test-io", name)
+    Files.createDirectories(p.getParent)
+    p.toString
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("salary", DoubleType)))
+
+  test("json round-trip with corrupt-record DLQ routing") {
+    val dir = tmpDir("j1")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "part.json"),
+      """{"id": 1, "name": "a", "salary": 10.5}
+        |{"id": 2, "name": "b", "salary": 20.0}
+        |{broken json
+        |{"id": 4, "name": "d", "salary": 40.0}
+        |""".stripMargin)
+    val df = Sources.jsonWithDlq(spark, dir, schema)
+    assert(Sources.good(df).count() == 3)
+    assert(Sources.dlq(df).count() == 1)
+    assert(Sources.dlq(df).select("raw").as[String].collect().head.contains("broken"))
+  }
+
+  test("csv round-trip with corrupt-record DLQ routing") {
+    val dir = tmpDir("c1")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(dir, "part.csv"),
+      """id,name,salary
+        |1,a,10.5
+        |2,b,not_a_number
+        |3,c,30.0
+        |""".stripMargin)
+    val df = Sources.csvWithDlq(spark, dir, schema)
+    assert(Sources.good(df).count() == 2)
+    assert(Sources.dlq(df).count() == 1)
+  }
+
+  test("writeTable partitions prune and sort key orders within files") {
+    val dir = tmpDir("w1")
+    val src = Tables.orders(spark, sf0001)
+      .withColumn("status", $"o_orderstatus")
+    Sources.writeTable(src, dir, partitionCols = Seq("status"),
+      sortCols = Seq("o_custkey"))
+    // partition pruning: reading one status must only touch its directory
+    val back = spark.read.parquet(dir)
+    val one = back.filter($"status" === "F")
+    val scanned = one.queryExecution.executedPlan.toString
+    assert(back.count() == src.count())
+    assert(one.count() > 0)
+    // layout on disk: status=F directory exists
+    assert(Files.exists(Paths.get(dir, "status=F")))
+    // in-partition sort: within each file rows are ordered by o_custkey
+    val fileRows = spark.read.parquet(dir + "/status=F")
+      .withColumn("file", input_file_name())
+      .withColumn("rn", monotonically_increasing_id())
+    val violations = fileRows
+      .withColumn("prev", lag($"o_custkey", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"file").orderBy($"rn")))
+      .filter($"prev".isNotNull && $"prev" > $"o_custkey")
+    assert(violations.count() == 0)
+  }
+
+  test("kafka option surface is complete") {
+    val opts = Sources.kafkaOptions("broker:9092", "(config|sourcing)\\..*")
+    assert(opts("subscribePattern") == "(config|sourcing)\\..*")
+    assert(opts("startingOffsets") == "earliest")
+  }
+}
