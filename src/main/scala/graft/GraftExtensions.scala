@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.functions.FloatVectorDot
+
+/** Session-extension hook so the engine's custom expressions are available
+  * in any session started with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`): the injection path for
+  * clusters where code can't call
+  * [[functions.VectorExpressions.register]] per session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatVectorDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVectorDot(exprs(0), exprs(1))))
+  }
+}

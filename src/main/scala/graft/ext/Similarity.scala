@@ -108,6 +108,30 @@ object Similarity {
       .select($"qid", $"rank", $"nid", $"cos_sim")
   }
 
+  /** Scale-path variant of [[s01KnnBruteForce]]: per-query top-k through
+    * the bounded-heap [[graft.functions.TopKByScore]] aggregator instead
+    * of a window — partial aggregation ships ≤k candidates per query per
+    * executor to the exchange rather than every scored pair. Same output
+    * contract (spec asserts equality with the window form). */
+  def knnTopKAggregated(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.{ScoredId, TopKByScore}
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), cosine($"qe", $"embedding").as("cos_sim"))
+      .as[(Long, Long, Double)]
+    val topk = new TopKByScore(k).toColumn
+    scored
+      .groupByKey(_._1)
+      .mapValues { case (_, nid, c) => ScoredId(nid, c) }
+      .agg(topk.name("top"))
+      .flatMap { case (qid, arr) =>
+        arr.iterator.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score) }
+      }
+      .toDF("qid", "rank", "nid", "cos_sim")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s02_ann_lsh"        -> s02AnnLsh _,

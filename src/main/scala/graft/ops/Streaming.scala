@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Tables
 import graft.Tables.dsum
 
@@ -52,6 +53,35 @@ object Streaming {
   def firstPerUserType(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"), col("event_type"))
       .agg(min(col("event_id")).as("first_event_id"))
+
+  // --- custom state: flatMapGroupsWithState -----------------------------
+
+  case class UserEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
+  case class UserState(nEvents: Long, totalValue: Double, lastEventId: Long)
+  case class UserUpdate(user_id: Long, n_events: Long, total_value: Double, last_event_id: Long)
+
+  /** Per-user running totals as explicit keyed state — the engine's
+    * `flatMapGroupsWithState` surface (what the reference's implicit
+    * "state lives in ClickHouse" becomes when the aggregation can't be
+    * expressed as a built-in windowed agg). Emits one update per user per
+    * micro-batch; state is the scalable part: O(users), not O(events). */
+  def statefulUserTotals(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, -1L))
+          // fold in event_id order for deterministic last_event_id
+          val evs = batch.toSeq.sortBy(_.event_id)
+          val next = evs.foldLeft(prev) { (s, e) =>
+            UserState(s.nEvents + 1, s.totalValue + e.value, e.event_id)
+          }
+          state.update(next)
+          Iterator.single(UserUpdate(userId, next.nEvents, next.totalValue, next.lastEventId))
+      }
+  }
 
   // --- oracle-checked batch instantiations ------------------------------
 

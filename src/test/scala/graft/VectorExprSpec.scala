@@ -44,6 +44,16 @@ class VectorExprSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(Some(11.0), None))
   }
 
+  test("bounded-heap top-k aggregator matches the window top-k exactly") {
+    val viaWindow = Similarity.s01KnnBruteForce(spark, sf0001)
+      .select($"qid", $"rank", $"nid", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaHeap = Similarity.knnTopKAggregated(spark, sf0001, 10)
+      .select($"qid", $"rank".cast("int"), $"nid", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaHeap == viaWindow)
+  }
+
   test("codegen path is no slower than the fold (smoke timing)") {
     val e = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding").cache()
     e.count()
