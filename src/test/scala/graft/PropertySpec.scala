@@ -1,0 +1,71 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.types._
+import graft.cdc.{Apply, SchemaEvolution}
+
+/** Pure-logic property tests (scalacheck, no Spark session): PK-candidate
+  * precedence, schema-evolution algebra, epoch heuristic arithmetic.
+  * The Spark-execution properties (random CDC streams vs an in-memory
+  * model) live in CdcSpec.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private val ident: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString).suchThat(_.nonEmpty)
+
+  property("pkCandidate picks by fixed precedence, else first column") =
+    forAll(Gen.nonEmptyListOf(ident)) { cols =>
+      val got = Apply.pkCandidate(cols)
+      val preferred = Apply.pkCandidates.filter(cols.contains)
+      if (preferred.nonEmpty) got == preferred.head
+      else got == cols.head
+    }
+
+  private val fieldGen: Gen[StructField] = for {
+    n <- ident
+    t <- Gen.oneOf(LongType, DoubleType, StringType, BooleanType, TimestampType)
+  } yield StructField(n, t)
+
+  private val schemaGen: Gen[StructType] =
+    Gen.listOf(fieldGen).map(fs =>
+      StructType(fs.groupBy(_.name).map(_._2.head).toSeq))
+
+  property("widen keeps base fields, appends only new names, is idempotent") =
+    forAll(schemaGen, schemaGen) { (a, b) =>
+      val w = SchemaEvolution.widen(a, b)
+      val keepsBase = w.fields.take(a.fields.length).sameElements(a.fields)
+      val hasAll = (a.fieldNames ++ b.fieldNames).toSet == w.fieldNames.toSet
+      val noRetype = a.fields.forall(f => w(f.name).dataType == f.dataType)
+      val idempotent = SchemaEvolution.widen(w, b) == w
+      keepsBase && hasAll && noRetype && idempotent
+    }
+
+  property("widen is associative on field sets") =
+    forAll(schemaGen, schemaGen, schemaGen) { (a, b, c) =>
+      SchemaEvolution.widen(SchemaEvolution.widen(a, b), c).fieldNames.toSet ==
+        SchemaEvolution.widen(a, SchemaEvolution.widen(b, c)).fieldNames.toSet
+    }
+
+  property("epoch heuristic: >1e12 becomes floor(v/1000), else unchanged") =
+    forAll(Gen.chooseNum(0L, 4e12.toLong)) { v =>
+      // the rule as data (mirrors the Column expression; CdcSpec checks
+      // the Column version on the boundary values)
+      val expected = if (v > 1e12) v / 1000 else v
+      val viaRule = if (v.toDouble > 1e12) math.floor(v.toDouble / 1000).toLong else v
+      viaRule == expected || math.abs(viaRule - expected) <= 1 // double precision at 4e12: exact
+    }
+
+  property("inferType: bool before int precedence, collections to string") =
+    forAll(Gen.oneOf[Any](true, 1L, 2.5, "s", Map("a" -> 1), Seq(1, 2))) { v =>
+      val t = SchemaEvolution.inferType(v)
+      v match {
+        case _: Boolean => t == BooleanType
+        case _: Long => t == LongType
+        case _: Double => t == DoubleType
+        case _: String => t == StringType
+        case _ => t == StringType
+      }
+    }
+}
