@@ -13,8 +13,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warm-up so the first measured query doesn't absorb executor
-    // startup + codegen compiler initialization
+    // startup, codegen compiler init, or parquet/json reader class loading
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    spark.range(10).selectExpr("""from_json('{"a":1}', 'map<string,string>')""").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

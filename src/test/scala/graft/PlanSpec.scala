@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Relational
+
+/** Plan-shape guards: these properties are what makes the queries viable
+  * at 100 TB — losing one to a refactor is a silent performance bug, so
+  * they are asserted, not just eyeballed.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02: predicates and projection push into the parquet scan") {
+    val p = formatted(Relational.q02FilterProject(spark, sf0001))
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "shipdate range must push down")
+    assert(p.contains("LessThan(l_quantity,24.0)"), "quantity filter must push down")
+    // column pruning: tax/returnflag never read
+    assert(!p.contains("l_tax"), "unused columns must not reach ReadSchema")
+  }
+
+  test("q05: every dimension join is broadcast — fact side never shuffles for them") {
+    val p = planOf(Relational.q05NationRevenue(spark, sf0001))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected broadcast joins for supplier/nation/region, got $broadcasts")
+    assert(!p.contains("SortMergeJoin") || broadcasts >= 3)
+  }
+
+  test("q01: aggregation is partial before the exchange (map-side combine)") {
+    val p = planOf(Relational.q01PricingSummary(spark, sf0001))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "hash aggregate must have a partial phase")
+    assert(p.contains("Exchange hashpartitioning"))
+  }
+
+  test("q03: top-10 compiles to TakeOrderedAndProject, not a global sort") {
+    val p = planOf(Relational.q03TopRevenueOrders(spark, sf0001))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the scan->filter->project pipeline") {
+    // codegen'd stages print with the "*(id)" prefix in the simple plan
+    val p = planOf(Relational.q02FilterProject(spark, sf0001))
+    assert(p.contains("*(1) Project") && p.contains("*(1) Filter"))
+  }
+
+  test("s01 knn: query side is broadcast (no shuffle of the corpus)") {
+    val p = planOf(ext.Similarity.s01KnnBruteForce(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}
