@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support: pre-shuffling fact tables on their join key at
+  * write time so repeated joins/aggregations on that key run with NO
+  * exchange at read time.
+  *
+  * At 100 TB this is the structural answer to "lineitem ⋈ orders shuffles
+  * both sides every query": bucket both on the order key once, and every
+  * subsequent join on it is a zipped per-bucket sort-merge with no
+  * network movement; aggregations on the bucket key skip their exchange
+  * too. The bucket count is fixed at write time — size it to the target
+  * parallelism (buckets ≥ executors·cores for full width).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed catalog table (bucketBy requires
+    * saveAsTable — plain parquet paths carry no bucket metadata). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCol: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+  }
+
+  /** Join two tables bucketed on the same key with the same bucket count:
+    * planner sees compatible output partitioning → no Exchange. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+                   key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}
