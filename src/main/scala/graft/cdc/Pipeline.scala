@@ -1,0 +1,71 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+
+/** EP1 end-to-end (SURVEY.md §3): raw Kafka-shaped records → envelope
+  * parse → DLQ split → per-table typed change logs → snapshot views.
+  *
+  * This is the whole reference consumer [consumer_to_file.py:196-250] as
+  * one declarative composition. Differences that matter at scale:
+  *  - schema inference runs as ONE distributed aggregation per table
+  *    (regex-vote over exploded key/values), not a DESCRIBE per message;
+  *  - the typed log is the durable output (append-only); snapshots are
+  *    views — replays and restarts are idempotent;
+  *  - the only driver-side data is table names and key lists (metadata,
+  *    not rows).
+  *
+  * Works identically in batch and inside `foreachBatch` (StreamingSpec
+  * exercises the streaming path for the apply step).
+  */
+object Pipeline {
+
+  case class TableFlow(table: String, log: DataFrame, snapshot: DataFrame)
+  case class IngestResult(dlq: DataFrame, tables: Map[String, TableFlow])
+
+  /** Value-pattern type inference over the schemaless string payload:
+    * every value integral → long; every value numeric → double; else
+    * string. (The runtime twin of SchemaEvolution.inferType, which types
+    * already-decoded values.) */
+  private[cdc] def inferKeyTypes(keyed: DataFrame): Map[String, DataType] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupBy($"k")
+      .agg(
+        max(when(!$"v".rlike("^-?\\d+$"), 1).otherwise(0)).as("not_int"),
+        max(when(!$"v".rlike("^-?\\d+(\\.\\d+)?([eE]-?\\d+)?$"), 1).otherwise(0)).as("not_num"))
+      .collect()
+      .map { r =>
+        val t = (r.getAs[Int]("not_int"), r.getAs[Int]("not_num")) match {
+          case (0, _) => LongType
+          case (_, 0) => DoubleType
+          case _      => StringType
+        }
+        r.getAs[String]("k") -> t
+      }.toMap
+  }
+
+  /** Ingest a batch of raw records (`topic`, `offset`, `value`). */
+  def ingest(raw: DataFrame): IngestResult = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val parsed = Envelope.parse(raw).cache()
+    val good = Envelope.good(parsed)
+      .withColumn("payload", coalesce($"after", $"before"))
+    val tableNames = good.select($"table").distinct().as[String].collect().toSeq.sorted
+
+    val flows = tableNames.map { t =>
+      val rows = good.filter($"table" === t)
+      val keyed = rows.select(explode($"payload").as(Seq("k", "v")))
+      val types = inferKeyTypes(keyed)
+      val keys = types.keys.toSeq.sorted
+      val typedCols = keys.map(k => element_at($"payload", k).cast(types(k)).as(k))
+      val log = rows.select(($"offset" +: $"op" +: $"ts_ms" +: typedCols): _*)
+      val pk = Apply.pkCandidate(keys)
+      val snapshot = Apply.snapshot(log, Seq(pk), Seq($"offset")).drop("_rn")
+      t -> TableFlow(t, log, snapshot)
+    }.toMap
+
+    IngestResult(Envelope.dlq(parsed), flows)
+  }
+}

@@ -141,6 +141,55 @@ object Dedup {
         (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).cast("decimal(38,6)").as("jacc_pct"))
   }
 
+  /** Scale-path MinHash+LSH: identical pipeline shape to [[d02MinHashLsh]]
+    * but shingle ids come from `xxhash64` — no dictionary, no global
+    * sort, pure map-side hashing. This is the variant to run on 100 TB;
+    * d02's dictionary form exists because DuckDB can replay it exactly.
+    * (No oracle by construction — xxhash64 is Spark-specific; the spec
+    * asserts it finds the same planted duplicates as d02.) */
+  def minHashLshScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val ids = shingles(corpus)
+      .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid")).cache()
+    val sig = signatures(ids)
+    val bands = (0 until K / 2).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}")).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
+      .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
+      .filter($"s1" === $"s2")
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+      .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+      .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+      .select($"id1", $"id2", $"inter", $"n1", $"n2")
+  }
+
+  /** Corpus-level dedup API: the operational form ("give me the cleaned
+    * corpus"). Exact duplicates collapse to the min doc_id; near
+    * duplicates (verified jaccard ≥ 0.5 via the scale-path LSH) drop the
+    * higher doc_id of each pair. */
+  def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val nearDrops = minHashLshScale(spark, dir).select($"id2".as("drop_id")).distinct()
+    val exactCanon = corpus
+      .groupBy(md5($"text".cast("binary")).as("h"))
+      .agg(min($"doc_id").as("keep_id"))
+    corpus
+      .join(exactCanon, md5($"text".cast("binary")) === $"h" && $"doc_id" === $"keep_id")
+      .join(nearDrops, $"doc_id" === $"drop_id", "left_anti")
+      .select($"doc_id", $"text")
+  }
+
   // --- d03: SimHash -----------------------------------------------------
 
   val SimBits = 16

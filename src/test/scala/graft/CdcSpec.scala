@@ -135,6 +135,33 @@ class CdcSpec extends AnyFunSuite {
     assert(conformed.select("name").first().isNullAt(0))
   }
 
+  test("pipeline: end-to-end ingest types columns, routes DLQ, snapshots correctly") {
+    val raw = Workload.employeeCdc(spark, n = 400, nKeys = 40)
+      // plant two malformed records
+      .withColumn("value",
+        when($"offset" === 5L, lit("not json")).otherwise($"value"))
+    val result = cdc.Pipeline.ingest(raw)
+    assert(result.dlq.count() == 1)
+    assert(result.tables.keySet == Set("employees"))
+    val flow = result.tables("employees")
+    // inferred types: id integral, salary numeric, name/position strings
+    val types = flow.log.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("id") == "bigint")
+    assert(types("salary") == "bigint" || types("salary") == "double")
+    assert(types("name") == "string")
+    // snapshot: latest non-deleted per id, never more rows than keys
+    assert(flow.snapshot.count() <= 40)
+    assert(flow.snapshot.groupBy($"id").count().filter($"count" > 1).count() == 0)
+    // snapshot matches the independent Apply-based computation
+    val direct = Apply.snapshot(
+      Envelope.good(Envelope.parse(raw))
+        .withColumn("id", coalesce(element_at($"after", "id"), element_at($"before", "id")).cast("long")),
+      Seq("id"), Seq($"offset"))
+      .select($"id", element_at(coalesce($"after", $"before"), "salary").cast("double").as("salary"))
+    val viaPipeline = flow.snapshot.select($"id", $"salary".cast("double"))
+    assert(viaPipeline.exceptAll(direct).count() == 0 && direct.exceptAll(viaPipeline).count() == 0)
+  }
+
   test("workload generator: deterministic, parseable, snapshot-seeded") {
     val gen = Workload.employeeCdc(spark, n = 200, nKeys = 20)
     val parsed = Envelope.parse(gen)

@@ -33,6 +33,37 @@ class ExtSpec extends AnyFunSuite {
     assert(nearFound > 0.5, s"near-dup recall $nearFound too low")
   }
 
+  test("scale-path minhash (xxhash64, no dictionary) finds the planted duplicates") {
+    val pairs = Dedup.minHashLshScale(spark, sf0001)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    val expectedExact = docs.filter(_ % 10 == 0).map(d => (d, d + 1000000L)).toSet
+    assert(expectedExact.subsetOf(pairs))
+    val expectedNear = docs.filter(_ % 10 == 5).map(d => (d, d + 2000000L)).toSet
+    assert(expectedNear.intersect(pairs).size.toDouble / expectedNear.size > 0.5)
+  }
+
+  test("dedupCorpus removes planted duplicates and justifies every drop") {
+    val clean = Dedup.dedupCorpus(spark, sf0001)
+    val ids = clean.select($"doc_id").as[Long].collect().toSet
+    val docs = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect().toSet
+    // no planted exact copy survives
+    assert(ids.intersect(docs.map(_ + 1000000L)).isEmpty, "exact copies all removed")
+    // most planted near copies removed
+    val nearSurvivors = ids.count(_ >= 2000000L)
+    assert(nearSurvivors < docs.count(_ % 10 == 5) / 2, s"$nearSurvivors near copies survived")
+    // the corpus contains ORGANIC near-duplicates (generator reuses word
+    // sequences: e.g. docs sharing >95% of shingles) — dropping such
+    // originals is correct. Require justification: every dropped doc must
+    // be the id2 of a verified near-dup pair.
+    val dropJustified = Dedup.minHashLshScale(spark, sf0001)
+      .select($"id2").as[Long].collect().toSet
+    val droppedOriginals = docs -- ids
+    assert(droppedOriginals.subsetOf(dropJustified),
+      s"unjustified drops: ${droppedOriginals -- dropJustified}")
+    assert(ids.size > docs.size / 2, "most of the corpus survives")
+  }
+
   test("d03 simhash: identical docs identical hash; near copies close in hamming") {
     val sh = Dedup.d03SimHash(spark, sf0001)
       .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
