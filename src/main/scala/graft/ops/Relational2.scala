@@ -136,6 +136,33 @@ object Relational2 {
       .select($"o_orderstatus", $"o_totalprice".as("lower_median"))
   }
 
+  /** Correlated aggregate subquery (decorrelated by Catalyst into an
+    * aggregate + join): customers above their own nation's mean balance. */
+  def q35CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("cust_cs")
+    spark.sql("""
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM cust_cs o
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                / COUNT(*)
+                         FROM cust_cs i
+                         WHERE i.c_nationkey = o.c_nationkey)
+    """)
+  }
+
+  /** Distribution window functions: ntile, percent_rank, cume_dist
+    * (integer-derived doubles — identical formulas in both engines). */
+  def q36WindowDistribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 50)
+      .select($"o_orderstatus", $"o_orderkey",
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q26_asof_join"      -> q26AsofJoin _,
     "q27_pivot"          -> q27Pivot _,
@@ -146,6 +173,8 @@ object Relational2 {
     "q32_set_ops_all"    -> q32SetOpsAll _,
     "q33_min_max_by"     -> q33MinMaxBy _,
     "q34_median"         -> q34Median _,
+    "q35_correlated_subquery" -> q35CorrelatedSubquery _,
+    "q36_window_distribution" -> q36WindowDistribution _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +257,20 @@ object Relational2 {
                   COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
            FROM orders) t
          WHERE rn = (cnt + 1) // 2""",
+    "q35_correlated_subquery" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal
+         FROM customer o
+         WHERE c_acctbal > (SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                                   / COUNT(*)
+                            FROM customer i
+                            WHERE i.c_nationkey = o.c_nationkey)""",
+    "q36_window_distribution" ->
+      """SELECT o_orderstatus, o_orderkey,
+                CAST(NTILE(4) OVER w AS INT) AS quartile,
+                PERCENT_RANK() OVER w AS pct_rank,
+                CUME_DIST() OVER w AS cume
+         FROM orders
+         WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""",
   )
 }
