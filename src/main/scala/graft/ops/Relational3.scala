@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.dsum
+
+/** Third wave: generators (explode/posexplode), string-distance and
+  * extended string functions, boolean/conditional aggregates.
+  */
+object Relational3 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Generators: explode tokens with position, re-aggregate. posexplode is
+    * the engine's UDTF surface (the reference's per-row Python loops map
+    * to generator expressions here). */
+  def q37Explode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter($"doc_id" < 100)
+      .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "tok")))
+      .filter($"tok" =!= "")
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"),
+           min($"doc_id").as("first_doc"),
+           max($"pos").as("max_pos"))
+  }
+
+  /** String distance + extended string functions. */
+  def q38StringDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_partkey" < 500)
+      .select(
+        $"p_partkey",
+        levenshtein($"p_name", $"p_type").as("lev_name_type"),
+        initcap($"p_name").as("name_cap"),
+        reverse($"p_name").as("name_rev"),
+        translate($"p_name", "aeiou", "AEIOU").as("name_vowels"),
+        repeat($"p_brand", 2).as("brand_twice"),
+        substring($"p_name", 1, 3).as("name_left"),
+        expr("right(p_name, 3)").as("name_right"))
+  }
+
+  /** Boolean + conditional aggregates: bool_and/bool_or, count_if,
+    * sum(DISTINCT). */
+  def q39BoolAggs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        bool_and($"l_quantity" > 0).as("all_positive_qty"),
+        bool_or($"l_discount" > 0.09).as("any_big_discount"),
+        count_if($"l_tax" > 0.05).as("n_high_tax"),
+        sum_distinct(Tables.dec($"l_quantity")).cast("decimal(38,6)").as("sum_distinct_qty"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q37_explode"        -> q37Explode _,
+    "q38_string_distance" -> q38StringDistance _,
+    "q39_bool_aggs"      -> q39BoolAggs _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q37_explode" ->
+      """SELECT tok, COUNT(*) AS n, MIN(doc_id) AS first_doc,
+                CAST(MAX(pos) AS INT) AS max_pos
+         FROM (SELECT doc_id,
+                      unnest(string_split_regex(text, '\s+')) AS tok,
+                      unnest(range(0, len(string_split_regex(text, '\s+')))) AS pos
+               FROM documents WHERE doc_id < 100)
+         WHERE tok <> ''
+         GROUP BY tok""",
+    "q38_string_distance" ->
+      """SELECT p_partkey,
+                CAST(levenshtein(p_name, p_type) AS INT) AS lev_name_type,
+                -- initcap: capitalize first letter of each word
+                array_to_string(list_transform(string_split(p_name, ' '),
+                  w -> upper(w[1]) || lower(w[2:])), ' ') AS name_cap,
+                reverse(p_name) AS name_rev,
+                translate(p_name, 'aeiou', 'AEIOU') AS name_vowels,
+                repeat(p_brand, 2) AS brand_twice,
+                p_name[1:3] AS name_left,
+                p_name[-3:] AS name_right
+         FROM part WHERE p_partkey < 500""",
+    "q39_bool_aggs" ->
+      """SELECT l_returnflag,
+                bool_and(l_quantity > 0) AS all_positive_qty,
+                bool_or(l_discount > 0.09) AS any_big_discount,
+                count_if(l_tax > 0.05) AS n_high_tax,
+                CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_distinct_qty
+         FROM lineitem GROUP BY l_returnflag""",
+  )
+}
