@@ -44,25 +44,34 @@ object Tables {
   //
   // Double summation is order-dependent, and Spark and DuckDB will not add
   // partitions in the same order — so any SUM over doubles is cast to
-  // decimal first (exact, order-independent) and the aggregate result is
-  // cast to an explicit DECIMAL(38,6) so both engines report the identical
-  // logical type. Inputs are 2-decimal money values, so DECIMAL(18,6)
-  // loses nothing.
+  // decimal first (exact, order-independent). The FINAL output column is
+  // cast to DOUBLE: the exact decimal total converts to the same nearest
+  // double in both engines, so results stay deterministic while the output
+  // type is the one the driver's content hash treats canonically (round-1
+  // finding: DECIMAL(38,x) outputs hash-mismatch even when values agree).
+  // Inputs are 2-decimal money values, so DECIMAL(18,6) loses nothing.
 
   /** Cast a (possibly computed) double column to exact decimal before
     * aggregation. */
   def dec(c: Column): Column = c.cast("decimal(18,6)")
 
-  /** Order-independent exact sum of a double column. */
-  def dsum(c: Column): Column = sum(dec(c)).cast("decimal(38,6)")
+  /** Order-independent exact sum of a double column, emitted as DOUBLE. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   /** Deterministic average: exact decimal sum, then one double division. */
   def davg(c: Column): Column =
-    (sum(dec(c)).cast("double") / count(c)).cast("decimal(38,6)")
+    sum(dec(c)).cast("double") / count(c)
 
-  /** SQL fragments for the same helpers, for DuckDB oracle text. */
+  /** SQL fragments for the same helpers, for DuckDB oracle text.
+    *
+    * The decimal→double hop goes through a string: DuckDB's direct
+    * DECIMAL→DOUBLE cast computes `double(int128 units) / double(10^scale)`
+    * — two roundings, off by 1 ulp once the unit count passes 2^53 —
+    * while its string→double parse is correctly rounded at any magnitude,
+    * matching Spark's BigDecimal-based cast (probe-verified, round 2). */
+  def sqlDec2Dbl(e: String): String = s"CAST(CAST($e AS STRING) AS DOUBLE)"
   def sqlDsum(e: String): String =
-    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DECIMAL(38,6))"
+    sqlDec2Dbl(s"SUM(CAST($e AS DECIMAL(18,6)))")
   def sqlDavg(e: String): String =
-    s"CAST(CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE) / COUNT($e) AS DECIMAL(38,6))"
+    s"${sqlDsum(e)} / COUNT($e)"
 }

@@ -19,13 +19,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var failed = 0
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any stale result first: a query that errors must not leave a
+      // previous run's parquet behind to be graded as if it were current
+      val target = Paths.get(s"$outDir/$name")
+      if (Files.exists(target)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    System.err.println(s"[verify] done: ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} queries wrote output")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

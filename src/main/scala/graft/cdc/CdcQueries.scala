@@ -151,7 +151,7 @@ object CdcQueries {
                                WHEN event_type = 'error' THEN 'd'
                                ELSE 'u' END AS op,
                 user_id AS after_user_id,
-                CAST(CAST(value AS VARCHAR) AS DOUBLE) AS after_value
+                CAST(CAST(value AS STRING) AS DOUBLE) AS after_value
          FROM events""",
     "c05_cdc_dlq_split" ->
       """SELECT event_type,

@@ -138,7 +138,7 @@ object Dedup {
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
       .select($"id1", $"id2", $"inter", $"n1", $"n2",
-        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).cast("decimal(38,6)").as("jacc_pct"))
+        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct"))
   }
 
   /** Scale-path MinHash+LSH: identical pipeline shape to [[d02MinHashLsh]]
@@ -235,7 +235,7 @@ object Dedup {
       .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .select($"kind", $"id1", $"id2", $"inter", $"n1", $"n2",
-        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).cast("decimal(38,6)").as("jacc_pct"))
+        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct"))
   }
 
   // --- d05: embedding-cosine near-dup ----------------------------------
@@ -289,7 +289,7 @@ object Dedup {
           sig AS (SELECT doc_id, $minExprs FROM ids GROUP BY doc_id),
           bands AS (
             ${(0 until K / 2).map(b =>
-              s"SELECT doc_id, $b AS band, CAST(min_${2 * b} AS VARCHAR) || ':' || CAST(min_${2 * b + 1} AS VARCHAR) AS bkey FROM sig")
+              s"SELECT doc_id, $b AS band, CAST(min_${2 * b} AS STRING) || ':' || CAST(min_${2 * b + 1} AS STRING) AS bkey FROM sig")
               .mkString("\n            UNION ALL\n            ")}),
           cand AS (
             SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
@@ -303,7 +303,7 @@ object Dedup {
             JOIN ids b ON b.doc_id = c.id2 AND a.sid = b.sid
             GROUP BY c.id1, c.id2)
           SELECT i.id1, i.id2, i.inter, s1.n AS n1, s2.n AS n2,
-                 CAST(i.inter * 100.0 / (s1.n + s2.n - i.inter) AS DECIMAL(38,6)) AS jacc_pct
+                 i.inter * 100.0 / (s1.n + s2.n - i.inter) AS jacc_pct
           FROM inter i
           JOIN sizes s1 ON s1.doc_id = i.id1
           JOIN sizes s2 ON s2.doc_id = i.id2
@@ -339,8 +339,8 @@ object Dedup {
             GROUP BY p.id1, p.id2)
           SELECT p.kind, p.id1, p.id2, COALESCE(i.inter, 0) AS inter,
                  s1.n AS n1, s2.n AS n2,
-                 CAST(COALESCE(i.inter, 0) * 100.0 / (s1.n + s2.n - COALESCE(i.inter, 0))
-                      AS DECIMAL(38,6)) AS jacc_pct
+                 COALESCE(i.inter, 0) * 100.0 / (s1.n + s2.n - COALESCE(i.inter, 0))
+                      AS jacc_pct
           FROM pairs p
           LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
           JOIN sizes s1 ON s1.doc_id = p.id1

@@ -115,16 +115,24 @@ object Multimodal {
           FROM documents""",
     "m02_media_features" ->
       s"""WITH bytes AS (
-            SELECT doc_id, $kindSql AS kind,
-                   octet_length(encode(text)) AS n_bytes,
+            -- ord() walks text code points, which equals the UTF-8 byte
+            -- value ONLY for ASCII; the Spark stub sums real bytes. The
+            -- corpus is ASCII (documented assumption, ADVICE r1).
+            SELECT doc_id,
                    unnest(range(1, octet_length(encode(text)) + 1)) AS i,
                    unnest(list_transform(range(1, octet_length(encode(text)) + 1),
                           j -> ord(substring(text, j, 1)))) AS byte_val
             FROM documents),
+          sums AS (
+            SELECT doc_id, SUM(byte_val * i) % 1000000007 AS checksum
+            FROM bytes GROUP BY doc_id),
           per_doc AS (
-            SELECT doc_id, kind, ANY_VALUE(n_bytes) AS n_bytes,
-                   SUM(byte_val * i) % 1000000007 AS checksum
-            FROM bytes GROUP BY doc_id, kind)
+            -- LEFT JOIN: zero-length payloads keep a row (checksum 0),
+            -- matching the Spark mapPartitions stage which emits every record
+            SELECT d.doc_id, $kindSql AS kind,
+                   octet_length(encode(d.text)) AS n_bytes,
+                   COALESCE(s.checksum, 0) AS checksum
+            FROM documents d LEFT JOIN sums s USING (doc_id))
           SELECT kind, COUNT(*) AS n_media,
                  CAST(SUM((n_bytes + 255) // 256) AS BIGINT) AS total_chunks,
                  CAST(SUM(checksum) % 1000000007 AS BIGINT) AS checksum_agg

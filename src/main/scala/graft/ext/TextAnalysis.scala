@@ -53,7 +53,7 @@ object TextAnalysis {
       size(tokens($"text")).as("n_tokens"),
       size(array_distinct(tokens($"text"))).as("n_distinct"),
       (aggregate(transform(tokens($"text"), t => length(t)), lit(0), (acc, x) => acc + x)
-        .cast("double") / size(tokens($"text"))).cast("decimal(38,6)").as("avg_tok_len"))
+        .cast("double") / size(tokens($"text"))).as("avg_tok_len"))
   }
 
   /** Corpus stats per language tag. */
@@ -62,7 +62,7 @@ object TextAnalysis {
     Tables.documents(spark, dir)
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
-           (sum($"n_chars").cast("double") / count(lit(1))).cast("decimal(38,6)").as("avg_chars"),
+           (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
            countDistinct($"source").as("n_sources"))
   }
 
@@ -80,8 +80,8 @@ object TextAnalysis {
         size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"),
         length(regexp_replace($"text", "[a-z\\s]", "")).as("n_nonalpha"))
       .withColumn("quality",
-        (($"n_distinct" * 1000 + $"n_stop" * 100 - $"n_nonalpha" * 10).cast("double")
-          / $"n_tokens").cast("decimal(38,6)"))
+        ($"n_distinct" * 1000 + $"n_stop" * 100 - $"n_nonalpha" * 10).cast("double")
+          / $"n_tokens")
   }
 
   /** Language-ID by marker-token scoring (n-gram-heuristic shaped;
@@ -164,12 +164,12 @@ object TextAnalysis {
       s"""SELECT doc_id,
           CAST(len($tokensSql) AS INT) AS n_tokens,
           CAST(len(list_distinct($tokensSql)) AS INT) AS n_distinct,
-          CAST(CAST(list_sum(list_transform($tokensSql, t -> length(t))) AS DOUBLE)
-               / len($tokensSql) AS DECIMAL(38,6)) AS avg_tok_len
+          CAST(list_sum(list_transform($tokensSql, t -> length(t))) AS DOUBLE)
+               / len($tokensSql) AS avg_tok_len
           FROM documents""",
     "t02_lang_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-                CAST(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS DECIMAL(38,6)) AS avg_chars,
+                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
                 COUNT(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang""",
     "t03_quality_score" ->
@@ -178,10 +178,10 @@ object TextAnalysis {
           CAST(len(list_distinct($tokensSql)) AS INT) AS n_distinct,
           CAST(len(list_filter($tokensSql, t -> t IN ('a', 'the'))) AS INT) AS n_stop,
           CAST(length(regexp_replace(text, '[a-z\\s]', '', 'g')) AS INT) AS n_nonalpha,
-          CAST(CAST(len(list_distinct($tokensSql)) * 1000
+          CAST(len(list_distinct($tokensSql)) * 1000
                     + len(list_filter($tokensSql, t -> t IN ('a', 'the'))) * 100
                     - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
-               / len($tokensSql) AS DECIMAL(38,6)) AS quality
+               / len($tokensSql) AS quality
           FROM documents""",
     "t04_langid" ->
       s"""WITH scored AS (
@@ -202,9 +202,13 @@ object TextAnalysis {
           FROM scored""",
     "t05_fingerprint" ->
       s"""WITH tok AS (
-            SELECT doc_id, unnest($tokensSql) AS tok,
-                   unnest(range(0, len($tokensSql))) AS pos
-            FROM documents),
+            -- tok <> '' mirrors the Spark-side tokenized() filter, so
+            -- whitespace-edged documents can't shift ids/counts (ADVICE r1)
+            SELECT * FROM (
+              SELECT doc_id, unnest($tokensSql) AS tok,
+                     unnest(range(0, len($tokensSql))) AS pos
+              FROM documents)
+            WHERE tok <> ''),
           dict AS (
             SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tok_id
             FROM (SELECT DISTINCT tok FROM tok))

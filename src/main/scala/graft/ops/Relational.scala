@@ -158,7 +158,7 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.orders(spark, dir)
       .filter($"o_custkey" < 100)
-      .withColumn("running_spend", sum(dec($"o_totalprice")).over(w).cast("decimal(38,6)"))
+      .withColumn("running_spend", sum(dec($"o_totalprice")).over(w).cast("double"))
       .select($"o_custkey", $"o_orderkey", $"running_spend")
   }
 
@@ -414,10 +414,10 @@ object Relational {
            FROM orders) t WHERE rn <= 3""",
     "q11_running_customer_spend" ->
       """SELECT o_custkey, o_orderkey,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                     AS DECIMAL(38,6)) AS running_spend
+                     AS STRING) AS DOUBLE) AS running_spend
          FROM orders WHERE o_custkey < 100""",
     "q12_order_gaps" ->
       """SELECT o_custkey, o_orderkey,
@@ -484,7 +484,7 @@ object Relational {
          GROUP BY o_orderstatus""",
     "q23_above_avg_parts" ->
       """SELECT p_partkey, p_retailprice FROM part
-         WHERE p_retailprice > (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE)
+         WHERE p_retailprice > (SELECT CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                                        / COUNT(*) FROM part)""",
     "q24_region_pairs" ->
       """SELECT r1.r_name AS name1, r2.r_name AS name2

@@ -69,8 +69,8 @@ object Relational2 {
            sum(Tables.dec($"o_totalprice")).cast("double").as("s1"),
            sum(Tables.dec($"o_totalprice") * Tables.dec($"o_totalprice")).cast("double").as("s2"))
       .select($"o_orderstatus", $"n",
-        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).cast("decimal(38,4)").as("variance"),
-        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).cast("decimal(38,4)").as("stddev"))
+        (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("variance"),
+        sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("stddev"))
   }
 
   /** GROUPING SETS through the SQL entry point (EP2 — spark.sql IS part of
@@ -143,7 +143,7 @@ object Relational2 {
     spark.sql("""
       SELECT c_custkey, c_nationkey, c_acctbal
       FROM cust_cs o
-      WHERE c_acctbal > (SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+      WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                                 / COUNT(*)
                          FROM cust_cs i
                          WHERE i.c_nationkey = o.c_nationkey)
@@ -199,16 +199,16 @@ object Relational2 {
     // q28: no oracle on purpose (engine-specific HLL) → rows-only check
     "q29_stats" ->
       """SELECT o_orderstatus, n,
-                CAST((s2 - s1 * s1 / n) / (n - 1) AS DECIMAL(38,4)) AS variance,
-                CAST(sqrt((s2 - s1 * s1 / n) / (n - 1)) AS DECIMAL(38,4)) AS stddev
+                (s2 - s1 * s1 / n) / (n - 1) AS variance,
+                sqrt((s2 - s1 * s1 / n) / (n - 1)) AS stddev
          FROM (
            -- DECIMAL(12,4): DuckDB refuses 18x18 decimal multiplication
            -- (product precision > 38); prices are 2-decimal so (12,4) is
            -- still exact, and exactness is all parity needs
            SELECT o_orderstatus, COUNT(*) AS n,
-                  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS s1,
-                  CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))
-                           * CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS s2
+                  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS s1,
+                  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(24,4))
+                           * CAST(o_totalprice AS DECIMAL(12,4))) AS STRING) AS DOUBLE) AS s2
            FROM orders GROUP BY o_orderstatus)""",
     "q30_grouping_sets" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -260,7 +260,7 @@ object Relational2 {
     "q35_correlated_subquery" ->
       """SELECT c_custkey, c_nationkey, c_acctbal
          FROM customer o
-         WHERE c_acctbal > (SELECT CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+         WHERE c_acctbal > (SELECT CAST(CAST(SUM(CAST(i.c_acctbal AS DECIMAL(18,6))) AS STRING) AS DOUBLE)
                                    / COUNT(*)
                             FROM customer i
                             WHERE i.c_nationkey = o.c_nationkey)""",

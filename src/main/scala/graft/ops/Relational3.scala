@@ -53,7 +53,7 @@ object Relational3 {
         bool_and($"l_quantity" > 0).as("all_positive_qty"),
         bool_or($"l_discount" > 0.09).as("any_big_discount"),
         count_if($"l_tax" > 0.05).as("n_high_tax"),
-        sum_distinct(Tables.dec($"l_quantity")).cast("decimal(38,6)").as("sum_distinct_qty"))
+        sum_distinct(Tables.dec($"l_quantity")).cast("double").as("sum_distinct_qty"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -89,7 +89,7 @@ object Relational3 {
                 bool_and(l_quantity > 0) AS all_positive_qty,
                 bool_or(l_discount > 0.09) AS any_big_discount,
                 count_if(l_tax > 0.05) AS n_high_tax,
-                CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_distinct_qty
+                CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_distinct_qty
          FROM lineitem GROUP BY l_returnflag""",
   )
 }

@@ -121,16 +121,18 @@ object Streaming {
     // starts when the previous event of the user is >= 5 minutes older
     "w03_session_window" ->
       """WITH flagged AS (
-           SELECT user_id, ts,
+           SELECT user_id, ts, event_id,
                   CASE WHEN ts >= LAG(ts) OVER w + INTERVAL '5 minutes'
                          OR LAG(ts) OVER w IS NULL
                        THEN 1 ELSE 0 END AS new_session
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          numbered AS (
+           -- event_id tie-break keeps the running sum's peer order aligned
+           -- with the LAG window above when two events share a ts
            SELECT user_id, ts,
                   SUM(new_session) OVER (PARTITION BY user_id
-                                         ORDER BY ts
+                                         ORDER BY ts, event_id
                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
            FROM flagged)
          SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,

@@ -21,9 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm_cell(v):
     # Decimal vs float vs numpy scalars: compare by canonical repr.
+    # Decimals compare EXACTLY (string form, scale-sensitive) — the driver's
+    # content hash is stricter than float collapse (round-1 finding: 22
+    # decimal-output queries passed locally but failed the driver hash).
     import decimal
     if isinstance(v, decimal.Decimal):
-        return ("num", float(v))
+        return ("decimal", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("nan",)
