@@ -194,18 +194,34 @@ object Dedup {
 
   val SimBits = 16
 
+  /** SimHash bit-vote over (doc_id, sid) pairs: one map-side ±1 vote per
+    * bit per shingle, a single groupBy, sign-pack. */
+  private def simHashFrom(ids: DataFrame): DataFrame = {
+    val bitSums = ids.groupBy(col("doc_id")).agg(
+      sum(when(((col("sid") * (2 * 0 + 3)) % P) % 2 === 1, 1).otherwise(-1)).as("bs_0"),
+      (1 until SimBits).map(b =>
+        sum(when(((col("sid") * (2 * b + 3)) % P) % 2 === 1, 1).otherwise(-1)).as(s"bs_$b")): _*)
+    val simhash = (0 until SimBits).map(b =>
+      when(col(s"bs_$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
+    bitSums.select(col("doc_id"), simhash.as("simhash"))
+  }
+
   def d03SimHash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sh = shingles(corpus)
-    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid")
-    val bitSums = ids.groupBy($"doc_id").agg(
-      sum(when((($"sid" * (2 * 0 + 3)) % P) % 2 === 1, 1).otherwise(-1)).as("bs_0"),
-      (1 until SimBits).map(b =>
-        sum(when((($"sid" * (2 * b + 3)) % P) % 2 === 1, 1).otherwise(-1)).as(s"bs_$b")): _*)
-    val simhash = (0 until SimBits).map(b =>
-      when(col(s"bs_$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
-    bitSums.select($"doc_id", simhash.as("simhash"))
+    simHashFrom(sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid"))
+  }
+
+  /** Scale-path SimHash: identical bit-vote pipeline to [[d03SimHash]] but
+    * shingle ids from `xxhash64` — no dictionary, no global sort. Pure
+    * map + one groupBy at any corpus size. (No oracle — xxhash64 is
+    * Spark-specific; ExtSpec asserts it finds the planted structure.) */
+  def simHashScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    simHashFrom(shingles(corpus)
+      .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid")))
   }
 
   // --- d04: n-gram Jaccard on planted pairs ----------------------------
@@ -270,6 +286,12 @@ object Dedup {
     "d03_simhash"       -> d03SimHash _,
     "d04_ngram_jaccard" -> d04NgramJaccard _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
+    // scale-path twins: xxhash64 ids, dictionary-free — the forms to run
+    // at 100 TB. No oracle by construction (rows-only driver check);
+    // ExtSpec asserts parity with the dictionary forms on planted dups.
+    "d06_minhash_lsh_scale" -> minHashLshScale _,
+    "d07_dedup_corpus"      -> dedupCorpus _,
+    "d08_simhash_scale"     -> simHashScale _,
   )
 
   private def minExprs: String = (0 until K).map(i =>

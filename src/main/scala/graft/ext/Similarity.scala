@@ -135,6 +135,9 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s02_ann_lsh"        -> s02AnnLsh _,
+    // scale-path twin: bounded-heap partial-agg top-k (rows-only driver
+    // check; SimilaritySpec asserts equality with the window form)
+    "s03_knn_topk_agg"   -> ((s: SparkSession, d: String) => knnTopKAggregated(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

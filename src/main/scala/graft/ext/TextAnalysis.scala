@@ -127,6 +127,27 @@ object TextAnalysis {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Scale-path fingerprint: token ids from `xxhash64` mod a prime instead
+    * of the dictionary's global dense_rank — no global sort; a map + one
+    * groupBy at any corpus size. Modulus [[Dedup.P]] (~1e6) keeps
+    * `tok_id²·n_tokens` far from Long overflow. (No oracle — xxhash64 is
+    * Spark-specific; ExtSpec asserts exact copies collide and near copies
+    * don't.) */
+  def fingerprintScaleOf(docs: DataFrame): DataFrame = {
+    val p = 1000000007L
+    tokenized(docs)
+      .select(col("doc_id"), col("pos"),
+              pmod(xxhash64(col("tok")), lit(Dedup.P)).as("tok_id"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum((col("pos") + 1) * col("tok_id")) % p).as("fp_pos"),
+        (sum(col("tok_id") * col("tok_id") + col("pos")) % p).as("fp_sq"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  def fingerprintScale(spark: SparkSession, dir: String): DataFrame =
+    fingerprintScaleOf(Tables.documents(spark, dir))
+
   /** Top word-3-gram frequencies (deterministic top-20). Shingling is a
     * map-side array transform — the only shuffle is the count aggregation,
     * and TakeOrderedAndProject handles the top-k without a global sort. */
@@ -152,6 +173,8 @@ object TextAnalysis {
     "t04_langid"      -> t04LangId _,
     "t05_fingerprint" -> t05Fingerprint _,
     "t06_ngram_freq"  -> t06NgramFreq _,
+    // scale-path twin (rows-only driver check; see fingerprintScale doc)
+    "t07_fingerprint_scale" -> fingerprintScale _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {

@@ -77,19 +77,44 @@ object Relational {
       .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
   }
 
-  /** TPC-H Q5 flavor: snowflake join; all dimensions broadcast, the single
-    * shuffle is lineitem⋈orders on orderkey. */
+  /** TPC-H Q5 flavor: snowflake join over a 1-year order window.
+    *
+    * Scale shape (the 100 TB story): the region/nation restriction is
+    * pushed to the *inputs* of the fact joins, not applied after them —
+    * customer and supplier are each semi-/equi-joined against the
+    * broadcast ASIA nation-key set first, and orders carries the date
+    * filter, so the expensive shuffles (orders⋈customer on custkey,
+    * lineitem⋈orders on orderkey) move ~1/5 of customers and ~1/7 of
+    * orders instead of everything. The earlier form joined the full
+    * lineitem⋈orders⋈customer fact chain and only then dropped non-ASIA
+    * rows at the supplier broadcast — at 1000 executors that full
+    * fact-fact shuffle dominates the query. */
   def q05NationRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nat = Tables.nation(spark, dir)
-    val reg = Tables.region(spark, dir).filter($"r_name" === "ASIA")
-    val sup = Tables.supplier(spark, dir)
+    // tiny: ASIA nation keys (+ names for the final rollup), broadcast
+    val asiaNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter($"r_name" === "ASIA")),
+            $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
+    val custAsia = Tables.customer(spark, dir)
+      .join(broadcast(asiaNations), $"c_nationkey" === $"n_nationkey", "left_semi")
+      .select($"c_custkey", $"c_nationkey")
+    val supAsia = Tables.supplier(spark, dir)
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey", "left_semi")
+      .select($"s_suppkey", $"s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    // orders ⋈ ASIA customers first: the orderkey-side shuffles below move
+    // only the surviving ~1/5 of the date-filtered orders
+    val ordAsia = ord.join(custAsia, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_nationkey")
     Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
-      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
-      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
-      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
-      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(supAsia), $"l_suppkey" === $"s_suppkey")
+      .join(ordAsia, $"l_orderkey" === $"o_orderkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(asiaNations), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
   }
@@ -383,6 +408,8 @@ object Relational {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
     "q06_revenue_forecast" ->
       s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue, COUNT(*) AS n_items

@@ -129,6 +129,46 @@ class ExtSpec extends AnyFunSuite {
     assert(out.count() == 500)
   }
 
+  test("scale-path simhash (xxhash64, no dictionary) matches the planted structure") {
+    val sh = Dedup.simHashScale(spark, sf0001)
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    val base = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    base.filter(_ % 10 == 0).foreach { d =>
+      assert(sh(d) == sh(d + 1000000L), s"exact copy of $d must have equal simhash")
+    }
+    val hams = base.filter(_ % 10 == 5).map { d =>
+      java.lang.Long.bitCount(sh(d) ^ sh(d + 2000000L))
+    }
+    assert(hams.sum.toDouble / hams.length < 4.0, "near copies should be close in hamming")
+  }
+
+  test("scale-path fingerprint: exact copies collide, near copies don't") {
+    val fp = TextAnalysis.fingerprintScaleOf(
+        Dedup.corpusWithCopies(Tables.documents(spark, sf0001)))
+      .select($"doc_id", $"fp_pos", $"fp_sq").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    base.filter(_ % 10 == 0).foreach { d =>
+      assert(fp(d) == fp(d + 1000000L), s"exact copy of $d must share the fingerprint")
+    }
+    // dropping the first token shifts every position → fp must change
+    val nearCollisions = base.filter(_ % 10 == 5).count(d => fp(d) == fp(d + 2000000L))
+    assert(nearCollisions == 0, s"$nearCollisions near copies collided")
+    // registry entry (plain documents) stays deterministic
+    val reg = TextAnalysis.fingerprintScale(spark, sf0001)
+    assert(reg.count() == 500)
+  }
+
+  test("s03 bounded-heap knn equals the window-based brute force") {
+    val window = Similarity.s01KnnBruteForce(spark, sf0001)
+      .select($"qid", $"rank", $"nid", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val heap = Similarity.knnTopKAggregated(spark, sf0001)
+      .select($"qid", $"rank", $"nid", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(heap == window)
+  }
+
   test("fingerprint: identical text yields identical fingerprint") {
     val fp = TextAnalysis.t05Fingerprint(spark, sf0001)
       .select($"doc_id", $"fp_pos", $"fp_sq").collect()

@@ -25,11 +25,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("l_tax"), "unused columns must not reach ReadSchema")
   }
 
-  test("q05: every dimension join is broadcast — fact side never shuffles for them") {
-    val p = planOf(Relational.q05NationRevenue(spark, sf0001))
+  test("q05: dimension joins broadcast; ASIA + date filters reach the fact inputs") {
+    val df = Relational.q05NationRevenue(spark, sf0001)
+    val p = planOf(df)
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(broadcasts >= 3, s"expected broadcast joins for supplier/nation/region, got $broadcasts")
-    assert(!p.contains("SortMergeJoin") || broadcasts >= 3)
+    assert(broadcasts >= 4,
+      s"expected broadcast joins for cust-semi/sup-semi/supplier/nation, got $broadcasts")
+    // the region restriction must prune customer BEFORE the orders shuffle:
+    // a broadcast LEFT-SEMI against the ASIA nation keys
+    assert(p.contains("LeftSemi"), "customer/supplier must be semi-filtered by ASIA nations")
+    // the order-date window pushes into the parquet scan of orders
+    val f = formatted(df)
+    assert(f.contains("GreaterThanOrEqual(o_orderdate"), "date window must push down to orders scan")
   }
 
   test("q01: aggregation is partial before the exchange (map-side combine)") {
