@@ -74,4 +74,57 @@ object Envelope {
 
   /** Valid records ready for apply. */
   def good(parsed: DataFrame): DataFrame = parsed.filter(!col("is_dlq"))
+
+  // --- per-column blame (O12 second half) ------------------------------
+  //
+  // The reference *intends* column-level blame for rejected records
+  // [consumer_to_file.py:225-235] but its bisect references an undefined
+  // `record` at :229 — dead code. The operator is completed here without
+  // replicating the bug, and without its row-at-a-time shape: blame is one
+  // vectorized expression per expected column, evaluated inside
+  // WholeStageCodegen on every record at once.
+
+  private val intRe = "^-?\\d+$"
+  private val numRe = "^-?\\d+(\\.\\d+)?([eE]-?\\d+)?$"
+
+  /** The name of the first payload column whose value cannot be read as
+    * its expected type (null when all conform). Column order is the sorted
+    * key order, so blame is deterministic. */
+  def blameColumn(payload: Column, expected: Map[String, DataType]): Column = {
+    val checks = expected.toSeq.sortBy(_._1).map { case (k, t) =>
+      val v = element_at(payload, k)
+      val bad = t match {
+        case LongType | IntegerType          => v.isNotNull && !v.rlike(intRe)
+        case DoubleType | FloatType          => v.isNotNull && !v.rlike(numRe)
+        case BooleanType                     => v.isNotNull && !lower(v).isin("true", "false", "0", "1")
+        case _                               => lit(false)
+      }
+      when(bad, lit(k))
+    }
+    coalesce(checks :+ lit(null).cast(StringType): _*)
+  }
+
+  /** DLQ routing with per-column blame: records whose envelope parsed but
+    * whose payload violates the expected column types join the DLQ with
+    * `blame` naming the first offending column; unparseable records keep a
+    * null blame and the generic error. */
+  def dlqWithBlame(parsed: DataFrame, expected: Map[String, DataType],
+                   valueCol: String = "value"): DataFrame = {
+    val payload = coalesce(col("after"), col("before"))
+    val b = blameColumn(payload, expected)
+    parsed
+      .withColumn("blame", when(!col("is_dlq"), b))
+      .filter(col("is_dlq") || col("blame").isNotNull)
+      .withColumn("error",
+        when(col("blame").isNotNull,
+             concat(lit("type violation in column "), col("blame")))
+          .otherwise(lit("unparseable envelope or missing payload")))
+      .withColumn("raw", col(valueCol))
+  }
+
+  /** Valid records under both envelope and column-type validation. */
+  def goodWithBlame(parsed: DataFrame, expected: Map[String, DataType]): DataFrame = {
+    val payload = coalesce(col("after"), col("before"))
+    parsed.filter(!col("is_dlq") && blameColumn(payload, expected).isNull)
+  }
 }

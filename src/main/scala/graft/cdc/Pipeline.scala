@@ -30,7 +30,16 @@ object Pipeline {
     * already-decoded values.) */
   private[cdc] def inferKeyTypes(keyed: DataFrame): Map[String, DataType] = {
     import keyed.sparkSession.implicits._
-    keyed.groupBy($"k")
+    inferTableKeyTypes(keyed.withColumn("table", lit("_")))
+      .getOrElse("_", Map.empty)
+  }
+
+  /** One distributed aggregation inferring EVERY table's column types at
+    * once: `groupBy(table, k)` — job count is O(1), not O(tables); the
+    * collected result is metadata-sized (tables × columns rows). */
+  private[cdc] def inferTableKeyTypes(keyed: DataFrame): Map[String, Map[String, DataType]] = {
+    import keyed.sparkSession.implicits._
+    keyed.groupBy($"table", $"k")
       .agg(
         max(when(!$"v".rlike("^-?\\d+$"), 1).otherwise(0)).as("not_int"),
         max(when(!$"v".rlike("^-?\\d+(\\.\\d+)?([eE]-?\\d+)?$"), 1).otherwise(0)).as("not_num"))
@@ -41,8 +50,10 @@ object Pipeline {
           case (_, 0) => DoubleType
           case _      => StringType
         }
-        r.getAs[String]("k") -> t
-      }.toMap
+        (r.getAs[String]("table"), r.getAs[String]("k"), t)
+      }
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
   }
 
   /** Ingest a batch of raw records (`topic`, `offset`, `value`). */
@@ -52,12 +63,14 @@ object Pipeline {
     val parsed = Envelope.parse(raw).cache()
     val good = Envelope.good(parsed)
       .withColumn("payload", coalesce($"after", $"before"))
-    val tableNames = good.select($"table").distinct().as[String].collect().toSeq.sorted
+    // single inference job across all tables; table names fall out of the
+    // same result (a table appears iff it has at least one payload key)
+    val keyed = good.select($"table", explode($"payload").as(Seq("k", "v")))
+    val typesByTable = inferTableKeyTypes(keyed)
 
-    val flows = tableNames.map { t =>
+    val flows = typesByTable.keys.toSeq.sorted.map { t =>
       val rows = good.filter($"table" === t)
-      val keyed = rows.select(explode($"payload").as(Seq("k", "v")))
-      val types = inferKeyTypes(keyed)
+      val types = typesByTable(t)
       val keys = types.keys.toSeq.sorted
       val typedCols = keys.map(k => element_at($"payload", k).cast(types(k)).as(k))
       val log = rows.select(($"offset" +: $"op" +: $"ts_ms" +: typedCols): _*)

@@ -101,4 +101,20 @@ object Sources {
     "subscribePattern" -> topicPattern,
     "startingOffsets" -> "earliest",
     "failOnDataLoss" -> "false")
+
+  /** The executable Kafka ingest path: `readStream.format("kafka")` with
+    * the [[kafkaOptions]] surface, projected to the (topic, offset, value)
+    * shape [[graft.cdc.Envelope.parse]] consumes. Requires the
+    * spark-sql-kafka connector jar on the classpath (the reference mounts
+    * its connector jars the same way [spark.sh:21-25]); SourcesSpec pins
+    * that this wiring reaches provider resolution in a connector-less
+    * environment. */
+  def kafkaStream(spark: SparkSession, brokers: String, topicPattern: String): DataFrame =
+    kafkaOptions(brokers, topicPattern)
+      .foldLeft(spark.readStream.format("kafka")) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .select(
+        col("topic"),
+        col("offset"),
+        col("value").cast("string").as("value"))
 }

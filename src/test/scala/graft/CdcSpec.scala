@@ -162,6 +162,28 @@ class CdcSpec extends AnyFunSuite {
     assert(viaPipeline.exceptAll(direct).count() == 0 && direct.exceptAll(viaPipeline).count() == 0)
   }
 
+  test("per-column DLQ blame names the first offending column (O12 second half)") {
+    val raw = Workload.employeeCdc(spark, n = 100, nKeys = 10)
+      // plant: offset 3 → salary not numeric; offset 7 → id not integral;
+      // offset 11 → wholly unparseable
+      .withColumn("value",
+        when($"offset" === 3L, regexp_replace($"value", "\"salary\":[0-9.]+", "\"salary\":\"NaN-ish\""))
+        .when($"offset" === 7L, regexp_replace($"value", "\"id\":\\d+", "\"id\":\"seven\""))
+        .when($"offset" === 11L, lit("{broken"))
+        .otherwise($"value"))
+    val parsed = Envelope.parse(raw)
+    val expected = Map("id" -> LongType, "salary" -> DoubleType, "name" -> StringType)
+    val dlq = Envelope.dlqWithBlame(parsed, expected)
+      .select($"offset", $"blame", $"error").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    assert(dlq.keySet == Set(3L, 7L, 11L))
+    assert(dlq(3L)._1.contains("salary") && dlq(3L)._2 == "type violation in column salary")
+    assert(dlq(7L)._1.contains("id"))
+    assert(dlq(11L)._1.isEmpty, "unparseable records carry no blame")
+    // good side excludes exactly the three (n=100 events + 10 snapshot rows)
+    assert(Envelope.goodWithBlame(parsed, expected).count() == 107)
+  }
+
   test("workload generator: deterministic, parseable, snapshot-seeded") {
     val gen = Workload.employeeCdc(spark, n = 200, nKeys = 20)
     val parsed = Envelope.parse(gen)

@@ -80,4 +80,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(opts("subscribePattern") == "(config|sourcing)\\..*")
     assert(opts("startingOffsets") == "earliest")
   }
+
+  test("kafka stream wiring reaches provider resolution (no connector jar here)") {
+    // This environment ships no spark-sql-kafka jar, so construction must
+    // fail AT THE PROVIDER LOOKUP — not in our option/projection wiring.
+    // With the connector on the classpath (how the reference mounts its
+    // drivers [spark.sh:21-25]) the same call returns a streaming frame.
+    val e = intercept[Exception] {
+      Sources.kafkaStream(spark, "broker:9092", "dbserver1\\..*")
+    }
+    val msg = e.getMessage
+    assert(msg != null && msg.toLowerCase.contains("kafka"),
+      s"expected missing-provider error mentioning kafka, got: $msg")
+  }
 }
