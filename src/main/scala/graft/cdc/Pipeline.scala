@@ -22,7 +22,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 object Pipeline {
 
   case class TableFlow(table: String, log: DataFrame, snapshot: DataFrame)
-  case class IngestResult(dlq: DataFrame, tables: Map[String, TableFlow])
+  case class IngestResult(dlq: DataFrame, tables: Map[String, TableFlow],
+                          /** Unpersist the batch's parse cache once every
+                            * output has been consumed (ingestStream calls
+                            * this per micro-batch; long-lived streams must
+                            * not accumulate cached batches). */
+                          cleanup: () => Unit = () => ())
 
   /** Value-pattern type inference over the schemaless string payload:
     * every value integral → long; every value numeric → double; else
@@ -56,6 +61,28 @@ object Pipeline {
       .map { case (t, rows) => t -> rows.map(r => r._2 -> r._3).toMap }
   }
 
+  /** The startable streaming form of [[ingest]]: raw Kafka-shaped records
+    * from any streaming source (`Sources.kafkaStream` in production,
+    * MemoryStream in tests) → per-micro-batch envelope parse, inference,
+    * typed append-only logs under `outDir/<table>` and a DLQ under
+    * `outDir/_dlq`. Checkpointed, so restarts resume from the last batch;
+    * the append-only log + snapshot-view design makes replays idempotent
+    * downstream. Returns the running [[StreamingQuery]].
+    */
+  def ingestStream(raw: DataFrame, outDir: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val res = ingest(batch)
+        res.tables.foreach { case (t, flow) =>
+          flow.log.write.mode("append").parquet(s"$outDir/$t")
+        }
+        res.dlq.write.mode("append").parquet(s"$outDir/_dlq")
+        res.cleanup()
+      }
+      .start()
+
   /** Ingest a batch of raw records (`topic`, `offset`, `value`). */
   def ingest(raw: DataFrame): IngestResult = {
     val spark = raw.sparkSession
@@ -79,6 +106,6 @@ object Pipeline {
       t -> TableFlow(t, log, snapshot)
     }.toMap
 
-    IngestResult(Envelope.dlq(parsed), flows)
+    IngestResult(Envelope.dlq(parsed), flows, () => { parsed.unpersist(); () })
   }
 }

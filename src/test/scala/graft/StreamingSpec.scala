@@ -72,6 +72,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 200)
   }
 
+  test("Pipeline.ingestStream: startable streaming ingest converges to the batch pipeline") {
+    implicit val sq = spark.sqlContext
+    val raw = Workload.employeeCdc(spark, n = 200, nKeys = 20)
+      .withColumn("value", when($"offset" === 5L, lit("not json")).otherwise($"value"))
+    val feed = raw.as[(String, Long, String)].collect().sortBy(_._2)
+    val ms = MemoryStream[(String, Long, String)]
+    feed.grouped(80).foreach(b => ms.addData(b.toSeq))
+    val outDir = java.nio.file.Files.createTempDirectory("ingest_stream").toString
+    val q = cdc.Pipeline.ingestStream(
+      ms.toDF().toDF("topic", "offset", "value"),
+      outDir, outDir + "/_checkpoint")
+    q.processAllAvailable(); q.stop()
+    // the streamed append-only log replays to the same snapshot as batch
+    val streamedLog = spark.read.parquet(s"$outDir/employees")
+    val streamedSnap = Apply.snapshot(streamedLog, Seq("id"), Seq($"offset")).drop("_rn")
+      .select($"id".cast("long"), $"salary".cast("double"))
+    val batchSnap = cdc.Pipeline.ingest(raw).tables("employees").snapshot
+      .select($"id".cast("long"), $"salary".cast("double"))
+    assert(streamedSnap.exceptAll(batchSnap).count() == 0 &&
+           batchSnap.exceptAll(streamedSnap).count() == 0)
+    assert(spark.read.parquet(s"$outDir/_dlq").count() == 1)
+  }
+
   test("foreachBatch CDC upsert converges to the batch snapshot") {
     implicit val sq = spark.sqlContext
     val envelopes = Envelope.parse(Workload.employeeCdc(spark, n = 300, nKeys = 30))
