@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // max heap, not a reservation: local[32] at sf0.1 keeps base tables plus
+  // the dedup pipelines' (doc_id, sid) caches resident — 8g forced
+  // multi-second GC pauses into individual bench timings
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime",
 )

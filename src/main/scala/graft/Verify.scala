@@ -20,7 +20,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // drop any stale result first: a query that errors must not leave a
       // previous run's parquet behind to be graded as if it were current
       val target = Paths.get(s"$outDir/$name")

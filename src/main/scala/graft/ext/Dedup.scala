@@ -117,7 +117,9 @@ object Dedup {
     // cache AFTER the dictionary join: sig, both verify sides, and sizes
     // all reuse (doc_id, sid) — recomputing it would redo the dict join 4×
     val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid").cache()
-    val sig = signatures(ids)
+    // sig is referenced by all 4 band projections on BOTH sides of the
+    // band self-join — uncached it would be recomputed 8×
+    val sig = signatures(ids).cache()
     // band keys: (band index, the band's two signature values)
     val bands = (0 until K / 2).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
@@ -127,7 +129,7 @@ object Dedup {
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
     // verify: true shingle jaccard ≥ 0.5 (integer cross-multiplication)
-    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n")).cache() // tiny; read twice
     val inter = cand
       .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
       .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
@@ -152,7 +154,9 @@ object Dedup {
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val ids = shingles(corpus)
       .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid")).cache()
-    val sig = signatures(ids)
+    // cached for the same 8× band-self-join reuse as in d02; also lets
+    // dedupCorpus' second pass over the pipeline plan-match it
+    val sig = signatures(ids).cache()
     val bands = (0 until K / 2).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}")).as("bkey"))
@@ -160,17 +164,21 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
-    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n")).cache() // tiny; read twice
     val inter = cand
       .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
       .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
       .filter($"s1" === $"s2")
       .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+    // final pair set is tiny; caching it makes dedupCorpus (which consumes
+    // exactly this result) plan-match it instead of re-running the
+    // band-join + verify shuffles
     inter
       .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
       .select($"id1", $"id2", $"inter", $"n1", $"n2")
+      .cache()
   }
 
   /** Corpus-level dedup API: the operational form ("give me the cleaned
@@ -239,7 +247,7 @@ object Dedup {
         .unionByName(base.filter($"doc_id" % 10 === 5).select($"doc_id".as("id1"), ($"doc_id" + 2000000L).as("id2"), lit("near").as("kind")))
         .unionByName(base.filter($"doc_id" % 10 === 0 && $"doc_id" % 20 === 0)
           .select($"doc_id".as("id1"), ($"doc_id" + 5).as("id2"), lit("control").as("kind")))
-    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n")).cache() // tiny; read twice
     val inter = pairs
       .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
       .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")

@@ -81,7 +81,9 @@ object Multimodal {
       $"media_id", $"kind", $"n_bytes",
       // integer div: Column./ on longs yields double in Spark
       expr(s"(n_bytes + ${StubDecoder.ChunkSize - 1}) div ${StubDecoder.ChunkSize}").as("n_chunks"),
-      substring(upper(hex($"payload")), 1, 16).as("head_hex"))
+      // slice the binary BEFORE hexing: hex() of a multi-KB payload only
+      // to keep 16 chars was the single hottest expression in the bench
+      upper(hex(substring($"payload", 1, 8))).as("head_hex"))
   }
 
   /** Feature extraction through the typed mapPartitions stage, then a
@@ -111,7 +113,8 @@ object Multimodal {
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           CAST((octet_length(encode(text)) + 255) // 256 AS BIGINT) AS n_chunks,
-          substring(upper(hex(encode(text))), 1, 16) AS head_hex
+          -- first 8 bytes hexed = first 16 hex chars (ASCII corpus)
+          upper(hex(encode(substring(text, 1, 8)))) AS head_hex
           FROM documents""",
     "m02_media_features" ->
       s"""WITH bytes AS (
