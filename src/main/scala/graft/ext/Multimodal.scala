@@ -100,9 +100,50 @@ object Multimodal {
            (sum($"checksum") % 1000000007L).as("checksum_agg"))
   }
 
+  /** Per-record frame sampling (what a video pipeline's every-k-th-frame
+    * stage does): fixed-size frames over the payload, keep every
+    * `SampleEvery`-th, positional checksum per kept frame. */
+  case class FrameFeatures(media_id: Long, kind: String, n_frames: Long, fsum: Long)
+
+  object FrameSampler {
+    val FrameSize = 256
+    val SampleEvery = 4
+    val P = 1000000007L
+    def sample(r: MediaRecord): FrameFeatures = {
+      var f = 0; var nFrames = 0L; var total = 0L
+      while (f * FrameSize < r.payload.length) {
+        if (f % SampleEvery == 0) {
+          nFrames += 1
+          var j = 0
+          while (j < FrameSize && f * FrameSize + j < r.payload.length) {
+            total = (total + (r.payload(f * FrameSize + j) & 0xff).toLong * (j + 1)) % P
+            j += 1
+          }
+        }
+        f += 1
+      }
+      FrameFeatures(r.media_id, r.kind, nFrames, total)
+    }
+  }
+
+  /** Frame-sampling through the typed partition-local stage, then a
+    * relational rollup — the multimodal plumbing for every-k-th-frame
+    * extraction (decode itself stays stubbed; the batch shape, schema and
+    * sampling arithmetic are real and oracle-replicated). */
+  def m03FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir).as[MediaRecord]
+    media.mapPartitions(_.map(FrameSampler.sample)).toDF()
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+           sum($"n_frames").as("total_frames"),
+           (sum($"fsum") % FrameSampler.P).as("checksum_agg"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta"     -> m01MediaMeta _,
     "m02_media_features" -> m02MediaFeatures _,
+    "m03_frame_sample"   -> m03FrameSample _,
   )
 
   private val kindSql =
@@ -140,5 +181,26 @@ object Multimodal {
                  CAST(SUM((n_bytes + 255) // 256) AS BIGINT) AS total_chunks,
                  CAST(SUM(checksum) % 1000000007 AS BIGINT) AS checksum_agg
           FROM per_doc GROUP BY kind""",
+    "m03_frame_sample" ->
+      s"""WITH bytes AS (
+            -- same ASCII-corpus assumption as m02 (ord == UTF-8 byte)
+            SELECT doc_id,
+                   unnest(range(1, octet_length(encode(text)) + 1)) AS i,
+                   unnest(list_transform(range(1, octet_length(encode(text)) + 1),
+                          j -> ord(substring(text, j, 1)))) AS byte_val
+            FROM documents),
+          framed AS (
+            SELECT doc_id, (i - 1) // 256 AS f,
+                   (i - 1) % 256 + 1 AS pos_in_frame, byte_val
+            FROM bytes WHERE ((i - 1) // 256) % 4 = 0),
+          per_doc AS (
+            SELECT doc_id, COUNT(DISTINCT f) AS n_frames,
+                   SUM(byte_val * pos_in_frame) % 1000000007 AS fsum
+            FROM framed GROUP BY doc_id)
+          SELECT $kindSql AS kind, COUNT(*) AS n_media,
+                 CAST(SUM(COALESCE(n_frames, 0)) AS BIGINT) AS total_frames,
+                 CAST(SUM(COALESCE(fsum, 0)) % 1000000007 AS BIGINT) AS checksum_agg
+          FROM documents d LEFT JOIN per_doc USING (doc_id)
+          GROUP BY 1""",
   )
 }

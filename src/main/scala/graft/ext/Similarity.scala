@@ -132,12 +132,49 @@ object Similarity {
       .toDF("qid", "rank", "nid", "cos_sim")
   }
 
+  // --- IVF-flat ---------------------------------------------------------
+
+  val NList = 16  // coarse centroids (inverted lists)
+  val NProbe = 4  // lists searched per query
+
+  /** IVF-flat ANN: data vectors are assigned to their nearest coarse
+    * centroid (the inverted list); a query probes only its `NProbe`
+    * nearest lists and ranks those candidates by exact cosine.
+    *
+    * Centroids are `NList` sampled data vectors (vec_id < NList) instead
+    * of trained k-means means — averaging float vectors would break exact
+    * cross-engine parity, and the *index structure* (assignment, list
+    * pruning, probe search) is what IVF contributes; swapping in trained
+    * centroids changes one line. Scale shape: centroids broadcast, the
+    * assignment is a map-side argmax over the scan, candidate search is
+    * one equi-join on the list id — no all-pairs stage anywhere. */
+  def s04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cents = e.filter($"vec_id" < NList)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"))
+    val scored = e.join(broadcast(cents))
+      .select($"vec_id", $"embedding", $"cid", dot($"embedding", $"ce").as("cdot"))
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+    val assigned = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
+      .select($"vec_id", $"embedding", $"cid")
+    val probes = scored.filter($"vec_id" < 5)
+      .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= NProbe)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid")
+    val cand = assigned.join(probes, Seq("cid")).filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), cosine($"qe", $"embedding").as("cos_sim"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    cand.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"cos_sim")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s02_ann_lsh"        -> s02AnnLsh _,
     // scale-path twin: bounded-heap partial-agg top-k (rows-only driver
     // check; SimilaritySpec asserts equality with the window form)
     "s03_knn_topk_agg"   -> ((s: SparkSession, d: String) => knnTopKAggregated(s, d)),
+    "s04_ann_ivf"        -> s04AnnIvf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +200,34 @@ object Similarity {
             SELECT q.qid, e.vec_id AS nid,
                    ${cosineSql("q.qe", "e.embedding")} AS cos_sim
             FROM b e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, nid, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+            FROM cand)
+          SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
+          FROM ranked WHERE rank <= 5""",
+    "s04_ann_ivf" ->
+      s"""WITH cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NList),
+          scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ${dotSql("e.embedding", "c.ce")} AS cdot
+            FROM embeddings e CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cdot DESC, cid) AS rn
+              FROM scored) t WHERE rn = 1),
+          probes AS (
+            SELECT vec_id AS qid, embedding AS qe, cid FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cdot DESC, cid) AS rn
+              FROM scored WHERE vec_id < 5) t WHERE rn <= $NProbe),
+          cand AS (
+            SELECT p.qid, a.vec_id AS nid,
+                   ${cosineSql("p.qe", "a.embedding")} AS cos_sim
+            FROM assigned a JOIN probes p USING (cid)
+            WHERE a.vec_id <> p.qid),
           ranked AS (
             SELECT qid, nid, cos_sim,
                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank

@@ -148,6 +148,22 @@ object TextAnalysis {
   def fingerprintScale(spark: SparkSession, dir: String): DataFrame =
     fingerprintScaleOf(Tables.documents(spark, dir))
 
+  /** BPE-ish subword tokenization: a regex over letter runs / digit runs /
+    * single non-alphanumeric marks — the classic pre-tokenizer shape used
+    * before byte-pair merging. Counting only (merging is model-specific);
+    * runs entirely inside codegen. */
+  def t08SubwordTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subs = expr("""regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)""")
+    Tables.documents(spark, dir)
+      .select($"doc_id", subs.as("subs"))
+      .select($"doc_id",
+        size($"subs").as("n_sub"),
+        size(array_distinct($"subs")).as("n_distinct_sub"),
+        aggregate(transform($"subs", s => length(s)), lit(0),
+          (acc, x) => greatest(acc, x)).as("max_sub_len"))
+  }
+
   /** Top word-3-gram frequencies (deterministic top-20). Shingling is a
     * map-side array transform — the only shuffle is the count aggregation,
     * and TakeOrderedAndProject handles the top-k without a global sort. */
@@ -175,6 +191,7 @@ object TextAnalysis {
     "t06_ngram_freq"  -> t06NgramFreq _,
     // scale-path twin (rows-only driver check; see fingerprintScale doc)
     "t07_fingerprint_scale" -> fingerprintScale _,
+    "t08_subword_tokens" -> t08SubwordTokens _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -251,5 +268,15 @@ object TextAnalysis {
           JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
           GROUP BY 1 ORDER BY n DESC, ngram LIMIT 20""",
+    "t08_subword_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_sub,
+                CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS INT) AS n_distinct_sub,
+                CAST(list_reduce(
+                  list_prepend(0, list_transform(
+                    regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+                    s -> length(s))),
+                  (a, b) -> greatest(a, b)) AS INT) AS max_sub_len
+         FROM documents""",
   )
 }
