@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorCosine, FloatVectorDot}
 
 /** Session-extension hook so the engine's custom expressions are available
   * in any session started with
@@ -18,5 +18,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FloatVectorDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cos"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatVectorCosine].getName, "vec_cos"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVectorCosine(exprs(0), exprs(1))))
   }
 }

@@ -45,8 +45,15 @@ object Similarity {
     s"""list_reduce(list_transform(range(1, len($a) + 1),
         i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"""
 
-  /** Cosine similarity, bit-identical across engines (see class doc). */
+  /** Cosine similarity, bit-identical across engines (see class doc).
+    * Fused single-pass expression; `dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b)))`
+    * is the executable specification it must (and does — VectorExprSpec)
+    * match bit-for-bit. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecCos(a, b)
+
+  /** The composed 3-pass form of [[cosine]] (spec/reference only). */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   def cosineSql(a: String, b: String): String =

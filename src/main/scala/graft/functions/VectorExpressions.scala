@@ -72,12 +72,81 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused cosine similarity over two `array<float>` columns: ONE loop
+  * accumulates the dot product and both squared norms, where the composed
+  * `dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b)))` walks the arrays three
+  * times. Per accumulator the operation sequence is identical to its own
+  * left fold, and the final combine replays the composed expression tree
+  * exactly — so results are BIT-IDENTICAL to the composed form (and to the
+  * DuckDB oracle fragments); VectorExprSpec asserts it.
+  */
+case class FloatVectorCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cos"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      d += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $xi = (double) $a.getFloat($i);
+         |  final double $yi = (double) $b.getFloat($i);
+         |  $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
-  /** Register `vec_dot` in a session's function registry (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Register `vec_dot` + `vec_cos` in a session's function registry
+    * (idempotent). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_cos", exprs => FloatVectorCosine(exprs(0), exprs(1)), "built-in")
+  }
 
   /** Column API for [[FloatVectorDot]]: resolved through the function
     * registry of the active session (the Column↔Expression bridge is
@@ -85,5 +154,11 @@ object VectorExpressions {
   def vecDot(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("vec_dot", a, b)
+  }
+
+  /** Column API for [[FloatVectorCosine]]. */
+  def vecCos(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("vec_cos", a, b)
   }
 }

@@ -20,6 +20,18 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diffs.count() == 0)
   }
 
+  test("fused vec_cos is bit-identical to the composed 3-pass cosine") {
+    val e = Tables.embeddings(spark, sf0001)
+    val pairs = e.select($"vec_id", $"embedding")
+      .crossJoin(e.select($"vec_id".as("v2"), $"embedding".as("e2")).limit(5))
+      .filter($"vec_id" =!= $"v2")
+    val diffs = pairs.select(
+        Similarity.cosine($"embedding", $"e2").as("fused"),
+        Similarity.cosineComposed($"embedding", $"e2").as("spec"))
+      .filter($"fused" =!= $"spec")
+    assert(diffs.count() == 0)
+  }
+
   test("vec_dot registered for SQL and matches Column API") {
     VectorExpressions.register(spark)
     Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb_sql")
