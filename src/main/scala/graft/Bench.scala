@@ -56,18 +56,25 @@ object Bench {
     val results = onePass().map { case (name, t2) =>
       name -> math.min(pass1(name), t2)
     }
-    // 2-decimal seconds (10 ms, below run-to-run noise) keep the full
-    // 70-query line comfortably inside the driver's 2000-char stdout tail
+    // 2-decimal seconds: 10 ms resolution, below run-to-run noise
     def f(v: Double): String = "%.2f".formatLocal(Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    def line(rs: Seq[(String, Double)], total: Double, sfName: String): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
     val total = results.map(_._2).sum
     val sfName = Paths.get(sfDir).getFileName.toString
-    val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    Files.writeString(Paths.get("bench_last.json"), json + "\n")
+    val full = line(results, total, sfName)
+    // the driver parses a bounded (~2000 char) tail of stdout, and the
+    // full per-query map no longer fits it: keep the complete record in
+    // bench_last.json and an early stdout line, and make the guaranteed
+    // LAST line a compact summary (same shape, 30 slowest queries)
+    val compact = line(results.sortBy(-_._2).take(30).sortBy(_._1), total, sfName)
+    Files.writeString(Paths.get("bench_last.json"), full + "\n")
+    println(full)
     spark.stop()
     // last line of stdout, after spark.stop() so no shutdown logging follows
-    println(json)
+    println(compact)
   }
 }

@@ -56,10 +56,56 @@ object Relational3 {
         sum_distinct(Tables.dec($"l_quantity")).cast("double").as("sum_distinct_qty"))
   }
 
+  /** Deterministic hash sampling — the cross-engine TABLESAMPLE: a Knuth
+    * multiplicative hash over the key picks a stable ~10% sample, so the
+    * same rows are chosen on any engine, any partitioning, any run
+    * (`TABLESAMPLE BERNOULLI` is engine-seeded and unverifiable). */
+  def q40Sampling(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter(pmod($"o_orderkey" * 2654435761L, lit(1000L)) < 100)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_sampled"), dsum($"o_totalprice").as("sampled_total"))
+  }
+
+  /** Bitwise function gallery over integer keys. */
+  def q41Bitwise(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 200)
+      .select(
+        $"o_orderkey",
+        // explicit long outputs: Spark's bitwise ops preserve the input's
+        // int width while DuckDB's promote — pin both to BIGINT
+        expr("o_orderkey & 255").cast("long").as("and_mask"),
+        expr("o_orderkey | 4096").cast("long").as("or_flag"),
+        expr("o_orderkey ^ o_custkey").cast("long").as("xor_cust"),
+        shiftleft($"o_orderkey", 3).cast("long").as("shl3"),
+        shiftright($"o_orderkey", 2).cast("long").as("shr2"),
+        bit_count($"o_orderkey").cast("int").as("popcount"))
+  }
+
+  /** Salted skew join registered as a query: the oracle is the PLAIN join
+    * — the salting rewrite must be semantically invisible. */
+  def q42SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.orders(spark, dir)
+      .select($"o_custkey".as("custkey"), $"o_totalprice")
+    val small = Tables.customer(spark, dir)
+      .filter($"c_acctbal" > 9000)
+      .select($"c_custkey".as("custkey"), $"c_nationkey")
+    Skew.saltedJoin(big, small, "custkey", buckets = 8)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_explode"        -> q37Explode _,
     "q38_string_distance" -> q38StringDistance _,
     "q39_bool_aggs"      -> q39BoolAggs _,
+    "q40_sampling"       -> q40Sampling _,
+    "q41_bitwise"        -> q41Bitwise _,
+    "q42_salted_join"    -> q42SaltedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +137,26 @@ object Relational3 {
                 count_if(l_tax > 0.05) AS n_high_tax,
                 CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_distinct_qty
          FROM lineitem GROUP BY l_returnflag""",
+    "q40_sampling" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_sampled,
+                 ${Tables.sqlDsum("o_totalprice")} AS sampled_total
+         FROM orders
+         WHERE (o_orderkey * 2654435761) % 1000 < 100
+         GROUP BY o_orderstatus""",
+    "q41_bitwise" ->
+      """SELECT o_orderkey,
+                CAST(o_orderkey & 255 AS BIGINT) AS and_mask,
+                CAST(o_orderkey | 4096 AS BIGINT) AS or_flag,
+                CAST(xor(o_orderkey, o_custkey) AS BIGINT) AS xor_cust,
+                CAST(o_orderkey << 3 AS BIGINT) AS shl3,
+                CAST(o_orderkey >> 2 AS BIGINT) AS shr2,
+                CAST(bit_count(o_orderkey) AS INT) AS popcount
+         FROM orders WHERE o_orderkey < 200""",
+    "q42_salted_join" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+                 ${Tables.sqlDsum("o_totalprice")} AS spend
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000
+         GROUP BY c_nationkey""",
   )
 }
