@@ -99,6 +99,41 @@ object Relational3 {
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("spend"))
   }
 
+  /** Value-based (RANGE) window frame: peers within a price band. The
+    * frame is defined by the ORDER BY *value*, so membership — and thus
+    * the aggregate — is deterministic under any row order; the windowed
+    * sum still goes through the exact-decimal + string-hop dance. Shared
+    * SQL text runs verbatim on both engines (EP2 surface). */
+  val q43Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+              COUNT(*) OVER w AS n_within_10k,
+              CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS STRING) AS DOUBLE)
+                AS sum_within_10k
+       FROM orders WHERE o_custkey < 50
+       WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                    RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW)"""
+
+  def q43RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(q43Sql)
+  }
+
+  /** first/last/nth_value over an explicit full-partition frame with a
+    * total order (tie-broken by key) — deterministic on both engines. */
+  def q44ValueWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" < 100)
+      .select($"o_orderpriority", $"o_orderkey",
+        first($"o_orderkey").over(w).as("cheapest_order"),
+        last($"o_orderkey").over(w).as("dearest_order"),
+        nth_value($"o_orderkey", 3).over(w).as("third_cheapest"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_explode"        -> q37Explode _,
     "q38_string_distance" -> q38StringDistance _,
@@ -106,6 +141,8 @@ object Relational3 {
     "q40_sampling"       -> q40Sampling _,
     "q41_bitwise"        -> q41Bitwise _,
     "q42_salted_join"    -> q42SaltedJoin _,
+    "q43_range_frame"    -> q43RangeFrame _,
+    "q44_value_windows"  -> q44ValueWindows _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -158,5 +195,14 @@ object Relational3 {
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE c_acctbal > 9000
          GROUP BY c_nationkey""",
+    "q43_range_frame" -> q43Sql,
+    "q44_value_windows" ->
+      """SELECT o_orderpriority, o_orderkey,
+                FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+                LAST_VALUE(o_orderkey) OVER w AS dearest_order,
+                NTH_VALUE(o_orderkey, 3) OVER w AS third_cheapest
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
   )
 }

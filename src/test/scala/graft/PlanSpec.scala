@@ -61,4 +61,10 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf(ext.Similarity.s01KnnBruteForce(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("s04 ivf: centroids broadcast — assignment is map-side over the scan") {
+    val p = planOf(ext.Similarity.s04AnnIvf(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid cross join must broadcast the centroid set, not shuffle the corpus")
+  }
 }
