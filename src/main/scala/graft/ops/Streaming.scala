@@ -97,11 +97,24 @@ object Streaming {
   def w04DedupFirst(spark: SparkSession, dir: String): DataFrame =
     firstPerUserType(Tables.events(spark, dir))
 
+  /** The flatMapGroupsWithState path run as one batch: the per-user fold
+    * is in event_id order, so even the double accumulation is
+    * deterministic and the oracle replays it with an ordered list fold. */
+  def w05StatefulTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    statefulUserTotals(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[UserEvent])
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "w01_tumbling_window" -> w01Tumbling _,
     "w02_sliding_window"  -> w02Sliding _,
     "w03_session_window"  -> w03Session _,
     "w04_dedup_first"     -> w04DedupFirst _,
+    "w05_stateful_totals" -> w05StatefulTotals _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,5 +154,13 @@ object Streaming {
     "w04_dedup_first" ->
       """SELECT user_id, event_type, MIN(event_id) AS first_event_id
          FROM events GROUP BY user_id, event_type""",
+    "w05_stateful_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+                -- ordered left fold from 0.0 = the state fold's exact
+                -- double accumulation sequence
+                list_reduce(list_prepend(0.0, list(value ORDER BY event_id)),
+                            (a, b) -> a + b) AS total_value,
+                MAX(event_id) AS last_event_id
+         FROM events GROUP BY user_id""",
   )
 }

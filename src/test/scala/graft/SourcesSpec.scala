@@ -60,6 +60,10 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.parquet(dir)
     val one = back.filter($"status" === "F")
     val scanned = one.queryExecution.executedPlan.toString
+    // the status filter must land in PartitionFilters (directory pruning),
+    // not as a post-scan row filter over every partition
+    assert(scanned.contains("PartitionFilters") && scanned.contains("status"),
+      s"partition filter missing from scan:\n$scanned")
     assert(back.count() == src.count())
     assert(one.count() > 0)
     // layout on disk: status=F directory exists
