@@ -134,6 +134,37 @@ object Relational3 {
         nth_value($"o_orderkey", 3).over(w).as("third_cheapest"))
   }
 
+  /** Correlated LATERAL join (top-2-per-customer through a lateral
+    * subquery with ORDER BY/LIMIT — Catalyst decorrelates it into a
+    * ranked join). Shared SQL text runs verbatim on both engines. */
+  val q45Sql: String =
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer c, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 2) t
+       WHERE c_custkey < 100"""
+
+  def q45Lateral(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(q45Sql)
+  }
+
+  /** Count-min sketch: sub-linear heavy-hitter counting (the classic
+    * training-corpus frequency sketch). The sketch binary is Spark's
+    * implementation — no oracle by construction (rows-only driver check);
+    * Relational3Spec bounds every estimate: exact ≤ est ≤ exact + ε·N. */
+  def q46CountMinSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count_min_sketch($"l_suppkey", lit(0.001), lit(0.99), lit(42)).as("cms"),
+        count(lit(1)).as("n_rows"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_explode"        -> q37Explode _,
     "q38_string_distance" -> q38StringDistance _,
@@ -143,6 +174,9 @@ object Relational3 {
     "q42_salted_join"    -> q42SaltedJoin _,
     "q43_range_frame"    -> q43RangeFrame _,
     "q44_value_windows"  -> q44ValueWindows _,
+    "q45_lateral_join"   -> q45Lateral _,
+    // rows-only: engine-specific sketch binary (like q28's HLL)
+    "q46_count_min"      -> q46CountMinSketch _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +230,7 @@ object Relational3 {
          WHERE c_acctbal > 9000
          GROUP BY c_nationkey""",
     "q43_range_frame" -> q43Sql,
+    "q45_lateral_join" -> q45Sql,
     "q44_value_windows" ->
       """SELECT o_orderpriority, o_orderkey,
                 FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,

@@ -52,6 +52,28 @@ class SmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch estimates bound the exact counts (exact <= est <= exact + eps*N)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val rows = ops.Relational3.q46CountMinSketch(spark, sf0001).collect()
+    // keep the raw boxed value: CountMinSketch hashes by runtime type, so
+    // the probe must be the same type the sketch ingested
+    val exact = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag", $"l_suppkey").count().collect()
+      .map(r => (r.getString(0), r.get(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("cms")))
+      val n = r.getAs[Long]("n_rows")
+      exact.filter(_._1._1 == flag).foreach { case ((_, supp), cnt) =>
+        val est = cms.estimateCount(supp)
+        assert(est >= cnt, s"CMS must never under-count: $est < $cnt")
+        assert(est <= cnt + (0.001 * n).toLong + 1, s"estimate $est too far above $cnt")
+      }
+    }
+  }
+
   test("queries that must be non-empty at sf0.001") {
     Seq("q01_pricing_summary", "q03_top_revenue_orders", "q05_nation_revenue",
         "q07_customers_without_orders", "q13_set_ops", "q25_event_range_join")
