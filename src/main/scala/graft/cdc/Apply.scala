@@ -58,4 +58,19 @@ object Apply {
       .filter(col("_rn") === 1 && col("op") =!= "d")
       .drop("_rn")
   }
+
+  /** Log compaction — the OPTIMIZE/FINAL analog for the append-only log:
+    * collapse history to the latest row per key, but KEEP the newest
+    * tombstone of keys whose latest op is a delete. Unlike [[snapshot]]
+    * (a read view), the compacted log is a valid replacement *log*:
+    * appending later changes and re-snapshotting yields the same state as
+    * against the full log, because a still-live tombstone must survive to
+    * shadow earlier (already discarded) versions. Run it when the
+    * log-to-live ratio makes snapshot reads pay for too much history. */
+  def compact(log: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols.map(_.desc): _*)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1) // latest per key, tombstone or not
+      .drop("_rn")
+  }
 }

@@ -162,6 +162,32 @@ class CdcSpec extends AnyFunSuite {
     assert(viaPipeline.exceptAll(direct).count() == 0 && direct.exceptAll(viaPipeline).count() == 0)
   }
 
+  test("compact: replacement log preserves snapshot semantics across later appends") {
+    val raw = Workload.employeeCdc(spark, n = 400, nKeys = 40)
+    val log = Envelope.good(Envelope.parse(raw))
+      .withColumn("id", coalesce(element_at($"after", "id"), element_at($"before", "id")).cast("int"))
+      .select($"offset", $"op", $"id", $"after")
+    val (early, late) = (log.filter($"offset" < 300), log.filter($"offset" >= 300))
+    val compacted = Apply.compact(early, Seq("id"), Seq($"offset"))
+    // compaction shrinks history to at most one row per key
+    assert(compacted.count() <= 40 && compacted.count() < early.count())
+    // live tombstones survive compaction (they must shadow earlier versions)
+    val latestIsDelete = Apply.compact(early, Seq("id"), Seq($"offset"))
+      .filter($"op" === "d").count()
+    assert(latestIsDelete == early.groupBy($"id").agg(max_by($"op", $"offset").as("lop"))
+      .filter($"lop" === "d").count())
+    // appending the remaining changes to the COMPACTED log snapshots
+    // identically to the full log
+    // maps don't support set ops — compare scalar projections of the state
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select($"id",
+      element_at($"after", "salary").as("salary"),
+      element_at($"after", "name").as("name"))
+    val viaCompacted = proj(Apply.snapshot(compacted.unionByName(late), Seq("id"), Seq($"offset")))
+    val viaFull = proj(Apply.snapshot(log, Seq("id"), Seq($"offset")))
+    assert(viaCompacted.exceptAll(viaFull).count() == 0 &&
+           viaFull.exceptAll(viaCompacted).count() == 0)
+  }
+
   test("per-column DLQ blame names the first offending column (O12 second half)") {
     val raw = Workload.employeeCdc(spark, n = 100, nKeys = 10)
       // plant: offset 3 → salary not numeric; offset 7 → id not integral;
