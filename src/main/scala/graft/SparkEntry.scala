@@ -32,7 +32,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++
       ops.Streaming.queries ++ cdc.CdcQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
-      ext.Similarity.queries ++ ext.Multimodal.queries
+      ext.Similarity.queries ++ ext.Multimodal.queries ++ sources.Jdbc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,5 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.Relational2.oracles ++ ops.Relational3.oracles ++
       ops.Streaming.oracles ++ cdc.CdcQueries.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++
-      ext.Similarity.oracles ++ ext.Multimodal.oracles
+      ext.Similarity.oracles ++ ext.Multimodal.oracles ++ sources.Jdbc.oracles
 }

@@ -132,4 +132,38 @@ object Jdbc {
     stream.writeStream.foreachBatch { (batch: Dataset[T], _: Long) =>
       upsert(batch.toDF(), url, table, keyCols, props)
     }
+
+  // --- registered query: the JDBC path, driver-checked every round ------
+
+  /** Round-trip a table through a real JDBC database (embedded Derby —
+    * the same `spark.read/write.format("jdbc")` surface that mounts
+    * MySQL/ClickHouse drivers in production [spark.sh:21-25]) and
+    * aggregate the partition-parallel read-back. The oracle is the same
+    * aggregation over the source parquet: the JDBC hop must be lossless. */
+  def j01JdbcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftq;create=true"
+    spark.read.parquet(s"$dir/supplier.parquet")
+      .select($"s_suppkey".cast("long").as("s_suppkey"),
+              $"s_nationkey".cast("long").as("s_nationkey"),
+              $"s_acctbal")
+      .write.format("jdbc").option("url", url).option("dbtable", "supplier_j")
+      .mode("overwrite").save()
+    readPartitioned(spark, url, "supplier_j", "s_suppkey", 0L, 10000L, 4)
+      .groupBy($"s_nationkey")
+      .agg(org.apache.spark.sql.functions.count(
+             org.apache.spark.sql.functions.lit(1)).as("n_supp"),
+           graft.Tables.dsum($"s_acctbal").as("total_bal"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j01_jdbc_roundtrip" -> j01JdbcRoundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "j01_jdbc_roundtrip" ->
+      s"""SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n_supp,
+                 ${graft.Tables.sqlDsum("s_acctbal")} AS total_bal
+         FROM supplier GROUP BY 1""",
+  )
 }
