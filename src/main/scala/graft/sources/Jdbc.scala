@@ -96,7 +96,15 @@ object Jdbc {
       fields.map(_ => "?").mkString("(", ", ", ")")
     val keyIdx = keyCols.map(schema.fieldIndex).toArray
     val propMap = props // serializable capture
-    df.foreachPartition { (rows: Iterator[Row]) =>
+    // co-locate each key on ONE partition/connection: otherwise two rows of
+    // the same key in different partitions race their DELETE+INSERT across
+    // transactions. Within a partition, statements apply in row order —
+    // feed latest-per-key batches (e.g. Apply.snapshot output) when the
+    // per-key winner matters.
+    val colocated =
+      if (keyCols.nonEmpty) df.repartition(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      else df
+    colocated.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
         val p = new Properties()
         propMap.foreach { case (k, v) => p.setProperty(k, v) }
