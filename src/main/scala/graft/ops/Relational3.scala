@@ -165,8 +165,58 @@ object Relational3 {
         count(lit(1)).as("n_rows"))
   }
 
+  /** Date arithmetic: day diffs, month shifts (both engines clamp to
+    * month end), month boundaries, component extraction. */
+  def q47DateArithmetic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 300)
+      .select(
+        $"o_orderkey",
+        datediff(lit("1998-12-31").cast("date"), $"o_orderdate".cast("date")).as("days_to_eoh"),
+        add_months($"o_orderdate", 3).as("plus_3_months"),
+        date_add($"o_orderdate".cast("date"), 45).as("plus_45_days"),
+        last_day($"o_orderdate").as("month_end"),
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        quarter($"o_orderdate").as("q"))
+  }
+
+  /** Ordered string aggregation (LISTAGG surface): collect_list has no
+    * deterministic order, so the canonical form sorts before joining —
+    * exactly what an ORDER BY inside the aggregate pins in SQL engines. */
+  def q48StringAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, dir)
+      .groupBy($"s_nationkey")
+      .agg(
+        array_join(array_sort(collect_list($"s_name")), "|").as("supplier_names"),
+        count(lit(1)).as("n_supp"))
+  }
+
+  /** Conditional scalar functions: nullif / coalesce / greatest / least /
+    * CASE — identical three-valued-logic semantics on both engines. */
+  def q49Conditionals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .filter($"o_orderkey" < 300)
+      .select(
+        $"o_orderkey",
+        nullif($"o_orderstatus", lit("O")).as("status_or_null"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("OPEN")).as("status_label"),
+        greatest($"o_totalprice", lit(100000.0)).as("price_floor_100k"),
+        least($"o_totalprice", lit(200000.0)).as("price_cap_200k"),
+        when($"o_totalprice" > 250000.0, "jumbo")
+          .when($"o_totalprice" > 100000.0, "large")
+          .otherwise("regular").as("size_class"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_explode"        -> q37Explode _,
+    "q47_date_arithmetic" -> q47DateArithmetic _,
+    "q48_string_agg"     -> q48StringAgg _,
+    "q49_conditionals"   -> q49Conditionals _,
     "q38_string_distance" -> q38StringDistance _,
     "q39_bool_aggs"      -> q39BoolAggs _,
     "q40_sampling"       -> q40Sampling _,
@@ -231,6 +281,32 @@ object Relational3 {
          GROUP BY c_nationkey""",
     "q43_range_frame" -> q43Sql,
     "q45_lateral_join" -> q45Sql,
+    "q47_date_arithmetic" ->
+      """SELECT o_orderkey,
+                CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT) AS days_to_eoh,
+                CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+                CAST(o_orderdate AS DATE) + 45 AS plus_45_days,
+                last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                CAST(year(o_orderdate) AS INT) AS y,
+                CAST(month(o_orderdate) AS INT) AS m,
+                CAST(day(o_orderdate) AS INT) AS d,
+                CAST(quarter(o_orderdate) AS INT) AS q
+         FROM orders WHERE o_orderkey < 300""",
+    "q48_string_agg" ->
+      """SELECT s_nationkey,
+                string_agg(s_name, '|' ORDER BY s_name) AS supplier_names,
+                COUNT(*) AS n_supp
+         FROM supplier GROUP BY s_nationkey""",
+    "q49_conditionals" ->
+      """SELECT o_orderkey,
+                nullif(o_orderstatus, 'O') AS status_or_null,
+                coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+                greatest(o_totalprice, 100000.0) AS price_floor_100k,
+                least(o_totalprice, 200000.0) AS price_cap_200k,
+                CASE WHEN o_totalprice > 250000.0 THEN 'jumbo'
+                     WHEN o_totalprice > 100000.0 THEN 'large'
+                     ELSE 'regular' END AS size_class
+         FROM orders WHERE o_orderkey < 300""",
     "q44_value_windows" ->
       """SELECT o_orderpriority, o_orderkey,
                 FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
