@@ -255,7 +255,9 @@ object Relational3 {
       """SELECT l_returnflag,
                 bool_and(l_quantity > 0) AS all_positive_qty,
                 bool_or(l_discount > 0.09) AS any_big_discount,
-                count_if(l_tax > 0.05) AS n_high_tax,
+                -- DuckDB count_if returns HUGEINT (int128); pin to BIGINT to
+                -- match Spark's LongType under the driver's content hash
+                CAST(count_if(l_tax > 0.05) AS BIGINT) AS n_high_tax,
                 CAST(CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS STRING) AS DOUBLE) AS sum_distinct_qty
          FROM lineitem GROUP BY l_returnflag""",
     "q40_sampling" ->

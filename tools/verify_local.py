@@ -78,6 +78,25 @@ def main():
         if g_cols != e_cols:
             print(f"FAIL {name}: cols spark={g_cols} oracle={e_cols}")
             n_fail += 1; continue
+        # Type-strict: the driver hashes typed values, so an oracle column
+        # whose DuckDB type differs from the Spark parquet's (count_if →
+        # HUGEINT vs Spark LongType, round-2 q39 finding) fails the driver
+        # even when Python-level values compare equal.
+        # Integer WIDTH is tolerated (q10's Spark row_number INT vs DuckDB
+        # BIGINT has always driver-passed) — both sides arrive as arrow
+        # ints. HUGEINT is NOT an int to arrow (decimal128 export), so it
+        # stays its own family and gets flagged.
+        _intw = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"}
+        def fam(t):
+            return "int" if t in _intw else t
+        g_types = dict(zip(got.columns, (fam(str(t)) for t in got.types)))
+        e_types = dict(zip(exp.columns, (fam(str(t)) for t in exp.types)))
+        tbad = {c: (g_types[c], e_types[c]) for c in g_types
+                if g_types[c] != e_types[c]}
+        if tbad:
+            print(f"FAIL {name}: column types differ (spark, oracle): {tbad}")
+            n_fail += 1; continue
         if len(g_rows) != len(e_rows):
             print(f"FAIL {name}: rowcount spark={len(g_rows)} oracle={len(e_rows)}")
             n_fail += 1; continue
