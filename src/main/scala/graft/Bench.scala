@@ -27,6 +27,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata tables are single-row-group files → 1-partition scans; fan
+    // the cached tables out to all cores (see Tables.load scaladoc)
+    spark.conf.set("graft.scan.repartition", cpus)
     // session warm-up so the first measured query doesn't absorb executor
     // startup, codegen compiler init, or parquet/json reader class loading
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -12,8 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Local-mode scan parallelism knob. The driver's testdata is one
+    * parquet file with ONE row group per table, so a scan — and anything
+    * cached from it — is a single partition and every downstream narrow
+    * stage runs on one core. A real 100 TB table is thousands of
+    * row-groups and splits naturally; `graft.scan.repartition=N` emulates
+    * that locally by fanning the scan out to N partitions. Applied inside
+    * `load` so cached plans and query plans stay equal (CacheManager
+    * substitutes on plan equality). Default 0 = off. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val n = spark.conf.getOption("graft.scan.repartition").map(_.toInt).getOrElse(0)
+    if (n > 0) df.repartition(n) else df
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
