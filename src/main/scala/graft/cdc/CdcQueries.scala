@@ -114,10 +114,29 @@ object CdcQueries {
            dsum($"value").as("batch_value"))
   }
 
+  /** SCD Type-2 history: each change row becomes a versioned validity
+    * interval per key — valid_from = its ts, valid_to = the next
+    * change's ts (NULL while current), version = change ordinal. The
+    * windows shuffle once by key; at scale this is the standard
+    * "history table from a CDC log" materialization. */
+  def c08Scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("valid_from", $"ts")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", lead($"ts", 1).over(w).isNull)
+      .select($"user_id", $"event_id", $"valid_from", $"valid_to",
+              $"version", $"is_current")
+  }
+
   private val opSql =
     "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
 
   val queries: Map[String, Q] = Map(
+    "c08_scd2_history"          -> c08Scd2History _,
     "c01_cdc_snapshot_latest"   -> c01SnapshotLatest _,
     "c02_cdc_topic_route"       -> c02TopicRoute _,
     "c03_cdc_normalize"         -> c03Normalize _,
@@ -128,6 +147,13 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c08_scd2_history" ->
+      """SELECT user_id, event_id, ts AS valid_from,
+                LEAD(ts) OVER w AS valid_to,
+                CAST(ROW_NUMBER() OVER w AS INT) AS version,
+                LEAD(ts) OVER w IS NULL AS is_current
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "c01_cdc_snapshot_latest" ->
       s"""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
             SELECT *, $opSql AS op,

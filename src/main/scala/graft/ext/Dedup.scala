@@ -198,6 +198,77 @@ object Dedup {
       .select($"doc_id", $"text")
   }
 
+  // --- d09/d10: cluster assignment (connected components) ---------------
+
+  /** Min-label propagation to a fixpoint: `cluster_id(v)` converges to
+    * the smallest doc_id in v's connected component. Each round is one
+    * hash-partitioned join + one min-agg (the classic MapReduce CC
+    * round); rounds needed = component diameter, and dedup components
+    * are shallow (copies of copies), so a handful of rounds closes even
+    * a 100 TB corpus. The driver-side loop only ever `count()`s a
+    * convergence predicate — no row data crosses to the driver. */
+  def clusterLabels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      // labels only ever decrease; fixpoint = no decrease anywhere
+      val changed = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Exact-duplicate pairs (canonical = min doc_id of each md5 group). */
+  private def exactPairs(corpus: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text").cast("binary")))
+    corpus
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("canon"))
+      .filter(col("doc_id") =!= col("canon"))
+      .select(col("canon").as("id1"), col("doc_id").as("id2"))
+  }
+
+  private def clustersOver(corpus: DataFrame, nearPairs: DataFrame): DataFrame = {
+    val pairs = nearPairs.unionByName(exactPairs(corpus))
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .distinct()
+    val labels = clusterLabels(corpus.select(col("doc_id")).distinct(), edges)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Dedup cluster assignment: every corpus document labeled with the min
+    * doc_id of its duplicate component (exact-dup edges ∪ verified LSH
+    * near-dup edges), plus the component size. Oracle replays the
+    * propagation as a recursive reachability walk. */
+  def d09DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    clustersOver(corpus, d02MinHashLsh(spark, dir).select($"id1", $"id2"))
+  }
+
+  /** Scale-path twin of [[d09DedupClusters]]: near-dup edges from the
+    * xxhash64 LSH pipeline (no dictionary). Rows-only driver check;
+    * ExtSpec asserts cluster parity with d09. */
+  def dedupClustersScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    clustersOver(corpus, minHashLshScale(spark, dir).select($"id1", $"id2"))
+  }
+
   // --- d03: SimHash -----------------------------------------------------
 
   val SimBits = 16
@@ -300,19 +371,17 @@ object Dedup {
     "d06_minhash_lsh_scale" -> minHashLshScale _,
     "d07_dedup_corpus"      -> dedupCorpus _,
     "d08_simhash_scale"     -> simHashScale _,
+    "d09_dedup_clusters"    -> d09DedupClusters _,
+    "d10_dedup_clusters_scale" -> dedupClustersScale _,
   )
 
   private def minExprs: String = (0 until K).map(i =>
     s"MIN((sid * ${aCoef(i)} + ${bCoef(i)}) % $P) AS min_$i").mkString(",\n               ")
 
-  val oracles: Map[String, String] = Map(
-    "d01_exact_dedup" ->
-      s"""WITH $corpusSql
-          SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
-                 COUNT(*) AS n_copies
-          FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1""",
-    "d02_minhash_lsh" ->
-      s"""WITH $corpusSql,
+  /** The d02 candidate/verify chain as reusable CTE text (through the
+    * verified near-pair set `near`). */
+  private def lshPairCtes: String =
+    s"""$corpusSql,
           $shinglesSql,
           $shingleDictSql,
           ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
@@ -331,7 +400,48 @@ object Dedup {
             FROM cand c
             JOIN ids a ON a.doc_id = c.id1
             JOIN ids b ON b.doc_id = c.id2 AND a.sid = b.sid
-            GROUP BY c.id1, c.id2)
+            GROUP BY c.id1, c.id2),
+          near AS (
+            SELECT i.id1, i.id2
+            FROM inter i
+            JOIN sizes s1 ON s1.doc_id = i.id1
+            JOIN sizes s2 ON s2.doc_id = i.id2
+            WHERE i.inter * 2 >= (s1.n + s2.n - i.inter))"""
+
+  val oracles: Map[String, String] = Map(
+    // min-label propagation ≡ reachability: a node's cluster id is the
+    // minimum over every label that can walk to it along dedup edges
+    "d09_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+          exact AS (
+            SELECT id1, id2 FROM (
+              SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id1,
+                     doc_id AS id2
+              FROM corpus)
+            WHERE id1 <> id2),
+          edges AS (
+            SELECT id1 AS src, id2 AS dst FROM near
+            UNION SELECT id2, id1 FROM near
+            UNION SELECT id1, id2 FROM exact
+            UNION SELECT id2, id1 FROM exact),
+          nodes AS (SELECT DISTINCT doc_id FROM corpus),
+          walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+          lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                  FROM walk GROUP BY node),
+          sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                 FROM lab GROUP BY cluster_id)
+          SELECT l.doc_id, l.cluster_id, sz.cluster_size
+          FROM lab l JOIN sz USING (cluster_id)""",
+    "d01_exact_dedup" ->
+      s"""WITH $corpusSql
+          SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS n_copies
+          FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1""",
+    "d02_minhash_lsh" ->
+      s"""WITH $lshPairCtes
           SELECT i.id1, i.id2, i.inter, s1.n AS n1, s2.n AS n2,
                  i.inter * 100.0 / (s1.n + s2.n - i.inter) AS jacc_pct
           FROM inter i

@@ -182,8 +182,35 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** TF-IDF top-terms per document. Exact cross-engine form: idf is kept
+    * as the rational N/df instead of ln((N+1)/(df+1)) — Math.log is only
+    * 1-ulp-accurate and libm/JVM may round differently, while
+    * `(tf·N)/df` is ONE correctly-rounded double division over exact
+    * integers (tf·N ≪ 2^53). Monotone in the true tf·idf for fixed tf,
+    * so top-k membership is the same ranking a log-idf would give per
+    * term frequency tier. Shape at 100 TB: tf is a map-side explode +
+    * one (doc,term) agg; df one (term) agg; the scalar N broadcasts;
+    * top-3 is a per-doc window over ≤ |terms-per-doc| rows. */
+  def t09TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tok = tokenized(docs).select($"doc_id", $"tok".as("term"))
+    val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"term")
+    tf.join(df, "term")
+      .crossJoin(n) // 1-row broadcast
+      .withColumn("score", ($"tf" * $"n_docs").cast("double") / $"df")
+      .withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3)
+      .select($"doc_id", $"term", $"tf", $"df", $"score", $"rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01TokenStats _,
+    "t09_tfidf"       -> t09TfIdf _,
     "t02_lang_stats"  -> t02LangStats _,
     "t03_quality_score" -> t03QualityScore _,
     "t04_langid"      -> t04LangId _,
@@ -258,6 +285,26 @@ object TextAnalysis {
                  COUNT(*) AS n_tokens
           FROM tok JOIN dict USING (tok)
           GROUP BY doc_id""",
+    "t09_tfidf" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+          tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term <> '' GROUP BY doc_id, term),
+          df AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+            WHERE term <> '' GROUP BY term),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents),
+          scored AS (
+            SELECT doc_id, term, tf, df,
+                   CAST(tf * n_docs AS DOUBLE) / df AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n),
+          ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, term) AS rnk
+            FROM scored)
+          SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk
+          FROM ranked WHERE rnk <= 3""",
     "t06_ngram_freq" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($tokensSql) AS tok,

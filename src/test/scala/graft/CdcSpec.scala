@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.cdc.{Apply, Envelope, Normalize, SchemaEvolution}
+import graft.cdc.{Apply, CdcQueries, Envelope, Normalize, SchemaEvolution}
 import graft.gen.Workload
 
 class CdcSpec extends AnyFunSuite {
@@ -208,6 +208,27 @@ class CdcSpec extends AnyFunSuite {
     assert(dlq(11L)._1.isEmpty, "unparseable records carry no blame")
     // good side excludes exactly the three (n=100 events + 10 snapshot rows)
     assert(Envelope.goodWithBlame(parsed, expected).count() == 107)
+  }
+
+  test("c08 scd2: versions contiguous, intervals chain, exactly one current per key") {
+    val rows = CdcQueries.c08Scd2History(spark, sf0001)
+      .select($"user_id", $"valid_from", $"valid_to", $"version", $"is_current")
+      .collect()
+      // ts is timestamp_ntz → LocalDateTime, not java.sql.Timestamp
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+                 Option(r.getAs[java.time.LocalDateTime](2)),
+                 r.getInt(3), r.getBoolean(4)))
+    rows.groupBy(_._1).foreach { case (u, h) =>
+      val sorted = h.sortBy(_._4)
+      assert(sorted.map(_._4).sameElements(1 to h.length), s"user $u versions not 1..n")
+      assert(h.count(_._5) == 1, s"user $u must have exactly one current row")
+      assert(sorted.last._3.isEmpty && sorted.last._5, s"user $u current row must be last")
+      // each interval's end is the next interval's start
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), s"user $u intervals don't chain")
+        case _ =>
+      }
+    }
   }
 
   test("workload generator: deterministic, parseable, snapshot-seeded") {

@@ -169,6 +169,68 @@ class ExtSpec extends AnyFunSuite {
     assert(heap == window)
   }
 
+  test("d09 clusters: planted copies join their original's component, labeled by min id") {
+    val rows = Dedup.d09DedupClusters(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .as[(Long, Long, Long)].collect()
+    val label = rows.map(r => r._1 -> r._2).toMap
+    // every corpus doc (originals + planted copies) got exactly one label
+    val docs = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    assert(label.size == docs.length + docs.count(_ % 10 == 0) + docs.count(_ % 10 == 5))
+    // a planted exact copy always lands in its original's cluster
+    docs.filter(_ % 10 == 0).foreach { d =>
+      assert(label(d + 1000000L) == label(d), s"exact copy of $d mislabeled")
+    }
+    // the label IS a member of the cluster, and is its minimum
+    val members = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    members.foreach { case (cid, ms) =>
+      assert(ms.contains(cid) && ms.min == cid, s"cluster $cid not labeled by min member")
+    }
+    // cluster_size is consistent with the actual member count
+    rows.foreach { case (_, cid, sz) => assert(members(cid).size == sz) }
+  }
+
+  test("d10 scale-path clusters agree with the dictionary path on planted structure") {
+    // the two LSH hash families generate slightly different BORDERLINE
+    // candidate pairs (organic near-dups at the jaccard threshold), so
+    // whole-labeling equality is too strong; what must agree is the
+    // planted structure and the bulk of the cluster relation
+    val dict = Dedup.d09DedupClusters(spark, sf0001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    val scale = Dedup.dedupClustersScale(spark, sf0001)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toMap
+    assert(dict.keySet == scale.keySet)
+    val docs = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    // planted exact copies co-cluster with their original in BOTH labelings
+    docs.filter(_ % 10 == 0).foreach { d =>
+      assert(dict(d + 1000000L) == dict(d) && scale(d + 1000000L) == scale(d))
+    }
+    // the same-cluster relation agrees on the vast majority of docs
+    val dictMates = dict.keys.groupBy(dict).values.flatMap(ms => ms.map(_ -> ms.toSet)).toMap
+    val scaleMates = scale.keys.groupBy(scale).values.flatMap(ms => ms.map(_ -> ms.toSet)).toMap
+    val agree = dict.keys.count(k => dictMates(k) == scaleMates(k))
+    assert(agree.toDouble / dict.size > 0.95,
+      s"cluster relation agreement ${agree.toDouble / dict.size} too low")
+  }
+
+  test("t09 tf-idf: top-3 per doc, rank order matches score order") {
+    val rows = TextAnalysis.t09TfIdf(spark, sf0001)
+      .select($"doc_id", $"term", $"score", $"rnk")
+      .as[(Long, String, Double, Int)].collect()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size == 500)
+    byDoc.foreach { case (d, rs) =>
+      assert(rs.map(_._4).sorted.sameElements(1 to rs.length), s"doc $d ranks not 1..k")
+      assert(rs.length <= 3)
+      // rank 1 has the (weakly) highest score
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)
+        case _ => true
+      }, s"doc $d rank order violates (score desc, term asc)")
+    }
+  }
+
   test("fingerprint: identical text yields identical fingerprint") {
     val fp = TextAnalysis.t05Fingerprint(spark, sf0001)
       .select($"doc_id", $"fp_pos", $"fp_sq").collect()
