@@ -208,9 +208,62 @@ object TextAnalysis {
       .select($"doc_id", $"term", $"tf", $"df", $"score", $"rnk")
   }
 
+  /** Vocabulary pruning (min_df / max_df — the CountVectorizer-style
+    * vocab build every corpus pipeline runs): keep terms seen in ≥ 50
+    * documents but ≤ 79% of the corpus. Two aggs (per-term df/tf and the
+    * corpus size) and a broadcast of one scalar — nothing here is
+    * corpus-size-bound except the term table itself. */
+  def t10VocabPrune(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tok = tokenized(docs).select($"doc_id", $"tok".as("term"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tok.groupBy($"term")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("total_tf"))
+      .crossJoin(n) // 1-row broadcast
+      .filter($"df" >= 50 && $"df" * 100 <= $"n_docs" * 79)
+      .select($"term", $"df", $"total_tf")
+  }
+
+  /** Token-stream packing: concatenate the corpus in doc_id order and
+    * cut fixed 512-token training chunks (the GPT-style pack-then-split
+    * batch shape). A document's chunk is decided by its starting offset
+    * in the stream = the exclusive prefix sum of token counts.
+    *
+    * The prefix sum is HIERARCHICAL, not a global-window scan: doc_id
+    * buckets of 100 docs get an intra-bucket running sum (window
+    * partitioned BY BUCKET — parallel), bucket totals get a tiny
+    * bucket-level running sum (rows = corpus/100, metadata-sized the
+    * same way AQE stats are), and the two add up to the global offset.
+    * No single-partition pass ever sees O(corpus) rows. */
+  def t11TokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val budget = 512L
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", expr("doc_id div 100").as("bucket"),
+              size(tokens($"text")).cast("long").as("n_tokens"))
+    val wIntra = Window.partitionBy($"bucket")
+      .orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val intra = counts.withColumn("intra_off",
+      coalesce(sum($"n_tokens").over(wIntra), lit(0L)))
+    val wBucket = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = counts.groupBy($"bucket")
+      .agg(sum($"n_tokens").as("bucket_total"))
+      .withColumn("bucket_off", coalesce(sum($"bucket_total").over(wBucket), lit(0L)))
+      .select($"bucket", $"bucket_off")
+    intra.join(bucketOff, "bucket")
+      // div, not `/`: Column./ is always double division
+      .withColumn("chunk_id", expr(s"(intra_off + bucket_off) div $budget"))
+      .groupBy($"chunk_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+           min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01TokenStats _,
     "t09_tfidf"       -> t09TfIdf _,
+    "t10_vocab_prune" -> t10VocabPrune _,
+    "t11_token_packing" -> t11TokenPacking _,
     "t02_lang_stats"  -> t02LangStats _,
     "t03_quality_score" -> t03QualityScore _,
     "t04_langid"      -> t04LangId _,
@@ -285,6 +338,31 @@ object TextAnalysis {
                  COUNT(*) AS n_tokens
           FROM tok JOIN dict USING (tok)
           GROUP BY doc_id""",
+    "t10_vocab_prune" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+          n AS (SELECT COUNT(*) AS n_docs FROM documents)
+          SELECT term, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS total_tf
+          FROM tok CROSS JOIN n
+          WHERE term <> ''
+          GROUP BY term, n_docs
+          HAVING COUNT(DISTINCT doc_id) >= 50
+             AND COUNT(DISTINCT doc_id) * 100 <= n_docs * 79""",
+    // the oracle's single global cumsum is equivalent to the engine's
+    // hierarchical (bucket-partitioned) prefix sum
+    "t11_token_packing" ->
+      s"""WITH counts AS (
+            SELECT doc_id, len($tokensSql) AS n_tokens FROM documents),
+          off AS (
+            SELECT doc_id, n_tokens,
+                   COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+                     0) AS strt
+            FROM counts)
+          SELECT strt // 512 AS chunk_id, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          FROM off GROUP BY 1""",
     "t09_tfidf" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($tokensSql) AS term FROM documents),

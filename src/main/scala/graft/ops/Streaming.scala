@@ -54,6 +54,34 @@ object Streaming {
     events.groupBy(col("user_id"), col("event_type"))
       .agg(min(col("event_id")).as("first_event_id"))
 
+  // --- stream-stream interval join --------------------------------------
+
+  /** Signup-side / click-side preparation for the interval join, shared
+    * by the batch oracle entry and the streaming parity test. */
+  def signupSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"), col("ts").as("s_ts"))
+
+  def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+
+  /** Stream-stream interval join: each signup matched to the same user's
+    * clicks within the following 10 minutes. In streaming BOTH sides are
+    * watermarked and the interval bound is what lets the state store
+    * evict buffered rows past the horizon — state is O(rows within the
+    * watermark window), not O(stream). In batch the same plan is a plain
+    * equi+range join shuffled by user. */
+  def intervalJoin(signups: DataFrame, clicks: DataFrame): DataFrame =
+    signups.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("s_ts") &&
+        col("c_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("signup_id"), col("click_id"),
+        (unix_millis(col("c_ts").cast("timestamp")) -
+         unix_millis(col("s_ts").cast("timestamp"))).as("lag_ms"))
+
   // --- custom state: flatMapGroupsWithState -----------------------------
 
   case class UserEvent(event_id: Long, user_id: Long, event_type: String, value: Double)
@@ -109,7 +137,13 @@ object Streaming {
       .toDF()
   }
 
+  def w06StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    intervalJoin(signupSide(events), clickSide(events))
+  }
+
   val queries: Map[String, Q] = Map(
+    "w06_stream_stream_join" -> w06StreamStreamJoin _,
     "w01_tumbling_window" -> w01Tumbling _,
     "w02_sliding_window"  -> w02Sliding _,
     "w03_session_window"  -> w03Session _,
@@ -118,6 +152,13 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "w06_stream_stream_join" ->
+      """SELECT s.user_id, s.event_id AS signup_id, c.event_id AS click_id,
+                date_diff('millisecond', s.ts, c.ts) AS lag_ms
+         FROM events s JOIN events c
+           ON s.event_type = 'signup' AND c.event_type = 'click'
+          AND c.user_id = s.user_id
+          AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 10 MINUTE""",
     "w01_tumbling_window" ->
       s"""SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
           event_type, COUNT(*) AS n, ${Tables.sqlDsum("value")} AS total_value

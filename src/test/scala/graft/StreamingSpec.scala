@@ -55,6 +55,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("stream-stream interval join: streaming == batch") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(500))
+    ms.addData(rows.drop(500))
+    // two watermarked branches of the same source — Spark treats them as
+    // two streams; the interval bound makes the join state evictable
+    val s = Streaming.signupSide(ms.toDF()).withWatermark("s_ts", "1 hour")
+    val c = Streaming.clickSide(ms.toDF()).withWatermark("c_ts", "1 hour")
+    val q = Streaming.intervalJoin(s, c)
+      .writeStream.outputMode("append").format("memory").queryName("ssjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = Streaming.w06StreamStreamJoin(spark, sf0001)
+    assert(canon(spark.table("ssjoin")) == canon(batch))
+  }
+
   test("streaming dedup-within-watermark emits one row per key") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
