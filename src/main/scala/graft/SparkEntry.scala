@@ -33,7 +33,8 @@ object SparkEntry {
       ops.Relational4.queries ++
       ops.Streaming.queries ++ cdc.CdcQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
-      ext.Similarity.queries ++ ext.Multimodal.queries ++ sources.Jdbc.queries
+      ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Curation.queries ++
+      sources.Jdbc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

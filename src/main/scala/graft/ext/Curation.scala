@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The end-to-end corpus curation pipeline — what the individual ext/
+  * operators exist FOR, composed as one operational API the way a
+  * training-data run would use them:
+  *
+  *   dedup (exact md5 + verified LSH near-dup, [[Dedup.dedupCorpus]])
+  *     → quality gate ([[TextAnalysis]] t03 scoring, floor 350)
+  *     → language tag (t04 marker argmax)
+  *     → fixed-512-token chunk packing ([[TextAnalysis.assignChunks]])
+  *
+  * Output is the chunk manifest: per chunk, its doc/token counts, doc_id
+  * range, and the language mix. Every stage is one of the already
+  * oracle-checked operators, so the composition is registered rows-only
+  * (p01) and CurationSpec asserts its invariants: planted duplicates
+  * gone, every kept doc at or above the quality floor, chunks within
+  * budget (except single oversized docs), langs consistent with t04.
+  *
+  * Scale shape: nothing new — the stages are the scale paths of their
+  * operators (xxhash64 LSH, map-side scoring, hierarchical prefix sum).
+  */
+object Curation {
+
+  val QualityFloor = 350.0
+  val ChunkBudget = 512L
+
+  /** Cleaned, scored, tagged docs: (doc_id, text, n_tokens, quality, lang). */
+  def curatedDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val clean = Dedup.dedupCorpus(spark, dir) // (doc_id, text)
+    val toks = TextAnalysis.tokens($"text")
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val scored = clean.select(
+        $"doc_id", $"text",
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, t => array_contains(stopArr, t))).as("n_stop"),
+        length(regexp_replace($"text", "[a-z\\s]", "")).as("n_nonalpha"))
+      .withColumn("quality",
+        ($"n_distinct" * 1000 + $"n_stop" * 100 - $"n_nonalpha" * 10).cast("double")
+          / $"n_tokens")
+      .filter($"quality" >= QualityFloor)
+    val best = TextAnalysis.langMarkers.map { case (l, ms) =>
+      struct(TextAnalysis.langScore(toks, ms).as("s"), lit(l).as("l"))
+    }
+    scored.withColumn("lang",
+        sort_array(array(best: _*), asc = false).getItem(0).getField("l"))
+      .select($"doc_id", $"text", $"n_tokens", $"quality", $"lang")
+  }
+
+  /** p01: the chunk manifest of the curated corpus. */
+  def p01CurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = curatedDocs(spark, dir)
+    TextAnalysis.assignChunks(docs.select($"doc_id", $"n_tokens"), ChunkBudget)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_tokens").as("n_tokens"),
+           min($"doc_id").as("first_doc"),
+           max($"doc_id").as("last_doc"),
+           array_join(array_sort(collect_set($"lang")), ",").as("langs"))
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+  val queries: Map[String, Q] = Map(
+    // rows-only: composition of oracle-checked stages (LSH stage is the
+    // xxhash64 scale path, which has no DuckDB twin by construction)
+    "p01_curate_corpus" -> p01CurateCorpus _,
+  )
+  val oracles: Map[String, String] = Map.empty
+}

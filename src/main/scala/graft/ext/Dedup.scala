@@ -241,9 +241,11 @@ object Dedup {
 
   private def clustersOver(corpus: DataFrame, nearPairs: DataFrame): DataFrame = {
     val pairs = nearPairs.unionByName(exactPairs(corpus))
+    // cache: every propagation round joins `edges`; uncached, each round
+    // would re-run the whole LSH candidate/verify pipeline behind it
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-      .distinct()
+      .distinct().cache()
     val labels = clusterLabels(corpus.select(col("doc_id")).distinct(), edges)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")

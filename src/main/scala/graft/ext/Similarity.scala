@@ -155,16 +155,29 @@ object Similarity {
     * centroids changes one line. Scale shape: centroids broadcast, the
     * assignment is a map-side argmax over the scan, candidate search is
     * one equi-join on the list id — no all-pairs stage anywhere. */
+  /** Per-vector centroid scores (broadcast cross join) — shared by the
+    * IVF index build and the centroid aggregation. */
+  private def centroidScored(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < NList)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+              dot(col("embedding"), col("ce")).as("cdot"))
+  }
+
+  /** Nearest-centroid assignment (map-side argmax over the scan). */
+  def ivfAssigned(e: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cdot").desc, col("cid"))
+    centroidScored(e).withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1).select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
   def s04AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val cents = e.filter($"vec_id" < NList)
-      .select($"vec_id".as("cid"), $"embedding".as("ce"))
-    val scored = e.join(broadcast(cents))
-      .select($"vec_id", $"embedding", $"cid", dot($"embedding", $"ce").as("cdot"))
+    val scored = centroidScored(e)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
-    val assigned = scored.withColumn("rn", row_number().over(wAssign)).filter($"rn" === 1)
-      .select($"vec_id", $"embedding", $"cid")
+    val assigned = ivfAssigned(e)
     val probes = scored.filter($"vec_id" < 5)
       .withColumn("rn", row_number().over(wAssign)).filter($"rn" <= NProbe)
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid")
@@ -175,8 +188,32 @@ object Similarity {
       .select($"qid", $"rank", $"nid", $"cos_sim")
   }
 
+  /** Per-cluster centroid aggregation — the k-means update step / the
+    * "average embedding per shard" corpus statistic. Float sums are not
+    * order-independent, so each (cluster, component) folds its members'
+    * values in vec_id order: one `collect_list(struct)` + `array_sort` +
+    * left fold per group, replayed identically by the oracle's ordered
+    * `list()` fold — bit-identical doubles, no decimal rounding. At 100 TB
+    * per-group collect is bounded by cluster size × 1 component (members
+    * of ONE component of ONE cluster), not corpus size. */
+  def s05CentroidAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val comps = ivfAssigned(e)
+      .select($"cid", $"vec_id", posexplode($"embedding").as(Seq("pos", "comp")))
+    comps.groupBy($"cid", $"pos")
+      .agg(count(lit(1)).as("n_members"),
+           aggregate(
+             transform(array_sort(collect_list(struct($"vec_id", $"comp"))),
+                       s => s.getField("comp").cast("double")),
+             lit(0.0), (a, x) => a + x).as("comp_sum"))
+      .select($"cid", $"pos", $"n_members",
+              ($"comp_sum" / $"n_members").as("centroid_comp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
+    "s05_centroid_agg"   -> s05CentroidAgg _,
     "s02_ann_lsh"        -> s02AnnLsh _,
     // scale-path twin: bounded-heap partial-agg top-k (rows-only driver
     // check; SimilaritySpec asserts equality with the window form)
@@ -184,7 +221,35 @@ object Similarity {
     "s04_ann_ivf"        -> s04AnnIvf _,
   )
 
+  /** cents→scored→assigned CTE chain (the IVF index build) shared by the
+    * s04 and s05 oracles. */
+  private def ivfAssignedCtes: String =
+    s"""cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NList),
+          scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ${dotSql("e.embedding", "c.ce")} AS cdot
+            FROM embeddings e CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cdot DESC, cid) AS rn
+              FROM scored) t WHERE rn = 1)"""
+
   val oracles: Map[String, String] = Map(
+    // ordered fold from 0.0 over vec_id-sorted members ≡ the Spark side's
+    // array_sort(collect_list) + aggregate — identical IEEE sequence
+    "s05_centroid_agg" ->
+      s"""WITH $ivfAssignedCtes,
+          comps AS (
+            SELECT cid, vec_id, unnest(range(1, 65)) AS j,
+                   unnest(list_transform(range(1, 65),
+                          j -> CAST(embedding[j] AS DOUBLE))) AS comp
+            FROM assigned)
+          SELECT cid, CAST(j - 1 AS INT) AS pos, COUNT(*) AS n_members,
+                 list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                             (a, b) -> a + b) / COUNT(*) AS centroid_comp
+          FROM comps GROUP BY cid, j""",
     "s01_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
           scored AS (
@@ -214,17 +279,7 @@ object Similarity {
           SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
           FROM ranked WHERE rank <= 5""",
     "s04_ann_ivf" ->
-      s"""WITH cents AS (
-            SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < $NList),
-          scored AS (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   ${dotSql("e.embedding", "c.ce")} AS cdot
-            FROM embeddings e CROSS JOIN cents c),
-          assigned AS (
-            SELECT vec_id, embedding, cid FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                           ORDER BY cdot DESC, cid) AS rn
-              FROM scored) t WHERE rn = 1),
+      s"""WITH $ivfAssignedCtes,
           probes AS (
             SELECT vec_id AS qid, embedding AS qe, cid FROM (
               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id

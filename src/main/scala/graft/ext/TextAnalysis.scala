@@ -236,24 +236,32 @@ object TextAnalysis {
     * bucket-level running sum (rows = corpus/100, metadata-sized the
     * same way AQE stats are), and the two add up to the global offset.
     * No single-partition pass ever sees O(corpus) rows. */
-  def t11TokenPacking(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val budget = 512L
-    val counts = Tables.documents(spark, dir)
-      .select($"doc_id", expr("doc_id div 100").as("bucket"),
-              size(tokens($"text")).cast("long").as("n_tokens"))
-    val wIntra = Window.partitionBy($"bucket")
-      .orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+  /** Hierarchical-prefix-sum chunk assignment (see [[t11TokenPacking]]):
+    * input (doc_id, n_tokens) → + chunk_id. Reused by the curation
+    * pipeline over its filtered doc set. */
+  def assignChunks(counts0: DataFrame, budget: Long): DataFrame = {
+    val counts = counts0
+      .select(col("doc_id"), expr("doc_id div 100").as("bucket"), col("n_tokens"))
+    val wIntra = Window.partitionBy(col("bucket"))
+      .orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
     val intra = counts.withColumn("intra_off",
-      coalesce(sum($"n_tokens").over(wIntra), lit(0L)))
-    val wBucket = Window.orderBy($"bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val bucketOff = counts.groupBy($"bucket")
-      .agg(sum($"n_tokens").as("bucket_total"))
-      .withColumn("bucket_off", coalesce(sum($"bucket_total").over(wBucket), lit(0L)))
-      .select($"bucket", $"bucket_off")
+      coalesce(sum(col("n_tokens")).over(wIntra), lit(0L)))
+    val wBucket = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOff = counts.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_off", coalesce(sum(col("bucket_total")).over(wBucket), lit(0L)))
+      .select(col("bucket"), col("bucket_off"))
     intra.join(bucketOff, "bucket")
       // div, not `/`: Column./ is always double division
       .withColumn("chunk_id", expr(s"(intra_off + bucket_off) div $budget"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"))
+  }
+
+  def t11TokenPacking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+    assignChunks(counts, budget = 512L)
       .groupBy($"chunk_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))

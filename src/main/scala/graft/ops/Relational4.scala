@@ -42,9 +42,35 @@ object Relational4 {
       .agg(count(lit(1)).as("n_sampled"), dsum($"o_totalprice").as("sampled_total"))
   }
 
+  /** Time-series resample + forward-fill: each user's event stream
+    * re-gridded to hourly slots between their first and last event, gaps
+    * carrying the last observed value forward. The grid is a generator
+    * expression (sequence+explode — map-side), the per-hour "last" is a
+    * keyed window, and the fill is `last(ignoreNulls)` over the slot
+    * order — everything shuffles once by user. */
+  def q52ResampleFfill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir).filter($"user_id" < 20)
+      .withColumn("slot", date_trunc("hour", $"ts").cast("timestamp_ntz"))
+    val wLast = Window.partitionBy($"user_id", $"slot").orderBy($"ts".desc, $"event_id".desc)
+    val lastPerHour = ev.withColumn("rn", row_number().over(wLast)).filter($"rn" === 1)
+      .select($"user_id", $"slot", $"value")
+    val grid = ev.groupBy($"user_id")
+      .agg(min($"slot").as("t0"), max($"slot").as("t1"))
+      .select($"user_id", explode(sequence($"t0", $"t1", expr("INTERVAL 1 HOUR"))).as("slot"))
+    val wFill = Window.partitionBy($"user_id").orderBy($"slot")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(lastPerHour, Seq("user_id", "slot"), "left")
+      .withColumn("filled_value", last($"value", ignoreNulls = true).over(wFill))
+      .withColumn("is_gap", $"value".isNull)
+      .select($"user_id", $"slot", $"filled_value", $"is_gap")
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_unpivot"           -> q50Unpivot _,
     "q51_stratified_sample" -> q51StratifiedSample _,
+    "q52_resample_ffill"    -> q52ResampleFfill _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,5 +91,27 @@ object Relational4 {
           WHERE (o_orderkey * 2654435761) % 1000 <
                 CASE o_orderstatus WHEN 'F' THEN 100 WHEN 'O' THEN 50 ELSE 500 END
           GROUP BY o_orderstatus""",
+    "q52_resample_ffill" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, value, ts,
+                  date_trunc('hour', ts) AS slot
+           FROM events WHERE user_id < 20),
+         hourly AS (
+           SELECT user_id, slot, value FROM (
+             SELECT user_id, slot, value,
+                    ROW_NUMBER() OVER (PARTITION BY user_id, slot
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+             FROM ev) t WHERE rn = 1),
+         grid AS (
+           SELECT user_id,
+                  unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS slot
+           FROM (SELECT user_id, MIN(slot) AS t0, MAX(slot) AS t1
+                 FROM ev GROUP BY user_id) b)
+         SELECT g.user_id, CAST(g.slot AS TIMESTAMP) AS slot,
+                LAST_VALUE(h.value IGNORE NULLS) OVER (
+                  PARTITION BY g.user_id ORDER BY g.slot
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+                h.value IS NULL AS is_gap
+         FROM grid g LEFT JOIN hourly h USING (user_id, slot)""",
   )
 }
