@@ -55,7 +55,9 @@ object Curation {
   /** p01: the chunk manifest of the curated corpus. */
   def p01CurateCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = curatedDocs(spark, dir)
+    // consumed twice (chunk assignment + lang join): cache, or the whole
+    // dedup pipeline behind curatedDocs runs twice
+    val docs = curatedDocs(spark, dir).cache()
     TextAnalysis.assignChunks(docs.select($"doc_id", $"n_tokens"), ChunkBudget)
       .join(docs.select($"doc_id", $"lang"), "doc_id")
       .groupBy($"chunk_id")

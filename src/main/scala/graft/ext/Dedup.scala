@@ -200,28 +200,43 @@ object Dedup {
 
   // --- d09/d10: cluster assignment (connected components) ---------------
 
-  /** Min-label propagation to a fixpoint: `cluster_id(v)` converges to
-    * the smallest doc_id in v's connected component. Each round is one
-    * hash-partitioned join + one min-agg (the classic MapReduce CC
-    * round); rounds needed = component diameter, and dedup components
-    * are shallow (copies of copies), so a handful of rounds closes even
-    * a 100 TB corpus. The driver-side loop only ever `count()`s a
-    * convergence predicate — no row data crosses to the driver. */
-  def clusterLabels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id")).cache()
+  /** Min-label propagation with pointer doubling: `cluster_id(v)`
+    * converges to the smallest doc_id in v's connected component. Each
+    * round is (a) one neighbor-min step — hash join on edges + min-agg,
+    * the classic MapReduce CC round — and (b) one label-of-label hop
+    * (`l ← min(l, label(l))`), which halves every label chain, so
+    * convergence is O(log diameter) rounds instead of O(diameter) —
+    * organic near-dup chains in a web-scale corpus are NOT shallow, and
+    * the doubling is what keeps the round count bounded at 100 TB. The
+    * driver-side loop only ever `count()`s a convergence predicate — no
+    * row data crosses to the driver. */
+  def clusterLabels(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // localCheckpoint (not cache) each round: caching keeps the LOGICAL
+    // plan growing — with the doubling self-join the plan tree doubles
+    // per round and Catalyst's re-analysis goes exponential. Truncating
+    // to a LogicalRDD keeps every round's plan flat.
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst").as("doc_id"), col("cluster_id"))
-      val next = labels.unionByName(prop)
+      val viaNeighbors = labels.unionByName(prop)
         .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
+      // pointer doubling: every label value is itself a node, so the
+      // lookup join is total and keeps one row per doc
+      val next = viaNeighbors.as("a")
+        .join(viaNeighbors.select(col("doc_id").as("lbl"), col("cluster_id").as("ll")).as("b"),
+              col("a.cluster_id") === col("b.lbl"))
+        .select(col("a.doc_id").as("doc_id"),
+                least(col("a.cluster_id"), col("ll")).as("cluster_id"))
+        .localCheckpoint()
       // labels only ever decrease; fixpoint = no decrease anywhere
       val changed = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
         .filter(col("cluster_id") < col("prev")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
