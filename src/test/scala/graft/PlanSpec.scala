@@ -51,6 +51,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q50: unpivot is a map-side Expand — exactly one exchange (the final agg)") {
+    val p = planOf(ops.Relational4.q50Unpivot(spark, sf0001))
+    assert(p.contains("Expand"), "unpivot must compile to Expand, not a union of scans")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected one exchange (final 3-group agg), got $exchanges")
+  }
+
+  test("s05 centroids: centroid side is broadcast; corpus never shuffles for assignment") {
+    val p = planOf(ext.Similarity.s05CentroidAgg(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "centroids must broadcast")
+  }
+
+  test("t11 packing: corpus-sized window is bucket-partitioned (parallel), not global") {
+    val counts = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.expr("doc_id div 100").as("ignored"),
+              org.apache.spark.sql.functions.size(
+                ext.TextAnalysis.tokens(org.apache.spark.sql.functions.col("text")))
+                .cast("long").as("n_tokens"))
+      .select("doc_id", "n_tokens")
+    val p = planOf(ext.TextAnalysis.assignChunks(counts, 512L))
+    // the intra-bucket running sum must partition by bucket; the only
+    // un-partitioned window is over the bucket TOTALS (metadata-sized)
+    assert(p.contains("windowspecdefinition(bucket#"),
+      "doc-level running sum must be partitioned by bucket")
+  }
+
   test("whole-stage codegen covers the scan->filter->project pipeline") {
     // codegen'd stages print with the "*(id)" prefix in the simple plan
     val p = planOf(Relational.q02FilterProject(spark, sf0001))
