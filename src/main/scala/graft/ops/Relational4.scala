@@ -67,10 +67,59 @@ object Relational4 {
       .select($"user_id", $"slot", $"filled_value", $"is_gap")
   }
 
+  /** Keyset-stable pagination: ORDER BY a total order + LIMIT/OFFSET.
+    * Shared SQL text runs verbatim on both engines (EP2 surface). Spark
+    * compiles the limit+offset into a single TakeOrdered-style collect —
+    * no global sort materialization. */
+  val q53Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+       FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey
+       LIMIT 20 OFFSET 40"""
+
+  def q53Pagination(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(q53Sql)
+  }
+
+  /** Regex function gallery: extract / extract-group / global replace /
+    * match count. Patterns kept in the RE2 ∩ java.util.regex common
+    * subset so both engines match identically. */
+  def q54RegexGallery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.part(spark, dir)
+      .filter($"p_partkey" < 500)
+      .select(
+        $"p_partkey",
+        regexp_extract($"p_name", "^([a-z]+)", 1).as("first_word"),
+        regexp_extract($"p_type", "([A-Z]+)$", 1).as("type_tail"),
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+        regexp_count($"p_name", lit("[aeiou]")).as("n_vowels"),
+        ($"p_name" rlike "ab").as("has_ab"))
+  }
+
+  /** Percentile battery (exact, interpolated): percentile_cont at the
+    * quartiles per order status. Both engines use the (n-1)·q offset
+    * convention and the same lower+(upper−lower)·frac interpolation, so
+    * the doubles agree exactly (q34's median established this). */
+  def q55Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders_q55")
+    spark.sql(
+      """SELECT o_orderstatus,
+                percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+                percentile_cont(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+                percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+                COUNT(*) AS n
+         FROM orders_q55 GROUP BY o_orderstatus""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q50_unpivot"           -> q50Unpivot _,
     "q51_stratified_sample" -> q51StratifiedSample _,
     "q52_resample_ffill"    -> q52ResampleFfill _,
+    "q53_pagination"        -> q53Pagination _,
+    "q54_regex_gallery"     -> q54RegexGallery _,
+    "q55_percentiles"       -> q55Percentiles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +162,21 @@ object Relational4 {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
                 h.value IS NULL AS is_gap
          FROM grid g LEFT JOIN hourly h USING (user_id, slot)""",
+    "q53_pagination" -> q53Sql,
+    "q54_regex_gallery" ->
+      """SELECT p_partkey,
+                regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+                regexp_extract(p_type, '([A-Z]+)$', 1) AS type_tail,
+                regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+                CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+                regexp_matches(p_name, 'ab') AS has_ab
+         FROM part WHERE p_partkey < 500""",
+    "q55_percentiles" ->
+      """SELECT o_orderstatus,
+                quantile_cont(o_totalprice, 0.25) AS p25,
+                quantile_cont(o_totalprice, 0.5)  AS p50,
+                quantile_cont(o_totalprice, 0.75) AS p75,
+                COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
   )
 }
