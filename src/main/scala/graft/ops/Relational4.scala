@@ -113,7 +113,45 @@ object Relational4 {
          FROM orders_q55 GROUP BY o_orderstatus""")
   }
 
+  /** Ordered funnel: signup → first click strictly after it → first
+    * purchase strictly after that, per user; one row of stage counts.
+    * Each stage is a keyed min-agg + an equi-join on user — no window
+    * over the event stream, no cross-stage shuffle beyond the user key. */
+  def q56Funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val s = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val c = ev.filter($"event_type" === "click").join(s, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s.agg(count(lit(1)).as("n_signup"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  /** Cohort retention: users cohorted by the week of their first event;
+    * per (cohort week, week offset), distinct active users. The cohort
+    * table is user-keyed (smaller than events by the activity factor)
+    * and broadcasts; the count is one (cohort, offset) agg. */
+  def q57CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val cohort = ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).cast("date").as("cohort_week"))
+    ev.select($"user_id", date_trunc("week", $"ts").cast("date").as("event_week"))
+      .join(broadcast(cohort), "user_id")
+      .withColumn("week_no", expr("datediff(event_week, cohort_week) div 7").cast("int"))
+      .groupBy($"cohort_week", $"week_no")
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q56_funnel"            -> q56Funnel _,
+    "q57_cohort_retention"  -> q57CohortRetention _,
     "q50_unpivot"           -> q50Unpivot _,
     "q51_stratified_sample" -> q51StratifiedSample _,
     "q52_resample_ffill"    -> q52ResampleFfill _,
@@ -163,6 +201,28 @@ object Relational4 {
                 h.value IS NULL AS is_gap
          FROM grid g LEFT JOIN hourly h USING (user_id, slot)""",
     "q53_pagination" -> q53Sql,
+    "q56_funnel" ->
+      """WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id),
+          c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+                JOIN s ON s.user_id = e.user_id AND e.ts > s.t1
+                WHERE e.event_type = 'click' GROUP BY e.user_id),
+          p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+                JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+          SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+                 (SELECT COUNT(*) FROM c) AS n_click_after,
+                 (SELECT COUNT(*) FROM p) AS n_purchase_after""",
+    "q57_cohort_retention" ->
+      """WITH cohort AS (
+            SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id)
+          SELECT c.cohort_week,
+                 CAST(date_diff('day', c.cohort_week,
+                                CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_no,
+                 COUNT(DISTINCT e.user_id) AS n_active
+          FROM events e JOIN cohort c USING (user_id)
+          GROUP BY 1, 2""",
     "q54_regex_gallery" ->
       """SELECT p_partkey,
                 regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
