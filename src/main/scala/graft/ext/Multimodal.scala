@@ -140,10 +140,53 @@ object Multimodal {
            (sum($"fsum") % FrameSampler.P).as("checksum_agg"))
   }
 
+  /** Content-defined chunking (the storage-dedup primitive: boundaries
+    * follow CONTENT, so an insertion only reshapes neighboring chunks,
+    * unlike fixed-size framing). Gear-style rule over a 3-byte window:
+    * position i ends a chunk when (31·b(i) + 17·b(i−1) + 7·b(i−2)) is
+    * divisible by 64 — ~1/64 of positions, expected chunk ≈ 64 bytes. */
+  case class CdcChunks(media_id: Long, kind: String, n_bytes: Long,
+                       n_chunks: Long, boundary_sum: Long)
+
+  object CdcChunker {
+    val P = 1000000007L
+    def chunk(r: MediaRecord): CdcChunks = {
+      var nChunks = 0L
+      var boundarySum = 0L
+      var i = 2
+      while (i < r.payload.length) {
+        val h = 31L * (r.payload(i) & 0xff) +
+                17L * (r.payload(i - 1) & 0xff) +
+                 7L * (r.payload(i - 2) & 0xff)
+        if (h % 64 == 0) { nChunks += 1; boundarySum = (boundarySum + i + 1) % P }
+        i += 1
+      }
+      // the tail after the last boundary is a chunk too (any non-empty doc)
+      CdcChunks(r.media_id, r.kind, r.n_bytes,
+                nChunks + (if (r.payload.nonEmpty) 1 else 0), boundarySum)
+    }
+  }
+
+  /** Content-defined chunking through the typed partition-local stage
+    * (the imperative byte scan IS the production shape — a rolling hash
+    * can't be a Catalyst expression); the oracle replays the 3-byte rule
+    * with LAG windows over unnested bytes. */
+  def m04CdcChunking(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir).as[MediaRecord]
+    media.mapPartitions(_.map(CdcChunker.chunk)).toDF()
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+           sum($"n_chunks").as("total_chunks"),
+           (sum($"boundary_sum") % CdcChunker.P).as("boundary_checksum"),
+           (sum($"n_bytes").cast("double") / sum($"n_chunks")).as("avg_chunk_bytes"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta"     -> m01MediaMeta _,
     "m02_media_features" -> m02MediaFeatures _,
     "m03_frame_sample"   -> m03FrameSample _,
+    "m04_cdc_chunking"   -> m04CdcChunking _,
   )
 
   private val kindSql =
@@ -180,6 +223,42 @@ object Multimodal {
           SELECT kind, COUNT(*) AS n_media,
                  CAST(SUM((n_bytes + 255) // 256) AS BIGINT) AS total_chunks,
                  CAST(SUM(checksum) % 1000000007 AS BIGINT) AS checksum_agg
+          FROM per_doc GROUP BY kind""",
+    // same ASCII-corpus assumption as m02 (ord == UTF-8 byte); SQL i is
+    // the 1-based byte position = the Scala scan's index+1, and the LAG
+    // pair aligns the 3-byte window exactly
+    "m04_cdc_chunking" ->
+      s"""WITH bytes AS (
+            SELECT doc_id,
+                   unnest(range(1, octet_length(encode(text)) + 1)) AS i,
+                   unnest(list_transform(range(1, octet_length(encode(text)) + 1),
+                          j -> ord(substring(text, j, 1)))) AS byte_val
+            FROM documents),
+          lagged AS (
+            SELECT doc_id, i, byte_val,
+                   LAG(byte_val, 1) OVER w AS b1,
+                   LAG(byte_val, 2) OVER w AS b2
+            FROM bytes
+            WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+          bnd AS (
+            SELECT doc_id, COUNT(*) AS nb,
+                   CAST(SUM(i) % ${CdcChunker.P} AS BIGINT) AS bsum
+            FROM lagged
+            WHERE b2 IS NOT NULL
+              AND (31 * byte_val + 17 * b1 + 7 * b2) % 64 = 0
+            GROUP BY doc_id),
+          per_doc AS (
+            SELECT d.doc_id, $kindSql AS kind,
+                   octet_length(encode(d.text)) AS n_bytes,
+                   COALESCE(b.nb, 0)
+                     + CASE WHEN octet_length(encode(d.text)) > 0 THEN 1 ELSE 0 END
+                     AS n_chunks,
+                   COALESCE(b.bsum, 0) AS boundary_sum
+            FROM documents d LEFT JOIN bnd b USING (doc_id))
+          SELECT kind, COUNT(*) AS n_media,
+                 CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+                 CAST(SUM(boundary_sum) % ${CdcChunker.P} AS BIGINT) AS boundary_checksum,
+                 CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_chunks) AS avg_chunk_bytes
           FROM per_doc GROUP BY kind""",
     "m03_frame_sample" ->
       s"""WITH bytes AS (
