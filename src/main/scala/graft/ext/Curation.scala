@@ -68,11 +68,50 @@ object Curation {
            array_join(array_sort(collect_set($"lang")), ",").as("langs"))
   }
 
+  /** Temperature-based mixture rebalancing (τ = 0.5): downsample each
+    * language toward uniform by keeping a sqrt(min_count/count) fraction —
+    * the multilingual-corpus resampling step of an LLM data pipeline. The
+    * keep decision is the same Knuth multiplicative hash as q40/q51, so it
+    * is deterministic on any engine and any partitioning. Plan shape: one
+    * tiny per-lang count agg (broadcast back), then a scan-side filter —
+    * the rebalance never shuffles the corpus itself. */
+  def p02DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val cnt = docs.groupBy($"lang").agg(count(lit(1)).as("n_orig"))
+    val mn = cnt.agg(min($"n_orig").as("min_n"))
+    val rates = cnt.crossJoin(broadcast(mn))
+      .withColumn("keep_ceiling",
+        floor(sqrt($"min_n".cast("double") / $"n_orig") * 4096).cast("long"))
+    docs.join(broadcast(rates), "lang")
+      .filter(pmod($"doc_id" * 2654435761L, lit(4096L)) < $"keep_ceiling")
+      .groupBy($"lang", $"n_orig")
+      .agg(count(lit(1)).as("n_kept"))
+      .withColumn("kept_frac", $"n_kept".cast("double") / $"n_orig")
+      .select($"lang", $"n_orig", $"n_kept", $"kept_frac")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     // rows-only: composition of oracle-checked stages (LSH stage is the
     // xxhash64 scale path, which has no DuckDB twin by construction)
     "p01_curate_corpus" -> p01CurateCorpus _,
+    "p02_domain_mix"    -> p02DomainMix _,
   )
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    // sqrt is IEEE-correctly-rounded in both engines; the division input
+    // is exact integers, so rates agree bit-for-bit
+    "p02_domain_mix" ->
+      """WITH cnt AS (SELECT lang, COUNT(*) AS n_orig FROM documents GROUP BY lang),
+          m AS (SELECT MIN(n_orig) AS min_n FROM cnt),
+          r AS (SELECT lang, n_orig,
+                       CAST(FLOOR(SQRT(CAST(min_n AS DOUBLE) / n_orig) * 4096) AS BIGINT)
+                         AS keep_ceiling
+                FROM cnt, m)
+          SELECT d.lang, r.n_orig, COUNT(*) AS n_kept,
+                 CAST(COUNT(*) AS DOUBLE) / r.n_orig AS kept_frac
+          FROM documents d JOIN r USING (lang)
+          WHERE (d.doc_id * 2654435761) % 4096 < r.keep_ceiling
+          GROUP BY d.lang, r.n_orig""",
+  )
 }

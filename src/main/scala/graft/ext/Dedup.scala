@@ -376,8 +376,31 @@ object Dedup {
       .filter($"cos_sim" >= 0.5)
   }
 
+  // --- d11: benchmark contamination --------------------------------------
+
+  /** Benchmark-contamination check (the eval-leakage gate every training
+    * corpus needs): flag documents sharing ≥20% of their word-3-gram
+    * shingles with a held-out benchmark set (here: every 97th source doc).
+    * The benchmark shingle set is tiny relative to the corpus, so it
+    * BROADCASTS — the check is one scan of corpus shingles + a map-side
+    * hash lookup, no self-join, at any corpus size. Planted copies of
+    * benchmark docs must come back contaminated. */
+  def d11Contamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val benchShingles = shingles(docs.filter($"doc_id" % 97 === 0))
+      .select($"shingle").distinct().withColumn("hit", lit(1))
+    shingles(corpusWithCopies(docs))
+      .filter(!($"doc_id" % 97 === 0 && $"doc_id" < 1000000L)) // benchmark itself excluded
+      .join(broadcast(benchShingles), Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_shared"))
+      .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"   -> d01Exact _,
+    "d11_contamination" -> d11Contamination _,
     "d02_minhash_lsh"   -> d02MinHashLsh _,
     "d03_simhash"       -> d03SimHash _,
     "d04_ngram_jaccard" -> d04NgramJaccard _,
@@ -426,6 +449,20 @@ object Dedup {
             WHERE i.inter * 2 >= (s1.n + s2.n - i.inter))"""
 
   val oracles: Map[String, String] = Map(
+    "d11_contamination" ->
+      s"""WITH $corpusSql,
+          $shinglesSql,
+          bench AS (
+            SELECT DISTINCT shingle FROM shingle
+            WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+          ev AS (
+            SELECT doc_id, shingle FROM shingle
+            WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000))
+          SELECT e.doc_id, COUNT(*) AS n_shingles,
+                 COUNT(b.shingle) AS n_shared,
+                 (COUNT(b.shingle) * 5 >= COUNT(*) AND COUNT(b.shingle) > 0) AS contaminated
+          FROM ev e LEFT JOIN bench b USING (shingle)
+          GROUP BY e.doc_id""",
     // min-label propagation ≡ reachability: a node's cluster id is the
     // minimum over every label that can walk to it along dedup edges
     "d09_dedup_clusters" ->

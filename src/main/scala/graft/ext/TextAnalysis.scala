@@ -164,6 +164,70 @@ object TextAnalysis {
           (acc, x) => greatest(acc, x)).as("max_sub_len"))
   }
 
+  // --- t12: PII redaction ----------------------------------------------
+
+  /** PII patterns in the RE2 ∩ java.util.regex common subset (no
+    * lookaround, no backreferences — both engines match identically). */
+  val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+  val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII detection + redaction: count and mask emails / phone numbers /
+    * IPv4 addresses. The corpus is synthetic word soup, so a deterministic
+    * PII suffix is derived from document columns first; the scan then
+    * counts and rewrites in one codegen'd projection — no shuffle, no UDF.
+    * Redaction order (email → phone → ip) is part of the contract: earlier
+    * masks can't create later matches with these patterns. */
+  def t12PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pii = concat(
+      $"text", lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com or +1-555-"), lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), ($"doc_id" % 256).cast("string"), lit(".7"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", pii.as("pii_text"))
+      .select(
+        $"doc_id",
+        regexp_count($"pii_text", lit(EmailRe)).as("n_emails"),
+        regexp_count($"pii_text", lit(PhoneRe)).as("n_phones"),
+        regexp_count($"pii_text", lit(Ipv4Re)).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"pii_text", EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          Ipv4Re, "<IP>").as("redacted"))
+  }
+
+  // --- t13: repetition signals -------------------------------------------
+
+  /** Gopher-style repetition quality signals: duplicate-token fraction
+    * and the share of the most frequent word-bigram. Token stats are
+    * map-side array ops; the bigram mode needs one (doc, bigram) partial
+    * agg + one per-doc agg — both keyed by doc, so the plan is two
+    * map-combined shuffles over doc_id at any corpus size. */
+  def t13Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val base = docs.select(
+      $"doc_id",
+      size(tokens($"text")).as("n_tokens"),
+      size(array_distinct(tokens($"text"))).as("n_distinct"))
+    val bigrams = when(size($"toks") >= 2,
+      transform(sequence(lit(0), size($"toks") - 2),
+        i => concat_ws(" ", element_at($"toks", i + 1), element_at($"toks", i + 2))))
+      .otherwise(array())
+    val biStats = docs
+      .select($"doc_id", tokens($"text").as("toks")) // own projection: no CSE in lambdas
+      .select($"doc_id", explode(bigrams).as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bi"), sum($"c").as("n_bi"))
+    base.join(biStats, Seq("doc_id"), "left")
+      .select(
+        $"doc_id", $"n_tokens",
+        (($"n_tokens" - $"n_distinct").cast("double") / $"n_tokens").as("dup_token_frac"),
+        coalesce($"top_bi".cast("double") / $"n_bi", lit(0.0)).as("top_bigram_share"))
+  }
+
   /** Top word-3-gram frequencies (deterministic top-20). Shingling is a
     * map-side array transform — the only shuffle is the count aggregation,
     * and TakeOrderedAndProject handles the top-k without a global sort. */
@@ -280,6 +344,8 @@ object TextAnalysis {
     // scale-path twin (rows-only driver check; see fingerprintScale doc)
     "t07_fingerprint_scale" -> fingerprintScale _,
     "t08_subword_tokens" -> t08SubwordTokens _,
+    "t12_pii_redact"  -> t12PiiRedact _,
+    "t13_repetition"  -> t13Repetition _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -411,5 +477,38 @@ object TextAnalysis {
                     s -> length(s))),
                   (a, b) -> greatest(a, b)) AS INT) AS max_sub_len
          FROM documents""",
+    "t12_pii_redact" ->
+      s"""WITH p AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || ' from 10.0.' || (doc_id % 256) || '.7' AS pii_text
+            FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS INT) AS n_emails,
+                 CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS INT) AS n_phones,
+                 CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS INT) AS n_ips,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(pii_text, '$EmailRe', '<EMAIL>', 'g'),
+                     '$PhoneRe', '<PHONE>', 'g'),
+                   '$Ipv4Re', '<IP>', 'g') AS redacted
+          FROM p""",
+    "t13_repetition" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS t FROM documents),
+          bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks),
+          bs AS (
+            SELECT doc_id, MAX(c) AS top_bi, SUM(c) AS n_bi
+            FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+            GROUP BY doc_id)
+          SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
+                 CAST(len(t.t) - len(list_distinct(t.t)) AS DOUBLE) / len(t.t) AS dup_token_frac,
+                 COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0) AS top_bigram_share
+          FROM toks t LEFT JOIN bs USING (doc_id)""",
   )
 }

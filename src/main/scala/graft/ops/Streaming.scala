@@ -47,6 +47,23 @@ object Streaming {
               col("w.start").cast("timestamp_ntz").as("session_start"),
               col("n_events"))
 
+  /** Chained windowed aggregation (window-over-window): 10-minute
+    * tumbling counts per event type, re-aggregated per hour — the
+    * "downsample a high-resolution rollup" shape. In streaming this is
+    * the chained time-window feature (second groupBy on
+    * `window(window_time(w), "1 hour")`, append mode — StreamingSpec
+    * asserts parity); in batch the same two (window, key) aggs, both
+    * map-side combined, both shuffled on the same event_type key. */
+  def chainedWindowStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(date_trunc("hour", col("w.start")).cast("timestamp_ntz").as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+           (sum(col("n")).cast("double") / count(lit(1))).as("avg_per_10min"),
+           max(col("n")).as("max_per_10min"))
+
   /** First event per (user, type) — the deterministic batch twin of
     * dropDuplicatesWithinWatermark (streaming keeps first arrival; batch
     * keeps min event_id, which for the generator is arrival order). */
@@ -142,6 +159,9 @@ object Streaming {
     intervalJoin(signupSide(events), clickSide(events))
   }
 
+  def w07ChainedWindows(spark: SparkSession, dir: String): DataFrame =
+    chainedWindowStats(Tables.events(spark, dir))
+
   val queries: Map[String, Q] = Map(
     "w06_stream_stream_join" -> w06StreamStreamJoin _,
     "w01_tumbling_window" -> w01Tumbling _,
@@ -149,6 +169,7 @@ object Streaming {
     "w03_session_window"  -> w03Session _,
     "w04_dedup_first"     -> w04DedupFirst _,
     "w05_stateful_totals" -> w05StatefulTotals _,
+    "w07_chained_windows" -> w07ChainedWindows _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -163,6 +184,16 @@ object Streaming {
       s"""SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
           event_type, COUNT(*) AS n, ${Tables.sqlDsum("value")} AS total_value
           FROM events GROUP BY 1, 2""",
+    "w07_chained_windows" ->
+      """WITH w AS (
+           SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart,
+                  event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(date_trunc('hour', wstart) AS TIMESTAMP) AS hour_start,
+                event_type, COUNT(*) AS n_windows,
+                CAST(SUM(n) AS DOUBLE) / COUNT(*) AS avg_per_10min,
+                MAX(n) AS max_per_10min
+         FROM w GROUP BY 1, 2""",
     // Spark's sliding window: event belongs to windows starting at
     // floor_to_slide(ts) - k*slide for k = 0..(size/slide - 1)
     "w02_sliding_window" ->

@@ -72,6 +72,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(spark.table("ssjoin")) == canon(batch))
   }
 
+  test("chained windowed aggregation: streaming == batch") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(500))
+    ms.addData(rows.drop(500))
+    // sentinel far past the real data: advances the watermark so every
+    // real hour window closes and emits (append mode holds open windows)
+    val maxTs = rows.map(_.ts.getTime).max
+    ms.addData(Seq(Ev(-1L, new Timestamp(maxTs + 86400000L), -1L, "sentinel", 0.0)))
+    // chained time windows (second agg over window_time) — the streaming
+    // form of Streaming.chainedWindowStats; multiple stateful aggs need
+    // append mode + watermark
+    val q = ms.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .groupBy(window(window_time($"w"), "1 hour").as("h"), $"event_type")
+      .agg(count(lit(1)).as("n_windows"),
+           (sum($"n").cast("double") / count(lit(1))).as("avg_per_10min"),
+           max($"n").as("max_per_10min"))
+      .select($"h.start".cast("timestamp_ntz").as("hour_start"), $"event_type",
+              $"n_windows", $"avg_per_10min", $"max_per_10min")
+      .writeStream.outputMode("append").format("memory").queryName("chained")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("chained").filter($"event_type" =!= "sentinel")
+    val batch = Streaming.chainedWindowStats(Tables.events(spark, sf0001))
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("streaming dedup-within-watermark emits one row per key") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
