@@ -110,9 +110,12 @@ object Dedup {
       min((col("sid") * aCoef(0) + bCoef(0)) % P).as("min_0"),
       (1 until K).map(i => min((col("sid") * aCoef(i) + bCoef(i)) % P).as(s"min_$i")): _*)
 
-  def d02MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+  /** Verified near-pair set over an arbitrary corpus (dictionary shingle
+    * ids — the oracle-portable hashing; see class note). Returns
+    * (id1 < id2, inter, n1, n2) for every pair with true jaccard ≥ 0.5.
+    * d02 runs it over the planted corpus; d12 over index ∪ incoming. */
+  def minHashPairsDict(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
     val sh = shingles(corpus)
     // cache AFTER the dictionary join: sig, both verify sides, and sizes
     // all reuse (doc_id, sid) — recomputing it would redo the dict join 4×
@@ -139,6 +142,12 @@ object Dedup {
       .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+      .select($"id1", $"id2", $"inter", $"n1", $"n2")
+  }
+
+  def d02MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    minHashPairsDict(corpusWithCopies(Tables.documents(spark, dir)))
       .select($"id1", $"id2", $"inter", $"n1", $"n2",
         (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct"))
   }
@@ -398,9 +407,75 @@ object Dedup {
       .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
   }
 
+  // --- d12: incremental (batch-vs-index) dedup ----------------------------
+
+  /** The incoming-batch fixture for incremental dedup: exact copies,
+    * near copies (first token dropped), and genuinely-new documents
+    * (token-sorted rewrite — word-3-gram shingles are order-sensitive, so
+    * the sorted text shares almost none with its source). */
+  def incomingBatch(docs: DataFrame): DataFrame = {
+    val exact = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") % 10 === 5)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 3000000L).as("doc_id"),
+        array_join(array_sort(TextAnalysis.tokens(col("text"))), " ").as("text"))
+    exact.unionByName(near).unionByName(fresh)
+  }
+
+  val incomingCorpusSql: String =
+    """corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id + 2000000 AS doc_id,
+                substring(text, instr(text, ' ') + 1) AS text
+         FROM documents WHERE doc_id % 10 = 5
+         UNION ALL
+         SELECT doc_id + 3000000 AS doc_id,
+                array_to_string(list_sort(string_split_regex(text, '\s+')), ' ') AS text
+         FROM documents WHERE doc_id % 10 = 7)"""
+
+  /** Incremental dedup — the operational "admit this batch against the
+    * existing corpus index" API every continuously-ingesting training
+    * pipeline runs: each incoming doc is checked for an exact (content
+    * hash) and a near (verified LSH jaccard ≥ 0.5) match AGAINST THE
+    * INDEX ONLY, and admitted iff neither fires. Scale shape: the hash
+    * probe is one equi-join on md5; the near probe is the same banded-LSH
+    * join as d02/d06 — never all-pairs — and at 100 TB the index side's
+    * signatures are a precomputed table, so an incremental run only
+    * shingles the new batch. */
+  def d12IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val index = docs.select($"doc_id", $"text")
+    val batch = incomingBatch(docs)
+    val idxHash = index.select(md5($"text".cast("binary")).as("h"), $"doc_id".as("idx_id"))
+    val exactHits = batch.select($"doc_id", md5($"text".cast("binary")).as("h"))
+      .join(idxHash, "h")
+      .groupBy($"doc_id").agg(min($"idx_id").as("exact_match"))
+    // near pairs over index ∪ batch; id1 < id2 and batch ids are +1e6, so
+    // cross-boundary pairs always have the index doc on the id1 side
+    val nearHits = minHashPairsDict(index.unionByName(batch))
+      .filter($"id1" < 1000000L && $"id2" >= 1000000L)
+      .groupBy($"id2".as("doc_id")).agg(min($"id1").as("near_match"))
+    batch.select($"doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"exact_match".isNotNull.as("is_exact_dup"),
+        $"near_match".isNotNull.as("is_near_dup"),
+        coalesce($"exact_match", $"near_match").as("matched_id"),
+        ($"exact_match".isNull && $"near_match".isNull).as("admit"))
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d11_contamination" -> d11Contamination _,
+    "d12_incremental_dedup" -> d12IncrementalDedup _,
     "d02_minhash_lsh"   -> d02MinHashLsh _,
     "d03_simhash"       -> d03SimHash _,
     "d04_ngram_jaccard" -> d04NgramJaccard _,
