@@ -494,9 +494,10 @@ object Dedup {
     s"MIN((sid * ${aCoef(i)} + ${bCoef(i)}) % $P) AS min_$i").mkString(",\n               ")
 
   /** The d02 candidate/verify chain as reusable CTE text (through the
-    * verified near-pair set `near`). */
-  private def lshPairCtes: String =
-    s"""$corpusSql,
+    * verified near-pair set `near`), over a caller-supplied corpus CTE —
+    * d02/d09 pass the planted-copies corpus, d12 the index ∪ incoming one. */
+  private def lshPairCtesFor(corpus: String): String =
+    s"""$corpus,
           $shinglesSql,
           $shingleDictSql,
           ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
@@ -522,6 +523,8 @@ object Dedup {
             JOIN sizes s1 ON s1.doc_id = i.id1
             JOIN sizes s2 ON s2.doc_id = i.id2
             WHERE i.inter * 2 >= (s1.n + s2.n - i.inter))"""
+
+  private def lshPairCtes: String = lshPairCtesFor(corpusSql)
 
   val oracles: Map[String, String] = Map(
     "d11_contamination" ->
@@ -633,5 +636,32 @@ object Dedup {
           JOIN aug a ON a.vec_id = p.id1
           JOIN aug b ON b.vec_id = p.id2
           WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.5""",
+    // same dictionary-LSH chain as d02, over index ∪ incoming batch; batch
+    // ids are +1e6/+2e6/+3e6 so cross-boundary near pairs always have the
+    // index doc on the id1 side
+    "d12_incremental_dedup" ->
+      s"""WITH ${lshPairCtesFor(incomingCorpusSql)},
+          batch AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
+          idx_hash AS (
+            SELECT md5(text) AS h, doc_id AS idx_id
+            FROM corpus WHERE doc_id < 1000000),
+          exact_hits AS (
+            SELECT b.doc_id, MIN(i.idx_id) AS exact_match
+            FROM (SELECT doc_id, md5(text) AS h FROM batch) b
+            JOIN idx_hash i USING (h)
+            GROUP BY b.doc_id),
+          near_hits AS (
+            SELECT id2 AS doc_id, MIN(id1) AS near_match
+            FROM near
+            WHERE id1 < 1000000 AND id2 >= 1000000
+            GROUP BY id2)
+          SELECT b.doc_id,
+                 exact_match IS NOT NULL AS is_exact_dup,
+                 near_match IS NOT NULL AS is_near_dup,
+                 COALESCE(exact_match, near_match) AS matched_id,
+                 (exact_match IS NULL AND near_match IS NULL) AS admit
+          FROM batch b
+          LEFT JOIN exact_hits USING (doc_id)
+          LEFT JOIN near_hits USING (doc_id)""",
   )
 }

@@ -224,7 +224,11 @@ object TextAnalysis {
     base.join(biStats, Seq("doc_id"), "left")
       .select(
         $"doc_id", $"n_tokens",
-        (($"n_tokens" - $"n_distinct").cast("double") / $"n_tokens").as("dup_token_frac"),
+        // coalesce guards 0/0 on an empty document: Spark's divide yields
+        // NULL for a zero divisor while DuckDB yields NaN — NULLIF+COALESCE
+        // on the oracle side routes both through NULL → 0.0
+        coalesce(($"n_tokens" - $"n_distinct").cast("double") / nullif($"n_tokens", lit(0)),
+          lit(0.0)).as("dup_token_frac"),
         coalesce($"top_bi".cast("double") / $"n_bi", lit(0.0)).as("top_bigram_share"))
   }
 
@@ -507,7 +511,8 @@ object TextAnalysis {
             FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2)
             GROUP BY doc_id)
           SELECT t.doc_id, CAST(len(t.t) AS INT) AS n_tokens,
-                 CAST(len(t.t) - len(list_distinct(t.t)) AS DOUBLE) / len(t.t) AS dup_token_frac,
+                 COALESCE(CAST(len(t.t) - len(list_distinct(t.t)) AS DOUBLE)
+                            / NULLIF(len(t.t), 0), 0.0) AS dup_token_frac,
                  COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0) AS top_bigram_share
           FROM toks t LEFT JOIN bs USING (doc_id)""",
   )

@@ -86,7 +86,13 @@ object Relational5 {
     val bounds = li.agg(min($"l_extendedprice").as("mn"), max($"l_extendedprice").as("mx"))
     li.crossJoin(broadcast(bounds))
       .withColumn("bucket",
-        least(floor(($"l_extendedprice" - $"mn") / ($"mx" - $"mn") * 16), lit(15L)).cast("int"))
+        // NULLIF guards the degenerate all-equal column: Spark's non-ANSI
+        // divide yields NULL there while DuckDB's IEEE divide yields NaN,
+        // so both sides must route through NULL → bucket 0
+        coalesce(
+          least(floor(($"l_extendedprice" - $"mn") / nullif($"mx" - $"mn", lit(0.0)) * 16),
+                lit(15L)),
+          lit(0L)).cast("int"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("total"))
   }
@@ -152,7 +158,9 @@ object Relational5 {
     "q61_histogram" ->
       s"""WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
                      FROM lineitem)
-          SELECT CAST(LEAST(FLOOR((l_extendedprice - mn) / (mx - mn) * 16), 15) AS INT) AS bucket,
+          SELECT CAST(COALESCE(
+                   LEAST(FLOOR((l_extendedprice - mn) / NULLIF(mx - mn, 0) * 16), 15),
+                   0) AS INT) AS bucket,
                  COUNT(*) AS n, ${Tables.sqlDsum("l_extendedprice")} AS total
           FROM lineitem, b
           GROUP BY 1""",

@@ -46,15 +46,54 @@ class Round4Spec extends AnyFunSuite {
   }
 
   test("d11: planted copies of benchmark docs come back contaminated") {
+    // derive the fixture from the table: a benchmark doc (doc_id % 97 == 0)
+    // that also gets a planted exact copy (doc_id % 10 == 0, copy at +1e6) —
+    // no dependence on the generator's id range starting at 0
+    val benchIds = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 97 === 0 && $"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(benchIds.nonEmpty,
+      "fixture precondition: need a doc with doc_id % 97 == 0 and % 10 == 0 at sf0.001")
+    val benchId = benchIds.head
     val rows = ext.Dedup.d11Contamination(spark, sf0001).collect()
-    // sf0.001 has 50 docs; benchmark = doc_id 0; its planted exact copy is 1000000
-    val copy = rows.find(_.getAs[Long]("doc_id") == 1000000L)
-    assert(copy.isDefined, "planted exact copy of benchmark doc 0 must be in the eval set")
+    val copy = rows.find(_.getAs[Long]("doc_id") == benchId + 1000000L)
+    assert(copy.isDefined, s"planted exact copy of benchmark doc $benchId must be in the eval set")
     assert(copy.get.getAs[Boolean]("contaminated"), "exact copy must be flagged")
     assert(copy.get.getAs[Long]("n_shared") == copy.get.getAs[Long]("n_shingles"),
       "exact copy shares every shingle")
-    // the benchmark doc itself is excluded from the eval side
-    assert(!rows.exists(_.getAs[Long]("doc_id") == 0L))
+    // the benchmark docs themselves are excluded from the eval side
+    assert(!rows.exists(r => { val id = r.getAs[Long]("doc_id"); id % 97 == 0 && id < 1000000L }))
+  }
+
+  test("d12: exact copies flagged, near copies flagged, fresh docs admitted") {
+    val byId = ext.Dedup.d12IncrementalDedup(spark, sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.nonEmpty)
+    // matched_id is the MIN matching index doc, which may be a smaller
+    // near/exact twin of the source rather than the source itself — assert
+    // the contract (a valid index doc; identical text for exact dups), not
+    // the specific id
+    val idxText = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    byId.foreach { case (id, r) =>
+      val src = id % 1000000L
+      if (id >= 3000000L) { // token-sorted rewrite: genuinely new
+        assert(r.getAs[Boolean]("admit"), s"fresh doc $id must be admitted")
+        assert(r.isNullAt(r.fieldIndex("matched_id")))
+      } else if (id >= 2000000L) { // first token dropped: near dup of src
+        assert(r.getAs[Boolean]("is_near_dup"), s"near copy $id must be flagged")
+        assert(!r.getAs[Boolean]("admit"))
+        val m = r.getAs[Long]("matched_id")
+        assert(m >= 0L && m < 1000000L && idxText.contains(m),
+          s"near copy $id must match an index doc, got $m")
+      } else { // verbatim copy: exact dup of src
+        assert(r.getAs[Boolean]("is_exact_dup"), s"exact copy $id must be flagged")
+        assert(!r.getAs[Boolean]("admit"))
+        val m = r.getAs[Long]("matched_id")
+        assert(idxText.get(m).contains(idxText(src)),
+          s"exact copy $id matched $m whose text differs from source $src")
+      }
+    }
   }
 
   test("p02: the smallest language keeps everything; larger ones downsample monotonically") {
