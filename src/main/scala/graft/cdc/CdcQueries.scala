@@ -135,8 +135,34 @@ object CdcQueries {
   private val opSql =
     "CASE WHEN event_type = 'signup' THEN 'c' WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
 
+  /** Incremental aggregate maintenance (materialized-view upkeep): the
+    * standing per-type (count, total) aggregate is maintained as exact
+    * PARTIAL aggregates — history rows (ts < Jan 16) are aggregated once
+    * into a base MV, the new CDC slice (ts ≥ Jan 16) into a delta, and
+    * the refresh merges the two partials instead of rescanning history.
+    * Decimal partial sums merge exactly (order-independent), so the
+    * merged result is bit-equal to a full recompute — which is exactly
+    * what the oracle computes. At 100 TB this is THE pattern that keeps
+    * a standing aggregate affordable: refresh cost ∝ delta, not corpus.
+    */
+  def c09IncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    val events = Tables.events(spark, dir)
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum(Tables.dec($"value")).as("total_dec")) // decimal partial — exact merge
+    val baseMv = partial(events.filter($"ts" < split))
+    val delta  = partial(events.filter($"ts" >= split))
+    baseMv.unionByName(delta)
+      .groupBy($"event_type")
+      .agg(sum($"n").as("n"), sum($"total_dec").cast("double").as("total_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c08_scd2_history"          -> c08Scd2History _,
+    "c09_incremental_agg"       -> c09IncrementalAgg _,
     "c01_cdc_snapshot_latest"   -> c01SnapshotLatest _,
     "c02_cdc_topic_route"       -> c02TopicRoute _,
     "c03_cdc_normalize"         -> c03Normalize _,
@@ -147,6 +173,11 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute — the incremental partial-merge must equal it exactly
+    "c09_incremental_agg" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${Tables.sqlDsum("value")} AS total_value
+          FROM events GROUP BY 1""",
     "c08_scd2_history" ->
       """SELECT user_id, event_id, ts AS valid_from,
                 LEAD(ts) OVER w AS valid_to,

@@ -91,12 +91,31 @@ object Curation {
       .select($"lang", $"n_orig", $"n_kept", $"kept_frac")
   }
 
+  /** Quality-weighted Bernoulli sampling: each doc is kept with
+    * probability 0.5·quality/max(quality) — the curriculum/quality
+    * upsampling step of a data mix. The coin is the same deterministic
+    * multiplicative hash as p02 (different modulus, so the two samplers
+    * are decorrelated); acceptance compares one integer-derived double
+    * against one product each — single IEEE ops, engine-exact. Shape:
+    * quality is the map-side t03 expression, the max broadcasts back,
+    * the decision is a scan-side filter — no corpus shuffle. */
+  def p03WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextAnalysis.t03QualityScore(spark, dir).select($"doc_id", $"quality")
+    val m = q.agg(max($"quality").as("qmax"))
+    q.crossJoin(broadcast(m))
+      .filter(pmod($"doc_id" * 2654435761L, lit(1000003L)).cast("double") * $"qmax"
+        < lit(500001.5) * $"quality") // 500001.5 = 1000003 · rate 0.5
+      .select($"doc_id", $"quality", ((lit(0.5) * $"quality") / $"qmax").as("keep_prob"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     // rows-only: composition of oracle-checked stages (LSH stage is the
     // xxhash64 scale path, which has no DuckDB twin by construction)
     "p01_curate_corpus" -> p01CurateCorpus _,
     "p02_domain_mix"    -> p02DomainMix _,
+    "p03_weighted_sample" -> p03WeightedSample _,
   )
   val oracles: Map[String, String] = Map(
     // sqrt is IEEE-correctly-rounded in both engines; the division input
@@ -113,5 +132,20 @@ object Curation {
           FROM documents d JOIN r USING (lang)
           WHERE (d.doc_id * 2654435761) % 4096 < r.keep_ceiling
           GROUP BY d.lang, r.n_orig""",
+    "p03_weighted_sample" -> {
+      val tok = TextAnalysis.tokensSql
+      s"""WITH q AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct($tok)) * 1000
+                        + len(list_filter($tok, t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
+                     / len($tok) AS quality
+            FROM documents),
+          m AS (SELECT MAX(quality) AS qmax FROM q)
+          SELECT doc_id, quality, (0.5 * quality) / qmax AS keep_prob
+          FROM q, m
+          WHERE CAST((doc_id * 2654435761) % 1000003 AS DOUBLE) * qmax
+                  < 500001.5 * quality"""
+    },
   )
 }

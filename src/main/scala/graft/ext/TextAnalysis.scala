@@ -335,6 +335,61 @@ object TextAnalysis {
            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
+  /** Inverted index with impact-ordered truncated postings: per term its
+    * document frequency, total term frequency, and the top-100 posting
+    * doc_ids ordered by (tf desc, doc_id). The truncation happens BEFORE
+    * the collect — a per-term window keeps ≤100 rows, so no task ever
+    * materializes a full posting list (at 100 TB a common term's full
+    * list is corpus-sized; the bounded-heap TopK aggregator
+    * ([[graft.functions.TopK]], proven in s03) is the drop-in when even
+    * the per-term sort is too hot). */
+  def t14InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = tokenized(Tables.documents(spark, dir)).select($"doc_id", $"tok".as("term"))
+    val tf = tok.groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy($"term").orderBy($"tf".desc, $"doc_id")
+    val posts = tf.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 100)
+      .groupBy($"term")
+      .agg(transform(array_sort(collect_list(struct($"rnk", $"doc_id"))),
+        x => x.getField("doc_id")).as("postings"))
+    tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"))
+      .join(posts, "term")
+      .select($"term", $"df", $"total_tf", $"postings")
+  }
+
+  /** BM25 relevance scoring (k1=1.2, b=0.75) of a fixed query-term set
+    * against every document containing a query term. The idf is the
+    * rational (N−df+0.5)/(df+0.5) — same 1-ulp-portability argument as
+    * t09's rational tf·idf: every step is one correctly-rounded IEEE op
+    * in an identical expression tree on both engines, no libm log.
+    * Shape: the term filter lands before the (doc,term) agg, so only
+    * query-term tokens survive the explode; doc lengths are one
+    * (doc) agg; N/avgdl broadcast as a 1-row cross join. */
+  def t15Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = tokenized(Tables.documents(spark, dir)).select($"doc_id", $"tok".as("term"))
+    val qt = tok.filter($"term".isin(Bm25QueryTerms: _*))
+    val tf = qt.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dfs = qt.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
+    val lens = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    val scalars = lens.agg(
+      count(lit(1)).as("n_docs"),
+      (sum($"len").cast("double") / count(lit(1))).as("avgdl"))
+    tf.join(lens, "doc_id")
+      .join(broadcast(dfs), "term")
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf",
+        (($"n_docs" - $"df").cast("double") + 0.5) / ($"df".cast("double") + 0.5))
+      .withColumn("norm",
+        $"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75) * ($"len".cast("double") / $"avgdl")))
+      .select($"doc_id", $"term", $"tf", $"len",
+        ($"idf" * ($"tf".cast("double") * 2.2 / $"norm")).as("score"))
+  }
+
+  val Bm25QueryTerms = Seq("query", "join", "vector")
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01TokenStats _,
     "t09_tfidf"       -> t09TfIdf _,
@@ -350,6 +405,8 @@ object TextAnalysis {
     "t08_subword_tokens" -> t08SubwordTokens _,
     "t12_pii_redact"  -> t12PiiRedact _,
     "t13_repetition"  -> t13Repetition _,
+    "t14_inverted_index" -> t14InvertedIndex _,
+    "t15_bm25"        -> t15Bm25 _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -515,5 +572,49 @@ object TextAnalysis {
                             / NULLIF(len(t.t), 0), 0.0) AS dup_token_frac,
                  COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0) AS top_bigram_share
           FROM toks t LEFT JOIN bs USING (doc_id)""",
+    "t14_inverted_index" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+          tf AS (
+            SELECT term, doc_id, COUNT(*) AS tf FROM tok
+            WHERE term <> '' GROUP BY 1, 2),
+          ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+                                         ORDER BY tf DESC, doc_id) AS rnk
+            FROM tf),
+          posts AS (
+            SELECT term, list(doc_id ORDER BY rnk) AS postings
+            FROM ranked WHERE rnk <= 100 GROUP BY term),
+          stats AS (
+            SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+            FROM tf GROUP BY term)
+          SELECT term, df, total_tf, postings
+          FROM stats JOIN posts USING (term)""",
+    "t15_bm25" -> {
+      val terms = Bm25QueryTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokensSql) AS term FROM documents),
+          qt AS (SELECT doc_id, term FROM tok WHERE term IN ($terms)),
+          tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qt GROUP BY 1, 2),
+          dfs AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qt GROUP BY 1),
+          lens AS (
+            SELECT doc_id, COUNT(*) AS len FROM tok
+            WHERE term <> '' GROUP BY 1),
+          scalars AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM lens),
+          scored AS (
+            SELECT doc_id, term, tf, len,
+                   (CAST(n_docs - df AS DOUBLE) + 0.5)
+                     / (CAST(df AS DOUBLE) + 0.5) AS idf,
+                   CAST(tf AS DOUBLE)
+                     + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avgdl)) AS norm
+            FROM tf JOIN lens USING (doc_id)
+            JOIN dfs USING (term) CROSS JOIN scalars)
+          SELECT doc_id, term, tf, len,
+                 idf * (CAST(tf AS DOUBLE) * 2.2 / norm) AS score
+          FROM scored"""
+    },
   )
 }

@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.dsum
+
+/** Sixth wave of the delegated-engine SQL surface (SURVEY §2.2): skyline
+  * (Pareto-frontier) queries, percentile-based winsorization, and
+  * recursive CTEs (hierarchy walks) — all shapes a ClickHouse/Spark
+  * analytics shell user reaches for that hadn't appeared yet.
+  */
+object Relational6 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Skyline / Pareto frontier per brand: the parts for which no
+    * same-brand part is both cheaper-or-equal and larger-or-equal (with
+    * one strict). Not an all-pairs dominance test: group to per-(brand,
+    * price) max size, one PARTITIONED window (running max over strictly
+    * cheaper prices — `rows … 1 preceding` on the per-price grouped set),
+    * then a join back. Scale: both the window and the join key on
+    * p_brand — one shuffle family, no global sort, no n² pairs. */
+  def q63Skyline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val part = Tables.part(spark, dir)
+    val perPrice = part.groupBy($"p_brand", $"p_retailprice")
+      .agg(max($"p_size").as("ms"))
+    // on the per-price set, the previous ROW is the previous strictly
+    // smaller price, so this running max sees exactly the cheaper parts
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice.withColumn("prev_max", max($"ms").over(w))
+      .filter($"prev_max".isNull || $"ms" > $"prev_max")
+    part.join(frontier, Seq("p_brand", "p_retailprice"))
+      .filter($"p_size" === $"ms") // same-price smaller parts are dominated
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"p_size")
+  }
+
+  /** Winsorization: clip o_totalprice to the exact [p05, p95] band of its
+    * priority group (percentile_cont interpolation — verified identical
+    * to DuckDB's quantile_cont in q55), then aggregate the clipped
+    * distribution. The per-group bounds are a 5-row aggregate joined
+    * back broadcast; clipping is comparison-only (LEAST/GREATEST), so
+    * the decimal re-sum stays engine-exact. */
+  def q64Winsorize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val bounds = orders.groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile_cont(0.05) WITHIN GROUP (ORDER BY o_totalprice)").as("lo"),
+        expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY o_totalprice)").as("hi"))
+    orders.join(broadcast(bounds), Seq("o_orderpriority"))
+      .withColumn("clipped", least(greatest($"o_totalprice", $"lo"), $"hi"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when($"o_totalprice" < $"lo", 1L).otherwise(0L)).as("n_low"),
+        sum(when($"o_totalprice" > $"hi", 1L).otherwise(0L)).as("n_high"),
+        min($"lo").as("lo"), min($"hi").as("hi"),
+        dsum($"clipped").as("total_clipped"))
+  }
+
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk the synthetic
+    * customer hierarchy parent(k) = k div 2 from root 0 and aggregate
+    * per depth. Spark executes the recursion as iterated UnionLoop
+    * steps — each level is one distributed join against the previous
+    * level's frontier, ~log2(N) rounds total, never a driver loop. */
+  def q65RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("cust_q65")
+    spark.sql(
+      s"""WITH RECURSIVE walk AS (
+            SELECT c_custkey, c_acctbal, 0 AS depth FROM cust_q65 WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, c.c_acctbal, w.depth + 1
+            FROM cust_q65 c JOIN walk w ON c.c_custkey DIV 2 = w.c_custkey
+            WHERE c.c_custkey > 0)
+          SELECT depth, COUNT(*) AS n_customers,
+                 MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+                 ${sqlDsumSpark("c_acctbal")} AS total_acctbal
+          FROM walk GROUP BY depth""")
+  }
+
+  /** Spark-side SQL twin of [[Tables.dsum]] (decimal-exact sum emitted as
+    * DOUBLE) — Spark's decimal→double cast is correctly rounded, so no
+    * string hop is needed on this side. */
+  private def sqlDsumSpark(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val queries: Map[String, Q] = Map(
+    "q63_skyline"       -> q63Skyline _,
+    "q64_winsorize"     -> q64Winsorize _,
+    "q65_recursive_cte" -> q65RecursiveCte _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q63_skyline" ->
+      """WITH pm AS (
+           SELECT p_brand, p_retailprice, MAX(p_size) AS ms
+           FROM part GROUP BY 1, 2),
+         fr AS (
+           SELECT p_brand, p_retailprice, ms,
+                  MAX(ms) OVER (PARTITION BY p_brand ORDER BY p_retailprice
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max
+           FROM pm)
+         SELECT p.p_brand, p.p_partkey, p.p_retailprice, p.p_size
+         FROM part p
+         JOIN fr ON fr.p_brand = p.p_brand AND fr.p_retailprice = p.p_retailprice
+         WHERE p.p_size = fr.ms AND (fr.prev_max IS NULL OR fr.ms > fr.prev_max)""",
+    "q64_winsorize" ->
+      s"""WITH b AS (
+            SELECT o_orderpriority,
+                   quantile_cont(o_totalprice, 0.05) AS lo,
+                   quantile_cont(o_totalprice, 0.95) AS hi
+            FROM orders GROUP BY 1)
+          SELECT o.o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                 CAST(SUM(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                 MIN(lo) AS lo, MIN(hi) AS hi,
+                 ${Tables.sqlDsum("LEAST(GREATEST(o_totalprice, lo), hi)")} AS total_clipped
+          FROM orders o JOIN b USING (o_orderpriority)
+          GROUP BY 1""",
+    "q65_recursive_cte" ->
+      s"""WITH RECURSIVE walk AS (
+            SELECT c_custkey, c_acctbal, 0 AS depth FROM customer WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, c.c_acctbal, w.depth + 1
+            FROM customer c JOIN walk w ON c.c_custkey // 2 = w.c_custkey
+            WHERE c.c_custkey > 0)
+          SELECT CAST(depth AS INT) AS depth, COUNT(*) AS n_customers,
+                 MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+                 ${Tables.sqlDsum("c_acctbal")} AS total_acctbal
+          FROM walk GROUP BY depth""",
+  )
+}

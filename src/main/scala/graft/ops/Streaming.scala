@@ -2,7 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import graft.Tables
 import graft.Tables.dsum
 
@@ -128,6 +129,86 @@ object Streaming {
       }
   }
 
+  // --- transformWithState (Spark 4 arbitrary-state API) -----------------
+
+  /** Per-user running totals on the transformWithState API — the
+    * successor of flatMapGroupsWithState: typed per-key state handles
+    * (ValueState/ListState/MapState), timers, and TTL, backed by the
+    * RocksDB state store in streaming mode. Same fold as
+    * [[statefulUserTotals]], so the two APIs are mutually checkable and
+    * share the w05-style ordered-fold oracle. */
+  class TotalsProcessor extends StatefulProcessor[Long, UserEvent, UserUpdate] {
+    @transient private var state: ValueState[UserState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserState](
+        "totals", Encoders.product[UserState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserUpdate] = {
+      val prev = if (state.exists()) state.get() else UserState(0L, 0.0, -1L)
+      // event_id order keeps the double fold deterministic (as in w05)
+      val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (s, e) =>
+        UserState(s.nEvents + 1, s.totalValue + e.value, e.event_id)
+      }
+      state.update(next)
+      Iterator.single(UserUpdate(key, next.nEvents, next.totalValue, next.lastEventId))
+    }
+  }
+
+  def statefulUserTotalsTws(events: Dataset[UserEvent]): Dataset[UserUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  // --- foreachBatch upsert sink (the O10 apply loop, actually streamed) --
+
+  /** The CDC apply loop as a REAL streaming query: the events table is
+    * split into multiple files, streamed with maxFilesPerTrigger=1
+    * (AvailableNow), and every micro-batch foreachBatch-merges its
+    * latest-per-key rows into a versioned parquet state table — the
+    * compacted-upsert (merge-on-write) pattern a lakehouse sink runs at
+    * scale. The merge keeps the max-(ts, event_id) row per user, an
+    * associative rule, so the final state is independent of batch
+    * boundaries — which is what lets the oracle state it as one
+    * latest-per-key query over the whole log. */
+  def w08ForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val tmp = s"/tmp/graft_w08/${new java.io.File(dir).getName}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // fresh checkpoint + state
+    val srcDir = s"$tmp/src"
+    events.repartitionByRange(4, $"event_id").write.parquet(srcDir)
+
+    def latestPerUser(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+
+    @volatile var statePath: Option[String] = None
+    val q = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val upserts = latestPerUser(batch.toDF())
+        val merged = statePath match {
+          case None    => upserts
+          case Some(p) => latestPerUser(batch.sparkSession.read.parquet(p).unionByName(upserts))
+        }
+        val next = s"$tmp/state_v$batchId"
+        merged.write.parquet(next)
+        statePath = Some(next)
+      }
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(statePath.getOrElse(sys.error("w08: stream produced no state")))
+      .select(col("user_id"), col("ts"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"))
+  }
+
   // --- oracle-checked batch instantiations ------------------------------
 
   def w01Tumbling(spark: SparkSession, dir: String): DataFrame =
@@ -162,6 +243,18 @@ object Streaming {
   def w07ChainedWindows(spark: SparkSession, dir: String): DataFrame =
     chainedWindowStats(Tables.events(spark, dir))
 
+  /** The transformWithState path run as one batch (same contract as w05:
+    * batch execution of the arbitrary-state operator; StreamingSpec
+    * asserts the streaming run over MemoryStream matches). */
+  def w09TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    statefulUserTotalsTws(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[UserEvent])
+      .toDF()
+  }
+
   val queries: Map[String, Q] = Map(
     "w06_stream_stream_join" -> w06StreamStreamJoin _,
     "w01_tumbling_window" -> w01Tumbling _,
@@ -170,6 +263,8 @@ object Streaming {
     "w04_dedup_first"     -> w04DedupFirst _,
     "w05_stateful_totals" -> w05StatefulTotals _,
     "w07_chained_windows" -> w07ChainedWindows _,
+    "w08_foreachbatch_upsert" -> w08ForeachBatchUpsert _,
+    "w09_transform_with_state" -> w09TransformWithState _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +325,24 @@ object Streaming {
       """SELECT user_id, COUNT(*) AS n_events,
                 -- ordered left fold from 0.0 = the state fold's exact
                 -- double accumulation sequence
+                list_reduce(list_prepend(0.0, list(value ORDER BY event_id)),
+                            (a, b) -> a + b) AS total_value,
+                MAX(event_id) AS last_event_id
+         FROM events GROUP BY user_id""",
+    // the batch-boundary-independent final state: latest row per user
+    "w08_foreachbatch_upsert" ->
+      """WITH r AS (
+           SELECT user_id, ts, event_id, event_type, value,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                event_id AS last_event_id, event_type AS last_type,
+                value AS last_value
+         FROM r WHERE rn = 1""",
+    // identical fold to w05 — the two arbitrary-state APIs must agree
+    "w09_transform_with_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
                 list_reduce(list_prepend(0.0, list(value ORDER BY event_id)),
                             (a, b) -> a + b) AS total_value,
                 MAX(event_id) AS last_event_id

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Streaming
+
+/** Operator-level assertions for the round-5 wave: skyline, winsorize,
+  * recursive CTE, inverted index, BM25, weighted sampling, incremental
+  * aggregate maintenance, the foreachBatch upsert sink, and the
+  * transformWithState arbitrary-state API.
+  */
+class Round5Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("q63: skyline rows are mutually non-dominated and every dropped part is dominated") {
+    val part = Tables.part(spark, sf0001)
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"p_size")
+      .as[(String, Long, Double, Int)].collect()
+    val sky = ops.Relational6.q63Skyline(spark, sf0001)
+      .select($"p_brand", $"p_partkey", $"p_retailprice", $"p_size")
+      .as[(String, Long, Double, Int)].collect()
+    assert(sky.nonEmpty)
+    def dominates(a: (String, Long, Double, Int), b: (String, Long, Double, Int)): Boolean =
+      a._1 == b._1 && a._3 <= b._3 && a._4 >= b._4 && (a._3 < b._3 || a._4 > b._4)
+    val skySet = sky.map(_._2).toSet
+    for (s <- sky; o <- part)
+      assert(!dominates(o, s), s"skyline part ${s._2} is dominated by ${o._2}")
+    for (d <- part if !skySet.contains(d._2))
+      assert(part.exists(o => dominates(o, d)), s"dropped part ${d._2} is not dominated")
+  }
+
+  test("q65: recursion reaches every customer exactly once, root at depth 0") {
+    val rows = ops.Relational6.q65RecursiveCte(spark, sf0001).collect()
+    val total = rows.map(_.getAs[Long]("n_customers")).sum
+    val nCust = Tables.customer(spark, sf0001).count()
+    assert(total == nCust, s"walk covered $total of $nCust customers")
+    val d0 = rows.find(_.getAs[Int]("depth") == 0).get
+    assert(d0.getAs[Long]("n_customers") == 1 && d0.getAs[Long]("min_key") == 0)
+    // parent(k) = k div 2 ⇒ depth of k is floor(log2(k)) + 1 for k ≥ 1
+    val maxDepth = rows.map(_.getAs[Int]("depth")).max
+    val expectedMax = (63 - java.lang.Long.numberOfLeadingZeros(nCust - 1)) + 1
+    assert(maxDepth == expectedMax, s"max depth $maxDepth, expected $expectedMax")
+  }
+
+  test("c09: incremental partial-merge equals the full recompute bit-for-bit") {
+    val inc = cdc.CdcQueries.c09IncrementalAgg(spark, sf0001)
+      .as[(String, Long, Double)].collect().toMap2
+    val full = Tables.events(spark, sf0001)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), Tables.dsum($"value").as("tv"))
+      .as[(String, Long, Double)].collect().toMap2
+    assert(inc == full) // exact: decimal partials merge losslessly
+  }
+
+  test("t14: postings are bounded, distinct, impact-ordered prefixes of the full lists") {
+    val tok = ext.TextAnalysis.tokenized(Tables.documents(spark, sf0001))
+      .select($"doc_id", $"tok".as("term"))
+    val tf = tok.groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toMap).toMap
+    val idx = ext.TextAnalysis.t14InvertedIndex(spark, sf0001).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val term = r.getAs[String]("term")
+      val posts = r.getSeq[Long](r.fieldIndex("postings"))
+      val full = tf(term)
+      assert(posts.length <= 100 && posts.length == posts.distinct.length)
+      assert(r.getAs[Long]("df") == full.size)
+      assert(r.getAs[Long]("total_tf") == full.values.sum)
+      // impact order: (tf desc, doc_id asc), a prefix of the full ranking
+      val expected = full.toSeq.sortBy { case (d, f) => (-f, d) }.map(_._1).take(100)
+      assert(posts == expected, s"term $term postings not impact-ordered")
+    }
+  }
+
+  test("t15: bm25 scores cover exactly the docs containing each query term, higher tf ⇒ higher score at equal length") {
+    val rows = ext.TextAnalysis.t15Bm25(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => ext.TextAnalysis.Bm25QueryTerms.contains(r.getAs[String]("term"))))
+    assert(rows.forall(_.getAs[Double]("score") > 0.0))
+    // bm25 is monotone in tf for fixed (term, len)
+    rows.groupBy(r => (r.getAs[String]("term"), r.getAs[Long]("len"))).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("tf")).toSeq
+      sorted.sliding(2).foreach { pair =>
+        if (pair.size == 2)
+          assert(pair(0).getAs[Double]("score") <= pair(1).getAs[Double]("score"))
+      }
+    }
+  }
+
+  test("p03: the deterministic coin keeps exactly the docs whose hash clears the quality threshold") {
+    val q = ext.TextAnalysis.t03QualityScore(spark, sf0001)
+      .select($"doc_id", $"quality").as[(Long, Double)].collect()
+    val qmax = q.map(_._2).max
+    val expected = q.filter { case (id, qual) =>
+      ((id * 2654435761L) % 1000003L).toDouble * qmax < 500001.5 * qual
+    }.map(_._1).toSet
+    val got = ext.Curation.p03WeightedSample(spark, sf0001)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+    // keep rate should hover near 0.5·avg(quality)/qmax
+    val wantRate = 0.5 * q.map(_._2).sum / q.length / qmax
+    val gotRate = got.size.toDouble / q.length
+    assert(math.abs(gotRate - wantRate) < 0.15, s"rate $gotRate vs expected ~$wantRate")
+  }
+
+  test("w08: the streamed foreachBatch upsert lands on the batch latest-per-key state") {
+    val streamed = ops.Streaming.w08ForeachBatchUpsert(spark, sf0001)
+      .select($"user_id", $"last_event_id", $"last_type", $"last_value")
+      .as[(Long, Long, String, Double)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
+  test("w09: transformWithState batch run equals the flatMapGroupsWithState fold exactly") {
+    val tws = ops.Streaming.w09TransformWithState(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val fmgs = ops.Streaming.w05StatefulTotals(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(tws == fmgs) // identical event_id-ordered fold ⇒ identical doubles
+  }
+
+  test("w09 streaming: transformWithState over MemoryStream converges to batch totals") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store in streaming mode
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.events(spark, sf0001)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[Streaming.UserEvent].collect().toSeq
+      val ms = MemoryStream[Streaming.UserEvent]
+      rows.grouped(300).foreach(b => ms.addData(b))
+      val q = Streaming.statefulUserTotalsTws(ms.toDS())
+        .writeStream.outputMode("update").format("memory").queryName("tws_tot")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"last_event_id".desc)
+      val finalState = spark.table("tws_tot")
+        .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toMap2
+      val expected = ops.Streaming.w05StatefulTotals(spark, sf0001)
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toMap2
+      // identical event_id-ordered fold on both paths ⇒ exact equality
+      assert(finalState == expected)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
+  }
+}
