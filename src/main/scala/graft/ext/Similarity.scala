@@ -211,8 +211,24 @@ object Similarity {
               ($"comp_sum" / $"n_members").as("centroid_comp"))
   }
 
+  /** Cosine range search (radius query): every vector within cosine ≥
+    * 0.25 of each query vector — the "all matches above threshold"
+    * retrieval mode (dedup candidates, recall evaluation) next to the
+    * top-k of s01. Same broadcast-query scan shape, but with NO window:
+    * the threshold filters map-side, so the operator is one scan with
+    * zero shuffles — strictly cheaper than top-k at any scale. */
+  def s06RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"))
+    e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), cosine($"qe", $"embedding").as("cos_sim"))
+      .filter($"cos_sim" >= 0.25)
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
+    "s06_range_search"   -> s06RangeSearch _,
     "s05_centroid_agg"   -> s05CentroidAgg _,
     "s02_ann_lsh"        -> s02AnnLsh _,
     // scale-path twin: bounded-heap partial-agg top-k (rows-only driver
@@ -250,6 +266,12 @@ object Similarity {
                  list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
                              (a, b) -> a + b) / COUNT(*) AS centroid_comp
           FROM comps GROUP BY cid, j""",
+    "s06_range_search" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
+          SELECT q.qid, e.vec_id AS nid,
+                 ${cosineSql("q.qe", "e.embedding")} AS cos_sim
+          FROM embeddings e JOIN q ON e.vec_id <> q.qid
+          WHERE ${cosineSql("q.qe", "e.embedding")} >= 0.25""",
     "s01_knn_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
           scored AS (

@@ -390,6 +390,34 @@ object TextAnalysis {
 
   val Bm25QueryTerms = Seq("query", "join", "vector")
 
+  /** N-gram familiarity: per document, the mean corpus frequency of its
+    * word bigrams — a language-model-free fluency proxy (natural text
+    * reuses frequent bigrams; shuffled/garbled text lands on rare ones),
+    * the statistical-quality signal next to t03's surface heuristics.
+    * No transcendentals: the score is an exact integer sum divided once,
+    * so it is engine-exact where a log-prob LM could never be. Shape:
+    * bigram explode → one (bigram) count agg → count join back → one
+    * (doc) agg; the corpus model is itself a table, so at 100 TB it can
+    * be computed once and reused across scoring runs. */
+  def t16NgramFamiliarity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bigrams = when(size($"toks") >= 2,
+      transform(sequence(lit(0), size($"toks") - 2),
+        i => concat_ws(" ", element_at($"toks", i + 1), element_at($"toks", i + 2))))
+      .otherwise(array())
+    val bi = docs.select($"doc_id", tokens($"text").as("toks"))
+      .select($"doc_id", explode(bigrams).as("bigram"))
+    val corpus = bi.groupBy($"bigram").agg(count(lit(1)).as("cnt"))
+    val perDoc = bi.join(corpus, "bigram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bi"), sum($"cnt").as("fam_sum"))
+    docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_bi", lit(0L)).as("n_bi"),
+        coalesce($"fam_sum".cast("double") / $"n_bi", lit(0.0)).as("familiarity"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01TokenStats _,
     "t09_tfidf"       -> t09TfIdf _,
@@ -407,6 +435,7 @@ object TextAnalysis {
     "t13_repetition"  -> t13Repetition _,
     "t14_inverted_index" -> t14InvertedIndex _,
     "t15_bm25"        -> t15Bm25 _,
+    "t16_ngram_familiarity" -> t16NgramFamiliarity _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -616,5 +645,20 @@ object TextAnalysis {
                  idf * (CAST(tf AS DOUBLE) * 2.2 / norm) AS score
           FROM scored"""
     },
+    "t16_ngram_familiarity" ->
+      s"""WITH toks AS (
+            SELECT doc_id, $tokensSql AS t FROM documents),
+          bi AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks),
+          corpus AS (SELECT bigram, COUNT(*) AS cnt FROM bi GROUP BY 1),
+          pd AS (
+            SELECT doc_id, COUNT(*) AS n_bi,
+                   CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS fam_sum
+            FROM bi JOIN corpus USING (bigram) GROUP BY 1)
+          SELECT d.doc_id, COALESCE(n_bi, 0) AS n_bi,
+                 COALESCE(fam_sum / n_bi, 0.0) AS familiarity
+          FROM documents d LEFT JOIN pd USING (doc_id)""",
   )
 }

@@ -88,10 +88,29 @@ object Relational6 {
   private def sqlDsumSpark(e: String): String =
     s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
 
+  /** Equi-depth (equal-count) histogram per return flag: NTILE(8) over
+    * each group's price order — the quantile-binning complement of q61's
+    * equi-width buckets. The window is PARTITIONED by l_returnflag (3
+    * per-group sorts, no global sort); the tie-break on (orderkey,
+    * linenumber) makes the row order — and therefore which of two equal
+    * prices lands in which bucket — identical on both engines. */
+  def q66EquidepthBins(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(spark, dir)
+      .withColumn("bucket", ntile(8).over(w))
+      .groupBy($"l_returnflag", $"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"l_extendedprice").as("lo"), max($"l_extendedprice").as("hi"),
+        dsum($"l_extendedprice").as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
     "q64_winsorize"     -> q64Winsorize _,
     "q65_recursive_cte" -> q65RecursiveCte _,
+    "q66_equidepth_bins" -> q66EquidepthBins _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,5 +152,16 @@ object Relational6 {
                  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
                  ${Tables.sqlDsum("c_acctbal")} AS total_acctbal
           FROM walk GROUP BY depth""",
+    "q66_equidepth_bins" ->
+      s"""WITH b AS (
+            SELECT l_returnflag, l_extendedprice,
+                   NTILE(8) OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+                     AS bucket
+            FROM lineitem)
+          SELECT l_returnflag, CAST(bucket AS INT) AS bucket, COUNT(*) AS n,
+                 MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+                 ${Tables.sqlDsum("l_extendedprice")} AS total
+          FROM b GROUP BY 1, 2""",
   )
 }

@@ -129,6 +129,20 @@ object Streaming {
       }
   }
 
+  // --- stream-static join -----------------------------------------------
+
+  /** Stream-static enrichment: the event stream joined to the (static)
+    * customer dimension, then aggregated per segment — the canonical
+    * "enrich CDC stream against a dimension" topology. The static side
+    * broadcasts (re-read per micro-batch, never stateful), so the join
+    * adds NO state store and no extra shuffle; only the downstream agg
+    * keeps state, bounded by group cardinality. */
+  def enrichPerSegment(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        events("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+
   // --- transformWithState (Spark 4 arbitrary-state API) -----------------
 
   /** Per-user running totals on the transformWithState API — the
@@ -265,6 +279,8 @@ object Streaming {
     "w07_chained_windows" -> w07ChainedWindows _,
     "w08_foreachbatch_upsert" -> w08ForeachBatchUpsert _,
     "w09_transform_with_state" -> w09TransformWithState _,
+    "w10_stream_static_join" -> ((s: SparkSession, d: String) =>
+      enrichPerSegment(Tables.events(s, d), Tables.customer(s, d))),
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,6 +356,11 @@ object Streaming {
                 event_id AS last_event_id, event_type AS last_type,
                 value AS last_value
          FROM r WHERE rn = 1""",
+    "w10_stream_static_join" ->
+      s"""SELECT c.c_mktsegment, e.event_type, COUNT(*) AS n,
+                 ${Tables.sqlDsum("e.value")} AS total_value
+          FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          GROUP BY 1, 2""",
     // identical fold to w05 — the two arbitrary-state APIs must agree
     "w09_transform_with_state" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -55,6 +55,13 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("stream-static join: streaming enrichment == batch") {
+    val cust = Tables.customer(spark, sf0001)
+    val streamed = runStream("enrich")(df => Streaming.enrichPerSegment(df, cust))
+    val batch = Streaming.enrichPerSegment(Tables.events(spark, sf0001), cust)
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("stream-stream interval join: streaming == batch") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
