@@ -295,6 +295,33 @@ object Dedup {
     clustersOver(corpus, minHashLshScale(spark, dir).select($"id1", $"id2"))
   }
 
+  /** d13: semantic dedup clusters — connected components over the
+    * embedding near-dup graph (the verified cosine ≥ 0.5 pairs of d05)
+    * instead of the text-shingle graph of d09: the "same meaning,
+    * different words" dedup a training pipeline layers on top of lexical
+    * LSH. Same label-propagation machinery ([[clusterLabels]], pointer
+    * doubling, O(log diameter) rounds); each cluster is labeled by its
+    * min vec_id, which is also the kept representative. */
+  def d13SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.embeddings(spark, dir).select($"vec_id")
+    val nodes = ids
+      .unionByName(ids.filter($"vec_id" % 20 === 0).select(($"vec_id" + 100000L).as("vec_id")))
+      .unionByName(ids.filter($"vec_id" % 20 === 10).select(($"vec_id" + 200000L).as("vec_id")))
+      .select($"vec_id".as("doc_id"))
+    val pairs = d05EmbeddingNearDup(spark, dir).select($"id1", $"id2")
+    // cache: every propagation round re-joins the edge set — uncached it
+    // would re-run the cosine verification behind it per round
+    val edges = pairs.select($"id1".as("src"), $"id2".as("dst"))
+      .unionByName(pairs.select($"id2".as("src"), $"id1".as("dst")))
+      .distinct().cache()
+    val labels = clusterLabels(nodes, edges)
+    val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size",
+        ($"doc_id" === $"cluster_id").as("is_representative"))
+  }
+
   // --- d03: SimHash -----------------------------------------------------
 
   val SimBits = 16
@@ -488,6 +515,7 @@ object Dedup {
     "d08_simhash_scale"     -> simHashScale _,
     "d09_dedup_clusters"    -> d09DedupClusters _,
     "d10_dedup_clusters_scale" -> dedupClustersScale _,
+    "d13_semantic_clusters" -> d13SemanticClusters _,
   )
 
   private def minExprs: String = (0 until K).map(i =>
@@ -617,6 +645,42 @@ object Dedup {
           LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2
           JOIN sizes s1 ON s1.doc_id = p.id1
           JOIN sizes s2 ON s2.doc_id = p.id2""",
+    // same aug/pair fixture as d05, clustered by recursive reachability
+    // with min-label (the walk mirrors the d09 oracle)
+    "d13_semantic_clusters" ->
+      s"""WITH RECURSIVE aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0
+            UNION ALL
+            SELECT vec_id + 200000,
+                   [-embedding[1]] || embedding[2:] AS embedding
+            FROM embeddings WHERE vec_id % 20 = 10),
+          rawpairs AS (
+            SELECT vec_id AS id1, vec_id + 100000 AS id2
+            FROM embeddings WHERE vec_id % 20 = 0
+            UNION ALL
+            SELECT vec_id, vec_id + 200000 FROM embeddings WHERE vec_id % 20 = 10),
+          near AS (
+            SELECT p.id1, p.id2 FROM rawpairs p
+            JOIN aug a ON a.vec_id = p.id1
+            JOIN aug b ON b.vec_id = p.id2
+            WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.5),
+          edges AS (
+            SELECT id1 AS src, id2 AS dst FROM near
+            UNION SELECT id2, id1 FROM near),
+          nodes AS (SELECT vec_id FROM aug),
+          walk(node, lab) AS (
+            SELECT vec_id, vec_id FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+          lab AS (SELECT node AS vec_id, MIN(lab) AS cluster_id
+                  FROM walk GROUP BY node),
+          sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                 FROM lab GROUP BY cluster_id)
+          SELECT l.vec_id, l.cluster_id, sz.cluster_size,
+                 l.vec_id = l.cluster_id AS is_representative
+          FROM lab l JOIN sz USING (cluster_id)""",
     "d05_embedding_neardup" ->
       s"""WITH aug AS (
             SELECT vec_id, embedding FROM embeddings

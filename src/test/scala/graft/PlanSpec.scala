@@ -95,4 +95,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "centroid cross join must broadcast the centroid set, not shuffle the corpus")
   }
+
+  test("s06 range search: zero shuffles — broadcast join, map-side threshold") {
+    val p = planOf(ext.Similarity.s06RangeSearch(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), "query set must broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "range search must not shuffle the corpus at all")
+  }
+
+  test("q63 skyline: the frontier window is partitioned by brand, never global") {
+    val p = planOf(ops.Relational6.q63Skyline(spark, sf0001))
+    assert(p.contains("windowspecdefinition(p_brand#"),
+      "running-max window must be partitioned by p_brand")
+  }
+
+  test("q64 winsorize: percentile bounds broadcast back — no fact-side re-shuffle for the join") {
+    val p = planOf(ops.Relational6.q64Winsorize(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "5-row bounds table must broadcast")
+  }
+
+  test("q66 equi-depth: the bucket agg reuses the window's returnflag partitioning — one exchange") {
+    val p = planOf(ops.Relational6.q66EquidepthBins(spark, sf0001))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"hashpartitioning(l_returnflag) must serve both window and agg, got $exchanges exchanges")
+  }
+
+  test("t15 bm25: term stats and corpus scalars broadcast to the tf side") {
+    val p = planOf(ext.TextAnalysis.t15Bm25(spark, sf0001))
+    val bc = ("BroadcastHashJoin".r.findAllIn(p).size
+      + "BroadcastNestedLoopJoin".r.findAllIn(p).size)
+    assert(bc >= 2, s"df and (n_docs, avgdl) joins must broadcast, got $bc broadcasts")
+  }
 }

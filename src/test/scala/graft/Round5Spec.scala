@@ -107,6 +107,25 @@ class Round5Spec extends AnyFunSuite {
     assert(math.abs(gotRate - wantRate) < 0.15, s"rate $gotRate vs expected ~$wantRate")
   }
 
+  test("d13: planted copies cluster with their source; labels are min members") {
+    val rows = ext.Dedup.d13SemanticClusters(spark, sf0001).collect()
+    val cluster = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    // d05's fixture: +1e5 = exact copy of %20==0, +2e5 = sign-flip of %20==10
+    cluster.keys.filter(id => id < 100000L && id % 20 == 0).foreach { src =>
+      assert(cluster(src + 100000L) == cluster(src), s"exact copy of $src split off")
+    }
+    cluster.keys.filter(id => id < 100000L && id % 20 == 10).foreach { src =>
+      assert(cluster(src + 200000L) == cluster(src), s"flipped copy of $src split off")
+    }
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (c, ms) =>
+      assert(c == ms.map(_.getAs[Long]("vec_id")).min, s"cluster $c not labeled by min member")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_representative")
+        == (r.getAs[Long]("vec_id") == r.getAs[Long]("cluster_id")))
+    }
+  }
+
   test("w08: the streamed foreachBatch upsert lands on the batch latest-per-key state") {
     val streamed = ops.Streaming.w08ForeachBatchUpsert(spark, sf0001)
       .select($"user_id", $"last_event_id", $"last_type", $"last_value")

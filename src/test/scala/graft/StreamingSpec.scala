@@ -108,6 +108,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("late rows beyond the watermark are dropped; closed windows never re-emit") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val base = rows.take(300)
+    val q = ms.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".cast("timestamp_ntz").as("ws"), $"n")
+      .writeStream.outputMode("append").format("memory").queryName("late_drop")
+      .start()
+    // explicit micro-batch boundaries (one addData per batch — AvailableNow
+    // would fold them into a single batch and the watermark would never
+    // advance ahead of the late rows)
+    ms.addData(base)
+    q.processAllAvailable()
+    // sentinel a day ahead: advances the watermark, closing every base window
+    val maxTs = base.map(_.ts.getTime).max
+    ms.addData(Seq(Ev(-1L, new Timestamp(maxTs + 86400000L), -1L, "sentinel", 0.0)))
+    q.processAllAvailable()
+    // then a very late burst re-sending old rows — all beyond the watermark
+    ms.addData(base.take(50).map(e => e.copy(event_id = e.event_id + 1000000L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_drop").as[(java.time.LocalDateTime, Long)].collect().toMap
+    // every emitted window carries the pre-late-burst count, exactly once
+    val expected = spark.createDataset(base)
+      .groupBy(window($"ts", "1 hour").getField("start").cast("timestamp_ntz").as("ws"))
+      .agg(count(lit(1)).as("n"))
+      .as[(java.time.LocalDateTime, Long)].collect().toMap
+    assert(got == expected, "closed windows must keep their on-time counts; late rows must be dropped")
+  }
+
   test("streaming dedup-within-watermark emits one row per key") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
