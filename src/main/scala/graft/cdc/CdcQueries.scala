@@ -160,9 +160,39 @@ object CdcQueries {
       .agg(sum($"n").as("n"), sum($"total_dec").cast("double").as("total_value"))
   }
 
+  /** O9 schema evolution under the driver's hash: two batches of the
+    * same logical table arrive with different column sets (the
+    * mid-stream ALTER the reference handles per-row
+    * [consumer_to_file.py:155-168]); the evolved union must carry the
+    * name-union schema with nulls where a batch lacked the column. */
+  def c10SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = Tables.customer(spark, dir).select($"c_custkey", $"c_name", $"c_acctbal")
+    val b = Tables.customer(spark, dir).select($"c_custkey", $"c_mktsegment", $"c_nationkey")
+    SchemaEvolution.evolveUnion(a, b)
+  }
+
+  /** O14 + O3/O5/O10 end-to-end, driver-run every round: the seeded
+    * distributed workload generator feeds envelope JSON through parse →
+    * snapshot apply; output is the final employee headcount/payroll per
+    * position. Rows-only (the generator's victim selection uses Spark's
+    * Murmur3 `hash`, which DuckDB cannot replay); determinism and
+    * model-equivalence are ScalaCheck-tested in CdcSpec/PropertySpec. */
+  def g01WorkloadSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val raw = graft.gen.Workload.employeeCdc(spark, n = 5000, nKeys = 200)
+    val env = Envelope.parse(raw).filter(!col("is_dlq"))
+      .withColumn("key", coalesce(col("after.id"), col("before.id")))
+    Apply.snapshot(env, Seq("key"), Seq(col("offset")))
+      .groupBy(col("after.position").as("position"))
+      .agg(count(lit(1)).as("n_employees"),
+           Tables.dsum(col("after.salary").cast("double")).as("total_salary"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c08_scd2_history"          -> c08Scd2History _,
     "c09_incremental_agg"       -> c09IncrementalAgg _,
+    "c10_schema_evolution"      -> c10SchemaEvolution _,
+    "g01_workload_snapshot"     -> g01WorkloadSnapshot _,
     "c01_cdc_snapshot_latest"   -> c01SnapshotLatest _,
     "c02_cdc_topic_route"       -> c02TopicRoute _,
     "c03_cdc_normalize"         -> c03Normalize _,
@@ -173,6 +203,15 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c10_schema_evolution" ->
+      """SELECT c_custkey, c_name, c_acctbal,
+                CAST(NULL AS VARCHAR) AS c_mktsegment,
+                CAST(NULL AS INTEGER) AS c_nationkey
+         FROM customer
+         UNION ALL
+         SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE),
+                c_mktsegment, c_nationkey
+         FROM customer""",
     // full recompute — the incremental partial-merge must equal it exactly
     "c09_incremental_agg" ->
       s"""SELECT event_type, COUNT(*) AS n,
