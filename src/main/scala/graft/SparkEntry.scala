@@ -34,7 +34,7 @@ object SparkEntry {
       ops.Streaming.queries ++ cdc.CdcQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Curation.queries ++
-      sources.Jdbc.queries
+      sources.Jdbc.queries ++ sources.Sources.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +44,5 @@ object SparkEntry {
       ops.Streaming.oracles ++ cdc.CdcQueries.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++
       ext.Similarity.oracles ++ ext.Multimodal.oracles ++ ext.Curation.oracles ++
-      sources.Jdbc.oracles
+      sources.Jdbc.oracles ++ sources.Sources.oracles
 }

@@ -182,17 +182,49 @@ object Multimodal {
            (sum($"n_bytes").cast("double") / sum($"n_chunks")).as("avg_chunk_bytes"))
   }
 
+  /** Binary-payload exact dedup (d01 for media blobs): md5 over the raw
+    * bytes, planted +1e6 copies of every %10==0 blob, duplicate groups
+    * reported with their canonical (min) id and reclaimable bytes. One
+    * map-side hash + one groupBy — the same shape that dedups a 100 TB
+    * image store. */
+  def m05BinaryDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = mediaTable(spark, dir).select($"media_id", $"payload", $"n_bytes")
+    val withCopies = m.unionByName(
+      m.filter($"media_id" % 10 === 0)
+        .select(($"media_id" + 1000000L).as("media_id"), $"payload", $"n_bytes"))
+    withCopies.groupBy(md5($"payload").as("content_hash"))
+      .agg(min($"media_id").as("canonical_id"),
+           count(lit(1)).as("n_copies"),
+           sum($"n_bytes").as("total_bytes"))
+      .filter($"n_copies" > 1)
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_media_meta"     -> m01MediaMeta _,
     "m02_media_features" -> m02MediaFeatures _,
     "m03_frame_sample"   -> m03FrameSample _,
     "m04_cdc_chunking"   -> m04CdcChunking _,
+    "m05_binary_dedup"   -> m05BinaryDedup _,
   )
 
   private val kindSql =
     "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 
   val oracles: Map[String, String] = Map(
+    // md5 of the UTF-8 payload bytes == md5 of the source text (ASCII
+    // corpus; same device the d01 oracle uses)
+    "m05_binary_dedup" ->
+      """WITH media AS (
+           SELECT doc_id AS media_id, md5(text) AS h,
+                  octet_length(encode(text)) AS n_bytes
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, md5(text), octet_length(encode(text))
+           FROM documents WHERE doc_id % 10 = 0)
+         SELECT h AS content_hash, MIN(media_id) AS canonical_id,
+                COUNT(*) AS n_copies, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+         FROM media GROUP BY h HAVING COUNT(*) > 1""",
     "m01_media_meta" ->
       s"""SELECT doc_id AS media_id, $kindSql AS kind,
           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -117,4 +117,34 @@ object Sources {
         col("topic"),
         col("offset"),
         col("value").cast("string").as("value"))
+
+  // --- registered query: the multi-format IO path -----------------------
+
+  /** ORC sink → source round-trip, driver-checked every round: the
+    * second columnar format next to parquet (both vectorized, both with
+    * predicate pushdown — SourcesSpec asserts the ORC scan pushes
+    * filters too). The hop must be value-lossless, which the oracle
+    * states as the same aggregation over the parquet original. */
+  def o01OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val tmp = s"/tmp/graft_o01/${new java.io.File(dir).getName}"
+    graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+              col("l_returnflag"))
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("l_extendedprice")).as("total"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o01_orc_roundtrip" -> o01OrcRoundtrip _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "o01_orc_roundtrip" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("l_extendedprice")} AS total
+          FROM lineitem GROUP BY 1""",
+  )
 }

@@ -97,4 +97,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(msg != null && msg.toLowerCase.contains("kafka"),
       s"expected missing-provider error mentioning kafka, got: $msg")
   }
+
+  test("o01: ORC round-trip is lossless and the ORC scan pushes predicates") {
+    val viaOrc = Sources.o01OrcRoundtrip(spark, sf0001)
+      .as[(String, Long, Double)].collect().toMap2
+    val direct = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), Tables.dsum($"l_extendedprice").as("total"))
+      .as[(String, Long, Double)].collect().toMap2
+    assert(viaOrc == direct)
+    // the o01 run left the ORC copy behind — scan it with a filter
+    val tmp = s"/tmp/graft_o01/${new java.io.File(sf0001).getName}"
+    val p = spark.read.orc(tmp).filter($"l_quantity" < 10.0)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_quantity"),
+      "ORC scan must push the quantity predicate")
+  }
+
+  implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
+  }
 }
