@@ -188,10 +188,29 @@ object CdcQueries {
            Tables.dsum(col("after.salary").cast("double")).as("total_salary"))
   }
 
+  /** Log compaction correctness under the driver gate: the history up to
+    * Jan 16 is compacted (latest-per-key, live tombstones KEPT — that is
+    * what makes the compacted output a valid replacement log, unlike a
+    * snapshot), later events appended, and the final snapshot must equal
+    * the snapshot of the uncompacted full log — which is exactly the
+    * oracle. At 100 TB this is the OPTIMIZE cycle that keeps snapshot
+    * reads from paying for unbounded history. */
+  def c11LogCompaction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val split = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    val log = Tables.events(spark, dir).withColumn("op", opOf(spark))
+    val compacted = Apply.compact(log.filter($"ts" < split),
+      Seq("user_id"), Seq($"ts", $"event_id"))
+    Apply.snapshot(compacted.unionByName(log.filter($"ts" >= split)),
+        Seq("user_id"), Seq($"ts", $"event_id"))
+      .select($"user_id", $"event_id".as("last_event_id"), $"event_type", $"value")
+  }
+
   val queries: Map[String, Q] = Map(
     "c08_scd2_history"          -> c08Scd2History _,
     "c09_incremental_agg"       -> c09IncrementalAgg _,
     "c10_schema_evolution"      -> c10SchemaEvolution _,
+    "c11_log_compaction"        -> c11LogCompaction _,
     "g01_workload_snapshot"     -> g01WorkloadSnapshot _,
     "c01_cdc_snapshot_latest"   -> c01SnapshotLatest _,
     "c02_cdc_topic_route"       -> c02TopicRoute _,
@@ -225,6 +244,14 @@ object CdcQueries {
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
     "c01_cdc_snapshot_latest" ->
+      s"""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
+            SELECT *, $opSql AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) t
+          WHERE rn = 1 AND op <> 'd'""",
+    // compaction must be snapshot-preserving, so the oracle is the plain
+    // full-log snapshot (same as c01)
+    "c11_log_compaction" ->
       s"""SELECT user_id, event_id AS last_event_id, event_type, value FROM (
             SELECT *, $opSql AS op,
                    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
