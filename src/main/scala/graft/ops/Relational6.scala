@@ -106,11 +106,31 @@ object Relational6 {
         dsum($"l_extendedprice").as("total"))
   }
 
+  /** Scale-path twin of q55/q64's exact percentiles: approx_percentile's
+    * mergeable quantile sketch (map-side partial, one small state per
+    * group) replaces the full per-group sort that exact percentile_cont
+    * pays — at 100 TB the exact form is the bottleneck, the sketch is
+    * not. Rows-only driver check (sketch merge order is engine-specific);
+    * Round5Spec bounds the rank error against the exact quartiles. */
+  def q67ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(o_totalprice, array(0.05, 0.5, 0.95), 10000)").as("pcts"))
+      .select($"o_orderpriority", $"n",
+        element_at($"pcts", 1).as("p05"),
+        element_at($"pcts", 2).as("p50"),
+        element_at($"pcts", 3).as("p95"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
     "q64_winsorize"     -> q64Winsorize _,
     "q65_recursive_cte" -> q65RecursiveCte _,
     "q66_equidepth_bins" -> q66EquidepthBins _,
+    // rows-only (sketch state is engine-specific, like q28/q46)
+    "q67_approx_percentiles" -> q67ApproxPercentiles _,
   )
 
   val oracles: Map[String, String] = Map(

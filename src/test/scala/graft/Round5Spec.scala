@@ -45,6 +45,28 @@ class Round5Spec extends AnyFunSuite {
     assert(maxDepth == expectedMax, s"max depth $maxDepth, expected $expectedMax")
   }
 
+  test("q67: approx percentiles land within the sketch's rank-error bound of exact") {
+    val approx = ops.Relational6.q67ApproxPercentiles(spark, sf0001).collect()
+      .map(r => r.getAs[String]("o_orderpriority") ->
+        (r.getAs[Double]("p05"), r.getAs[Double]("p50"), r.getAs[Double]("p95"))).toMap
+    val byPrio = Tables.orders(spark, sf0001)
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    approx.foreach { case (prio, (p05, p50, p95)) =>
+      val v = byPrio(prio)
+      // rank error ≤ n/accuracy (+1 for interpolation-free indexing slack)
+      val slack = v.length / 10000 + 1
+      def rankWindow(q: Double, got: Double): Unit = {
+        val target = (q * (v.length - 1)).round.toInt
+        val lo = v(math.max(0, target - slack))
+        val hi = v(math.min(v.length - 1, target + slack))
+        assert(got >= lo && got <= hi, s"$prio q=$q: $got outside [$lo, $hi]")
+      }
+      rankWindow(0.05, p05); rankWindow(0.5, p50); rankWindow(0.95, p95)
+      assert(p05 <= p50 && p50 <= p95)
+    }
+  }
+
   test("c09: incremental partial-merge equals the full recompute bit-for-bit") {
     val inc = cdc.CdcQueries.c09IncrementalAgg(spark, sf0001)
       .as[(String, Long, Double)].collect().toMap2
