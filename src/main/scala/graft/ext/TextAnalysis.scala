@@ -418,8 +418,29 @@ object TextAnalysis {
         coalesce($"fam_sum".cast("double") / $"n_bi", lit(0.0)).as("familiarity"))
   }
 
+  /** Overlapping chunk windows (size 512, stride 384): the
+    * context-window chunking with overlap that keeps boundary-spanning
+    * text learnable — the sliding complement of t11's disjoint packing.
+    * Chunk count and offsets are pure integer arithmetic on the doc's
+    * token count (k = 1 for n ≤ 512, else ⌈(n−512)/384⌉+1), so the
+    * exploded manifest is engine-exact; the explode is map-side, no
+    * shuffle at all. */
+  def t17OverlapChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", size(tokens($"text")).cast("long").as("n_tokens"))
+      .withColumn("n_chunks",
+        when($"n_tokens" <= 512, lit(1L))
+          .otherwise(expr("(n_tokens - 129) div 384") + 1)) // ⌈(n−512)/384⌉+1
+      .select($"doc_id", $"n_tokens", $"n_chunks",
+        explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_idx"))
+      .withColumn("chunk_start", $"chunk_idx" * 384)
+      .withColumn("chunk_len", least(lit(512L), $"n_tokens" - $"chunk_start"))
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01TokenStats _,
+    "t17_overlap_chunks" -> t17OverlapChunks _,
     "t09_tfidf"       -> t09TfIdf _,
     "t10_vocab_prune" -> t10VocabPrune _,
     "t11_token_packing" -> t11TokenPacking _,
@@ -645,6 +666,24 @@ object TextAnalysis {
                  idf * (CAST(tf AS DOUBLE) * 2.2 / norm) AS score
           FROM scored"""
     },
+    "t17_overlap_chunks" ->
+      s"""WITH t AS (
+            SELECT doc_id, len($tokensSql) AS n_tokens FROM documents),
+          k AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN n_tokens <= 512 THEN 1
+                        ELSE (n_tokens - 129) // 384 + 1 END AS n_chunks
+            FROM t),
+          c AS (
+            SELECT doc_id, n_tokens, n_chunks,
+                   unnest(range(0, n_chunks)) AS chunk_idx
+            FROM k)
+          SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(n_chunks AS BIGINT) AS n_chunks,
+                 CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                 CAST(chunk_idx * 384 AS BIGINT) AS chunk_start,
+                 CAST(LEAST(512, n_tokens - chunk_idx * 384) AS BIGINT) AS chunk_len
+          FROM c""",
     "t16_ngram_familiarity" ->
       s"""WITH toks AS (
             SELECT doc_id, $tokensSql AS t FROM documents),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -124,8 +124,27 @@ object Relational6 {
         element_at($"pcts", 3).as("p95"))
   }
 
+  /** Z-order (Morton) key: bit-interleave two 10-bit dimensions into one
+    * sort key — the layout device that makes a single file-level sort
+    * serve range pruning on BOTH columns (the lakehouse OPTIMIZE ZORDER
+    * primitive; our sortWithinPartitions analog of MergeTree ORDER BY).
+    * Pure bit arithmetic, identical in both engines; LayoutSpec-style
+    * roundtrip assertions live in Round5Spec. */
+  def q68ZorderKey(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val a = ($"l_partkey" % 1024).cast("long")
+    val b = ($"l_suppkey" % 1024).cast("long")
+    val z = (0 until 10).map { i =>
+      (shiftleft(shiftright(a, i) % 2, 2 * i) +
+       shiftleft(shiftright(b, i) % 2, 2 * i + 1)): Column
+    }.reduce(_ + _)
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_linenumber", a.as("da"), b.as("db"), z.as("zkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q68_zorder_key"    -> q68ZorderKey _,
     "q64_winsorize"     -> q64Winsorize _,
     "q65_recursive_cte" -> q65RecursiveCte _,
     "q66_equidepth_bins" -> q66EquidepthBins _,
@@ -172,6 +191,16 @@ object Relational6 {
                  MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
                  ${Tables.sqlDsum("c_acctbal")} AS total_acctbal
           FROM walk GROUP BY depth""",
+    "q68_zorder_key" -> {
+      val zExpr = (0 until 10).map { i =>
+        s"((((l_partkey % 1024) >> $i) % 2) << ${2 * i})" +
+          s" + ((((l_suppkey % 1024) >> $i) % 2) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber,
+                 l_partkey % 1024 AS da, l_suppkey % 1024 AS db,
+                 CAST($zExpr AS BIGINT) AS zkey
+          FROM lineitem"""
+    },
     "q66_equidepth_bins" ->
       s"""WITH b AS (
             SELECT l_returnflag, l_extendedprice,

@@ -67,6 +67,38 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q68: the Morton key bit-interleave round-trips both dimensions") {
+    val rows = ops.Relational6.q68ZorderKey(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (da, db, z) = (r.getAs[Long]("da"), r.getAs[Long]("db"), r.getAs[Long]("zkey"))
+      assert(z >= 0 && z < (1L << 20))
+      val backA = (0 until 10).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val backB = (0 until 10).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(backA == da && backB == db, s"zkey $z does not round-trip ($da, $db)")
+    }
+  }
+
+  test("t17: overlapping chunks tile every document with stride 384") {
+    val byDoc = ext.TextAnalysis.t17OverlapChunks(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_idx"))
+      val n = sorted.head.getAs[Long]("n_tokens")
+      assert(sorted.head.getAs[Long]("chunk_start") == 0L)
+      sorted.foreach { c =>
+        val (s, l) = (c.getAs[Long]("chunk_start"), c.getAs[Long]("chunk_len"))
+        assert(s < n && l >= 1 && s + l <= n, s"doc $doc chunk out of range")
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("chunk_start") + last.getAs[Long]("chunk_len") == n,
+        s"doc $doc: chunks must reach the end of the document")
+      // every chunk but the last is full-size; consecutive overlap = 128
+      sorted.init.foreach(c => assert(c.getAs[Long]("chunk_len") == 512L))
+    }
+  }
+
   test("c09: incremental partial-merge equals the full recompute bit-for-bit") {
     val inc = cdc.CdcQueries.c09IncrementalAgg(spark, sf0001)
       .as[(String, Long, Double)].collect().toMap2
