@@ -109,8 +109,36 @@ object Curation {
       .select($"doc_id", $"quality", ((lit(0.5) * $"quality") / $"qmax").as("keep_prob"))
   }
 
+  /** Corpus report card: per (lang, source) slice — docs, token volume,
+    * exact-duplicate docs (count minus distinct content hashes), and the
+    * quality distribution (min / median / max; median via the
+    * engine-exact percentile_cont device of q55, min/max comparison-only
+    * — a decimal-rounded MEAN would NOT be engine-exact on arbitrary
+    * doubles). The one-line-per-slice summary a dataset card publishes. */
+  def p04CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val base = Tables.documents(spark, dir).select(
+      $"lang", $"source",
+      size(toks).cast("long").as("n_tokens"),
+      md5($"text".cast("binary")).as("h"),
+      (( size(array_distinct(toks)) * 1000
+       + size(filter(toks, t => array_contains(stopArr, t))) * 100
+       - length(regexp_replace($"text", "[a-z\\s]", "")) * 10).cast("double")
+        / size(toks)).as("quality"))
+    base.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        (count(lit(1)) - countDistinct($"h")).as("n_dup_docs"),
+        min($"quality").as("q_min"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY quality)").as("q_median"),
+        max($"quality").as("q_max"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "p04_corpus_report" -> p04CorpusReport _,
     // rows-only: composition of oracle-checked stages (LSH stage is the
     // xxhash64 scale path, which has no DuckDB twin by construction)
     "p01_curate_corpus" -> p01CurateCorpus _,
@@ -132,6 +160,25 @@ object Curation {
           FROM documents d JOIN r USING (lang)
           WHERE (d.doc_id * 2654435761) % 4096 < r.keep_ceiling
           GROUP BY d.lang, r.n_orig""",
+    "p04_corpus_report" -> {
+      val tok = TextAnalysis.tokensSql
+      s"""WITH base AS (
+            SELECT lang, source,
+                   CAST(len($tok) AS BIGINT) AS n_tokens,
+                   md5(text) AS h,
+                   CAST(len(list_distinct($tok)) * 1000
+                        + len(list_filter($tok, t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
+                     / len($tok) AS quality
+            FROM documents)
+          SELECT lang, source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+                 MIN(quality) AS q_min,
+                 quantile_cont(quality, 0.5) AS q_median,
+                 MAX(quality) AS q_max
+          FROM base GROUP BY 1, 2"""
+    },
     "p03_weighted_sample" -> {
       val tok = TextAnalysis.tokensSql
       s"""WITH q AS (

@@ -226,9 +226,26 @@ object Similarity {
       .filter($"cos_sim" >= 0.25)
   }
 
+  /** ANN index evaluation: recall@5 of the LSH index (s02) against the
+    * exact top-5 (s01) per query — the measurement loop that decides
+    * whether an index's bucket count/probe settings are good enough to
+    * ship. A left semi-join per (query, neighbor) pair and a 5-row agg;
+    * at scale the exact side runs on a sampled query set, which is
+    * exactly this shape. */
+  def s07AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact = s01KnnBruteForce(spark, dir).filter($"rank" <= 5).select($"qid", $"nid")
+    val approx = s02AnnLsh(spark, dir).select($"qid", $"nid")
+    exact.join(approx.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+      .groupBy($"qid")
+      .agg(count(lit(1)).as("n_exact"), count($"hit").as("n_hit"))
+      .withColumn("recall", $"n_hit".cast("double") / $"n_exact")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s06_range_search"   -> s06RangeSearch _,
+    "s07_ann_recall"     -> s07AnnRecall _,
     "s05_centroid_agg"   -> s05CentroidAgg _,
     "s02_ann_lsh"        -> s02AnnLsh _,
     // scale-path twin: bounded-heap partial-agg top-k (rows-only driver
@@ -266,6 +283,39 @@ object Similarity {
                  list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
                              (a, b) -> a + b) / COUNT(*) AS centroid_comp
           FROM comps GROUP BY cid, j""",
+    // s01's exact chain and s02's bucketed chain composed in one WITH;
+    // recall@5 = |approx ∩ exact-top5| / 5 per query
+    "s07_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.qid, e.vec_id AS nid,
+                   ${cosineSql("q.qe", "e.embedding")} AS cos_sim
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+          exact5 AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+              FROM scored) t WHERE rank <= 5),
+          b AS (
+            SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+            FROM embeddings),
+          q2 AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qbucket
+                 FROM b WHERE vec_id < 5),
+          cand AS (
+            SELECT q2.qid, e.vec_id AS nid,
+                   ${cosineSql("q2.qe", "e.embedding")} AS cos_sim
+            FROM b e JOIN q2 ON e.bucket = q2.qbucket AND e.vec_id <> q2.qid),
+          approx5 AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid,
+                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+              FROM cand) t WHERE rank <= 5)
+          SELECT e.qid, COUNT(*) AS n_exact,
+                 CAST(COUNT(a.nid) AS BIGINT) AS n_hit,
+                 CAST(COUNT(a.nid) AS DOUBLE) / COUNT(*) AS recall
+          FROM exact5 e
+          LEFT JOIN approx5 a ON a.qid = e.qid AND a.nid = e.nid
+          GROUP BY e.qid""",
     "s06_range_search" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5)
           SELECT q.qid, e.vec_id AS nid,
