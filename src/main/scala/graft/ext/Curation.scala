@@ -136,8 +136,61 @@ object Curation {
         max($"quality").as("q_max"))
   }
 
+  /** p05: the quality-filter funnel — the Gopher/RefinedWeb-style staged
+    * rule battery, reported as a funnel (docs in → docs out per stage) so
+    * a pipeline operator can see WHERE the corpus is being lost:
+    *
+    *   1. min_tokens      ≥ 20 tokens
+    *   2. word_len        mean token length in [3.0, 5.0]
+    *   3. distinct_ratio  distinct/total tokens ≥ 0.33
+    *   4. stopwords       ≥ 2 hits from {a, the, value}
+    *   5. repetition      most-frequent-token share ≤ 0.125
+    *
+    * Stages short-circuit (a doc is counted into stage k only if it
+    * passed 1..k-1), matching how a real curation run orders cheap rules
+    * before expensive ones. All five signals are map-side per-row
+    * expressions over the token array (integer counts and one double
+    * division each — engine-exact); the funnel itself is ONE global
+    * 5-counter aggregate, so the whole operator is a single scan with a
+    * scalar reduce, at any corpus size. */
+  def p05FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val fstop = array(lit("a"), lit("the"), lit("value"))
+    val base = Tables.documents(spark, dir).select(
+      size(toks).cast("long").as("n"),
+      (aggregate(transform(toks, t => length(t).cast("double")), lit(0.0),
+        (a, x) => a + x) / size(toks)).as("avglen"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ndr"),
+      size(filter(toks, t => array_contains(fstop, t))).as("nstop"),
+      (array_max(transform(array_distinct(toks),
+          u => size(filter(toks, t => t === u)))).cast("double") / size(toks))
+        .as("topshare"))
+    val c1 = $"n" >= 20
+    val c2 = c1 && $"avglen" >= 3.0 && $"avglen" <= 5.0
+    val c3 = c2 && $"ndr" >= 0.33
+    val c4 = c3 && $"nstop" >= 2
+    val c5 = c4 && $"topshare" <= 0.125
+    base.agg(
+        count(lit(1)).as("n0"),
+        sum(when(c1, 1L).otherwise(0L)).as("s1"),
+        sum(when(c2, 1L).otherwise(0L)).as("s2"),
+        sum(when(c3, 1L).otherwise(0L)).as("s3"),
+        sum(when(c4, 1L).otherwise(0L)).as("s4"),
+        sum(when(c5, 1L).otherwise(0L)).as("s5"))
+      .select(expr(
+        """stack(5,
+             1, 'min_tokens',     n0, s1,
+             2, 'word_len',       s1, s2,
+             3, 'distinct_ratio', s2, s3,
+             4, 'stopwords',      s3, s4,
+             5, 'repetition',     s4, s5) AS (stage, rule, n_in, n_out)"""))
+      .withColumn("n_rejected", $"n_in" - $"n_out")
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "p05_filter_funnel" -> p05FilterFunnel _,
     "p04_corpus_report" -> p04CorpusReport _,
     // rows-only: composition of oracle-checked stages (LSH stage is the
     // xxhash64 scale path, which has no DuckDB twin by construction)
@@ -146,6 +199,40 @@ object Curation {
     "p03_weighted_sample" -> p03WeightedSample _,
   )
   val oracles: Map[String, String] = Map(
+    "p05_filter_funnel" -> {
+      val tok = TextAnalysis.tokensSql
+      s"""WITH base AS (
+            SELECT CAST(len($tok) AS BIGINT) AS n,
+                   CAST(list_sum(list_transform($tok, t -> length(t))) AS DOUBLE)
+                     / len($tok) AS avglen,
+                   CAST(len(list_distinct($tok)) AS DOUBLE) / len($tok) AS ndr,
+                   len(list_filter($tok, t -> t IN ('a', 'the', 'value'))) AS nstop,
+                   CAST(list_max(list_transform(list_distinct($tok),
+                          u -> len(list_filter($tok, t -> t = u)))) AS DOUBLE)
+                     / len($tok) AS topshare
+            FROM documents),
+          f AS (
+            SELECT COUNT(*) AS n0,
+                   CAST(COUNT(*) FILTER (n >= 20) AS BIGINT) AS s1,
+                   CAST(COUNT(*) FILTER (n >= 20 AND avglen >= 3.0 AND avglen <= 5.0)
+                        AS BIGINT) AS s2,
+                   CAST(COUNT(*) FILTER (n >= 20 AND avglen >= 3.0 AND avglen <= 5.0
+                        AND ndr >= 0.33) AS BIGINT) AS s3,
+                   CAST(COUNT(*) FILTER (n >= 20 AND avglen >= 3.0 AND avglen <= 5.0
+                        AND ndr >= 0.33 AND nstop >= 2) AS BIGINT) AS s4,
+                   CAST(COUNT(*) FILTER (n >= 20 AND avglen >= 3.0 AND avglen <= 5.0
+                        AND ndr >= 0.33 AND nstop >= 2 AND topshare <= 0.125)
+                        AS BIGINT) AS s5
+            FROM base)
+          SELECT CAST(stage AS INT) AS stage, rule, n_in, n_out,
+                 n_in - n_out AS n_rejected
+          FROM (
+            SELECT 1 AS stage, 'min_tokens' AS rule, n0 AS n_in, s1 AS n_out FROM f
+            UNION ALL SELECT 2, 'word_len', s1, s2 FROM f
+            UNION ALL SELECT 3, 'distinct_ratio', s2, s3 FROM f
+            UNION ALL SELECT 4, 'stopwords', s3, s4 FROM f
+            UNION ALL SELECT 5, 'repetition', s4, s5 FROM f) u"""
+    },
     // sqrt is IEEE-correctly-rounded in both engines; the division input
     // is exact integers, so rates agree bit-for-bit
     "p02_domain_mix" ->

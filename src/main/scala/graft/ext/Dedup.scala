@@ -434,6 +434,45 @@ object Dedup {
       .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
   }
 
+  // --- d14: passage-level (sub-document) dedup ----------------------------
+
+  /** Passage window width (words) for d14. */
+  val PassageW = 16
+
+  /** Passage-level dedup (the CCNet/RefinedWeb line-dedup shape, adapted
+    * to word-window passages since the fixture has no newlines): split
+    * each document into disjoint 16-word passages, drop every passage
+    * whose exact text already occurred at a smaller (doc_id, chunk_idx),
+    * and report per-document retention. Unlike d01's whole-doc hashing
+    * this removes boilerplate *inside* otherwise-unique documents —
+    * the dominant duplication mode in web corpora (headers, footers,
+    * licence blocks). Scale shape: passage explode is map-side; the
+    * keep-first flag is ONE hash-partitioned window on md5(passage) —
+    * no all-pairs, no global sort; the per-doc rollup re-shuffles by
+    * doc_id. Reference delegates dedup entirely to its engines; this is
+    * north-star surface (BASELINE.json). */
+  def d14PassageDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val W = PassageW
+    val toks = TextAnalysis.tokens($"text")
+    val chunks = corpusWithCopies(Tables.documents(spark, dir))
+      .select($"doc_id", toks.as("toks"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), expr(s"(n_tokens + ${W - 1}) div $W") - 1)))
+      .select($"doc_id", $"n_tokens", $"chunk_idx",
+        md5(concat_ws(" ", slice($"toks", ($"chunk_idx" * W + 1).cast("int"), lit(W))))
+          .as("h"),
+        least(lit(W.toLong), $"n_tokens" - $"chunk_idx" * W).as("clen"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id", $"chunk_idx")
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"rn" > 1, 1L).otherwise(0L)).as("n_dup"),
+        (sum(when($"rn" === 1, $"clen").otherwise(0L)).cast("double") /
+          min($"n_tokens")).as("retained_frac"))
+  }
+
   // --- d12: incremental (batch-vs-index) dedup ----------------------------
 
   /** The incoming-batch fixture for incremental dedup: exact copies,
@@ -501,6 +540,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"   -> d01Exact _,
+    "d14_passage_dedup" -> d14PassageDedup _,
     "d11_contamination" -> d11Contamination _,
     "d12_incremental_dedup" -> d12IncrementalDedup _,
     "d02_minhash_lsh"   -> d02MinHashLsh _,
@@ -555,6 +595,29 @@ object Dedup {
   private def lshPairCtes: String = lshPairCtesFor(corpusSql)
 
   val oracles: Map[String, String] = Map(
+    "d14_passage_dedup" -> {
+      val W = PassageW
+      s"""WITH $corpusSql,
+          toks AS (
+            SELECT doc_id, ${TextAnalysis.tokensSql} AS ts FROM corpus),
+          idx AS (
+            SELECT doc_id, ts, len(ts) AS n_tokens,
+                   unnest(range(0, (len(ts) + ${W - 1}) // $W)) AS chunk_idx
+            FROM toks),
+          chunks AS (
+            SELECT doc_id, n_tokens, chunk_idx,
+                   md5(array_to_string(ts[(chunk_idx * $W + 1):(chunk_idx * $W + $W)], ' ')) AS h,
+                   LEAST($W, n_tokens - chunk_idx * $W) AS clen
+            FROM idx),
+          flagged AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rn
+            FROM chunks)
+          SELECT doc_id, COUNT(*) AS n_chunks,
+                 CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                 CAST(SUM(CASE WHEN rn = 1 THEN clen ELSE 0 END) AS DOUBLE)
+                   / MIN(n_tokens) AS retained_frac
+          FROM flagged GROUP BY 1"""
+    },
     "d11_contamination" ->
       s"""WITH $corpusSql,
           $shinglesSql,

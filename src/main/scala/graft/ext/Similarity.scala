@@ -242,8 +242,47 @@ object Similarity {
       .withColumn("recall", $"n_hit".cast("double") / $"n_exact")
   }
 
+  // --- s08: int8 scalar quantization ------------------------------------
+
+  /** Per-vector int8 scalar quantization: scale = 127/max|xᵢ|,
+    * qᵢ = ⌊xᵢ·scale + 0.5⌋ (explicit floor form — no dependence on either
+    * engine's round() tie mode). Quantized dot products are exact integer
+    * arithmetic (|q| ≤ 127, 64 dims → |Σqᵢqᵢ'| ≤ 127²·64 ≪ 2⁶³), so the
+    * de-scaled approximation qdot/(s·s') is deterministic cross-engine. */
+  def quantized(e: DataFrame): DataFrame = {
+    val mx = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    e.withColumn("scale", when(mx > 0, lit(127.0) / mx).otherwise(lit(1.0)))
+      .withColumn("qv", transform(col("embedding"),
+        x => floor(x.cast("double") * col("scale") + lit(0.5)).cast("long")))
+  }
+
+  /** Quantized kNN: top-5 neighbors per query ranked by the int8
+    * approximate dot product, with the exact float dot carried alongside
+    * (the quantization-error readout). This is the memory-bound ANN scale
+    * path — at 100 TB the quantized vectors are 4× smaller than float32
+    * (scan bandwidth, cache residency) and the integer inner loop is
+    * SIMD-friendly; re-ranking by the exact score happens only on the
+    * k survivors. Same broadcast-query scan shape as s01: no shuffle
+    * before the per-query top-k window. */
+  def s08QuantizedKnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = quantized(Tables.embeddings(spark, dir).select($"vec_id", $"embedding"))
+    val q = e.filter($"vec_id" < 5).select($"vec_id".as("qid"), $"embedding".as("qe"),
+      $"scale".as("qscale"), $"qv".as("qqv"))
+    val qdot = aggregate(zip_with($"qqv", $"qv", (x, y) => x * y),
+      lit(0L), (a, v) => a + v)
+    val scored = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        (qdot.cast("double") / ($"qscale" * $"scale")).as("approx_dot"),
+        dot($"qe", $"embedding").as("exact_dot"))
+    val w = Window.partitionBy($"qid").orderBy($"approx_dot".desc, $"nid")
+    scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"approx_dot", $"exact_dot")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
+    "s08_quantized_knn"  -> s08QuantizedKnn _,
     "s06_range_search"   -> s06RangeSearch _,
     "s07_ann_recall"     -> s07AnnRecall _,
     "s05_centroid_agg"   -> s05CentroidAgg _,
@@ -270,6 +309,32 @@ object Similarity {
               FROM scored) t WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "s08_quantized_knn" ->
+      s"""WITH mxs AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+            FROM embeddings),
+          qz AS (
+            SELECT vec_id, embedding,
+                   CASE WHEN mx > 0 THEN CAST(127 AS DOUBLE) / mx ELSE 1.0 END AS scale
+            FROM mxs),
+          qvs AS (
+            SELECT vec_id, embedding, scale,
+                   list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+            FROM qz),
+          scored AS (
+            SELECT q.vec_id AS qid, e.vec_id AS nid,
+                   CAST(list_reduce(list_transform(range(1, 65),
+                          i -> q.qv[i] * e.qv[i]), (x, y) -> x + y) AS DOUBLE)
+                     / (q.scale * e.scale) AS approx_dot,
+                   ${dotSql("q.embedding", "e.embedding")} AS exact_dot
+            FROM qvs q JOIN qvs e ON e.vec_id <> q.vec_id AND q.vec_id < 5)
+          SELECT qid, CAST(rank AS INT) AS rank, nid, approx_dot, exact_dot FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY approx_dot DESC, nid) AS rank
+            FROM scored) t
+          WHERE rank <= 5""",
     // ordered fold from 0.0 over vec_id-sorted members ≡ the Spark side's
     // array_sort(collect_list) + aggregate — identical IEEE sequence
     "s05_centroid_agg" ->

@@ -142,8 +142,56 @@ object Relational6 {
       .select($"l_orderkey", $"l_linenumber", a.as("da"), b.as("db"), z.as("zkey"))
   }
 
+  /** IGNORE NULLS window gallery: forward-fill (last non-null in the
+    * running frame), first/second non-null over the whole partition —
+    * the gap-tolerant window reads (Debezium streams carry sparse
+    * columns: a ROW-image update only populates changed fields, so
+    * "latest known value per key as of each row" is exactly
+    * last_value IGNORE NULLS). Sparse values are simulated by nulling
+    * every 7th order. Windows are PARTITIONED by customer — per-group
+    * sorts after one keyed exchange, no global sort; all three reads
+    * share the same (partition, order) so Spark plans ONE Window node. */
+  def q69IgnoreNulls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wRun = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .withColumn("v",
+        when($"o_orderkey" % 7 === 0, lit(null)).otherwise($"o_totalprice"))
+      .select($"o_custkey", $"o_orderkey", $"v",
+        last($"v", ignoreNulls = true).over(wRun).as("ffill"),
+        first($"v", ignoreNulls = true).over(wAll).as("first_nn"),
+        nth_value($"v", 2, ignoreNulls = true).over(wAll).as("second_nn"))
+  }
+
+  /** Date-sequence generation + explode: each order contributes its
+    * following (o_orderkey % 3) month-starts — the calendar-densify
+    * primitive behind "bill every month until horizon" / slowly-changing
+    * coverage tables. `sequence()` + `explode` is map-side row
+    * generation (no shuffle, no driver loop); only the final small
+    * per-month rollup exchanges. Month arithmetic on month-start
+    * timestamps is exact in both engines. */
+  def q70SequenceExplode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .withColumn("m0", date_trunc("month", $"o_orderdate"))
+      .withColumn("month", explode(sequence(
+        $"m0", expr("m0 + make_interval(0, CAST(o_orderkey % 3 AS INT))"),
+        expr("interval 1 month"))))
+      // naive timestamp on the output boundary (session TZ pinned UTC),
+      // matching the driver's DuckDB read of the source parquet
+      .withColumn("month", $"month".cast("timestamp_ntz"))
+      .groupBy($"month")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"),
+        dsum($"o_totalprice").as("total"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q69_ignore_nulls"  -> q69IgnoreNulls _,
+    "q70_sequence_explode" -> q70SequenceExplode _,
     "q68_zorder_key"    -> q68ZorderKey _,
     "q64_winsorize"     -> q64Winsorize _,
     "q65_recursive_cte" -> q65RecursiveCte _,
@@ -153,6 +201,35 @@ object Relational6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_ignore_nulls" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v
+           FROM orders)
+         SELECT o_custkey, o_orderkey, v,
+                last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+                first_value(v IGNORE NULLS) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_nn,
+                nth_value(v, 2 IGNORE NULLS) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_nn
+         FROM o""",
+    "q70_sequence_explode" ->
+      s"""WITH m AS (
+            SELECT o_custkey, o_totalprice,
+                   unnest(generate_series(
+                     date_trunc('month', o_orderdate),
+                     date_trunc('month', o_orderdate)
+                       + (o_orderkey % 3) * INTERVAL 1 MONTH,
+                     INTERVAL 1 MONTH)) AS month
+            FROM orders)
+          SELECT month, COUNT(*) AS n_orders,
+                 COUNT(DISTINCT o_custkey) AS n_customers,
+                 ${Tables.sqlDsum("o_totalprice")} AS total
+          FROM m GROUP BY 1""",
     "q63_skyline" ->
       """WITH pm AS (
            SELECT p_brand, p_retailprice, MAX(p_size) AS ms

@@ -236,6 +236,113 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q69: IGNORE NULLS reads match a hand fold over each customer's history") {
+    val rows = ops.Relational6.q69IgnoreNulls(spark, sf0001)
+      .select($"o_custkey", $"o_orderkey", $"v", $"ffill", $"first_nn", $"second_nn")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    val orders = Tables.orders(spark, sf0001)
+      // ISO string form of the NTZ timestamp sorts chronologically
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate".cast("string"), $"o_totalprice")
+      .as[(Long, Long, String, Double)].collect()
+    val hist = orders.groupBy(_._1).view.mapValues { os =>
+      os.sortBy(o => (o._3, o._2)).map(o =>
+        (o._2, if (o._2 % 7 == 0) None else Some(o._4)))
+    }.toMap
+    for ((ck, ok, v, ffill, firstNn, secondNn) <- rows) {
+      val h = hist(ck)
+      val idx = h.indexWhere(_._1 == ok)
+      assert(h(idx)._2 == v)
+      assert(ffill == h.take(idx + 1).flatMap(_._2).lastOption)
+      val nn = h.flatMap(_._2)
+      assert(firstNn == nn.headOption)
+      assert(secondNn == nn.drop(1).headOption)
+    }
+  }
+
+  test("q70: every order densifies into (o_orderkey % 3) + 1 consecutive month-starts") {
+    val total = ops.Relational6.q70SequenceExplode(spark, sf0001)
+      .agg(sum($"n_orders")).as[Long].head()
+    val expected = Tables.orders(spark, sf0001)
+      .select(($"o_orderkey" % 3 + 1).cast("long")).as[Long].collect().sum
+    assert(total == expected, s"exploded $total rows, expected $expected")
+    val months = ops.Relational6.q70SequenceExplode(spark, sf0001)
+      .select($"month").as[java.sql.Timestamp].collect()
+    months.foreach { m =>
+      val ld = m.toLocalDateTime
+      assert(ld.getDayOfMonth == 1 && ld.getHour == 0, s"$m is not a month start")
+    }
+  }
+
+  test("d14: planted exact copies lose every passage; chunk counts tile the corpus") {
+    val res = ext.Dedup.d14PassageDedup(spark, sf0001)
+      .select($"doc_id", $"n_chunks", $"n_dup", $"retained_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = res.map(r => r._1 -> r).toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", size(ext.TextAnalysis.tokens($"text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    // exact copies (id + 1000000): every passage already occurred in the source
+    for ((id, n) <- docs if id % 10 == 0) {
+      val (_, nChunks, nDup, retained) = byId(id + 1000000L)
+      assert(nChunks == (n + 15) / 16)
+      assert(nDup == nChunks, s"copy of $id kept ${nChunks - nDup} passages")
+      assert(retained == 0.0)
+    }
+    // keep-first: kept passages across the corpus = distinct passage hashes
+    // (originals may still lose the odd window to a NATURAL cross-doc
+    // collision — the fixture contains genuine duplicate text)
+    val kept = res.map(r => r._2 - r._3).sum
+    val distinctHashes = ext.Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
+      .select($"doc_id", ext.TextAnalysis.tokens($"text").as("toks"))
+      .select(explode(sequence(lit(0L),
+        expr(s"(size(toks) + 15) div 16") - 1)).as("i"), $"toks")
+      .select(md5(concat_ws(" ", expr("slice(toks, CAST(i * 16 + 1 AS INT), 16)"))).as("h"))
+      .agg(countDistinct($"h")).as[Long].head()
+    assert(kept == distinctHashes, s"kept $kept != distinct passages $distinctHashes")
+    // near copies (first word dropped) shift every 16-word window: passages
+    // are NOT near-dup-detectable — that's d02's job, not passage dedup's
+    val nearRetained = res.filter(_._1 >= 2000000L).map(_._4)
+    assert(nearRetained.nonEmpty && nearRetained.forall(_ > 0.5))
+  }
+
+  test("s08: quantized ranking error stays inside the int8 rounding bound") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val rows = ext.Similarity.s08QuantizedKnn(spark, sf0001)
+      .select($"qid", $"rank", $"nid", $"approx_dot", $"exact_dot")
+      .as[(Long, Int, Long, Double, Double)].collect()
+    assert(rows.length == 25) // 5 queries × top-5
+    for ((qid, _, nid, approx, exact) <- rows) {
+      val a = e(qid).map(_.toDouble); val b = e(nid).map(_.toDouble)
+      val sa = 127.0 / a.map(math.abs).max; val sb = 127.0 / b.map(math.abs).max
+      val bound = a.map(math.abs).sum * 0.5 / sb +
+        b.map(math.abs).sum * 0.5 / sa + 64 * 0.25 / (sa * sb)
+      assert(math.abs(approx - exact) <= bound,
+        s"($qid,$nid): |$approx - $exact| > $bound")
+    }
+  }
+
+  test("p05: the funnel is monotone, chained, and every stage sees real traffic") {
+    val stages = ext.Curation.p05FilterFunnel(spark, sf0001)
+      .select($"stage", $"rule", $"n_in", $"n_out", $"n_rejected")
+      .as[(Int, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(stages.map(_._2).toSeq ==
+      Seq("min_tokens", "word_len", "distinct_ratio", "stopwords", "repetition"))
+    assert(stages.head._3 == Tables.documents(spark, sf0001).count())
+    for (Array(a, b) <- stages.sliding(2))
+      assert(b._3 == a._4, s"stage ${b._1} n_in != stage ${a._1} n_out")
+    for ((_, rule, nIn, nOut, nRej) <- stages) {
+      assert(nOut >= 0 && nOut <= nIn && nRej == nIn - nOut, s"stage $rule")
+    }
+    assert(stages.last._4 > 0, "funnel rejected everything")
+    assert(stages.map(_._5).sum > 0, "funnel rejected nothing")
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
