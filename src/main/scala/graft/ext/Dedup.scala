@@ -434,6 +434,54 @@ object Dedup {
       .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
   }
 
+  // --- d15: minhash estimator quality -------------------------------------
+
+  /** MinHash estimator evaluation: for the planted exact/near/control
+    * pairs, the K=8-signature agreement estimate ĵ = |{i : minᵢ(a) =
+    * minᵢ(b)}| / K next to the exact shingle jaccard — the measurement
+    * that justifies (or rejects) a signature width before a corpus-scale
+    * run, the MinHash twin of s07's ANN recall readout. Everything is
+    * integer-derived (agreement counts, set sizes), so both engines agree
+    * bit-for-bit on the derived percentages. Scale shape: signatures are
+    * one groupBy over (doc, shingle-id); the eval joins only the planted
+    * pair list — never all pairs. */
+  def d15MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val sh = shingles(corpus)
+    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid").cache()
+    val sig = signatures(ids)
+    val base = Tables.documents(spark, dir).select($"doc_id")
+    val pairs =
+      base.filter($"doc_id" % 10 === 0)
+        .select($"doc_id".as("id1"), ($"doc_id" + 1000000L).as("id2"), lit("exact").as("kind"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select($"doc_id".as("id1"), ($"doc_id" + 2000000L).as("id2"), lit("near").as("kind")))
+      .unionByName(base.filter($"doc_id" % 20 === 0)
+        .select($"doc_id".as("id1"), ($"doc_id" + 5).as("id2"), lit("control").as("kind")))
+    val s1 = sig.select(col("doc_id").as("id1") +:
+      (0 until K).map(i => col(s"min_$i").as(s"x_$i")): _*)
+    val s2 = sig.select(col("doc_id").as("id2") +:
+      (0 until K).map(i => col(s"min_$i").as(s"y_$i")): _*)
+    val agree = (0 until K).map(i =>
+      when(col(s"x_$i") === col(s"y_$i"), 1).otherwise(0): Column).reduce(_ + _)
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
+      .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
+      .filter($"s1" === $"s2")
+      .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(s1, "id1").join(s2, "id2")
+      .withColumn("est_pct", agree * lit(100.0) / K)
+      .join(inter, Seq("id1", "id2"), "left").na.fill(0L, Seq("inter"))
+      .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+      .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+      .withColumn("jacc_pct", $"inter" * 100.0 / ($"n1" + $"n2" - $"inter"))
+      .select($"kind", $"id1", $"id2", $"est_pct", $"jacc_pct",
+        ($"est_pct" - $"jacc_pct").as("err_pct"))
+  }
+
   // --- d14: passage-level (sub-document) dedup ----------------------------
 
   /** Passage window width (words) for d14. */
@@ -541,6 +589,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d14_passage_dedup" -> d14PassageDedup _,
+    "d15_minhash_estimate" -> d15MinhashEstimate _,
     "d11_contamination" -> d11Contamination _,
     "d12_incremental_dedup" -> d12IncrementalDedup _,
     "d02_minhash_lsh"   -> d02MinHashLsh _,
@@ -617,6 +666,47 @@ object Dedup {
                  CAST(SUM(CASE WHEN rn = 1 THEN clen ELSE 0 END) AS DOUBLE)
                    / MIN(n_tokens) AS retained_frac
           FROM flagged GROUP BY 1"""
+    },
+    "d15_minhash_estimate" -> {
+      val agreeSql = (0 until K).map(i =>
+        s"(CASE WHEN a.min_$i = b.min_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $corpusSql,
+          $shinglesSql,
+          $shingleDictSql,
+          ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
+          sigs AS (
+            SELECT doc_id,
+               $minExprs
+            FROM ids GROUP BY doc_id),
+          pairs AS (
+            SELECT doc_id AS id1, doc_id + 1000000 AS id2, 'exact' AS kind
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000, 'near' FROM documents WHERE doc_id % 10 = 5
+            UNION ALL
+            SELECT doc_id, doc_id + 5, 'control' FROM documents WHERE doc_id % 20 = 0),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY doc_id),
+          inter AS (
+            SELECT p.id1, p.id2, COUNT(*) AS inter
+            FROM pairs p
+            JOIN ids x ON x.doc_id = p.id1
+            JOIN ids y ON y.doc_id = p.id2 AND x.sid = y.sid
+            GROUP BY p.id1, p.id2),
+          est AS (
+            SELECT p.kind, p.id1, p.id2,
+                   ($agreeSql) * 100.0 / $K AS est_pct
+            FROM pairs p
+            JOIN sigs a ON a.doc_id = p.id1
+            JOIN sigs b ON b.doc_id = p.id2)
+          SELECT e.kind, e.id1, e.id2, e.est_pct,
+                 COALESCE(i.inter, 0) * 100.0
+                   / (s1.n + s2.n - COALESCE(i.inter, 0)) AS jacc_pct,
+                 e.est_pct - COALESCE(i.inter, 0) * 100.0
+                   / (s1.n + s2.n - COALESCE(i.inter, 0)) AS err_pct
+          FROM est e
+          LEFT JOIN inter i ON i.id1 = e.id1 AND i.id2 = e.id2
+          JOIN sizes s1 ON s1.doc_id = e.id1
+          JOIN sizes s2 ON s2.doc_id = e.id2"""
     },
     "d11_contamination" ->
       s"""WITH $corpusSql,

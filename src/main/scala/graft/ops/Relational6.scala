@@ -188,8 +188,39 @@ object Relational6 {
         dsum($"o_totalprice").as("total"))
   }
 
+  private val profileCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** ANALYZE-style column profile of `orders`: per column — row count,
+    * null count, exact NDV, min/max (typed compare, then rendered as
+    * string). This is the statistics collector behind CBO/data-quality
+    * dashboards (the reference's ClickHouse side gets it from
+    * system.columns + ANALYZE). ONE pass over the table: Spark plans the
+    * 6 DISTINCT aggregates via a single Expand (one shuffle family, no
+    * per-column jobs); the `stack` reshape runs on the 1-row aggregate.
+    * At 100 TB exact NDV would swap to approx_count_distinct — the q28
+    * sketch — without changing the output contract. */
+  def q71ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val aggs = profileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+      countDistinct(col(c)).as(s"${c}__nd"),
+      min(col(c)).cast("string").as(s"${c}__min"),
+      max(col(c)).cast("string").as(s"${c}__max")))
+    val stacked = profileCols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
+    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select($"n_rows", expr(
+        s"stack(${profileCols.length}, $stacked)" +
+          " AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct",
+        $"min_val", $"max_val")
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q71_column_profile" -> q71ColumnProfile _,
     "q69_ignore_nulls"  -> q69IgnoreNulls _,
     "q70_sequence_explode" -> q70SequenceExplode _,
     "q68_zorder_key"    -> q68ZorderKey _,
@@ -201,6 +232,17 @@ object Relational6 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q71_column_profile" -> {
+      val rows = profileCols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT $c) AS n_distinct,
+               CAST(MIN($c) AS VARCHAR) AS min_val,
+               CAST(MAX($c) AS VARCHAR) AS max_val
+            FROM orders"""
+      }
+      rows.mkString("\n UNION ALL\n")
+    },
     "q69_ignore_nulls" ->
       """WITH o AS (
            SELECT o_custkey, o_orderkey, o_orderdate,

@@ -16,9 +16,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed catalog table (bucketBy requires
-    * saveAsTable — plain parquet paths carry no bucket metadata). */
+    * saveAsTable — plain parquet paths carry no bucket metadata).
+    * Drops any previous catalog entry AND its warehouse location first:
+    * the metastore is per-session but the warehouse directory persists,
+    * so a fresh session re-creating the table would otherwise hit
+    * LOCATION_ALREADY_EXISTS on the stale files. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)

@@ -137,8 +137,36 @@ object Sources {
       .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("l_extendedprice")).as("total"))
   }
 
+  /** Bucketed write → exchange-free join, driver-checked every round: both
+    * fact tables land bucketed on the order key ([[Bucketing.writeBucketed]]
+    * — the MergeTree-ORDER-BY/bucketing layout decision the reference makes
+    * in its sink DDL [consumer_to_file.py:145-150]), and the re-read join
+    * runs with NO shuffle on either side (BucketingSpec asserts zero
+    * Exchanges in this exact plan). The oracle states the layout hop is
+    * value-lossless via the same join+agg over the flat parquet. At 100 TB
+    * this is THE repeated-join answer: the shuffle is paid once at write
+    * time, every subsequent join on the key is free. */
+  def o02BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, expr}
+    val sfx = new java.io.File(dir).getName.replace('.', '_')
+    val lTab = s"graft_o02_lineitem_$sfx"; val oTab = s"graft_o02_orders_$sfx"
+    Bucketing.writeBucketed(
+      graft.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      lTab, "l_orderkey", 8, sortCol = Some("l_orderkey"))
+    Bucketing.writeBucketed(
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      oTab, "l_orderkey", 8, sortCol = Some("l_orderkey"))
+    Bucketing.bucketedJoin(spark, lTab, oTab, "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
+    "o02_bucketed_join" -> o02BucketedJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,5 +174,10 @@ object Sources {
       s"""SELECT l_returnflag, COUNT(*) AS n,
                  ${graft.Tables.sqlDsum("l_extendedprice")} AS total
           FROM lineitem GROUP BY 1""",
+    "o02_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          GROUP BY 1""",
   )
 }

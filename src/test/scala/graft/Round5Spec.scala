@@ -343,6 +343,56 @@ class Round5Spec extends AnyFunSuite {
     assert(stages.map(_._5).sum > 0, "funnel rejected nothing")
   }
 
+  test("d15: exact copies estimate 100%, estimates live on the K=8 grid, control jaccard is low") {
+    val rows = ext.Dedup.d15MinhashEstimate(spark, sf0001)
+      .select($"kind", $"est_pct", $"jacc_pct").as[(String, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    val grid = (0 to 8).map(_ * 12.5).toSet
+    rows.foreach { case (_, est, _) => assert(grid.contains(est), s"$est off-grid") }
+    rows.filter(_._1 == "exact").foreach { case (_, est, jacc) =>
+      assert(est == 100.0 && jacc == 100.0)
+    }
+    val controls = rows.filter(_._1 == "control")
+    assert(controls.nonEmpty && controls.forall(_._3 < 50.0))
+    // near copies: the estimator should usually agree with a high jaccard
+    val nears = rows.filter(_._1 == "near")
+    assert(nears.nonEmpty && nears.forall(_._3 >= 50.0))
+  }
+
+  test("q71: profile matches directly computed per-column statistics") {
+    val prof = ops.Relational6.q71ColumnProfile(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val o = Tables.orders(spark, sf0001)
+    val n = o.count()
+    assert(prof.values.forall(_.getLong(1) == n))
+    assert(prof.values.forall(_.getLong(2) == 0L), "fixture has no nulls")
+    assert(prof("o_orderkey").getLong(3) == n, "order key is unique")
+    assert(prof("o_orderkey").getString(4).toLong ==
+      o.agg(min($"o_orderkey")).as[Long].head())
+    val statuses = o.select($"o_orderstatus").distinct().as[String].collect().sorted
+    assert(prof("o_orderstatus").getLong(3) == statuses.length)
+    assert(prof("o_orderstatus").getString(4) == statuses.head)
+    assert(prof("o_orderstatus").getString(5) == statuses.last)
+  }
+
+  test("o02: the bucketed join runs with no hash-partitioning exchange before the join") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = sources.Sources.o02BucketedJoin(spark, sf0001)
+      df.collect() // materialize through AQE
+      val plan = df.queryExecution.executedPlan.toString
+      // the agg exchanges on o_orderpriority; the join key must never —
+      // the bucketed layout already provides that partitioning
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join shuffled on the join key:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS graft_o02_lineitem_sf0_001")
+      spark.sql(s"DROP TABLE IF EXISTS graft_o02_orders_sf0_001")
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
