@@ -203,14 +203,22 @@ object Relational6 {
   def q71ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val o = Tables.orders(spark, dir)
-    val aggs = profileCols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-      countDistinct(col(c)).as(s"${c}__nd"),
-      min(col(c)).cast("string").as(s"${c}__min"),
-      max(col(c)).cast("string").as(s"${c}__max")))
+    // two 1-row aggregates, crossed: min/max(string) has a non-fixed-width
+    // buffer, and fused with the multi-DISTINCT it drags the whole 7×
+    // Expand through a SortAggregate with a 7-column sort (2.3s at sf0.1).
+    // Split, the NDV pass stays an all-long HashAggregate over the Expand
+    // and the min/max pass runs straight on the scan with no Expand — 4×.
+    val basic = o.agg(count(lit(1)).as("n_rows"),
+      profileCols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))): _*)
+    val nd = o.agg(
+      countDistinct(col(profileCols.head)).as(s"${profileCols.head}__nd"),
+      profileCols.tail.map(c => countDistinct(col(c)).as(s"${c}__nd")): _*)
     val stacked = profileCols.map(c =>
       s"'$c', ${c}__nulls, ${c}__nd, ${c}__min, ${c}__max").mkString(", ")
-    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    basic.crossJoin(nd)
       .select($"n_rows", expr(
         s"stack(${profileCols.length}, $stacked)" +
           " AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
@@ -218,9 +226,52 @@ object Relational6 {
         $"min_val", $"max_val")
   }
 
+  /** Semi-structured VARIANT path (Spark 4's `parse_json`/`variant_get`):
+    * the open-schema JSON ingestion the reference leans on ClickHouse
+    * JSON-String columns for. `parse_json` materializes the binary
+    * variant once per row, typed `variant_get` extraction replaces
+    * per-field string re-parsing; all map-side, one small rollup
+    * exchange. (q19 is the classic get_json_object form; this is the
+    * Spark-4-native typed path.) */
+  def q72VariantJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"k".isNull, 1L).otherwise(0L)).as("n_null_k"),
+        min($"k").as("k_min"), max($"k").as("k_max"),
+        sum($"k".cast("long")).as("k_sum"),
+        countDistinct($"k").as("k_ndv"))
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the join
+    * mode CDC pipelines need when the key itself can be legitimately
+    * NULL (Debezium ROW images carry nullable keys; a plain `=` join
+    * silently drops those rows). Planted nulls on both sides must
+    * match each other. Still a hash-partitioned equi-join — null-safe
+    * equality hashes NULL as a regular key value, so the shuffle shape
+    * is identical to `=`. */
+  def q73NullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+      .select($"c_custkey",
+        when($"c_nationkey" % 7 === 0, lit(null)).otherwise($"c_nationkey").as("cn"))
+    val n = Tables.nation(spark, dir)
+      .select($"n_name",
+        when($"n_nationkey" % 7 === 0, lit(null)).otherwise($"n_nationkey").as("nn"))
+    c.join(broadcast(n), $"cn" <=> $"nn")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when($"cn".isNull, 1L).otherwise(0L)).as("n_null_matches"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
     "q71_column_profile" -> q71ColumnProfile _,
+    "q72_variant_json"  -> q72VariantJson _,
+    "q73_null_safe_join" -> q73NullSafeJoin _,
     "q69_ignore_nulls"  -> q69IgnoreNulls _,
     "q70_sequence_explode" -> q70SequenceExplode _,
     "q68_zorder_key"    -> q68ZorderKey _,
@@ -243,6 +294,30 @@ object Relational6 {
       }
       rows.mkString("\n UNION ALL\n")
     },
+    "q72_variant_json" ->
+      """WITH e AS (
+           SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k
+           FROM events)
+         SELECT event_type, COUNT(*) AS n,
+                CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k,
+                MIN(k) AS k_min, MAX(k) AS k_max,
+                CAST(SUM(k) AS BIGINT) AS k_sum,
+                COUNT(DISTINCT k) AS k_ndv
+         FROM e GROUP BY 1""",
+    "q73_null_safe_join" ->
+      """WITH c AS (
+           SELECT c_custkey,
+                  CASE WHEN c_nationkey % 7 = 0 THEN NULL ELSE c_nationkey END AS cn
+           FROM customer),
+         n AS (
+           SELECT n_name,
+                  CASE WHEN n_nationkey % 7 = 0 THEN NULL ELSE n_nationkey END AS nn
+           FROM nation)
+         SELECT n_name, COUNT(*) AS n_customers,
+                CAST(SUM(CASE WHEN cn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_null_matches
+         FROM c JOIN n ON cn IS NOT DISTINCT FROM nn
+         GROUP BY 1""",
     "q69_ignore_nulls" ->
       """WITH o AS (
            SELECT o_custkey, o_orderkey, o_orderdate,

@@ -164,9 +164,32 @@ object Sources {
         graft.Tables.dsum(expr("l_extendedprice * (1 - l_discount)")).as("revenue"))
   }
 
+  /** Partitioned layout write → partition-pruned read, driver-checked
+    * every round: orders lands hive-partitioned by order year (the
+    * date-partitioning every CDC sink directory tree uses), and the
+    * filtered re-read shows `PartitionFilters` in its scan — the year
+    * predicate prunes whole directories before any IO. Round5Spec
+    * asserts the pruning in this exact plan; the oracle states the
+    * layout hop + prune is value-identical to filtering the flat
+    * parquet. At 100 TB partition pruning is the first 100× — a year
+    * filter over a 7-year corpus reads one-seventh of the files. */
+  def o03PartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, year}
+    val tmp = s"/tmp/graft_o03/${new java.io.File(dir).getName}"
+    val o = graft.Tables.orders(spark, dir)
+    o.withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("o_year") === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("o_totalprice")).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
+    "o03_partitioned_prune" -> o03PartitionedPrune _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -178,6 +201,11 @@ object Sources {
       s"""SELECT o_orderpriority, COUNT(*) AS n,
                  ${graft.Tables.sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
           FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          GROUP BY 1""",
+    "o03_partitioned_prune" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("o_totalprice")} AS total
+          FROM orders WHERE year(o_orderdate) = 1997
           GROUP BY 1""",
   )
 }

@@ -393,6 +393,63 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q72: the variant path agrees with the classic string-JSON extraction") {
+    val variant = ops.Relational6.q72VariantJson(spark, sf0001)
+      .select($"event_type", $"n", $"k_sum").as[(String, Long, Long)].collect().toMap2
+    val classic = Tables.events(spark, sf0001)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type").agg(count(lit(1)).as("n"), sum($"k").as("k_sum"))
+      .as[(String, Long, Long)].collect().toMap2
+    assert(variant == classic)
+  }
+
+  test("q73: null keys match each other under <=>, never under =") {
+    val nsj = ops.Relational6.q73NullSafeJoin(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nullNations = Tables.nation(spark, sf0001)
+      .filter($"n_nationkey" % 7 === 0).select($"n_name").as[String].collect()
+    val nullCustomers = Tables.customer(spark, sf0001)
+      .filter($"c_nationkey" % 7 === 0).count()
+    assert(nullNations.nonEmpty && nullCustomers > 0)
+    // every null-key nation row matched every null-key customer
+    nullNations.foreach { nm =>
+      assert(nsj(nm) == (nullCustomers, nullCustomers), s"nation $nm: ${nsj(nm)}")
+    }
+    // plain = drops them: total matches under <=> exceed the equi-join's
+    val equi = Tables.customer(spark, sf0001)
+      .filter(!($"c_nationkey" % 7 === 0))
+      .join(Tables.nation(spark, sf0001).filter(!($"n_nationkey" % 7 === 0)),
+        $"c_nationkey" === $"n_nationkey").count()
+    assert(nsj.values.map(_._1).sum ==
+      equi + nullNations.length.toLong * nullCustomers)
+  }
+
+  test("o03: the year filter reaches the scan as a partition filter") {
+    val df = sources.Sources.o03PartitionedPrune(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*o_year".r.findFirstIn(plan).isDefined,
+      s"year predicate did not prune partitions:\n$plan")
+    // and nothing but the 1997 directory was read (scan metric vs disk)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def findScan(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Some(f)
+      case a: AdaptiveSparkPlanExec => findScan(a.executedPlan)
+      case q: QueryStageExec => findScan(q.plan)
+      case other => other.children.view.flatMap(findScan(_)).headOption
+    }
+    val scan = findScan(df.queryExecution.executedPlan).get
+    val root = new java.io.File("/tmp/graft_o03/sf0.001")
+    val years = root.listFiles().filter(_.getName.startsWith("o_year="))
+    val files1997 = new java.io.File(root, "o_year=1997").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(years.length > 1, "fixture spans multiple years")
+    assert(scan.metrics("numFiles").value == files1997,
+      s"read ${scan.metrics("numFiles").value} files, 1997 has $files1997")
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
