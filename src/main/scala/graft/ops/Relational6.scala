@@ -267,8 +267,47 @@ object Relational6 {
         sum(when($"cn".isNull, 1L).otherwise(0L)).as("n_null_matches"))
   }
 
+  /** Time-interval RANGE frame: per user, the trailing-1-hour event count
+    * and exact value sum at every event — the batch twin of w02's sliding
+    * window (same semantics, per-row anchored instead of grid-bucketed).
+    * RANGE over the timestamp order includes ties as peers, so the result
+    * is deterministic even with duplicate timestamps; the sum folds in
+    * decimal inside the frame and lands as double. One keyed exchange +
+    * per-user sort — the frame scan itself is the streaming-window
+    * two-pointer, O(n) per partition. */
+  def q74IntervalRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("n_1h", expr(
+        """COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
+      .withColumn("sum_1h", expr(
+        """SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+        .cast("double"))
+      .select($"user_id", $"event_id", $"n_1h", $"sum_1h")
+  }
+
+  /** Discrete percentiles (percentile_disc): the quantile that returns an
+    * actual population member — the form that stays meaningful for
+    * non-interpolatable domains (and is trivially engine-exact, unlike
+    * interpolated quantiles which need q55's care). Same partitioned
+    * one-sort shape as q55. */
+  def q75PercentileDisc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q74_interval_range_frame" -> q74IntervalRangeFrame _,
+    "q75_percentile_disc" -> q75PercentileDisc _,
     "q71_column_profile" -> q71ColumnProfile _,
     "q72_variant_json"  -> q72VariantJson _,
     "q73_null_safe_join" -> q73NullSafeJoin _,
@@ -294,6 +333,21 @@ object Relational6 {
       }
       rows.mkString("\n UNION ALL\n")
     },
+    "q74_interval_range_frame" ->
+      """SELECT user_id, event_id,
+                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS sum_1h
+         FROM events""",
+    "q75_percentile_disc" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+                quantile_disc(o_totalprice, 0.25) AS p25,
+                quantile_disc(o_totalprice, 0.5) AS p50,
+                quantile_disc(o_totalprice, 0.75) AS p75
+         FROM orders GROUP BY 1""",
     "q72_variant_json" ->
       """WITH e AS (
            SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k

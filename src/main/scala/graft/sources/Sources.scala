@@ -186,6 +186,26 @@ object Sources {
         graft.Tables.dsum(col("o_totalprice")).as("total"))
   }
 
+  /** Pipeline observability: named metrics attached to a scan with
+    * `Dataset.observe` — collected by executor-side accumulators during
+    * whatever action runs anyway, NO extra pass over the data (the
+    * replacement for the reference consumer's per-message print logging
+    * [consumer_to_file.py:216-223]; at 100 TB a second metrics pass is a
+    * second 100 TB scan). Round5Spec asserts the observed values equal
+    * the direct aggregates. */
+  def observedIngest(spark: SparkSession, dir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when, min, max}
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
+    val df = graft.Tables.events(spark, dir).observe(obs,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+      min(col("event_id")).as("min_event_id"),
+      max(col("event_id")).as("max_event_id"),
+      graft.Tables.dsum(col("value")).as("total_value"))
+    (df, obs)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,

@@ -450,6 +450,46 @@ class Round5Spec extends AnyFunSuite {
       s"read ${scan.metrics("numFiles").value} files, 1997 has $files1997")
   }
 
+  test("q74: the trailing-1h frame matches a two-pointer fold per user") {
+    val rows = ops.Relational6.q74IntervalRangeFrame(spark, sf0001)
+      .select($"user_id", $"event_id", $"n_1h").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val evs = Tables.events(spark, sf0001)
+      // NTZ → LTZ (identity under the pinned-UTC session) → epoch seconds
+      .select($"user_id", $"event_id", $"ts".cast("timestamp").cast("double"))
+      .as[(Long, Long, Double)].collect()
+    for ((uid, grp) <- evs.groupBy(_._1); (_, eid, t) <- grp) {
+      val expected = grp.count(e => e._3 <= t && e._3 >= t - 3600.0)
+      assert(rows((uid, eid)) == expected, s"user $uid event $eid")
+    }
+  }
+
+  test("q75: discrete percentiles are the smallest members with enough rank mass") {
+    val got = ops.Relational6.q75PercentileDisc(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val byPrio = Tables.orders(spark, sf0001)
+      .select($"o_orderpriority", $"o_totalprice").as[(String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((prio, v) <- byPrio; (q, pick) <- Seq(
+        0.25 -> got(prio)._1, 0.5 -> got(prio)._2, 0.75 -> got(prio)._3)) {
+      val expected = v(math.ceil(q * v.length).toInt - 1)
+      assert(pick == expected, s"$prio p$q: $pick != $expected")
+    }
+  }
+
+  test("observe(): scan-attached metrics equal the direct aggregates, no extra pass") {
+    val (df, obs) = sources.Sources.observedIngest(spark, sf0001)
+    val n = df.count()
+    val m = obs.get
+    assert(m("n_rows") == n)
+    assert(m("n_null_value") == 0L)
+    val direct = Tables.events(spark, sf0001)
+      .agg(min($"event_id"), max($"event_id"), Tables.dsum($"value"))
+      .as[(Long, Long, Double)].head()
+    assert(m("min_event_id") == direct._1 && m("max_event_id") == direct._2)
+    assert(m("total_value") == direct._3)
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
