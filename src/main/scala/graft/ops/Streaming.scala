@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
@@ -269,7 +269,40 @@ object Streaming {
       .toDF()
   }
 
+  /** Per-event-type session gap: errors close fast, purchases linger —
+    * the dynamic-gap expression shared by the batch entry and any
+    * streaming instantiation. */
+  def dynamicGap: Column =
+    // string durations: session_window casts them to CalendarInterval
+    // (ANSI INTERVAL literals are DayTimeIntervalType, which it rejects)
+    when(col("event_type") === "error", "2 minutes")
+      .when(col("event_type") === "purchase", "15 minutes")
+      .otherwise("5 minutes")
+
+  /** Session windows with a DYNAMIC, per-event gap (Spark's
+    * `session_window(ts, gapExpr)`): each event extends its session to
+    * ts + gap(event), sessions merge while they overlap — the real-world
+    * sessionization rule (a purchase keeps the visit alive longer than a
+    * stray error). The oracle replays the interval-union semantics with
+    * a cumulative-max-of-ends window: a session breaks exactly where an
+    * event's start clears every previous end. Same one-exchange-per-user
+    * shape as w03; in streaming the same expression runs watermarked with
+    * state merge (the session-window state store). */
+  def dynamicSessionCounts(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), dynamicGap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+             .as("n_purchases"))
+      .select(col("user_id"),
+              col("w.start").cast("timestamp_ntz").as("session_start"),
+              col("w.end").cast("timestamp_ntz").as("session_end"),
+              col("n_events"), col("n_purchases"))
+
+  def w11DynamicSession(spark: SparkSession, dir: String): DataFrame =
+    dynamicSessionCounts(Tables.events(spark, dir))
+
   val queries: Map[String, Q] = Map(
+    "w11_dynamic_session" -> w11DynamicSession _,
     "w06_stream_stream_join" -> w06StreamStreamJoin _,
     "w01_tumbling_window" -> w01Tumbling _,
     "w02_sliding_window"  -> w02Sliding _,
@@ -284,6 +317,34 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "w11_dynamic_session" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id, event_type,
+                  ts + CASE event_type WHEN 'error' THEN INTERVAL 2 MINUTE
+                                       WHEN 'purchase' THEN INTERVAL 15 MINUTE
+                                       ELSE INTERVAL 5 MINUTE END AS fin
+           FROM events),
+         flagged AS (
+           SELECT user_id, ts, event_id, event_type, fin,
+                  CASE WHEN MAX(fin) OVER wp IS NULL OR ts >= MAX(fin) OVER wp
+                       THEN 1 ELSE 0 END AS new_session
+           FROM e
+           WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         numbered AS (
+           SELECT user_id, ts, event_type, fin,
+                  SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id,
+                CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+                CAST(MAX(fin) AS TIMESTAMP) AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_purchases
+         FROM numbered GROUP BY user_id, sid""",
     "w06_stream_stream_join" ->
       """SELECT s.user_id, s.event_id AS signup_id, c.event_id AS click_id,
                 date_diff('millisecond', s.ts, c.ts) AS lag_ms

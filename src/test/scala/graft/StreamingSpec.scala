@@ -55,6 +55,12 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(streamed) == canon(batch))
   }
 
+  test("dynamic-gap session window: streaming == batch") {
+    val streamed = runStream("dynsess")(Streaming.dynamicSessionCounts)
+    val batch = Streaming.dynamicSessionCounts(Tables.events(spark, sf0001))
+    assert(canon(streamed) == canon(batch))
+  }
+
   test("stream-static join: streaming enrichment == batch") {
     val cust = Tables.customer(spark, sf0001)
     val streamed = runStream("enrich")(df => Streaming.enrichPerSegment(df, cust))
