@@ -278,15 +278,15 @@ object Relational6 {
   def q74IntervalRangeFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
-      .select($"user_id", $"event_id", $"ts", $"value")
-      .withColumn("n_1h", expr(
-        """COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
-           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
-      .withColumn("sum_1h", expr(
-        """SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
-           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
-        .cast("double"))
-      .select($"user_id", $"event_id", $"n_1h", $"sum_1h")
+      .select($"user_id", $"event_id",
+        expr(
+          """COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+          .as("n_1h"),
+        expr(
+          """SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+          .cast("double").as("sum_1h"))
   }
 
   /** Discrete percentiles (percentile_disc): the quantile that returns an

@@ -127,4 +127,34 @@ class PlanSpec extends AnyFunSuite {
       + "BroadcastNestedLoopJoin".r.findAllIn(p).size)
     assert(bc >= 2, s"df and (n_docs, avgdl) joins must broadcast, got $bc broadcasts")
   }
+
+  test("s08 quantized knn: query set broadcasts — no shuffle before the top-k window") {
+    val p = planOf(ext.Similarity.s08QuantizedKnn(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin"), "query side must broadcast")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"only the per-query window may exchange, got $exchanges")
+  }
+
+  test("d14 passage dedup: keep-first window partitioned by passage hash, never global") {
+    val p = planOf(ext.Dedup.d14PassageDedup(spark, sf0001))
+    assert(p.contains("windowspecdefinition(h#"),
+      "keep-first row_number must be partitioned by the passage hash")
+    assert(!p.contains("windowspecdefinition(ORDER"),
+      "no un-partitioned (global-sort) window anywhere in the plan")
+  }
+
+  test("q74 interval frame: both frame reads share one user-keyed Window node") {
+    val p = planOf(ops.Relational6.q74IntervalRangeFrame(spark, sf0001))
+    val windows = "Window ".r.findAllIn(p).size
+    assert(windows == 1, s"count+sum must fold into one Window node, got $windows")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"one user_id exchange expected, got $exchanges")
+  }
+
+  test("q71 column profile: the NDV Expand aggregates by hash, not a wide sort") {
+    val p = planOf(ops.Relational6.q71ColumnProfile(spark, sf0001))
+    assert(p.contains("Expand"), "multi-distinct must compile to Expand")
+    assert(!p.contains("Sort "), // the regression this guards: min/max(string)
+      "profile must not sort the expanded fact rows")  // fused into the Expand agg
+  }
 }
