@@ -434,6 +434,40 @@ object Dedup {
       .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
   }
 
+  // --- d16: normalization-aware exact dedup --------------------------------
+
+  /** Text canonicalization before hashing: lowercase → strip every char
+    * outside [a-z0-9 ] → collapse whitespace runs → trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Normalization-aware exact dedup: canonicalize THEN hash — catching
+    * the case/punctuation/whitespace variants that raw-md5 dedup (d01)
+    * misses (the first lesson of web-corpus dedup: near-identical docs
+    * differ in markup noise, not words). Planted noisy copies (upcased
+    * prefix + punctuation + doubled spaces) must collapse onto their
+    * source under the normalized hash while staying distinct under the
+    * raw hash. Same one-shuffle hash-groupBy shape as d01; the
+    * normalization is a map-side expression chain. */
+  def d16NormalizedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val noised = base.filter($"doc_id" % 10 === 3)
+      .select(($"doc_id" + 3000000L).as("doc_id"),
+        concat(upper(substring($"text", 1, 10)), expr("substring(text, 11)"),
+          lit("  !!")).as("text"))
+    val corpus = base.unionByName(noised)
+      .select($"doc_id", md5($"text".cast("binary")).as("raw_h"),
+        md5(normalizeText($"text").cast("binary")).as("norm_h"))
+    val byNorm = corpus.groupBy($"norm_h")
+      .agg(count(lit(1)).as("n_same_norm"),
+        countDistinct($"raw_h").as("n_raw_variants"),
+        min($"doc_id").as("keeper"))
+    corpus.join(byNorm, "norm_h")
+      .select($"doc_id", $"n_same_norm", $"n_raw_variants",
+        ($"doc_id" === $"keeper").as("is_keeper"))
+  }
+
   // --- d15: minhash estimator quality -------------------------------------
 
   /** MinHash estimator evaluation: for the planted exact/near/control
@@ -590,6 +624,7 @@ object Dedup {
     "d01_exact_dedup"   -> d01Exact _,
     "d14_passage_dedup" -> d14PassageDedup _,
     "d15_minhash_estimate" -> d15MinhashEstimate _,
+    "d16_normalized_dedup" -> d16NormalizedDedup _,
     "d11_contamination" -> d11Contamination _,
     "d12_incremental_dedup" -> d12IncrementalDedup _,
     "d02_minhash_lsh"   -> d02MinHashLsh _,
@@ -667,6 +702,26 @@ object Dedup {
                    / MIN(n_tokens) AS retained_frac
           FROM flagged GROUP BY 1"""
     },
+    "d16_normalized_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000,
+                  upper(substring(text, 1, 10)) || substring(text, 11) || '  !!'
+           FROM documents WHERE doc_id % 10 = 3),
+         hashed AS (
+           SELECT doc_id, md5(text) AS raw_h,
+                  md5(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_h
+           FROM corpus),
+         by_norm AS (
+           SELECT norm_h, COUNT(*) AS n_same_norm,
+                  COUNT(DISTINCT raw_h) AS n_raw_variants,
+                  MIN(doc_id) AS keeper
+           FROM hashed GROUP BY 1)
+         SELECT h.doc_id, b.n_same_norm, b.n_raw_variants,
+                h.doc_id = b.keeper AS is_keeper
+         FROM hashed h JOIN by_norm b USING (norm_h)""",
     "d15_minhash_estimate" -> {
       val agreeSql = (0 until K).map(i =>
         s"(CASE WHEN a.min_$i = b.min_$i THEN 1 ELSE 0 END)").mkString(" + ")

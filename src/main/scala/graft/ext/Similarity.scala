@@ -280,9 +280,82 @@ object Similarity {
       .select($"qid", $"rank", $"nid", $"approx_dot", $"exact_dot")
   }
 
+  // --- s09: product quantization (PQ) -----------------------------------
+
+  val PqM = 8      // subspaces
+  val PqD = 8      // dims per subspace (8×8 = 64)
+  val PqCodes = 16 // codewords per subspace
+
+  /** Squared-L2 left fold over two equal-length (sub)vectors as doubles —
+    * fixed j-order, engine-exact (the distance twin of [[dotFold]]). */
+  def l2Fold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** (vec_id, s, sub) — every vector exploded into its M subvectors. */
+  private def pqSubvectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        explode(array((0 until PqM).map(lit): _*)).as("s"))
+      .select(col("vec_id"), col("s"),
+        slice(col("embedding"), (col("s") * PqD + 1).cast("int"), lit(PqD)).as("sub"))
+
+  /** Product quantization ANN: 64-dim vectors → M=8 codes of 4 bits
+    * (codebook = the PqCodes sampled vectors' subvectors, the same
+    * sampled-not-trained device as s04's IVF centroids — swapping in
+    * k-means codebooks changes one line, not the index shape). Encoding
+    * is a broadcast argmin per (vector, subspace); query scoring is
+    * asymmetric distance (ADC): the exact query subvector against each
+    * data vector's reconstructed codeword, summed over subspaces in s
+    * order (ordered fold — engine-exact doubles). Top-5 per query by
+    * smallest ADC distance. This is the 64×-compression ANN scale path
+    * (8 bytes/vector of code + a 16×64-float codebook): at 100 TB the
+    * codes fit in memory where the float vectors never could; the
+    * broadcast codebook keeps both encode and scan map-side — the only
+    * exchanges are the argmin window and the per-(query, vector) ADC
+    * rollup. */
+  /** The PQ codebook: every subvector of the first PqCodes vectors. */
+  def pqCodebook(e: DataFrame): DataFrame =
+    pqSubvectors(e.filter(col("vec_id") < PqCodes))
+      .select(col("vec_id").cast("int").as("code"), col("s"), col("sub").as("cs"))
+
+  /** PQ encoding: nearest codeword per (vector, subspace) — broadcast
+    * codebook, map-side distances, one argmin window. */
+  def pqEncode(e: DataFrame): DataFrame = {
+    val wArg = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("d2"), col("code"))
+    pqSubvectors(e).join(broadcast(pqCodebook(e)), "s")
+      .withColumn("d2", l2Fold(col("sub"), col("cs")))
+      .withColumn("rn", row_number().over(wArg)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("s"), col("code"))
+  }
+
+  def s09PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cbs = pqCodebook(e)
+    val enc = pqEncode(e)
+    // ADC: query subvector vs the assigned codeword, folded in s order
+    val qsubs = pqSubvectors(e.filter($"vec_id" < 5))
+      .select($"vec_id".as("qid"), $"s", $"sub".as("qs"))
+    val parts = enc.join(broadcast(cbs), Seq("s", "code"))
+      .join(broadcast(qsubs), "s")
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"), $"s", l2Fold($"qs", $"cs").as("d2s"))
+    val adc = parts.groupBy($"qid", $"nid")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct($"s", $"d2s"))),
+          g => g.getField("d2s")),
+        lit(0.0), (a, x) => a + x).as("adc_dist"))
+    val w = Window.partitionBy($"qid").orderBy($"adc_dist", $"nid")
+    adc.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"qid", $"rank", $"nid", $"adc_dist")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
+    "s09_pq_ann"         -> s09PqAnn _,
     "s06_range_search"   -> s06RangeSearch _,
     "s07_ann_recall"     -> s07AnnRecall _,
     "s05_centroid_agg"   -> s05CentroidAgg _,
@@ -309,6 +382,44 @@ object Similarity {
               FROM scored) t WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "s09_pq_ann" ->
+      s"""WITH subs AS (
+            SELECT vec_id, s,
+                   list_transform(range(1, ${PqD + 1}),
+                     j -> CAST(embedding[s * $PqD + j] AS DOUBLE)) AS sub
+            FROM embeddings, (SELECT unnest(range(0, $PqM)) AS s) sp),
+          cbs AS (
+            SELECT vec_id AS code, s, sub AS cs FROM subs WHERE vec_id < $PqCodes),
+          d2 AS (
+            SELECT v.vec_id, v.s, c.code,
+                   list_reduce(list_transform(range(1, ${PqD + 1}),
+                     j -> (v.sub[j] - c.cs[j]) * (v.sub[j] - c.cs[j])),
+                     (x, y) -> x + y) AS d2
+            FROM subs v JOIN cbs c USING (s)),
+          enc AS (
+            SELECT vec_id, s, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                           ORDER BY d2, code) AS rn
+              FROM d2) t
+            WHERE rn = 1),
+          parts AS (
+            SELECT q.vec_id AS qid, e.vec_id AS nid, e.s,
+                   list_reduce(list_transform(range(1, ${PqD + 1}),
+                     j -> (q.sub[j] - c.cs[j]) * (q.sub[j] - c.cs[j])),
+                     (x, y) -> x + y) AS d2s
+            FROM enc e
+            JOIN cbs c ON c.s = e.s AND c.code = e.code
+            JOIN subs q ON q.s = e.s AND q.vec_id < 5 AND e.vec_id <> q.vec_id),
+          adc AS (
+            SELECT qid, nid,
+                   list_reduce(list_prepend(0.0, list(d2s ORDER BY s)),
+                     (a, b) -> a + b) AS adc_dist
+            FROM parts GROUP BY qid, nid)
+          SELECT qid, CAST(rank AS INT) AS rank, nid, adc_dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY adc_dist, nid) AS rank
+            FROM adc) t
+          WHERE rank <= 5""",
     "s08_quantized_knn" ->
       s"""WITH mxs AS (
             SELECT vec_id, embedding,

@@ -490,6 +490,59 @@ class Round5Spec extends AnyFunSuite {
     assert(m("total_value") == direct._3)
   }
 
+  test("d16: noise-variant copies collapse under the normalized hash, not the raw one") {
+    val rows = ext.Dedup.d16NormalizedDedup(spark, sf0001)
+      .select($"doc_id", $"n_same_norm", $"n_raw_variants", $"is_keeper")
+      .as[(Long, Long, Long, Boolean)].collect()
+    val noised = rows.filter(_._1 >= 3000000L)
+    assert(noised.nonEmpty)
+    noised.foreach { case (id, nNorm, nRaw, keeper) =>
+      assert(nNorm >= 2, s"noised $id did not collapse with its source")
+      assert(nRaw >= 2, s"noised $id should differ from its source under raw md5")
+      assert(!keeper, s"noised $id must lose keep-first to its source")
+    }
+    // raw-hash dedup (d01 semantics) is blind to every planted variant
+    val planted = Tables.documents(spark, sf0001).filter($"doc_id" % 10 === 3).count()
+    assert(noised.length.toLong == planted)
+  }
+
+  test("s09: ADC distance to a codebook member equals the true squared L2") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val rows = ext.Similarity.s09PqAnn(spark, sf0001)
+      .select($"qid", $"rank", $"nid", $"adc_dist")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(rows.length == 25)
+    // codebook vectors encode to themselves → exact reconstruction
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var j = 0
+      while (j < a.length) {
+        val d = a(j).toDouble - b(j).toDouble; s += d * d; j += 1
+      }
+      s
+    }
+    // every codebook vector encodes to itself (exact reconstruction)
+    val selfCodes = ext.Similarity.pqEncode(
+        Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding"))
+      .filter($"vec_id" < ext.Similarity.PqCodes)
+      .select($"vec_id", $"s", $"code").as[(Long, Int, Int)].collect()
+    assert(selfCodes.length == ext.Similarity.PqCodes * ext.Similarity.PqM)
+    selfCodes.foreach { case (vid, s, code) =>
+      assert(code == vid, s"codebook vector $vid subspace $s encoded to $code")
+    }
+    // if a codebook member does appear as a neighbor, its ADC is the true L2²
+    rows.filter(_._3 < ext.Similarity.PqCodes).foreach { case (qid, _, nid, adc) =>
+      assert(math.abs(adc - l2(e(qid), e(nid))) < 1e-9,
+        s"($qid,$nid): adc $adc != true ${l2(e(qid), e(nid))}")
+    }
+    // ranks are contiguous and distances non-decreasing per query
+    rows.groupBy(_._1).values.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p => p.head._4 <= p.last._4))
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
