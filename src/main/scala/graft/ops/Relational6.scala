@@ -304,8 +304,25 @@ object Relational6 {
         expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"))
   }
 
+  /** Frequent-items sketch (approx_top_k): the heavy-hitters counterpart
+    * of q28's HLL / q46's count-min / q67's quantile sketch — the fourth
+    * member of the mergeable-sketch family a 100 TB profiler runs instead
+    * of exact groupBy-count-sort. Registered rows-only like its siblings
+    * (sketch binaries are engine-specific); Round5Spec pins the estimates
+    * to the exact counts, which the sketch guarantees whenever its
+    * capacity covers the domain (5 event types here). */
+  def q76ApproxTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(expr("approx_top_k(event_type, 3)").as("top"))
+      .select(explode($"top").as("t"))
+      .select($"t.item".as("event_type"), $"t.count".as("est_count"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    // rows-only (sketch state is engine-specific, like q28/q46/q67)
+    "q76_approx_top_k"  -> q76ApproxTopK _,
     "q74_interval_range_frame" -> q74IntervalRangeFrame _,
     "q75_percentile_disc" -> q75PercentileDisc _,
     "q71_column_profile" -> q71ColumnProfile _,

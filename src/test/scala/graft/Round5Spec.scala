@@ -543,6 +543,18 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q76: approx_top_k is exact while the sketch covers the domain") {
+    val est = ops.Relational6.q76ApproxTopK(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val exact = Tables.events(spark, sf0001)
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().sortBy(-_._2)
+    assert(est.size == 3)
+    exact.take(3).foreach { case (tpe, n) =>
+      assert(est(tpe) == n, s"$tpe: est ${est.get(tpe)} != exact $n")
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
