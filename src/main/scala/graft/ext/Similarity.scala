@@ -352,10 +352,34 @@ object Similarity {
       .select($"qid", $"rank", $"nid", $"adc_dist")
   }
 
+  /** Cross-modal join + per-group vector aggregation: mean embedding per
+    * document language (documents ⋈ embeddings on doc_id = vec_id — the
+    * text table and the vector table are two modalities of one corpus).
+    * The per-(lang, component) mean uses the s05 ordered-fold device
+    * (vec_id-sorted left fold) so the double sums are bit-identical
+    * cross-engine. Shape: one equi-join shuffled on the id, posexplode
+    * map-side, one (lang, pos) agg — group count is langs × 64, tiny. */
+  def s10LangCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"lang")
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val joined = docs.join(e, $"doc_id" === $"vec_id")
+      .select($"lang", $"vec_id", posexplode($"embedding").as(Seq("pos", "comp")))
+    joined.groupBy($"lang", $"pos")
+      .agg(count(lit(1)).as("n_docs"),
+        aggregate(
+          transform(array_sort(collect_list(struct($"vec_id", $"comp"))),
+            s => s.getField("comp").cast("double")),
+          lit(0.0), (a, x) => a + x).as("comp_sum"))
+      .select($"lang", $"pos", $"n_docs",
+        ($"comp_sum" / $"n_docs").as("centroid_comp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
     "s09_pq_ann"         -> s09PqAnn _,
+    "s10_lang_centroids" -> s10LangCentroids _,
     "s06_range_search"   -> s06RangeSearch _,
     "s07_ann_recall"     -> s07AnnRecall _,
     "s05_centroid_agg"   -> s05CentroidAgg _,
@@ -382,6 +406,19 @@ object Similarity {
               FROM scored) t WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "s10_lang_centroids" ->
+      """WITH joined AS (
+           SELECT d.lang, e.vec_id, e.embedding
+           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         comps AS (
+           SELECT lang, vec_id, unnest(range(1, 65)) AS j,
+                  unnest(list_transform(range(1, 65),
+                         j -> CAST(embedding[j] AS DOUBLE))) AS comp
+           FROM joined)
+         SELECT lang, CAST(j - 1 AS INT) AS pos, COUNT(*) AS n_docs,
+                list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                            (a, b) -> a + b) / COUNT(*) AS centroid_comp
+         FROM comps GROUP BY lang, j""",
     "s09_pq_ann" ->
       s"""WITH subs AS (
             SELECT vec_id, s,

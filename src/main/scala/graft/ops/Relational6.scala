@@ -319,8 +319,33 @@ object Relational6 {
       .select($"t.item".as("event_type"), $"t.count".as("est_count"))
   }
 
+  /** Cumulative DISTINCT count over a running window — the metric Spark's
+    * window functions cannot express directly (COUNT(DISTINCT) OVER is
+    * unsupported): distinct users reached per event type, day by day.
+    * The standard first-occurrence decomposition: row_number over
+    * (type, user) ordered by time marks each user's first day (one keyed
+    * exchange), a daily rollup counts first-timers, and a running SUM
+    * turns new-per-day into distinct-to-date. Every step is partitioned;
+    * nothing resembles the naive per-day re-scan. */
+  def q77CumulativeDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val firstSeen = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"day", $"event_id")
+    val running = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select($"event_type", $"user_id", $"event_id",
+        date_trunc("day", $"ts").cast("timestamp_ntz").as("day"))
+      .withColumn("rn", row_number().over(firstSeen))
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_new_users"))
+      .withColumn("distinct_users_to_date", sum($"n_new_users").over(running))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q77_cumulative_distinct" -> q77CumulativeDistinct _,
     // rows-only (sketch state is engine-specific, like q28/q46/q67)
     "q76_approx_top_k"  -> q76ApproxTopK _,
     "q74_interval_range_frame" -> q74IntervalRangeFrame _,
@@ -365,6 +390,26 @@ object Relational6 {
                 quantile_disc(o_totalprice, 0.5) AS p50,
                 quantile_disc(o_totalprice, 0.75) AS p75
          FROM orders GROUP BY 1""",
+    "q77_cumulative_distinct" ->
+      """WITH e AS (
+           SELECT event_type, user_id, event_id,
+                  CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+           FROM events),
+         flagged AS (
+           SELECT event_type, day,
+                  ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                     ORDER BY day, event_id) AS rn
+           FROM e),
+         daily AS (
+           SELECT event_type, day, COUNT(*) AS n_events,
+                  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_new_users
+           FROM flagged GROUP BY 1, 2)
+         SELECT event_type, day, n_events, n_new_users,
+                CAST(SUM(n_new_users) OVER (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS distinct_users_to_date
+         FROM daily""",
     "q72_variant_json" ->
       """WITH e AS (
            SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) AS k

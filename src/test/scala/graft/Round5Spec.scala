@@ -555,6 +555,38 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q77: distinct-to-date equals a direct distinct count at every day") {
+    val got = ops.Relational6.q77CumulativeDistinct(spark, sf0001)
+      .select($"event_type", $"day".cast("string"), $"distinct_users_to_date")
+      .as[(String, String, Long)].collect()
+    val evs = Tables.events(spark, sf0001)
+      .select($"event_type", $"user_id", date_trunc("day", $"ts").cast("string"))
+      .as[(String, Long, String)].collect()
+    for ((tpe, day, cum) <- got) {
+      val expected = evs.filter(e => e._1 == tpe && e._3 <= day).map(_._2).distinct.length
+      assert(cum == expected, s"$tpe @ $day: $cum != $expected")
+    }
+  }
+
+  test("s10: per-lang centroid components equal the direct mean over joined ids") {
+    val langs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    val embs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .filter(e => langs.contains(e._1))
+    val got = ext.Similarity.s10LangCentroids(spark, sf0001)
+      .select($"lang", $"pos", $"n_docs", $"centroid_comp")
+      .as[(String, Int, Long, Double)].collect()
+    assert(got.nonEmpty)
+    val byLang = embs.groupBy(e => langs(e._1))
+    for ((lang, pos, n, comp) <- got) {
+      val members = byLang(lang).sortBy(_._1)
+      assert(n == members.length)
+      val sum = members.foldLeft(0.0)((a, m) => a + m._2(pos).toDouble)
+      assert(comp == sum / n, s"$lang[$pos]")
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
