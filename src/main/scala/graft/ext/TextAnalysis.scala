@@ -438,8 +438,29 @@ object TextAnalysis {
       .withColumn("chunk_len", least(lit(512L), $"n_tokens" - $"chunk_start"))
   }
 
+  /** Marginal novelty per document: the share of a doc's word-3-gram
+    * shingles never seen in any smaller-id document — the
+    * diversity-saturation signal a curation run watches to decide when
+    * more data from a source stops adding information (novelty → 0 as a
+    * source exhausts itself). First-occurrence attribution is ONE window
+    * partitioned by shingle (the q77 decomposition applied to content,
+    * not users); no global sort anywhere — the per-doc rollup shuffles
+    * by doc_id. */
+  def t19NoveltyCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = Dedup.shingles(Tables.documents(spark, dir).select($"doc_id", $"text"))
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shingle").orderBy($"doc_id")
+    sh.withColumn("rn", row_number().over(firstW))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_frac", $"n_novel".cast("double") / $"n_shingles")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_token_stats" -> t01TokenStats _,
+    "t19_novelty_curve" -> t19NoveltyCurve _,
     "t17_overlap_chunks" -> t17OverlapChunks _,
     "t09_tfidf"       -> t09TfIdf _,
     "t10_vocab_prune" -> t10VocabPrune _,
@@ -465,6 +486,18 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t19_novelty_curve" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+          ${Dedup.shinglesSql},
+          flagged AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY shingle ORDER BY doc_id) AS rn
+            FROM shingle)
+          SELECT doc_id, COUNT(*) AS n_shingles,
+                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                 CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS novelty_frac
+          FROM flagged GROUP BY 1""",
     "t01_token_stats" ->
       s"""SELECT doc_id,
           CAST(len($tokensSql) AS INT) AS n_tokens,

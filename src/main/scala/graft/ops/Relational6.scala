@@ -343,8 +343,35 @@ object Relational6 {
       .withColumn("distinct_users_to_date", sum($"n_new_users").over(running))
   }
 
+  /** NOT IN vs NOT EXISTS under three-valued logic: the most common
+    * silent-wrong-answer trap in SQL migration. The subquery's key set
+    * contains a NULL (every 7th supplier's nationkey nulled), so
+    * `NOT IN` is never TRUE — zero rows — while `NOT EXISTS` keeps its
+    * two-valued semantics. Both forms per nation, side by side. Plans:
+    * NOT IN is a null-aware anti join (broadcast here); NOT EXISTS a
+    * plain anti join. */
+  def q78NotInNulls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.nation(spark, dir).createOrReplaceTempView("nation_q78")
+    Tables.supplier(spark, dir).createOrReplaceTempView("supplier_q78")
+    spark.sql(
+      """WITH sk AS (
+           SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS k
+           FROM supplier_q78)
+         SELECT
+           (SELECT COUNT(*) FROM nation_q78
+            WHERE n_nationkey NOT IN (SELECT k FROM sk)) AS n_not_in,
+           (SELECT COUNT(*) FROM nation_q78 n
+            WHERE NOT EXISTS (SELECT 1 FROM sk WHERE sk.k = n.n_nationkey))
+             AS n_not_exists,
+           (SELECT COUNT(*) FROM nation_q78
+            WHERE n_nationkey NOT IN (SELECT k FROM sk WHERE k IS NOT NULL))
+             AS n_not_in_filtered""")
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q78_not_in_nulls"  -> q78NotInNulls _,
     "q77_cumulative_distinct" -> q77CumulativeDistinct _,
     // rows-only (sketch state is engine-specific, like q28/q46/q67)
     "q76_approx_top_k"  -> q76ApproxTopK _,
@@ -390,6 +417,19 @@ object Relational6 {
                 quantile_disc(o_totalprice, 0.5) AS p50,
                 quantile_disc(o_totalprice, 0.75) AS p75
          FROM orders GROUP BY 1""",
+    "q78_not_in_nulls" ->
+      """WITH sk AS (
+           SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS k
+           FROM supplier)
+         SELECT
+           (SELECT COUNT(*) FROM nation
+            WHERE n_nationkey NOT IN (SELECT k FROM sk)) AS n_not_in,
+           (SELECT COUNT(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM sk WHERE sk.k = n.n_nationkey))
+             AS n_not_exists,
+           (SELECT COUNT(*) FROM nation
+            WHERE n_nationkey NOT IN (SELECT k FROM sk WHERE k IS NOT NULL))
+             AS n_not_in_filtered""",
     "q77_cumulative_distinct" ->
       """WITH e AS (
            SELECT event_type, user_id, event_id,

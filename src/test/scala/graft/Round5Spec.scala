@@ -587,6 +587,34 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q78: NOT IN collapses to zero under a NULL key; NOT EXISTS and the filtered form agree") {
+    val r = ops.Relational6.q78NotInNulls(spark, sf0001).head()
+    val (notIn, notExists, filtered) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(notIn == 0L, "NOT IN over a set containing NULL can never be TRUE")
+    val present = Tables.supplier(spark, sf0001)
+      .filter(!($"s_suppkey" % 7 === 0)).select($"s_nationkey")
+      .distinct().as[Int].collect().toSet
+    val expected = Tables.nation(spark, sf0001)
+      .select($"n_nationkey").as[Int].collect().count(k => !present.contains(k))
+    assert(notExists == expected && filtered == expected)
+    assert(expected > 0, "fixture: some nation must lack non-null suppliers")
+  }
+
+  test("t19: novelty sums to the distinct shingle count; a planted duplicate would score zero") {
+    val rows = ext.TextAnalysis.t19NoveltyCurve(spark, sf0001)
+      .select($"doc_id", $"n_shingles", $"n_novel", $"novelty_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    val sh = ext.Dedup.shingles(
+      Tables.documents(spark, sf0001).select($"doc_id", $"text"))
+    assert(rows.map(_._3).sum == sh.select($"shingle").distinct().count())
+    // doc 0 (no smaller doc) is fully novel
+    val d0 = rows.find(_._1 == 0L).get
+    assert(d0._3 == d0._2 && d0._4 == 1.0)
+    rows.foreach { case (id, n, novel, frac) =>
+      assert(novel >= 0 && novel <= n && frac == novel.toDouble / n, s"doc $id")
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
