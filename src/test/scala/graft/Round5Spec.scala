@@ -615,6 +615,42 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("normalizeText: idempotent, canonical charset, whitespace-run invariant (200 random strings)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "aZ9 .,!\t#ñ -"
+    val strs = Seq.fill(200)(
+      (0 until rnd.nextInt(40)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = strs.toDF("text")
+      .select($"text",
+        ext.Dedup.normalizeText($"text").as("n1"),
+        ext.Dedup.normalizeText(ext.Dedup.normalizeText($"text")).as("n2"),
+        // a caps/extra-whitespace/punct variant must canonicalize identically
+        ext.Dedup.normalizeText(concat(upper($"text"), lit("  !"))).as("nv"))
+    df.as[(String, String, String, String)].collect().foreach { case (raw, n1, n2, nv) =>
+      assert(n1 == n2, s"not idempotent on '$raw'")
+      assert(n1.forall(c => c.isDigit || (c >= 'a' && c <= 'z') || c == ' '))
+      assert(!n1.contains("  ") && n1 == n1.trim, s"residual whitespace in '$n1'")
+      assert(nv == n1, s"caps/noise variant diverged on '$raw': '$nv' != '$n1'")
+    }
+  }
+
+  test("s08 quantization: the int8 rounding bound holds on 100 random vectors") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 100L).map(i =>
+      (i, Array.fill(64)((rnd.nextFloat() * 2 - 1) * (1 + rnd.nextInt(5))))).toSeq
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = ext.Similarity.quantized(df)
+      .select($"vec_id", $"embedding", $"scale", $"qv")
+      .as[(Long, Array[Float], Double, Array[Long])].collect()
+    q.foreach { case (id, e, s, qv) =>
+      assert(qv.forall(c => math.abs(c) <= 127), s"vec $id code out of int8 range")
+      e.zip(qv).foreach { case (x, c) =>
+        assert(math.abs(c / s - x.toDouble) <= 0.5 / s + 1e-12,
+          s"vec $id: dequantized $c/$s too far from $x")
+      }
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
