@@ -369,8 +369,35 @@ object Relational6 {
              AS n_not_in_filtered""")
   }
 
+  /** Nested (document-model) layout: lineitems collapse into a per-order
+    * `array<struct>` sorted by line number — the denormalized shape a
+    * document store or a nested-parquet lake keeps — and the per-order
+    * reads run as array aggregates over the nested column (no join, no
+    * second shuffle): item count, quantity total, and the revenue fold
+    * in linenumber order (engine-exact doubles, the s05 device). ONE
+    * groupBy builds the nest; everything after is map-side. The flat →
+    * nested → aggregate path is how you'd materialize an order-centric
+    * serving table from the fact stream at 100 TB. */
+  def q79NestUnnest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nested = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(array_sort(collect_list(struct(
+        $"l_linenumber", $"l_quantity", $"l_extendedprice", $"l_discount")))
+        .as("items"))
+    nested.select(
+      $"l_orderkey",
+      size($"items").as("n_items"),
+      aggregate(transform($"items", it => it.getField("l_quantity")),
+        lit(0.0), (a, x) => a + x).as("total_qty"),
+      aggregate(transform($"items",
+          it => it.getField("l_extendedprice") * (lit(1.0) - it.getField("l_discount"))),
+        lit(0.0), (a, x) => a + x).as("revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q79_nest_unnest"   -> q79NestUnnest _,
     "q78_not_in_nulls"  -> q78NotInNulls _,
     "q77_cumulative_distinct" -> q77CumulativeDistinct _,
     // rows-only (sketch state is engine-specific, like q28/q46/q67)
@@ -417,6 +444,21 @@ object Relational6 {
                 quantile_disc(o_totalprice, 0.5) AS p50,
                 quantile_disc(o_totalprice, 0.75) AS p75
          FROM orders GROUP BY 1""",
+    "q79_nest_unnest" ->
+      """SELECT l_orderkey, CAST(COUNT(*) AS INT) AS n_items,
+                list_reduce(list_prepend(0.0,
+                  list(l_quantity ORDER BY l_linenumber, l_quantity,
+                       l_extendedprice, l_discount)), (a, b) -> a + b)
+                  AS total_qty,
+                list_reduce(list_prepend(0.0,
+                  -- tie-break on every struct field: l_linenumber is NOT
+                  -- unique per order, and the fold order must match
+                  -- array_sort's full lexicographic struct comparison
+                  list(l_extendedprice * (1.0 - l_discount)
+                       ORDER BY l_linenumber, l_quantity,
+                                l_extendedprice, l_discount)),
+                  (a, b) -> a + b) AS revenue
+         FROM lineitem GROUP BY 1""",
     "q78_not_in_nulls" ->
       """WITH sk AS (
            SELECT CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS k

@@ -651,6 +651,24 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q79: the nested layout loses nothing — counts and ordered folds match the flat facts") {
+    val nested = ops.Relational6.q79NestUnnest(spark, sf0001)
+      .select($"l_orderkey", $"n_items", $"total_qty", $"revenue")
+      .as[(Long, Int, Double, Double)].collect()
+    val flat = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice", $"l_discount")
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .groupBy(_._1)
+    assert(nested.map(_._2.toLong).sum == flat.values.map(_.length).sum)
+    nested.foreach { case (ok, n, qty, rev) =>
+      val items = flat(ok).sortBy(t => (t._2, t._3, t._4, t._5))
+      assert(n == items.length)
+      assert(qty == items.foldLeft(0.0)(_ + _._3))
+      assert(rev == items.foldLeft(0.0)((a, t) => a + t._4 * (1.0 - t._5)), s"order $ok")
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
