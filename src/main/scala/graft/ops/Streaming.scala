@@ -254,6 +254,28 @@ object Streaming {
     intervalJoin(signupSide(events), clickSide(events))
   }
 
+  /** LEFT OUTER stream-stream interval join: every signup emits, matched
+    * or not — the "conversion funnel with explicit non-converters" read.
+    * In streaming the outer row can only be emitted once the click-side
+    * watermark passes the signup's 10-minute horizon (that's what bounds
+    * the state and makes the NULL definitive); in batch the same plan is
+    * a plain left-outer range join. StreamingSpec drives the streaming
+    * form with a watermark-advancing sentinel and asserts parity. */
+  def outerIntervalJoin(signups: DataFrame, clicks: DataFrame): DataFrame =
+    signups.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("c_ts") >= col("s_ts") &&
+        col("c_ts") <= col("s_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("signup_id"), col("click_id"),
+        (unix_millis(col("c_ts").cast("timestamp")) -
+         unix_millis(col("s_ts").cast("timestamp"))).as("lag_ms"))
+
+  def w12OuterIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    outerIntervalJoin(signupSide(events), clickSide(events))
+  }
+
   def w07ChainedWindows(spark: SparkSession, dir: String): DataFrame =
     chainedWindowStats(Tables.events(spark, dir))
 
@@ -303,6 +325,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "w11_dynamic_session" -> w11DynamicSession _,
+    "w12_outer_interval_join" -> w12OuterIntervalJoin _,
     "w06_stream_stream_join" -> w06StreamStreamJoin _,
     "w01_tumbling_window" -> w01Tumbling _,
     "w02_sliding_window"  -> w02Sliding _,
@@ -345,6 +368,13 @@ object Streaming {
                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                      AS BIGINT) AS n_purchases
          FROM numbered GROUP BY user_id, sid""",
+    "w12_outer_interval_join" ->
+      """SELECT s.user_id, s.event_id AS signup_id, c.event_id AS click_id,
+                date_diff('millisecond', s.ts, c.ts) AS lag_ms
+         FROM (SELECT * FROM events WHERE event_type = 'signup') s
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON c.user_id = s.user_id
+          AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 10 MINUTE""",
     "w06_stream_stream_join" ->
       """SELECT s.user_id, s.event_id AS signup_id, c.event_id AS click_id,
                 date_diff('millisecond', s.ts, c.ts) AS lag_ms

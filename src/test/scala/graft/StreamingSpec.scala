@@ -85,6 +85,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(spark.table("ssjoin")) == canon(batch))
   }
 
+  test("outer interval join: unmatched signups emit once the watermark clears the horizon") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.take(500))
+    ms.addData(rows.drop(500))
+    // sentinels on BOTH branches: the query's global watermark is the MIN
+    // across inputs, and each side's filter drops the other's sentinel —
+    // a click-only sentinel leaves the signup watermark at the real max,
+    // holding back the last signups' definitive-NULL rows
+    val maxTs = rows.map(_.ts.getTime).max
+    ms.addData(Seq(
+      Ev(-2L, new Timestamp(maxTs + 86400000L), -2L, "signup", 0.0),
+      Ev(-1L, new Timestamp(maxTs + 3L * 86400000L), -1L, "click", 0.0)))
+    val s = Streaming.signupSide(ms.toDF()).withWatermark("s_ts", "1 hour")
+    val c = Streaming.clickSide(ms.toDF()).withWatermark("c_ts", "1 hour")
+    val q = Streaming.outerIntervalJoin(s, c)
+      .writeStream.outputMode("append").format("memory").queryName("osjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val batch = Streaming.w12OuterIntervalJoin(spark, sf0001)
+    assert(canon(spark.table("osjoin").filter(col("user_id") >= 0)) == canon(batch))
+    // and the outer rows are really there: some signups have no click
+    assert(batch.filter(col("click_id").isNull).count() > 0)
+  }
+
   test("chained windowed aggregation: streaming == batch") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
