@@ -434,6 +434,66 @@ object Dedup {
       .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
   }
 
+  // --- d17: LSH banding-configuration sweep --------------------------------
+
+  /** Candidate pairs for a (bands, rows-per-band) split of the K-minhash
+    * signature — the tunable at the heart of LSH: more bands ⇒ higher
+    * recall, lower precision (the s-curve moves left). */
+  def lshCandidates(sig: DataFrame, b: Int, r: Int): DataFrame = {
+    require(b * r == K, s"banding $b x $r must tile the $K-hash signature")
+    val bands = (0 until b).map { i =>
+      sig.select(col("doc_id"), lit(i).as("band"),
+        concat_ws(":", (0 until r).map(j => col(s"min_${i * r + j}")): _*).as("bkey"))
+    }.reduce(_ unionByName _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+  }
+
+  /** LSH tuning sweep: the same K=8 signature banded as 4×2 and 2×4,
+    * with per-config candidate volume, verified-near precision, and
+    * recall over the planted pairs — the measurement that picks a
+    * banding before a corpus-scale dedup run (d15 evaluates the
+    * estimator; this evaluates the INDEX built from it). Each config is
+    * band self-join + candidate-only verification (never all pairs);
+    * the report is a union of 1-row aggregates. */
+  def d17LshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val sh = shingles(corpus)
+    val ids = sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid").cache()
+    val sig = signatures(ids).cache()
+    val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val base = Tables.documents(spark, dir).select($"doc_id")
+    val planted = base.filter($"doc_id" % 10 === 0)
+        .select($"doc_id".as("id1"), ($"doc_id" + 1000000L).as("id2"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select($"doc_id".as("id1"), ($"doc_id" + 2000000L).as("id2")))
+    val nPlanted = planted.agg(count(lit(1)).as("n_planted"))
+    Seq((4, 2), (2, 4)).map { case (b, r) =>
+      val cand = lshCandidates(sig, b, r)
+      val verified = cand
+        .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
+        .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
+        .filter($"s1" === $"s2")
+        .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
+        .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
+        .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
+        .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .crossJoin(planted.join(cand, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("n_planted_found")))
+        .crossJoin(nPlanted)
+        .select(lit(s"b${b}r$r").as("config"), lit(b).as("b"), lit(r).as("r"),
+          $"n_candidates", $"n_verified",
+          ($"n_verified".cast("double") / $"n_candidates").as("precision"),
+          $"n_planted", $"n_planted_found",
+          ($"n_planted_found".cast("double") / $"n_planted").as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   // --- d16: normalization-aware exact dedup --------------------------------
 
   /** Text canonicalization before hashing: lowercase → strip every char
@@ -625,6 +685,7 @@ object Dedup {
     "d14_passage_dedup" -> d14PassageDedup _,
     "d15_minhash_estimate" -> d15MinhashEstimate _,
     "d16_normalized_dedup" -> d16NormalizedDedup _,
+    "d17_lsh_tuning"       -> d17LshTuning _,
     "d11_contamination" -> d11Contamination _,
     "d12_incremental_dedup" -> d12IncrementalDedup _,
     "d02_minhash_lsh"   -> d02MinHashLsh _,
@@ -701,6 +762,63 @@ object Dedup {
                  CAST(SUM(CASE WHEN rn = 1 THEN clen ELSE 0 END) AS DOUBLE)
                    / MIN(n_tokens) AS retained_frac
           FROM flagged GROUP BY 1"""
+    },
+    "d17_lsh_tuning" -> {
+      def cfgCtes(b: Int, r: Int): String = {
+        val tag = s"$b$r"
+        val bandSelects = (0 until b).map { i =>
+          val key = (0 until r).map(j => s"CAST(min_${i * r + j} AS VARCHAR)")
+            .mkString(" || ':' || ")
+          s"SELECT doc_id, $i AS band, $key AS bkey FROM sig"
+        }.mkString("\n            UNION ALL\n            ")
+        s"""bands$tag AS (
+            $bandSelects),
+          cand$tag AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands$tag x JOIN bands$tag y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          ver$tag AS (
+            SELECT i.id1, i.id2
+            FROM (SELECT c.id1, c.id2, COUNT(*) AS inter
+                  FROM cand$tag c
+                  JOIN ids a ON a.doc_id = c.id1
+                  JOIN ids b2 ON b2.doc_id = c.id2 AND a.sid = b2.sid
+                  GROUP BY c.id1, c.id2) i
+            JOIN sizes s1 ON s1.doc_id = i.id1
+            JOIN sizes s2 ON s2.doc_id = i.id2
+            WHERE i.inter * 2 >= (s1.n + s2.n - i.inter))"""
+      }
+      def cfgRow(b: Int, r: Int): String = {
+        val tag = s"$b$r"
+        s"""SELECT 'b${b}r$r' AS config, $b AS b, $r AS r,
+               (SELECT COUNT(*) FROM cand$tag) AS n_candidates,
+               (SELECT COUNT(*) FROM ver$tag) AS n_verified,
+               CAST((SELECT COUNT(*) FROM ver$tag) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM cand$tag) AS precision,
+               (SELECT COUNT(*) FROM planted) AS n_planted,
+               (SELECT COUNT(*) FROM planted p
+                JOIN cand$tag c ON p.id1 = c.id1 AND p.id2 = c.id2)
+                 AS n_planted_found,
+               CAST((SELECT COUNT(*) FROM planted p
+                     JOIN cand$tag c ON p.id1 = c.id1 AND p.id2 = c.id2) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM planted) AS recall"""
+      }
+      s"""WITH $corpusSql,
+          $shinglesSql,
+          $shingleDictSql,
+          ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
+          sig AS (SELECT doc_id, $minExprs FROM ids GROUP BY doc_id),
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM ids GROUP BY doc_id),
+          planted AS (
+            SELECT doc_id AS id1, doc_id + 1000000 AS id2
+            FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id, doc_id + 2000000 FROM documents WHERE doc_id % 10 = 5),
+          ${cfgCtes(4, 2)},
+          ${cfgCtes(2, 4)}
+          ${cfgRow(4, 2)}
+          UNION ALL
+          ${cfgRow(2, 4)}"""
     },
     "d16_normalized_dedup" ->
       """WITH corpus AS (

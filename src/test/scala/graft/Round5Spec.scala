@@ -669,6 +669,23 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("d17: more bands trade precision for recall, and exact copies are never missed") {
+    val rows = ext.Dedup.d17LshTuning(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (c42, c24) = (rows("b4r2"), rows("b2r4"))
+    assert(c42.getAs[Long]("n_candidates") >= c24.getAs[Long]("n_candidates"))
+    assert(c42.getAs[Double]("recall") >= c24.getAs[Double]("recall"))
+    assert(c24.getAs[Double]("precision") >= c42.getAs[Double]("precision"))
+    // identical docs have identical signatures: every exact pair is a
+    // candidate under ANY banding, so recall is bounded by the near pairs
+    val nExact = Tables.documents(spark, sf0001).filter($"doc_id" % 10 === 0).count()
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_planted_found") >= nExact,
+        s"${r.getString(0)} missed exact copies")
+      assert(r.getAs[Double]("precision") > 0.0 && r.getAs[Double]("recall") > 0.0)
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
