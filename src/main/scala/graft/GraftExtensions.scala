@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{FloatVectorCosine, FloatVectorDot}
+import graft.functions.{FloatVectorCosine, FloatVectorDot, FloatVectorL2}
 
 /** Session-extension hook so the engine's custom expressions are available
   * in any session started with
@@ -24,5 +24,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FloatVectorCosine].getName, "vec_cos"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVectorCosine(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_l2sq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FloatVectorL2].getName, "vec_l2sq"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FloatVectorL2(exprs(0), exprs(1))))
   }
 }

@@ -287,11 +287,18 @@ object Similarity {
   val PqCodes = 16 // codewords per subspace
 
   /** Squared-L2 left fold over two equal-length (sub)vectors as doubles —
-    * fixed j-order, engine-exact (the distance twin of [[dotFold]]). */
+    * fixed j-order, engine-exact (the distance twin of [[dotFold]]).
+    * Executable specification of [[l2]]; the spec asserts bit-equality. */
   def l2Fold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b,
         (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v)
+
+  /** Production squared-L2: the codegen'd [[graft.functions.FloatVectorL2]]
+    * — same left-fold IEEE semantics, no per-element lambda or intermediate
+    * array (PQ encoding runs it codebook × subspaces times per vector). */
+  def l2(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecL2(a, b)
 
   /** (vec_id, s, sub) — every vector exploded into its M subvectors. */
   private def pqSubvectors(e: DataFrame): DataFrame =
@@ -325,7 +332,7 @@ object Similarity {
     val wArg = Window.partitionBy(col("vec_id"), col("s"))
       .orderBy(col("d2"), col("code"))
     pqSubvectors(e).join(broadcast(pqCodebook(e)), "s")
-      .withColumn("d2", l2Fold(col("sub"), col("cs")))
+      .withColumn("d2", l2(col("sub"), col("cs")))
       .withColumn("rn", row_number().over(wArg)).filter(col("rn") === 1)
       .select(col("vec_id"), col("s"), col("code"))
   }
@@ -341,7 +348,7 @@ object Similarity {
     val parts = enc.join(broadcast(cbs), Seq("s", "code"))
       .join(broadcast(qsubs), "s")
       .filter($"vec_id" =!= $"qid")
-      .select($"qid", $"vec_id".as("nid"), $"s", l2Fold($"qs", $"cs").as("d2s"))
+      .select($"qid", $"vec_id".as("nid"), $"s", l2($"qs", $"cs").as("d2s"))
     val adc = parts.groupBy($"qid", $"nid")
       .agg(aggregate(
         transform(array_sort(collect_list(struct($"s", $"d2s"))),

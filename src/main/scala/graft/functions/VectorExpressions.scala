@@ -137,6 +137,65 @@ case class FloatVectorCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance over two `array<float>` columns — the
+  * distance twin of [[FloatVectorDot]], and the inner loop of PQ encoding
+  * (`Similarity.pqEncode` runs it codebook-size × subspaces times per
+  * vector). Accumulation is left-to-right from +0.0 of (xᵢ−yᵢ)² in
+  * doubles — bit-identical to `Similarity.l2Fold` and the DuckDB
+  * `list_reduce` fragment (VectorExprSpec asserts it).
+  */
+case class FloatVectorL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = ((double) $a.getFloat($i)) - ((double) $b.getFloat($i));
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
 
   /** Register `vec_dot` + `vec_cos` in a session's function registry
@@ -146,6 +205,8 @@ object VectorExpressions {
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cos", exprs => FloatVectorCosine(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_l2sq", exprs => FloatVectorL2(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column API for [[FloatVectorDot]]: resolved through the function
@@ -160,5 +221,11 @@ object VectorExpressions {
   def vecCos(a: Column, b: Column): Column = {
     register(SparkSession.active)
     call_function("vec_cos", a, b)
+  }
+
+  /** Column API for [[FloatVectorL2]]. */
+  def vecL2(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("vec_l2sq", a, b)
   }
 }

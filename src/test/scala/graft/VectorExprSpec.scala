@@ -66,6 +66,17 @@ class VectorExprSpec extends AnyFunSuite {
     assert(viaHeap == viaWindow)
   }
 
+  test("codegen vec_l2sq is bit-identical to the fold specification") {
+    val e = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 3).select($"embedding".as("qe"))
+    val pairs = e.crossJoin(q)
+    val diff = pairs.select(
+        Similarity.l2Fold($"embedding", $"qe").as("spec"),
+        VectorExpressions.vecL2($"embedding", $"qe").as("fast"))
+      .filter($"spec" =!= $"fast")
+    assert(diff.count() == 0, "vec_l2sq must replay the fold bit-for-bit")
+  }
+
   test("codegen path is no slower than the fold (smoke timing)") {
     val e = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding").cache()
     e.count()
