@@ -395,8 +395,35 @@ object Relational6 {
         lit(0.0), (a, x) => a + x).as("revenue"))
   }
 
+  /** Weighted median (here: order price weighted by line quantity) — a
+    * read Spark has no native aggregate for. Standard cumulative-weight
+    * construction: per group, walk values in (value, tie-break) order and
+    * take the first whose running weight reaches half the total. Both
+    * windows share one partitioned sort; the total broadcasts back. All
+    * comparisons are integer-derived doubles — engine-exact. */
+  def q80WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity",
+        $"l_orderkey", $"l_linenumber")
+    val ord = Window.partitionBy($"l_returnflag")
+      .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    val cum = li.withColumn("cw",
+      sum($"l_quantity").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = li.groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").as("tw"), count(lit(1)).as("n"))
+    cum.join(broadcast(tot), "l_returnflag")
+      .filter($"cw" * 2 >= $"tw")
+      .groupBy($"l_returnflag")
+      // cw is nondecreasing along the price sort, so the min price among
+      // rows at/past the half-weight crossing IS the crossing row's price
+      .agg(min($"l_extendedprice").as("weighted_median"),
+        min($"tw").as("total_weight"), min($"n").as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q80_weighted_median" -> q80WeightedMedian _,
     "q79_nest_unnest"   -> q79NestUnnest _,
     "q78_not_in_nulls"  -> q78NotInNulls _,
     "q77_cumulative_distinct" -> q77CumulativeDistinct _,
@@ -444,6 +471,21 @@ object Relational6 {
                 quantile_disc(o_totalprice, 0.5) AS p50,
                 quantile_disc(o_totalprice, 0.75) AS p75
          FROM orders GROUP BY 1""",
+    "q80_weighted_median" ->
+      """WITH cum AS (
+           SELECT l_returnflag, l_extendedprice, l_quantity,
+                  SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+           FROM lineitem),
+         tot AS (
+           SELECT l_returnflag, SUM(l_quantity) AS tw, COUNT(*) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median,
+                MIN(tw) AS total_weight, MIN(n) AS n
+         FROM cum JOIN tot USING (l_returnflag)
+         WHERE cw * 2 >= tw
+         GROUP BY 1""",
     "q79_nest_unnest" ->
       """SELECT l_orderkey, CAST(COUNT(*) AS INT) AS n_items,
                 list_reduce(list_prepend(0.0,

@@ -686,6 +686,42 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("q80: the weighted median is a population value splitting the weight in half") {
+    val rows = ops.Relational6.q80WeightedMedian(spark, sf0001)
+      .select($"l_returnflag", $"weighted_median", $"total_weight")
+      .as[(String, Double, Double)].collect()
+    val li = Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity")
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, med, tw) =>
+      val grp = li(flag)
+      assert(grp.exists(_._2 == med), s"$flag: median $med not a population value")
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= med).map(_._3).sum
+      assert(below * 2 < tw || below == 0, s"$flag: too much weight below $med")
+      assert(atOrBelow * 2 >= tw, s"$flag: not enough weight at/below $med")
+      assert(tw == grp.map(_._3).sum)
+    }
+  }
+
+  test("Graft.init: one call mounts the views and the custom SQL functions") {
+    Graft.init(spark, sf0001)
+    val r = spark.sql(
+      """SELECT n_name, COUNT(*) AS n
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY n DESC LIMIT 3""").collect()
+    assert(r.length == 3 && r.forall(_.getLong(1) > 0))
+    val cos = spark.sql(
+      """SELECT vec_cos(a.embedding, b.embedding) AS c, vec_l2sq(a.embedding, b.embedding) AS d
+         FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+         WHERE a.vec_id < 5""").collect()
+    assert(cos.length == 5 && cos.forall(x =>
+      math.abs(x.getDouble(0)) <= 1.0 && x.getDouble(1) >= 0.0))
+    val ev = spark.sql("SELECT COUNT(*) FROM events").head().getLong(0)
+    assert(ev == Tables.events(spark, sf0001).count())
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
