@@ -1,6 +1,6 @@
 package graft.cdc
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -206,7 +206,37 @@ object CdcQueries {
       .select($"user_id", $"event_id".as("last_event_id"), $"event_type", $"value")
   }
 
+  /** DLQ repair → replay: the recovery loop that makes a dead-letter
+    * queue operationally useful (the reference only ever appends to its
+    * DLQ file [consumer_to_file.py:72-86] — nothing reads it back).
+    * Corrupt envelopes (bad prefix, as in c05) are quarantined, repaired
+    * by stripping the known corruption, re-parsed, and re-admitted; the
+    * per-type accounting proves zero records are lost: every DLQ row is
+    * recovered and total parsed k-sums match the uncorrupted stream.
+    * All map-side expressions + one rollup. */
+  def c12DlqRepair(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = (payload: Column) =>
+      get_json_object(payload, "$.k").cast("long")
+    Tables.events(spark, dir)
+      .withColumn("payload",
+        when($"event_id" % 97 === 0, concat(lit("x"), $"props")).otherwise($"props"))
+      .withColumn("k_first",
+        when(from_json($"payload", Envelope.payloadType).isNull, lit(null))
+          .otherwise(k($"payload")))
+      .withColumn("k_repaired",
+        when($"k_first".isNull,
+          k(regexp_replace($"payload", "^x", ""))).otherwise($"k_first"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"k_first".isNull, 1L).otherwise(0L)).as("n_dlq"),
+        sum(when($"k_repaired".isNull, 1L).otherwise(0L)).as("n_lost"),
+        sum($"k_repaired").as("k_sum"),
+        Tables.dsum($"value").as("value_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "c12_dlq_repair" -> c12DlqRepair _,
     "c08_scd2_history"          -> c08Scd2History _,
     "c09_incremental_agg"       -> c09IncrementalAgg _,
     "c10_schema_evolution"      -> c10SchemaEvolution _,
@@ -222,6 +252,31 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c12_dlq_repair" ->
+      s"""WITH e AS (
+            SELECT event_type, value,
+                   CASE WHEN event_id % 97 = 0 THEN 'x' || props
+                        ELSE props END AS payload
+            FROM events),
+          p AS (
+            SELECT event_type, value,
+                   CASE WHEN json_valid(payload)
+                        THEN CAST(json_extract_string(payload, '$$.k') AS BIGINT)
+                   END AS k_first,
+                   CASE WHEN json_valid(payload)
+                        THEN CAST(json_extract_string(payload, '$$.k') AS BIGINT)
+                        ELSE CAST(json_extract_string(
+                               regexp_replace(payload, '^x', ''), '$$.k') AS BIGINT)
+                   END AS k_repaired
+            FROM e)
+          SELECT event_type, COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN k_first IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dlq,
+                 CAST(SUM(CASE WHEN k_repaired IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_lost,
+                 CAST(SUM(k_repaired) AS BIGINT) AS k_sum,
+                 ${Tables.sqlDsum("value")} AS value_sum
+          FROM p GROUP BY 1""",
     "c10_schema_evolution" ->
       """SELECT c_custkey, c_name, c_acctbal,
                 CAST(NULL AS VARCHAR) AS c_mktsegment,

@@ -722,6 +722,20 @@ class Round5Spec extends AnyFunSuite {
     assert(ev == Tables.events(spark, sf0001).count())
   }
 
+  test("c12: every DLQ record is repaired — zero loss, k-sums match the clean stream") {
+    val rows = cdc.CdcQueries.c12DlqRepair(spark, sf0001)
+      .select($"event_type", $"n_total", $"n_dlq", $"n_lost", $"k_sum")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._3).sum ==
+      Tables.events(spark, sf0001).filter($"event_id" % 97 === 0).count())
+    assert(rows.forall(_._4 == 0L), "repair must recover every DLQ record")
+    val clean = Tables.events(spark, sf0001)
+      .select($"event_type", get_json_object($"props", "$.k").cast("long").as("k"))
+      .groupBy($"event_type").agg(sum($"k").as("k_sum"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { case (tpe, _, _, _, kSum) => assert(kSum == clean(tpe), tpe) }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
