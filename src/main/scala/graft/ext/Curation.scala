@@ -188,9 +188,37 @@ object Curation {
       .withColumn("n_rejected", $"n_in" - $"n_out")
   }
 
+  /** p06: the one-row dataset card — corpus-level totals a data release
+    * publishes up front (docs, token volume, language/source spread,
+    * exact-dup rate, quality mid-spread). One scan; the NDV aggregates
+    * ride the same Expand device as q71. */
+  def p06CorpusSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val base = Tables.documents(spark, dir).select(
+      $"lang", $"source",
+      size(toks).cast("long").as("n_tokens"),
+      md5($"text".cast("binary")).as("h"),
+      (( size(array_distinct(toks)) * 1000
+       + size(filter(toks, t => array_contains(stopArr, t))) * 100
+       - length(regexp_replace($"text", "[a-z\\s]", "")) * 10).cast("double")
+        / size(toks)).as("quality"))
+    base.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"n_tokens").as("total_tokens"),
+      countDistinct($"lang").as("n_langs"),
+      countDistinct($"source").as("n_sources"),
+      (count(lit(1)) - countDistinct($"h")).as("n_dup_docs"),
+      min($"quality").as("q_min"),
+      expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY quality)").as("q_median"),
+      max($"quality").as("q_max"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "p05_filter_funnel" -> p05FilterFunnel _,
+    "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
     // rows-only: composition of oracle-checked stages (LSH stage is the
     // xxhash64 scale path, which has no DuckDB twin by construction)
@@ -199,6 +227,27 @@ object Curation {
     "p03_weighted_sample" -> p03WeightedSample _,
   )
   val oracles: Map[String, String] = Map(
+    "p06_corpus_summary" -> {
+      val tok = TextAnalysis.tokensSql
+      s"""WITH base AS (
+            SELECT lang, source,
+                   CAST(len($tok) AS BIGINT) AS n_tokens,
+                   md5(text) AS h,
+                   CAST(len(list_distinct($tok)) * 1000
+                        + len(list_filter($tok, t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
+                     / len($tok) AS quality
+            FROM documents)
+          SELECT COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 COUNT(DISTINCT lang) AS n_langs,
+                 COUNT(DISTINCT source) AS n_sources,
+                 CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+                 MIN(quality) AS q_min,
+                 quantile_cont(quality, 0.5) AS q_median,
+                 MAX(quality) AS q_max
+          FROM base"""
+    },
     "p05_filter_funnel" -> {
       val tok = TextAnalysis.tokensSql
       s"""WITH base AS (

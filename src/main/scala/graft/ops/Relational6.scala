@@ -421,8 +421,37 @@ object Relational6 {
         min($"tw").as("total_weight"), min($"n").as("n"))
   }
 
+  /** Key-less range join, bucketed: every pair of events (any users)
+    * within 1 minute of each other. With no equi key Spark would plan a
+    * BroadcastNestedLoopJoin — O(n²) comparisons at any scale. Bucketing
+    * time into 1-minute cells and exploding one side to its 3 candidate
+    * cells turns it into a plain equi-join on the cell id (each true
+    * pair matches on EXACTLY one exploded cell, so no distinct is
+    * needed), with the precise interval predicate as a residual filter.
+    * This is the range-join-hint optimization, hand-planned; PlanSpec
+    * asserts no nested-loop join survives. */
+  def q81BucketedRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cellUs = 60000000L // 1-minute cells, microseconds
+    val e = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"ts",
+        expr(s"unix_micros(CAST(ts AS TIMESTAMP)) div $cellUs").as("cell"))
+    val probe = e.select($"event_id".as("id1"), $"event_type".as("type1"),
+        $"ts".as("ts1"),
+        explode(array($"cell" - 1, $"cell", $"cell" + 1)).as("cell"))
+    val build = e.select($"event_id".as("id2"), $"event_type".as("type2"),
+        $"ts".as("ts2"), $"cell")
+    probe.join(build, Seq("cell"))
+      .filter($"id1" < $"id2" &&
+        $"ts2" >= $"ts1" - expr("INTERVAL 1 MINUTES") &&
+        $"ts2" <= $"ts1" + expr("INTERVAL 1 MINUTES"))
+      .groupBy($"type1", $"type2")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q63_skyline"       -> q63Skyline _,
+    "q81_bucketed_range_join" -> q81BucketedRangeJoin _,
     "q80_weighted_median" -> q80WeightedMedian _,
     "q79_nest_unnest"   -> q79NestUnnest _,
     "q78_not_in_nulls"  -> q78NotInNulls _,
@@ -471,6 +500,14 @@ object Relational6 {
                 quantile_disc(o_totalprice, 0.5) AS p50,
                 quantile_disc(o_totalprice, 0.75) AS p75
          FROM orders GROUP BY 1""",
+    "q81_bucketed_range_join" ->
+      """SELECT a.event_type AS type1, b.event_type AS type2,
+                COUNT(*) AS n_pairs
+         FROM events a JOIN events b
+           ON a.event_id < b.event_id
+          AND b.ts >= a.ts - INTERVAL 1 MINUTE
+          AND b.ts <= a.ts + INTERVAL 1 MINUTE
+         GROUP BY 1, 2""",
     "q80_weighted_median" ->
       """WITH cum AS (
            SELECT l_returnflag, l_extendedprice, l_quantity,

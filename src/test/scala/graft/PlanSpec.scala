@@ -151,6 +151,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"one user_id exchange expected, got $exchanges")
   }
 
+  test("q81 bucketed range join: the key-less interval join runs as an equi-join on cells") {
+    val p = planOf(ops.Relational6.q81BucketedRangeJoin(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "cell ids must drive a hash/merge join")
+  }
+
   test("q71 column profile: the NDV Expand aggregates by hash, not a wide sort") {
     val p = planOf(ops.Relational6.q71ColumnProfile(spark, sf0001))
     assert(p.contains("Expand"), "multi-distinct must compile to Expand")
