@@ -382,8 +382,48 @@ object Similarity {
         ($"comp_sum" / $"n_docs").as("centroid_comp"))
   }
 
+  /** Hybrid retrieval: lexical overlap and vector cosine fused by
+    * reciprocal-rank fusion (RRF, k=60) — the standard two-tower
+    * retrieval read (BM25-ish term match + embedding recall, combined
+    * rank-wise so neither score scale dominates). Query docs are the
+    * first 5 documents; candidates are every doc with an embedding
+    * (doc_id = vec_id joins the two modalities). Lexical overlap is a
+    * distinct-token equi-join (shuffle by token, never all-pairs);
+    * cosine rides the broadcast query set; both ranks and the RRF sum
+    * are integer-derived — engine-exact. */
+  def s11HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val embs = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cands = docs.join(embs, $"doc_id" === $"vec_id")
+      .select($"doc_id".as("did"), $"text", $"embedding")
+    val qs = cands.filter($"did" < 5)
+      .select($"did".as("qid"), $"text".as("qtext"), $"embedding".as("qe"))
+    val qTok = qs.select($"qid",
+      explode(array_distinct(TextAnalysis.tokens($"qtext"))).as("tok"))
+    val cTok = cands.select($"did",
+      explode(array_distinct(TextAnalysis.tokens($"text"))).as("tok"))
+    val lex = qTok.join(cTok, "tok").filter($"did" =!= $"qid")
+      .groupBy($"qid", $"did").agg(count(lit(1)).as("overlap"))
+    val vec = cands.join(broadcast(qs.drop("qtext")), $"did" =!= $"qid")
+      .select($"qid", $"did", cosine($"qe", $"embedding").as("cos_sim"))
+    val scored = vec.join(lex, Seq("qid", "did"), "left")
+      .na.fill(0L, Seq("overlap"))
+    val byLex = Window.partitionBy($"qid").orderBy($"overlap".desc, $"did")
+    val byVec = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"did")
+    val ranked = scored
+      .withColumn("r_lex", row_number().over(byLex))
+      .withColumn("r_vec", row_number().over(byVec))
+      .withColumn("rrf",
+        lit(1.0) / ($"r_lex" + 60) + lit(1.0) / ($"r_vec" + 60))
+    val byRrf = Window.partitionBy($"qid").orderBy($"rrf".desc, $"did")
+    ranked.withColumn("rank", row_number().over(byRrf)).filter($"rank" <= 5)
+      .select($"qid", $"rank", $"did", $"overlap", $"cos_sim", $"rrf")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
+    "s11_hybrid_search"  -> s11HybridSearch _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
     "s09_pq_ann"         -> s09PqAnn _,
     "s10_lang_centroids" -> s10LangCentroids _,
@@ -413,6 +453,45 @@ object Similarity {
               FROM scored) t WHERE rn = 1)"""
 
   val oracles: Map[String, String] = Map(
+    "s11_hybrid_search" -> {
+      val tok = "list_distinct(string_split_regex(text, '\\s+'))"
+      s"""WITH cands AS (
+            SELECT d.doc_id AS did, d.text, e.embedding
+            FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+          qs AS (
+            SELECT did AS qid, text AS qtext, embedding AS qe
+            FROM cands WHERE did < 5),
+          qt AS (SELECT qid, unnest($tok) AS tok
+                 FROM (SELECT qid, qtext AS text FROM qs) t),
+          ct AS (SELECT did, unnest($tok) AS tok FROM cands),
+          lex AS (
+            SELECT qid, did, COUNT(*) AS overlap
+            FROM qt JOIN ct USING (tok) WHERE did <> qid GROUP BY 1, 2),
+          vec AS (
+            SELECT q.qid, c.did, ${cosineSql("q.qe", "c.embedding")} AS cos_sim
+            FROM qs q JOIN cands c ON c.did <> q.qid),
+          scored AS (
+            SELECT v.qid, v.did, COALESCE(l.overlap, 0) AS overlap, v.cos_sim
+            FROM vec v LEFT JOIN lex l ON l.qid = v.qid AND l.did = v.did),
+          ranked AS (
+            SELECT *,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY overlap DESC, did) AS r_lex,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos_sim DESC, did) AS r_vec
+            FROM scored)
+          SELECT qid, CAST(rank AS INT) AS rank, did,
+                 CAST(overlap AS BIGINT) AS overlap, cos_sim, rrf
+          FROM (
+            SELECT *, CAST(1 AS DOUBLE) / (r_lex + 60)
+                      + CAST(1 AS DOUBLE) / (r_vec + 60) AS rrf,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY CAST(1 AS DOUBLE) / (r_lex + 60)
+                                             + CAST(1 AS DOUBLE) / (r_vec + 60) DESC,
+                                             did) AS rank
+            FROM ranked) t
+          WHERE rank <= 5"""
+    },
     "s10_lang_centroids" ->
       """WITH joined AS (
            SELECT d.lang, e.vec_id, e.embedding

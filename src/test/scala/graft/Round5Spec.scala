@@ -736,6 +736,26 @@ class Round5Spec extends AnyFunSuite {
     rows.foreach { case (tpe, _, _, _, kSum) => assert(kSum == clean(tpe), tpe) }
   }
 
+  test("s11: RRF scores decompose into two in-range reciprocal ranks and order the output") {
+    val rows = ext.Similarity.s11HybridSearch(spark, sf0001)
+      .select($"qid", $"rank", $"did", $"rrf").as[(Long, Int, Long, Double)].collect()
+    assert(rows.length == 25)
+    val nCands = Tables.documents(spark, sf0001)
+      .join(Tables.embeddings(spark, sf0001),
+        $"doc_id" === $"vec_id").count().toInt - 1
+    rows.foreach { case (qid, _, did, rrf) =>
+      val ok = (1 to nCands).exists { a =>
+        (1 to nCands).exists(b => 1.0 / (a + 60) + 1.0 / (b + 60) == rrf)
+      }
+      assert(ok, s"($qid,$did): rrf $rrf is not a sum of two in-range reciprocals")
+    }
+    rows.groupBy(_._1).values.foreach { grp =>
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5))
+      assert(sorted.sliding(2).forall(p => p.head._4 >= p.last._4))
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
