@@ -235,8 +235,39 @@ object CdcQueries {
         Tables.dsum($"value").as("value_sum"))
   }
 
+  /** Point-in-time (temporal) join: each click fact is enriched with the
+    * dimension version that was valid AT ITS EVENT TIME — the read every
+    * SCD2 history (c08) exists to serve, and the semantics a naive
+    * latest-state join silently gets wrong. The state history is built
+    * from the non-click events per user (valid_from = change ts,
+    * valid_to = next change); clicks join on user + containment
+    * interval. Clicks before a user's first state row keep NULLs (left
+    * join) — "dimension not yet born" is a real answer. One user-keyed
+    * shuffle each side; the interval predicate is a per-user residual. */
+  def c13PointInTimeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val hist = events.filter($"event_type" =!= "click")
+      .select($"user_id", $"event_id", $"ts", $"value")
+      .withColumn("valid_to", lead($"ts", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select($"user_id", $"event_id".as("version_event"),
+        $"ts".as("valid_from"), $"value", $"valid_to", $"version")
+    val clicks = events.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    clicks.join(hist,
+        clicks("user_id") === hist("user_id") &&
+          $"valid_from" <= $"click_ts" &&
+          ($"valid_to".isNull || $"click_ts" < $"valid_to"),
+        "left_outer")
+      .select(clicks("user_id"), $"click_id", $"version",
+        $"version_event", $"value".as("state_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "c12_dlq_repair" -> c12DlqRepair _,
+    "c13_point_in_time_join" -> c13PointInTimeJoin _,
     "c08_scd2_history"          -> c08Scd2History _,
     "c09_incremental_agg"       -> c09IncrementalAgg _,
     "c10_schema_evolution"      -> c10SchemaEvolution _,
@@ -252,6 +283,22 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c13_point_in_time_join" ->
+      """WITH hist AS (
+           SELECT user_id, event_id AS version_event, ts AS valid_from, value,
+                  LEAD(ts) OVER w AS valid_to,
+                  ROW_NUMBER() OVER w AS version
+           FROM events WHERE event_type <> 'click'
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         clicks AS (
+           SELECT user_id, event_id AS click_id, ts AS click_ts
+           FROM events WHERE event_type = 'click')
+         SELECT c.user_id, c.click_id, CAST(h.version AS INT) AS version,
+                h.version_event, h.value AS state_value
+         FROM clicks c LEFT JOIN hist h
+           ON h.user_id = c.user_id
+          AND h.valid_from <= c.click_ts
+          AND (h.valid_to IS NULL OR c.click_ts < h.valid_to)""",
     "c12_dlq_repair" ->
       s"""WITH e AS (
             SELECT event_type, value,

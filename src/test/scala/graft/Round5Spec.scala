@@ -756,6 +756,27 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("c13: every click matches exactly the version whose interval contains it") {
+    val rows = cdc.CdcQueries.c13PointInTimeJoin(spark, sf0001)
+      .select($"click_id", $"version_event").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+    // exactly one row per click — containment intervals cannot overlap
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val evs = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"ts".cast("string"), $"event_type")
+      .as[(Long, Long, String, String)].collect()
+    val histByUser = evs.filter(_._4 != "click").groupBy(_._1)
+      .view.mapValues(_.sortBy(e => (e._3, e._2))).toMap
+    val clicks = evs.filter(_._4 == "click")
+    val got = rows.toMap
+    assert(rows.length == clicks.length)
+    clicks.foreach { case (uid, cid, cts, _) =>
+      val expected = histByUser.get(uid)
+        .flatMap(h => h.takeWhile(e => e._3 <= cts).lastOption).map(_._2)
+      assert(got(cid) == expected, s"click $cid")
+    }
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
