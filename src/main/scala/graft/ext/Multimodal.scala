@@ -200,7 +200,49 @@ object Multimodal {
       .filter($"n_copies" > 1)
   }
 
+  /** Fixed-64-byte-block dedup across blobs — the storage-dedup mode m04's
+    * content-defined chunking exists to beat: exact blob copies dedup
+    * block-for-block, but a ONE-byte prefix shift (planted on every 10th
+    * ≡5 blob) realigns every fixed block so none dedup — the shift
+    * robustness CDC boundaries provide and fixed blocks don't. Output is
+    * the corpus storage report: blob/block counts, unique blocks, the
+    * reclaimable ratio, and the per-class accounting that shows exact
+    * copies fully reclaimed vs shifted copies not at all. Blocks hash
+    * map-side; the only shuffles are the hash-group and the scalar
+    * rollup. (Payloads are UTF-8 text here, so byte blocks ≡ char blocks
+    * — same device as the m04 oracle's ord(substring) byte replay.) */
+  def m06BlockDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val B = 64
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat(lit("x"), $"text").as("text")))
+    val blocks = corpus
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+      .withColumn("b", explode(sequence(lit(0L), expr(s"(len + ${B - 1}) div $B") - 1)))
+      .select($"doc_id",
+        md5(expr(s"substring(text, CAST(b * $B + 1 AS INT), $B)")).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"h").orderBy($"doc_id")
+    blocks.withColumn("rn", row_number().over(w))
+      .withColumn("cls",
+        when($"doc_id" >= 2000000L, "shifted_copy")
+          .when($"doc_id" >= 1000000L, "exact_copy")
+          .otherwise("original"))
+      .groupBy($"cls")
+      .agg(countDistinct($"doc_id").as("n_blobs"),
+        count(lit(1)).as("total_blocks"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("unique_blocks"),
+        (sum(when($"rn" > 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("reclaim_ratio"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m06_block_dedup" -> m06BlockDedup _,
     "m01_media_meta"     -> m01MediaMeta _,
     "m02_media_features" -> m02MediaFeatures _,
     "m03_frame_sample"   -> m03FrameSample _,
@@ -212,6 +254,34 @@ object Multimodal {
     "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 
   val oracles: Map[String, String] = Map(
+    "m06_block_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, 'x' || text FROM documents WHERE doc_id % 10 = 5),
+         idx AS (
+           SELECT doc_id, text, length(text) AS len,
+                  unnest(range(0, (length(text) + 63) // 64)) AS b
+           FROM corpus),
+         blocks AS (
+           SELECT doc_id, md5(substring(text, CAST(b * 64 + 1 AS INT), 64)) AS h
+           FROM idx),
+         flagged AS (
+           SELECT doc_id, h,
+                  ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn,
+                  CASE WHEN doc_id >= 2000000 THEN 'shifted_copy'
+                       WHEN doc_id >= 1000000 THEN 'exact_copy'
+                       ELSE 'original' END AS cls
+           FROM blocks)
+         SELECT cls, COUNT(DISTINCT doc_id) AS n_blobs,
+                COUNT(*) AS total_blocks,
+                CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS unique_blocks,
+                CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) AS reclaim_ratio
+         FROM flagged GROUP BY 1""",
     // md5 of the UTF-8 payload bytes == md5 of the source text (ASCII
     // corpus; same device the d01 oracle uses)
     "m05_binary_dedup" ->

@@ -777,6 +777,24 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("m06: exact copies reclaim every block; a one-byte shift reclaims none") {
+    val rows = ext.Multimodal.m06BlockDedup(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val (_, exTotal, exUnique, exRatio) = {
+      val t = rows("exact_copy"); (t._1, t._2, t._3, t._4)
+    }
+    assert(exUnique == 0 && exRatio == 1.0,
+      s"exact copies must dedup fully: $exUnique unique of $exTotal")
+    val (_, shTotal, shUnique, shRatio) = {
+      val t = rows("shifted_copy"); (t._1, t._2, t._3, t._4)
+    }
+    // the prefix byte realigns every 64-byte block: nothing dedups
+    assert(shUnique == shTotal && shRatio == 0.0,
+      s"shifted copies must not block-dedup: $shUnique of $shTotal")
+    assert(rows("original")._4 < 0.5, "originals are mostly unique content")
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
