@@ -31,6 +31,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++ ops.Relational3.queries ++
       ops.Relational4.queries ++ ops.Relational5.queries ++ ops.Relational6.queries ++
+      ops.Relational7.queries ++
       ops.Streaming.queries ++ cdc.CdcQueries.queries ++
       ext.TextAnalysis.queries ++ ext.Dedup.queries ++
       ext.Similarity.queries ++ ext.Multimodal.queries ++ ext.Curation.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Relational2.oracles ++ ops.Relational3.oracles ++
       ops.Relational4.oracles ++ ops.Relational5.oracles ++ ops.Relational6.oracles ++
+      ops.Relational7.oracles ++
       ops.Streaming.oracles ++ cdc.CdcQueries.oracles ++
       ext.TextAnalysis.oracles ++ ext.Dedup.oracles ++
       ext.Similarity.oracles ++ ext.Multimodal.oracles ++ ext.Curation.oracles ++

@@ -1,0 +1,333 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.{davg, dec, dsum, sqlDavg, sqlDec2Dbl, sqlDsum}
+
+/** Seventh wave of the delegated-engine SQL surface (SURVEY §2.2): the
+  * decision-support query shapes a warehouse user runs daily that hadn't
+  * appeared yet — linear-regression aggregates, disjunctive-predicate
+  * star joins, argmax-by-scalar-subquery, correlated per-group-average
+  * filters, HAVING-driven semi joins, and the double-correlated
+  * EXISTS / NOT EXISTS "exactly one offender per group" pattern
+  * (reformulated as one grouped pass for scale).
+  *
+  * Numeric parity follows the q29 discipline (Relational2.scala): every
+  * moment is an exact decimal sum cast to double, and both engines then
+  * run the textually identical double formula, so order-of-addition can
+  * never diverge the hashes.
+  */
+object Relational7 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val revenue = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+  private val revenueSql = "l_extendedprice * (1.0 - l_discount)"
+
+  /** q82: regression/correlation aggregate family (regr_slope,
+    * regr_intercept, regr_r2, corr) of extended price on quantity per
+    * return flag. Implemented through the five exact-decimal moments
+    * rather than the built-in regr_* aggregates: the built-ins stream
+    * doubles in partition order (non-deterministic across engines and
+    * runs), while moment sums are order-independent and reduce map-side —
+    * one partial-agg pass at any scale, no second shuffle. */
+  def q82RegrStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = dec($"l_quantity")
+    val y = dec($"l_extendedprice")
+    val m = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+    val cov = $"n" * $"sxy" - $"sx" * $"sy"
+    val vx  = $"n" * $"sxx" - $"sx" * $"sx"
+    val vy  = $"n" * $"syy" - $"sy" * $"sy"
+    m.select($"l_returnflag", $"n",
+      (cov / vx).as("slope"),
+      (($"sy" - cov / vx * $"sx") / $"n").as("intercept"),
+      (cov * cov / (vx * vy)).as("r2"),
+      (cov / sqrt(vx * vy)).as("corr"))
+  }
+
+  /** q83: shipping-priority split by ship month (TPC-H Q12 shape) — did
+    * critical-priority orders ship late in some month? Conditional counts
+    * after an orders⋈lineitem equi-join; counts are exact so no decimal
+    * machinery is needed. Scale: one shuffle on the join key, the
+    * 12-group agg is map-side partial. */
+  def q83PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hi = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .filter(year($"l_shipdate") === 1997)
+      .groupBy(month($"l_shipdate").as("ship_month"))
+      .agg(
+        sum(when($"o_orderpriority".isin(hi: _*), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when($"o_orderpriority".isin(hi: _*), 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** q84: promotion revenue share per ship month (TPC-H Q14 shape) — the
+    * conditional-numerator / total-denominator percentage. part is the
+    * small dimension, so it BROADCASTS; both sums come out of one agg
+    * pass and the division is one double op on exact inputs. */
+  def q84PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .filter(year($"l_shipdate") === 1997)
+      .groupBy(month($"l_shipdate").as("ship_month"))
+      .agg(
+        sum(when($"p_type" === "PROMO", dec(revenue)).otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("double").as("promo_revenue"),
+        dsum(revenue).as("total_revenue"))
+      .select($"ship_month",
+        (lit(100.0) * $"promo_revenue" / $"total_revenue").as("promo_share_pct"),
+        $"total_revenue")
+  }
+
+  /** q85: top supplier(s) by quarterly revenue (TPC-H Q15 shape) — the
+    * argmax-via-scalar-subquery pattern. The per-supplier revenue agg is
+    * one shuffle; its 1-row MAX broadcasts back as a cross join, so the
+    * "WHERE total = (SELECT MAX…)" never materializes a second shuffle.
+    * Ties return every winner, identically in both engines because the
+    * totals are exact-decimal-derived doubles. */
+  def q85TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = Tables.lineitem(spark, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(dsum(revenue).as("total_revenue"))
+    val mx = rev.agg(max($"total_revenue").as("mx"))
+    Tables.supplier(spark, dir)
+      .join(rev, $"s_suppkey" === $"l_suppkey")
+      .crossJoin(broadcast(mx))
+      .filter($"total_revenue" === $"mx")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+  }
+
+  /** q86: small-quantity-order revenue (TPC-H Q17 shape) — lineitems of
+    * one brand under 20% of their part's average quantity. Exercises the
+    * correlated scalar aggregate subquery through the SQL entry point;
+    * Catalyst rewrites it to a per-part aggregate + join, which is the
+    * plan you'd hand-write at scale (never a per-row probe). The
+    * per-part average uses the davg identity so the 0.2·avg threshold is
+    * bit-identical across engines. */
+  def q86SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("li_q86")
+    Tables.part(spark, dir).createOrReplaceTempView("part_q86")
+    spark.sql(
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
+                  AS avg_yearly,
+                COUNT(*) AS n_items
+         FROM li_q86 JOIN part_q86 ON p_partkey = l_partkey
+         WHERE p_brand = 'Brand#11'
+           AND l_quantity < 0.2 * (
+             SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(l_quantity)
+             FROM li_q86 l2 WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  /** q87: large-volume customers (TPC-H Q18 shape) — orders whose total
+    * quantity clears a HAVING threshold, then enriched with customer and
+    * order attributes. The heavy agg happens FIRST on the fact table
+    * (map-side partials), and only the ~1% surviving orderkeys join back
+    * — the join input shrinks before it shuffles. */
+  def q87LargeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val big = Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(dec($"l_quantity")).as("qty"))
+      .filter($"qty" > 250)
+      .select($"l_orderkey", $"qty".cast("double").as("total_qty"))
+    big.join(Tables.orders(spark, dir), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty")
+  }
+
+  /** q88: disjunctive-predicate star join (TPC-H Q19 shape) — revenue
+    * from three OR'd brand/size/quantity bands. The per-band conjuncts
+    * straddle both tables, so no single band can be pushed below the
+    * join; what CAN be pushed is the union envelope on each side
+    * (brand ∈ {…} on part, quantity in the covering range on lineitem),
+    * which Catalyst derives from the OR automatically. part broadcasts. */
+  def q88DisjunctiveJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val band1 = $"p_brand" === "Brand#12" && $"p_size".between(1, 15) && $"l_quantity".between(1, 11)
+    val band2 = $"p_brand" === "Brand#23" && $"p_size".between(1, 25) && $"l_quantity".between(10, 20)
+    val band3 = $"p_brand" === "Brand#34" && $"p_size".between(1, 35) && $"l_quantity".between(20, 30)
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), $"l_partkey" === $"p_partkey")
+      .filter(band1 || band2 || band3)
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  /** q89: suppliers who kept orders waiting (TPC-H Q21 shape) — late
+    * lineitems (shipped >90 days after the order date) in finished
+    * multi-supplier orders where this supplier was the ONLY late one.
+    * The reference SQL is a double correlated EXISTS / NOT EXISTS; that
+    * reformulates exactly to two distinct-counts per order (suppliers,
+    * late suppliers), which is ONE grouped pass over the fact table plus
+    * a join back — the 100 TB plan. The oracle keeps the EXISTS form to
+    * pin the equivalence. */
+  def q89WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val joined = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F"),
+        $"l_orderkey" === $"o_orderkey")
+      .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+    val perOrder = joined.groupBy($"l_orderkey".as("ok"))
+      .agg(countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
+    joined.filter($"late")
+      .join(perOrder, $"l_orderkey" === $"ok")
+      .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+      .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** q90: idle high-balance customers (TPC-H Q22 shape) — customers above
+    * the positive-balance average with no recent orders, rolled up by
+    * market segment. The global average is a 1-row broadcast; the "no
+    * recent orders" test is a left-anti join against the distinct recent
+    * buyer set (Spark's null-safe anti-join shape, same as NOT EXISTS). */
+  def q90IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0).agg(davg($"c_acctbal").as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter($"o_orderdate" >= lit("2000-08-01").cast("timestamp"))
+      .select($"o_custkey").distinct()
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_bal"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q82_regr_stats"            -> q82RegrStats _,
+    "q83_priority_shipping"     -> q83PriorityShipping _,
+    "q84_promo_share"           -> q84PromoShare _,
+    "q85_top_supplier"          -> q85TopSupplier _,
+    "q86_small_qty_revenue"     -> q86SmallQtyRevenue _,
+    "q87_large_volume_customers" -> q87LargeVolumeCustomers _,
+    "q88_disjunctive_join"      -> q88DisjunctiveJoin _,
+    "q89_waiting_suppliers"     -> q89WaitingSuppliers _,
+    "q90_idle_customers"        -> q90IdleCustomers _,
+  )
+
+  // DuckDB twins. Decimal sums use (12,4)-based casts where products are
+  // involved (DuckDB's product precision = p1+p2 must stay ≤ 38; inputs
+  // are 4-decimal-exact, probe-verified) and the string→double hop from
+  // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
+  val oracles: Map[String, String] = Map(
+    "q82_regr_stats" ->
+      s"""WITH m AS (
+            SELECT l_returnflag, COUNT(*) AS n,
+              ${sqlDec2Dbl("SUM(CAST(l_quantity AS DECIMAL(12,4)))")} AS sx,
+              ${sqlDec2Dbl("SUM(CAST(l_extendedprice AS DECIMAL(12,4)))")} AS sy,
+              ${sqlDec2Dbl("SUM(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_quantity AS DECIMAL(12,4)))")} AS sxx,
+              ${sqlDec2Dbl("SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4)))")} AS syy,
+              ${sqlDec2Dbl("SUM(CAST(l_quantity AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(12,4)))")} AS sxy
+            FROM lineitem GROUP BY 1)
+          SELECT l_returnflag, n,
+                 (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+                 (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+                 (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                   / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2,
+                 (n * sxy - sx * sy)
+                   / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
+          FROM m""",
+    "q83_priority_shipping" ->
+      """SELECT month(l_shipdate) AS ship_month,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(l_shipdate) = 1997
+         GROUP BY 1""",
+    "q84_promo_share" ->
+      s"""SELECT month(l_shipdate) AS ship_month,
+                 100.0 * ${sqlDec2Dbl(
+                   s"SUM(CASE WHEN p_type = 'PROMO' THEN CAST($revenueSql AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)")}
+                   / ${sqlDsum(revenueSql)} AS promo_share_pct,
+                 ${sqlDsum(revenueSql)} AS total_revenue
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE year(l_shipdate) = 1997
+          GROUP BY 1""",
+    "q85_top_supplier" ->
+      s"""WITH rev AS (
+            SELECT l_suppkey, ${sqlDsum(revenueSql)} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY 1)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM supplier JOIN rev ON s_suppkey = l_suppkey
+          WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""",
+    "q86_small_qty_revenue" ->
+      s"""SELECT ${sqlDec2Dbl("SUM(CAST(l_extendedprice AS DECIMAL(18,6)))")} / 7.0
+                   AS avg_yearly,
+                 COUNT(*) AS n_items
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand = 'Brand#11'
+            AND l_quantity < 0.2 * (
+              SELECT ${sqlDavg("l_quantity")}
+              FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q87_large_volume_customers" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+                  SUM(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                CAST(CAST(qty AS STRING) AS DOUBLE) AS total_qty
+         FROM big JOIN orders ON l_orderkey = o_orderkey
+                  JOIN customer ON o_custkey = c_custkey""",
+    "q88_disjunctive_join" ->
+      s"""SELECT ${sqlDsum(revenueSql)} AS revenue, COUNT(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                 AND l_quantity BETWEEN 20 AND 30)""",
+    "q89_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM supplier, lineitem l1, orders o
+         WHERE s_suppkey = l1.l_suppkey
+           AND o.o_orderkey = l1.l_orderkey
+           AND o.o_orderstatus = 'F'
+           AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+           AND EXISTS (
+             SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name""",
+    "q90_idle_customers" ->
+      s"""SELECT c_mktsegment,
+                 COUNT(*) AS n_customers,
+                 ${sqlDsum("c_acctbal")} AS total_bal
+          FROM customer c
+          WHERE c_acctbal > (
+              SELECT ${sqlDavg("c_acctbal")} FROM customer WHERE c_acctbal > 0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c.c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-08-01')
+          GROUP BY 1""",
+  )
+}

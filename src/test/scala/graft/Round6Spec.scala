@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Relational7
+
+/** Operator-level assertions for the round-6 decision-support wave:
+  * regression aggregates, argmax-by-subquery, HAVING-semi-join,
+  * disjunctive star join, and the "exactly one late supplier" double
+  * correlation — each checked against an independent in-memory
+  * recomputation at sf0.001 (the DuckDB differential runs at sf0.01).
+  */
+class Round6Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("q82: moment-identity slope/corr match a direct driver-side computation") {
+    val xy = Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .as[(String, Double, Double)].collect()
+    val rows = Relational7.q82RegrStats(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = xy.filter(_._1 == r.getString(0))
+      val n = g.length.toDouble
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val syy = g.map(t => t._3 * t._3).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val cov = n * sxy - sx * sy
+      val slope = cov / (n * sxx - sx * sx)
+      val corr = cov / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6 * math.abs(slope),
+        s"slope ${r.getAs[Double]("slope")} vs $slope for ${r.getString(0)}")
+      assert(math.abs(r.getAs[Double]("corr") - corr) < 1e-6,
+        s"corr ${r.getAs[Double]("corr")} vs $corr for ${r.getString(0)}")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1, s"r2 out of range: $r2")
+      assert(math.abs(r.getAs[Double]("corr") * r.getAs[Double]("corr") - r2) < 1e-9)
+    }
+  }
+
+  test("q85: every winner's revenue equals the max per-supplier revenue") {
+    val perSupp = Tables.lineitem(spark, sf0001)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(Tables.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("t"))
+      .select($"l_suppkey", $"t").as[(Long, Double)].collect()
+    val mx = perSupp.map(_._2).max
+    val winners = Relational7.q85TopSupplier(spark, sf0001)
+      .select($"s_suppkey", $"total_revenue").as[(Long, Double)].collect()
+    assert(winners.nonEmpty)
+    winners.foreach { case (k, t) => assert(t == mx, s"supplier $k revenue $t != max $mx") }
+    assert(winners.map(_._1).toSet == perSupp.filter(_._2 == mx).map(_._1).toSet)
+  }
+
+  test("q87: returned orders are exactly those whose quantity sum clears 250") {
+    val sums = Tables.lineitem(spark, sf0001)
+      .groupBy($"l_orderkey").agg(sum($"l_quantity").as("q"))
+      .select($"l_orderkey", $"q").as[(Long, Double)].collect().toMap
+    val got = Relational7.q87LargeVolumeCustomers(spark, sf0001)
+      .select($"o_orderkey", $"total_qty").as[(Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (ok, q) =>
+      assert(q > 250 && math.abs(sums(ok) - q) < 1e-9, s"order $ok qty $q vs ${sums(ok)}")
+    }
+    assert(got.map(_._1).toSet == sums.filter(_._2 > 250).keySet)
+  }
+
+  test("q88: plan broadcasts the part dimension") {
+    val plan = Relational7.q88DisjunctiveJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q89: grouped-pass reformulation matches the brute-force EXISTS semantics") {
+    val li = Tables.lineitem(spark, sf0001)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    val ord = Tables.orders(spark, sf0001)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate").as[(Long, java.sql.Timestamp)]
+      .collect().toMap
+    val supp = Tables.supplier(spark, sf0001)
+      .select($"s_suppkey", $"s_name").as[(Long, String)].collect().toMap
+    val byOrder = li.groupBy(_._1)
+    val expected = li.flatMap { case (ok, sk, ship) =>
+      ord.get(ok).flatMap { odate =>
+        val lateCut = odate.toInstant.plus(java.time.Duration.ofDays(90))
+        val sibs = byOrder(ok)
+        val late = ship.toInstant.isAfter(lateCut)
+        val othersExist = sibs.exists(_._2 != sk)
+        val otherLate = sibs.exists(t => t._2 != sk && t._3.toInstant.isAfter(lateCut))
+        if (late && othersExist && !otherLate) Some(supp(sk)) else None
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Relational7.q89WaitingSuppliers(spark, sf0001)
+      .select($"s_name", $"numwait").as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("q90: rolled-up counts equal the brute-force idle-customer set") {
+    val cust = Tables.customer(spark, sf0001)
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .as[(Long, String, Double)].collect()
+    val avgBal = {
+      val pos = cust.map(_._3).filter(_ > 0)
+      // same exact-decimal identity as davg
+      pos.map(BigDecimal(_)).sum.toDouble / pos.length
+    }
+    val recent = Tables.orders(spark, sf0001)
+      .filter($"o_orderdate" >= lit("2000-08-01").cast("timestamp"))
+      .select($"o_custkey").as[Long].collect().toSet
+    val expected = cust.filter(c => c._3 > avgBal && !recent.contains(c._1))
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Relational7.q90IdleCustomers(spark, sf0001)
+      .select($"c_mktsegment", $"n_customers").as[(String, Long)].collect().toMap
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+}
