@@ -215,8 +215,60 @@ object Curation {
       max($"quality").as("q_max"))
   }
 
+  /** p07: deterministic train/val/test split with leakage accounting —
+    * the reproducible-split primitive every training run needs. Split
+    * assignment is the same multiplicative hash as q40 (pure map-side,
+    * no rand(), identical on re-runs and across engines): buckets
+    * 0-799 train / 800-899 val / 900-999 test. Leakage = documents
+    * whose exact text lands in more than one split (planted copies from
+    * [[Dedup.corpusWithCopies]] get independent doc_ids, so some pairs
+    * straddle splits by construction). The leak check is one groupBy on
+    * the content hash — the shuffle an exact-dedup pass already pays —
+    * and the leaking-hash set is tiny, so it broadcasts back. */
+  def p07HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val b = pmod($"doc_id" * 2654435761L, lit(1000L))
+    val tagged = Dedup.corpusWithCopies(Tables.documents(spark, dir)).select(
+      $"doc_id", length($"text").as("n_chars"), md5($"text").as("h"),
+      when(b < 800, "train").when(b < 900, "val").otherwise("test").as("split"))
+    val leaking = tagged.groupBy($"h")
+      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
+      .select($"h", lit(1).as("leak"))
+    tagged.join(broadcast(leaking), Seq("h"), "left")
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars".cast("long")).as("total_chars"),
+        sum(when($"leak".isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+  }
+
+  /** p08: cross-source content-overlap matrix — which sources feed the
+    * corpus the same documents (the provenance diagnostic run before
+    * choosing a dedup keep-priority). Exact-content overlap via md5 on
+    * per-source DISTINCT hash sets; a synthetic 'mirror' source (every
+    * 10th doc re-published) plants the overlap the generator's corpus
+    * lacks. One equi-join on the hash — never a text comparison — and
+    * the per-source set sizes join back broadcast. */
+  def p08SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val sh = docs.select($"source", md5($"text").as("h"))
+      .unionByName(docs.filter($"doc_id" % 10 === 0)
+        .select(lit("mirror").as("source"), md5($"text").as("h")))
+      .distinct()
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"), $"a.h" === $"b.h" && $"a.source" < $"b.source")
+      .groupBy($"a.source".as("src1"), $"b.source".as("src2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select($"source".as("src1"), $"n".as("n1"))), "src1")
+      .join(broadcast(sizes.select($"source".as("src2"), $"n".as("n2"))), "src2")
+      .select($"src1", $"src2", $"n_shared", $"n1", $"n2",
+        ($"n_shared".cast("double") / ($"n1" + $"n2" - $"n_shared")).as("jaccard"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
+    "p07_hash_split"    -> p07HashSplit _,
+    "p08_source_overlap" -> p08SourceOverlap _,
     "p05_filter_funnel" -> p05FilterFunnel _,
     "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
@@ -227,6 +279,43 @@ object Curation {
     "p03_weighted_sample" -> p03WeightedSample _,
   )
   val oracles: Map[String, String] = Map(
+    "p07_hash_split" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id + 2000000, substring(text, instr(text, ' ') + 1)
+           FROM documents WHERE doc_id % 10 = 5),
+         tagged AS (
+           SELECT doc_id, length(text) AS n_chars, md5(text) AS h,
+                  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM corpus),
+         leaking AS (
+           SELECT h FROM tagged GROUP BY h HAVING COUNT(DISTINCT split) > 1)
+         SELECT split, COUNT(*) AS n_docs,
+                CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                CAST(SUM(CASE WHEN h IN (SELECT h FROM leaking)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+         FROM tagged GROUP BY 1""",
+    "p08_source_overlap" ->
+      """WITH sh AS (
+           SELECT DISTINCT source, md5(text) AS h FROM (
+             SELECT source, text FROM documents
+             UNION ALL
+             SELECT 'mirror', text FROM documents WHERE doc_id % 10 = 0)),
+         sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1)
+         SELECT a.source AS src1, b.source AS src2, COUNT(*) AS n_shared,
+                MIN(s1.n) AS n1, MIN(s2.n) AS n2,
+                CAST(COUNT(*) AS DOUBLE) / (MIN(s1.n) + MIN(s2.n) - COUNT(*))
+                  AS jaccard
+         FROM sh a
+         JOIN sh b ON a.h = b.h AND a.source < b.source
+         JOIN sizes s1 ON s1.source = a.source
+         JOIN sizes s2 ON s2.source = b.source
+         GROUP BY 1, 2""",
     "p06_corpus_summary" -> {
       val tok = TextAnalysis.tokensSql
       s"""WITH base AS (

@@ -458,7 +458,37 @@ object TextAnalysis {
       .withColumn("novelty_frac", $"n_novel".cast("double") / $"n_shingles")
   }
 
+  /** t20: bigram co-occurrence lift — the collocation statistic (PMI's
+    * exact-arithmetic core) a vocabulary/merges builder computes before
+    * choosing multi-word units. lift(a,b) = P(ab)/(P(a·)·P(·b)) computed
+    * as n_ab·N / (n_a·n_b) on exact counts, so both engines do one
+    * identical double division (no log — libm parity is not portable).
+    * Bigrams come from a map-side array zip (no window, no position
+    * join); the unigram margins are vocab-sized and broadcast back.
+    * Support floor n_ab ≥ 20 keeps the output a stable head, not a
+    * noise tail. */
+  def t20Cooccurrence(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = filter(tokens($"text"), x => x =!= "")
+    val bg = Tables.documents(spark, dir)
+      .select(t.as("t")).filter(size($"t") >= 2)
+      .select(explode(zip_with(
+        slice($"t", lit(1), size($"t") - 1), slice($"t", lit(2), size($"t") - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
+      .select($"z.w1".as("w1"), $"z.w2".as("w2"))
+    val nab = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
+    val na = bg.groupBy($"w1").agg(count(lit(1)).as("n_a"))
+    val nb = bg.groupBy($"w2").agg(count(lit(1)).as("n_b"))
+    val tot = bg.agg(count(lit(1)).as("n"))
+    nab.join(broadcast(na), "w1").join(broadcast(nb), "w2")
+      .crossJoin(broadcast(tot))
+      .filter($"n_ab" >= 20)
+      .select($"w1", $"w2", $"n_ab",
+        ($"n_ab".cast("double") * $"n" / ($"n_a" * $"n_b")).as("lift"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t20_cooccurrence" -> t20Cooccurrence _,
     "t01_token_stats" -> t01TokenStats _,
     "t19_novelty_curve" -> t19NoveltyCurve _,
     "t17_overlap_chunks" -> t17OverlapChunks _,
@@ -486,6 +516,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "t20_cooccurrence" ->
+      s"""WITH toks AS (
+            SELECT list_filter($tokensSql, x -> x <> '') AS t FROM documents),
+          bg AS (
+            SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                   unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+            FROM toks WHERE len(t) >= 2),
+          nab AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bg GROUP BY 1, 2),
+          na AS (SELECT w1, COUNT(*) AS n_a FROM bg GROUP BY 1),
+          nb AS (SELECT w2, COUNT(*) AS n_b FROM bg GROUP BY 1),
+          tot AS (SELECT COUNT(*) AS n FROM bg)
+          SELECT w1, w2, n_ab,
+                 CAST(n_ab AS DOUBLE) * n / (n_a * n_b) AS lift
+          FROM nab JOIN na USING (w1) JOIN nb USING (w2), tot
+          WHERE n_ab >= 20""",
     "t19_novelty_curve" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
           ${Dedup.shinglesSql},

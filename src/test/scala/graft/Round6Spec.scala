@@ -101,6 +101,47 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("p07: splits partition the planted corpus and leaks are exactly the straddling texts") {
+    val corpus = ext.Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    def splitOf(id: Long): String = {
+      val b = (id * 2654435761L) % 1000L
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val bySplit = corpus.groupBy(t => splitOf(t._1))
+    val leakTexts = corpus.groupBy(_._2).filter(_._2.map(t => splitOf(t._1)).distinct.size > 1).keySet
+    val got = ext.Curation.p07HashSplit(spark, sf0001)
+      .select($"split", $"n_docs", $"n_leaked").as[(String, Long, Long)].collect()
+    assert(got.map(_._2).sum == corpus.length, "splits must partition the corpus")
+    got.foreach { case (split, nDocs, nLeaked) =>
+      assert(nDocs == bySplit(split).length.toLong)
+      assert(nLeaked == bySplit(split).count(t => leakTexts.contains(t._2)).toLong,
+        s"leak count for $split")
+    }
+  }
+
+  test("t20: lift recomputes from brute-force bigram counts") {
+    val docs = Tables.documents(spark, sf0001).select($"text").as[String].collect()
+    val bgs = docs.flatMap { txt =>
+      val t = txt.split("\\s+").filter(_.nonEmpty)
+      t.dropRight(1).zip(t.drop(1))
+    }
+    val n = bgs.length.toDouble
+    val nab = bgs.groupBy(identity).view.mapValues(_.length).toMap
+    val na = bgs.groupBy(_._1).view.mapValues(_.length).toMap
+    val nb = bgs.groupBy(_._2).view.mapValues(_.length).toMap
+    val got = ext.TextAnalysis.t20Cooccurrence(spark, sf0001)
+      .select($"w1", $"w2", $"n_ab", $"lift")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (w1, w2, c, lift) =>
+      assert(c == nab((w1, w2)).toLong && c >= 20)
+      val expect = c.toDouble * n / (na(w1).toLong * nb(w2).toLong)
+      assert(math.abs(lift - expect) < 1e-12 * expect, s"lift($w1,$w2)")
+    }
+    assert(got.length == nab.count(_._2 >= 20))
+  }
+
   test("q90: rolled-up counts equal the brute-force idle-customer set") {
     val cust = Tables.customer(spark, sf0001)
       .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
