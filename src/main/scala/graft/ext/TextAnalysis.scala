@@ -351,8 +351,10 @@ object TextAnalysis {
     val posts = tf.withColumn("rnk", row_number().over(w))
       .filter($"rnk" <= 100)
       .groupBy($"term")
-      .agg(transform(array_sort(collect_list(struct($"rnk", $"doc_id"))),
-        x => x.getField("doc_id")).as("postings"))
+      // joined to one string: the driver's content hash digests scalar
+      // columns only (round-5 finding: the ARRAY<BIGINT> form errs)
+      .agg(array_join(transform(array_sort(collect_list(struct($"rnk", $"doc_id"))),
+        x => x.getField("doc_id").cast("string")), ",").as("postings"))
     tf.groupBy($"term")
       .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"))
       .join(posts, "term")
@@ -711,7 +713,7 @@ object TextAnalysis {
                                          ORDER BY tf DESC, doc_id) AS rnk
             FROM tf),
           posts AS (
-            SELECT term, list(doc_id ORDER BY rnk) AS postings
+            SELECT term, array_to_string(list(doc_id ORDER BY rnk), ',') AS postings
             FROM ranked WHERE rnk <= 100 GROUP BY term),
           stats AS (
             SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf

@@ -210,7 +210,78 @@ object Relational7 {
       .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_bal"))
   }
 
+  /** q91: median absolute deviation — the robust spread statistic (the
+    * outlier-insensitive sibling of q29's stddev). Two exact-interpolation
+    * percentile passes: per-group median (5 rows, broadcast back), then
+    * the median of |x − med|. The interpolation was proven engine-identical
+    * in q55; the |x − med| input is one IEEE subtraction on both sides. */
+  def q91Mad(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+    val med = orders.groupBy($"o_orderpriority")
+      .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("med"))
+    orders.join(broadcast(med), "o_orderpriority")
+      .withColumn("adev", abs($"o_totalprice" - $"med"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min($"med").as("median_price"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+  }
+
+  /** q92: deterministic mode — most frequent quantity per return flag with
+    * an explicit (count desc, value asc) tie-break, because both engines'
+    * built-in mode() leave ties unspecified. Count-then-rank: the heavy agg
+    * shrinks the data to (group × distinct value) before the tiny window. */
+  def q92Mode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("n_mode"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"n_mode".desc, $"l_quantity".asc)
+    counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"n_mode")
+  }
+
+  /** q93: first-touch attribution — every purchase attributed to the
+    * user's most recent click within the preceding 24 h. The as-of logic
+    * is the union + last(IGNORE NULLS) device (clicks sort before
+    * purchases at equal timestamps): ONE shuffle by user_id, no
+    * range-join blowup — at 100 TB this is the only as-of plan that
+    * doesn't explode, and it complements q26's filtered-probe window
+    * form. */
+  def q93FirstTouch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+    val uni = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"event_id".as("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      .unionByName(ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+          $"event_id".as("purchase_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id")
+      .orderBy($"ts",
+        when($"click_id".isNotNull, 0).otherwise(1),
+        coalesce($"click_id", $"purchase_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    uni
+      .withColumn("last_click", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when($"click_id".isNotNull, $"ts"), ignoreNulls = true).over(w))
+      .filter($"purchase_id".isNotNull)
+      .select($"purchase_id", $"user_id",
+        when($"last_click_ts" >= $"ts" - expr("INTERVAL 24 HOURS"), $"last_click")
+          .as("attributed_click_id"),
+        coalesce($"last_click_ts" >= $"ts" - expr("INTERVAL 24 HOURS"), lit(false))
+          .as("attributed"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q91_mad"                   -> q91Mad _,
+    "q92_mode"                  -> q92Mode _,
+    "q93_first_touch"           -> q93FirstTouch _,
     "q82_regr_stats"            -> q82RegrStats _,
     "q83_priority_shipping"     -> q83PriorityShipping _,
     "q84_promo_share"           -> q84PromoShare _,
@@ -227,6 +298,47 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    "q91_mad" ->
+      """WITH med AS (
+           SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+           FROM orders GROUP BY 1)
+         SELECT o_orderpriority, COUNT(*) AS n,
+                MIN(med) AS median_price,
+                quantile_cont(abs(o_totalprice - med), 0.5) AS mad
+         FROM orders JOIN med USING (o_orderpriority)
+         GROUP BY 1""",
+    "q92_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, n_mode
+         FROM (
+           SELECT l_returnflag, l_quantity, COUNT(*) AS n_mode,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY COUNT(*) DESC, l_quantity) AS rn
+           FROM lineitem GROUP BY 1, 2)
+         WHERE rn = 1""",
+    "q93_first_touch" ->
+      """WITH uni AS (
+           SELECT user_id, ts, event_id AS click_id, NULL::BIGINT AS purchase_id
+           FROM events WHERE event_type = 'click'
+           UNION ALL
+           SELECT user_id, ts, NULL, event_id FROM events
+           WHERE event_type = 'purchase'),
+         wv AS (
+           SELECT *,
+                  last_value(click_id IGNORE NULLS) OVER w AS last_click,
+                  last_value(CASE WHEN click_id IS NOT NULL THEN ts END
+                             IGNORE NULLS) OVER w AS last_click_ts
+           FROM uni
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY ts,
+                                 CASE WHEN click_id IS NOT NULL THEN 0 ELSE 1 END,
+                                 COALESCE(click_id, purchase_id)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT purchase_id, user_id,
+                CASE WHEN last_click_ts >= ts - INTERVAL 24 HOUR
+                     THEN last_click END AS attributed_click_id,
+                COALESCE(last_click_ts >= ts - INTERVAL 24 HOUR, FALSE)
+                  AS attributed
+         FROM wv WHERE purchase_id IS NOT NULL""",
     "q82_regr_stats" ->
       s"""WITH m AS (
             SELECT l_returnflag, COUNT(*) AS n,

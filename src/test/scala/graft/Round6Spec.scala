@@ -101,6 +101,65 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("q91: MAD matches a driver-side interpolated-percentile recomputation") {
+    def pctCont(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val idx = (s.length - 1) * p
+      val lo = idx.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (idx - lo) * (s(lo + 1) - s(lo))
+    }
+    val prices = Tables.orders(spark, sf0001)
+      .select($"o_orderpriority", $"o_totalprice")
+      .as[(String, Double)].collect().groupBy(_._1)
+    val got = Relational7.q91Mad(spark, sf0001)
+      .select($"o_orderpriority", $"median_price", $"mad")
+      .as[(String, Double, Double)].collect()
+    assert(got.length == prices.size)
+    got.foreach { case (prio, med, mad) =>
+      val xs = prices(prio).map(_._2)
+      val expMed = pctCont(xs, 0.5)
+      val expMad = pctCont(xs.map(x => math.abs(x - expMed)), 0.5)
+      assert(math.abs(med - expMed) < 1e-9, s"median $prio")
+      assert(math.abs(mad - expMad) < 1e-9, s"mad $prio")
+    }
+  }
+
+  test("q92: mode is the max-count value with min-value tie-break") {
+    val qty = Tables.lineitem(spark, sf0001)
+      .select($"l_returnflag", $"l_quantity").as[(String, Double)].collect()
+    val got = Relational7.q92Mode(spark, sf0001)
+      .select($"l_returnflag", $"mode_qty", $"n_mode")
+      .as[(String, Double, Long)].collect()
+    got.foreach { case (flag, mq, n) =>
+      val counts = qty.filter(_._1 == flag).groupBy(_._2).view.mapValues(_.length).toMap
+      val best = counts.toSeq.sortBy(t => (-t._2, t._1)).head
+      assert((mq, n) == (best._1, best._2.toLong), s"mode for $flag")
+    }
+  }
+
+  test("q93: attribution equals the brute-force latest-click-within-24h scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .as[(Long, Long, String, java.sql.Timestamp)].collect()
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._2)
+    val expected = ev.filter(_._3 == "purchase").map { case (pid, uid, _, ts) =>
+      val cand = clicksByUser.getOrElse(uid, Array.empty)
+        .filter(c => !c._4.after(ts) &&
+          !c._4.toInstant.isBefore(ts.toInstant.minus(java.time.Duration.ofHours(24))))
+      // same tie-break as the query: latest ts, then max click_id among ties
+      val att = if (cand.isEmpty) None
+        else Some(cand.maxBy(c => (c._4.getTime, c._1))._1)
+      pid -> att
+    }.toMap
+    val got = Relational7.q93FirstTouch(spark, sf0001)
+      .select($"purchase_id", $"attributed_click_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("p07: splits partition the planted corpus and leaks are exactly the straddling texts") {
     val corpus = ext.Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
       .select($"doc_id", $"text").as[(Long, String)].collect()
