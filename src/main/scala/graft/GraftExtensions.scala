@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{FloatVectorCosine, FloatVectorDot, FloatVectorL2}
+import graft.functions.{FloatVectorCosine, FloatVectorDot, FloatVectorL2, MinHashSignature}
 
 /** Session-extension hook so the engine's custom expressions are available
   * in any session started with
@@ -30,5 +30,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[FloatVectorL2].getName, "vec_l2sq"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVectorL2(exprs(0), exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val k = exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt }
+        val p = exprs(2).eval() match { case l: Long => l; case i: Int => i.toLong }
+        MinHashSignature(exprs(0), k, p)
+      }))
   }
 }

@@ -190,6 +190,56 @@ object Dedup {
       .cache()
   }
 
+  /** Shingle ARRAYS (no explode): the whole 3-gram set stays one row per
+    * document — the input shape for the map-side [[graft.functions.MinHashSignature]]. */
+  def shingleArrays(corpus: DataFrame): DataFrame = {
+    val t = corpus.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+    val sh = when(size(col("toks")) >= 3,
+      transform(sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", element_at(col("toks"), i + 1),
+                            element_at(col("toks"), i + 2),
+                            element_at(col("toks"), i + 3))))
+      .otherwise(array())
+    t.select(col("doc_id"), array_distinct(sh).as("shingles"))
+  }
+
+  /** d18: zero-explode LSH near-dup — the plan [[minHashLshScale]] should
+    * become at 100 TB. The K-hash signature is ONE codegen'd expression
+    * ([[graft.functions.MinHashSignature]]) inside the scan projection, so
+    * the corpus-token-scale explode → groupBy shuffle disappears entirely:
+    * the first exchange of the whole dedup is the band self-join on
+    * ~(4·docs) tiny band-key rows. Candidate verification joins the
+    * shingle ARRAYS back for just the candidate ids and intersects them
+    * map-side (`array_intersect` on the raw shingles — the TRUE jaccard,
+    * immune to the modular-hash collisions the exploded sid-join form can
+    * in principle double-count). MinHashSpec asserts bit-identical
+    * signatures vs the exploded build and exact pair parity with the
+    * oracle-checked dictionary form (d02). */
+  def d18MinHashMapSide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    // cached: the band build reads it once, the verify join twice
+    val sharr = shingleArrays(corpus).filter(size($"shingles") > 0).cache()
+    val sig = sharr.select($"doc_id",
+      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))
+    val bands = (0 until K / 2).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        concat_ws(":", element_at($"sig", 2 * b + 1),
+                       element_at($"sig", 2 * b + 2)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    cand
+      .join(sharr.select($"doc_id".as("id1"), $"shingles".as("sh1")), "id1")
+      .join(sharr.select($"doc_id".as("id2"), $"shingles".as("sh2")), "id2")
+      .select($"id1", $"id2",
+        size(array_intersect($"sh1", $"sh2")).cast("long").as("inter"),
+        size($"sh1").cast("long").as("n1"),
+        size($"sh2").cast("long").as("n2"))
+      .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+  }
+
   /** Corpus-level dedup API: the operational form ("give me the cleaned
     * corpus"). Exact duplicates collapse to the min doc_id; near
     * duplicates (verified jaccard ≥ 0.5 via the scale-path LSH) drop the
@@ -696,6 +746,9 @@ object Dedup {
     // at 100 TB. No oracle by construction (rows-only driver check);
     // ExtSpec asserts parity with the dictionary forms on planted dups.
     "d06_minhash_lsh_scale" -> minHashLshScale _,
+    // rows-only like d06 (xxhash64 signatures have no DuckDB twin);
+    // MinHashSpec asserts exact pair parity with the oracle-checked d02
+    "d18_minhash_mapside"   -> d18MinHashMapSide _,
     "d07_dedup_corpus"      -> dedupCorpus _,
     "d08_simhash_scale"     -> simHashScale _,
     "d09_dedup_clusters"    -> d09DedupClusters _,

@@ -119,7 +119,8 @@ class Round5Spec extends AnyFunSuite {
     assert(idx.nonEmpty)
     idx.foreach { r =>
       val term = r.getAs[String]("term")
-      val posts = r.getSeq[Long](r.fieldIndex("postings"))
+      // postings ship as a comma-joined string (driver-hashable scalar)
+      val posts = r.getAs[String]("postings").split(",").toSeq.map(_.toLong)
       val full = tf(term)
       assert(posts.length <= 100 && posts.length == posts.distinct.length)
       assert(r.getAs[Long]("df") == full.size)
