@@ -265,7 +265,46 @@ object CdcQueries {
         $"version_event", $"value".as("state_value"))
   }
 
+  /** c14: snapshot drift audit — diff the latest-per-key state at two cut
+    * points (the reconciliation a CDC consumer runs to prove a replay or a
+    * backfill landed: which keys appeared, which changed state, and what
+    * the state moved from/to). Both snapshots come from ONE scan: rows at
+    * ts ≤ T2 are tagged per cut with a conditional latest-per-key window
+    * (rank among ≤T1 rows and rank among ≤T2 rows share the same
+    * user-keyed sort), so no self-join of the log. `removed` is
+    * structurally absent for monotone cuts (T1 < T2 means every T1 key
+    * survives) but the full-outer shape keeps the operator general. */
+  def c14SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t1 = lit("2024-01-15").cast("timestamp")
+    val t2 = lit("2024-01-25").cast("timestamp")
+    val ev = Tables.events(spark, dir)
+      .filter($"ts" <= t2)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+    // one window: rank events newest-first per user; a second conditional
+    // rank counts only the rows visible at T1
+    val wDesc = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val ranked = ev
+      .withColumn("rn2", row_number().over(wDesc))
+      .withColumn("rn1", sum(when($"ts" <= t1, 1L).otherwise(0L))
+        .over(wDesc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val s2 = ranked.filter($"rn2" === 1)
+      .select($"user_id", $"event_id".as("new_event"), $"value".as("new_value"))
+    val s1 = ranked.filter($"ts" <= t1 && $"rn1" === 1)
+      .select($"user_id", $"event_id".as("old_event"), $"value".as("old_value"))
+    s1.join(s2, Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when($"old_event".isNull, "added")
+          .when($"new_event".isNull, "removed")
+          .when($"old_event" =!= $"new_event", "changed")
+          .otherwise("unchanged"))
+      .filter($"status" =!= "unchanged")
+      .select($"user_id", $"status", $"old_event", $"new_event",
+        $"old_value", $"new_value")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c14_snapshot_diff" -> c14SnapshotDiff _,
     "c12_dlq_repair" -> c12DlqRepair _,
     "c13_point_in_time_join" -> c13PointInTimeJoin _,
     "c08_scd2_history"          -> c08Scd2History _,
@@ -283,6 +322,34 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c14_snapshot_diff" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, ts, value FROM events
+           WHERE ts <= TIMESTAMP '2024-01-25'),
+         ranked AS (
+           SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn2,
+                  SUM(CASE WHEN ts <= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn1
+           FROM ev),
+         s2 AS (SELECT user_id, event_id AS new_event, value AS new_value
+                FROM ranked WHERE rn2 = 1),
+         s1 AS (SELECT user_id, event_id AS old_event, value AS old_value
+                FROM ranked
+                WHERE ts <= TIMESTAMP '2024-01-15' AND rn1 = 1)
+         SELECT user_id,
+                CASE WHEN old_event IS NULL THEN 'added'
+                     WHEN new_event IS NULL THEN 'removed'
+                     WHEN old_event <> new_event THEN 'changed'
+                     ELSE 'unchanged' END AS status,
+                old_event, new_event, old_value, new_value
+         FROM s1 FULL OUTER JOIN s2 USING (user_id)
+         WHERE CASE WHEN old_event IS NULL THEN 'added'
+                    WHEN new_event IS NULL THEN 'removed'
+                    WHEN old_event <> new_event THEN 'changed'
+                    ELSE 'unchanged' END <> 'unchanged'""",
     "c13_point_in_time_join" ->
       """WITH hist AS (
            SELECT user_id, event_id AS version_event, ts AS valid_from, value,

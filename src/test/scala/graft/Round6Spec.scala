@@ -101,6 +101,33 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("c14: snapshot diff equals brute-force latest-per-key states at both cuts") {
+    val t1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"event_id", $"ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+    def snap(cut: java.sql.Timestamp): Map[Long, Long] =
+      ev.filter(!_._3.after(cut)).groupBy(_._1)
+        .view.mapValues(_.maxBy(e => (e._3.getTime, e._2))._2).toMap
+    val (s1, s2) = (snap(t1), snap(t2))
+    val expected = (s1.keySet ++ s2.keySet).flatMap { u =>
+      (s1.get(u), s2.get(u)) match {
+        case (None, Some(n))            => Some(u -> ("added", None, Some(n)))
+        case (Some(o), None)            => Some(u -> ("removed", Some(o), None))
+        case (Some(o), Some(n)) if o != n => Some(u -> ("changed", Some(o), Some(n)))
+        case _                          => None
+      }
+    }.toMap
+    val got = cdc.CdcQueries.c14SnapshotDiff(spark, sf0001).collect().map { r =>
+      r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
+
   test("q91: MAD matches a driver-side interpolated-percentile recomputation") {
     def pctCont(xs: Array[Double], p: Double): Double = {
       val s = xs.sorted
