@@ -247,7 +247,10 @@ object Dedup {
   def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    val nearDrops = minHashLshScale(spark, dir).select($"id2".as("drop_id")).distinct()
+    // near pairs via the zero-explode map-side LSH (d18): MinHashSpec pins
+    // its survivor pair set equal to the exploded minHashLshScale path, so
+    // the drops are identical — with no corpus-token-scale shuffle
+    val nearDrops = d18MinHashMapSide(spark, dir).select($"id2".as("drop_id")).distinct()
     val exactCanon = corpus
       .groupBy(md5($"text".cast("binary")).as("h"))
       .agg(min($"doc_id").as("keep_id"))

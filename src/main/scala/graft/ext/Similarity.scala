@@ -337,9 +337,12 @@ object Similarity {
       .select(col("vec_id"), col("s"), col("code"))
   }
 
-  def s09PqAnn(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+  /** Asymmetric-distance (ADC) table for the first-5-query set: per
+    * (query, candidate) summed subspace distances between the query's
+    * exact subvectors and the candidate's ASSIGNED CODEWORDS — shared by
+    * the plain PQ read (s09) and the re-ranked read (s12). */
+  private def pqAdc(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val cbs = pqCodebook(e)
     val enc = pqEncode(e)
     // ADC: query subvector vs the assigned codeword, folded in s order
@@ -349,14 +352,44 @@ object Similarity {
       .join(broadcast(qsubs), "s")
       .filter($"vec_id" =!= $"qid")
       .select($"qid", $"vec_id".as("nid"), $"s", l2($"qs", $"cs").as("d2s"))
-    val adc = parts.groupBy($"qid", $"nid")
+    parts.groupBy($"qid", $"nid")
       .agg(aggregate(
         transform(array_sort(collect_list(struct($"s", $"d2s"))),
           g => g.getField("d2s")),
         lit(0.0), (a, x) => a + x).as("adc_dist"))
+  }
+
+  def s09PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val w = Window.partitionBy($"qid").orderBy($"adc_dist", $"nid")
-    adc.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+    pqAdc(e).withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
       .select($"qid", $"rank", $"nid", $"adc_dist")
+  }
+
+  /** s12: two-stage ANN — PQ coarse search re-ranked by exact cosine,
+    * the standard billion-scale serving pattern (compressed codes answer
+    * "which 50 candidates", full vectors answer "which 10, in what
+    * order"). Stage 1 scans only 8-byte codes (s09's ADC); stage 2
+    * fetches full vectors for candidates ONLY — 50 per query, broadcast
+    * join scale — so full-precision data never shuffles corpus-wide.
+    * Both stages engine-exact: ADC folds in subspace order, the re-rank
+    * uses the bit-identical fused cosine. coarse_rank is kept in the
+    * output so the re-rank's effect over raw ADC order is visible. */
+  def s12RerankedPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val wCoarse = Window.partitionBy($"qid").orderBy($"adc_dist", $"nid")
+    val coarse = pqAdc(e)
+      .withColumn("coarse_rank", row_number().over(wCoarse))
+      .filter($"coarse_rank" <= 50)
+    val rer = coarse
+      .join(e.select($"vec_id".as("qid"), $"embedding".as("qe")), "qid")
+      .join(e.select($"vec_id".as("nid"), $"embedding".as("ne")), "nid")
+      .withColumn("cos_sim", cosine($"qe", $"ne"))
+    val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+    rer.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select($"qid", $"rank", $"nid", $"cos_sim", $"coarse_rank")
   }
 
   /** Cross-modal join + per-group vector aggregation: mean embedding per
@@ -426,6 +459,7 @@ object Similarity {
     "s11_hybrid_search"  -> s11HybridSearch _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
     "s09_pq_ann"         -> s09PqAnn _,
+    "s12_reranked_pq"    -> s12RerankedPq _,
     "s10_lang_centroids" -> s10LangCentroids _,
     "s06_range_search"   -> s06RangeSearch _,
     "s07_ann_recall"     -> s07AnnRecall _,
@@ -451,6 +485,42 @@ object Similarity {
               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
                                            ORDER BY cdot DESC, cid) AS rn
               FROM scored) t WHERE rn = 1)"""
+
+  /** The s09 ADC chain (through the `adc` CTE) as shared oracle text —
+    * s09 reads its top-5 directly, s12 re-ranks its top-50 coarse set. */
+  private def pqAdcSql: String =
+    s"""subs AS (
+            SELECT vec_id, s,
+                   list_transform(range(1, ${PqD + 1}),
+                     j -> CAST(embedding[s * $PqD + j] AS DOUBLE)) AS sub
+            FROM embeddings, (SELECT unnest(range(0, $PqM)) AS s) sp),
+          cbs AS (
+            SELECT vec_id AS code, s, sub AS cs FROM subs WHERE vec_id < $PqCodes),
+          d2 AS (
+            SELECT v.vec_id, v.s, c.code,
+                   list_reduce(list_transform(range(1, ${PqD + 1}),
+                     j -> (v.sub[j] - c.cs[j]) * (v.sub[j] - c.cs[j])),
+                     (x, y) -> x + y) AS d2
+            FROM subs v JOIN cbs c USING (s)),
+          enc AS (
+            SELECT vec_id, s, code FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                           ORDER BY d2, code) AS rn
+              FROM d2) t
+            WHERE rn = 1),
+          parts AS (
+            SELECT q.vec_id AS qid, e.vec_id AS nid, e.s,
+                   list_reduce(list_transform(range(1, ${PqD + 1}),
+                     j -> (q.sub[j] - c.cs[j]) * (q.sub[j] - c.cs[j])),
+                     (x, y) -> x + y) AS d2s
+            FROM enc e
+            JOIN cbs c ON c.s = e.s AND c.code = e.code
+            JOIN subs q ON q.s = e.s AND q.vec_id < 5 AND e.vec_id <> q.vec_id),
+          adc AS (
+            SELECT qid, nid,
+                   list_reduce(list_prepend(0.0, list(d2s ORDER BY s)),
+                     (a, b) -> a + b) AS adc_dist
+            FROM parts GROUP BY qid, nid)"""
 
   val oracles: Map[String, String] = Map(
     "s11_hybrid_search" -> {
@@ -506,43 +576,31 @@ object Similarity {
                             (a, b) -> a + b) / COUNT(*) AS centroid_comp
          FROM comps GROUP BY lang, j""",
     "s09_pq_ann" ->
-      s"""WITH subs AS (
-            SELECT vec_id, s,
-                   list_transform(range(1, ${PqD + 1}),
-                     j -> CAST(embedding[s * $PqD + j] AS DOUBLE)) AS sub
-            FROM embeddings, (SELECT unnest(range(0, $PqM)) AS s) sp),
-          cbs AS (
-            SELECT vec_id AS code, s, sub AS cs FROM subs WHERE vec_id < $PqCodes),
-          d2 AS (
-            SELECT v.vec_id, v.s, c.code,
-                   list_reduce(list_transform(range(1, ${PqD + 1}),
-                     j -> (v.sub[j] - c.cs[j]) * (v.sub[j] - c.cs[j])),
-                     (x, y) -> x + y) AS d2
-            FROM subs v JOIN cbs c USING (s)),
-          enc AS (
-            SELECT vec_id, s, code FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s
-                                           ORDER BY d2, code) AS rn
-              FROM d2) t
-            WHERE rn = 1),
-          parts AS (
-            SELECT q.vec_id AS qid, e.vec_id AS nid, e.s,
-                   list_reduce(list_transform(range(1, ${PqD + 1}),
-                     j -> (q.sub[j] - c.cs[j]) * (q.sub[j] - c.cs[j])),
-                     (x, y) -> x + y) AS d2s
-            FROM enc e
-            JOIN cbs c ON c.s = e.s AND c.code = e.code
-            JOIN subs q ON q.s = e.s AND q.vec_id < 5 AND e.vec_id <> q.vec_id),
-          adc AS (
-            SELECT qid, nid,
-                   list_reduce(list_prepend(0.0, list(d2s ORDER BY s)),
-                     (a, b) -> a + b) AS adc_dist
-            FROM parts GROUP BY qid, nid)
+      s"""WITH $pqAdcSql
           SELECT qid, CAST(rank AS INT) AS rank, nid, adc_dist FROM (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                          ORDER BY adc_dist, nid) AS rank
             FROM adc) t
           WHERE rank <= 5""",
+    "s12_reranked_pq" ->
+      s"""WITH $pqAdcSql,
+          coarse AS (
+            SELECT qid, nid, adc_dist, CAST(crank AS INT) AS coarse_rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY adc_dist, nid) AS crank
+              FROM adc) t
+            WHERE crank <= 50),
+          rer AS (
+            SELECT c.qid, c.nid, c.coarse_rank,
+                   ${cosineSql("q.embedding", "n.embedding")} AS cos_sim
+            FROM coarse c
+            JOIN embeddings q ON q.vec_id = c.qid
+            JOIN embeddings n ON n.vec_id = c.nid)
+          SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim, coarse_rank FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos_sim DESC, nid) AS rank
+            FROM rer) t
+          WHERE rank <= 10""",
     "s08_quantized_knn" ->
       s"""WITH mxs AS (
             SELECT vec_id, embedding,

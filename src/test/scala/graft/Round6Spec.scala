@@ -101,6 +101,46 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("s12: exact re-rank never loses true-neighbor recall vs raw ADC order") {
+    val embs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = embs.toMap
+    val rows = ext.Similarity.s12RerankedPq(spark, sf0001)
+      .select($"qid", $"rank", $"nid", $"cos_sim", $"coarse_rank")
+      .as[(Long, Int, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    val adcTop1 = ext.Similarity.s09PqAnn(spark, sf0001)
+      .filter($"rank" === 1).select($"qid", $"nid")
+      .as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (qid, g) =>
+      val sorted = g.sortBy(_._2)
+      // reported cosines recompute from the raw vectors and are rank-monotone
+      sorted.foreach { case (_, _, nid, cs, crank) =>
+        assert(math.abs(cs - cos(byId(qid), byId(nid))) < 1e-12, s"cos q$qid n$nid")
+        assert(crank >= 1 && crank <= 50)
+      }
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a._4 >= b._4, s"q$qid rank order not cosine-monotone")
+      case _ => ()
+      }
+      // re-ranking can only improve the winner: s09's ADC top-1 is in the
+      // coarse pool, so the exact-cosine argmax over that pool beats it
+      val best = sorted.head
+      assert(best._4 >= cos(byId(qid), byId(adcTop1(qid))) - 1e-12,
+        s"q$qid rerank winner worse than raw ADC winner")
+    }
+  }
+
   test("c14: snapshot diff equals brute-force latest-per-key states at both cuts") {
     val t1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
