@@ -165,4 +165,43 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), // the regression this guards: min/max(string)
       "profile must not sort the expanded fact rows")  // fused into the Expand agg
   }
+
+  test("q84 promo share: part broadcasts and both sums ride one agg pass") {
+    val p = planOf(ops.Relational7.q84PromoShare(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), "part is a dimension — it must broadcast")
+    val aggExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(aggExchanges == 1,
+      s"promo and total revenue must come from ONE grouped agg, got $aggExchanges exchanges")
+  }
+
+  test("q87 large-volume: the HAVING agg reduces the fact table before any join") {
+    val p = planOf(ops.Relational7.q87LargeVolumeCustomers(spark, sf0001))
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      "per-order quantity sum must have a map-side partial phase")
+    // the qty filter sits on the agg output, so the join probe side is the
+    // ~1% survivors, never raw lineitem
+    assert(p.contains("(qty"), s"HAVING filter must appear above the agg:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q90 idle customers: global average broadcasts; no-orders test is an anti join") {
+    val p = planOf(ops.Relational7.q90IdleCustomers(spark, sf0001))
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 1-row average must broadcast, never shuffle customer for it")
+  }
+
+  test("q93 first-touch: the as-of union shuffles ONCE by user, no range join") {
+    val p = planOf(ops.Relational7.q93FirstTouch(spark, sf0001))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"attribution must not plan a pair blowup:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"one user_id exchange expected, got $exchanges")
+  }
+
+  test("q89 waiting suppliers: grouped reformulation never plans a nested loop") {
+    val p = planOf(ops.Relational7.q89WaitingSuppliers(spark, sf0001))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the double-EXISTS reformulation must stay hash-join shaped:\n$p")
+  }
 }
