@@ -220,8 +220,11 @@ object Dedup {
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     // cached: the band build reads it once, the verify join twice
     val sharr = shingleArrays(corpus).filter(size($"shingles") > 0).cache()
+    // sig cached too: 4 band projections × 2 self-join sides reference it,
+    // and each element_at would otherwise re-run the K-minima expression —
+    // the cache pins ONE minhash_sig evaluation per document
     val sig = sharr.select($"doc_id",
-      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))
+      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig")).cache()
     val bands = (0 until K / 2).map { b =>
       sig.select($"doc_id", lit(b).as("band"),
         concat_ws(":", element_at($"sig", 2 * b + 1),
@@ -230,6 +233,9 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    // result cached: d07/dedupCorpus consumes exactly this pair set —
+    // whichever runs first pays, the other plan-matches (same device as
+    // minHashLshScale's result cache)
     cand
       .join(sharr.select($"doc_id".as("id1"), $"shingles".as("sh1")), "id1")
       .join(sharr.select($"doc_id".as("id2"), $"shingles".as("sh2")), "id2")
@@ -238,6 +244,7 @@ object Dedup {
         size($"sh1").cast("long").as("n1"),
         size($"sh2").cast("long").as("n2"))
       .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+      .cache()
   }
 
   /** Corpus-level dedup API: the operational form ("give me the cleaned
