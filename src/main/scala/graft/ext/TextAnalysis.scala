@@ -489,7 +489,26 @@ object TextAnalysis {
         ($"n_ab".cast("double") * $"n" / ($"n_a" * $"n_b")).as("lift"))
   }
 
+  /** t21: language-ID confusion matrix — the evaluation readout for the
+    * t04 classifier against the corpus's labeled `lang` column: per
+    * (tagged, predicted) cell counts plus each cell's share of its tagged
+    * row (recall when tagged = predicted). The per-doc argmax is t04's
+    * map-side expression; the matrix is one langs² agg with broadcast
+    * row marginals — an eval that costs one corpus scan at any size. */
+  def t21LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cells = t04LangId(spark, dir)
+      .groupBy($"tagged_lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+    val marginals = cells.groupBy($"tagged_lang").agg(sum($"n").as("n_tagged"))
+    cells.join(broadcast(marginals), "tagged_lang")
+      .select($"tagged_lang", $"predicted", $"n",
+        ($"n".cast("double") / $"n_tagged").as("share"),
+        ($"tagged_lang" === $"predicted").as("is_correct"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t21_lang_confusion" -> t21LangConfusion _,
     "t20_cooccurrence" -> t20Cooccurrence _,
     "t01_token_stats" -> t01TokenStats _,
     "t19_novelty_curve" -> t19NoveltyCurve _,
@@ -568,6 +587,29 @@ object TextAnalysis {
                     - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
                / len($tokensSql) AS quality
           FROM documents""",
+    "t21_lang_confusion" ->
+      s"""WITH scored AS (
+            SELECT lang AS tagged_lang,
+                   ${langScoreSql(langMarkers(0)._2)} AS score_en,
+                   ${langScoreSql(langMarkers(1)._2)} AS score_db,
+                   ${langScoreSql(langMarkers(2)._2)} AS score_ops
+            FROM documents),
+          pred AS (
+            SELECT tagged_lang,
+                   CASE WHEN score_ops >= score_en AND score_ops >= score_db THEN 'ops'
+                        WHEN score_en >= score_db THEN 'en'
+                        ELSE 'db' END AS predicted
+            FROM scored),
+          cells AS (
+            SELECT tagged_lang, predicted, COUNT(*) AS n
+            FROM pred GROUP BY 1, 2),
+          m AS (
+            SELECT tagged_lang, CAST(SUM(n) AS BIGINT) AS n_tagged
+            FROM cells GROUP BY 1)
+          SELECT tagged_lang, predicted, n,
+                 CAST(n AS DOUBLE) / n_tagged AS share,
+                 tagged_lang = predicted AS is_correct
+          FROM cells JOIN m USING (tagged_lang)""",
     "t04_langid" ->
       s"""WITH scored AS (
             SELECT doc_id, lang AS tagged_lang,

@@ -278,7 +278,30 @@ object Relational7 {
           .as("attributed"))
   }
 
+  /** q94: event-transition matrix — per-user next-event Markov counts and
+    * conditional probabilities (the funnel-free way to read behavioral
+    * flow; q56's funnel is one row of this matrix). One user-keyed window
+    * for the lead, one (from, to) agg; the from-marginals are
+    * event-type-cardinality rows, broadcast back. The probability is one
+    * exact-integer division, so the matrix is engine-exact. */
+  def q94EventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val counts = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val marginals = counts.groupBy($"from_type").agg(sum($"n").as("n_from"))
+    counts.join(broadcast(marginals), "from_type")
+      .select($"from_type", $"to_type", $"n",
+        ($"n".cast("double") / $"n_from").as("prob"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q94_event_transitions"     -> q94EventTransitions _,
     "q91_mad"                   -> q91Mad _,
     "q92_mode"                  -> q92Mode _,
     "q93_first_touch"           -> q93FirstTouch _,
@@ -298,6 +321,20 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    "q94_event_transitions" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events),
+         counts AS (
+           SELECT from_type, to_type, COUNT(*) AS n
+           FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         m AS (
+           SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+           FROM counts GROUP BY 1)
+         SELECT from_type, to_type, n, CAST(n AS DOUBLE) / n_from AS prob
+         FROM counts JOIN m USING (from_type)""",
     "q91_mad" ->
       """WITH med AS (
            SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med

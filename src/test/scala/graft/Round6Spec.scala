@@ -101,6 +101,37 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("q94: transition counts equal a brute-force per-user ordered scan") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val expected = ev.groupBy(_._1).values.flatMap { g =>
+      val ordered = g.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      ordered.dropRight(1).zip(ordered.drop(1))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = ops.Relational7.q94EventTransitions(spark, sf0001)
+      .select($"from_type", $"to_type", $"n", $"prob")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap == expected)
+    // probabilities are per-from conditional: each from-row sums to 1
+    got.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("t21: confusion matrix rows reconcile with the per-doc t04 output") {
+    val perDoc = ext.TextAnalysis.t04LangId(spark, sf0001)
+      .select($"tagged_lang", $"predicted").as[(String, String)].collect()
+    val expected = perDoc.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = ext.TextAnalysis.t21LangConfusion(spark, sf0001)
+      .select($"tagged_lang", $"predicted", $"n", $"share")
+      .as[(String, String, Long, Double)].collect()
+    assert(got.map(t => (t._1, t._2) -> t._3).toMap == expected)
+    got.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._4).sum - 1.0) < 1e-9, "shares must sum to 1 per tagged lang")
+    }
+  }
+
   test("s12: exact re-rank never loses true-neighbor recall vs raw ADC order") {
     val embs = Tables.embeddings(spark, sf0001)
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
