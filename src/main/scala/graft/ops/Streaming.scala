@@ -129,6 +129,53 @@ object Streaming {
       }
   }
 
+  case class TransEvent(event_id: Long, user_id: Long, event_type: String,
+                        ts: java.sql.Timestamp)
+  case class TransState(lastType: String, lastTs: java.sql.Timestamp, lastEventId: Long)
+  case class Transition(user_id: Long, from_type: String, to_type: String,
+                        event_id: Long)
+
+  /** Per-user event transitions as streaming state (the incremental twin
+    * of q94's Markov matrix): state is ONE tuple per user — the last seen
+    * event — and each arrival emits exactly one (from, to) edge, so state
+    * size is O(users) forever, independent of stream length. The
+    * per-key in-order-arrival contract is the one a keyed Kafka topic
+    * provides (per-partition order); within a micro-batch events are
+    * folded in (ts, event_id) order. */
+  def userTransitions(events: Dataset[TransEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[TransEvent], state: GroupState[TransState]) =>
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          evs.foreach { e =>
+            last.foreach { s =>
+              out += Transition(userId, s.lastType, e.event_type, e.event_id)
+            }
+            last = Some(TransState(e.event_type, e.ts, e.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** w13: the transition-state path run as one batch, rolled up to the
+    * (from, to) count matrix — equal to q94's counts by construction,
+    * which is what the DuckDB oracle replays. */
+  def w13StreamTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    userTransitions(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"ts")
+        .as[TransEvent])
+      .groupBy($"from_type", $"to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   // --- stream-static join -----------------------------------------------
 
   /** Stream-static enrichment: the event stream joined to the (static)
@@ -332,6 +379,7 @@ object Streaming {
     "w03_session_window"  -> w03Session _,
     "w04_dedup_first"     -> w04DedupFirst _,
     "w05_stateful_totals" -> w05StatefulTotals _,
+    "w13_stream_transitions" -> w13StreamTransitions _,
     "w07_chained_windows" -> w07ChainedWindows _,
     "w08_foreachbatch_upsert" -> w08ForeachBatchUpsert _,
     "w09_transform_with_state" -> w09TransformWithState _,
@@ -340,6 +388,14 @@ object Streaming {
   )
 
   val oracles: Map[String, String] = Map(
+    "w13_stream_transitions" ->
+      """WITH pairs AS (
+           SELECT event_type AS from_type,
+                  LEAD(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS to_type
+           FROM events)
+         SELECT from_type, to_type, COUNT(*) AS n
+         FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2""",
     "w11_dynamic_session" ->
       """WITH e AS (
            SELECT user_id, ts, event_id, event_type,

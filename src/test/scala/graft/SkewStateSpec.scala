@@ -64,6 +64,32 @@ class SkewStateSpec extends AnyFunSuite {
     }
   }
 
+  test("transition state carries across micro-batches and matches the batch matrix") {
+    implicit val sq = spark.sqlContext
+    // in-order per-key arrival (the keyed-Kafka contract): feed batches in
+    // global (ts, event_id) order so cross-batch transitions are exercised
+    val rows = Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .as[Streaming.TransEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = MemoryStream[Streaming.TransEvent]
+    rows.grouped(250).foreach(b => ms.addData(b))
+    val q = Streaming.userTransitions(ms.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("trans_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("trans_stream")
+      .groupBy($"from_type", $"to_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val batch = Streaming.w13StreamTransitions(spark, sf0001)
+      .as[(String, String, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "cross-batch state must stitch per-user transitions identically to one batch")
+  }
+
   implicit class TripleOps[A, B, C](arr: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = arr.map(t => t._1 -> (t._2, t._3)).toMap
   }
