@@ -392,6 +392,32 @@ object Similarity {
       .select($"qid", $"rank", $"nid", $"cos_sim", $"coarse_rank")
   }
 
+  /** s13: Matryoshka truncation recall — how much neighbor quality
+    * survives searching on only the FIRST 16 of 64 dimensions (the
+    * MRL-style cost lever: a 4×-smaller index that reuses the same
+    * vectors). Per query: exact top-10 under full-dim cosine vs top-10
+    * under truncated-dim cosine, reported as the overlap count. Both
+    * rankings ride the broadcast query set (s01's shape) and every score
+    * is the engine-exact cosine, so the readout is deterministic. */
+  def s13MatryoshkaRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val pairs = e.join(broadcast(q), $"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id".as("nid"),
+        cosine($"qe", $"embedding").as("cos_full"),
+        cosine(slice($"qe", 1, 16), slice($"embedding", 1, 16)).as("cos_trunc"))
+    def top10(score: String) = {
+      val w = Window.partitionBy($"qid").orderBy(col(score).desc, $"nid")
+      pairs.withColumn("rnk", row_number().over(w)).filter($"rnk" <= 10)
+        .select($"qid", $"nid")
+    }
+    top10("cos_full").as("f")
+      .join(top10("cos_trunc").as("t"), Seq("qid", "nid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_common"))
+  }
+
   /** Cross-modal join + per-group vector aggregation: mean embedding per
     * document language (documents ⋈ embeddings on doc_id = vec_id — the
     * text table and the vector table are two modalities of one corpus).
@@ -460,6 +486,7 @@ object Similarity {
     "s08_quantized_knn"  -> s08QuantizedKnn _,
     "s09_pq_ann"         -> s09PqAnn _,
     "s12_reranked_pq"    -> s12RerankedPq _,
+    "s13_matryoshka_recall" -> s13MatryoshkaRecall _,
     "s10_lang_centroids" -> s10LangCentroids _,
     "s06_range_search"   -> s06RangeSearch _,
     "s07_ann_recall"     -> s07AnnRecall _,
@@ -523,6 +550,29 @@ object Similarity {
             FROM parts GROUP BY qid, nid)"""
 
   val oracles: Map[String, String] = Map(
+    "s13_matryoshka_recall" -> {
+      val full = cosineSql("q.qe", "e.embedding")
+      val trunc = cosineSql("q.qe[1:16]", "e.embedding[1:16]")
+      s"""WITH q AS (
+            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          pairs AS (
+            SELECT q.qid, e.vec_id AS nid,
+                   $full AS cos_full, $trunc AS cos_trunc
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+          f AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cos_full DESC, nid) AS rnk FROM pairs) t
+            WHERE rnk <= 10),
+          tr AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cos_trunc DESC, nid) AS rnk FROM pairs) t
+            WHERE rnk <= 10)
+          SELECT qid, COUNT(*) AS n_common
+          FROM f JOIN tr USING (qid, nid)
+          GROUP BY 1"""
+    },
     "s11_hybrid_search" -> {
       val tok = "list_distinct(string_split_regex(text, '\\s+'))"
       s"""WITH cands AS (

@@ -172,6 +172,34 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("s13: truncation-recall overlap recomputes from brute-force rankings") {
+    val embs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = embs.toMap
+    def top10(qid: Long, dims: Int): Set[Long] =
+      embs.filter(_._1 != qid)
+        .map { case (id, e) => (id, cos(byId(qid).take(dims), e.take(dims))) }
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+    val got = ext.Similarity.s13MatryoshkaRecall(spark, sf0001)
+      .as[(Long, Long)].collect().toMap
+    assert(got.nonEmpty)
+    got.foreach { case (qid, n) =>
+      val expect = (top10(qid, 64) & top10(qid, 16)).size.toLong
+      assert(n == expect, s"q$qid overlap $n vs $expect")
+      assert(n >= 1 && n <= 10)
+    }
+  }
+
   test("c14: snapshot diff equals brute-force latest-per-key states at both cuts") {
     val t1 = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
     val t2 = java.sql.Timestamp.valueOf("2024-01-25 00:00:00")
