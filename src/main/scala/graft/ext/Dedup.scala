@@ -382,6 +382,34 @@ object Dedup {
         ($"doc_id" === $"cluster_id").as("is_representative"))
   }
 
+  /** d19: keep-BEST canonical selection — the dedup keep-policy knob.
+    * d07/d09 keep the min doc_id per duplicate cluster (stable, cheap);
+    * a curation run usually wants the best DOCUMENT instead: per d09
+    * cluster, the member with the highest t03 quality (doc_id tie-break)
+    * survives. Near copies genuinely differ in text, so the policy picks
+    * differently than min-id. One join of cluster labels to a map-side
+    * quality projection + a cluster-keyed argmax window over dup
+    * clusters only — the policy change costs one window over the (tiny)
+    * duplicate subset, not a re-run of the LSH. */
+  def d19KeepBestDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val toks = TextAnalysis.tokens($"text")
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val quality = corpus.select($"doc_id",
+      ((size(array_distinct(toks)) * 1000
+        + size(filter(toks, t => array_contains(stopArr, t))) * 100
+        - length(regexp_replace($"text", "[a-z\\s]", "")) * 10).cast("double")
+        / size(toks)).as("quality"))
+    val dupClusters = d09DedupClusters(spark, dir).filter($"cluster_size" > 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id").orderBy($"quality".desc, $"doc_id")
+    dupClusters.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"quality",
+        ($"rn" === 1).as("is_kept"))
+  }
+
   // --- d03: SimHash -----------------------------------------------------
 
   val SimBits = 16
@@ -759,6 +787,7 @@ object Dedup {
     // rows-only like d06 (xxhash64 signatures have no DuckDB twin);
     // MinHashSpec asserts exact pair parity with the oracle-checked d02
     "d18_minhash_mapside"   -> d18MinHashMapSide _,
+    "d19_keep_best_dedup"   -> d19KeepBestDedup _,
     "d07_dedup_corpus"      -> dedupCorpus _,
     "d08_simhash_scale"     -> simHashScale _,
     "d09_dedup_clusters"    -> d09DedupClusters _,
@@ -960,6 +989,43 @@ object Dedup {
           GROUP BY e.doc_id""",
     // min-label propagation ≡ reachability: a node's cluster id is the
     // minimum over every label that can walk to it along dedup edges
+    "d19_keep_best_dedup" ->
+      s"""WITH RECURSIVE $lshPairCtes,
+          exact AS (
+            SELECT id1, id2 FROM (
+              SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id1,
+                     doc_id AS id2
+              FROM corpus)
+            WHERE id1 <> id2),
+          edges AS (
+            SELECT id1 AS src, id2 AS dst FROM near
+            UNION SELECT id2, id1 FROM near
+            UNION SELECT id1, id2 FROM exact
+            UNION SELECT id2, id1 FROM exact),
+          nodes AS (SELECT DISTINCT doc_id FROM corpus),
+          walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+          lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                  FROM walk GROUP BY node),
+          sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                 FROM lab GROUP BY cluster_id),
+          tk AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split_regex(text, '\\s+'))) * 1000
+                        + len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10
+                        AS DOUBLE)
+                     / len(string_split_regex(text, '\\s+')) AS quality
+            FROM corpus)
+          SELECT l.doc_id, l.cluster_id, sz.cluster_size, tk.quality,
+                 ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY tk.quality DESC, l.doc_id) = 1
+                   AS is_kept
+          FROM lab l JOIN sz USING (cluster_id) JOIN tk USING (doc_id)
+          WHERE sz.cluster_size > 1""",
     "d09_dedup_clusters" ->
       s"""WITH RECURSIVE $lshPairCtes,
           exact AS (

@@ -300,7 +300,30 @@ object Relational7 {
         ($"n".cast("double") / $"n_from").as("prob"))
   }
 
+  /** q95: ratio-to-report — each (priority, status) revenue cell as a
+    * share of its priority row and of the grand total (the percent-of-
+    * total read every BI layer ships). The windows run over the AGG
+    * output (group-cardinality rows, never the fact table), and the
+    * summed values stay exact decimal until the final division, so the
+    * shares are engine-exact despite being window sums of "doubles". */
+  def q95ShareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val agg = Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(sum(dec($"o_totalprice")).as("revd"))
+    agg.select($"o_orderpriority", $"o_orderstatus",
+      $"revd".cast("double").as("revenue"),
+      ($"revd".cast("double")
+        / sum($"revd").over(w.partitionBy($"o_orderpriority")).cast("double"))
+        .as("share_in_priority"),
+      ($"revd".cast("double")
+        / sum($"revd").over(w.partitionBy()).cast("double"))
+        .as("share_of_total"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q95_share_of_total"        -> q95ShareOfTotal _,
     "q94_event_transitions"     -> q94EventTransitions _,
     "q91_mad"                   -> q91Mad _,
     "q92_mode"                  -> q92Mode _,
@@ -321,6 +344,19 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    "q95_share_of_total" ->
+      s"""WITH agg AS (
+            SELECT o_orderpriority, o_orderstatus,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revd
+            FROM orders GROUP BY 1, 2)
+          SELECT o_orderpriority, o_orderstatus,
+                 ${sqlDec2Dbl("revd")} AS revenue,
+                 ${sqlDec2Dbl("revd")} / ${sqlDec2Dbl(
+                   "SUM(revd) OVER (PARTITION BY o_orderpriority)")}
+                   AS share_in_priority,
+                 ${sqlDec2Dbl("revd")} / ${sqlDec2Dbl("SUM(revd) OVER ()")}
+                   AS share_of_total
+          FROM agg""",
     "q94_event_transitions" ->
       """WITH pairs AS (
            SELECT event_type AS from_type,

@@ -101,6 +101,39 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("q95: shares sum to one per priority row and across the report") {
+    val got = ops.Relational7.q95ShareOfTotal(spark, sf0001)
+      .select($"o_orderpriority", $"revenue", $"share_in_priority", $"share_of_total")
+      .as[(String, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.groupBy(_._1).values.foreach { g =>
+      assert(math.abs(g.map(_._3).sum - 1.0) < 1e-9, "priority shares must sum to 1")
+    }
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9, "total shares must sum to 1")
+    val total = got.map(_._2).sum
+    got.foreach { r => assert(math.abs(r._4 - r._2 / total) < 1e-9) }
+  }
+
+  test("d19: exactly one keeper per dup cluster, and it maximizes (quality, -doc_id)") {
+    val rows = ext.Dedup.d19KeepBestDedup(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"quality", $"is_kept")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.length == g.head._3.toInt, "every member of the cluster is present")
+      assert(g.count(_._5) == 1, "exactly one keeper")
+      val keeper = g.find(_._5).get
+      val best = g.minBy(t => (-t._4, t._1))
+      assert(keeper._1 == best._1, s"cluster ${keeper._2}: keeper not the best doc")
+    }
+    // the policy must actually diverge from min-id somewhere: a near copy
+    // (original minus its first word) can out-score its source
+    val minIdWins = rows.groupBy(_._2).values
+      .count(g => g.find(_._5).get._1 == g.map(_._1).min)
+    assert(minIdWins < rows.groupBy(_._2).size,
+      "keep-best must pick a non-min-id doc in at least one cluster")
+  }
+
   test("q94: transition counts equal a brute-force per-user ordered scan") {
     val ev = Tables.events(spark, sf0001)
       .select($"user_id", $"ts", $"event_id", $"event_type")
