@@ -332,8 +332,13 @@ object Dedup {
       .distinct().cache()
     val labels = clusterLabels(corpus.select(col("doc_id")).distinct(), edges)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    // result cached: d19 (keep-policy) consumes exactly this labeling —
+    // when the propagation converges in the same number of rounds the
+    // plans canonicalize equal and the second call plan-matches instead
+    // of re-running the LSH + propagation
     labels.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .cache()
   }
 
   /** Dedup cluster assignment: every corpus document labeled with the min
