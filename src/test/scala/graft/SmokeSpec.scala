@@ -76,7 +76,11 @@ class SmokeSpec extends AnyFunSuite {
 
   test("queries that must be non-empty at sf0.001") {
     Seq("q01_pricing_summary", "q03_top_revenue_orders", "q05_nation_revenue",
-        "q07_customers_without_orders", "q13_set_ops", "q25_event_range_join")
+        "q07_customers_without_orders", "q13_set_ops", "q25_event_range_join",
+        "q87_large_volume_customers", "q89_waiting_suppliers", "q93_first_touch",
+        "d18_minhash_mapside", "d19_keep_best_dedup", "s12_reranked_pq",
+        "s13_matryoshka_recall", "p07_hash_split", "t20_cooccurrence",
+        "c14_snapshot_diff", "w13_stream_transitions")
       .foreach { name =>
         withClue(name) { assert(SparkEntry.queries(name)(spark, sf0001).count() > 0) }
       }
