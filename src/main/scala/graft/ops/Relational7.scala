@@ -322,7 +322,39 @@ object Relational7 {
         .as("share_of_total"))
   }
 
+  /** q96: Pareto concentration — per market segment, how many customers
+    * (and what fraction of the base) carry 80% of revenue. The cumulative
+    * share runs over per-customer aggregates (never the fact table) and
+    * stays exact decimal end-to-end: the 80% test is the integer-scaled
+    * decimal comparison 5·cum_before < 4·total, so no double ever enters
+    * a cumulative sum and both engines agree exactly. */
+  def q96Pareto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(sum(dec($"o_totalprice")).as("revd"))
+    val cumW = w.partitionBy($"c_mktsegment")
+      .orderBy($"revd".desc, $"c_custkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val totW = w.partitionBy($"c_mktsegment")
+    rev
+      .withColumn("cum", sum($"revd").over(cumW))
+      .withColumn("tot", sum($"revd").over(totW))
+      // a customer is in the top set while the revenue BEFORE them hasn't
+      // yet covered 80% of the segment
+      .withColumn("in_top", ($"cum" - $"revd") * 5 < $"tot" * 4)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when($"in_top", 1L).otherwise(0L)).as("n_top80"),
+        (sum(when($"in_top", 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("top80_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q96_pareto"                -> q96Pareto _,
     "q95_share_of_total"        -> q95ShareOfTotal _,
     "q94_event_transitions"     -> q94EventTransitions _,
     "q91_mad"                   -> q91Mad _,
@@ -344,6 +376,27 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    "q96_pareto" ->
+      """WITH rev AS (
+           SELECT c_mktsegment, c_custkey,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revd
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT c_mktsegment, revd,
+                  SUM(revd) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY revd DESC, c_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum,
+                  SUM(revd) OVER (PARTITION BY c_mktsegment) AS tot
+           FROM rev)
+         SELECT c_mktsegment, COUNT(*) AS n_customers,
+                CAST(SUM(CASE WHEN (cum - revd) * 5 < tot * 4
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+                CAST(SUM(CASE WHEN (cum - revd) * 5 < tot * 4
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+                  AS top80_frac
+         FROM cum GROUP BY 1""",
     "q95_share_of_total" ->
       s"""WITH agg AS (
             SELECT o_orderpriority, o_orderstatus,

@@ -101,6 +101,31 @@ class Round6Spec extends AnyFunSuite {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("q96: top-80% customer counts recompute from a brute-force cumulative scan") {
+    val rev = Tables.orders(spark, sf0001)
+      .join(Tables.customer(spark, sf0001), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"c_custkey")
+      .agg(sum($"o_totalprice").as("rev"))
+      .as[(String, Long, Double)].collect()
+    val expected = rev.groupBy(_._1).map { case (seg, g) =>
+      val ordered = g.sortBy(t => (-t._3, t._2)).map(t => BigDecimal(t._3))
+      val tot = ordered.sum
+      var cumBefore = BigDecimal(0); var nTop = 0L
+      ordered.foreach { r =>
+        if (cumBefore * 5 < tot * 4) nTop += 1
+        cumBefore += r
+      }
+      seg -> (g.length.toLong, nTop)
+    }
+    val got = ops.Relational7.q96Pareto(spark, sf0001)
+      .select($"c_mktsegment", $"n_customers", $"n_top80")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == expected)
+    // sanity: revenue is concentrated — the top set is a strict minority nowhere near 0
+    got.values.foreach { case (n, top) => assert(top > 0 && top < n) }
+  }
+
   test("q95: shares sum to one per priority row and across the report") {
     val got = ops.Relational7.q95ShareOfTotal(spark, sf0001)
       .select($"o_orderpriority", $"revenue", $"share_in_priority", $"share_of_total")
