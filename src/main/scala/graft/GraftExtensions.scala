@@ -34,10 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[MinHashSignature].getName, "minhash_sig"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val k = exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt }
-        val p = exprs(2).eval() match { case l: Long => l; case i: Int => i.toLong }
-        MinHashSignature(exprs(0), k, p)
-      }))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MinHash.builder(exprs)))
   }
 }

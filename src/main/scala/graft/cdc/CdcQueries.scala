@@ -303,7 +303,64 @@ object CdcQueries {
         $"old_value", $"new_value")
   }
 
+  /** c15: declared-schema ingestion end-to-end — the reference's
+    * `TYPE_MAPPING` path (consumer_to_file.py:15-55). Events are wrapped
+    * into envelope JSON whose payload exercises 18 MySQL column types
+    * (ints of every width, float/double, decimal(12,4), boolean,
+    * varchar, date, datetime, time, year, uuid, json, enum), ingested
+    * through [[Pipeline.ingest]] WITH a declared schema — so no value
+    * inference runs for the table and every column lands with its
+    * [[TypeMapping]] type — and the typed snapshot (latest per `id`, the
+    * PK the reference's candidate list picks) is the output. The oracle
+    * replays the same casts in DuckDB over the latest-per-user events.
+    * All payload values are built from integer/string sources (never
+    * double formatting), so both engines cast identical strings. */
+  def c15DeclaredSchema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payload = map(
+      lit("id"), $"user_id".cast("string"),
+      lit("tiny"), ($"event_id" % 100).cast("string"),
+      lit("small"), ($"event_id" % 30000).cast("string"),
+      lit("med"), ($"event_id" % 8000000).cast("string"),
+      lit("n"), $"event_id".cast("string"),
+      lit("big"), ($"event_id" * 1000000L).cast("string"),
+      lit("f"), concat(($"event_id" % 97).cast("string"), lit(".5")),
+      lit("d"), concat(($"event_id" % 89).cast("string"), lit(".25")),
+      lit("price"), concat(($"event_id" % 10000).cast("string"), lit(".25")),
+      lit("flag"), when($"value" > 10, lit("1")).otherwise(lit("0")),
+      lit("name"), $"event_type",
+      lit("born"), date_format($"ts", "yyyy-MM-dd"),
+      lit("updated"), date_format($"ts", "yyyy-MM-dd HH:mm:ss"),
+      lit("t"), date_format($"ts", "HH:mm:ss"),
+      lit("y"), (lit(1900) + ($"event_id" % 155)).cast("string"),
+      lit("u"), md5($"event_id".cast("string").cast("binary")),
+      lit("j"), $"props",
+      lit("e"), $"event_type")
+    val raw = Tables.events(spark, dir).select(
+      lit("dbserver1.testdb.readings").as("topic"),
+      $"event_id".as("offset"),
+      to_json(struct(struct(
+        lit("u").as("op"),
+        payload.as("after"),
+        unix_millis($"ts".cast("timestamp")).as("ts_ms")).as("payload"))).as("value"))
+    val declared = Map("readings" -> Map(
+      "id" -> "bigint", "tiny" -> "tinyint", "small" -> "smallint",
+      "med" -> "mediumint", "n" -> "int", "big" -> "bigint",
+      "f" -> "float", "d" -> "double", "price" -> "decimal(12,4)",
+      "flag" -> "boolean", "name" -> "varchar(32)", "born" -> "date",
+      "updated" -> "datetime", "t" -> "time", "y" -> "year",
+      "u" -> "uuid", "j" -> "json",
+      "e" -> "enum('click','view','purchase','error','signup')"))
+    val res = Pipeline.ingest(raw, declared)
+    val out = res.tables("readings").snapshot
+      .select($"id", $"tiny", $"small", $"med", $"n", $"big", $"f", $"d",
+        $"price", $"flag", $"name", $"born", $"updated", $"t", $"y",
+        $"u", $"j", $"e")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
+    "c15_declared_schema" -> c15DeclaredSchema _,
     "c14_snapshot_diff" -> c14SnapshotDiff _,
     "c12_dlq_repair" -> c12DlqRepair _,
     "c13_point_in_time_join" -> c13PointInTimeJoin _,
@@ -322,6 +379,33 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // replay of the declared casts over the latest event per user (the
+    // snapshot the ingest produces: PK=id=user_id, order=offset=event_id)
+    "c15_declared_schema" ->
+      """WITH latest AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+           FROM events)
+         SELECT user_id AS id,
+                event_id % 100 AS tiny,
+                event_id % 30000 AS small,
+                event_id % 8000000 AS med,
+                event_id AS n,
+                event_id * 1000000 AS big,
+                CAST(CAST(event_id % 97 AS VARCHAR) || '.5' AS REAL) AS f,
+                CAST(CAST(event_id % 89 AS VARCHAR) || '.25' AS DOUBLE) AS d,
+                CAST(CAST(event_id % 10000 AS VARCHAR) || '.25'
+                     AS DECIMAL(12,4)) AS price,
+                value > 10 AS flag,
+                event_type AS name,
+                CAST(ts AS DATE) AS born,
+                date_trunc('second', ts) AS updated,
+                strftime(ts, '%H:%M:%S') AS t,
+                1900 + event_id % 155 AS y,
+                md5(CAST(event_id AS VARCHAR)) AS u,
+                props AS j,
+                event_type AS e
+         FROM latest WHERE rn = 1""",
     "c14_snapshot_diff" ->
       """WITH ev AS (
            SELECT user_id, event_id, ts, value FROM events

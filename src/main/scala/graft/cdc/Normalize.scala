@@ -14,9 +14,15 @@ import org.apache.spark.sql.functions._
   *  - strings that already contain JSON objects/arrays pass through raw
   *    [100-107]; structured values are JSON-serialized [108-109].
   *
-  * Documented divergence (SURVEY.md §7.1): the reference erases NULL to ''
-  * [90-91]; we keep real nulls by default and offer [[legacyNullToEmpty]]
-  * for bug-compatible behavior.
+  * Documented divergences (SURVEY.md §7.1):
+  *  - the reference erases NULL to '' [90-91]; we keep real nulls by
+  *    default and offer [[legacyNullToEmpty]] for bug-compatible behavior;
+  *  - the reference's catch-all stringifies any normalization failure as
+  *    the literal `"[ERROR: {e}]"` and keeps it IN the data [112-113]; the
+  *    engine's DLQ routing supersedes that (failures are quarantined with
+  *    column blame, [[Envelope.dlqWithBlame]], never smuggled into the
+  *    table), and [[legacyErrorString]] is the opt-in mirror for
+  *    pipelines that want the reference's in-band sentinel.
   */
 object Normalize {
 
@@ -35,6 +41,20 @@ object Normalize {
 
   /** Reference-compatible null erasure (opt-in; lossy by design there). */
   def legacyNullToEmpty(c: Column): Column = coalesce(c.cast("string"), lit(""))
+
+  /** Reference-compatible error stringification (opt-in, mirrors
+    * [[legacyNullToEmpty]]): where a normalization produced null from a
+    * NON-null raw value — the expression-world signature of a failed
+    * conversion — emit the reference's in-band `"[ERROR: …]"` sentinel
+    * [consumer_to_file.py:112-113] instead. The message carries the raw
+    * value rather than a Python exception string (there is none here);
+    * the sentinel prefix is the compatible part. Default pipelines should
+    * prefer DLQ routing — a sentinel string in a typed column is exactly
+    * the data-corruption mode a DLQ exists to prevent. */
+  def legacyErrorString(raw: Column, normalized: Column): Column =
+    when(raw.isNotNull && normalized.isNull,
+      concat(lit("[ERROR: "), raw.cast("string"), lit("]")))
+      .otherwise(normalized.cast("string"))
 
   /** A string is "already JSON" when it parses as an object/array —
     * such strings pass through untouched (reference [100-107]).

@@ -84,16 +84,33 @@ object Pipeline {
       .start()
 
   /** Ingest a batch of raw records (`topic`, `offset`, `value`). */
-  def ingest(raw: DataFrame): IngestResult = {
+  def ingest(raw: DataFrame): IngestResult =
+    ingest(raw, Map.empty[String, Map[String, String]])
+
+  /** Ingest with declared source schemas: `declared` maps table →
+    * column → MySQL type string, resolved through
+    * [[TypeMapping.toSparkType]] (the reference's `TYPE_MAPPING` path,
+    * consumer_to_file.py:15-55). Declared tables skip value-based
+    * inference entirely — their column set and types come from the
+    * declaration, so the per-batch inference aggregation only ever scans
+    * the UNdeclared tables' payloads. A declared table with no rows in
+    * the batch still gets a (typed, empty) flow. */
+  def ingest(raw: DataFrame, declared: Map[String, Map[String, String]]): IngestResult = {
     val spark = raw.sparkSession
     import spark.implicits._
     val parsed = Envelope.parse(raw).cache()
     val good = Envelope.good(parsed)
       .withColumn("payload", coalesce($"after", $"before"))
-    // single inference job across all tables; table names fall out of the
-    // same result (a table appears iff it has at least one payload key)
+    // single inference job across all undeclared tables; table names fall
+    // out of the same result (a table appears iff it has a payload key)
     val keyed = good.select($"table", explode($"payload").as(Seq("k", "v")))
-    val typesByTable = inferTableKeyTypes(keyed)
+    val toInfer =
+      if (declared.isEmpty) keyed
+      else keyed.filter(!$"table".isin(declared.keys.toSeq: _*))
+    val declaredTypes = declared.map { case (t, cols) =>
+      t -> cols.map { case (c, my) => c -> TypeMapping.toSparkType(my) }
+    }
+    val typesByTable = inferTableKeyTypes(toInfer) ++ declaredTypes
 
     val flows = typesByTable.keys.toSeq.sorted.map { t =>
       val rows = good.filter($"table" === t)

@@ -23,6 +23,9 @@ import org.apache.spark.sql.types._
   * An empty shingle array yields the all-`p` signature (no shingle can
   * produce `p`, since values are mod p): callers filter those out, same as
   * the exploded form where empty docs simply never reach the groupBy.
+  * Null elements are skipped — a null is not a shingle — in BOTH eval
+  * paths (interpreted and codegen stay bit-identical), so SQL users of
+  * the registered function can't NPE on arrays with nulls.
   */
 case class MinHashSignature(child: Expression, k: Int, p: Long)
     extends UnaryExpression {
@@ -49,13 +52,15 @@ case class MinHashSignature(child: Expression, k: Int, p: Long)
     val mins = Array.fill(k)(p)
     var j = 0
     while (j < arr.numElements()) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
-      val sid = ((h % p) + p) % p
-      var i = 0
-      while (i < k) {
-        val v = (sid * aCoef(i) + bCoef(i)) % p
-        if (v < mins(i)) mins(i) = v
-        i += 1
+      if (!arr.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(j), 42L)
+        val sid = ((h % p) + p) % p
+        var i = 0
+        while (i < k) {
+          val v = (sid * aCoef(i) + bCoef(i)) % p
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
       }
       j += 1
     }
@@ -78,6 +83,7 @@ case class MinHashSignature(child: Expression, k: Int, p: Long)
          |final long[] $mins = new long[$k];
          |java.util.Arrays.fill($mins, ${p}L);
          |for (int $j = 0; $j < $arr.numElements(); $j++) {
+         |  if ($arr.isNullAt($j)) continue;
          |  final long $h = $xxh.hashUTF8String($arr.getUTF8String($j), 42L);
          |  final long $sid = (($h % ${p}L) + ${p}L) % ${p}L;
          |  for (int $i = 0; $i < $k; $i++) {
@@ -97,16 +103,39 @@ object MinHash {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.{call_function, lit}
 
+  /** The one `minhash_sig(shingles, k, p)` function builder, shared by
+    * [[register]] and [[graft.GraftExtensions]]: k and p must be foldable
+    * integral literals — a column reference or a null/fractional literal
+    * gets a clear analysis-time error instead of the opaque
+    * unbound-reference / MatchError an unconditional `eval()` would
+    * throw. */
+  def builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"minhash_sig(shingles, k, p) takes 3 arguments, got ${exprs.length}")
+    def intArg(e: Expression, name: String): Long = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(
+          s"minhash_sig requires a foldable integer literal for $name, " +
+            s"got the non-foldable expression ${e.sql}")
+      e.eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case other => throw new IllegalArgumentException(
+          s"minhash_sig requires an integer literal for $name, " +
+            s"got ${if (other == null) "NULL" else other} of type ${e.dataType.catalogString}")
+      }
+    }
+    MinHashSignature(exprs(0), intArg(exprs(1), "k").toInt, intArg(exprs(2), "p"))
+  }
+
   /** Register `minhash_sig(shingles, k, p)` in the session's function
     * registry (same Column↔Expression bridge as vec_dot: the direct
     * constructor is private[sql] in Spark 4). k and p must be literals. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => {
-        val k = exprs(1).eval() match { case i: Int => i; case l: Long => l.toInt }
-        val p = exprs(2).eval() match { case l: Long => l; case i: Int => i.toLong }
-        MinHashSignature(exprs(0), k, p)
-      }, "built-in")
+      "minhash_sig", builder, "built-in")
 
   /** Column API for [[MinHashSignature]]. */
   def minhashSig(shingles: Column, k: Int, p: Long): Column = {

@@ -149,7 +149,10 @@ object Streaming {
       .flatMapGroupsWithState[TransState, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[TransEvent], state: GroupState[TransState]) =>
-          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // full-precision order: getTime truncates to millis while the
+          // parquet loader keeps micros — getNanos breaks sub-ms ties the
+          // same way the oracle's ORDER BY ts does
+          val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           var last = state.getOption
           val out = Seq.newBuilder[Transition]
           evs.foreach { e =>

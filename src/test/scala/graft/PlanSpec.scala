@@ -204,4 +204,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"the double-EXISTS reformulation must stay hash-join shaped:\n$p")
   }
+
+  test("d18 map-side LSH: zero Generate/explode and zero global sort in the whole pair plan") {
+    // uncached build: caching would hide upstream operators inside
+    // InMemoryRelation and make the guard vacuous
+    val corpus = ext.Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
+    val p = planOf(ext.Dedup.minHashPairsMapSide(corpus, doCache = false))
+    assert(!p.contains("Generate"),
+      s"the zero-explode claim: no Generate anywhere before or after the band exchange:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition global sort in the pair pipeline:\n$p")
+  }
+
+  test("d20 keep-best on scale labels: no dictionary global sort, policy window is cluster-keyed") {
+    val df = ext.Dedup.d20KeepBestScale(spark, sf0001)
+    val p = planOf(df)
+    assert(p.contains("windowspecdefinition(cluster_id#"),
+      "keeper argmax must be partitioned by cluster_id")
+    assert(!p.contains("windowspecdefinition(ORDER"),
+      "no un-partitioned (global-sort) window anywhere in the plan")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-partition exchange (the dictionary dense_rank shape) in d20:\n$p")
+  }
 }

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cdc.{Normalize, Pipeline, TypeMapping}
+import graft.ext.Dedup
+
+/** Round-7 wave: the scale twins that move every benched dedup plan off
+  * the oracle-portability dictionary (d20/d21/d22), declared-schema
+  * TYPE_MAPPING ingestion (c15), and the normalize error-sentinel
+  * opt-in. Each twin is pinned against its oracle-checked dictionary
+  * sibling's observable structure at sf0.001.
+  */
+class Round7Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // --- d20: keep-best policy over scale labels --------------------------
+
+  test("d20: exactly one keeper per dup cluster, argmax(quality, -doc_id), over d10's labels") {
+    val rows = Dedup.d20KeepBestScale(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"cluster_size", $"quality", $"is_kept")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).values.foreach { g =>
+      assert(g.length == g.head._3.toInt, "every member of the cluster is present")
+      assert(g.count(_._5) == 1, "exactly one keeper")
+      val keeper = g.find(_._5).get
+      val best = g.minBy(t => (-t._4, t._1))
+      assert(keeper._1 == best._1, s"cluster ${keeper._2}: keeper not the best doc")
+    }
+    // the labels really are d10's (scale clustering), not d19's dictionary
+    // labels: membership matches dedupClustersScale's dup clusters exactly
+    val scaleDups = Dedup.dedupClustersScale(spark, sf0001)
+      .filter($"cluster_size" > 1)
+      .select($"doc_id", $"cluster_id").as[(Long, Long)].collect().toSet
+    assert(rows.map(t => (t._1, t._2)).toSet == scaleDups)
+  }
+
+  test("d20 agrees with d19 on every cluster the two hash families band identically") {
+    val d19 = Dedup.d19KeepBestDedup(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"is_kept")
+      .as[(Long, Long, Boolean)].collect()
+    val d20 = Dedup.d20KeepBestScale(spark, sf0001)
+      .select($"doc_id", $"cluster_id", $"is_kept")
+      .as[(Long, Long, Boolean)].collect()
+    val m19 = d19.groupBy(_._2).view.mapValues(_.map(t => (t._1, t._3)).toSet).toMap
+    val m20 = d20.groupBy(_._2).view.mapValues(_.map(t => (t._1, t._3)).toSet).toMap
+    // same-membership clusters must pick the same keeper (the policy is a
+    // pure function of membership + text); only the borderline clusters
+    // the xxhash banding merges differently may differ
+    val common = m19.keySet intersect m20.keySet
+    val sameMembers = common.filter(c => m19(c).map(_._1) == m20(c).map(_._1))
+    assert(sameMembers.nonEmpty, "hash families must agree on most clusters")
+    sameMembers.foreach { c =>
+      assert(m19(c) == m20(c), s"cluster $c: same members, different keeper")
+    }
+  }
+
+  // --- d21: banding sweep on xxhash64 ids -------------------------------
+
+  test("d21: b4r2 verified count equals the d06 pair set; recall/planted match d17") {
+    val d21 = Dedup.d21LshTuningScale(spark, sf0001)
+      .select($"config", $"n_candidates", $"n_verified", $"n_planted",
+        $"n_planted_found", $"recall")
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(d21.keySet == Set("b4r2", "b2r4"))
+    // b4r2 IS the d06 banding over the same xxhash64 sids: its verified
+    // pair count must equal the d06/d18 survivor set exactly
+    val d06Pairs = Dedup.minHashLshScale(spark, sf0001).count()
+    assert(d21("b4r2")._3 == d06Pairs,
+      s"b4r2 verified ${d21("b4r2")._3} != d06 pair count $d06Pairs")
+    // 4 bands of 2 rows candidate anything 2 bands of 4 rows candidates:
+    // every 4-minima band match contains two 2-minima band matches
+    assert(d21("b2r4")._2 <= d21("b4r2")._2, "b2r4 candidates must be a subset")
+    assert(d21("b2r4")._3 <= d21("b4r2")._3)
+    // cross-form: planted totals and found counts agree with the
+    // oracle-checked dictionary sweep (both families find all planted
+    // pairs at this scale)
+    val d17 = Dedup.d17LshTuning(spark, sf0001)
+      .select($"config", $"n_planted", $"n_planted_found")
+      .as[(String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    d21.keys.foreach { c =>
+      assert(d21(c)._4 == d17(c)._2, s"$c planted total differs")
+      assert(d21(c)._5 >= d17(c)._3,
+        s"$c: xxhash64 banding found fewer planted pairs than the dictionary's")
+    }
+  }
+
+  // --- d22: incremental admit on the zero-explode pipeline --------------
+
+  test("d22: planted admit/reject structure, and rejects everything d12 rejects") {
+    val rows = Dedup.d22IncrementalScale(spark, sf0001)
+      .select($"doc_id", $"is_exact_dup", $"is_near_dup", $"matched_id", $"admit")
+      .as[(Long, Boolean, Boolean, Option[Long], Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ex, near, matched, admit) =>
+      if (id >= 3000000L) {         // token-sorted rewrites: genuinely new
+        assert(!ex && admit, s"fresh doc $id must be admitted")
+      } else if (id >= 2000000L) {  // near copies: first token dropped
+        assert(near && !admit, s"near copy $id must be rejected as a near dup")
+      } else {                      // exact copies
+        assert(ex && !admit && matched.contains(id - 1000000L),
+          s"exact copy $id must match its source")
+      }
+    }
+    // the xxhash64 near probe can only band MORE borderline pairs than the
+    // dictionary's (MinHashSpec: dict pairs ⊆ map-side pairs), so every
+    // d12 rejection must also be a d22 rejection
+    val d12Rejected = Dedup.d12IncrementalDedup(spark, sf0001)
+      .filter(!$"admit").select($"doc_id").as[Long].collect().toSet
+    val d22Rejected = rows.filter(!_._5).map(_._1).toSet
+    assert(d12Rejected.subsetOf(d22Rejected),
+      s"d12 rejections missing from d22: ${d12Rejected -- d22Rejected}")
+  }
+
+  // --- c15 / TypeMapping ------------------------------------------------
+
+  test("TYPE_MAPPING: every reference entry resolves to its documented Spark type") {
+    val expected = Map(
+      "tinyint" -> ByteType, "smallint" -> ShortType, "mediumint" -> IntegerType,
+      "int" -> IntegerType, "integer" -> IntegerType, "bigint" -> LongType,
+      "float" -> FloatType, "double" -> DoubleType,
+      "bit" -> BooleanType, "boolean" -> BooleanType, "bool" -> BooleanType,
+      "char" -> StringType, "varchar" -> StringType, "text" -> StringType,
+      "tinytext" -> StringType, "mediumtext" -> StringType, "longtext" -> StringType,
+      "blob" -> StringType, "tinyblob" -> StringType, "mediumblob" -> StringType,
+      "longblob" -> StringType,
+      "date" -> DateType, "datetime" -> TimestampNTZType,
+      "timestamp" -> TimestampType, "time" -> StringType, "year" -> ShortType,
+      "json" -> StringType, "uuid" -> StringType, "binary" -> StringType,
+      "varbinary" -> StringType, "enum" -> StringType, "null" -> StringType)
+    expected.foreach { case (my, t) =>
+      assert(TypeMapping.toSparkType(my) == t, s"mapping for $my")
+    }
+    // every reference TYPE_MAPPING key is covered (consumer_to_file.py:15-55)
+    assert(TypeMapping.mapping.keySet == expected.keySet + "decimal")
+    // argument/modifier parsing
+    assert(TypeMapping.toSparkType("decimal(12,4)") == DecimalType(12, 4))
+    assert(TypeMapping.toSparkType("decimal(7)") == DecimalType(7, 0))
+    assert(TypeMapping.toSparkType("decimal") == DecimalType(10, 0))
+    assert(TypeMapping.toSparkType("VARCHAR(255)") == StringType)
+    assert(TypeMapping.toSparkType("int unsigned") == IntegerType)
+    assert(TypeMapping.toSparkType("enum('a','b')") == StringType)
+    assert(TypeMapping.toSparkType("geometry") == StringType, "unknown → fallback")
+  }
+
+  test("declared-schema ingest: declared table gets exact types, undeclared still infers") {
+    val raw = Seq(
+      ("db.x.typed", 1L, """{"payload":{"op":"c","after":{"id":"1","price":"9.5000","born":"2024-02-01"},"ts_ms":1}}"""),
+      ("db.x.typed", 2L, """{"payload":{"op":"u","after":{"id":"1","price":"12.2500","born":"2024-03-05"},"ts_ms":2}}"""),
+      ("db.x.loose", 3L, """{"payload":{"op":"c","after":{"id":"7","note":"hi"},"ts_ms":3}}""")
+    ).toDF("topic", "offset", "value")
+    val res = Pipeline.ingest(raw, Map("typed" -> Map(
+      "id" -> "bigint", "price" -> "decimal(12,4)", "born" -> "date")))
+    val typed = res.tables("typed")
+    val bySchema = typed.log.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(bySchema("id") == LongType)
+    assert(bySchema("price") == DecimalType(12, 4))
+    assert(bySchema("born") == DateType)
+    val snap = typed.snapshot.select($"id", $"price".cast("string"), $"born".cast("string"))
+      .as[(Long, String, String)].collect()
+    assert(snap.toSeq == Seq((1L, "12.2500", "2024-03-05")))
+    // the undeclared table still goes through value inference
+    val loose = res.tables("loose").log.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(loose("id") == LongType && loose("note") == StringType)
+    res.cleanup()
+  }
+
+  test("c15 snapshot schema carries the declared types end-to-end") {
+    val sch = cdc.CdcQueries.c15DeclaredSchema(spark, sf0001).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    assert(sch("id") == LongType && sch("tiny") == ByteType &&
+      sch("small") == ShortType && sch("med") == IntegerType &&
+      sch("big") == LongType && sch("f") == FloatType && sch("d") == DoubleType)
+    assert(sch("price") == DecimalType(12, 4))
+    assert(sch("flag") == BooleanType)
+    assert(sch("born") == DateType && sch("updated") == TimestampNTZType)
+    assert(sch("t") == StringType && sch("y") == ShortType)
+    assert(sch("u") == StringType && sch("j") == StringType && sch("e") == StringType)
+  }
+
+  // --- minhash_sig hardening --------------------------------------------
+
+  test("minhash_sig: non-literal and non-integral k/p raise clear errors; nulls are skipped") {
+    graft.functions.MinHash.register(spark)
+    val df = Seq((1L, Seq("a b c", "b c d"))).toDF("doc_id", "shingles")
+    df.createOrReplaceTempView("mh_in")
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(shingles, doc_id, 1000003) FROM mh_in").collect()
+    }
+    assert(e1.getMessage.contains("minhash_sig") || e1.getMessage.contains("FOLDABLE"),
+      s"non-literal k must name the function or the foldable rule: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(shingles, 2.5, 1000003) FROM mh_in").collect()
+    }
+    assert(e2.getMessage.contains("minhash_sig"), e2.getMessage)
+    // null elements are skipped, not NPE'd, and match dropping them up front
+    val withNull = Seq((1L, Seq(Some("a b c"), None, Some("b c d")))).toDF("doc_id", "shingles")
+    val got = withNull.select(functions.MinHash.minhashSig($"shingles", Dedup.K, Dedup.P))
+      .as[Seq[Long]].head()
+    val clean = Seq((1L, Seq("a b c", "b c d"))).toDF("doc_id", "shingles")
+      .select(functions.MinHash.minhashSig($"shingles", Dedup.K, Dedup.P))
+      .as[Seq[Long]].head()
+    assert(got == clean)
+  }
+
+  // --- normalize error sentinel -----------------------------------------
+
+  test("legacyErrorString mirrors the reference's in-band [ERROR: …] fallback") {
+    val df = Seq(("12", "12"), ("oops", null), (null, null))
+      .toDF("raw", "normalized")
+    val got = df.select(Normalize.legacyErrorString($"raw", $"normalized").as("v"))
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("12"), Some("[ERROR: oops]"), None))
+  }
+}

@@ -71,7 +71,7 @@ class SkewStateSpec extends AnyFunSuite {
     val rows = Tables.events(spark, sf0001)
       .select($"event_id", $"user_id", $"event_type", $"ts")
       .as[Streaming.TransEvent].collect().toSeq
-      .sortBy(e => (e.ts.getTime, e.event_id))
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
     val ms = MemoryStream[Streaming.TransEvent]
     rows.grouped(250).foreach(b => ms.addData(b))
     val q = Streaming.userTransitions(ms.toDS())
