@@ -350,15 +350,29 @@ object Dedup {
       .cache()
   }
 
+  /** Session-scoped labeling memo. The propagation in [[clusterLabels]]
+    * is EAGER — its convergence loop runs jobs at DataFrame-construction
+    * time — so Spark's CacheManager plan-matching (which round 6 relied
+    * on) cannot stop a second caller from re-running the whole
+    * propagation: the loop fires before the cached result is ever
+    * consulted. Memoizing the labeling per (session, corpus dir, hash
+    * family) makes it what it is in production: a cluster-assignment
+    * table materialized once per corpus, read by the keep-policy, the
+    * corpus dedup, and any downstream curation. Inputs are immutable
+    * parquet, so the memo can never go stale within a session. */
+  private val labelMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   /** Dedup cluster assignment: every corpus document labeled with the min
     * doc_id of its duplicate component (exact-dup edges ∪ verified LSH
     * near-dup edges), plus the component size. Oracle replays the
     * propagation as a recursive reachability walk. */
-  def d09DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    clustersOver(corpus, d02MinHashLsh(spark, dir).select($"id1", $"id2"))
-  }
+  def d09DedupClusters(spark: SparkSession, dir: String): DataFrame =
+    labelMemo.getOrElseUpdate((System.identityHashCode(spark), dir, "dict"), {
+      import spark.implicits._
+      val corpus = corpusWithCopies(Tables.documents(spark, dir))
+      clustersOver(corpus, d02MinHashLsh(spark, dir).select($"id1", $"id2"))
+    })
 
   /** Scale-path twin of [[d09DedupClusters]]: near-dup edges from the
     * zero-explode xxhash64 pipeline of [[d18MinHashMapSide]] (no
@@ -367,11 +381,12 @@ object Dedup {
     * scale, and the SAME pair set d07's drops come from, so the scale
     * path's clusters and its corpus dedup can never disagree). Rows-only
     * driver check; ExtSpec asserts cluster parity with d09. */
-  def dedupClustersScale(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    clustersOver(corpus, d18MinHashMapSide(spark, dir).select($"id1", $"id2"))
-  }
+  def dedupClustersScale(spark: SparkSession, dir: String): DataFrame =
+    labelMemo.getOrElseUpdate((System.identityHashCode(spark), dir, "scale"), {
+      import spark.implicits._
+      val corpus = corpusWithCopies(Tables.documents(spark, dir))
+      clustersOver(corpus, d18MinHashMapSide(spark, dir).select($"id1", $"id2"))
+    })
 
   /** d13: semantic dedup clusters — connected components over the
     * embedding near-dup graph (the verified cosine ≥ 0.5 pairs of d05)
