@@ -474,14 +474,25 @@ object Dedup {
 
   val SimBits = 16
 
+  /** Per-bit hash constants. The multiplier must push (sid + aOff)·mult
+    * well past P so the mod actually mixes: dictionary sids are dense
+    * ranks, and with a small coefficient `sid·c < P` the residue IS the
+    * product and its parity collapses to parity(sid) for every odd c —
+    * all bits vote identically and the fingerprint saturates (found when
+    * d23's pairing put 40% of all pairs within hamming 3). */
+  def simAOff(b: Int): Long = 7L + 131L * b
+  def simMult(b: Int): Long = 2605053L + 104729L * b
+
   /** SimHash bit-vote over (doc_id, sid) pairs: one map-side ±1 vote per
-    * bit per shingle, a single groupBy, sign-pack. */
-  private def simHashFrom(ids: DataFrame): DataFrame = {
+    * bit per shingle, a single groupBy, sign-pack. `bits` ≤ 62 so the
+    * packed value stays a positive long in both engines. */
+  private[graft] def simHashFrom(ids: DataFrame, bits: Int = SimBits): DataFrame = {
+    def bitVote(b: Int): Column =
+      sum(when((((col("sid") + simAOff(b)) * simMult(b)) % P) % 2 === 1, 1)
+        .otherwise(-1)).as(s"bs_$b")
     val bitSums = ids.groupBy(col("doc_id")).agg(
-      sum(when(((col("sid") * (2 * 0 + 3)) % P) % 2 === 1, 1).otherwise(-1)).as("bs_0"),
-      (1 until SimBits).map(b =>
-        sum(when(((col("sid") * (2 * b + 3)) % P) % 2 === 1, 1).otherwise(-1)).as(s"bs_$b")): _*)
-    val simhash = (0 until SimBits).map(b =>
+      bitVote(0), (1 until bits).map(bitVote): _*)
+    val simhash = (0 until bits).map(b =>
       when(col(s"bs_$b") > 0, 1L << b).otherwise(0L)).reduce(_ + _)
     bitSums.select(col("doc_id"), simhash.as("simhash"))
   }
@@ -502,6 +513,45 @@ object Dedup {
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     simHashFrom(shingles(corpus)
       .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid")))
+  }
+
+  // --- d23: SimHash hamming near-dup (banded pairing) -------------------
+
+  /** Bit width for d23's pairing fingerprint; 4 bands × 8 bits. */
+  val SimPairBits = 32
+
+  /** d23: SimHash near-dup DETECTION — d03 computes fingerprints, this
+    * pairs them. Pigeonhole banding: a 32-bit simhash split into 4
+    * disjoint 8-bit bands; any two hashes within hamming distance 3
+    * differ in ≤3 bits, which cannot touch all 4 bands, so they collide
+    * exactly on at least one band key. Candidates come from 4 band
+    * equi-self-joins (256 keys per band — never all pairs), verification
+    * is ONE integer op (`bit_count(s1 xor s2) ≤ 3`). This is the Google
+    * web-dedup shape (Manku et al., WWW'07) at 32 bits instead of 64 so
+    * the sign-pack stays oracle-exact in a signed BIGINT; at 100 TB the
+    * same plan widens to 64 bits/8 bands and the band join stays the only
+    * shuffle. Dictionary sids keep it DuckDB-replayable (d08 is the
+    * registered xxhash64 fingerprint twin). */
+  def d23SimHashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val sh = shingles(corpus)
+    val sims = simHashFrom(
+      sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid"),
+      SimPairBits).cache()
+    val bands = (0 until 4).map { b =>
+      sims.select($"doc_id", lit(b).as("band"),
+        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    cand
+      .join(sims.select($"doc_id".as("id1"), $"simhash".as("s1")), "id1")
+      .join(sims.select($"doc_id".as("id2"), $"simhash".as("s2")), "id2")
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter($"hamming" <= 3)
+      .select($"id1", $"id2", $"s1", $"s2", $"hamming")
   }
 
   // --- d04: n-gram Jaccard on planted pairs ----------------------------
@@ -902,6 +952,7 @@ object Dedup {
     "d20_keep_best_scale"   -> d20KeepBestScale _,
     "d21_lsh_tuning_scale"  -> d21LshTuningScale _,
     "d22_incremental_scale" -> d22IncrementalScale _,
+    "d23_simhash_neardup"   -> d23SimHashNearDup _,
     "d07_dedup_corpus"      -> dedupCorpus _,
     "d08_simhash_scale"     -> simHashScale _,
     "d09_dedup_clusters"    -> d09DedupClusters _,
@@ -1177,6 +1228,35 @@ object Dedup {
           JOIN sizes s1 ON s1.doc_id = i.id1
           JOIN sizes s2 ON s2.doc_id = i.id2
           WHERE i.inter * 2 >= (s1.n + s2.n - i.inter)""",
+    // same dictionary sids, 32-bit sign-pack, 4x8-bit pigeonhole bands,
+    // and the one-integer-op hamming verify — all exact in both engines
+    "d23_simhash_neardup" -> {
+      val packSql = (0 until SimPairBits).map(b =>
+        s"(CASE WHEN SUM(CASE WHEN (((sid + ${simAOff(b)}) * ${simMult(b)}) % $P) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, (simhash >> ${8 * b}) & 255 AS bkey FROM sims")
+        .mkString("\n            UNION ALL\n            ")
+      s"""WITH $corpusSql,
+          $shinglesSql,
+          $shingleDictSql,
+          ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
+          sims AS (
+            SELECT doc_id, CAST($packSql AS BIGINT) AS simhash
+            FROM ids GROUP BY doc_id),
+          bands AS (
+            $bandSelects),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+          SELECT c.id1, c.id2, a.simhash AS s1, b.simhash AS s2,
+                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+          FROM cand c
+          JOIN sims a ON a.doc_id = c.id1
+          JOIN sims b ON b.doc_id = c.id2
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    },
     "d03_simhash" ->
       s"""WITH $corpusSql,
           $shinglesSql,
@@ -1184,7 +1264,7 @@ object Dedup {
           ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle))
           SELECT doc_id,
                  CAST(${(0 until SimBits).map(b =>
-                   s"(CASE WHEN SUM(CASE WHEN ((sid * ${2 * b + 3}) % $P) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
+                   s"(CASE WHEN SUM(CASE WHEN (((sid + ${simAOff(b)}) * ${simMult(b)}) % $P) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
                    .mkString(" + ")} AS BIGINT) AS simhash
           FROM ids GROUP BY doc_id""",
     "d04_ngram_jaccard" ->

@@ -116,6 +116,40 @@ class Round7Spec extends AnyFunSuite {
       s"d12 rejections missing from d22: ${d12Rejected -- d22Rejected}")
   }
 
+  // --- d23: simhash hamming pairing -------------------------------------
+
+  test("d23: planted exact copies pair at hamming 0; bands never miss a hamming<=3 pair") {
+    val pairs = Dedup.d23SimHashNearDup(spark, sf0001)
+      .select($"id1", $"id2", $"s1", $"s2", $"hamming")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, _, s1, s2, h) =>
+      assert(h == java.lang.Long.bitCount(s1 ^ s2) && h <= 3)
+    }
+    val keys = pairs.map(t => (t._1, t._2)).toSet
+    val planted = Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+    planted.foreach { d =>
+      assert(keys.contains((d, d + 1000000L)), s"exact copy of $d missing")
+      assert(pairs.find(t => t._1 == d && t._2 == d + 1000000L).get._5 == 0)
+    }
+    // pigeonhole COMPLETENESS: brute-force every hamming<=3 pair from the
+    // full fingerprint map — 4 disjoint 8-bit bands cannot all change
+    // under <=3 bit flips, so the banded join must surface every one
+    val corpus = Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
+    val sh = Dedup.shingles(corpus)
+    val fp = Dedup.simHashFrom(
+        sh.join(Dedup.shingleDict(sh), "shingle").select($"doc_id", $"sid"),
+        Dedup.SimPairBits)
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, s1) <- fp; (i2, s2) <- fp
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i1, i2)).toSet
+    assert(keys == brute,
+      s"banding missed ${(brute -- keys).size}, invented ${(keys -- brute).size}")
+  }
+
   // --- c15 / TypeMapping ------------------------------------------------
 
   test("TYPE_MAPPING: every reference entry resolves to its documented Spark type") {

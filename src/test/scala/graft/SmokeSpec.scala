@@ -81,7 +81,8 @@ class SmokeSpec extends AnyFunSuite {
         "d18_minhash_mapside", "d19_keep_best_dedup", "s12_reranked_pq",
         "s13_matryoshka_recall", "p07_hash_split", "t20_cooccurrence",
         "c14_snapshot_diff", "w13_stream_transitions", "c15_declared_schema",
-        "d20_keep_best_scale", "d21_lsh_tuning_scale", "d22_incremental_scale")
+        "d20_keep_best_scale", "d21_lsh_tuning_scale", "d22_incremental_scale",
+        "d23_simhash_neardup")
       .foreach { name =>
         withClue(name) { assert(SparkEntry.queries(name)(spark, sf0001).count() > 0) }
       }
