@@ -70,11 +70,13 @@ object Pipeline {
     * downstream. Returns the running [[StreamingQuery]].
     */
   def ingestStream(raw: DataFrame, outDir: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   declared: Map[String, Map[String, String]] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val res = ingest(batch)
+        val res = ingest(batch, declared)
         res.tables.foreach { case (t, flow) =>
           flow.log.write.mode("append").parquet(s"$outDir/$t")
         }

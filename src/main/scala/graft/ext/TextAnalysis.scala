@@ -164,6 +164,33 @@ object TextAnalysis {
           (acc, x) => greatest(acc, x)).as("max_sub_len"))
   }
 
+  // --- t22: tokenizer fertility by language ----------------------------
+
+  /** t22: tokenizer fertility — subwords-per-word and chars-per-subword
+    * per language slice, from the t08 pre-tokenizer. Fertility is THE
+    * per-language tokenizer-efficiency readout a multilingual training
+    * run checks before committing to a vocabulary: a high-fertility
+    * language pays more sequence length for the same text. All components
+    * are integer sums (subword counts, word counts, subword char totals)
+    * with two final divisions, so both engines agree exactly. One
+    * map-side projection + one tiny per-lang agg — no shuffle beyond the
+    * group-by at any corpus size. */
+  def t22TokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val subs = expr("""regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)""")
+    val toks = tokens($"text")
+    Tables.documents(spark, dir)
+      .select($"lang", size(subs).as("n_sub"), size(toks).as("n_words"),
+        aggregate(transform(subs, s => length(s)), lit(0), _ + _).as("sub_chars"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_sub").as("n_subwords"),
+        sum($"sub_chars").as("n_sub_chars"))
+      .withColumn("fertility", $"n_subwords".cast("double") / $"n_words")
+      .withColumn("chars_per_subword", $"n_sub_chars".cast("double") / $"n_subwords")
+  }
+
   // --- t12: PII redaction ----------------------------------------------
 
   /** PII patterns in the RE2 ∩ java.util.regex common subset (no
@@ -529,6 +556,7 @@ object TextAnalysis {
     "t14_inverted_index" -> t14InvertedIndex _,
     "t15_bm25"        -> t15Bm25 _,
     "t16_ngram_familiarity" -> t16NgramFamiliarity _,
+    "t22_tokenizer_fertility" -> t22TokenizerFertility _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -710,6 +738,25 @@ object TextAnalysis {
                     s -> length(s))),
                   (a, b) -> greatest(a, b)) AS INT) AS max_sub_len
          FROM documents""",
+    // integer sums + two final double divisions — engine-exact
+    "t22_tokenizer_fertility" ->
+      s"""WITH d AS (
+            SELECT lang,
+                   len($tokensSql) AS n_words,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_sub,
+                   list_reduce(
+                     list_prepend(0, list_transform(
+                       regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                       s -> length(s))),
+                     (a, b) -> a + b) AS sub_chars
+            FROM documents)
+          SELECT lang, COUNT(*) AS n_docs,
+                 CAST(SUM(n_words) AS BIGINT) AS n_words,
+                 CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+                 CAST(SUM(sub_chars) AS BIGINT) AS n_sub_chars,
+                 CAST(SUM(n_sub) AS DOUBLE) / SUM(n_words) AS fertility,
+                 CAST(SUM(sub_chars) AS DOUBLE) / SUM(n_sub) AS chars_per_subword
+          FROM d GROUP BY 1""",
     "t12_pii_redact" ->
       s"""WITH p AS (
             SELECT doc_id,

@@ -203,6 +203,32 @@ class Round7Spec extends AnyFunSuite {
     res.cleanup()
   }
 
+  test("ingestStream with a declared schema: typed, schema-stable appends across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, Long, String)]
+    // micro-batch 1 lacks `price` entirely; the declared schema keeps the
+    // parquet append schema constant anyway (inference would have produced
+    // incompatible per-batch schemas here)
+    ms.addData(Seq(("db.x.typed", 1L,
+      """{"payload":{"op":"c","after":{"id":"1","born":"2024-02-01"},"ts_ms":1}}""")))
+    ms.addData(Seq(("db.x.typed", 2L,
+      """{"payload":{"op":"u","after":{"id":"2","price":"7.2500","born":"2024-03-05"},"ts_ms":2}}""")))
+    val outDir = java.nio.file.Files.createTempDirectory("ingest_declared").toString
+    val q = Pipeline.ingestStream(ms.toDF().toDF("topic", "offset", "value"),
+      outDir, outDir + "/_cp",
+      Map("typed" -> Map("id" -> "bigint", "price" -> "decimal(12,4)", "born" -> "date")))
+    q.processAllAvailable(); q.stop()
+    val log = spark.read.parquet(s"$outDir/typed")
+    val types = log.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("id") == LongType && types("price") == DecimalType(12, 4) &&
+      types("born") == DateType)
+    val rows = log.orderBy($"offset")
+      .select($"id", $"price".cast("string"), $"born".cast("string"))
+      .as[(Long, Option[String], String)].collect().toSeq
+    assert(rows == Seq((1L, None, "2024-02-01"), (2L, Some("7.2500"), "2024-03-05")))
+  }
+
   test("c15 snapshot schema carries the declared types end-to-end") {
     val sch = cdc.CdcQueries.c15DeclaredSchema(spark, sf0001).schema
       .fields.map(f => f.name -> f.dataType).toMap
@@ -214,6 +240,31 @@ class Round7Spec extends AnyFunSuite {
     assert(sch("born") == DateType && sch("updated") == TimestampNTZType)
     assert(sch("t") == StringType && sch("y") == ShortType)
     assert(sch("u") == StringType && sch("j") == StringType && sch("e") == StringType)
+  }
+
+  // --- t22: tokenizer fertility ----------------------------------------
+
+  test("t22: per-language fertility equals a brute-force driver-side recompute") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"lang", $"text").as[(String, String)].collect()
+    val subRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]".r
+    val expected = docs.groupBy(_._1).map { case (lang, g) =>
+      val words = g.map(_._2.trim.split("\\s+").count(_.nonEmpty).toLong).sum
+      val subs = g.map(t => subRe.findAllIn(t._2).toSeq)
+      lang -> (g.length.toLong, words, subs.map(_.length.toLong).sum,
+        subs.map(_.map(_.length.toLong).sum).sum)
+    }
+    val got = ext.TextAnalysis.t22TokenizerFertility(spark, sf0001)
+      .select($"lang", $"n_docs", $"n_words", $"n_subwords", $"n_sub_chars",
+        $"fertility", $"chars_per_subword")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (lang, nd, nw, ns, nc, fert, cps) =>
+      val (ed, ew, es, ec) = expected(lang)
+      assert((nd, nw, ns, nc) == (ed, ew, es, ec), s"lang $lang component sums")
+      assert(fert == ns.toDouble / nw && cps == nc.toDouble / ns)
+      assert(fert >= 1.0, "a word always yields at least one subword")
+    }
   }
 
   // --- minhash_sig hardening --------------------------------------------
