@@ -88,9 +88,13 @@ object TypeMapping {
       case "decimal" | "numeric" =>
         argsRe.findFirstMatchIn(t) match {
           case Some(m) =>
-            val p = m.group(1).toInt
-            val s = Option(m.group(2)).map(_.toInt).getOrElse(0)
-            DecimalType(p, s)
+            // MySQL allows precision up to 65; Spark decimals cap at 38.
+            // Clamp instead of throwing — a declared decimal(65,s) keeps
+            // 38 significant digits, still strictly better than the
+            // reference's unconditional Float64 (~16 digits).
+            val p = math.min(m.group(1).toInt, DecimalType.MAX_PRECISION)
+            val s = math.min(Option(m.group(2)).map(_.toInt).getOrElse(0), p)
+            DecimalType(math.max(p, 1), s)
           case None => DecimalType(10, 0) // MySQL's default decimal
         }
       case b => mapping.getOrElse(b, StringType)

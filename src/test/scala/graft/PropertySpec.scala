@@ -68,4 +68,23 @@ object PropertySpec extends Properties("graft") {
         case _ => t == StringType
       }
     }
+
+  property("TypeMapping: total (never throws), case/args/modifier-insensitive on the base") =
+    forAll(
+      Gen.oneOf(graft.cdc.TypeMapping.mapping.keys.toSeq),
+      Gen.oneOf("", "(255)", "(10,2)", " unsigned", " UNSIGNED ZEROFILL", "('a','b')"),
+      Gen.oneOf(identity[String] _, (s: String) => s.toUpperCase)) { (base, suffix, casing) =>
+      val t = graft.cdc.TypeMapping.toSparkType(casing(base) + suffix)
+      // decimal takes its declared (p,s); every other base ignores args
+      if (base == "decimal")
+        t.isInstanceOf[DecimalType]
+      else t == graft.cdc.TypeMapping.mapping(base)
+    }
+
+  property("TypeMapping: unknown bases take the reference's null fallback (String)") =
+    forAll(Gen.identifier) { s =>
+      val known = graft.cdc.TypeMapping.mapping.contains(s.toLowerCase) ||
+        s.toLowerCase == "numeric"
+      known || graft.cdc.TypeMapping.toSparkType(s) == StringType
+    }
 }

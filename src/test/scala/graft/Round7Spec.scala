@@ -150,6 +150,22 @@ class Round7Spec extends AnyFunSuite {
       s"banding missed ${(brute -- keys).size}, invented ${(keys -- brute).size}")
   }
 
+  // --- d06/d18 parity at collision-relevant scale ------------------------
+
+  test("d06 and d18 survivor pairs agree at sf0.01, where mod-P sid collisions can occur") {
+    // the two verifies differ in principle: d06 counts intersections on
+    // mod-P hashed sids (collision-prone as the shingle space grows),
+    // d18 intersects the raw shingle arrays (TRUE jaccard). ADVICE r06
+    // asked for parity beyond sf0.001 — this pins the 10x corpus.
+    val sf001 = "/root/testdata/sf0.01"
+    val exploded = Dedup.minHashLshScale(spark, sf001)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    val mapSide = Dedup.d18MinHashMapSide(spark, sf001)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(exploded == mapSide,
+      s"verify paths disagree: only-exploded=${exploded -- mapSide}, only-mapside=${mapSide -- exploded}")
+  }
+
   // --- c15 / TypeMapping ------------------------------------------------
 
   test("TYPE_MAPPING: every reference entry resolves to its documented Spark type") {
