@@ -265,6 +265,38 @@ object CdcQueries {
         $"version_event", $"value".as("state_value"))
   }
 
+  /** c16: tombstone garbage collection — the retention step log
+    * compaction (c11) deliberately does NOT do. c11's compact keeps live
+    * tombstones so the compacted log stays a valid replacement; but a
+    * tombstone only exists to tell readers "this key died", and once the
+    * retention horizon T passes, every reader has seen it — Kafka's
+    * `delete.retention.ms` semantics. GC drops, for every key whose
+    * LATEST record at or before T is a tombstone, all of its records
+    * ≤ T (history and the tombstone itself); records after T are never
+    * touched (a re-created key keeps its new life). The snapshot after
+    * GC equals the snapshot of the full log BY CONSTRUCTION (dead keys
+    * contributed nothing to it) — Round7Spec asserts it. One user-keyed
+    * window over the ≤T slice; the disposition rollup is the output. */
+  def c16TombstoneGc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val horizon = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    val log = Tables.events(spark, dir).withColumn("op", opOf(spark))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val old = log.filter($"ts" <= horizon)
+      .withColumn("_rn", row_number().over(w))
+    // dead = latest ≤-horizon record is a tombstone
+    val dead = old.filter($"_rn" === 1 && $"op" === "d")
+      .select($"user_id".as("dead_key"))
+    log
+      .join(dead, $"user_id" === $"dead_key", "left")
+      .withColumn("dropped", $"dead_key".isNotNull && $"ts" <= horizon)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"dropped", 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(!$"dropped", 1L).otherwise(0L)).as("n_kept"),
+        dsum(when(!$"dropped", $"value")).as("kept_value"))
+  }
+
   /** c14: snapshot drift audit — diff the latest-per-key state at two cut
     * points (the reconciliation a CDC consumer runs to prove a replay or a
     * backfill landed: which keys appeared, which changed state, and what
@@ -360,6 +392,7 @@ object CdcQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    "c16_tombstone_gc" -> c16TombstoneGc _,
     "c15_declared_schema" -> c15DeclaredSchema _,
     "c14_snapshot_diff" -> c14SnapshotDiff _,
     "c12_dlq_repair" -> c12DlqRepair _,
@@ -379,6 +412,23 @@ object CdcQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "c16_tombstone_gc" ->
+      s"""WITH old AS (
+            SELECT *, $opSql AS op,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '2024-01-16 00:00:00'),
+          dead AS (SELECT user_id FROM old WHERE rn = 1 AND op = 'd'),
+          tagged AS (
+            SELECT e.event_type, e.value,
+                   (d.user_id IS NOT NULL
+                    AND e.ts <= TIMESTAMP '2024-01-16 00:00:00') AS dropped
+            FROM events e LEFT JOIN dead d USING (user_id))
+          SELECT event_type, COUNT(*) AS n_total,
+                 CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 CAST(SUM(CASE WHEN NOT dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 ${Tables.sqlDsum("CASE WHEN NOT dropped THEN value END")} AS kept_value
+          FROM tagged GROUP BY 1""",
     // replay of the declared casts over the latest event per user (the
     // snapshot the ingest produces: PK=id=user_id, order=offset=event_id)
     "c15_declared_schema" ->

@@ -353,7 +353,42 @@ object Relational7 {
           / count(lit(1))).as("top80_frac"))
   }
 
+  /** q97: decile lift table — customers ranked into spend deciles
+    * (NTILE(10) over exact-decimal totals), with per-decile revenue,
+    * share of total, and cumulative share: the concentration readout a
+    * marketing/curation run uses to pick a cutoff (q96 answers "how many
+    * carry 80%?", this answers "what does each tenth carry?"). NTILE's
+    * remainder rule (earlier buckets get the extra row) is identical in
+    * Spark and DuckDB, and every sum is decimal until the final share
+    * divisions, so the table is engine-exact. Shape: one per-customer
+    * agg, one decile window over the (small) aggregate, one 10-row
+    * rollup — the fact table shuffles once. */
+  def q97DecileLift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(sum(dec($"o_totalprice")).as("revd"), count(lit(1)).as("n_orders"))
+    val decile = rev.withColumn("decile",
+      ntile(10).over(w.orderBy($"revd".desc, $"o_custkey")))
+    val per = decile.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"n_orders").as("n_orders"),
+        sum($"revd").as("rev_dec"))
+    val cumW = w.orderBy($"decile")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    per
+      .withColumn("cum_dec", sum($"rev_dec").over(cumW))
+      .withColumn("tot", sum($"rev_dec").over(w.partitionBy()))
+      .select($"decile", $"n_customers", $"n_orders",
+        $"rev_dec".cast("double").as("revenue"),
+        ($"rev_dec".cast("double") / $"tot".cast("double")).as("share"),
+        ($"cum_dec".cast("double") / $"tot".cast("double")).as("cum_share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q97_decile_lift"           -> q97DecileLift _,
     "q96_pareto"                -> q96Pareto _,
     "q95_share_of_total"        -> q95ShareOfTotal _,
     "q94_event_transitions"     -> q94EventTransitions _,
@@ -376,6 +411,28 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    "q97_decile_lift" ->
+      s"""WITH rev AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS revd,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1),
+          ranked AS (
+            SELECT *, NTILE(10) OVER (ORDER BY revd DESC, o_custkey) AS decile
+            FROM rev),
+          per AS (
+            SELECT decile, COUNT(*) AS n_customers,
+                   CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+                   SUM(revd) AS rev_dec
+            FROM ranked GROUP BY 1)
+          SELECT CAST(decile AS INT) AS decile, n_customers, n_orders,
+                 ${sqlDec2Dbl("rev_dec")} AS revenue,
+                 ${sqlDec2Dbl("rev_dec")} / ${sqlDec2Dbl("SUM(rev_dec) OVER ()")}
+                   AS share,
+                 ${sqlDec2Dbl("""SUM(rev_dec) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")}
+                   / ${sqlDec2Dbl("SUM(rev_dec) OVER ()")} AS cum_share
+          FROM per""",
     "q96_pareto" ->
       """WITH rev AS (
            SELECT c_mktsegment, c_custkey,

@@ -258,6 +258,37 @@ class Round7Spec extends AnyFunSuite {
     assert(sch("u") == StringType && sch("j") == StringType && sch("e") == StringType)
   }
 
+  // --- c16: tombstone GC ------------------------------------------------
+
+  test("c16: GC actually drops rows, and the post-GC snapshot equals the full-log snapshot") {
+    import org.apache.spark.sql.expressions.Window
+    val horizon = lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    val op = when($"event_type" === "signup", "c")
+      .when($"event_type" === "error", "d").otherwise("u")
+    val log = Tables.events(spark, sf0001).withColumn("op", op)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val dead = log.filter($"ts" <= horizon)
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1 && $"op" === "d")
+      .select($"user_id".as("dead_key"))
+    val gcd = log.join(dead, $"user_id" === $"dead_key", "left")
+      .filter(!($"dead_key".isNotNull && $"ts" <= horizon))
+      .drop("dead_key")
+    val nDropped = log.count() - gcd.count()
+    assert(nDropped > 0, "fixture must contain at least one dead key")
+    // the rollup's accounting matches
+    val reported = cdc.CdcQueries.c16TombstoneGc(spark, sf0001)
+      .agg(sum($"n_dropped")).as[Long].head()
+    assert(reported == nDropped)
+    // snapshot preservation: dead keys contributed nothing to the
+    // snapshot, so GC cannot change it
+    def snap(l: org.apache.spark.sql.DataFrame) =
+      cdc.Apply.snapshot(l, Seq("user_id"), Seq($"ts", $"event_id"))
+        .select($"user_id", $"event_id", $"event_type", $"value")
+    assert(snap(gcd).exceptAll(snap(log)).count() == 0 &&
+           snap(log).exceptAll(snap(gcd)).count() == 0)
+  }
+
   // --- t22: tokenizer fertility ----------------------------------------
 
   test("t22: per-language fertility equals a brute-force driver-side recompute") {

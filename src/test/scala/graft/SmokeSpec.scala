@@ -82,7 +82,8 @@ class SmokeSpec extends AnyFunSuite {
         "s13_matryoshka_recall", "p07_hash_split", "t20_cooccurrence",
         "c14_snapshot_diff", "w13_stream_transitions", "c15_declared_schema",
         "d20_keep_best_scale", "d21_lsh_tuning_scale", "d22_incremental_scale",
-        "d23_simhash_neardup", "t22_tokenizer_fertility")
+        "d23_simhash_neardup", "t22_tokenizer_fertility", "c16_tombstone_gc",
+        "q97_decile_lift")
       .foreach { name =>
         withClue(name) { assert(SparkEntry.queries(name)(spark, sf0001).count() > 0) }
       }
