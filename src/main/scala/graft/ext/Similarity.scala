@@ -480,7 +480,31 @@ object Similarity {
       .select($"qid", $"rank", $"did", $"overlap", $"cos_sim", $"rrf")
   }
 
+  /** s14: corpus k-NN GRAPH — every vector's top-3 neighbors, not a
+    * query set's: the construction step behind semantic-dedup clustering,
+    * kNN-classifier filtering, and graph-based diversity sampling. The
+    * all-pairs problem is bounded by the IVF cells: each vector only
+    * scores against its OWN coarse cell (one equi-join on cid — work is
+    * Σ|cell|², never N²), the deliberate approximation every scale kNN
+    * graph build makes (edges across cell boundaries are missed; raising
+    * NProbe on the probe side is the recall knob, cf. s07's readout).
+    * Emits one row per (vector, rank) with the neighbor and its cosine —
+    * exact-fold cosine, so oracle-exact. */
+  def s14KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val assigned = ivfAssigned(e)
+    val cand = assigned.as("a").join(assigned.as("b"), "cid")
+      .filter($"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vid"), $"b.vec_id".as("nid"),
+        cosine($"a.embedding", $"b.embedding").as("cos_sim"))
+    val w = Window.partitionBy($"vid").orderBy($"cos_sim".desc, $"nid")
+    cand.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"vid", $"rank", $"nid", $"cos_sim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s14_knn_graph"      -> s14KnnGraph _,
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s11_hybrid_search"  -> s11HybridSearch _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
@@ -757,6 +781,20 @@ object Similarity {
             FROM cand)
           SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
           FROM ranked WHERE rank <= 5""",
+    "s14_knn_graph" ->
+      s"""WITH $ivfAssignedCtes,
+          cand AS (
+            SELECT a.vec_id AS vid, b.vec_id AS nid,
+                   ${cosineSql("a.embedding", "b.embedding")} AS cos_sim
+            FROM assigned a JOIN assigned b USING (cid)
+            WHERE a.vec_id <> b.vec_id),
+          ranked AS (
+            SELECT vid, nid, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY cos_sim DESC, nid) AS rank
+            FROM cand)
+          SELECT vid, CAST(rank AS INT) AS rank, nid, cos_sim
+          FROM ranked WHERE rank <= 3""",
     "s04_ann_ivf" ->
       s"""WITH $ivfAssignedCtes,
           probes AS (

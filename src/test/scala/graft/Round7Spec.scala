@@ -166,6 +166,37 @@ class Round7Spec extends AnyFunSuite {
       s"verify paths disagree: only-exploded=${exploded -- mapSide}, only-mapside=${mapSide -- exploded}")
   }
 
+  // --- s14: corpus kNN graph --------------------------------------------
+
+  test("s14: within-cell kNN graph equals a brute-force per-cell recompute") {
+    val assigned = ext.Similarity.ivfAssigned(
+        Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding"))
+      .select($"cid", $"vec_id", $"embedding")
+      .as[(Long, Long, Seq[Float])].collect()
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      // same fold order as the engine's exact-fold cosine: index order
+      val d = a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i).toDouble)
+      val na = a.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      val nb = b.foldLeft(0.0)((s, x) => s + x.toDouble * x.toDouble)
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = assigned.groupBy(_._1).values.toSeq.flatMap { cell =>
+      cell.toSeq.flatMap { case (_, vid, e) =>
+        cell.toSeq.filter(_._2 != vid)
+          .map { case (_, nid, f) => (nid, cos(e, f)) }
+          .sortBy(t => (-t._2, t._1)).take(3).zipWithIndex
+          .map { case ((n, _), i) => ((vid, i + 1), n) }
+      }
+    }.toMap
+    val got = ext.Similarity.s14KnnGraph(spark, sf0001)
+      .select($"vid", $"rank", $"nid").as[(Long, Int, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (vid, rank, nid) =>
+      assert(expected((vid, rank)) == nid, s"($vid, rank $rank)")
+    }
+    assert(got.length == expected.size)
+  }
+
   // --- c15 / TypeMapping ------------------------------------------------
 
   test("TYPE_MAPPING: every reference entry resolves to its documented Spark type") {
