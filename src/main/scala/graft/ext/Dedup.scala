@@ -610,6 +610,45 @@ object Dedup {
       .filter($"cos_sim" >= 0.5)
   }
 
+  // --- d24: SemDeDup (semantic dedup within IVF cells) --------------------
+
+  /** Cosine threshold above which two same-cell vectors are semantic
+    * duplicates (SemDeDup's ε; exact copies score 1.0, the planted
+    * sign-flip near copies ≈ 1 − 2·e₁²/‖e‖², organic pairs ≤ ~0.5). */
+  val SemTau = 0.8
+
+  /** d24: SemDeDup — the Abbas et al. 2023 recipe for semantic dedup at
+    * corpus scale: cluster the embedding space coarsely, then dedup by
+    * pairwise cosine WITHIN each cluster only, keeping one
+    * representative (min vec_id here). Within-cell work is Σ|cell|²
+    * (one equi-join on the cell id), never N² — the same bounding device
+    * as the s14 kNN graph, and the semantic complement of lexical LSH:
+    * it drops "same meaning, different words" copies that share no
+    * shingles. Uses d05's planted fixture (exact + sign-flip copies over
+    * the real embeddings); a dropped vector reports its blocker — the
+    * smallest-id same-cell vector above the threshold. Cross-cell
+    * duplicates are deliberately missed (the known SemDeDup
+    * approximation; more/raised probes are the recall knob). */
+  def d24SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val aug = e
+      .unionByName(e.filter($"vec_id" % 20 === 0)
+        .select(($"vec_id" + 100000L).as("vec_id"), $"embedding"))
+      .unionByName(e.filter($"vec_id" % 20 === 10)
+        .select(($"vec_id" + 200000L).as("vec_id"),
+          concat(array(-element_at($"embedding", 1)), slice($"embedding", 2, 63)).as("embedding")))
+    val assigned = Similarity.ivfAssigned(aug)
+    val blockers = assigned.as("a").join(assigned.as("b"), "cid")
+      .filter($"a.vec_id" < $"b.vec_id" &&
+        Similarity.cosine($"a.embedding", $"b.embedding") >= SemTau)
+      .groupBy($"b.vec_id".as("vec_id"))
+      .agg(min($"a.vec_id").as("blocker_id"))
+    assigned.select($"vec_id", $"cid")
+      .join(blockers, Seq("vec_id"), "left")
+      .select($"vec_id", $"cid", $"blocker_id".isNull.as("is_kept"), $"blocker_id")
+  }
+
   // --- d11: benchmark contamination --------------------------------------
 
   /** Benchmark-contamination check (the eval-leakage gate every training
@@ -953,6 +992,7 @@ object Dedup {
     "d21_lsh_tuning_scale"  -> d21LshTuningScale _,
     "d22_incremental_scale" -> d22IncrementalScale _,
     "d23_simhash_neardup"   -> d23SimHashNearDup _,
+    "d24_semdedup"          -> d24SemDedup _,
     "d07_dedup_corpus"      -> dedupCorpus _,
     "d08_simhash_scale"     -> simHashScale _,
     "d09_dedup_clusters"    -> d09DedupClusters _,
@@ -1228,6 +1268,37 @@ object Dedup {
           JOIN sizes s1 ON s1.doc_id = i.id1
           JOIN sizes s2 ON s2.doc_id = i.id2
           WHERE i.inter * 2 >= (s1.n + s2.n - i.inter)""",
+    // d05's aug fixture + the s04 IVF assignment replayed over it, then
+    // the same-cell min-id blocker rule — all exact-fold arithmetic
+    "d24_semdedup" ->
+      s"""WITH aug AS (
+            SELECT vec_id, embedding FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 20 = 0
+            UNION ALL
+            SELECT vec_id + 200000,
+                   [-embedding[1]] || embedding[2:] AS embedding
+            FROM embeddings WHERE vec_id % 20 = 10),
+          cents AS (
+            SELECT vec_id AS cid, embedding AS ce FROM aug
+            WHERE vec_id < ${Similarity.NList}),
+          scored AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ${Similarity.dotSql("e.embedding", "c.ce")} AS cdot
+            FROM aug e CROSS JOIN cents c),
+          assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cdot DESC, cid) AS rn
+              FROM scored) t WHERE rn = 1),
+          blockers AS (
+            SELECT b.vec_id, MIN(a.vec_id) AS blocker_id
+            FROM assigned a JOIN assigned b USING (cid)
+            WHERE a.vec_id < b.vec_id
+              AND ${Similarity.cosineSql("a.embedding", "b.embedding")} >= $SemTau
+            GROUP BY b.vec_id)
+          SELECT s.vec_id, s.cid, bl.blocker_id IS NULL AS is_kept, bl.blocker_id
+          FROM assigned s LEFT JOIN blockers bl USING (vec_id)""",
     // same dictionary sids, 32-bit sign-pack, 4x8-bit pigeonhole bands,
     // and the one-integer-op hamming verify — all exact in both engines
     "d23_simhash_neardup" -> {

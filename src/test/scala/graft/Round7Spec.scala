@@ -166,6 +166,33 @@ class Round7Spec extends AnyFunSuite {
       s"verify paths disagree: only-exploded=${exploded -- mapSide}, only-mapside=${mapSide -- exploded}")
   }
 
+  // --- d24: SemDeDup ----------------------------------------------------
+
+  test("d24: originals survive, every exact copy drops on its source, flips drop in-cell") {
+    val rows = Dedup.d24SemDedup(spark, sf0001)
+      .select($"vec_id", $"cid", $"is_kept", $"blocker_id")
+      .as[(Long, Long, Boolean, Option[Long])].collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(t => t._1 -> t).toMap
+    // the real corpus has no organic cosine-0.8 pairs, so originals keep
+    rows.filter(_._1 < 100000L).foreach { r =>
+      assert(r._3, s"original ${r._1} wrongly dropped (blocker ${r._4})")
+    }
+    // exact copies always land in their source's cell at cosine 1.0
+    rows.filter(t => t._1 >= 100000L && t._1 < 200000L).foreach { r =>
+      assert(!r._3 && r._4.exists(_ <= r._1 - 100000L), s"exact copy ${r._1}")
+    }
+    // a dropped sign-flip copy is blocked by its own source (the only
+    // smaller-id vector it is near); kept flips are the documented
+    // cross-cell / below-threshold approximation
+    rows.filter(t => t._1 >= 200000L && !t._3).foreach { r =>
+      assert(r._4.contains(r._1 - 200000L), s"flip ${r._1} blocked by ${r._4}")
+      assert(byId(r._1 - 200000L)._2 == r._2, "blocker must share the cell")
+    }
+    assert(rows.count(t => t._1 >= 200000L && !t._3) > 0,
+      "at least one near copy must drop for the threshold to mean anything")
+  }
+
   // --- s14: corpus kNN graph --------------------------------------------
 
   test("s14: within-cell kNN graph equals a brute-force per-cell recompute") {
