@@ -638,7 +638,9 @@ object Dedup {
       .unionByName(e.filter($"vec_id" % 20 === 10)
         .select(($"vec_id" + 200000L).as("vec_id"),
           concat(array(-element_at($"embedding", 1)), slice($"embedding", 2, 63)).as("embedding")))
-    val assigned = Similarity.ivfAssigned(aug)
+    // cache: the assignment (centroid broadcast + per-vector argmax) is
+    // referenced three times — both pair sides and the disposition read
+    val assigned = Similarity.ivfAssigned(aug).cache()
     val blockers = assigned.as("a").join(assigned.as("b"), "cid")
       .filter($"a.vec_id" < $"b.vec_id" &&
         Similarity.cosine($"a.embedding", $"b.embedding") >= SemTau)

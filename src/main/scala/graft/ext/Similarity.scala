@@ -493,7 +493,8 @@ object Similarity {
   def s14KnnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val assigned = ivfAssigned(e)
+    // cache: both self-join sides read the assignment
+    val assigned = ivfAssigned(e).cache()
     val cand = assigned.as("a").join(assigned.as("b"), "cid")
       .filter($"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("vid"), $"b.vec_id".as("nid"),

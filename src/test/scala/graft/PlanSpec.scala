@@ -216,6 +216,24 @@ class PlanSpec extends AnyFunSuite {
       s"no single-partition global sort in the pair pipeline:\n$p")
   }
 
+  test("s14/d24: within-cell pairing stays an equi-join on the cell id — no pair blowup") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    Seq(ext.Similarity.s14KnnGraph(spark, sf0001),
+        ext.Dedup.d24SemDedup(spark, sf0001)).foreach { df =>
+      // typed collect: does NOT descend into InMemoryRelation, so the
+      // 16-row centroid nested-loop inside the CACHED assignment build
+      // is invisible — exactly the runtime view (the cache is scanned,
+      // not recomputed, on every pairing read)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        s"the cached assignment must hide the centroid attach:\n$plan")
+      assert(plan.collect { case j: CartesianProductExec => j }.isEmpty)
+      val p = plan.toString
+      assert("Join \\[cid#".r.findFirstIn(p).isDefined,
+        s"pairing must be an equi-join keyed on the cell id:\n$p")
+    }
+  }
+
   test("d20 keep-best on scale labels: no dictionary global sort, policy window is cluster-keyed") {
     val df = ext.Dedup.d20KeepBestScale(spark, sf0001)
     val p = planOf(df)
