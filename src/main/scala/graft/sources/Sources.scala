@@ -137,6 +137,36 @@ object Sources {
       .agg(count(lit(1)).as("n"), graft.Tables.dsum(col("l_extendedprice")).as("total"))
   }
 
+  /** o04: schema-evolution read — two parquet generations of the same
+    * table (the old one without `o_comment`-era columns, the new one
+    * with an added `big_order` flag) read back as ONE dataset via
+    * `mergeSchema`: the storage-layer twin of [[graft.cdc.SchemaEvolution]]'s
+    * in-flight union (c10). Old-generation rows surface the added column
+    * as NULL; nothing is rewritten — exactly how a 100 TB table evolves
+    * in place (rewriting history is the thing you cannot afford). The
+    * oracle replays the generational split + null-fill over the
+    * original. */
+  def o04SchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    val tmp = s"/tmp/graft_o04/${new java.io.File(dir).getName}"
+    val o = graft.Tables.orders(spark, dir)
+    // generation 1: the narrow era (orders before 1995)
+    o.filter(col("o_orderdate") < "1995-01-01")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=1")
+    // generation 2: a column was added upstream
+    o.filter(col("o_orderdate") >= "1995-01-01")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        (col("o_totalprice") > 200000.0).as("big_order"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(tmp)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("big_order").isNull, 1L).otherwise(0L)).as("n_old_generation"),
+        sum(when(col("big_order"), 1L).otherwise(0L)).as("n_big"),
+        graft.Tables.dsum(col("o_totalprice")).as("total"))
+  }
+
   /** Bucketed write → exchange-free join, driver-checked every round: both
     * fact tables land bucketed on the order key ([[Bucketing.writeBucketed]]
     * — the MergeTree-ORDER-BY/bucketing layout decision the reference makes
@@ -210,6 +240,7 @@ object Sources {
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
     "o03_partitioned_prune" -> o03PartitionedPrune _,
+    "o04_schema_merge" -> o04SchemaMerge _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -227,5 +258,15 @@ object Sources {
                  ${graft.Tables.sqlDsum("o_totalprice")} AS total
           FROM orders WHERE year(o_orderdate) = 1997
           GROUP BY 1""",
+    // generational split + null-fill replayed over the original table
+    "o04_schema_merge" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_old_generation,
+                 CAST(SUM(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                                AND o_totalprice > 200000.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+                 ${graft.Tables.sqlDsum("o_totalprice")} AS total
+          FROM orders GROUP BY 1""",
   )
 }
