@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import graft.functions.{FloatVectorCosine, FloatVectorDot, FloatVectorL2, MinHashSignature}
+import graft.functions.{FloatVectorCosine, FloatVectorDot, FloatVectorL2, MinHashSignature, SimHashSignature}
 
 /** Session-extension hook so the engine's custom expressions are available
   * in any session started with
@@ -36,5 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[MinHashSignature].getName, "minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.MinHash.builder(exprs)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SimHashSignature].getName, "simhash_sig"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SimHash.builder(exprs)))
   }
 }

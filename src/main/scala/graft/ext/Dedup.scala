@@ -515,6 +515,22 @@ object Dedup {
       .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid")))
   }
 
+  /** d25: zero-explode SimHash — the plan [[simHashScale]] should become
+    * at 100 TB, and the SimHash twin of d18's minhash story: the whole
+    * fingerprint is ONE codegen'd expression
+    * ([[graft.functions.SimHashSignature]]) inside the scan projection,
+    * so the corpus-token-scale explode → groupBy vote shuffle disappears
+    * and the fingerprint pass has NO exchange at all (PlanSpec-guarded).
+    * SimHashExprSpec pins bit-identical fingerprints vs the exploded
+    * xxhash64 build. Rows-only (xxhash64 has no DuckDB twin). */
+  def d25SimHashMapSide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    shingleArrays(corpus).filter(size($"shingles") > 0)
+      .select($"doc_id",
+        graft.functions.SimHash.simhashSig($"shingles", SimBits, P).as("simhash"))
+  }
+
   // --- d23: SimHash hamming near-dup (banded pairing) -------------------
 
   /** Bit width for d23's pairing fingerprint; 4 bands × 8 bits. */
@@ -995,6 +1011,7 @@ object Dedup {
     "d22_incremental_scale" -> d22IncrementalScale _,
     "d23_simhash_neardup"   -> d23SimHashNearDup _,
     "d24_semdedup"          -> d24SemDedup _,
+    "d25_simhash_mapside"   -> d25SimHashMapSide _,
     "d07_dedup_corpus"      -> dedupCorpus _,
     "d08_simhash_scale"     -> simHashScale _,
     "d09_dedup_clusters"    -> d09DedupClusters _,
