@@ -570,6 +570,36 @@ object Dedup {
       .select($"id1", $"id2", $"s1", $"s2", $"hamming")
   }
 
+  /** d26: scale twin of [[d23SimHashNearDup]] — the same 4×8-bit
+    * pigeonhole pairing, but the 32-bit fingerprint comes from the
+    * zero-explode [[graft.functions.SimHashSignature]] instead of the
+    * dictionary vote build: no global sort, no Generate anywhere, and
+    * the FIRST exchange of the whole dedup is the tiny band self-join
+    * (one row per doc per band) — the d18 story applied to SimHash.
+    * Rows-only (xxhash64 has no DuckDB twin); Round7Spec pins the
+    * planted structure and the brute-force hamming≤3 completeness. */
+  def d26SimHashNearDupScale(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = corpusWithCopies(Tables.documents(spark, dir))
+    val sims = shingleArrays(corpus).filter(size($"shingles") > 0)
+      .select($"doc_id",
+        graft.functions.SimHash.simhashSig($"shingles", SimPairBits, P).as("simhash"))
+      .cache()
+    val bands = (0 until 4).map { b =>
+      sims.select($"doc_id", lit(b).as("band"),
+        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    cand
+      .join(sims.select($"doc_id".as("id1"), $"simhash".as("s1")), "id1")
+      .join(sims.select($"doc_id".as("id2"), $"simhash".as("s2")), "id2")
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter($"hamming" <= 3)
+      .select($"id1", $"id2", $"s1", $"s2", $"hamming")
+  }
+
   // --- d04: n-gram Jaccard on planted pairs ----------------------------
 
   /** Jaccard over 3-gram shingles for constructed pair lists: exact pairs,
@@ -1012,6 +1042,7 @@ object Dedup {
     "d23_simhash_neardup"   -> d23SimHashNearDup _,
     "d24_semdedup"          -> d24SemDedup _,
     "d25_simhash_mapside"   -> d25SimHashMapSide _,
+    "d26_simhash_neardup_scale" -> d26SimHashNearDupScale _,
     "d07_dedup_corpus"      -> dedupCorpus _,
     "d08_simhash_scale"     -> simHashScale _,
     "d09_dedup_clusters"    -> d09DedupClusters _,

@@ -224,6 +224,39 @@ class Round7Spec extends AnyFunSuite {
     assert(got.length == expected.size)
   }
 
+  // --- d26: zero-explode simhash pairing --------------------------------
+
+  test("d26: planted exact pairs at hamming 0, complete hamming<=3 set, no Generate in the plan") {
+    val pairs = Dedup.d26SimHashNearDupScale(spark, sf0001)
+      .select($"id1", $"id2", $"s1", $"s2", $"hamming")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, _, s1, s2, h) =>
+      assert(h == java.lang.Long.bitCount(s1 ^ s2) && h <= 3)
+    }
+    val keys = pairs.map(t => (t._1, t._2)).toSet
+    Tables.documents(spark, sf0001).filter($"doc_id" % 10 === 0)
+      .select($"doc_id").as[Long].collect().foreach { d =>
+        assert(keys.contains((d, d + 1000000L)), s"exact copy of $d missing")
+      }
+    // pigeonhole completeness against the map-side fingerprints
+    val corpus = Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
+    val fp = Dedup.shingleArrays(corpus).filter(size($"shingles") > 0)
+      .select($"doc_id",
+        functions.SimHash.simhashSig($"shingles", Dedup.SimPairBits, Dedup.P))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (i1, s1) <- fp; (i2, s2) <- fp
+      if i1 < i2 && java.lang.Long.bitCount(s1 ^ s2) <= 3
+    } yield (i1, i2)).toSet
+    assert(keys == brute,
+      s"banding missed ${(brute -- keys).size}, invented ${(keys -- brute).size}")
+    // zero-explode claim: no Generate node anywhere in the pair plan
+    val plan = Dedup.d26SimHashNearDupScale(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"zero-explode plan must have no Generate:\n$plan")
+  }
+
   // --- c15 / TypeMapping ------------------------------------------------
 
   test("TYPE_MAPPING: every reference entry resolves to its documented Spark type") {
