@@ -405,6 +405,27 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // --- partition-count invariance ---------------------------------------
+
+  test("representative pipelines are invariant to the scan partition count") {
+    // at 100 TB the partition count is an execution detail, never a
+    // semantic input: re-running with the scan fanned out to a prime
+    // partition count must produce identical rows (catches ordering- and
+    // accumulation-order-sensitive bugs that 1-partition local runs hide)
+    def rows(name: String): Set[String] =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+      .map(_.toString).toSet
+    val picks = Seq("d02_minhash_lsh", "d18_minhash_mapside",
+      "t22_tokenizer_fertility", "d23_simhash_neardup", "q97_decile_lift")
+    val base = picks.map(n => n -> rows(n)).toMap
+    spark.conf.set("graft.scan.repartition", "7")
+    try {
+      picks.foreach { n =>
+        assert(rows(n) == base(n), s"$n changed under a 7-way scan fan-out")
+      }
+    } finally spark.conf.unset("graft.scan.repartition")
+  }
+
   // --- minhash_sig hardening --------------------------------------------
 
   test("minhash_sig: non-literal and non-integral k/p raise clear errors; nulls are skipped") {
