@@ -241,7 +241,58 @@ object Multimodal {
           .as("reclaim_ratio"))
   }
 
+  /** m07: perceptual-hash near-dup — the media-dedup mode the exact
+    * (m05), fixed-block (m06) and content-defined (m04) forms all miss:
+    * a RE-ENCODED copy (here: one byte changed mid-payload, the stub for
+    * "same image, different compression") shares no md5 and shifts every
+    * downstream block, but its PERCEPTUAL fingerprint barely moves. The
+    * stub "decode" samples 32 strided bytes as pixels (deterministic —
+    * the codec-free stand-in the real decoder would replace, interface
+    * unchanged); the aHash bit b is `pixel_b·32 > Σpixels`
+    * (integer-exact mean threshold), and pairing is the d23 pigeonhole
+    * device: 4×8-bit bands, hamming ≤ 3 verify in one `bit_count`.
+    * Planted exact copies pair at hamming 0; the one-byte re-encodes
+    * pair at small hamming; unrelated payloads sit near hamming 16.
+    * All integer arithmetic — oracle-exact. */
+  def m07PhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          expr("""concat(substr(text, 1, length(text) div 2 - 1), 'z',
+                         substr(text, length(text) div 2 + 1))""").as("text")))
+    val pixels = expr(
+      """transform(sequence(0, 31),
+                   i -> ascii(substr(text, 1 + cast((i * length(text)) div 32 as int), 1)))""")
+    // cached: 4 band projections + both verify sides read the fingerprint
+    val packed = corpus
+      .select($"doc_id", pixels.as("px"))
+      .withColumn("total", aggregate($"px", lit(0L), (acc, x) => acc + x))
+      .withColumn("phash",
+        (0 until 32).map(b =>
+          when(element_at($"px", b + 1) * 32 > $"total", 1L << b).otherwise(0L))
+          .reduce(_ + _))
+      .select($"doc_id", $"phash").cache()
+    val bands = (0 until 4).map { b =>
+      packed.select($"doc_id", lit(b).as("band"),
+        shiftright($"phash", 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    cand
+      .join(packed.select($"doc_id".as("id1"), $"phash".as("h1")), "id1")
+      .join(packed.select($"doc_id".as("id2"), $"phash".as("h2")), "id2")
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter($"hamming" <= 3)
+      .select($"id1", $"id2", $"h1", $"h2", $"hamming")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m07_phash_neardup"  -> m07PhashNearDup _,
     "m06_block_dedup" -> m06BlockDedup _,
     "m01_media_meta"     -> m01MediaMeta _,
     "m02_media_features" -> m02MediaFeatures _,
@@ -254,6 +305,46 @@ object Multimodal {
     "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 
   val oracles: Map[String, String] = Map(
+    // strided-pixel aHash + pigeonhole bands, all integer-exact
+    "m07_phash_neardup" -> {
+      val packSql = (0 until 32).map(b =>
+        s"(CASE WHEN px[${b + 1}] * 32 > total THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   substr(text, 1, length(text) // 2 - 1) || 'z' ||
+                   substr(text, length(text) // 2 + 1)
+            FROM documents WHERE doc_id % 10 = 5),
+          pix AS (
+            SELECT doc_id,
+                   list_transform(range(0, 32),
+                     i -> ascii(substr(text,
+                            1 + CAST((i * length(text)) // 32 AS INT), 1))) AS px
+            FROM corpus),
+          fp AS (
+            SELECT doc_id, CAST($packSql AS BIGINT) AS phash
+            FROM (SELECT doc_id, px,
+                         list_reduce(list_prepend(0, px), (a, b) -> a + b) AS total
+                  FROM pix)),
+          bands AS (
+            ${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, (phash >> ${8 * b}) & 255 AS bkey FROM fp")
+              .mkString("\n            UNION ALL\n            ")}),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+          SELECT c.id1, c.id2, a.phash AS h1, b.phash AS h2,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+          FROM cand c
+          JOIN fp a ON a.doc_id = c.id1
+          JOIN fp b ON b.doc_id = c.id2
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+    },
     "m06_block_dedup" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

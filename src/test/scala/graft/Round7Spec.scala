@@ -405,6 +405,28 @@ class Round7Spec extends AnyFunSuite {
     }
   }
 
+  // --- m07: perceptual media near-dup -----------------------------------
+
+  test("m07: exact copies AND one-byte re-encodes pair with their source; md5 misses the latter") {
+    val pairs = ext.Multimodal.m07PhashNearDup(spark, sf0001)
+      .select($"id1", $"id2", $"h1", $"h2", $"hamming")
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, _, h1, h2, h) =>
+      assert(h == java.lang.Long.bitCount(h1 ^ h2) && h <= 3)
+    }
+    val keys = pairs.map(t => (t._1, t._2)).toSet
+    val base = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    base.filter(_ % 10 == 0).foreach { d =>
+      assert(keys.contains((d, d + 1000000L)), s"exact copy of $d missing")
+    }
+    // the whole point: the re-encoded copy shares no md5 with its source
+    // (exact dedup is blind to it) but its perceptual fingerprint pairs
+    base.filter(_ % 10 == 5).foreach { d =>
+      assert(keys.contains((d, d + 2000000L)), s"re-encode of $d missing")
+    }
+  }
+
   // --- partition-count invariance ---------------------------------------
 
   test("representative pipelines are invariant to the scan partition count") {

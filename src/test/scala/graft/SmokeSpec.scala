@@ -84,7 +84,7 @@ class SmokeSpec extends AnyFunSuite {
         "d20_keep_best_scale", "d21_lsh_tuning_scale", "d22_incremental_scale",
         "d23_simhash_neardup", "t22_tokenizer_fertility", "c16_tombstone_gc",
         "q97_decile_lift", "s14_knn_graph", "d24_semdedup", "o04_schema_merge",
-        "d25_simhash_mapside", "d26_simhash_neardup_scale")
+        "d25_simhash_mapside", "d26_simhash_neardup_scale", "m07_phash_neardup")
       .foreach { name =>
         withClue(name) { assert(SparkEntry.queries(name)(spark, sf0001).count() > 0) }
       }
