@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * the reference's analytics-shell bootstrap (spark.sh:17-27 mounts
   * connectors and hand-configures a PySpark shell; a graft user calls
   * `Graft.init(spark, dir)`): registers the engine's custom SQL functions
-  * (`vec_dot`, `vec_cos`, `vec_l2sq`, `minhash_sig`) and mounts the standard tables as
+  * (`vec_dot`, `vec_cos`, `vec_l2sq`, `minhash_sig`, `simhash_sig`) and
+  * mounts the standard tables as
   * temp views so `spark.sql(...)` works immediately. Cluster deployments
   * can instead inject the functions with
   * `--conf spark.sql.extensions=graft.GraftExtensions`.
@@ -20,6 +21,7 @@ object Graft {
   def init(spark: SparkSession, dir: String): Unit = {
     functions.VectorExpressions.register(spark)
     functions.MinHash.register(spark)
+    functions.SimHash.register(spark)
     tableNames.foreach(t =>
       Tables.load(spark, dir, t).createOrReplaceTempView(t))
     // events carries nanosecond timestamps — only readable via its loader

@@ -721,6 +721,11 @@ class Round5Spec extends AnyFunSuite {
       math.abs(x.getDouble(0)) <= 1.0 && x.getDouble(1) >= 0.0))
     val ev = spark.sql("SELECT COUNT(*) FROM events").head().getLong(0)
     assert(ev == Tables.events(spark, sf0001).count())
+    // the fingerprint functions are SQL-callable after one init too
+    val fp = spark.sql(
+      """SELECT minhash_sig(array('a b c','b c d'), 8, 1000003) AS m,
+                simhash_sig(array('a b c','b c d'), 16, 1000003) AS s""").head()
+    assert(fp.getSeq[Long](0).length == 8 && fp.getLong(1) >= 0L)
   }
 
   test("c12: every DLQ record is repaired — zero loss, k-sums match the clean stream") {
