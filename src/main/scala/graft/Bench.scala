@@ -59,27 +59,28 @@ object Bench {
     val twoPass = onePass().map { case (name, t2) =>
       name -> math.min(pass1(name), t2)
     }
-    // cross-round damping: steal only ever INFLATES a timing, so the best
-    // time observed across rounds (bench_best_<sf>.json persists in the
-    // repo, one file per scale factor so a local sf0.01 iteration never
-    // clobbers the driver's sf0.1 baseline) is the better engine-cost
-    // estimate. A prior time is adopted only inside a noise window — at
-    // least 60% of the current measurement — so a genuine regression (a
-    // changed plan that is 1.7x+ slower) still surfaces instead of being
-    // masked by a stale minimum.
+    // The reported timings are the MEASUREMENTS (min of the two passes),
+    // never substituted: earlier rounds damped against a committed prior
+    // best, which masked sub-1.7x regressions and reported another run's
+    // numbers as this run's — the advisor flagged that as misreporting.
+    // Historical bests are still tracked (local, untracked file) purely
+    // as noise context, emitted as a separate "best" map in
+    // bench_last.json so a human can tell steal from regression.
+    val results = twoPass
     val sfName0 = Paths.get(sfDir).getFileName.toString
     val bestPath = Paths.get(s"bench_best_$sfName0.json")
     val prior: Map[String, Double] =
       try {
         val txt = Files.readString(bestPath)
-        "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
+        // parse only the "queries":{...} object — the top-level "value"
+        // and "sf" fields must not leak into the per-query map
+        val qobj = "\"queries\":\\{([^}]*)\\}".r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+        "\"([A-Za-z0-9_]+)\":([0-9]+\\.[0-9]+)".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
-    val results = twoPass.map { case (name, t) =>
-      name -> (prior.get(name) match {
-        case Some(p) if p < t && p >= 0.6 * t => p
-        case _ => t
-      })
+      } catch { case _: java.io.IOException => Map.empty }
+    val best = results.map { case (name, t) =>
+      name -> math.min(t, prior.getOrElse(name, t))
     }
     // 2-decimal seconds: 10 ms resolution, below run-to-run noise
     def f(v: Double): String = "%.2f".formatLocal(Locale.ROOT, v)
@@ -96,9 +97,12 @@ object Bench {
     // bench_last.json and an early stdout line, and make the guaranteed
     // LAST line a compact summary (same shape, 30 slowest queries)
     val compact = line(results.sortBy(-_._2).take(30).sortBy(_._1), total, sfName)
-    Files.writeString(Paths.get("bench_last.json"), full + "\n")
-    // roll the per-SF best forward (damped results are already min'd)
-    Files.writeString(bestPath, full + "\n")
+    val bestQs = best.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    Files.writeString(Paths.get("bench_last.json"),
+      full.dropRight(1) + s""","best":$bestQs}""" + "\n")
+    // roll the per-SF best forward (noise context only, never committed)
+    Files.writeString(bestPath, line(best, best.map(_._2).sum, sfName) + "\n")
     println(full)
     spark.stop()
     // last line of stdout, after spark.stop() so no shutdown logging follows

@@ -391,9 +391,26 @@ object CdcQueries {
     out
   }
 
+  /** c15 bisect twins (TEMPORARY, r08): the r07 driver hash flagged c15
+    * while exact sorted-row comparison passed locally, so the mismatch
+    * is a render/canonicalization difference in some column class. The
+    * oracle now casts every narrow-int/timestamp column to Spark's
+    * exact type; these two column-halves of the same output localize
+    * the offender via the r08 correctness report if c15 stays red.
+    * Remove both once c15 is hash-green. */
+  def c15aDeclaredNums(spark: SparkSession, dir: String): DataFrame =
+    c15DeclaredSchema(spark, dir)
+      .select("id", "tiny", "small", "med", "n", "big", "f", "d", "price", "y")
+
+  def c15bDeclaredRest(spark: SparkSession, dir: String): DataFrame =
+    c15DeclaredSchema(spark, dir)
+      .select("id", "flag", "name", "born", "updated", "t", "u", "j", "e")
+
   val queries: Map[String, Q] = Map(
     "c16_tombstone_gc" -> c16TombstoneGc _,
     "c15_declared_schema" -> c15DeclaredSchema _,
+    "c15a_declared_nums" -> c15aDeclaredNums _,
+    "c15b_declared_rest" -> c15bDeclaredRest _,
     "c14_snapshot_diff" -> c14SnapshotDiff _,
     "c12_dlq_repair" -> c12DlqRepair _,
     "c13_point_in_time_join" -> c13PointInTimeJoin _,
@@ -431,16 +448,21 @@ object CdcQueries {
           FROM tagged GROUP BY 1""",
     // replay of the declared casts over the latest event per user (the
     // snapshot the ingest produces: PK=id=user_id, order=offset=event_id)
+    // Every narrow-int/timestamp column is CAST to the exact width
+    // Spark's declared-schema snapshot carries (tiny→TINYINT,
+    // small/y→SMALLINT, med/n→INTEGER, updated→TIMESTAMP): the driver's
+    // content hash proved render-sensitive for c15 in r07 even though
+    // sorted-row value equality held (VERDICT r07 §wrong #1).
     "c15_declared_schema" ->
       """WITH latest AS (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                         ORDER BY event_id DESC) AS rn
            FROM events)
          SELECT user_id AS id,
-                event_id % 100 AS tiny,
-                event_id % 30000 AS small,
-                event_id % 8000000 AS med,
-                event_id AS n,
+                CAST(event_id % 100 AS TINYINT) AS tiny,
+                CAST(event_id % 30000 AS SMALLINT) AS small,
+                CAST(event_id % 8000000 AS INTEGER) AS med,
+                CAST(event_id AS INTEGER) AS n,
                 event_id * 1000000 AS big,
                 CAST(CAST(event_id % 97 AS VARCHAR) || '.5' AS REAL) AS f,
                 CAST(CAST(event_id % 89 AS VARCHAR) || '.25' AS DOUBLE) AS d,
@@ -449,9 +471,41 @@ object CdcQueries {
                 value > 10 AS flag,
                 event_type AS name,
                 CAST(ts AS DATE) AS born,
-                date_trunc('second', ts) AS updated,
+                CAST(date_trunc('second', ts) AS TIMESTAMP) AS updated,
                 strftime(ts, '%H:%M:%S') AS t,
-                1900 + event_id % 155 AS y,
+                CAST(1900 + event_id % 155 AS SMALLINT) AS y,
+                md5(CAST(event_id AS VARCHAR)) AS u,
+                props AS j,
+                event_type AS e
+         FROM latest WHERE rn = 1""",
+    "c15a_declared_nums" ->
+      """WITH latest AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+           FROM events)
+         SELECT user_id AS id,
+                CAST(event_id % 100 AS TINYINT) AS tiny,
+                CAST(event_id % 30000 AS SMALLINT) AS small,
+                CAST(event_id % 8000000 AS INTEGER) AS med,
+                CAST(event_id AS INTEGER) AS n,
+                event_id * 1000000 AS big,
+                CAST(CAST(event_id % 97 AS VARCHAR) || '.5' AS REAL) AS f,
+                CAST(CAST(event_id % 89 AS VARCHAR) || '.25' AS DOUBLE) AS d,
+                CAST(CAST(event_id % 10000 AS VARCHAR) || '.25'
+                     AS DECIMAL(12,4)) AS price,
+                CAST(1900 + event_id % 155 AS SMALLINT) AS y
+         FROM latest WHERE rn = 1""",
+    "c15b_declared_rest" ->
+      """WITH latest AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+           FROM events)
+         SELECT user_id AS id,
+                value > 10 AS flag,
+                event_type AS name,
+                CAST(ts AS DATE) AS born,
+                CAST(date_trunc('second', ts) AS TIMESTAMP) AS updated,
+                strftime(ts, '%H:%M:%S') AS t,
                 md5(CAST(event_id AS VARCHAR)) AS u,
                 props AS j,
                 event_type AS e

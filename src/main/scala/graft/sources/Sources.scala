@@ -148,7 +148,11 @@ object Sources {
     * original. */
   def o04SchemaMerge(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, sum, when}
-    val tmp = s"/tmp/graft_o04/${new java.io.File(dir).getName}"
+    // unique per-invocation scratch dir: a fixed path raced concurrent
+    // bench/verify runs over the same scale dir (mid-read clobber) and
+    // failed outright where /tmp is unwritable for the shared prefix
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_o04_")
+    val tmp = tmpDir.toString
     val o = graft.Tables.orders(spark, dir)
     // generation 1: the narrow era (orders before 1995)
     o.filter(col("o_orderdate") < "1995-01-01")
@@ -159,12 +163,23 @@ object Sources {
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
         (col("o_totalprice") > 200000.0).as("big_order"))
       .write.mode("overwrite").parquet(s"$tmp/gen=2")
-    spark.read.option("mergeSchema", "true").parquet(tmp)
+    val merged = spark.read.option("mergeSchema", "true").parquet(tmp)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("big_order").isNull, 1L).otherwise(0L)).as("n_old_generation"),
         sum(when(col("big_order"), 1L).otherwise(0L)).as("n_big"),
         graft.Tables.dsum(col("o_totalprice")).as("total"))
+    // materialize the (priority-count-sized, ≤5-row) aggregate so the
+    // scratch generations can be deleted before returning — the merged
+    // READ is still the distributed mergeSchema scan under test
+    val rows = merged.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), merged.schema)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(tmpDir.toFile)
+    out
   }
 
   /** Bucketed write → exchange-free join, driver-checked every round: both

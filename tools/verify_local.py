@@ -97,6 +97,16 @@ def main():
         if tbad:
             print(f"FAIL {name}: column types differ (spark, oracle): {tbad}")
             n_fail += 1; continue
+        # WIDTH parity (c15 r07 lesson): same int family but different
+        # exact widths between the Spark parquet and the oracle result is
+        # the class the driver hash flagged on c15 while value equality
+        # held. Warn (don't fail) so new queries ship with matching casts.
+        g_exact = dict(zip(got.columns, (str(t) for t in got.types)))
+        e_exact = dict(zip(exp.columns, (str(t) for t in exp.types)))
+        wbad = {c: (g_exact[c], e_exact[c]) for c in g_exact
+                if g_exact[c] != e_exact[c]}
+        if wbad:
+            print(f"WARN {name}: width/render differs (spark, oracle): {wbad}")
         if len(g_rows) != len(e_rows):
             print(f"FAIL {name}: rowcount spark={len(g_rows)} oracle={len(e_rows)}")
             n_fail += 1; continue
