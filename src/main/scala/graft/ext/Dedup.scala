@@ -359,20 +359,34 @@ object Dedup {
     * family) makes it what it is in production: a cluster-assignment
     * table materialized once per corpus, read by the keep-policy, the
     * corpus dedup, and any downstream curation. Inputs are immutable
-    * parquet, so the memo can never go stale within a session. */
+    * parquet, so the memo can never go stale within a session.
+    *
+    * Keyed by the session OBJECT (reference equality — no
+    * identity-hash-collision risk), computed under a lock (two
+    * concurrent first callers must not both run the eager propagation),
+    * and entries of stopped sessions are evicted on every access so a
+    * dead session's DataFrames are never served and never pinned past
+    * the next labeling call. */
   private val labelMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.mutable.HashMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def memoLabels(spark: SparkSession, dir: String, family: String)(
+      compute: => DataFrame): DataFrame = labelMemo.synchronized {
+    labelMemo.keys.filter(_._1.sparkContext.isStopped).toList
+      .foreach(labelMemo.remove)
+    labelMemo.getOrElseUpdate((spark, dir, family), compute)
+  }
 
   /** Dedup cluster assignment: every corpus document labeled with the min
     * doc_id of its duplicate component (exact-dup edges ∪ verified LSH
     * near-dup edges), plus the component size. Oracle replays the
     * propagation as a recursive reachability walk. */
   def d09DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    labelMemo.getOrElseUpdate((System.identityHashCode(spark), dir, "dict"), {
+    memoLabels(spark, dir, "dict") {
       import spark.implicits._
       val corpus = corpusWithCopies(Tables.documents(spark, dir))
       clustersOver(corpus, d02MinHashLsh(spark, dir).select($"id1", $"id2"))
-    })
+    }
 
   /** Scale-path twin of [[d09DedupClusters]]: near-dup edges from the
     * zero-explode xxhash64 pipeline of [[d18MinHashMapSide]] (no
@@ -382,11 +396,11 @@ object Dedup {
     * path's clusters and its corpus dedup can never disagree). Rows-only
     * driver check; ExtSpec asserts cluster parity with d09. */
   def dedupClustersScale(spark: SparkSession, dir: String): DataFrame =
-    labelMemo.getOrElseUpdate((System.identityHashCode(spark), dir, "scale"), {
+    memoLabels(spark, dir, "scale") {
       import spark.implicits._
       val corpus = corpusWithCopies(Tables.documents(spark, dir))
       clustersOver(corpus, d18MinHashMapSide(spark, dir).select($"id1", $"id2"))
-    })
+    }
 
   /** d13: semantic dedup clusters — connected components over the
     * embedding near-dup graph (the verified cosine ≥ 0.5 pairs of d05)
@@ -536,6 +550,16 @@ object Dedup {
   /** Bit width for d23's pairing fingerprint; 4 bands × 8 bits. */
   val SimPairBits = 32
 
+  /** Bit width for the SCALE pairing fingerprint (d26): 4 bands × 16
+    * bits. The band-key space is the scale knob of pigeonhole pairing —
+    * an 8-bit band has 256 possible keys, so at N docs the band
+    * self-join degenerates toward Θ(N²/256) candidates per band no
+    * matter how good the hash is; 16-bit bands give 65,536 keys/band
+    * (256× fewer per-bucket collisions) with the SAME hamming≤3
+    * pigeonhole guarantee (3 flips cannot touch all 4 bands). This is
+    * the Manku et al. WWW'07 64-bit web-dedup form exactly. */
+  val SimPairBitsWide = 64
+
   /** d23: SimHash near-dup DETECTION — d03 computes fingerprints, this
     * pairs them. Pigeonhole banding: a 32-bit simhash split into 4
     * disjoint 8-bit bands; any two hashes within hamming distance 3
@@ -543,11 +567,13 @@ object Dedup {
     * exactly on at least one band key. Candidates come from 4 band
     * equi-self-joins (256 keys per band — never all pairs), verification
     * is ONE integer op (`bit_count(s1 xor s2) ≤ 3`). This is the Google
-    * web-dedup shape (Manku et al., WWW'07) at 32 bits instead of 64 so
-    * the sign-pack stays oracle-exact in a signed BIGINT; at 100 TB the
-    * same plan widens to 64 bits/8 bands and the band join stays the only
-    * shuffle. Dictionary sids keep it DuckDB-replayable (d08 is the
-    * registered xxhash64 fingerprint twin). */
+    * web-dedup shape (Manku et al., WWW'07) at 32 bits — kept as the
+    * oracle-exact dictionary form; the SCALE form is
+    * [[d26SimHashNearDupScale]], the full 64-bit fingerprint with
+    * 4×16-bit bands (65,536 keys/band), because 8-bit band keys cap at
+    * 256 buckets and go quadratic as the corpus grows. Dictionary sids
+    * keep this one DuckDB-replayable (d08 is the registered xxhash64
+    * fingerprint twin). */
   def d23SimHashNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
@@ -570,24 +596,30 @@ object Dedup {
       .select($"id1", $"id2", $"s1", $"s2", $"hamming")
   }
 
-  /** d26: scale twin of [[d23SimHashNearDup]] — the same 4×8-bit
-    * pigeonhole pairing, but the 32-bit fingerprint comes from the
-    * zero-explode [[graft.functions.SimHashSignature]] instead of the
-    * dictionary vote build: no global sort, no Generate anywhere, and
-    * the FIRST exchange of the whole dedup is the tiny band self-join
-    * (one row per doc per band) — the d18 story applied to SimHash.
-    * Rows-only (xxhash64 has no DuckDB twin); Round7Spec pins the
-    * planted structure and the brute-force hamming≤3 completeness. */
+  /** d26: scale twin of [[d23SimHashNearDup]] — pigeonhole pairing over
+    * the zero-explode [[graft.functions.SimHashSignature]] fingerprint
+    * instead of the dictionary vote build: no global sort, no Generate
+    * anywhere, and the FIRST exchange of the whole dedup is the tiny
+    * band self-join (one row per doc per band) — the d18 story applied
+    * to SimHash. Widened to the full [[SimPairBitsWide]] = 64-bit
+    * fingerprint with 4×16-bit bands: r07's 8-bit band keys (256
+    * possible values) were the one quadratic-at-scale plan in the repo —
+    * every band bucket held N/256 docs regardless of content, so
+    * candidate volume grew Θ(N²/256) per band; 65,536-key bands keep
+    * the same hamming≤3 completeness guarantee with 256× fewer
+    * per-bucket collisions. Rows-only (xxhash64 has no DuckDB twin);
+    * Round7Spec pins the planted structure and the brute-force
+    * hamming≤3 completeness. */
   def d26SimHashNearDupScale(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sims = shingleArrays(corpus).filter(size($"shingles") > 0)
       .select($"doc_id",
-        graft.functions.SimHash.simhashSig($"shingles", SimPairBits, P).as("simhash"))
+        graft.functions.SimHash.simhashSig($"shingles", SimPairBitsWide, P).as("simhash"))
       .cache()
     val bands = (0 until 4).map { b =>
       sims.select($"doc_id", lit(b).as("band"),
-        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("bkey"))
+        shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
     }.reduce(_ unionByName _)
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")

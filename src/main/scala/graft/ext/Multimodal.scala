@@ -291,7 +291,57 @@ object Multimodal {
       .select($"id1", $"id2", $"h1", $"h2", $"hamming")
   }
 
+  /** m08: the SCALE form of [[m07PhashNearDup]] — a full 64-pixel aHash
+    * (64 strided sample bytes instead of 32) banded 4×16 bits. The band
+    * key space is what makes pigeonhole pairing survive corpus growth:
+    * m07's 8-bit bands have 256 possible keys, so every band bucket
+    * holds N/256 docs and the self-join trends to Θ(N²/256) candidates
+    * per band no matter the content; 16-bit bands give 65,536 keys/band
+    * — 256× fewer per-bucket collisions — with the same hamming≤3
+    * completeness (3 flips cannot touch all 4 bands). Bits 62/63 make
+    * the packed hash NEGATIVE; that is deliberate and oracle-exact:
+    * xor / bit_count / arithmetic-shift-then-mask are two's-complement
+    * identical in Spark and DuckDB (band masks never cover shift fill
+    * bits since 4×16 tiles the long exactly). Still all integer
+    * arithmetic — oracle-exact, not rows-only. */
+  def m08PhashNearDupWide(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          expr("""concat(substr(text, 1, length(text) div 2 - 1), 'z',
+                         substr(text, length(text) div 2 + 1))""").as("text")))
+    val pixels = expr(
+      """transform(sequence(0, 63),
+                   i -> ascii(substr(text, 1 + cast((i * length(text)) div 64 as int), 1)))""")
+    val packed = corpus
+      .select($"doc_id", pixels.as("px"))
+      .withColumn("total", aggregate($"px", lit(0L), (acc, x) => acc + x))
+      .withColumn("phash",
+        (0 until 64).map(b =>
+          when(element_at($"px", b + 1) * 64 > $"total", lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select($"doc_id", $"phash").cache()
+    val bands = (0 until 4).map { b =>
+      packed.select($"doc_id", lit(b).as("band"),
+        shiftright($"phash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    cand
+      .join(packed.select($"doc_id".as("id1"), $"phash".as("h1")), "id1")
+      .join(packed.select($"doc_id".as("id2"), $"phash".as("h2")), "id2")
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+      .filter($"hamming" <= 3)
+      .select($"id1", $"id2", $"h1", $"h2", $"hamming")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m08_phash_neardup_wide" -> m08PhashNearDupWide _,
     "m07_phash_neardup"  -> m07PhashNearDup _,
     "m06_block_dedup" -> m06BlockDedup _,
     "m01_media_meta"     -> m01MediaMeta _,
@@ -333,6 +383,50 @@ object Multimodal {
           bands AS (
             ${(0 until 4).map(b =>
               s"SELECT doc_id, $b AS band, (phash >> ${8 * b}) & 255 AS bkey FROM fp")
+              .mkString("\n            UNION ALL\n            ")}),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+          SELECT c.id1, c.id2, a.phash AS h1, b.phash AS h2,
+                 CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+          FROM cand c
+          JOIN fp a ON a.doc_id = c.id1
+          JOIN fp b ON b.doc_id = c.id2
+          WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+    },
+    // the 64-pixel / 4×16-bit-band wide form; the ${1L << 63} term
+    // renders as the INT64_MIN literal, which DuckDB parses as BIGINT,
+    // and partial sums of distinct powers of two never overflow (bits
+    // 0..62 sum to at most INT64_MAX; adding the negative bit-63 term
+    // stays in range)
+    "m08_phash_neardup_wide" -> {
+      val packSql = (0 until 64).map(b =>
+        s"(CASE WHEN px[${b + 1}] * 64 > total THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   substr(text, 1, length(text) // 2 - 1) || 'z' ||
+                   substr(text, length(text) // 2 + 1)
+            FROM documents WHERE doc_id % 10 = 5),
+          pix AS (
+            SELECT doc_id,
+                   list_transform(range(0, 64),
+                     i -> ascii(substr(text,
+                            1 + CAST((i * length(text)) // 64 AS INT), 1))) AS px
+            FROM corpus),
+          fp AS (
+            SELECT doc_id, CAST($packSql AS BIGINT) AS phash
+            FROM (SELECT doc_id, px,
+                         list_reduce(list_prepend(0, px), (a, b) -> a + b) AS total
+                  FROM pix)),
+          bands AS (
+            ${(0 until 4).map(b =>
+              s"SELECT doc_id, $b AS band, (phash >> ${16 * b}) & 65535 AS bkey FROM fp")
               .mkString("\n            UNION ALL\n            ")}),
           cand AS (
             SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2

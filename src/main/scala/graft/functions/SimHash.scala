@@ -33,7 +33,11 @@ import org.apache.spark.sql.types._
 case class SimHashSignature(child: Expression, bits: Int, p: Long)
     extends UnaryExpression {
 
-  require(bits > 0 && bits <= 62, s"need 0 < bits <= 62, got $bits")
+  // 64 packs the full long: bits 63 (and 62) make the fingerprint
+  // NEGATIVE — fine for hamming work (xor/bit_count are two's-complement
+  // identical in Spark and DuckDB) but callers that need a positive
+  // value must stay ≤ 62
+  require(bits > 0 && bits <= 64, s"need 0 < bits <= 64, got $bits")
   require(p > 1, s"need p > 1, got $p")
   // (sid + aOff)·mult must not overflow: sid < p
   require(p < Long.MaxValue / (2605053L + 104729L * bits) - 131L * bits - 7,

@@ -239,11 +239,12 @@ class Round7Spec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().foreach { d =>
         assert(keys.contains((d, d + 1000000L)), s"exact copy of $d missing")
       }
-    // pigeonhole completeness against the map-side fingerprints
+    // pigeonhole completeness against the map-side fingerprints (the
+    // 64-bit wide form: 4×16-bit bands, 3 flips can't touch all 4)
     val corpus = Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
     val fp = Dedup.shingleArrays(corpus).filter(size($"shingles") > 0)
       .select($"doc_id",
-        functions.SimHash.simhashSig($"shingles", Dedup.SimPairBits, Dedup.P))
+        functions.SimHash.simhashSig($"shingles", Dedup.SimPairBitsWide, Dedup.P))
       .as[(Long, Long)].collect()
     val brute = (for {
       (i1, s1) <- fp; (i2, s2) <- fp
