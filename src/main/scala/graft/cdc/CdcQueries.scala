@@ -347,7 +347,29 @@ object CdcQueries {
     * replays the same casts in DuckDB over the latest-per-user events.
     * All payload values are built from integer/string sources (never
     * double formatting), so both engines cast identical strings. */
-  def c15DeclaredSchema(spark: SparkSession, dir: String): DataFrame = {
+  /** The declared `readings` table DDL shared by c15 (batch ingest) and
+    * c17 (streaming ingest). */
+  private val readingsDeclared = Map("readings" -> Map(
+    "id" -> "bigint", "tiny" -> "tinyint", "small" -> "smallint",
+    "med" -> "mediumint", "n" -> "int", "big" -> "bigint",
+    "f" -> "float", "d" -> "double", "price" -> "decimal(12,4)",
+    "flag" -> "boolean", "name" -> "varchar(32)", "born" -> "date",
+    "updated" -> "datetime", "t" -> "time", "y" -> "year",
+    "u" -> "uuid", "j" -> "json",
+    "e" -> "enum('click','view','purchase','error','signup')"))
+
+  /** The 18 typed snapshot columns of the declared `readings` table, in
+    * output order. */
+  private val readingsCols = Seq(
+    "id", "tiny", "small", "med", "n", "big", "f", "d", "price",
+    "flag", "name", "born", "updated", "t", "y", "u", "j", "e")
+
+  /** Raw Kafka-shaped envelope records over the events table whose
+    * payload exercises the 18 declared MySQL column types — the shared
+    * input of c15 and c17. All payload values are built from
+    * integer/string sources (never double formatting), so both engines
+    * cast identical strings. */
+  private def readingsEnvelopeRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val payload = map(
       lit("id"), $"user_id".cast("string"),
@@ -368,26 +390,58 @@ object CdcQueries {
       lit("u"), md5($"event_id".cast("string").cast("binary")),
       lit("j"), $"props",
       lit("e"), $"event_type")
-    val raw = Tables.events(spark, dir).select(
+    Tables.events(spark, dir).select(
       lit("dbserver1.testdb.readings").as("topic"),
       $"event_id".as("offset"),
       to_json(struct(struct(
         lit("u").as("op"),
         payload.as("after"),
         unix_millis($"ts".cast("timestamp")).as("ts_ms")).as("payload"))).as("value"))
-    val declared = Map("readings" -> Map(
-      "id" -> "bigint", "tiny" -> "tinyint", "small" -> "smallint",
-      "med" -> "mediumint", "n" -> "int", "big" -> "bigint",
-      "f" -> "float", "d" -> "double", "price" -> "decimal(12,4)",
-      "flag" -> "boolean", "name" -> "varchar(32)", "born" -> "date",
-      "updated" -> "datetime", "t" -> "time", "y" -> "year",
-      "u" -> "uuid", "j" -> "json",
-      "e" -> "enum('click','view','purchase','error','signup')"))
-    val res = Pipeline.ingest(raw, declared)
-    val out = res.tables("readings").snapshot
-      .select($"id", $"tiny", $"small", $"med", $"n", $"big", $"f", $"d",
-        $"price", $"flag", $"name", $"born", $"updated", $"t", $"y",
-        $"u", $"j", $"e")
+  }
+
+  def c15DeclaredSchema(spark: SparkSession, dir: String): DataFrame = {
+    val raw = readingsEnvelopeRaw(spark, dir)
+    val res = Pipeline.ingest(raw, readingsDeclared)
+    res.tables("readings").snapshot
+      .select(readingsCols.map(col): _*)
+  }
+
+  /** c17: the STREAMING ingest end-to-end, driver-checked — the same
+    * declared-schema envelope records as c15, but instead of one batch
+    * [[Pipeline.ingest]] call they are written to disk, re-read as a
+    * FILE STREAM (`maxFilesPerTrigger=1`, so the run really spans
+    * multiple micro-batches), drained through [[Pipeline.ingestStream]]
+    * with `Trigger.AvailableNow` into an append-only typed log +
+    * checkpoint, and the output is the latest-per-id snapshot over the
+    * accumulated log. Because the log append is batch-boundary-agnostic
+    * and the snapshot is a set operation (latest per key by offset), the
+    * result must equal c15's — the oracle IS c15's oracle, which makes
+    * this the strongest kind of streaming check: the streaming path is
+    * hash-compared against DuckDB, not merely spec-asserted. */
+  def c17StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val raw = readingsEnvelopeRaw(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_c17_").toString
+    val srcDir = s"$tmp/src"
+    raw.repartitionByRange(4, $"offset").write.parquet(srcDir)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = Pipeline.ingestStream(stream, s"$tmp/out", s"$tmp/ckpt",
+      readingsDeclared,
+      Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
+    q.awaitTermination()
+    val log = spark.read.parquet(s"$tmp/out/readings")
+    val snap = Apply.snapshot(log, Seq("id"), Seq($"offset"))
+      .select(readingsCols.map(col): _*)
+    // one row per user by construction — materialize so the scratch
+    // stream/source/checkpoint dirs can be deleted before returning
+    val rows = snap.collect().toSeq
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), snap.schema)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(tmp))
     out
   }
 
@@ -406,7 +460,52 @@ object CdcQueries {
     c15DeclaredSchema(spark, dir)
       .select("id", "flag", "name", "born", "updated", "t", "u", "j", "e")
 
+  /** c18: the Debezium schema-change topic actually consumed — the last
+    * reference behavior with no counterpart ([[SchemaChange]]; the
+    * reference's connector emits DDL events via
+    * `include.schema.changes=true` [register-connector.sh:23] and its
+    * consumer ignores them). Fixture: a CREATE TABLE for `sensor` plus
+    * an ALTER ADD COLUMN land on the server-name topic; data envelopes
+    * produced BEFORE the alter (offset ≤ max/2) lack the `extra` column,
+    * later ones carry it. The DDL fold yields declared-schema hints
+    * (exact `int`/`smallint` widths — no value inference anywhere), and
+    * the typed snapshot surfaces pre-alter rows with a NULL `extra`,
+    * exactly how a 100 TB table evolves in place. The oracle replays
+    * the cutoff + casts. */
+  def c18SchemaChangeTopic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val cutoff = events.agg(max($"event_id")).as[Long].head() / 2
+    val ddlRaw = Seq(
+      -2L -> """{"payload":{"databaseName":"testdb","ddl":"CREATE TABLE testdb.sensor (id BIGINT NOT NULL, base INT, PRIMARY KEY (id))","ts_ms":0}}""",
+      -1L -> """{"payload":{"databaseName":"testdb","ddl":"ALTER TABLE testdb.sensor ADD COLUMN extra SMALLINT DEFAULT NULL","ts_ms":0}}""")
+      .toDF("offset", "value")
+      .select(lit("dbserver1").as("topic"), $"offset", $"value")
+    val payload = when($"event_id" > cutoff,
+        map(lit("id"), $"user_id".cast("string"),
+            lit("base"), ($"event_id" % 1000).cast("string"),
+            lit("extra"), ($"event_id" % 500).cast("string")))
+      .otherwise(
+        map(lit("id"), $"user_id".cast("string"),
+            lit("base"), ($"event_id" % 1000).cast("string")))
+    val dataRaw = events.select(
+      lit("dbserver1.testdb.sensor").as("topic"),
+      $"event_id".as("offset"),
+      to_json(struct(struct(
+        lit("u").as("op"),
+        payload.as("after"),
+        unix_millis($"ts".cast("timestamp")).as("ts_ms")).as("payload"))).as("value"))
+    val raw = ddlRaw.unionByName(dataRaw)
+    // the schema-change topic is consumed as metadata; data topics ride
+    // the declared path those hints unlock (no inference job at all)
+    val hints = SchemaChange.hints(raw)
+    val res = Pipeline.ingest(raw, hints)
+    res.tables("sensor").snapshot.select($"id", $"base", $"extra")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c18_schema_change_topic" -> c18SchemaChangeTopic _,
+    "c17_stream_ingest" -> c17StreamIngest _,
     "c16_tombstone_gc" -> c16TombstoneGc _,
     "c15_declared_schema" -> c15DeclaredSchema _,
     "c15a_declared_nums" -> c15aDeclaredNums _,
@@ -427,6 +526,35 @@ object CdcQueries {
     "c06_cdc_replay_idempotent" -> c06ReplayIdempotent _,
     "c07_cdc_apply_stats"       -> c07ApplyStats _,
   )
+
+  /** Shared c15/c17 oracle: replay of the declared casts over the latest
+    * event per user — what both the batch and the streaming ingest's
+    * snapshot must equal. */
+  private val declaredSnapshotSql: String =
+    """WITH latest AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+           FROM events)
+         SELECT user_id AS id,
+                CAST(event_id % 100 AS TINYINT) AS tiny,
+                CAST(event_id % 30000 AS SMALLINT) AS small,
+                CAST(event_id % 8000000 AS INTEGER) AS med,
+                CAST(event_id AS INTEGER) AS n,
+                event_id * 1000000 AS big,
+                CAST(CAST(event_id % 97 AS VARCHAR) || '.5' AS REAL) AS f,
+                CAST(CAST(event_id % 89 AS VARCHAR) || '.25' AS DOUBLE) AS d,
+                CAST(CAST(event_id % 10000 AS VARCHAR) || '.25'
+                     AS DECIMAL(12,4)) AS price,
+                value > 10 AS flag,
+                event_type AS name,
+                CAST(ts AS DATE) AS born,
+                CAST(date_trunc('second', ts) AS TIMESTAMP) AS updated,
+                strftime(ts, '%H:%M:%S') AS t,
+                CAST(1900 + event_id % 155 AS SMALLINT) AS y,
+                md5(CAST(event_id AS VARCHAR)) AS u,
+                props AS j,
+                event_type AS e
+         FROM latest WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
     "c16_tombstone_gc" ->
@@ -453,30 +581,22 @@ object CdcQueries {
     // small/y→SMALLINT, med/n→INTEGER, updated→TIMESTAMP): the driver's
     // content hash proved render-sensitive for c15 in r07 even though
     // sorted-row value equality held (VERDICT r07 §wrong #1).
-    "c15_declared_schema" ->
+    "c15_declared_schema" -> declaredSnapshotSql,
+    // the streaming ingest must converge to the batch ingest's snapshot
+    // — same oracle, so the micro-batched path gets the same hash check
+    "c17_stream_ingest" -> declaredSnapshotSql,
+    // DDL-driven declared ingest: pre-alter rows surface extra as NULL;
+    // widths are the DDL's exact int/smallint (no inference widening)
+    "c18_schema_change_topic" ->
       """WITH latest AS (
            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
                                         ORDER BY event_id DESC) AS rn
-           FROM events)
+           FROM events),
+         c AS (SELECT max(event_id) // 2 AS cutoff FROM events)
          SELECT user_id AS id,
-                CAST(event_id % 100 AS TINYINT) AS tiny,
-                CAST(event_id % 30000 AS SMALLINT) AS small,
-                CAST(event_id % 8000000 AS INTEGER) AS med,
-                CAST(event_id AS INTEGER) AS n,
-                event_id * 1000000 AS big,
-                CAST(CAST(event_id % 97 AS VARCHAR) || '.5' AS REAL) AS f,
-                CAST(CAST(event_id % 89 AS VARCHAR) || '.25' AS DOUBLE) AS d,
-                CAST(CAST(event_id % 10000 AS VARCHAR) || '.25'
-                     AS DECIMAL(12,4)) AS price,
-                value > 10 AS flag,
-                event_type AS name,
-                CAST(ts AS DATE) AS born,
-                CAST(date_trunc('second', ts) AS TIMESTAMP) AS updated,
-                strftime(ts, '%H:%M:%S') AS t,
-                CAST(1900 + event_id % 155 AS SMALLINT) AS y,
-                md5(CAST(event_id AS VARCHAR)) AS u,
-                props AS j,
-                event_type AS e
+                CAST(event_id % 1000 AS INTEGER) AS base,
+                CAST(CASE WHEN event_id > (SELECT cutoff FROM c)
+                          THEN event_id % 500 END AS SMALLINT) AS extra
          FROM latest WHERE rn = 1""",
     "c15a_declared_nums" ->
       """WITH latest AS (

@@ -71,9 +71,13 @@ object Pipeline {
     */
   def ingestStream(raw: DataFrame, outDir: String,
                    checkpoint: String,
-                   declared: Map[String, Map[String, String]] = Map.empty)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    raw.writeStream
+                   declared: Map[String, Map[String, String]] = Map.empty,
+                   /** e.g. `Trigger.AvailableNow()` for drain-and-stop
+                     * runs (c17); None keeps the default continuous
+                     * micro-batch trigger. */
+                   trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = raw.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val res = ingest(batch, declared)
@@ -83,7 +87,8 @@ object Pipeline {
         res.dlq.write.mode("append").parquet(s"$outDir/_dlq")
         res.cleanup()
       }
-      .start()
+    trigger.fold(writer)(writer.trigger).start()
+  }
 
   /** Ingest a batch of raw records (`topic`, `offset`, `value`). */
   def ingest(raw: DataFrame): IngestResult =

@@ -434,7 +434,8 @@ object Relational {
          SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey, cust_bal, supp_bal
          FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
     "q10_top_orders_per_priority" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+                CAST(rn AS INTEGER) AS rn FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,
                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -540,7 +540,7 @@ object Relational7 {
                    / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr
           FROM m""",
     "q83_priority_shipping" ->
-      """SELECT month(l_shipdate) AS ship_month,
+      """SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
                 CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
                 CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -549,7 +549,7 @@ object Relational7 {
          WHERE year(l_shipdate) = 1997
          GROUP BY 1""",
     "q84_promo_share" ->
-      s"""SELECT month(l_shipdate) AS ship_month,
+      s"""SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
                  100.0 * ${sqlDec2Dbl(
                    s"SUM(CASE WHEN p_type = 'PROMO' THEN CAST($revenueSql AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END)")}
                    / ${sqlDsum(revenueSql)} AS promo_share_pct,

@@ -64,6 +64,54 @@ class Round8Spec extends AnyFunSuite {
       s"banding missed ${(brute -- keys).size}, invented ${(keys -- brute).size}")
   }
 
+  // --- c18: schema-change-topic DDL parsing -------------------------------
+
+  test("SchemaChange.parseDdl: CREATE/ALTER forms parse; constraints, drops, renames don't contribute") {
+    import graft.cdc.SchemaChange
+    import graft.cdc.SchemaChange.DdlHint
+    assert(SchemaChange.parseDdl(
+      "CREATE TABLE testdb.sensor (id BIGINT NOT NULL, base INT, PRIMARY KEY (id))")
+      .contains(DdlHint("sensor", Seq("id" -> "BIGINT NOT NULL", "base" -> "INT"))))
+    // backticks, IF NOT EXISTS, paren-typed columns, enum commas
+    assert(SchemaChange.parseDdl(
+      """CREATE TABLE IF NOT EXISTS `testdb`.`orders` (`id` int, price decimal(12,4), e enum('a','b'))""")
+      .contains(DdlHint("orders",
+        Seq("id" -> "int", "price" -> "decimal(12,4)", "e" -> "enum('a','b')"))))
+    assert(SchemaChange.parseDdl(
+      "ALTER TABLE testdb.sensor ADD COLUMN extra SMALLINT DEFAULT NULL")
+      .contains(DdlHint("sensor", Seq("extra" -> "SMALLINT DEFAULT NULL"))))
+    assert(SchemaChange.parseDdl("ALTER TABLE sensor ADD note varchar(64)")
+      .contains(DdlHint("sensor", Seq("note" -> "varchar(64)"))))
+    assert(SchemaChange.parseDdl("DROP TABLE testdb.sensor").isEmpty)
+    assert(SchemaChange.parseDdl("RENAME TABLE a TO b").isEmpty)
+    assert(SchemaChange.parseDdl("TRUNCATE TABLE sensor").isEmpty)
+    // the declared types resolve through TYPE_MAPPING despite modifiers
+    import graft.cdc.TypeMapping
+    import org.apache.spark.sql.types.{ShortType, DecimalType}
+    assert(TypeMapping.toSparkType("SMALLINT DEFAULT NULL".toLowerCase) == ShortType)
+    assert(TypeMapping.toSparkType("decimal(12,4)") == DecimalType(12, 4))
+  }
+
+  test("SchemaChange.hints: DDL events fold in offset order, widen-only, data topics ignored") {
+    import graft.cdc.SchemaChange
+    val rows = Seq(
+      // a data-topic record must not contribute even if it carried ddl-ish text
+      (0L, "dbserver1.testdb.sensor", """{"payload":{"op":"c","after":{"id":"1"}}}"""),
+      (1L, "dbserver1", """{"payload":{"databaseName":"testdb","ddl":"CREATE TABLE sensor (id BIGINT, base INT)","ts_ms":1}}"""),
+      (2L, "dbserver1", """{"payload":{"databaseName":"testdb","ddl":"ALTER TABLE sensor ADD COLUMN extra SMALLINT","ts_ms":2}}"""),
+      // widen-only: a re-CREATE cannot retype an existing column
+      (3L, "dbserver1", """{"payload":{"databaseName":"testdb","ddl":"CREATE TABLE sensor (id VARCHAR(10), brand_new DOUBLE)","ts_ms":3}}"""),
+      // unparseable / non-additive events are skipped, not fatal
+      (4L, "dbserver1", """{"payload":{"databaseName":"testdb","ddl":"DROP TABLE gone","ts_ms":4}}"""),
+      (5L, "dbserver1", """not json at all"""))
+      .toDF("offset", "topic", "value")
+    val h = SchemaChange.hints(rows)
+    assert(h.keySet == Set("sensor"))
+    assert(h("sensor") == Map(
+      "id" -> "BIGINT", "base" -> "INT", "extra" -> "SMALLINT",
+      "brand_new" -> "DOUBLE"))
+  }
+
   // --- hash-render guard --------------------------------------------------
 
   test("every oracle-eligible query renders driver-hashable columns only") {
