@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir, rest @ _*) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,9 +20,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     var failed = 0
-    // Local-iteration subset: SPARK_GRAFT_ONLY=q82,q89 runs only queries
-    // whose name starts with a listed prefix. The driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Local-iteration subset: a third CLI arg (or SPARK_GRAFT_ONLY=q82,q89)
+    // runs only queries whose name starts with a listed prefix. The driver
+    // passes exactly two args, so it always gets the full battery.
+    val only = rest.headOption.orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
@@ -40,7 +42,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    System.err.println(s"[verify] done: ${SparkEntry.queries.size - failed}/${SparkEntry.queries.size} queries wrote output")
+    val ran = SparkEntry.queries.keys.count(n => only.forall(_.exists(n.startsWith)))
+    System.err.println(s"[verify] done: ${ran - failed}/$ran queries wrote output" +
+      (if (ran < SparkEntry.queries.size) s" (filtered from ${SparkEntry.queries.size})" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

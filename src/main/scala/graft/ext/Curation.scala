@@ -265,10 +265,77 @@ object Curation {
         ($"n_shared".cast("double") / ($"n1" + $"n2" - $"n_shared")).as("jaccard"))
   }
 
+  /** Per-source document cap for p09. */
+  val DomainCap = 15
+
+  /** p09: per-domain frequency cap (the RefinedWeb/C4 anti-spam device —
+    * no single source may contribute more than CAP documents, and when it
+    * would, the highest-quality CAP survive): rank docs within each source
+    * by the t03 quality score (doc_id tiebreak makes the boundary
+    * deterministic), keep rank ≤ CAP, report the per-source retention and
+    * the quality floor the cap imposed. Scale shape: quality is map-side;
+    * the rank is ONE shuffle by source. A heavy-hitter domain turns that
+    * rank into a big per-key sort — at 100 TB the bounded-heap partial
+    * aggregate (s03's TopKByScore shape) replaces the window for the
+    * keep-set while this per-source summary stays a plain agg. */
+  def p09DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = TextAnalysis.tokens($"text")
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val scored = Tables.documents(spark, dir).select(
+      $"doc_id", $"source",
+      ((size(array_distinct(toks)) * 1000
+        + size(filter(toks, t => array_contains(stopArr, t))) * 100
+        - length(regexp_replace($"text", "[a-z\\s]", "")) * 10).cast("double")
+        / size(toks)).as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"quality".desc, $"doc_id")
+    scored.withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"rk" <= DomainCap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" > DomainCap, 1L).otherwise(0L)).as("n_dropped"),
+        min(when($"rk" <= DomainCap, $"quality")).as("min_kept_quality"))
+      .withColumn("cap_hit", $"n_dropped" > 0)
+  }
+
+  /** Shard count for p10. */
+  val ShardCount = 16L
+
+  /** p10: deterministic shard-shuffle manifest — the "global shuffle
+    * without a global sort" a training run needs before writing shards:
+    * each doc gets a pseudo-random but fully deterministic key (the Knuth
+    * multiplicative-hash family of p02/p03/q40, distinct multiplier so the
+    * three samplers are decorrelated), shard = key mod 16, within-shard
+    * order = key order. The manifest pins the WHOLE permutation in one
+    * hashable line per shard via order_sig = Σ seq·doc_id (exact integer),
+    * so any engine or re-run producing a different order fails the hash.
+    * Scale shape: one shuffle by shard; within-shard order is sorted
+    * locally per shard — exactly what a shard writer does — and the
+    * manifest agg is map-side combinable. No rand(), no global sort. */
+  def p10ShardShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = pmod($"doc_id" * 2246822519L, lit(1048573L))
+    val docs = Tables.documents(spark, dir).select($"doc_id",
+      size(TextAnalysis.tokens($"text")).cast("long").as("n_toks"), key.as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"k", $"doc_id")
+    docs.withColumn("shard", pmod($"k", lit(ShardCount)))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_toks").as("n_tokens"),
+        sum($"seq" * $"doc_id").as("order_sig"),
+        min($"k").as("min_key"),
+        max($"k").as("max_key"))
+  }
+
   type Q = (SparkSession, String) => DataFrame
   val queries: Map[String, Q] = Map(
     "p07_hash_split"    -> p07HashSplit _,
     "p08_source_overlap" -> p08SourceOverlap _,
+    "p09_domain_cap"    -> p09DomainCap _,
+    "p10_shard_shuffle" -> p10ShardShuffle _,
     "p05_filter_funnel" -> p05FilterFunnel _,
     "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
@@ -279,6 +346,42 @@ object Curation {
     "p03_weighted_sample" -> p03WeightedSample _,
   )
   val oracles: Map[String, String] = Map(
+    "p09_domain_cap" -> {
+      val tok = TextAnalysis.tokensSql
+      s"""WITH scored AS (
+            SELECT doc_id, source,
+                   CAST(len(list_distinct($tok)) * 1000
+                        + len(list_filter($tok, t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
+                     / len($tok) AS quality
+            FROM documents),
+          rk AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY quality DESC, doc_id) AS rk
+            FROM scored)
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN rk <= $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 CAST(SUM(CASE WHEN rk > $DomainCap THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+                 MIN(CASE WHEN rk <= $DomainCap THEN quality END) AS min_kept_quality,
+                 SUM(CASE WHEN rk > $DomainCap THEN 1 ELSE 0 END) > 0 AS cap_hit
+          FROM rk GROUP BY 1"""
+    },
+    "p10_shard_shuffle" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+                   len(${TextAnalysis.tokensSql}) AS n_toks,
+                   (doc_id * 2246822519) % 1048573 AS k
+            FROM documents),
+          q AS (
+            SELECT *, k % $ShardCount AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY k % $ShardCount
+                                      ORDER BY k, doc_id) AS seq
+            FROM d)
+          SELECT shard, COUNT(*) AS n_docs,
+                 CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+                 CAST(SUM(seq * doc_id) AS BIGINT) AS order_sig,
+                 MIN(k) AS min_key, MAX(k) AS max_key
+          FROM q GROUP BY 1""",
     "p07_hash_split" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

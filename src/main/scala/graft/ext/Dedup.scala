@@ -966,6 +966,58 @@ object Dedup {
           min($"n_tokens")).as("retained_frac"))
   }
 
+  // --- d27: repeated-substring span detection -----------------------------
+
+  /** Minimum repeated-substring length (tokens) for d27. */
+  val RepSpanK = 8
+
+  /** Repeated-substring span detection (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    * semantics, re-expressed relationally): find, per document, the maximal
+    * spans whose every K-token window occurs at least twice ANYWHERE in the
+    * corpus — the substring-granular duplication that whole-doc (d01) and
+    * fixed-chunk (d14) dedup both miss when the boilerplate straddles chunk
+    * boundaries. Mechanics: every K-token window (stride 1) is hashed;
+    * windows whose hash repeats corpus-wide are flagged; per doc the flagged
+    * window starts are merged gaps-and-islands style (new island when the
+    * gap exceeds K) into maximal spans. Output: per doc with ≥1 span, the
+    * span count, repeated-token coverage, and coverage fraction.
+    *
+    * Scale shape: the window explode is one row per TOKEN (linear, the same
+    * order a suffix-array build touches); the repeat flag is one
+    * hash-partitioned groupBy + equi-join on the window hash — exact-dedup's
+    * shuffle at token granularity, never all-pairs; the island merge is one
+    * per-doc window. At 100 TB the stride-1 hash volume is the honest cost
+    * of exact-substring semantics — a winnowed (Schleimer 2003) anchor
+    * subset is the approximate fallback if even that shuffle is too big. */
+  def d27RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = RepSpanK
+    val toks = TextAnalysis.tokens($"text")
+    val base = corpusWithCopies(Tables.documents(spark, dir))
+      .select($"doc_id", toks.as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= K)
+    val wins = base
+      .withColumn("p", explode(sequence(lit(0L), $"n_tokens" - K)))
+      .select($"doc_id", $"n_tokens", $"p",
+        md5(concat_ws(" ", slice($"toks", ($"p" + 1).cast("int"), lit(K)))).as("h"))
+    val repeated = wins.groupBy($"h")
+      .agg(count(lit(1)).as("cnt")).filter($"cnt" > 1).select($"h")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    wins.join(repeated, "h")
+      .withColumn("gap",
+        when($"p" - lag($"p", 1).over(w) > K, 1L).otherwise(0L))
+      .withColumn("island", sum($"gap").over(w))
+      .groupBy($"doc_id", $"n_tokens", $"island")
+      .agg((max($"p") + K - min($"p")).as("span_len"))
+      .groupBy($"doc_id", $"n_tokens")
+      .agg(count(lit(1)).as("n_spans"), sum($"span_len").as("rep_tokens"))
+      .select($"doc_id", $"n_spans", $"rep_tokens", $"n_tokens",
+        ($"rep_tokens".cast("double") / $"n_tokens").as("rep_frac"))
+  }
+
   // --- d12: incremental (batch-vs-index) dedup ----------------------------
 
   /** The incoming-batch fixture for incremental dedup: exact copies,
@@ -1063,6 +1115,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d14_passage_dedup" -> d14PassageDedup _,
+    "d27_repeated_spans" -> d27RepeatedSpans _,
     "d15_minhash_estimate" -> d15MinhashEstimate _,
     "d16_normalized_dedup" -> d16NormalizedDedup _,
     "d17_lsh_tuning"       -> d17LshTuning _,
@@ -1131,6 +1184,41 @@ object Dedup {
   private def lshPairCtes: String = lshPairCtesFor(corpusSql)
 
   val oracles: Map[String, String] = Map(
+    "d27_repeated_spans" -> {
+      val K = RepSpanK
+      s"""WITH $corpusSql,
+          base AS (
+            SELECT doc_id, ${TextAnalysis.tokensSql} AS ts,
+                   len(${TextAnalysis.tokensSql}) AS n_tokens
+            FROM corpus WHERE len(${TextAnalysis.tokensSql}) >= $K),
+          wins AS (
+            SELECT doc_id, n_tokens, ts,
+                   unnest(range(0, n_tokens - $K + 1)) AS p
+            FROM base),
+          winh AS (
+            SELECT doc_id, n_tokens, p,
+                   md5(array_to_string(ts[(p + 1):(p + $K)], ' ')) AS h
+            FROM wins),
+          rep AS (SELECT h FROM winh GROUP BY h HAVING COUNT(*) > 1),
+          flagged AS (SELECT w.doc_id, w.n_tokens, w.p FROM winh w JOIN rep USING (h)),
+          gaps AS (
+            SELECT doc_id, n_tokens, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $K
+                        THEN 1 ELSE 0 END AS gap
+            FROM flagged),
+          isl AS (
+            SELECT doc_id, n_tokens, p,
+                   SUM(gap) OVER (PARTITION BY doc_id ORDER BY p) AS island
+            FROM gaps),
+          spans AS (
+            SELECT doc_id, n_tokens, island, MAX(p) + $K - MIN(p) AS span_len
+            FROM isl GROUP BY 1, 2, 3)
+          SELECT doc_id, COUNT(*) AS n_spans,
+                 CAST(SUM(span_len) AS BIGINT) AS rep_tokens,
+                 CAST(n_tokens AS BIGINT) AS n_tokens,
+                 CAST(SUM(span_len) AS DOUBLE) / n_tokens AS rep_frac
+          FROM spans GROUP BY doc_id, n_tokens"""
+    },
     "d14_passage_dedup" -> {
       val W = PassageW
       s"""WITH $corpusSql,

@@ -191,6 +191,34 @@ object TextAnalysis {
       .withColumn("chars_per_subword", $"n_sub_chars".cast("double") / $"n_subwords")
   }
 
+  // --- t23: character-distribution diversity ----------------------------
+
+  /** Gini–Simpson character diversity per document — the cheap "is this
+    * real text or degenerate filler" gate that catches aaaaaa…-style
+    * collapse and base64-ish uniformity where word-level scores (t03) are
+    * blind. The letter histogram is 26 length-difference expressions
+    * (`length(text) - length(replace(text, c))`), so the whole operator is
+    * one codegen'd map-side projection — no explode, no shuffle, and the
+    * Simpson sums are exact integer arithmetic: num = Σ n_c·(n_c−1),
+    * den = N·(N−1), diversity = 1 − num/den (one IEEE division,
+    * engine-exact — the rational-score device of t09/t15). Scales as a
+    * pure scan at any corpus size. */
+  def t23CharDiversity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = ('a' to 'z').map(c =>
+      (length($"text") - length(regexp_replace($"text", c.toString, "")))
+        .cast("long"))
+    val n = counts.reduce(_ + _)
+    val num = counts.map(c => c * (c - 1L)).reduce(_ + _)
+    val distinct = counts.map(c => when(c > 0L, 1L).otherwise(0L)).reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select($"doc_id", n.as("n_letters"), distinct.as("distinct_letters"),
+        num.as("simpson_num"), (n * (n - 1L)).as("simpson_den"))
+      .withColumn("diversity",
+        when($"simpson_den" > 0L,
+          lit(1.0) - $"simpson_num".cast("double") / $"simpson_den"))
+  }
+
   // --- t12: PII redaction ----------------------------------------------
 
   /** PII patterns in the RE2 ∩ java.util.regex common subset (no
@@ -557,6 +585,7 @@ object TextAnalysis {
     "t15_bm25"        -> t15Bm25 _,
     "t16_ngram_familiarity" -> t16NgramFamiliarity _,
     "t22_tokenizer_fertility" -> t22TokenizerFertility _,
+    "t23_char_diversity" -> t23CharDiversity _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -739,6 +768,27 @@ object TextAnalysis {
                   (a, b) -> greatest(a, b)) AS INT) AS max_sub_len
          FROM documents""",
     // integer sums + two final double divisions — engine-exact
+    "t23_char_diversity" -> {
+      val cnt = ('a' to 'z').map(c =>
+        s"(length(text) - length(replace(text, '$c', '')))").toSeq
+      val n = cnt.mkString(" + ")
+      val num = cnt.map(c => s"$c * ($c - 1)").mkString(" + ")
+      val distinct = cnt.map(c => s"CASE WHEN $c > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (
+            SELECT doc_id,
+                   CAST($n AS BIGINT) AS n_letters,
+                   CAST($distinct AS BIGINT) AS distinct_letters,
+                   CAST($num AS BIGINT) AS simpson_num
+            FROM documents)
+          SELECT doc_id, n_letters, distinct_letters, simpson_num,
+                 n_letters * (n_letters - 1) AS simpson_den,
+                 CASE WHEN n_letters * (n_letters - 1) > 0
+                      THEN 1.0 - CAST(simpson_num AS DOUBLE)
+                                   / (n_letters * (n_letters - 1))
+                 END AS diversity
+          FROM d"""
+    },
     "t22_tokenizer_fertility" ->
       s"""WITH d AS (
             SELECT lang,
