@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * the reference's analytics-shell bootstrap (spark.sh:17-27 mounts
   * connectors and hand-configures a PySpark shell; a graft user calls
   * `Graft.init(spark, dir)`): registers the engine's custom SQL functions
-  * (`vec_dot`, `vec_cos`, `vec_l2sq`, `minhash_sig`, `simhash_sig`) and
+  * (`vec_dot`, `vec_cos`, `vec_l2sq`, `minhash_sig`, `simhash_sig`,
+  * `bloom_filter_agg`, `might_contain`) and
   * mounts the standard tables as
   * temp views so `spark.sql(...)` works immediately. Cluster deployments
   * can instead inject the functions with
@@ -22,6 +23,7 @@ object Graft {
     functions.VectorExpressions.register(spark)
     functions.MinHash.register(spark)
     functions.SimHash.register(spark)
+    functions.Sketches.register(spark)
     tableNames.foreach(t =>
       Tables.load(spark, dir, t).createOrReplaceTempView(t))
     // events carries nanosecond timestamps — only readable via its loader

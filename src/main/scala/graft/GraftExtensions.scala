@@ -42,5 +42,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SimHashSignature].getName, "simhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SimHash.builder(exprs)))
+    // bloom sketch pair (Spark-internal expressions surfaced as SQL —
+    // see graft.functions.Sketches for the builders + usage contract)
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        exprs match {
+          case Seq(c) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+          case Seq(c, n) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+          case Seq(c, n, m) => new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, m)
+          case _ => throw new IllegalArgumentException("bloom_filter_agg takes 1 to 3 arguments")
+        }))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("might_contain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
   }
 }

@@ -297,6 +297,37 @@ object CdcQueries {
         dsum(when(!$"dropped", $"value")).as("kept_value"))
   }
 
+  /** c19: late-arrival audit — which events would a watermarked streaming
+    * ingest drop? The generator's log is perfectly time-ordered, so the
+    * transport disorder a real consumer sees is modeled first: each event
+    * COMMITS at `ts + (user_id % 5)·4 min` (a deterministic per-user
+    * delivery delay), and arrival order is commit order. The high-water
+    * mark is then the running max EVENT-time over prior arrivals, tracked
+    * per event_type (the per-source-partition watermark shape a Kafka
+    * consumer actually has); an event is late when its event-time trails
+    * the mark by more than the 5-minute allowed lateness. The window is
+    * partitioned, so the operator scales like any keyed window (no global
+    * sort); the report prices a watermark setting before it is deployed —
+    * and MORE events go late as density grows, so the sf0.01 check
+    * exercises the gate harder than the unit fixture does. */
+  def c19LateArrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tc = $"ts" + make_dt_interval(
+      lit(0), lit(0), ($"user_id" % 5).cast("long") * 4L, lit(0))
+    val w = Window.partitionBy($"event_type").orderBy($"tc", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .withColumn("tc", tc)
+      .withColumn("hwm", max($"ts").over(w))
+      .withColumn("late",
+        $"hwm".isNotNull && $"ts" < $"hwm" - expr("INTERVAL '5' MINUTE"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when($"late", 1L).otherwise(0L)).as("n_late"),
+        sum(when(!$"late", 1L).otherwise(0L)).as("n_applied"),
+        dsum(when($"late", $"value")).as("late_value"))
+  }
+
   /** c14: snapshot drift audit — diff the latest-per-key state at two cut
     * points (the reconciliation a CDC consumer runs to prove a replay or a
     * backfill landed: which keys appeared, which changed state, and what
@@ -507,6 +538,7 @@ object CdcQueries {
     "c18_schema_change_topic" -> c18SchemaChangeTopic _,
     "c17_stream_ingest" -> c17StreamIngest _,
     "c16_tombstone_gc" -> c16TombstoneGc _,
+    "c19_late_arrival" -> c19LateArrival _,
     "c15_declared_schema" -> c15DeclaredSchema _,
     "c15a_declared_nums" -> c15aDeclaredNums _,
     "c15b_declared_rest" -> c15bDeclaredRest _,
@@ -557,6 +589,26 @@ object CdcQueries {
          FROM latest WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
+    "c19_late_arrival" ->
+      s"""WITH e AS (
+            SELECT event_id, event_type, value, ts,
+                   ts + to_minutes(CAST(user_id % 5 AS BIGINT) * 4) AS tc
+            FROM events),
+          t AS (
+            SELECT event_type, value, ts,
+                   MAX(ts) OVER (PARTITION BY event_type ORDER BY tc, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS hwm
+            FROM e),
+          tagged AS (
+            SELECT event_type, value,
+                   (hwm IS NOT NULL AND ts < hwm - INTERVAL 5 MINUTE) AS late
+            FROM t)
+          SELECT event_type, COUNT(*) AS n_events,
+                 CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                 CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS n_applied,
+                 ${Tables.sqlDsum("CASE WHEN late THEN value END")} AS late_value
+          FROM tagged GROUP BY 1""",
     "c16_tombstone_gc" ->
       s"""WITH old AS (
             SELECT *, $opSql AS op,

@@ -755,6 +755,61 @@ object Dedup {
       .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
   }
 
+  /** Contamination at corpus scale: the same gate as d11, but the
+    * benchmark set is summarized as a BLOOM FILTER (`bloom_filter_agg`,
+    * [[graft.functions.Sketches]]) instead of broadcast as an exact hash
+    * relation. The bitset is a few hundred KB for millions of benchmark
+    * shingles — the sketch hop to the driver is sketch-sized at any
+    * corpus size (the `stat.bloomFilter` shape) — so the probe is a pure
+    * map-side codegen'd filter, and only the tiny might-contain survivor
+    * set reaches the verification join. Bloom filters admit false
+    * POSITIVES only, and every candidate is exact-verified, so the
+    * output is row-identical to d11 — same oracle, by construction. */
+  def d28BloomContamination(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.Sketches.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val bench = shingles(docs.filter($"doc_id" % 97 === 0))
+      .select($"shingle").distinct()
+    val bf = bench
+      .agg(expr("bloom_filter_agg(xxhash64(shingle), 100000L, 800000L)"))
+      .head.getAs[Array[Byte]](0)
+    val corpus = shingles(corpusWithCopies(docs))
+      .filter(!($"doc_id" % 97 === 0 && $"doc_id" < 1000000L))
+    // map-side probe of the constant sketch; empty benchmark ⇒ no bloom
+    // ⇒ no candidates (d11 degenerates identically)
+    val candidates =
+      if (bf == null) corpus.limit(0)
+      else corpus.filter(
+        call_function("might_contain", lit(bf), xxhash64($"shingle")))
+    // exact verify of the survivors: false positives die, nothing true is
+    // lost (no false negatives) — hits are exactly d11's hits
+    val hits = candidates.join(bench, Seq("shingle"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+    corpus.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"n_hits", lit(0L)).as("n_shared"))
+      .withColumn("contaminated", $"n_shared" * 5 >= $"n_shingles" && $"n_shared" > 0)
+  }
+
+  /** d11's DuckDB oracle, shared verbatim with d28 (whose bloom
+    * prefilter is exact-verified, so its output is d11's by design). */
+  private val contaminationSql: String =
+    s"""WITH $corpusSql,
+        $shinglesSql,
+        bench AS (
+          SELECT DISTINCT shingle FROM shingle
+          WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+        ev AS (
+          SELECT doc_id, shingle FROM shingle
+          WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000))
+        SELECT e.doc_id, COUNT(*) AS n_shingles,
+               COUNT(b.shingle) AS n_shared,
+               (COUNT(b.shingle) * 5 >= COUNT(*) AND COUNT(b.shingle) > 0) AS contaminated
+        FROM ev e LEFT JOIN bench b USING (shingle)
+        GROUP BY e.doc_id"""
+
   // --- d17: LSH banding-configuration sweep --------------------------------
 
   /** Candidate pairs for a (bands, rows-per-band) split of the K-minhash
@@ -1120,6 +1175,7 @@ object Dedup {
     "d16_normalized_dedup" -> d16NormalizedDedup _,
     "d17_lsh_tuning"       -> d17LshTuning _,
     "d11_contamination" -> d11Contamination _,
+    "d28_bloom_contamination" -> d28BloomContamination _,
     "d12_incremental_dedup" -> d12IncrementalDedup _,
     "d02_minhash_lsh"   -> d02MinHashLsh _,
     "d03_simhash"       -> d03SimHash _,
@@ -1360,20 +1416,10 @@ object Dedup {
           JOIN sizes s1 ON s1.doc_id = e.id1
           JOIN sizes s2 ON s2.doc_id = e.id2"""
     },
-    "d11_contamination" ->
-      s"""WITH $corpusSql,
-          $shinglesSql,
-          bench AS (
-            SELECT DISTINCT shingle FROM shingle
-            WHERE doc_id % 97 = 0 AND doc_id < 1000000),
-          ev AS (
-            SELECT doc_id, shingle FROM shingle
-            WHERE NOT (doc_id % 97 = 0 AND doc_id < 1000000))
-          SELECT e.doc_id, COUNT(*) AS n_shingles,
-                 COUNT(b.shingle) AS n_shared,
-                 (COUNT(b.shingle) * 5 >= COUNT(*) AND COUNT(b.shingle) > 0) AS contaminated
-          FROM ev e LEFT JOIN bench b USING (shingle)
-          GROUP BY e.doc_id""",
+    "d11_contamination" -> contaminationSql,
+    // d28 is d11 with a bloom prefilter in front of the exact verify —
+    // the output is defined to be identical, so it shares the oracle
+    "d28_bloom_contamination" -> contaminationSql,
     // min-label propagation ≡ reachability: a node's cluster id is the
     // minimum over every label that can walk to it along dedup edges
     "d19_keep_best_dedup" ->

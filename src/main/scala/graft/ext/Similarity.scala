@@ -211,6 +211,44 @@ object Similarity {
               ($"comp_sum" / $"n_members").as("centroid_comp"))
   }
 
+  /** s15: per-dimension embedding QA — the drift/collapse report run
+    * before an embedding corpus is trusted (a dead dimension has ~zero
+    * variance; a scale bug shows in min/max). Doubles don't sum
+    * associatively, so exact cross-engine stats use a HIERARCHICAL
+    * deterministic reduction: an ordered fold inside each 256-vector
+    * bucket, then an ordered fold of the bucket partials — collect_list
+    * is bounded by the bucket size at any corpus scale (never a global
+    * collect), and the fold order is reproducible on any partitioning. */
+  def s15DimStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val comps = Tables.embeddings(spark, dir)
+      .select($"vec_id", posexplode($"embedding").as(Seq("pos", "comp")))
+      .select($"vec_id", expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"),
+        $"pos", $"comp".cast("double").as("comp"))
+    val l1 = comps.groupBy($"pos", $"b")
+      .agg(count(lit(1)).as("n1"),
+        array_sort(collect_list(struct($"vec_id", $"comp"))).as("xs"),
+        min($"comp").as("mn1"), max($"comp").as("mx1"))
+      .select($"pos", $"b", $"n1", $"mn1", $"mx1",
+        aggregate(transform($"xs", s => s.getField("comp")),
+          lit(0.0), (a, x) => a + x).as("s1"),
+        aggregate(transform($"xs", s => s.getField("comp")),
+          lit(0.0), (a, x) => a + x * x).as("ss1"))
+    val l2 = l1.groupBy($"pos")
+      .agg(sum($"n1").as("n"),
+        array_sort(collect_list(struct($"b", $"s1", $"ss1"))).as("ps"),
+        min($"mn1").as("min_comp"), max($"mx1").as("max_comp"))
+      .select($"pos", $"n", $"min_comp", $"max_comp",
+        aggregate(transform($"ps", p => p.getField("s1")),
+          lit(0.0), (a, x) => a + x).as("s"),
+        aggregate(transform($"ps", p => p.getField("ss1")),
+          lit(0.0), (a, x) => a + x).as("ss"))
+    l2.select($"pos", $"n",
+        ($"s" / $"n").as("mean_comp"),
+        (($"ss" / $"n") - ($"s" / $"n") * ($"s" / $"n")).as("var_comp"),
+        $"min_comp", $"max_comp")
+  }
+
   /** Cosine range search (radius query): every vector within cosine ≥
     * 0.25 of each query vector — the "all matches above threshold"
     * retrieval mode (dedup candidates, recall evaluation) next to the
@@ -506,6 +544,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s14_knn_graph"      -> s14KnnGraph _,
+    "s15_dim_stats"      -> s15DimStats _,
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s11_hybrid_search"  -> s11HybridSearch _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
@@ -575,6 +614,36 @@ object Similarity {
             FROM parts GROUP BY qid, nid)"""
 
   val oracles: Map[String, String] = Map(
+    // the two-level ordered fold is replayed exactly: bucket lists sorted
+    // by vec_id, partials sorted by bucket — same IEEE add sequence
+    "s15_dim_stats" ->
+      s"""WITH comps AS (
+            SELECT vec_id, CAST(FLOOR(vec_id / 256.0) AS BIGINT) AS b,
+                   unnest(range(1, 65)) AS j,
+                   unnest(list_transform(range(1, 65),
+                          j -> CAST(embedding[j] AS DOUBLE))) AS comp
+            FROM embeddings),
+          l1 AS (
+            SELECT j, b, COUNT(*) AS n1,
+                   list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                               (a, x) -> a + x) AS s1,
+                   list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                               (a, x) -> a + x * x) AS ss1,
+                   MIN(comp) AS mn1, MAX(comp) AS mx1
+            FROM comps GROUP BY j, b),
+          l2 AS (
+            SELECT j, CAST(SUM(n1) AS BIGINT) AS n,
+                   list_reduce(list_prepend(0.0, list(s1 ORDER BY b)),
+                               (a, x) -> a + x) AS s,
+                   list_reduce(list_prepend(0.0, list(ss1 ORDER BY b)),
+                               (a, x) -> a + x) AS ss,
+                   MIN(mn1) AS min_comp, MAX(mx1) AS max_comp
+            FROM l1 GROUP BY j)
+          SELECT CAST(j - 1 AS INT) AS pos, n,
+                 s / n AS mean_comp,
+                 (ss / n) - (s / n) * (s / n) AS var_comp,
+                 min_comp, max_comp
+          FROM l2""",
     "s13_matryoshka_recall" -> {
       val full = cosineSql("q.qe", "e.embedding")
       val trunc = cosineSql("q.qe[1:16]", "e.embedding[1:16]")

@@ -219,6 +219,35 @@ object TextAnalysis {
           lit(1.0) - $"simpson_num".cast("double") / $"simpson_den"))
   }
 
+  /** t24: vocabulary-growth (Heaps' law) curve — cumulative distinct
+    * token types vs cumulative tokens at 50-document checkpoints. The
+    * curve's flattening is the classic "is more data still adding
+    * vocabulary" signal for corpus sizing. NOT computed as per-checkpoint
+    * distinct-counts (that's quadratic re-scanning): each type contributes
+    * at exactly its FIRST-occurrence document, so one groupBy(token) →
+    * min(doc_id), one bucket rollup, and a cumulative window over the
+    * checkpoint rows (checkpoint-cardinality data, driver-report-sized —
+    * the same shape at any corpus size). */
+  def t24HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", explode(tokens($"text")).as("tok"))
+    val bucketOf = (c: Column) => floor(c / 50.0).cast("long")
+    val perBucket = toks.groupBy(bucketOf($"doc_id").as("b"))
+      .agg(count(lit(1)).as("n_toks"))
+    val newTypes = toks.groupBy($"tok").agg(min($"doc_id").as("fd"))
+      .groupBy(bucketOf($"fd").as("b")).agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("b"), "left")
+      .withColumn("new_types", coalesce($"new_types", lit(0L)))
+      .select((($"b" + 1L) * 50L).as("checkpoint_docs"),
+        sum($"n_toks").over(w).as("cum_tokens"),
+        sum($"new_types").over(w).as("vocab_size"))
+      .withColumn("ttr",
+        $"vocab_size".cast("double") / $"cum_tokens".cast("double"))
+  }
+
   // --- t12: PII redaction ----------------------------------------------
 
   /** PII patterns in the RE2 ∩ java.util.regex common subset (no
@@ -586,6 +615,7 @@ object TextAnalysis {
     "t16_ngram_familiarity" -> t16NgramFamiliarity _,
     "t22_tokenizer_fertility" -> t22TokenizerFertility _,
     "t23_char_diversity" -> t23CharDiversity _,
+    "t24_heaps_law" -> t24HeapsLaw _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -768,6 +798,28 @@ object TextAnalysis {
                   (a, b) -> greatest(a, b)) AS INT) AS max_sub_len
          FROM documents""",
     // integer sums + two final double divisions — engine-exact
+    "t24_heaps_law" ->
+      s"""WITH tok AS (
+            SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+          pb AS (
+            SELECT CAST(FLOOR(doc_id / 50.0) AS BIGINT) AS b,
+                   COUNT(*) AS n_toks
+            FROM tok GROUP BY 1),
+          fb AS (
+            SELECT CAST(FLOOR(fd / 50.0) AS BIGINT) AS b,
+                   COUNT(*) AS new_types
+            FROM (SELECT tok, MIN(doc_id) AS fd FROM tok GROUP BY tok)
+            GROUP BY 1),
+          cum AS (
+            SELECT (b + 1) * 50 AS checkpoint_docs,
+                   CAST(SUM(n_toks) OVER w AS BIGINT) AS cum_tokens,
+                   CAST(SUM(COALESCE(new_types, 0)) OVER w AS BIGINT) AS vocab_size
+            FROM pb LEFT JOIN fb USING (b)
+            WINDOW w AS (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND CURRENT ROW))
+          SELECT checkpoint_docs, cum_tokens, vocab_size,
+                 CAST(vocab_size AS DOUBLE) / CAST(cum_tokens AS DOUBLE) AS ttr
+          FROM cum""",
     "t23_char_diversity" -> {
       val cnt = ('a' to 'z').map(c =>
         s"(length(text) - length(replace(text, '$c', '')))").toSeq

@@ -230,6 +230,85 @@ class Round8Spec extends AnyFunSuite {
 
   // --- t23: character diversity -------------------------------------------
 
+  test("d28: bloom prefilter + exact verify is row-identical to d11, and the bloom admits no false negatives") {
+    val d11 = ext.Dedup.d11Contamination(spark, sf0001)
+      .select($"doc_id", $"n_shingles", $"n_shared", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val d28 = ext.Dedup.d28BloomContamination(spark, sf0001)
+      .select($"doc_id", $"n_shingles", $"n_shared", $"contaminated")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(d11.nonEmpty && d28 == d11)
+    // the gate is live at this SF: planted benchmark copies flagged
+    assert(d11.exists(_._4), "expected at least one contaminated doc")
+  }
+
+  test("s15: hierarchical fold matches a flat per-dimension recompute; stats sane") {
+    val got = ext.Similarity.s15DimStats(spark, sf0001)
+      .select($"pos", $"n", $"mean_comp", $"var_comp", $"min_comp", $"max_comp")
+      .as[(Int, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val vecs = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    assert(got.size == 64 && vecs.nonEmpty)
+    (0 until 64).foreach { d =>
+      val xs = vecs.map(_._2(d).toDouble)
+      val (_, n, mean, varc, mn, mx) = got(d)
+      assert(n == xs.length && mn == xs.min && mx == xs.max)
+      // the bucketed fold must agree with a flat left-to-right fold to
+      // float tolerance (not bit equality — different add order by design)
+      val fmean = xs.sum / xs.length
+      assert(math.abs(mean - fmean) < 1e-9, s"dim $d mean drift")
+      assert(varc >= 0.0 && varc < 1.0)
+    }
+  }
+
+  test("t24: vocabulary curve is monotone, ends at corpus totals, checkpoints tile the corpus") {
+    val rows = ext.TextAnalysis.t24HeapsLaw(spark, sf0001)
+      .select($"checkpoint_docs", $"cum_tokens", $"vocab_size", $"ttr")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._2 < b._2 && a._3 <= b._3, "cumulative curve must be monotone")
+      case _ =>
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val allToks = docs.flatMap(_._2.split("\\s+").filter(_.nonEmpty))
+    assert(rows.last._2 == allToks.length, "final cum_tokens = corpus tokens")
+    assert(rows.last._3 == allToks.distinct.length, "final vocab = corpus types")
+    rows.foreach(r => assert(r._4 > 0.0 && r._4 <= 1.0))
+  }
+
+  test("c19: late flags replay exactly against a sequential watermark walk") {
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"user_id", $"ts")
+      .as[(Long, String, Long, java.time.LocalDateTime)].collect()
+      .map { case (id, t, u, ts) =>
+        val us = ts.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ts.getNano / 1000L
+        (id, t, us, us + (u % 5) * 4L * 60L * 1000000L) // commit = ts + delay
+      }
+    val lateIds = ev.groupBy(_._2).values.flatMap { part =>
+      var hwm = Long.MinValue
+      part.sortBy(e => (e._4, e._1)).flatMap { case (id, _, us, _) =>
+        val late = hwm != Long.MinValue && us < hwm - 300L * 1000000L
+        hwm = math.max(hwm, us)
+        if (late) Some(id) else None
+      }
+    }.toSet
+    val agg = cdc.CdcQueries.c19LateArrival(spark, sf0001)
+      .select($"event_type", $"n_events", $"n_late", $"n_applied")
+      .as[(String, Long, Long, Long)].collect()
+    val perType = ev.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    agg.foreach { case (t, n, nl, na) =>
+      assert(n == perType(t).length && nl + na == n)
+      assert(nl == perType(t).count(lateIds.contains), s"late count for $t")
+    }
+    assert(agg.map(_._3).sum > 0, "expected some late events at sf0.001")
+  }
+
   test("t23: letter histogram exact vs direct count, diversity in [0,1]") {
     val rows = ext.TextAnalysis.t23CharDiversity(spark, sf0001)
       .select($"doc_id", $"n_letters", $"distinct_letters", $"simpson_num",
