@@ -36,18 +36,24 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` stores INT64 TIMESTAMP(NANOS) which Spark's parquet
-    * reader rejects by default. We read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds —
-    * exactly what DuckDB does when it coerces TIMESTAMP_NS to TIMESTAMP —
-    * so oracle comparisons on `ts` agree bit-for-bit.
+  /** `events.parquet` has shipped in two layouts: INT64 TIMESTAMP(NANOS)
+    * (older driver drops) and plain TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (current). Branch on the type the reader actually infers; both paths
+    * normalize `ts` to TIMESTAMP_NTZ at microsecond precision — the same
+    * value DuckDB sees — so oracle comparisons on `ts` agree bit-for-bit.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      // cast to NTZ so ts round-trips through parquet exactly like the
-      // source tables' naive timestamps (session TZ is pinned UTC)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load(spark, dir, "events")
+    val ts = raw.schema("ts").dataType match {
+      // legacy nanos-as-long layout: truncate to micros like DuckDB's
+      // TIMESTAMP_NS -> TIMESTAMP coercion
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      // micros layout: already the oracle's value; pin NTZ (session TZ UTC)
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
 
