@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A full DataSource V2 implementation: a deterministic synthetic
+  * "sensor readings" table generated from pure integer arithmetic over the
+  * row index — the Spark-native form of the reference's source-side data
+  * generator (data_inserter.py:31-45 fabricates rows in a driver loop and
+  * INSERTs them one connection at a time; here generation IS the scan, so
+  * it parallelizes to any cluster width with zero driver work and zero
+  * storage).
+  *
+  * Why DSv2 and not `spark.range(n).select(...)`: the point is the
+  * connector surface itself — the same interfaces a real source (Kafka,
+  * Iceberg, JDBC) implements. This source demonstrates, and PlanSpec
+  * asserts, the three scan-time contracts that matter at 100 TB:
+  *
+  *   - '''Column pruning''' ([[SupportsPushDownRequiredColumns]]): the
+  *     reader materializes ONLY the projected fields — a 2-column read of
+  *     a 5-column table never computes the other 3 (`ReadSchema` in
+  *     explain shows the pruned struct).
+  *   - '''Filter pushdown''' ([[SupportsPushDownFilters]]): conjunctive
+  *     range/equality predicates on `id` clamp the generated index range
+  *     itself (`PushedFilters` in explain). Pushed filters are FULLY
+  *     absorbed — the source returns no rows outside the clamp, and
+  *     Spark does not re-evaluate them.
+  *   - '''Partition pruning''': the index range splits into `slices`
+  *     [[InputPartition]]s (default 8) AFTER clamping, so a selective id
+  *     predicate shrinks the partition count — the DSv2 analogue of
+  *     hive-partition pruning (o03), observable as `rdd.getNumPartitions`.
+  *
+  * Row formula (exact integer arithmetic, replayed verbatim by the DuckDB
+  * oracle over `range(n)` — every column is engine-exact):
+  * {{{
+  *   id      BIGINT        0..n-1
+  *   sensor  INT           id % 97
+  *   ts      TIMESTAMP_NTZ 2024-01-01 00:00:00 + id seconds
+  *   reading DOUBLE        ((id * 2654435761) % 100000) / 1000.0
+  *   status  STRING        id%13=0 -> 'alert' | id%5=0 -> 'warn' | 'ok'
+  * }}}
+  * (2654435761 is the Knuth multiplicative-hash constant already used by
+  * the q40/p03/p10 sampler family; the product stays far below 2^63 for
+  * any plausible n, and the final division of an exact integer by 1000.0
+  * is one correctly-rounded IEEE operation in both engines.)
+  */
+object SensorSource {
+  val NAME = "graft.sources.SensorSourceProvider"
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("sensor", IntegerType, nullable = false),
+    StructField("ts", TimestampNTZType, nullable = false),
+    StructField("reading", DoubleType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  /** 2024-01-01T00:00:00 as epoch micros (NTZ micros == DuckDB TIMESTAMP). */
+  val baseMicros: Long = 1704067200L * 1000000L
+
+  private[sources] def statusOf(id: Long): String =
+    if (id % 13 == 0) "alert" else if (id % 5 == 0) "warn" else "ok"
+
+  /** Clamp [0, n) by the pushable `id` predicates; None = empty result. */
+  private[sources] def clamp(n: Long, filters: Seq[Filter]): Option[(Long, Long)] = {
+    var lo = 0L
+    var hi = n // exclusive
+    filters.foreach {
+      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
+      case LessThan("id", v: Long)           => hi = math.min(hi, v)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _                                 => ()
+    }
+    if (lo < hi) Some((lo, hi)) else None
+  }
+
+  /** Which of `filters` the source absorbs completely. */
+  private[sources] def pushable(filters: Array[Filter]): Array[Filter] =
+    filters.filter {
+      case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
+          LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
+          EqualTo("id", _: Long) => true
+      case _ => false
+    }
+}
+
+/** `spark.read.format("graft-sensors").option("rows", n).option("slices", p)` */
+class SensorSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-sensors"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SensorSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SensorTable(
+      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
+      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+}
+
+class SensorTable(rows: Long, slices: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_sensors($rows)"
+  override def schema(): StructType = SensorSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SensorScanBuilder(rows, slices)
+}
+
+class SensorScanBuilder(rows: Long, slices: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var required: StructType = SensorSource.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = SensorSource.pushable(filters)
+    // residual = everything we did NOT absorb; Spark re-evaluates those
+    filters.filterNot(pushed.contains)
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve our own field order; an empty projection (COUNT(*)) is legal
+    required = StructType(
+      SensorSource.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+  override def build(): Scan = new SensorScan(rows, slices, required, pushed)
+}
+
+class SensorScan(rows: Long, slices: Int, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_sensors rows=$rows slices=$slices " +
+      s"PushedFilters=[${pushed.mkString(", ")}] " +
+      s"ReadSchema=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    SensorSource.clamp(rows, pushed.toSeq) match {
+      case None => Array.empty
+      case Some((lo, hi)) =>
+        // split the ORIGINAL [0,n) grid into `slices`, keep the ones that
+        // intersect the clamp — grid stability is what makes the pruning
+        // observable (a selective filter keeps few of the same slices)
+        val out = ArrayBuffer.empty[InputPartition]
+        var i = 0
+        while (i < slices) {
+          val s = rows * i / slices
+          val e = rows * (i + 1) / slices
+          val a = math.max(s, lo)
+          val b = math.min(e, hi)
+          if (a < b) out += SensorPartition(a, b)
+          i += 1
+        }
+        out.toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SensorReaderFactory(required)
+}
+
+case class SensorPartition(start: Long, end: Long) extends InputPartition
+
+class SensorReaderFactory(required: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SensorPartition]
+    new SensorReader(p.start, p.end, required)
+  }
+}
+
+/** Generates exactly the projected columns for ids in [start, end). */
+class SensorReader(start: Long, end: Long, required: StructType)
+    extends PartitionReader[InternalRow] {
+  private var id = start - 1
+  // resolve the projection ONCE, not per row
+  private val cols: Array[Long => Any] = required.fieldNames.map {
+    case "id"      => (i: Long) => i
+    case "sensor"  => (i: Long) => (i % 97).toInt
+    case "ts"      => (i: Long) => SensorSource.baseMicros + i * 1000000L
+    case "reading" => (i: Long) => ((i * 2654435761L) % 100000L) / 1000.0
+    case "status"  => (i: Long) => UTF8String.fromString(SensorSource.statusOf(i))
+  }
+  override def next(): Boolean = { id += 1; id < end }
+  override def get(): InternalRow = InternalRow.fromSeq(cols.map(_(id)).toSeq)
+  override def close(): Unit = ()
+}

@@ -251,11 +251,32 @@ object Sources {
     (df, obs)
   }
 
+  /** o05: the custom DataSource V2 connector ([[SensorSource]]) under a
+    * real query — a selective id-range predicate (absorbed by the source,
+    * pruning 16 planned partitions down to the 7 that intersect), a
+    * residual `status` predicate (NOT pushable, evaluated by Spark above
+    * the scan), column pruning (only the 5 projected fields are ever
+    * generated), and an aggregate on top. Dsv2Spec asserts each contract
+    * against this exact plan; the oracle replays the row formula over
+    * DuckDB's `range()`. */
+  def o05Dsv2Source(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, sum, when}
+    spark.read.format("graft-sensors")
+      .option("rows", 100000).option("slices", 16).load()
+      .filter(col("id") >= 20000L && col("id") < 60000L && col("status") =!= "alert")
+      .groupBy(col("sensor"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("reading")).as("total_reading"),
+        max(col("ts")).as("max_ts"),
+        sum(when(col("status") === "warn", 1L).otherwise(0L)).as("n_warn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
     "o03_partitioned_prune" -> o03PartitionedPrune _,
     "o04_schema_merge" -> o04SchemaMerge _,
+    "o05_dsv2_source" -> o05Dsv2Source _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -283,5 +304,21 @@ object Sources {
                                THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                  ${graft.Tables.sqlDsum("o_totalprice")} AS total
           FROM orders GROUP BY 1""",
+    // the SensorSource row formula replayed verbatim over range(n)
+    "o05_dsv2_source" ->
+      s"""WITH s AS (
+            SELECT id, CAST(id % 97 AS INT) AS sensor,
+                   TIMESTAMP '2024-01-01 00:00:00' + id * INTERVAL '1 second' AS ts,
+                   ((id * 2654435761) % 100000) / 1000.0 AS reading,
+                   CASE WHEN id % 13 = 0 THEN 'alert'
+                        WHEN id % 5 = 0 THEN 'warn'
+                        ELSE 'ok' END AS status
+            FROM range(100000) t(id))
+          SELECT sensor, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("reading")} AS total_reading,
+                 MAX(ts) AS max_ts,
+                 CAST(SUM(CASE WHEN status = 'warn' THEN 1 ELSE 0 END) AS BIGINT) AS n_warn
+          FROM s WHERE id >= 20000 AND id < 60000 AND status <> 'alert'
+          GROUP BY 1""",
   )
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{SensorSource, Sources}
+
+/** The custom DataSource V2 connector's three scan-time contracts —
+  * column pruning, filter absorption, partition pruning — asserted
+  * against real plans, plus value parity with an equivalent
+  * `spark.range`-based computation.
+  */
+class Dsv2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def sensors(rows: Long, slices: Int) =
+    spark.read.format("graft-sensors")
+      .option("rows", rows).option("slices", slices).load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  /** The row formula restated over spark.range — the independent twin. */
+  private def reference(rows: Long) =
+    spark.range(rows).select(
+      col("id"),
+      (col("id") % 97).cast("int").as("sensor"),
+      (lit(SensorSource.baseMicros) + col("id") * 1000000L).as("us"),
+      ((col("id") * 2654435761L) % 100000L / 1000.0).as("reading"),
+      when(col("id") % 13 === 0, "alert").when(col("id") % 5 === 0, "warn")
+        .otherwise("ok").as("status"))
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .drop("us")
+      .select("id", "sensor", "ts", "reading", "status")
+
+  test("short name resolves via DataSourceRegister and values match the formula") {
+    val got = sensors(5000, 4).collect().sortBy(_.getLong(0))
+    val want = reference(5000).collect().sortBy(_.getLong(0))
+    assert(got.length == 5000)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("id predicates are absorbed by the source and prune partitions") {
+    val df = sensors(100000, 16).filter(col("id") >= 20000L && col("id") < 60000L)
+    val scan = scanOf(df)
+    val desc = scan.scan.description()
+    assert(desc.contains("GreaterThanOrEqual(id,20000)"), desc)
+    assert(desc.contains("LessThan(id,60000)"), desc)
+    // 16 slices of 6250 over [0,100000); [20000,60000) touches slices 3..9
+    assert(df.rdd.getNumPartitions == 7,
+      s"expected 7 surviving partitions, got ${df.rdd.getNumPartitions}")
+    assert(df.count() == 40000)
+    // absorption is exact: min/max at the clamp edges
+    val r = df.agg(min("id"), max("id")).head()
+    assert(r.getLong(0) == 20000L && r.getLong(1) == 59999L)
+  }
+
+  test("non-id predicates stay residual but still filter") {
+    val df = sensors(1000, 2).filter(col("status") === "alert")
+    val desc = scanOf(df).scan.description()
+    val pushedSeg = desc.substring(desc.indexOf("PushedFilters=["))
+      .takeWhile(_ != ']')
+    assert(!pushedSeg.contains("status"),
+      s"status must not appear in pushed filters: $desc")
+    assert(pushedSeg == "PushedFilters=[", s"nothing should be pushed: $desc")
+    // ids 0,13,26,... -> ceil(1000/13)
+    assert(df.count() == 77)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = sensors(1000, 2).select("sensor", "reading")
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("ReadSchema=sensor,reading"), desc)
+    assert(df.columns.toSeq == Seq("sensor", "reading"))
+    assert(df.distinct().count() > 0)
+  }
+
+  test("contradictory clamp plans zero partitions; COUNT(*) works on empty projection") {
+    val empty = sensors(1000, 4).filter(col("id") < 0L)
+    assert(empty.rdd.getNumPartitions == 0)
+    assert(empty.count() == 0)
+    assert(sensors(1000, 4).count() == 1000) // COUNT(*): empty required schema
+  }
+
+  test("o05 equals the same aggregate over the reference twin") {
+    val got = Sources.o05Dsv2Source(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.get(3).toString, r.getLong(4)))
+      .sortBy(_._1)
+    val want = reference(100000)
+      .filter(col("id") >= 20000L && col("id") < 60000L && col("status") =!= "alert")
+      .groupBy(col("sensor"))
+      .agg(count(lit(1)).as("n"), Tables.dsum(col("reading")).as("total_reading"),
+        max(col("ts")).as("max_ts"),
+        sum(when(col("status") === "warn", 1L).otherwise(0L)).as("n_warn"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.get(3).toString, r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+}
