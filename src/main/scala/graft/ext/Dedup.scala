@@ -1073,6 +1073,70 @@ object Dedup {
         ($"rep_tokens".cast("double") / $"n_tokens").as("rep_frac"))
   }
 
+  // --- d29: winnowed fingerprint anchors ----------------------------------
+
+  /** Winnowing k-gram size / window size. Guarantee threshold t = W+K-1 = 8
+    * tokens — deliberately equal to [[RepSpanK]], so d29 is the documented
+    * approximate fallback for exactly the spans d27 detects. */
+  val WinnowK = 5
+  val WinnowW = 4
+
+  /** Winnowed document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    * scheme): hash every K-token gram (stride 1), slide a W-gram window,
+    * keep each window's minimum hash (rightmost on ties). Guarantees: any
+    * token run of length ≥ W+K-1 shared by two documents shares at least
+    * one selected anchor, at an expected density of 2/(W+1) — the
+    * sub-sampling d27's Scaladoc names as the fallback when the stride-1
+    * shuffle volume is too big (~40% of it at W=4, with a detection
+    * guarantee instead of hope).
+    *
+    * Relational mechanics: the per-window argmin needs no self-join — the
+    * (hash, position) pair packs into ONE long (`h20·2^20 + (2^20-1-p)`, a
+    * 20-bit md5-prefix hash and a reversed position so the natural MIN is
+    * rightmost-on-ties), so selection is a single keyed window MIN over
+    * ROWS [CURRENT, W-1 FOLLOWING] plus DISTINCT on the decoded position —
+    * one Generate (linear in tokens), one per-doc window, one
+    * hash-partitioned share join. No global sort, no all-pairs anywhere.
+    * Output per doc: gram count, anchor count, anchor density, and how
+    * many anchors also appear as anchors in another document (the
+    * near-dup candidate signal). Oracle replays the packing verbatim
+    * (`CAST('0x'||substr(md5,1,5) AS BIGINT)` ≡ `conv(…,16,10)`). */
+  def d29WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = WinnowK; val W = WinnowW
+    val base = corpusWithCopies(Tables.documents(spark, dir))
+      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+      .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
+      .filter($"n_tokens" >= K + W - 1)
+    val grams = base
+      .withColumn("p", explode(sequence(lit(0L), $"n_tokens" - K)))
+      .select($"doc_id", ($"n_tokens" - K + 1).as("n_grams"), $"p",
+        md5(concat_ws(" ", slice($"toks", ($"p" + 1).cast("int"), lit(K)))).as("h"))
+      .withColumn("key",
+        conv(substring($"h", 1, 5), 16, 10).cast("long") * 1048576L +
+          (lit(1048575L) - $"p"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p").rowsBetween(0, W - 1)
+    val anchors = grams
+      .withColumn("wmin", min($"key").over(w))
+      .filter($"p" <= $"n_grams" - W) // full windows only
+      .select($"doc_id", $"n_grams",
+        (lit(1048575L) - $"wmin" % 1048576L).as("apos"))
+      .distinct()
+    // re-attach the anchor gram's full hash (the content identity for the
+    // cross-doc share check; the 20-bit h20 exists only for the packed min)
+    val anc = anchors.join(
+      grams.select($"doc_id", $"p".as("apos"), $"h"), Seq("doc_id", "apos"))
+    val docsPerH = anc.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+    anc.join(docsPerH, "h")
+      .groupBy($"doc_id")
+      .agg(min($"n_grams").as("n_grams"), count(lit(1)).as("n_anchors"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select($"doc_id", $"n_grams", $"n_anchors",
+        ($"n_anchors".cast("double") / $"n_grams").as("density"), $"n_shared")
+  }
+
   // --- d12: incremental (batch-vs-index) dedup ----------------------------
 
   /** The incoming-batch fixture for incremental dedup: exact copies,
@@ -1171,6 +1235,7 @@ object Dedup {
     "d01_exact_dedup"   -> d01Exact _,
     "d14_passage_dedup" -> d14PassageDedup _,
     "d27_repeated_spans" -> d27RepeatedSpans _,
+    "d29_winnow_fingerprint" -> d29WinnowFingerprint _,
     "d15_minhash_estimate" -> d15MinhashEstimate _,
     "d16_normalized_dedup" -> d16NormalizedDedup _,
     "d17_lsh_tuning"       -> d17LshTuning _,
@@ -1240,6 +1305,43 @@ object Dedup {
   private def lshPairCtes: String = lshPairCtesFor(corpusSql)
 
   val oracles: Map[String, String] = Map(
+    "d29_winnow_fingerprint" -> {
+      val K = WinnowK; val W = WinnowW
+      s"""WITH $corpusSql,
+          base AS (
+            SELECT doc_id, ${TextAnalysis.tokensSql} AS ts,
+                   len(${TextAnalysis.tokensSql}) AS n_tokens
+            FROM corpus WHERE len(${TextAnalysis.tokensSql}) >= ${K + W - 1}),
+          grams AS (
+            SELECT doc_id, n_tokens - $K + 1 AS n_grams, ts,
+                   unnest(range(0, n_tokens - $K + 1)) AS p
+            FROM base),
+          gh AS (
+            SELECT doc_id, n_grams, p,
+                   md5(array_to_string(ts[(p + 1):(p + $K)], ' ')) AS h
+            FROM grams),
+          keyed AS (
+            SELECT *, CAST('0x' || substr(h, 1, 5) AS BIGINT) * 1048576
+                        + (1048575 - p) AS key
+            FROM gh),
+          wm AS (
+            SELECT doc_id, n_grams, p,
+                   MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS wmin
+            FROM keyed),
+          anchors AS (
+            SELECT DISTINCT doc_id, n_grams, 1048575 - (wmin % 1048576) AS apos
+            FROM wm WHERE p <= n_grams - $W),
+          anc AS (
+            SELECT a.doc_id, a.n_grams, g.h
+            FROM anchors a JOIN gh g ON g.doc_id = a.doc_id AND g.p = a.apos),
+          sh AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM anc GROUP BY h)
+          SELECT doc_id, CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+                 COUNT(*) AS n_anchors,
+                 CAST(COUNT(*) AS DOUBLE) / MIN(n_grams) AS density,
+                 CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          FROM anc JOIN sh USING (h) GROUP BY doc_id"""
+    },
     "d27_repeated_spans" -> {
       val K = RepSpanK
       s"""WITH $corpusSql,

@@ -327,4 +327,77 @@ class Round8Spec extends AnyFunSuite {
       assert(div >= 0.0 && div <= 1.0 && math.abs(div - (1.0 - num.toDouble / (n * (n - 1)))) == 0.0)
     }
   }
+
+  // --- d29: winnowed fingerprint anchors --------------------------------
+
+  /** Brute-force winnowing of one token list: every W-window's
+    * (h20, rightmost)-argmin position, deduplicated — the spec the packed
+    * window-min must equal. */
+  private def winnowBrute(toks: Array[String]): Set[Long] = {
+    val K = ext.Dedup.WinnowK; val W = ext.Dedup.WinnowW
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h20(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(5), 16)
+    }
+    val hs = (0 to toks.length - K)
+      .map(p => h20(toks.slice(p, p + K).mkString(" "))).toArray
+    (0 to hs.length - W).flatMap { i =>
+      // rightmost minimal hash in the window
+      val win = (i until i + W).map(p => (hs(p), -p))
+      val best = win.min
+      Some((-best._2).toLong)
+    }.toSet
+  }
+
+  test("d29: packed window-min equals brute-force winnowing per document") {
+    val K = ext.Dedup.WinnowK; val W = ext.Dedup.WinnowW
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+      .filter(_._1 % 37 == 0) // a deterministic sample is plenty
+    assert(docs.nonEmpty)
+    // recompute the engine's anchor POSITIONS via the same packed device
+    // the query uses, then compare with the brute-force spec
+    docs.foreach { case (_, text) =>
+      val toks = text.trim.split("\\s+")
+      if (toks.length >= K + W - 1) {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def h20(s: String): Long = {
+          val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          java.lang.Long.parseLong(hex.take(5), 16)
+        }
+        val hs = (0 to toks.length - K)
+          .map(p => h20(toks.slice(p, p + K).mkString(" "))).toArray
+        val packed = (0 to hs.length - W).map { i =>
+          (i until i + W).map(p => hs(p) * 1048576L + (1048575L - p)).min
+        }.map(k => 1048575L - k % 1048576L).toSet
+        assert(packed == winnowBrute(toks), "packed device != argmin spec")
+      }
+    }
+  }
+
+  test("d29: guarantee holds — planted copies share anchors; density near 2/(W+1)") {
+    val out = ext.Dedup.d29WinnowFingerprint(spark, sf0001)
+      .select($"doc_id", $"n_grams", $"n_anchors", $"density", $"n_shared")
+      .as[(Long, Long, Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // every planted exact copy (+1e6) and its source share ALL anchors —
+    // n_shared = n_anchors on both sides of each planted pair
+    val planted = out.keys.filter(_ >= 1000000L).filter(_ < 2000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { cid =>
+      val (_, _, na, _, ns) = out(cid)
+      assert(ns == na, s"copy $cid: all anchors must be shared, $ns != $na")
+      val (_, _, na0, _, ns0) = out(cid - 1000000L)
+      assert(ns0 == na0, s"source ${cid - 1000000L}: all anchors shared")
+    }
+    // near copies (first token dropped) still share ≥1 anchor: every run
+    // of ≥ W+K-1 common tokens guarantees one
+    out.keys.filter(_ >= 2000000L).foreach { cid =>
+      assert(out(cid)._5 > 0, s"near copy $cid must share an anchor")
+    }
+    // expected density 2/(W+1) = 0.4; allow generous slack either side
+    val densities = out.values.map(_._4)
+    val mean = densities.sum / densities.size
+    assert(mean > 0.25 && mean < 0.55, s"mean density $mean far from 2/(W+1)")
+  }
 }
