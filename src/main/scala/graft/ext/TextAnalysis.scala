@@ -148,6 +148,52 @@ object TextAnalysis {
   def fingerprintScale(spark: SparkSession, dir: String): DataFrame =
     fingerprintScaleOf(Tables.documents(spark, dir))
 
+  /** t25: ROC-AUC of the t03 quality score against each language,
+    * one-vs-rest — the classifier-calibration/bias audit a curation
+    * pipeline runs before gating on a heuristic score (t03 counts `[a-z]`
+    * stopwords and latin-alphabet noise, so "does it systematically rank
+    * one language's documents lower?" is exactly the question; an AUC far
+    * from 0.5 for a language says the gate doubles as a language filter).
+    *
+    * AUC via the rank-sum (Mann–Whitney U) identity, in EXACT integer
+    * arithmetic until one final division: group docs by score value,
+    * running count gives each tie-group's `2·avg_rank = 2·cum_below+n+1`,
+    * and AUC = (Σ pos·2r − n_pos(n_pos+1)) / (2·n_pos·n_neg). No
+    * per-pair comparison anywhere — the naive definition is O(N²); this
+    * is one 5× broadcast fan-out, one groupBy(lang, score), one window
+    * over DISTINCT SCORE VALUES (score-cardinality rows, not corpus), one
+    * agg. Tie groups form on the double score — bit-identical in both
+    * engines (one IEEE division of exact ints), so grouping agrees. At a
+    * corpus where rank-sums near 2^53, the eval subsamples per stratum
+    * first (the measurement does not need the full population). */
+  def t25QualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = tokens($"text")
+    val stopArr = array(stopwords.map(lit): _*)
+    val scored = Tables.documents(spark, dir).select(
+      $"lang",
+      ((size(array_distinct(toks)) * 1000
+        + size(filter(toks, t => array_contains(stopArr, t))) * 100
+        - length(regexp_replace($"text", "[a-z\\s]", "")) * 10).cast("double")
+        / size(toks)).as("quality"))
+    val langs = scored.select($"lang".as("cand")).distinct()
+    val labeled = scored.crossJoin(broadcast(langs))
+      .select($"cand", $"quality", ($"lang" === $"cand").cast("long").as("pos"))
+    val byVal = labeled.groupBy($"cand", $"quality")
+      .agg(count(lit(1)).as("n_v"), sum($"pos").as("pos_v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cand").orderBy($"quality")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    byVal.withColumn("cum_below", sum($"n_v").over(w) - $"n_v")
+      .groupBy($"cand")
+      .agg(sum($"pos_v" * (lit(2L) * $"cum_below" + $"n_v" + 1L)).as("s2"),
+        sum($"pos_v").as("n_pos"), sum($"n_v").as("n_all"))
+      .select($"cand".as("lang"), $"n_pos", ($"n_all" - $"n_pos").as("n_neg"),
+        $"s2".as("rank2_sum"),
+        (($"s2" - $"n_pos" * ($"n_pos" + 1L)).cast("double") /
+          (lit(2L) * $"n_pos" * ($"n_all" - $"n_pos")).cast("double")).as("auc"))
+  }
+
   /** BPE-ish subword tokenization: a regex over letter runs / digit runs /
     * single non-alphanumeric marks — the classic pre-tokenizer shape used
     * before byte-pair merging. Counting only (merging is model-specific);
@@ -616,6 +662,7 @@ object TextAnalysis {
     "t22_tokenizer_fertility" -> t22TokenizerFertility _,
     "t23_char_diversity" -> t23CharDiversity _,
     "t24_heaps_law" -> t24HeapsLaw _,
+    "t25_quality_auc" -> t25QualityAuc _,
   )
 
   private def langScoreSql(ms: Seq[String]): String = {
@@ -663,6 +710,36 @@ object TextAnalysis {
                 CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
                 COUNT(DISTINCT source) AS n_sources
          FROM documents GROUP BY lang""",
+    "t25_quality_auc" ->
+      s"""WITH scored AS (
+            SELECT lang,
+                   CAST(len(list_distinct($tokensSql)) * 1000
+                        + len(list_filter($tokensSql, t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10 AS DOUBLE)
+                     / len($tokensSql) AS quality
+            FROM documents),
+          langs AS (SELECT DISTINCT lang AS cand FROM scored),
+          labeled AS (
+            SELECT cand, quality,
+                   CASE WHEN s.lang = l.cand THEN 1 ELSE 0 END AS pos
+            FROM scored s CROSS JOIN langs l),
+          byval AS (
+            SELECT cand, quality, COUNT(*) AS n_v,
+                   CAST(SUM(pos) AS BIGINT) AS pos_v
+            FROM labeled GROUP BY 1, 2),
+          cum AS (
+            SELECT *, SUM(n_v) OVER (PARTITION BY cand ORDER BY quality
+                                     ROWS UNBOUNDED PRECEDING) - n_v AS cum_below
+            FROM byval)
+          SELECT cand AS lang,
+                 CAST(SUM(pos_v) AS BIGINT) AS n_pos,
+                 CAST(SUM(n_v) - SUM(pos_v) AS BIGINT) AS n_neg,
+                 CAST(SUM(pos_v * (2 * cum_below + n_v + 1)) AS BIGINT) AS rank2_sum,
+                 CAST(SUM(pos_v * (2 * cum_below + n_v + 1))
+                      - SUM(pos_v) * (SUM(pos_v) + 1) AS DOUBLE)
+                   / (2 * CAST(SUM(pos_v) AS BIGINT)
+                        * CAST(SUM(n_v) - SUM(pos_v) AS BIGINT)) AS auc
+          FROM cum GROUP BY cand""",
     "t03_quality_score" ->
       s"""SELECT doc_id,
           CAST(len($tokensSql) AS INT) AS n_tokens,

@@ -400,4 +400,34 @@ class Round8Spec extends AnyFunSuite {
     val mean = densities.sum / densities.size
     assert(mean > 0.25 && mean < 0.55, s"mean density $mean far from 2/(W+1)")
   }
+
+  // --- t25: rank-sum AUC ------------------------------------------------
+
+  test("t25: rank-sum AUC equals the O(N^2) pairwise definition exactly") {
+    val out = ext.TextAnalysis.t25QualityAuc(spark, sf0001)
+      .select($"lang", $"n_pos", $"n_neg", $"rank2_sum", $"auc")
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.nonEmpty)
+    // recompute the quality scores independently and brute-force the
+    // concordant/tied pair counts per language
+    val scored = ext.TextAnalysis.t03QualityScore(spark, sf0001)
+      .join(Tables.documents(spark, sf0001).select($"doc_id", $"lang"), "doc_id")
+      .select($"lang", $"quality").as[(String, Double)].collect()
+    out.keys.foreach { lang =>
+      val pos = scored.filter(_._1 == lang).map(_._2)
+      val neg = scored.filter(_._1 != lang).map(_._2)
+      val (_, np, nn, r2, auc) = out(lang)
+      assert(np == pos.length && nn == neg.length)
+      // 2U = 2*#(p>n) + #(p==n); AUC = 2U / (2*np*nn)
+      var gt = 0L; var eq = 0L
+      pos.foreach(p => neg.foreach { n =>
+        if (p > n) gt += 1 else if (p == n) eq += 1
+      })
+      val twoU = 2 * gt + eq
+      assert(r2 - np * (np + 1) == twoU,
+        s"$lang: rank-sum 2U ${r2 - np * (np + 1)} != pairwise $twoU")
+      assert(auc == twoU.toDouble / (2.0 * np * nn), s"$lang auc")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
 }
