@@ -68,6 +68,35 @@ object Curation {
            array_join(array_sort(collect_set($"lang")), ",").as("langs"))
   }
 
+  /** p11: temperature-scaled mixture weights — the multilingual sampling
+    * temperature of mT5 / XLM-R (q_d ∝ p_d^τ, τ < 1 flattens the mixture
+    * so low-resource domains are upsampled). τ is pinned to 1/2: the
+    * reweight is then `sqrt`, the one fractional power IEEE-754 requires
+    * correctly rounded, so every weight is bit-identical across engines
+    * (`pow(x, 0.55)` would not be — the API caller can trade exactness
+    * for an arbitrary τ, the registered query does not). The normalizer
+    * Σ√n_d is a deterministic ordered fold (lang-sorted collect +
+    * sequential aggregate — the s05/s15 device); the collected array is
+    * domain-cardinality, never corpus-sized, so the one-row normalizer
+    * broadcasts at any scale. `eff_factor` > 1 = domain is upsampled
+    * under the temperature mixture; the per-domain report is what a
+    * training-mixture config is generated from. */
+  def p11TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.documents(spark, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+    val tot = c.agg(sum($"n_docs").as("n_total"),
+      aggregate(
+        sort_array(collect_list(struct($"lang".as("l"), sqrt($"n_docs").as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("s"))
+    c.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs",
+        ($"n_docs".cast("double") / $"n_total").as("p_share"),
+        sqrt($"n_docs").as("w"),
+        (sqrt($"n_docs") / $"s").as("q_share"),
+        (sqrt($"n_docs") / $"s" * $"n_total" / $"n_docs").as("eff_factor"))
+  }
+
   /** Temperature-based mixture rebalancing (τ = 0.5): downsample each
     * language toward uniform by keeping a sqrt(min_count/count) fraction —
     * the multilingual-corpus resampling step of an LLM data pipeline. The
@@ -336,6 +365,7 @@ object Curation {
     "p08_source_overlap" -> p08SourceOverlap _,
     "p09_domain_cap"    -> p09DomainCap _,
     "p10_shard_shuffle" -> p10ShardShuffle _,
+    "p11_temperature_mix" -> p11TemperatureMix _,
     "p05_filter_funnel" -> p05FilterFunnel _,
     "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
@@ -346,6 +376,19 @@ object Curation {
     "p03_weighted_sample" -> p03WeightedSample _,
   )
   val oracles: Map[String, String] = Map(
+    "p11_temperature_mix" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+          tot AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+                   list_reduce(list(sqrt(n_docs) ORDER BY lang),
+                               (acc, x) -> acc + x) AS s
+            FROM c)
+          SELECT lang, n_docs,
+                 CAST(n_docs AS DOUBLE) / n_total AS p_share,
+                 sqrt(n_docs) AS w,
+                 sqrt(n_docs) / s AS q_share,
+                 sqrt(n_docs) / s * n_total / n_docs AS eff_factor
+          FROM c CROSS JOIN tot""",
     "p09_domain_cap" -> {
       val tok = TextAnalysis.tokensSql
       s"""WITH scored AS (

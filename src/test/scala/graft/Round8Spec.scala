@@ -430,4 +430,33 @@ class Round8Spec extends AnyFunSuite {
       assert(auc >= 0.0 && auc <= 1.0)
     }
   }
+
+  // --- p11: temperature mixture -----------------------------------------
+
+  test("p11: sqrt reweight matches a bit-exact recompute and flattens the mixture") {
+    val out = ext.Curation.p11TemperatureMix(spark, sf0001)
+      .select($"lang", $"n_docs", $"p_share", $"w", $"q_share", $"eff_factor")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    val counts = Tables.documents(spark, sf0001)
+      .groupBy($"lang").agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    assert(out.map(_._1).toSet == counts.keySet)
+    val nTotal = counts.values.sum
+    // the ordered fold, replayed: lang-sorted, 0.0-seeded, left to right
+    val s = counts.toSeq.sortBy(_._1).map(c => math.sqrt(c._2.toDouble))
+      .foldLeft(0.0)(_ + _)
+    out.foreach { case (lang, n, p, w, q, f) =>
+      assert(n == counts(lang))
+      assert(p == n.toDouble / nTotal && w == math.sqrt(n.toDouble))
+      assert(q == math.sqrt(n.toDouble) / s, s"$lang q_share not bit-exact")
+      assert(f == math.sqrt(n.toDouble) / s * nTotal / n, s"$lang eff_factor")
+    }
+    // temperature < 1 flattens: the q-ratio between the biggest and
+    // smallest domain must be strictly smaller than the p-ratio, and the
+    // smallest domain must be upsampled (eff_factor > 1)
+    val byN = out.sortBy(_._2)
+    assert(byN.last._5 / byN.head._5 < byN.last._3 / byN.head._3)
+    assert(byN.head._6 > 1.0 && byN.last._6 < 1.0)
+    // shares still normalize (within fold rounding)
+    assert(math.abs(out.map(_._5).sum - 1.0) < 1e-12)
+  }
 }
