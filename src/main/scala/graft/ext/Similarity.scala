@@ -211,6 +211,58 @@ object Similarity {
               ($"comp_sum" / $"n_members").as("centroid_comp"))
   }
 
+  /** Per-(cluster, component) ordered-fold means reassembled into double
+    * centroid ARRAYS — the s05 update step, shaped for re-use as the next
+    * Lloyd round's centroid table. */
+  private def centroidArrays(assigned: DataFrame): DataFrame =
+    assigned.select(col("cid"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n_members"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("vec_id"), col("comp")))),
+            s => s.getField("comp").cast("double")),
+          lit(0.0), (a, x) => a + x).as("s"))
+      .withColumn("m", col("s") / col("n_members"))
+      .groupBy(col("cid"))
+      .agg(min(col("n_members")).as("n_members"),
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("ce"))
+
+  /** s16: k-means actually ITERATED — two full Lloyd rounds (assign →
+    * mean-update → reassign → mean-update) with deterministic seeding
+    * (the s04 sampled centroids), reported as per-(cluster, component)
+    * round-1 vs round-2 means and the movement between them — the
+    * convergence readout a clustering run monitors. s04/s05 are the two
+    * halves of ONE round; this is the loop, and everything stays
+    * engine-exact: means are the s05 ordered fold, the round-2 scoring
+    * against DOUBLE mean-vectors is the same left-fold dot as `vec_dot`
+    * (zip_with + seed-0.0 aggregate — the double-array twin of
+    * [[dotFold]]), and ties break by cid. Scale shape per round: means
+    * broadcast (k × dim doubles), assignment is a map-side argmax over
+    * the scan, the update is one (cid, pos)-keyed agg whose per-group
+    * collect is bounded by cluster size — the driver holds nothing but
+    * the loop counter. More rounds = the same two stages repeated. */
+  def s16KmeansLloyd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val cent1 = centroidArrays(ivfAssigned(e))
+    val scored2 = e.join(broadcast(cent1.select($"cid", $"ce")))
+      .select($"vec_id", $"embedding", $"cid",
+        aggregate(zip_with($"embedding", $"ce", (x, y) => x.cast("double") * y),
+          lit(0.0), (a, v) => a + v).as("cdot"))
+    val w2 = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+    val assigned2 = scored2.withColumn("rn", row_number().over(w2))
+      .filter($"rn" === 1).select($"vec_id", $"embedding", $"cid")
+    val cent2 = centroidArrays(assigned2)
+    val r1 = cent1.select($"cid", posexplode($"ce").as(Seq("pos", "comp1")))
+    val r2 = cent2.select($"cid", $"n_members",
+      posexplode($"ce").as(Seq("pos", "comp2")))
+    r2.join(r1, Seq("cid", "pos"))
+      .select($"cid", $"pos", $"n_members", $"comp1", $"comp2",
+        abs($"comp2" - $"comp1").as("shift"))
+  }
+
   /** s15: per-dimension embedding QA — the drift/collapse report run
     * before an embedding corpus is trusted (a dead dimension has ~zero
     * variance; a scale bug shows in min/max). Doubles don't sum
@@ -545,6 +597,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s14_knn_graph"      -> s14KnnGraph _,
     "s15_dim_stats"      -> s15DimStats _,
+    "s16_kmeans_lloyd"   -> s16KmeansLloyd _,
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s11_hybrid_search"  -> s11HybridSearch _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
@@ -616,6 +669,43 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     // the two-level ordered fold is replayed exactly: bucket lists sorted
     // by vec_id, partials sorted by bucket — same IEEE add sequence
+    "s16_kmeans_lloyd" ->
+      s"""WITH $ivfAssignedCtes,
+          comps1 AS (
+            SELECT cid, vec_id, unnest(range(1, 65)) AS j,
+                   unnest(list_transform(range(1, 65),
+                          j -> CAST(embedding[j] AS DOUBLE))) AS comp
+            FROM assigned),
+          means1 AS (
+            SELECT cid, j,
+                   list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                               (a, b) -> a + b) / COUNT(*) AS m
+            FROM comps1 GROUP BY cid, j),
+          cent1 AS (SELECT cid, list(m ORDER BY j) AS ce FROM means1 GROUP BY cid),
+          scored2 AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * c.ce[i])),
+                     (x, y) -> x + y) AS cdot
+            FROM embeddings e CROSS JOIN cent1 c),
+          assigned2 AS (
+            SELECT vec_id, embedding, cid FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cdot DESC, cid) AS rn
+              FROM scored2) t WHERE rn = 1),
+          comps2 AS (
+            SELECT cid, vec_id, unnest(range(1, 65)) AS j,
+                   unnest(list_transform(range(1, 65),
+                          j -> CAST(embedding[j] AS DOUBLE))) AS comp
+            FROM assigned2),
+          means2 AS (
+            SELECT cid, j, COUNT(*) AS n_members,
+                   list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                               (a, b) -> a + b) / COUNT(*) AS m
+            FROM comps2 GROUP BY cid, j)
+          SELECT m2.cid, CAST(m2.j - 1 AS INT) AS pos, m2.n_members,
+                 m1.m AS comp1, m2.m AS comp2, abs(m2.m - m1.m) AS shift
+          FROM means2 m2 JOIN means1 m1 ON m1.cid = m2.cid AND m1.j = m2.j""",
     "s15_dim_stats" ->
       s"""WITH comps AS (
             SELECT vec_id, CAST(FLOOR(vec_id / 256.0) AS BIGINT) AS b,

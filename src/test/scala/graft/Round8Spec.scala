@@ -459,4 +459,28 @@ class Round8Spec extends AnyFunSuite {
     // shares still normalize (within fold rounding)
     assert(math.abs(out.map(_._5).sum - 1.0) < 1e-12)
   }
+
+  // --- s16: iterated k-means --------------------------------------------
+
+  test("s16: memberships tile the corpus, movement is real, means are finite") {
+    val rows = ext.Similarity.s16KmeansLloyd(spark, sf0001)
+      .select($"cid", $"pos", $"n_members", $"comp1", $"comp2", $"shift")
+      .as[(Long, Int, Long, Double, Double, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= 0) && rows.forall(_._2 < 64))
+    // every surviving cluster reports all 64 components with one count
+    val perCid = rows.groupBy(_._1)
+    perCid.foreach { case (cid, rs) =>
+      assert(rs.map(_._2).toSet.size == 64, s"cluster $cid missing components")
+      assert(rs.map(_._3).toSet.size == 1, s"cluster $cid inconsistent counts")
+    }
+    // round-2 memberships partition the embedding corpus
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(perCid.values.map(_.head._3).sum == nVecs)
+    rows.foreach { case (_, _, _, c1, c2, s) =>
+      assert(!c1.isNaN && !c2.isNaN && s == math.abs(c2 - c1))
+    }
+    // the second round moved at least one centroid (otherwise the test
+    // fixture degenerated and the "iteration" is vacuous)
+    assert(rows.exists(_._6 > 0.0))
+  }
 }
