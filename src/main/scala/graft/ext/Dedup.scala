@@ -1109,6 +1109,8 @@ object Dedup {
       .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
       .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
       .filter($"n_tokens" >= K + W - 1)
+    // referenced twice (window-min selection + anchor-hash join-back):
+    // cached, or the shingle explode + md5 pass runs twice
     val grams = base
       .withColumn("p", explode(sequence(lit(0L), $"n_tokens" - K)))
       .select($"doc_id", ($"n_tokens" - K + 1).as("n_grams"), $"p",
@@ -1116,6 +1118,7 @@ object Dedup {
       .withColumn("key",
         conv(substring($"h", 1, 5), 16, 10).cast("long") * 1048576L +
           (lit(1048575L) - $"p"))
+      .cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p").rowsBetween(0, W - 1)
     val anchors = grams
