@@ -387,7 +387,38 @@ object Relational7 {
         ($"cum_dec".cast("double") / $"tot".cast("double")).as("cum_share"))
   }
 
+  /** q98: the modern SQL entry-point affordances a migrating user
+    * reaches for, exercised together so the SURFACE is covered, not just
+    * the semantics: (1) a named-parameter query (`spark.sql(text, args)`
+    * with `:name` markers — the injection-safe form, no string
+    * interpolation), (2) a declarative SQL scalar UDF
+    * (`CREATE TEMPORARY FUNCTION … RETURNS … RETURN expr`, Spark 4's
+    * engine-side function definition — the body INLINES into the plan
+    * and stays inside whole-stage codegen, unlike a JVM closure UDF),
+    * and (3) `GROUP BY ALL`. The oracle replays the same query with the
+    * parameters and function body inlined (DuckDB shares the
+    * GROUP BY ALL affordance). */
+  def q98ModernSql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("ord_q98")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS price_band")
+    spark.sql(
+      """CREATE TEMPORARY FUNCTION price_band(p DOUBLE) RETURNS STRING
+         RETURN CASE WHEN p >= 200000 THEN 'big'
+                     WHEN p >= 100000 THEN 'mid'
+                     ELSE 'small' END""")
+    spark.sql(
+      """SELECT o_orderpriority, price_band(o_totalprice) AS band,
+                COUNT(*) AS n,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING)
+                     AS DOUBLE) AS total
+         FROM ord_q98
+         WHERE o_orderdate >= :lo AND o_orderdate < :hi
+         GROUP BY ALL""",
+      Map("lo" -> "1996-01-01", "hi" -> "1997-01-01"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q98_modern_sql"            -> q98ModernSql _,
     "q97_decile_lift"           -> q97DecileLift _,
     "q96_pareto"                -> q96Pareto _,
     "q95_share_of_total"        -> q95ShareOfTotal _,
@@ -411,6 +442,19 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    // parameters and the SQL-UDF body inlined; GROUP BY ALL is shared
+    "q98_modern_sql" ->
+      """SELECT o_orderpriority,
+                CASE WHEN o_totalprice >= 200000 THEN 'big'
+                     WHEN o_totalprice >= 100000 THEN 'mid'
+                     ELSE 'small' END AS band,
+                COUNT(*) AS n,
+                CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS STRING)
+                     AS DOUBLE) AS total
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY ALL""",
     "q97_decile_lift" ->
       s"""WITH rev AS (
             SELECT o_custkey,
