@@ -5,7 +5,8 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources._
@@ -93,6 +94,28 @@ object SensorSource {
           EqualTo("id", _: Long) => true
       case _ => false
     }
+
+  /** Split the ORIGINAL [0,n) grid into `slices`, keep the ones that
+    * intersect the pushed-filter clamp — grid stability is what makes
+    * the pruning observable (a selective filter keeps few of the same
+    * slices). Shared by the row scan and the aggregate scan. */
+  private[sources] def plannedSlices(rows: Long, slices: Int,
+      pushed: Seq[Filter]): Array[InputPartition] =
+    clamp(rows, pushed) match {
+      case None => Array.empty
+      case Some((lo, hi)) =>
+        val out = ArrayBuffer.empty[InputPartition]
+        var i = 0
+        while (i < slices) {
+          val s = rows * i / slices
+          val e = rows * (i + 1) / slices
+          val a = math.max(s, lo)
+          val b = math.min(e, hi)
+          if (a < b) out += SensorPartition(a, b)
+          i += 1
+        }
+        out.toArray
+    }
 }
 
 /** `spark.read.format("graft-sensors").option("rows", n).option("slices", p)` */
@@ -118,9 +141,10 @@ class SensorTable(rows: Long, slices: Int) extends Table with SupportsRead {
 
 class SensorScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var required: StructType = SensorSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Array[AggregateFunc] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = SensorSource.pushable(filters)
@@ -132,7 +156,73 @@ class SensorScanBuilder(rows: Long, slices: Int)
     // preserve our own field order; an empty projection (COUNT(*)) is legal
     required = StructType(
       SensorSource.schema.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
-  override def build(): Scan = new SensorScan(rows, slices, required, pushed)
+
+  /** PARTIAL aggregate pushdown: COUNT(*) / MIN(id) / MAX(id) over an id
+    * range are closed-form per partition (b-a, a, b-1), so the "scan"
+    * emits one arithmetic row per surviving slice and touches no data at
+    * all; Spark merges the partials. Complete pushdown is declined — the
+    * per-partition form is what distributes. */
+  private def isId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case f: NamedReference => f.fieldNames.length == 1 && f.fieldNames()(0) == "id"
+      case _ => false
+    }
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean = false
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val funcs = aggregation.aggregateExpressions
+    val ok = funcs.nonEmpty && funcs.forall {
+      case _: CountStar => true
+      case m: Min => isId(m.column)
+      case m: Max => isId(m.column)
+      case _ => false
+    }
+    if (ok) aggs = funcs
+    ok
+  }
+
+  override def build(): Scan =
+    if (aggs.nonEmpty) new SensorAggScan(rows, slices, pushed, aggs)
+    else new SensorScan(rows, slices, required, pushed)
+}
+
+/** The aggregate-pushdown scan: one closed-form partial row per
+  * surviving partition, no generated data rows anywhere. */
+class SensorAggScan(rows: Long, slices: Int, pushed: Array[Filter],
+    aggs: Array[AggregateFunc]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case m: Min       => StructField("min(id)", LongType, nullable = true)
+    case _            => StructField("max(id)", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_sensors rows=$rows slices=$slices " +
+      s"PushedFilters=[${pushed.mkString(", ")}] " +
+      s"PushedAggregates=[${aggs.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    SensorSource.plannedSlices(rows, slices, pushed.toSeq)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SensorAggReaderFactory(aggs)
+}
+
+class SensorAggReaderFactory(aggs: Array[AggregateFunc])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SensorPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(aggs.toSeq.map {
+        case _: CountStar => p.end - p.start
+        case _: Min       => p.start
+        case _            => p.end - 1
+      })
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class SensorScan(rows: Long, slices: Int, required: StructType,
@@ -145,24 +235,7 @@ class SensorScan(rows: Long, slices: Int, required: StructType,
       s"ReadSchema=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    SensorSource.clamp(rows, pushed.toSeq) match {
-      case None => Array.empty
-      case Some((lo, hi)) =>
-        // split the ORIGINAL [0,n) grid into `slices`, keep the ones that
-        // intersect the clamp — grid stability is what makes the pruning
-        // observable (a selective filter keeps few of the same slices)
-        val out = ArrayBuffer.empty[InputPartition]
-        var i = 0
-        while (i < slices) {
-          val s = rows * i / slices
-          val e = rows * (i + 1) / slices
-          val a = math.max(s, lo)
-          val b = math.min(e, hi)
-          if (a < b) out += SensorPartition(a, b)
-          i += 1
-        }
-        out.toArray
-    }
+    SensorSource.plannedSlices(rows, slices, pushed.toSeq)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SensorReaderFactory(required)

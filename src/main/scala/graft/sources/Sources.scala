@@ -271,12 +271,28 @@ object Sources {
         sum(when(col("status") === "warn", 1L).otherwise(0L)).as("n_warn"))
   }
 
+  /** o06: DSv2 AGGREGATE pushdown ([[SensorAggScan]]) — COUNT(*)/MIN/MAX
+    * over a filter-clamped million-row table collapse to one closed-form
+    * partial row per surviving partition; no data row is ever generated,
+    * and Spark merges the 16 partials. Dsv2Spec asserts the pushed-agg
+    * plan shape; the oracle computes the same aggregate the honest way
+    * over `range()`. */
+  def o06Dsv2AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    spark.read.format("graft-sensors")
+      .option("rows", 1000000).option("slices", 32).load()
+      .filter(col("id") >= 250000L && col("id") < 750000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
     "o03_partitioned_prune" -> o03PartitionedPrune _,
     "o04_schema_merge" -> o04SchemaMerge _,
     "o05_dsv2_source" -> o05Dsv2Source _,
+    "o06_dsv2_agg_pushdown" -> o06Dsv2AggPushdown _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -320,5 +336,9 @@ object Sources {
                  CAST(SUM(CASE WHEN status = 'warn' THEN 1 ELSE 0 END) AS BIGINT) AS n_warn
           FROM s WHERE id >= 20000 AND id < 60000 AND status <> 'alert'
           GROUP BY 1""",
+    "o06_dsv2_agg_pushdown" ->
+      """SELECT COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+         FROM range(1000000) t(id)
+         WHERE id >= 250000 AND id < 750000""",
   )
 }

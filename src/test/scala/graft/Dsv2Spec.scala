@@ -83,6 +83,46 @@ class Dsv2Spec extends AnyFunSuite {
     assert(sensors(1000, 4).count() == 1000) // COUNT(*): empty required schema
   }
 
+  /** Aggregate plans wrap in AdaptiveSparkPlanExec, which hides the scan
+    * from collectFirst until execution — disable AQE around the plan
+    * assertions (the pushdown itself is AQE-independent). */
+  private def withoutAqe[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("aggregate pushdown: closed-form partials, no data rows generated") { withoutAqe {
+    val df = sensors(1000000, 32)
+      .filter(col("id") >= 250000L && col("id") < 750000L)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"))
+    val scan = df.queryExecution.executedPlan
+      .collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+    val desc = scan.scan.description()
+    assert(desc.contains("PushedAggregates=[COUNT(*), MIN(id), MAX(id)]"), desc)
+    // the scan emits one partial row per surviving slice, not 500k rows:
+    // [250000, 750000) over 32 slices of 31250 tiles slices 8..23 = 16
+    val parts = scan.scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    assert(parts == 16, s"expected 16 partial partitions, got $parts")
+    val r = df.head()
+    assert(r.getLong(0) == 500000L && r.getLong(1) == 250000L && r.getLong(2) == 749999L)
+  } }
+
+  test("aggregate pushdown declines group-by and non-id aggregates") { withoutAqe {
+    // grouped aggregate: not pushed — falls back to the row scan
+    val grouped = sensors(10000, 4).groupBy(col("status")).agg(count(lit(1)).as("n"))
+    val gdesc = scanOf(grouped).scan.description()
+    assert(!gdesc.contains("PushedAggregates"), gdesc)
+    assert(grouped.collect().map(_.getLong(1)).sum == 10000L)
+    // sum(reading): not closed-form — declined, answered from real rows
+    val sums = sensors(10000, 4).agg(sum(col("reading")).as("s"), count(lit(1)).as("n"))
+    val sdesc = scanOf(sums).scan.description()
+    assert(!sdesc.contains("PushedAggregates"), sdesc)
+    assert(sums.head().getLong(1) == 10000L)
+  } }
+
   test("o05 equals the same aggregate over the reference twin") {
     val got = Sources.o05Dsv2Source(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.get(3).toString, r.getLong(4)))
