@@ -244,4 +244,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"no single-partition exchange (the dictionary dense_rank shape) in d20:\n$p")
   }
+
+  test("join strategy hints steer the physical operator (the per-query optimizer override)") {
+    // the knob a user turns when the optimizer's default is wrong for a
+    // specific 100 TB join: each hint must actually change the plan
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val o = Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_custkey"))
+    val c = Tables.customer(spark, sf0001).select(col("c_custkey"), col("c_mktsegment"))
+    def joined(right: org.apache.spark.sql.DataFrame) =
+      o.join(right, col("o_custkey") === col("c_custkey"))
+    val b = planOf(joined(broadcast(c)))
+    assert(b.contains("BroadcastHashJoin"), s"broadcast() hint must broadcast:\n$b")
+    val m = planOf(joined(c.hint("merge")))
+    assert(m.contains("SortMergeJoin"), s"merge hint must sort-merge:\n$m")
+    val sh = planOf(joined(c.hint("shuffle_hash")))
+    assert(sh.contains("ShuffledHashJoin"), s"shuffle_hash hint must hash-join:\n$sh")
+  }
 }
