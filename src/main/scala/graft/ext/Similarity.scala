@@ -263,6 +263,32 @@ object Similarity {
         abs($"comp2" - $"comp1").as("shift"))
   }
 
+  /** s17: cross-lingual pair mining — the bitext/translated-near-dup
+    * candidate search of CCMatrix/LASER-style pipelines, and the
+    * multilingual leakage check a dedup pass needs (a translated copy
+    * shares no lexical shingles, so d02/d23 are blind to it; its
+    * embedding is close). Within each IVF cell (Σ|cell|², never N² —
+    * the s14/d24 device), rank DIFFERENT-language pairs by exact cosine
+    * and keep the top 3 per ordered (lang1, lang2) slice — mining
+    * semantics, so the readout is never empty and thresholds stay a
+    * downstream choice. Ties break by (id1, id2); engine-exact cosine. */
+  def s17CrosslingualMining(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val lang = Tables.documents(spark, dir).select($"doc_id".as("vec_id"), $"lang")
+    val a = ivfAssigned(e).join(lang, "vec_id")
+    val pairs = a.as("x").join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id") &&
+          col("x.lang") =!= col("y.lang"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        col("x.lang").as("lang1"), col("y.lang").as("lang2"),
+        cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+    val w = Window.partitionBy($"lang1", $"lang2")
+      .orderBy($"cos_sim".desc, $"id1", $"id2")
+    pairs.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"lang1", $"lang2", $"rank", $"id1", $"id2", $"cos_sim")
+  }
+
   /** s15: per-dimension embedding QA — the drift/collapse report run
     * before an embedding corpus is trusted (a dead dimension has ~zero
     * variance; a scale bug shows in min/max). Doubles don't sum
@@ -598,6 +624,7 @@ object Similarity {
     "s14_knn_graph"      -> s14KnnGraph _,
     "s15_dim_stats"      -> s15DimStats _,
     "s16_kmeans_lloyd"   -> s16KmeansLloyd _,
+    "s17_crosslingual_mining" -> s17CrosslingualMining _,
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s11_hybrid_search"  -> s11HybridSearch _,
     "s08_quantized_knn"  -> s08QuantizedKnn _,
@@ -669,6 +696,23 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     // the two-level ordered fold is replayed exactly: bucket lists sorted
     // by vec_id, partials sorted by bucket — same IEEE add sequence
+    "s17_crosslingual_mining" ->
+      s"""WITH $ivfAssignedCtes,
+          tagged AS (
+            SELECT a.vec_id, a.embedding, a.cid, d.lang
+            FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+          pairs AS (
+            SELECT x.vec_id AS id1, y.vec_id AS id2,
+                   x.lang AS lang1, y.lang AS lang2,
+                   ${cosineSql("x.embedding", "y.embedding")} AS cos_sim
+            FROM tagged x JOIN tagged y
+              ON x.cid = y.cid AND x.vec_id < y.vec_id AND x.lang <> y.lang),
+          ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang1, lang2
+                                         ORDER BY cos_sim DESC, id1, id2) AS rank
+            FROM pairs)
+          SELECT lang1, lang2, CAST(rank AS INT) AS rank, id1, id2, cos_sim
+          FROM ranked WHERE rank <= 3""",
     "s16_kmeans_lloyd" ->
       s"""WITH $ivfAssignedCtes,
           comps1 AS (
