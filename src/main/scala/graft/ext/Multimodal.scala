@@ -340,7 +340,69 @@ object Multimodal {
       .select($"id1", $"id2", $"h1", $"h2", $"hamming")
   }
 
+  /** m09: VIDEO near-dup — per-frame perceptual fingerprints, majority
+    * vote across the frame sequence. A whole-payload hash (m07/m08) sees
+    * one blob; a video is a SEQUENCE, and the realistic duplicate keeps
+    * most frames intact while some differ (here: a planted trailing-
+    * metadata append — every frame before the tail is byte-identical,
+    * the tail frame shifts). Mechanics: fixed 256-byte frames (≥64-byte
+    * tail kept), each frame aHashed with the m08 64-pixel device strided
+    * WITHIN the frame; candidates come from a pigeonhole band join keyed
+    * by (frame_index, band, 16-bit key) — only same-position frames ever
+    * join, so the candidate volume is per-frame-corpus-sized, never
+    * pairs-of-videos; the verify counts common frame positions within
+    * hamming ≤ 3 and keeps pairs whose matched share clears half of the
+    * LONGER video. Exact copies score 1.0; trailer variants (F-1)/F;
+    * unrelated payloads never clear the vote. All integer until the one
+    * final division — oracle-exact. */
+  def m09VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat($"text", lit(" trail-meta-0123456789abcdef")).as("text")))
+    val frames = corpus
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+      .withColumn("f", explode(sequence(lit(0L), expr("(len - 1) div 256"))))
+      .withColumn("flen", least(lit(256L), $"len" - $"f" * 256))
+      .filter($"flen" >= 64)
+      .withColumn("px", expr(
+        """transform(sequence(0, 63),
+             i -> ascii(substr(text,
+                    cast(f * 256 + 1 + (i * flen) div 64 as int), 1)))"""))
+      .withColumn("total", aggregate($"px", lit(0L), (acc, x) => acc + x))
+      .withColumn("fhash",
+        (0 until 64).map(b =>
+          when(element_at($"px", b + 1) * 64 > $"total", lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select($"doc_id", $"f", $"fhash").cache()
+    val nf = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    val bands = (0 until 4).map { b =>
+      frames.select($"doc_id", $"f", lit(b).as("band"),
+        shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.f") === col("y.f") && col("x.band") === col("y.band") &&
+          col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
+    cand
+      .join(frames.select($"doc_id".as("id1"), $"f", $"fhash".as("h1")), Seq("id1"))
+      .join(frames.select($"doc_id".as("id2"), $"f", $"fhash".as("h2")), Seq("id2", "f"))
+      .groupBy($"id1", $"id2")
+      .agg(sum(when(expr("bit_count(h1 ^ h2)") <= 3, 1L).otherwise(0L)).as("n_matched"))
+      .join(nf.select($"doc_id".as("id1"), $"nf".as("nf1")), "id1")
+      .join(nf.select($"doc_id".as("id2"), $"nf".as("nf2")), "id2")
+      .withColumn("match_frac",
+        $"n_matched".cast("double") / greatest($"nf1", $"nf2"))
+      .filter($"match_frac" >= 0.5)
+      .select($"id1", $"id2", $"nf1", $"nf2", $"n_matched", $"match_frac")
+  }
+
   val queries: Map[String, Q] = Map(
+    "m09_video_neardup" -> m09VideoNearDup _,
     "m08_phash_neardup_wide" -> m08PhashNearDupWide _,
     "m07_phash_neardup"  -> m07PhashNearDup _,
     "m06_block_dedup" -> m06BlockDedup _,
@@ -355,6 +417,62 @@ object Multimodal {
     "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 
   val oracles: Map[String, String] = Map(
+    // per-frame aHash + same-position pigeonhole bands + majority vote
+    "m09_video_neardup" -> {
+      val packSql = (0 until 64).map(b =>
+        s"(CASE WHEN px[${b + 1}] * 64 > total THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, text || ' trail-meta-0123456789abcdef'
+            FROM documents WHERE doc_id % 10 = 5),
+          lens AS (SELECT doc_id, text, length(text) AS len FROM corpus),
+          fr AS (
+            SELECT doc_id, text, len,
+                   unnest(range(0, (len - 1) // 256 + 1)) AS f
+            FROM lens),
+          fl AS (
+            SELECT doc_id, text, f, LEAST(256, len - f * 256) AS flen
+            FROM fr WHERE LEAST(256, len - f * 256) >= 64),
+          pix AS (
+            SELECT doc_id, f,
+                   list_transform(range(0, 64),
+                     i -> ascii(substr(text,
+                            CAST(f * 256 + 1 + (i * flen) // 64 AS INT), 1))) AS px
+            FROM fl),
+          fp AS (
+            SELECT doc_id, f, CAST($packSql AS BIGINT) AS fhash
+            FROM (SELECT doc_id, f, px,
+                         list_reduce(list_prepend(0, px), (a, b) -> a + b) AS total
+                  FROM pix)),
+          nf AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY 1),
+          bands AS (
+            ${(0 until 4).map(b =>
+              s"SELECT doc_id, f, $b AS band, (fhash >> ${16 * b}) & 65535 AS bkey FROM fp")
+              .mkString("\n            UNION ALL\n            ")}),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+            FROM bands x JOIN bands y
+              ON x.f = y.f AND x.band = y.band AND x.bkey = y.bkey
+             AND x.doc_id < y.doc_id),
+          vote AS (
+            SELECT c.id1, c.id2,
+                   CAST(SUM(CASE WHEN bit_count(xor(a.fhash, b.fhash)) <= 3
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+            FROM cand c
+            JOIN fp a ON a.doc_id = c.id1
+            JOIN fp b ON b.doc_id = c.id2 AND b.f = a.f
+            GROUP BY 1, 2)
+          SELECT v.id1, v.id2, n1.nf AS nf1, n2.nf AS nf2, v.n_matched,
+                 CAST(v.n_matched AS DOUBLE) / GREATEST(n1.nf, n2.nf) AS match_frac
+          FROM vote v
+          JOIN nf n1 ON n1.doc_id = v.id1
+          JOIN nf n2 ON n2.doc_id = v.id2
+          WHERE CAST(v.n_matched AS DOUBLE) / GREATEST(n1.nf, n2.nf) >= 0.5"""
+    },
     // strided-pixel aHash + pigeonhole bands, all integer-exact
     "m07_phash_neardup" -> {
       val packSql = (0 until 32).map(b =>
