@@ -439,7 +439,12 @@ class Round7Spec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, sf0001).collect()
       .map(_.toString).toSet
     val picks = Seq("d02_minhash_lsh", "d18_minhash_mapside",
-      "t22_tokenizer_fertility", "d23_simhash_neardup", "q97_decile_lift")
+      "t22_tokenizer_fertility", "d23_simhash_neardup", "q97_decile_lift",
+      // round-8 wave: winnowing window-min, frame-sequence vote,
+      // ordered-fold k-means, rank-sum AUC — each has an accumulation
+      // or windowing step that MUST not see the partitioning
+      "d29_winnow_fingerprint", "m09_video_neardup", "s16_kmeans_lloyd",
+      "t25_quality_auc")
     val base = picks.map(n => n -> rows(n)).toMap
     spark.conf.set("graft.scan.repartition", "7")
     try {
