@@ -1110,7 +1110,11 @@ object Dedup {
       .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
       .filter($"n_tokens" >= K + W - 1)
     // referenced twice (window-min selection + anchor-hash join-back):
-    // cached, or the shingle explode + md5 pass runs twice
+    // cached, or the shingle explode + md5 pass runs twice. At 100 TB
+    // the gram table is corpus-token-sized — there the anchor pass
+    // WRITES grams once (or lets the scan recompute, which beats
+    // spilling a token-scale cache); locally the cache is the right
+    // trade and keeps the plan identical across both reads.
     val grams = base
       .withColumn("p", explode(sequence(lit(0L), $"n_tokens" - K)))
       .select($"doc_id", ($"n_tokens" - K + 1).as("n_grams"), $"p",
