@@ -773,7 +773,7 @@ object Dedup {
       .select($"shingle").distinct()
     val bf = bench
       .agg(expr("bloom_filter_agg(xxhash64(shingle), 100000L, 800000L)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val corpus = shingles(corpusWithCopies(docs))
       .filter(!($"doc_id" % 97 === 0 && $"doc_id" < 1000000L))
     // map-side probe of the constant sketch; empty benchmark ⇒ no bloom
