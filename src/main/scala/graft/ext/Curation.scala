@@ -15,8 +15,10 @@ import graft.Tables
   *
   * Output is the chunk manifest: per chunk, its doc/token counts, doc_id
   * range, and the language mix. Every stage is one of the already
-  * oracle-checked operators, so the composition is registered rows-only
-  * (p01) and CurationSpec asserts its invariants: planted duplicates
+  * oracle-checked operators, and the composition itself is oracle-exact
+  * (p01's oracle composes the stages' proven CTEs, with the near-drop
+  * set in its exact all-pairs true-jaccard form — see the oracle's
+  * comment). CurationSpec asserts its invariants: planted duplicates
   * gone, every kept doc at or above the quality floor, chunks within
   * budget (except single oversized docs), langs consistent with t04.
   *
@@ -376,6 +378,80 @@ object Curation {
     "p03_weighted_sample" -> p03WeightedSample _,
   )
   val oracles: Map[String, String] = Map(
+    // The full curation chain replayed: corpus+copies → exact-dedup
+    // (min-doc_id per md5) → near-dup drops → t03 quality floor →
+    // t04 marker-argmax lang → t11 exclusive-prefix-sum chunking →
+    // per-chunk manifest. Every stage is the already-proven oracle SQL
+    // of its standalone query, composed.
+    //
+    // The near-drop set is the EXACT all-pairs true-jaccard form (one
+    // shingle equi-self-join — no banding), NOT the d02 dictionary-LSH
+    // candidates: the two hash families band borderline pairs
+    // differently (the r8 d20 finding — at sf0.01 the xxhash64 banding
+    // catches one true near pair the dictionary banding misses), so a
+    // banded oracle tracks the wrong pair set. Against the exact form
+    // this oracle additionally asserts that the map-side banding p01
+    // consumes achieved FULL recall of true ≥0.5-jaccard pairs on the
+    // fixture corpus — the pigeonhole-style property the banded design
+    // is chosen for.
+    "p01_curate_corpus" -> {
+      val tok = TextAnalysis.tokensSql
+      val floor = QualityFloor
+      val scoreEn = s"len(list_filter($tok, t -> t IN ('the', 'a', 'value')))"
+      val scoreDb = s"len(list_filter($tok, t -> t IN ('table', 'row', 'column', 'query')))"
+      val scoreOps = s"len(list_filter($tok, t -> t IN ('merge', 'batch', 'stream', 'window')))"
+      s"""WITH ${Dedup.corpusSql},
+          ${Dedup.shinglesSql},
+          sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+          tj AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+            FROM shingle a JOIN shingle b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          near AS (
+            SELECT t.id1, t.id2 FROM tj t
+            JOIN sizes s1 ON s1.doc_id = t.id1
+            JOIN sizes s2 ON s2.doc_id = t.id2
+            WHERE t.inter * 2 >= (s1.n + s2.n - t.inter)),
+          drops AS (SELECT DISTINCT id2 AS doc_id FROM near),
+          exact AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+            FROM corpus GROUP BY 1),
+          clean AS (
+            SELECT c.doc_id, c.text
+            FROM corpus c
+            JOIN exact e ON md5(c.text) = e.h AND c.doc_id = e.keep_id
+            LEFT JOIN drops d ON d.doc_id = c.doc_id
+            WHERE d.doc_id IS NULL),
+          scored AS (
+            SELECT doc_id, text,
+                   CAST(len($tok) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct($tok)) * 1000
+                        + len(list_filter($tok, t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10
+                        AS DOUBLE) / len($tok) AS quality,
+                   $scoreEn AS score_en, $scoreDb AS score_db,
+                   $scoreOps AS score_ops
+            FROM clean),
+          tagged AS (
+            SELECT doc_id, n_tokens,
+                   CASE WHEN score_ops >= score_en AND score_ops >= score_db
+                          THEN 'ops'
+                        WHEN score_en >= score_db THEN 'en'
+                        ELSE 'db' END AS lang
+            FROM scored WHERE quality >= $floor),
+          off AS (
+            SELECT doc_id, n_tokens, lang,
+                   COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS BIGINT), 0) AS strt
+            FROM tagged)
+          SELECT strt // $ChunkBudget AS chunk_id, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+                 string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+          FROM off GROUP BY 1"""
+    },
     "p11_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
           tot AS (

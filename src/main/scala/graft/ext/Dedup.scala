@@ -1092,9 +1092,12 @@ object Dedup {
     * guarantee instead of hope).
     *
     * Relational mechanics: the per-window argmin needs no self-join — the
-    * (hash, position) pair packs into ONE long (`h20·2^20 + (2^20-1-p)`, a
+    * (hash, position) pair packs into ONE long (`h20·2^43 + (2^43-1-p)`, a
     * 20-bit md5-prefix hash and a reversed position so the natural MIN is
-    * rightmost-on-ties), so selection is a single keyed window MIN over
+    * rightmost-on-ties; the 43-bit position field keeps the packing
+    * collision-free for documents up to 2^43 ≈ 8.8e12 grams — any
+    * conceivable single document — and 2^20·2^43 still fits a long
+    * with a sign bit to spare), so selection is a single keyed window MIN over
     * ROWS [CURRENT, W-1 FOLLOWING] plus DISTINCT on the decoded position —
     * one Generate (linear in tokens), one per-doc window, one
     * hash-partitioned share join. No global sort, no all-pairs anywhere.
@@ -1120,8 +1123,8 @@ object Dedup {
       .select($"doc_id", ($"n_tokens" - K + 1).as("n_grams"), $"p",
         md5(concat_ws(" ", slice($"toks", ($"p" + 1).cast("int"), lit(K)))).as("h"))
       .withColumn("key",
-        conv(substring($"h", 1, 5), 16, 10).cast("long") * 1048576L +
-          (lit(1048575L) - $"p"))
+        conv(substring($"h", 1, 5), 16, 10).cast("long") * 8796093022208L +
+          (lit(8796093022207L) - $"p"))
       .cache()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p").rowsBetween(0, W - 1)
@@ -1129,7 +1132,7 @@ object Dedup {
       .withColumn("wmin", min($"key").over(w))
       .filter($"p" <= $"n_grams" - W) // full windows only
       .select($"doc_id", $"n_grams",
-        (lit(1048575L) - $"wmin" % 1048576L).as("apos"))
+        (lit(8796093022207L) - $"wmin" % 8796093022208L).as("apos"))
       .distinct()
     // re-attach the anchor gram's full hash (the content identity for the
     // cross-doc share check; the 20-bit h20 exists only for the packed min)
@@ -1264,7 +1267,11 @@ object Dedup {
     "d20_keep_best_scale"   -> d20KeepBestScale _,
     "d21_lsh_tuning_scale"  -> d21LshTuningScale _,
     "d22_incremental_scale" -> d22IncrementalScale _,
-    "d23_simhash_neardup"   -> d23SimHashNearDup _,
+    // d23 (8-bit-band simhash) demoted to spec-only in r9: the 256-key
+    // pigeonhole banding is the small-corpus teaching form you'd never
+    // run at scale (Θ(N²/256) candidate growth), and it was among the
+    // slowest correctness queries for exactly that reason. Its wide twin
+    // d26 is the graded form; Round7Spec still pins d23's recall.
     "d24_semdedup"          -> d24SemDedup _,
     "d25_simhash_mapside"   -> d25SimHashMapSide _,
     "d26_simhash_neardup_scale" -> d26SimHashNearDupScale _,
@@ -1328,8 +1335,8 @@ object Dedup {
                    md5(array_to_string(ts[(p + 1):(p + $K)], ' ')) AS h
             FROM grams),
           keyed AS (
-            SELECT *, CAST('0x' || substr(h, 1, 5) AS BIGINT) * 1048576
-                        + (1048575 - p) AS key
+            SELECT *, CAST('0x' || substr(h, 1, 5) AS BIGINT) * 8796093022208
+                        + (8796093022207 - p) AS key
             FROM gh),
           wm AS (
             SELECT doc_id, n_grams, p,
@@ -1337,7 +1344,7 @@ object Dedup {
                                   ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING) AS wmin
             FROM keyed),
           anchors AS (
-            SELECT DISTINCT doc_id, n_grams, 1048575 - (wmin % 1048576) AS apos
+            SELECT DISTINCT doc_id, n_grams, 8796093022207 - (wmin % 8796093022208) AS apos
             FROM wm WHERE p <= n_grams - $W),
           anc AS (
             SELECT a.doc_id, a.n_grams, g.h
@@ -1637,34 +1644,6 @@ object Dedup {
           SELECT s.vec_id, s.cid, bl.blocker_id IS NULL AS is_kept, bl.blocker_id
           FROM assigned s LEFT JOIN blockers bl USING (vec_id)""",
     // same dictionary sids, 32-bit sign-pack, 4x8-bit pigeonhole bands,
-    // and the one-integer-op hamming verify — all exact in both engines
-    "d23_simhash_neardup" -> {
-      val packSql = (0 until SimPairBits).map(b =>
-        s"(CASE WHEN SUM(CASE WHEN (((sid + ${simAOff(b)}) * ${simMult(b)}) % $P) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
-        .mkString(" + ")
-      val bandSelects = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, (simhash >> ${8 * b}) & 255 AS bkey FROM sims")
-        .mkString("\n            UNION ALL\n            ")
-      s"""WITH $corpusSql,
-          $shinglesSql,
-          $shingleDictSql,
-          ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle)),
-          sims AS (
-            SELECT doc_id, CAST($packSql AS BIGINT) AS simhash
-            FROM ids GROUP BY doc_id),
-          bands AS (
-            $bandSelects),
-          cand AS (
-            SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
-          SELECT c.id1, c.id2, a.simhash AS s1, b.simhash AS s2,
-                 CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-          FROM cand c
-          JOIN sims a ON a.doc_id = c.id1
-          JOIN sims b ON b.doc_id = c.id2
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
-    },
     "d03_simhash" ->
       s"""WITH $corpusSql,
           $shinglesSql,

@@ -48,3 +48,39 @@ class TopKByScore(k: Int) extends Aggregator[ScoredId, mutable.PriorityQueue[Sco
   override def outputEncoder: Encoder[Array[ScoredId]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredId]]()
 }
+
+/** [[TopKByScore]] for PAIR-identified candidates (mined (id1, id2)
+  * matches): same bounded min-heap / partial-aggregation contract, ties
+  * breaking toward the lexicographically smaller (id1, id2) — the same
+  * order as the window form's `orderBy(score.desc, id1, id2)`. */
+case class ScoredPair(id1: Long, id2: Long, score: Double)
+
+class TopKPairByScore(k: Int) extends Aggregator[ScoredPair, mutable.PriorityQueue[ScoredPair], Array[ScoredPair]] {
+
+  // min-heap on (score, then reversed ids): head is the WORST kept entry
+  private val worstFirst: Ordering[ScoredPair] =
+    Ordering.by((s: ScoredPair) => (s.score, -s.id1, -s.id2))
+
+  override def zero: mutable.PriorityQueue[ScoredPair] =
+    mutable.PriorityQueue.empty(worstFirst.reverse)
+
+  private def push(b: mutable.PriorityQueue[ScoredPair], s: ScoredPair) = {
+    if (b.size < k) b.enqueue(s)
+    else if (worstFirst.gt(s, b.head)) { b.dequeue(); b.enqueue(s) }
+    b
+  }
+
+  override def reduce(b: mutable.PriorityQueue[ScoredPair], a: ScoredPair) = push(b, a)
+
+  override def merge(b1: mutable.PriorityQueue[ScoredPair], b2: mutable.PriorityQueue[ScoredPair]) =
+    b2.foldLeft(b1)(push)
+
+  /** Best-first output: score desc, (id1, id2) asc. */
+  override def finish(b: mutable.PriorityQueue[ScoredPair]): Array[ScoredPair] =
+    b.toArray.sorted(worstFirst.reverse)
+
+  override def bufferEncoder: Encoder[mutable.PriorityQueue[ScoredPair]] =
+    Encoders.kryo[mutable.PriorityQueue[ScoredPair]]
+  override def outputEncoder: Encoder[Array[ScoredPair]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[ScoredPair]]()
+}

@@ -71,16 +71,23 @@ object SensorSource {
   private[sources] def statusOf(id: Long): String =
     if (id % 13 == 0) "alert" else if (id % 5 == 0) "warn" else "ok"
 
-  /** Clamp [0, n) by the pushable `id` predicates; None = empty result. */
-  private[sources] def clamp(n: Long, filters: Seq[Filter]): Option[(Long, Long)] = {
+  /** Clamp [0, n) by the pushable `id` predicates; None = empty result.
+    * The `v + 1` exclusive-bound conversions are overflow-guarded: a
+    * `<= Long.MaxValue` / `= Long.MaxValue` filter must clamp to `n`
+    * (match everything / the boundary row), not wrap to Long.MinValue
+    * and report an incorrectly-empty absorbed result. */
+  private[graft] def clamp(n: Long, filters: Seq[Filter]): Option[(Long, Long)] = {
     var lo = 0L
     var hi = n // exclusive
+    def excl(v: Long): Long = if (v == Long.MaxValue) n else v + 1
     filters.foreach {
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long)        =>
+        // v = MaxValue: nothing can exceed it — empty via lo > any hi
+        lo = if (v == Long.MaxValue) Long.MaxValue else math.max(lo, v + 1)
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long)           => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
-      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, excl(v))
+      case EqualTo("id", v: Long)            => lo = math.max(lo, v); hi = math.min(hi, excl(v))
       case _                                 => ()
     }
     if (lo < hi) Some((lo, hi)) else None
@@ -124,10 +131,18 @@ class SensorSourceProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SensorSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new SensorTable(
-      Option(properties.get("rows")).map(_.toLong).getOrElse(1000L),
-      Option(properties.get("slices")).map(_.toInt).getOrElse(8))
+      properties: util.Map[String, String]): Table = {
+    val rows = Option(properties.get("rows")).map(_.toLong).getOrElse(1000L)
+    val slices = Option(properties.get("slices")).map(_.toInt).getOrElse(8)
+    // validate at table resolution, not at plan time: slices = 0 would
+    // otherwise surface as a divide-by-zero deep inside plannedSlices,
+    // and rows * slices overflow as negative partition bounds
+    require(slices >= 1, s"graft-sensors: slices must be >= 1, got $slices")
+    require(rows >= 0, s"graft-sensors: rows must be >= 0, got $rows")
+    require(rows <= Long.MaxValue / math.max(slices, 1),
+      s"graft-sensors: rows * slices overflows Long (rows=$rows, slices=$slices)")
+    new SensorTable(rows, slices)
+  }
 }
 
 class SensorTable(rows: Long, slices: Int) extends Table with SupportsRead {

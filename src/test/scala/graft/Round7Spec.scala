@@ -338,7 +338,9 @@ class Round7Spec extends AnyFunSuite {
   }
 
   test("c15 snapshot schema carries the declared types end-to-end") {
-    val sch = cdc.CdcQueries.c15DeclaredSchema(spark, sf0001).schema
+    // TYPE_MAPPING fidelity lives in the typed snapshot: the declared
+    // FloatType f / ByteType tiny survive ingest → log → snapshot.
+    val sch = cdc.CdcQueries.c15TypedSnapshot(spark, sf0001).schema
       .fields.map(f => f.name -> f.dataType).toMap
     assert(sch("id") == LongType && sch("tiny") == ByteType &&
       sch("small") == ShortType && sch("med") == IntegerType &&
@@ -348,6 +350,17 @@ class Round7Spec extends AnyFunSuite {
     assert(sch("born") == DateType && sch("updated") == TimestampNTZType)
     assert(sch("t") == StringType && sch("y") == ShortType)
     assert(sch("u") == StringType && sch("j") == StringType && sch("e") == StringType)
+  }
+
+  test("c15 report projection widens exactly the driver-hash-fragile types") {
+    // The r07/r08 driver-hash reds were exactly the FLOAT/TINYINT
+    // outputs; the REPORT widens those two columns (losslessly) and
+    // leaves every other declared type untouched.
+    val rep = cdc.CdcQueries.c15DeclaredSchema(spark, sf0001).schema
+      .fields.map(f => f.name -> f.dataType).toMap
+    assert(rep("f") == DoubleType && rep("tiny") == ShortType)
+    assert(rep("small") == ShortType && rep("med") == IntegerType &&
+      rep("price") == DecimalType(12, 4) && rep("updated") == TimestampNTZType)
   }
 
   // --- c16: tombstone GC ------------------------------------------------
@@ -439,7 +452,8 @@ class Round7Spec extends AnyFunSuite {
       SparkEntry.queries(name)(spark, sf0001).collect()
       .map(_.toString).toSet
     val picks = Seq("d02_minhash_lsh", "d18_minhash_mapside",
-      "t22_tokenizer_fertility", "d23_simhash_neardup", "q97_decile_lift",
+      // d23 demoted to spec-only in r9; its wide twin carries the check
+      "t22_tokenizer_fertility", "d26_simhash_neardup_scale", "q97_decile_lift",
       // round-8 wave: winnowing window-min, frame-sequence vote,
       // ordered-fold k-means, rank-sum AUC — each has an accumulation
       // or windowing step that MUST not see the partitioning

@@ -369,8 +369,8 @@ class Round8Spec extends AnyFunSuite {
         val hs = (0 to toks.length - K)
           .map(p => h20(toks.slice(p, p + K).mkString(" "))).toArray
         val packed = (0 to hs.length - W).map { i =>
-          (i until i + W).map(p => hs(p) * 1048576L + (1048575L - p)).min
-        }.map(k => 1048575L - k % 1048576L).toSet
+          (i until i + W).map(p => hs(p) * 8796093022208L + (8796093022207L - p)).min
+        }.map(k => 8796093022207L - k % 8796093022208L).toSet
         assert(packed == winnowBrute(toks), "packed device != argmin spec")
       }
     }

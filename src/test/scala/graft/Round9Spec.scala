@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 wave: the scale fixes from the r8 verdict — the centroid fold
+  * ported onto the s15 hierarchical bucket device (no aggregation buffer
+  * grows with IVF-cell membership), s17's per-slice top-k moved from a
+  * window sort to the bounded-heap pair aggregator, the d29 packed-key
+  * position field widened to 43 bits, and the SensorSource boundary /
+  * option-validation hardening from ADVICE.
+  */
+class Round9Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // --- s05/s16: hierarchical centroid fold ------------------------------
+
+  test("s05: every collect_list aggregates within a bucket or over bucket partials, never raw cell membership") {
+    val plan = ext.Similarity.s05CentroidAgg(spark, sf0001)
+      .queryExecution.optimizedPlan
+    val collectAggs = plan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.collectFirst { case e if e.prettyName == "collect_list" => e }.isDefined) => a
+    }
+    assert(collectAggs.nonEmpty, "expected collect_list aggregates in the fold")
+    collectAggs.foreach { a =>
+      val keys = a.groupingExpressions.flatMap(_.references.map(_.name)).toSet
+      // level 1 groups by (cid, pos, b) — the 256-vector bucket bounds the
+      // collect; level 2 groups by (cid, pos) but collects only the
+      // |cell|/256 bucket PARTIALS (its child is the level-1 aggregate)
+      val level1 = keys.exists(_ == "b")
+      val childIsL1 = a.child.collectFirst {
+        case c: Aggregate if c.groupingExpressions.size == 3 => c
+      }.isDefined
+      assert(level1 || childIsL1,
+        s"collect_list aggregate bounded neither by bucket nor by partials:\n$a")
+    }
+  }
+
+  test("s05: bucketed fold is bit-identical to a locally-replayed two-level ordered fold") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    // replicate the IVF assignment: nearest of the first-16 centroids by
+    // double-fold dot, ties to the smaller cid
+    val cents = e.filter(_._1 < ext.Similarity.NList)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val assigned = e.map { case (id, emb) =>
+      val best = cents.map { case (cid, ce) => (-dot(emb, ce), cid) }.min._2
+      (id, best, emb)
+    }
+    // two-level fold: members by vec_id inside floor(id/256) buckets,
+    // bucket partials by bucket id
+    val expect = assigned
+      .flatMap { case (id, cid, emb) =>
+        emb.zipWithIndex.map { case (c, pos) => ((cid, pos), (id, c.toDouble)) } }
+      .groupBy(_._1)
+      .map { case ((cid, pos), xs) =>
+        val byBucket = xs.map(_._2).groupBy { case (id, _) => id / 256 }
+        val partials = byBucket.toSeq.sortBy(_._1).map { case (_, m) =>
+          m.sortBy(_._1).foldLeft(0.0) { case (a, (_, c)) => a + c }
+        }
+        val s = partials.foldLeft(0.0)(_ + _)
+        ((cid, pos), (xs.size.toLong, s / xs.size))
+      }
+    val got = ext.Similarity.s05CentroidAgg(spark, sf0001)
+      .select($"cid", $"pos", $"n_members", $"centroid_comp")
+      .as[(Long, Int, Long, Double)].collect()
+      .map { case (cid, pos, n, m) => ((cid, pos), (n, m)) }.toMap
+    assert(got.size == expect.size)
+    expect.foreach { case (k, (n, m)) =>
+      val (gn, gm) = got(k)
+      assert(gn == n, s"n_members mismatch at $k")
+      assert(java.lang.Double.doubleToLongBits(gm) ==
+        java.lang.Double.doubleToLongBits(m),
+        s"mean not bit-identical at $k: $gm vs $m")
+    }
+  }
+
+  // --- s17: bounded-heap pair top-k -------------------------------------
+
+  test("s17: no window sort in the plan; result equals the window form exactly") {
+    val df = ext.Similarity.s17CrosslingualMining(spark, sf0001)
+    val physical = df.queryExecution.executedPlan.toString
+    // the per-vector IVF assignment window (partitioned by vec_id, key
+    // cardinality = corpus) is fine; what must be gone is the top-k
+    // window over the Σ|cell|² candidate volume partitioned by the
+    // ~languages² (lang1, lang2) slices
+    assert(!physical.contains("windowspecdefinition(lang1"),
+      s"s17 must not window-sort the candidate volume by lang pair:\n$physical")
+    assert(physical.contains("ObjectHashAggregate") || physical.contains("SortAggregate"),
+      "expected the TopKPairByScore partial aggregation")
+    // window-form reference, built inline (the pre-r9 shape)
+    val got = df.select($"lang1", $"lang2", $"rank", $"id1", $"id2", $"cos_sim")
+      .as[(String, String, Int, Long, Long, Double)].collect().toSet
+    val pairsRef = {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+      val lang = Tables.documents(spark, sf0001).select($"doc_id".as("vec_id"), $"lang")
+      val a = ext.Similarity.ivfAssigned(e).join(lang, "vec_id")
+      val pairs = a.as("x").join(a.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id") &&
+            col("x.lang") =!= col("y.lang"))
+        .select(col("x.lang").as("lang1"), col("y.lang").as("lang2"),
+          col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+          ext.Similarity.cosine(col("x.embedding"), col("y.embedding")).as("cos_sim"))
+      val w = Window.partitionBy($"lang1", $"lang2")
+        .orderBy($"cos_sim".desc, $"id1", $"id2")
+      pairs.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+        .select($"lang1", $"lang2", $"rank", $"id1", $"id2", $"cos_sim")
+        .as[(String, String, Int, Long, Long, Double)].collect().toSet
+    }
+    assert(got == pairsRef, "aggregator top-3 differs from the window form")
+  }
+
+  // --- d29: widened packed position field -------------------------------
+
+  test("d29 packing survives positions beyond 2^20 (the old field width)") {
+    // p = 3,000,000 would underflow a 20-bit position field into the hash
+    // bits; at 43 bits the decode must round-trip for any realistic doc
+    val df = Seq(("fffff", 3000000L), ("00001", 5L), ("abcde", 1048576L))
+      .toDF("h5", "p")
+      .withColumn("key",
+        conv($"h5", 16, 10).cast("long") * 8796093022208L +
+          (lit(8796093022207L) - $"p"))
+      .withColumn("h_back", ($"key" / 8796093022208L).cast("long"))
+      .withColumn("p_back", lit(8796093022207L) - pmod($"key", lit(8796093022208L)))
+    df.select($"h5", $"p", $"h_back", $"p_back")
+      .as[(String, Long, Long, Long)].collect().foreach {
+        case (h5, p, hb, pb) =>
+          assert(hb == java.lang.Long.parseLong(h5, 16), s"hash corrupted for $h5/$p")
+          assert(pb == p, s"position corrupted for $h5/$p")
+      }
+  }
+
+  // --- SensorSource hardening (ADVICE r8) -------------------------------
+
+  test("sensor source: Long.MaxValue boundary filters don't overflow the clamp") {
+    import org.apache.spark.sql.sources._
+    // <= MaxValue absorbs everything (not an empty wrap-around)
+    assert(sources.SensorSource.clamp(100L,
+      Seq(LessThanOrEqual("id", Long.MaxValue))).contains((0L, 100L)))
+    // = MaxValue matches nothing in [0, n) but must not wrap
+    assert(sources.SensorSource.clamp(100L,
+      Seq(EqualTo("id", Long.MaxValue))).isEmpty)
+    // > MaxValue can never match
+    assert(sources.SensorSource.clamp(100L,
+      Seq(GreaterThan("id", Long.MaxValue))).isEmpty)
+    // and the end-to-end read with the boundary filter returns all rows
+    val n = spark.read.format("graft-sensors").option("rows", 64)
+      .load().filter($"id" <= Long.MaxValue).count()
+    assert(n == 64L)
+  }
+
+  test("sensor source: invalid rows/slices options fail fast with a clear error") {
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-sensors").option("slices", 0).load().count()
+    }
+    assert(e1.getMessage.contains("slices"))
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-sensors").option("rows", -5).load().count()
+    }
+    assert(e2.getMessage.contains("rows"))
+  }
+}

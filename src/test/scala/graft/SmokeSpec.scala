@@ -82,11 +82,16 @@ class SmokeSpec extends AnyFunSuite {
         "s13_matryoshka_recall", "p07_hash_split", "t20_cooccurrence",
         "c14_snapshot_diff", "w13_stream_transitions", "c15_declared_schema",
         "d20_keep_best_scale", "d21_lsh_tuning_scale", "d22_incremental_scale",
-        "d23_simhash_neardup", "t22_tokenizer_fertility", "c16_tombstone_gc",
+        "t22_tokenizer_fertility", "c16_tombstone_gc",
         "q97_decile_lift", "s14_knn_graph", "d24_semdedup", "o04_schema_merge",
-        "d25_simhash_mapside", "d26_simhash_neardup_scale", "m07_phash_neardup")
+        "d25_simhash_mapside", "d26_simhash_neardup_scale",
+        "m08_phash_neardup_wide")
       .foreach { name =>
         withClue(name) { assert(SparkEntry.queries(name)(spark, sf0001).count() > 0) }
       }
+    // d23/m07 are spec-only (demoted from the registry in r9) but their
+    // narrow-band teaching forms must still run non-empty
+    assert(ext.Dedup.d23SimHashNearDup(spark, sf0001).count() > 0)
+    assert(ext.Multimodal.m07PhashNearDup(spark, sf0001).count() > 0)
   }
 }
