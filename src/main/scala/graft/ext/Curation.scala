@@ -99,6 +99,50 @@ object Curation {
         (sqrt($"n_docs") / $"s" * $"n_total" / $"n_docs").as("eff_factor"))
   }
 
+  /** Training-token budget per epoch-capped domain — 4× the corpus. */
+  val BudgetMultiple = 4L
+
+  /** No domain repeats beyond this many epochs (the data-constrained
+    * scaling observation: value decays fast past a few repeats). */
+  val MaxEpochs = 4.0
+
+  /** p12: data-constrained token-budget allocation — the epoching plan a
+    * training run derives when the corpus is smaller than the compute
+    * budget wants. Given a total budget of [[BudgetMultiple]]× the
+    * corpus tokens and the τ=1/2 temperature target shares (the p11
+    * device: `sqrt` is the one fractional power IEEE requires correctly
+    * rounded, so every share is bit-identical across engines), each
+    * domain's target tokens = budget × q_share, its epoch count =
+    * target / available, capped at [[MaxEpochs]] — the capped domains
+    * are the data-constrained ones whose budget share cannot be filled
+    * without over-repeating. Normalizer Σ√tokens is the lang-ordered
+    * fold (domain-cardinality collect, broadcast back). Plan shape: one
+    * per-domain agg + a 1-row broadcast — nothing corpus-sized moves. */
+  def p12TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.documents(spark, dir)
+      .select($"lang", size(TextAnalysis.tokens($"text")).cast("long").as("nt"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"nt").as("n_tokens"))
+    val tot = c.agg(
+      sum($"n_tokens").as("total_tokens"),
+      aggregate(
+        sort_array(collect_list(struct($"lang".as("l"), sqrt($"n_tokens").as("w")))),
+        lit(0.0), (acc, x) => acc + x.getField("w")).as("s"))
+    val target = ($"total_tokens" * lit(BudgetMultiple)).cast("double") *
+      sqrt($"n_tokens") / $"s"
+    val epochsRaw = target / $"n_tokens"
+    val epochs = least(epochsRaw, lit(MaxEpochs))
+    c.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs", $"n_tokens",
+        (sqrt($"n_tokens") / $"s").as("q_share"),
+        target.as("target_tokens"),
+        epochsRaw.as("epochs_raw"),
+        epochs.as("epochs"),
+        (epochs * $"n_tokens").as("alloc_tokens"),
+        (epochsRaw > lit(MaxEpochs)).as("data_constrained"))
+  }
+
   /** Temperature-based mixture rebalancing (τ = 0.5): downsample each
     * language toward uniform by keeping a sqrt(min_count/count) fraction —
     * the multilingual-corpus resampling step of an LLM data pipeline. The
@@ -368,11 +412,12 @@ object Curation {
     "p09_domain_cap"    -> p09DomainCap _,
     "p10_shard_shuffle" -> p10ShardShuffle _,
     "p11_temperature_mix" -> p11TemperatureMix _,
+    "p12_token_budget" -> p12TokenBudget _,
     "p05_filter_funnel" -> p05FilterFunnel _,
     "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
-    // rows-only: composition of oracle-checked stages (LSH stage is the
-    // xxhash64 scale path, which has no DuckDB twin by construction)
+    // oracle-exact since r9 (composed full-chain oracle with the exact
+    // all-pairs true-jaccard near-drop set — see the oracle's comment)
     "p01_curate_corpus" -> p01CurateCorpus _,
     "p02_domain_mix"    -> p02DomainMix _,
     "p03_weighted_sample" -> p03WeightedSample _,
@@ -451,6 +496,34 @@ object Curation {
                  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
                  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
           FROM off GROUP BY 1"""
+    },
+    // the p11 sqrt-share device over TOKEN counts + exact budget math;
+    // every arithmetic step written in the same association order as
+    // the Spark side so the IEEE sequences match
+    "p12_token_budget" -> {
+      val tok = TextAnalysis.tokensSql
+      s"""WITH c AS (
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(len($tok)) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1),
+          tot AS (
+            SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   list_reduce(list_prepend(0.0, list(sqrt(n_tokens) ORDER BY lang)),
+                               (acc, x) -> acc + x) AS s
+            FROM c)
+          SELECT lang, n_docs, n_tokens,
+                 sqrt(n_tokens) / s AS q_share,
+                 (CAST(total_tokens * $BudgetMultiple AS DOUBLE) * sqrt(n_tokens)) / s
+                   AS target_tokens,
+                 ((CAST(total_tokens * $BudgetMultiple AS DOUBLE) * sqrt(n_tokens)) / s)
+                   / n_tokens AS epochs_raw,
+                 LEAST(((CAST(total_tokens * $BudgetMultiple AS DOUBLE) * sqrt(n_tokens)) / s)
+                   / n_tokens, $MaxEpochs) AS epochs,
+                 LEAST(((CAST(total_tokens * $BudgetMultiple AS DOUBLE) * sqrt(n_tokens)) / s)
+                   / n_tokens, $MaxEpochs) * n_tokens AS alloc_tokens,
+                 ((CAST(total_tokens * $BudgetMultiple AS DOUBLE) * sqrt(n_tokens)) / s)
+                   / n_tokens > $MaxEpochs AS data_constrained
+          FROM c CROSS JOIN tot"""
     },
     "p11_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),

@@ -1105,39 +1105,51 @@ object Dedup {
     * many anchors also appear as anchors in another document (the
     * near-dup candidate signal). Oracle replays the packing verbatim
     * (`CAST('0x'||substr(md5,1,5) AS BIGINT)` ≡ `conv(…,16,10)`). */
+  /** The winnowed anchor table over the planted corpus — one row per
+    * selected (doc_id, apos) anchor with its full gram hash `h` and the
+    * doc's gram count. The shared substrate of d29 (per-doc fingerprint
+    * report) and d30 (cross-doc containment pairing); memoized per
+    * (session, dir) so both consumers read ONE cached table. */
+  private[graft] def winnowAnchors(spark: SparkSession, dir: String): DataFrame =
+    memoDf(spark, dir, "winnowAnchors") {
+      import spark.implicits._
+      val K = WinnowK; val W = WinnowW
+      val base = corpusWithCopies(Tables.documents(spark, dir))
+        .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
+        .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
+        .filter($"n_tokens" >= K + W - 1)
+      // referenced twice (window-min selection + anchor-hash join-back):
+      // cached, or the shingle explode + md5 pass runs twice. At 100 TB
+      // the gram table is corpus-token-sized — there the anchor pass
+      // WRITES grams once (or lets the scan recompute, which beats
+      // spilling a token-scale cache); locally the cache is the right
+      // trade and keeps the plan identical across both reads.
+      val grams = base
+        .withColumn("p", explode(sequence(lit(0L), $"n_tokens" - K)))
+        .select($"doc_id", ($"n_tokens" - K + 1).as("n_grams"), $"p",
+          md5(concat_ws(" ", slice($"toks", ($"p" + 1).cast("int"), lit(K)))).as("h"))
+        .withColumn("key",
+          conv(substring($"h", 1, 5), 16, 10).cast("long") * 8796093022208L +
+            (lit(8796093022207L) - $"p"))
+        .cache()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"p").rowsBetween(0, W - 1)
+      val anchors = grams
+        .withColumn("wmin", min($"key").over(w))
+        .filter($"p" <= $"n_grams" - W) // full windows only
+        .select($"doc_id", $"n_grams",
+          (lit(8796093022207L) - $"wmin" % 8796093022208L).as("apos"))
+        .distinct()
+      // re-attach the anchor gram's full hash (the content identity for the
+      // cross-doc share check; the 20-bit h20 exists only for the packed min)
+      anchors.join(
+        grams.select($"doc_id", $"p".as("apos"), $"h"), Seq("doc_id", "apos"))
+        .cache()
+    }
+
   def d29WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val K = WinnowK; val W = WinnowW
-    val base = corpusWithCopies(Tables.documents(spark, dir))
-      .select($"doc_id", TextAnalysis.tokens($"text").as("toks"))
-      .select($"doc_id", $"toks", size($"toks").cast("long").as("n_tokens"))
-      .filter($"n_tokens" >= K + W - 1)
-    // referenced twice (window-min selection + anchor-hash join-back):
-    // cached, or the shingle explode + md5 pass runs twice. At 100 TB
-    // the gram table is corpus-token-sized — there the anchor pass
-    // WRITES grams once (or lets the scan recompute, which beats
-    // spilling a token-scale cache); locally the cache is the right
-    // trade and keeps the plan identical across both reads.
-    val grams = base
-      .withColumn("p", explode(sequence(lit(0L), $"n_tokens" - K)))
-      .select($"doc_id", ($"n_tokens" - K + 1).as("n_grams"), $"p",
-        md5(concat_ws(" ", slice($"toks", ($"p" + 1).cast("int"), lit(K)))).as("h"))
-      .withColumn("key",
-        conv(substring($"h", 1, 5), 16, 10).cast("long") * 8796093022208L +
-          (lit(8796093022207L) - $"p"))
-      .cache()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"p").rowsBetween(0, W - 1)
-    val anchors = grams
-      .withColumn("wmin", min($"key").over(w))
-      .filter($"p" <= $"n_grams" - W) // full windows only
-      .select($"doc_id", $"n_grams",
-        (lit(8796093022207L) - $"wmin" % 8796093022208L).as("apos"))
-      .distinct()
-    // re-attach the anchor gram's full hash (the content identity for the
-    // cross-doc share check; the 20-bit h20 exists only for the packed min)
-    val anc = anchors.join(
-      grams.select($"doc_id", $"p".as("apos"), $"h"), Seq("doc_id", "apos"))
+    val anc = winnowAnchors(spark, dir)
     val docsPerH = anc.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
     anc.join(docsPerH, "h")
       .groupBy($"doc_id")
@@ -1145,6 +1157,49 @@ object Dedup {
         sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_shared"))
       .select($"doc_id", $"n_grams", $"n_anchors",
         ($"n_anchors".cast("double") / $"n_grams").as("density"), $"n_shared")
+  }
+
+  /** Anchors appearing in more than this many documents are treated as
+    * boilerplate (headers, license blurbs, generator templates) and
+    * excluded from containment pairing — the d27 "too-common span"
+    * device applied at the anchor level. Caps the per-hash join fan-out:
+    * no anchor hash can contribute more than cap² candidate pairs. */
+  val AnchorDocCap = 50L
+
+  /** d30: containment / partial-overlap detection on the winnowed
+    * anchors — the MOSS-style application d29's fingerprints exist for,
+    * and the dedup mode jaccard is structurally blind to: a document
+    * quoted INSIDE a larger one shares a small fraction of the union
+    * (low jaccard — d02/d18 never pair it) but a large fraction of the
+    * SMALLER doc's fingerprint. Pairs are ranked by exactly that:
+    * shared distinct anchor hashes over the smaller doc's distinct
+    * anchor count, kept at containment ≥ 0.5.
+    *
+    * Scale shape: the pairing joins the ANCHOR table (~2/(W+1) of the
+    * gram table) on anchor hash — hash-partitioned, no all-pairs, and
+    * the [[AnchorDocCap]] boilerplate cap bounds any hash's fan-out at
+    * cap² pairs, the same hot-key discipline as the LSH band joins.
+    * Every step is exact integer arithmetic + one IEEE division, so the
+    * oracle replays it verbatim over the d29 CTE chain. */
+  def d30ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val anc = winnowAnchors(spark, dir)
+    val hFreq = anc.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
+    // one row per (doc, anchor hash): a hash winnowed at several
+    // positions of one doc counts once toward overlap and denominator
+    val docH = anc.join(hFreq.filter($"nd" <= AnchorDocCap), "h")
+      .select($"doc_id", $"h").distinct().cache()
+    val perDoc = docH.groupBy($"doc_id").agg(count(lit(1)).as("na"))
+    val shared = docH.as("x").join(docH.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(perDoc.select($"doc_id".as("id1"), $"na".as("n1")), "id1")
+      .join(perDoc.select($"doc_id".as("id2"), $"na".as("n2")), "id2")
+      .filter($"n_shared" * 2 >= least($"n1", $"n2"))
+      .select($"id1", $"id2", $"n_shared", $"n1", $"n2",
+        ($"n_shared" * 100.0 / least($"n1", $"n2")).as("containment_pct"))
   }
 
   // --- d12: incremental (batch-vs-index) dedup ----------------------------
@@ -1246,6 +1301,7 @@ object Dedup {
     "d14_passage_dedup" -> d14PassageDedup _,
     "d27_repeated_spans" -> d27RepeatedSpans _,
     "d29_winnow_fingerprint" -> d29WinnowFingerprint _,
+    "d30_containment_dedup" -> d30ContainmentDedup _,
     "d15_minhash_estimate" -> d15MinhashEstimate _,
     "d16_normalized_dedup" -> d16NormalizedDedup _,
     "d17_lsh_tuning"       -> d17LshTuning _,
@@ -1318,11 +1374,13 @@ object Dedup {
 
   private def lshPairCtes: String = lshPairCtesFor(corpusSql)
 
-  val oracles: Map[String, String] = Map(
-    "d29_winnow_fingerprint" -> {
-      val K = WinnowK; val W = WinnowW
-      s"""WITH $corpusSql,
-          base AS (
+  /** The winnowing chain (tokens → grams → md5 → packed window-min →
+    * anchor positions → anchor hashes) as oracle CTE text — the SQL
+    * twin of [[winnowAnchors]], shared by the d29 and d30 oracles.
+    * Prepend `corpusSql`. */
+  private def winnowAncCtes: String = {
+    val K = WinnowK; val W = WinnowW
+    s"""base AS (
             SELECT doc_id, ${TextAnalysis.tokensSql} AS ts,
                    len(${TextAnalysis.tokensSql}) AS n_tokens
             FROM corpus WHERE len(${TextAnalysis.tokensSql}) >= ${K + W - 1}),
@@ -1348,14 +1406,39 @@ object Dedup {
             FROM wm WHERE p <= n_grams - $W),
           anc AS (
             SELECT a.doc_id, a.n_grams, g.h
-            FROM anchors a JOIN gh g ON g.doc_id = a.doc_id AND g.p = a.apos),
+            FROM anchors a JOIN gh g ON g.doc_id = a.doc_id AND g.p = a.apos)"""
+  }
+
+  val oracles: Map[String, String] = Map(
+    "d29_winnow_fingerprint" ->
+      s"""WITH $corpusSql,
+          ${winnowAncCtes},
           sh AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM anc GROUP BY h)
           SELECT doc_id, CAST(MIN(n_grams) AS BIGINT) AS n_grams,
                  COUNT(*) AS n_anchors,
                  CAST(COUNT(*) AS DOUBLE) / MIN(n_grams) AS density,
                  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
-          FROM anc JOIN sh USING (h) GROUP BY doc_id"""
-    },
+          FROM anc JOIN sh USING (h) GROUP BY doc_id""",
+    // same anchor chain; boilerplate-capped distinct (doc, hash) pairs,
+    // containment = shared / smaller doc's distinct anchor count
+    "d30_containment_dedup" ->
+      s"""WITH $corpusSql,
+          $winnowAncCtes,
+          sh AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM anc GROUP BY h),
+          doch AS (
+            SELECT DISTINCT a.doc_id, a.h
+            FROM anc a JOIN sh USING (h) WHERE sh.nd <= $AnchorDocCap),
+          perdoc AS (SELECT doc_id, COUNT(*) AS na FROM doch GROUP BY doc_id),
+          shared AS (
+            SELECT x.doc_id AS id1, y.doc_id AS id2, COUNT(*) AS n_shared
+            FROM doch x JOIN doch y ON x.h = y.h AND x.doc_id < y.doc_id
+            GROUP BY 1, 2)
+          SELECT s.id1, s.id2, s.n_shared, p1.na AS n1, p2.na AS n2,
+                 s.n_shared * 100.0 / LEAST(p1.na, p2.na) AS containment_pct
+          FROM shared s
+          JOIN perdoc p1 ON p1.doc_id = s.id1
+          JOIN perdoc p2 ON p2.doc_id = s.id2
+          WHERE s.n_shared * 2 >= LEAST(p1.na, p2.na)""",
     "d27_repeated_spans" -> {
       val K = RepSpanK
       s"""WITH $corpusSql,

@@ -138,6 +138,55 @@ class Round9Spec extends AnyFunSuite {
       }
   }
 
+  // --- d30: containment pairing on winnowed anchors ---------------------
+
+  test("d30: planted exact copies pair at 100% containment; near copies pair; bounds hold") {
+    val out = ext.Dedup.d30ContainmentDedup(spark, sf0001)
+      .select($"id1", $"id2", $"n_shared", $"n1", $"n2", $"containment_pct")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id1, id2, sh, n1, n2, pct) =>
+      assert(id1 < id2)
+      assert(sh <= math.min(n1, n2), "shared cannot exceed either side")
+      assert(pct > 50.0 - 1e-9 && pct <= 100.0 + 1e-9, s"containment out of range: $pct")
+    }
+    val keys = out.map(t => (t._1, t._2)).toSet
+    val base = Tables.documents(spark, sf0001).select($"doc_id").as[Long].collect()
+    base.filter(_ % 10 == 0).foreach { d =>
+      val hit = out.find(t => t._1 == d && t._2 == d + 1000000L)
+      assert(hit.isDefined, s"exact copy of $d missing from containment pairs")
+      assert(hit.get._6 == 100.0, s"exact copy of $d not at 100% containment")
+    }
+    base.filter(_ % 10 == 5).foreach { d =>
+      assert(keys.contains((d, d + 2000000L)), s"near copy of $d missing")
+    }
+  }
+
+  // --- p12: token-budget epoch allocation -------------------------------
+
+  test("p12: budget math invariants — caps, shares, and allocation bounds") {
+    val rows = ext.Curation.p12TokenBudget(spark, sf0001)
+      .select($"lang", $"n_tokens", $"q_share", $"target_tokens",
+        $"epochs_raw", $"epochs", $"alloc_tokens", $"data_constrained")
+      .as[(String, Long, Double, Double, Double, Double, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_._2).sum
+    val budget = totalTokens.toDouble * ext.Curation.BudgetMultiple
+    // target shares are a distribution; targets sum to the whole budget
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_._4).sum - budget) < budget * 1e-12)
+    rows.foreach { case (lang, nt, _, target, raw, ep, alloc, constrained) =>
+      assert(ep <= ext.Curation.MaxEpochs + 1e-12, s"$lang over the epoch cap")
+      assert(constrained == (raw > ext.Curation.MaxEpochs), s"$lang flag wrong")
+      if (!constrained) assert(ep == raw && math.abs(alloc - target) < 1e-6,
+        s"$lang: uncapped domain must receive its full target")
+      else assert(alloc == ext.Curation.MaxEpochs * nt,
+        s"$lang: capped domain must allocate exactly MaxEpochs × corpus")
+    }
+    // the capped domains leave budget unfilled — the report's point
+    assert(rows.map(_._7).sum <= budget + 1e-6)
+  }
+
   // --- SensorSource hardening (ADVICE r8) -------------------------------
 
   test("sensor source: Long.MaxValue boundary filters don't overflow the clamp") {
