@@ -1312,12 +1312,15 @@ object Dedup {
     "d03_simhash"       -> d03SimHash _,
     "d04_ngram_jaccard" -> d04NgramJaccard _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
-    // scale-path twins: xxhash64 ids, dictionary-free — the forms to run
-    // at 100 TB. No oracle by construction (rows-only driver check);
-    // ExtSpec asserts parity with the dictionary forms on planted dups.
+    // scale-path twin: xxhash64 ids, dictionary-free — the form to run
+    // at 100 TB. Rows-only BY NECESSITY: its verify step counts matches
+    // of xxhash64-mod-P ids, where collisions can inflate `inter`
+    // beyond the true intersection — no exact SQL twin exists.
+    // ExtSpec asserts parity with the dictionary form on planted dups.
     "d06_minhash_lsh_scale" -> minHashLshScale _,
-    // rows-only like d06 (xxhash64 signatures have no DuckDB twin);
-    // MinHashSpec asserts exact pair parity with the oracle-checked d02
+    // oracle-exact since r9: d18 verifies TRUE jaccard on raw shingle
+    // arrays, so the exact all-pairs form (exactNearCtesFor) is its
+    // oracle — the check also pins the banding's full fixture recall
     "d18_minhash_mapside"   -> d18MinHashMapSide _,
     "d19_keep_best_dedup"   -> d19KeepBestDedup _,
     "d20_keep_best_scale"   -> d20KeepBestScale _,
@@ -1373,6 +1376,35 @@ object Dedup {
             WHERE i.inter * 2 >= (s1.n + s2.n - i.inter))"""
 
   private def lshPairCtes: String = lshPairCtesFor(corpusSql)
+
+  /** The EXACT all-pairs true-jaccard near-pair set over a
+    * caller-supplied `corpus` CTE — `truenear(id1, id2, inter, n1, n2)`
+    * from one shingle equi-self-join, with NO banding anywhere.
+    *
+    * This is the r9 oracle device for the xxhash64 scale twins
+    * (d07/d10/d18/d20/d22): their pair pipelines verify TRUE jaccard
+    * (map-side `array_intersect` on raw shingles), so their survivor
+    * sets equal this exact set iff the banding achieved full recall of
+    * true ≥0.5-jaccard pairs — which the 4×2 minhash banding does on
+    * the fixture corpus (p01's composed oracle first proved it at
+    * sf0.01). Each oracle built on this CTE therefore checks BOTH the
+    * pipeline's arithmetic and that recall property, with no dependence
+    * on either hash family's candidate generation. */
+  private def exactNearCtesFor(corpus: String): String =
+    s"""$corpus,
+          $shinglesSql,
+          tsizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
+          tinter AS (
+            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+            FROM shingle a JOIN shingle b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          truenear AS (
+            SELECT i.id1, i.id2, i.inter, s1.n AS n1, s2.n AS n2
+            FROM tinter i
+            JOIN tsizes s1 ON s1.doc_id = i.id1
+            JOIN tsizes s2 ON s2.doc_id = i.id2
+            WHERE i.inter * 2 >= (s1.n + s2.n - i.inter))"""
 
   /** The winnowing chain (tokens → grams → md5 → packed window-min →
     * anchor positions → anchor hashes) as oracle CTE text — the SQL
@@ -1682,6 +1714,108 @@ object Dedup {
                  FROM lab GROUP BY cluster_id)
           SELECT l.doc_id, l.cluster_id, sz.cluster_size
           FROM lab l JOIN sz USING (cluster_id)""",
+    // --- r9 exact-form oracles for the xxhash64 scale twins -----------
+    // (see exactNearCtesFor: true-jaccard all-pairs, no banding; each
+    // also asserts the map-side banding's full recall on the fixture)
+    "d18_minhash_mapside" ->
+      s"""WITH ${exactNearCtesFor(corpusSql)}
+          SELECT id1, id2, inter, n1, n2 FROM truenear""",
+    "d07_dedup_corpus" ->
+      s"""WITH ${exactNearCtesFor(corpusSql)},
+          drops AS (SELECT DISTINCT id2 AS doc_id FROM truenear),
+          exact AS (
+            SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+            FROM corpus GROUP BY 1)
+          SELECT c.doc_id, c.text
+          FROM corpus c
+          JOIN exact e ON md5(c.text) = e.h AND c.doc_id = e.keep_id
+          LEFT JOIN drops d ON d.doc_id = c.doc_id
+          WHERE d.doc_id IS NULL""",
+    "d10_dedup_clusters_scale" ->
+      s"""WITH RECURSIVE ${exactNearCtesFor(corpusSql)},
+          exact AS (
+            SELECT id1, id2 FROM (
+              SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id1,
+                     doc_id AS id2
+              FROM corpus)
+            WHERE id1 <> id2),
+          edges AS (
+            SELECT id1 AS src, id2 AS dst FROM truenear
+            UNION SELECT id2, id1 FROM truenear
+            UNION SELECT id1, id2 FROM exact
+            UNION SELECT id2, id1 FROM exact),
+          nodes AS (SELECT DISTINCT doc_id FROM corpus),
+          walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+          lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                  FROM walk GROUP BY node),
+          sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                 FROM lab GROUP BY cluster_id)
+          SELECT l.doc_id, l.cluster_id, sz.cluster_size
+          FROM lab l JOIN sz USING (cluster_id)""",
+    "d20_keep_best_scale" ->
+      s"""WITH RECURSIVE ${exactNearCtesFor(corpusSql)},
+          exact AS (
+            SELECT id1, id2 FROM (
+              SELECT MIN(doc_id) OVER (PARTITION BY md5(text)) AS id1,
+                     doc_id AS id2
+              FROM corpus)
+            WHERE id1 <> id2),
+          edges AS (
+            SELECT id1 AS src, id2 AS dst FROM truenear
+            UNION SELECT id2, id1 FROM truenear
+            UNION SELECT id1, id2 FROM exact
+            UNION SELECT id2, id1 FROM exact),
+          nodes AS (SELECT DISTINCT doc_id FROM corpus),
+          walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node),
+          lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                  FROM walk GROUP BY node),
+          sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                 FROM lab GROUP BY cluster_id),
+          tk AS (
+            SELECT doc_id,
+                   CAST(len(list_distinct(string_split_regex(text, '\\s+'))) * 1000
+                        + len(list_filter(string_split_regex(text, '\\s+'),
+                              t -> t IN ('a', 'the'))) * 100
+                        - length(regexp_replace(text, '[a-z\\s]', '', 'g')) * 10
+                        AS DOUBLE)
+                     / len(string_split_regex(text, '\\s+')) AS quality
+            FROM corpus)
+          SELECT l.doc_id, l.cluster_id, sz.cluster_size, tk.quality,
+                 ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                    ORDER BY tk.quality DESC, l.doc_id) = 1
+                   AS is_kept
+          FROM lab l JOIN sz USING (cluster_id) JOIN tk USING (doc_id)
+          WHERE sz.cluster_size > 1""",
+    "d22_incremental_scale" ->
+      s"""WITH ${exactNearCtesFor(incomingCorpusSql)},
+          batch AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
+          idx_hash AS (
+            SELECT md5(text) AS h, doc_id AS idx_id
+            FROM corpus WHERE doc_id < 1000000),
+          exact_hits AS (
+            SELECT b.doc_id, MIN(i.idx_id) AS exact_match
+            FROM (SELECT doc_id, md5(text) AS h FROM batch) b
+            JOIN idx_hash i USING (h)
+            GROUP BY b.doc_id),
+          near_hits AS (
+            SELECT id2 AS doc_id, MIN(id1) AS near_match
+            FROM truenear
+            WHERE id1 < 1000000 AND id2 >= 1000000
+            GROUP BY id2)
+          SELECT b.doc_id,
+                 exact_match IS NOT NULL AS is_exact_dup,
+                 near_match IS NOT NULL AS is_near_dup,
+                 COALESCE(exact_match, near_match) AS matched_id,
+                 (exact_match IS NULL AND near_match IS NULL) AS admit
+          FROM batch b
+          LEFT JOIN exact_hits USING (doc_id)
+          LEFT JOIN near_hits USING (doc_id)""",
     "d01_exact_dedup" ->
       s"""WITH $corpusSql
           SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,

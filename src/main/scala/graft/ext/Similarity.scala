@@ -666,8 +666,10 @@ object Similarity {
     "s07_ann_recall"     -> s07AnnRecall _,
     "s05_centroid_agg"   -> s05CentroidAgg _,
     "s02_ann_lsh"        -> s02AnnLsh _,
-    // scale-path twin: bounded-heap partial-agg top-k (rows-only driver
-    // check; SimilaritySpec asserts equality with the window form)
+    // scale-path twin: bounded-heap partial-agg top-k. Oracle-exact
+    // since r9: its contract IS s01's output (the spec asserts window
+    // equality), and the cosine is engine-exact, so s01's oracle SQL is
+    // its oracle too — no hash family anywhere in the pipeline.
     "s03_knn_topk_agg"   -> ((s: SparkSession, d: String) => knnTopKAggregated(s, d)),
     "s04_ann_ivf"        -> s04AnnIvf _,
   )
@@ -722,6 +724,21 @@ object Similarity {
                    list_reduce(list_prepend(0.0, list(d2s ORDER BY s)),
                      (a, b) -> a + b) AS adc_dist
             FROM parts GROUP BY qid, nid)"""
+
+  /** Brute-force top-10 by exact cosine — s01's oracle, shared by s03
+    * (the bounded-heap aggregator form with the identical contract). */
+  private def knnTop10Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+          scored AS (
+            SELECT q.qid, e.vec_id AS nid,
+                   ${cosineSql("q.qe", "e.embedding")} AS cos_sim
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+          ranked AS (
+            SELECT qid, nid, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
+            FROM scored)
+          SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
+          FROM ranked WHERE rank <= 10"""
 
   val oracles: Map[String, String] = Map(
     // the two-level ordered fold is replayed exactly: bucket lists sorted
@@ -1007,18 +1024,11 @@ object Similarity {
                  ${cosineSql("q.qe", "e.embedding")} AS cos_sim
           FROM embeddings e JOIN q ON e.vec_id <> q.qid
           WHERE ${cosineSql("q.qe", "e.embedding")} >= 0.25""",
-    "s01_knn_bruteforce" ->
-      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-          scored AS (
-            SELECT q.qid, e.vec_id AS nid,
-                   ${cosineSql("q.qe", "e.embedding")} AS cos_sim
-            FROM embeddings e JOIN q ON e.vec_id <> q.qid),
-          ranked AS (
-            SELECT qid, nid, cos_sim,
-                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS rank
-            FROM scored)
-          SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
-          FROM ranked WHERE rank <= 10""",
+    "s01_knn_bruteforce" -> knnTop10Sql,
+    // the bounded-heap aggregator must reproduce the window ranking
+    // bit-for-bit (same scores, same (score desc, nid) tie-break) — the
+    // oracle is s01's verbatim
+    "s03_knn_topk_agg" -> knnTop10Sql,
     "s02_ann_lsh" ->
       s"""WITH b AS (
             SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
