@@ -610,6 +610,37 @@ object CdcQueries {
          FROM latest WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
+    // g01: full SQL replay of the generated workload (the generator's
+    // md5-prefix choice device is engine-portable since r9 — see
+    // Workload.h32) → latest-per-key tombstone-filtered snapshot →
+    // per-position rollup. Oracle-exact because every derived column is
+    // md5/integer arithmetic both engines evaluate identically.
+    "g01_workload_snapshot" -> {
+      import graft.gen.Workload.h32Sql
+      val seed = 42L; val nKeys = 200; val n = 5000
+      s"""WITH ev AS (
+            SELECT o.off AS off,
+                   CASE WHEN o.off < $nKeys THEN CAST(o.off AS INT)
+                        ELSE CAST(${h32Sql("key", seed, "o.off")} % $nKeys AS INT)
+                   END AS id,
+                   CASE WHEN o.off < $nKeys THEN 'r'
+                        ELSE ['c','u','d'][CAST(${h32Sql("op", seed, "o.off")} % 3 AS INT) + 1]
+                   END AS op
+            FROM (SELECT unnest(range(0, ${nKeys + n})) AS off) o),
+          latest AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY off DESC) AS rn
+            FROM ev),
+          live AS (SELECT id, off FROM latest WHERE rn = 1 AND op <> 'd'),
+          enr AS (
+            SELECT ['Engineer', 'Analyst', 'Manager', 'Director', 'Intern']
+                     [CAST(${h32Sql("pos", seed, "id")} % 5 AS INT) + 1] AS position,
+                   CAST(${h32Sql("sal", seed, "off || '_' || id")} % 150000 + 50000
+                        AS DOUBLE) AS salary
+            FROM live)
+          SELECT position, COUNT(*) AS n_employees,
+                 ${Tables.sqlDsum("salary")} AS total_salary
+          FROM enr GROUP BY 1"""
+    },
     "c19_late_arrival" ->
       s"""WITH e AS (
             SELECT event_id, event_type, value, ts,

@@ -20,6 +20,21 @@ object Workload {
   val firstNames: Seq[String] =
     Seq("Alice", "Bob", "Chitra", "Deepak", "Elena", "Farid", "Grace", "Hao")
 
+  /** 32-bit md5-prefix hash of `tag:seed:x` — the generator's seeded
+    * uniform choice device. md5 is the one keyed hash both engines
+    * evaluate identically on identical strings (the d29/c15 pattern),
+    * which is what makes the whole generated workload — and therefore
+    * g01's snapshot — DuckDB-replayable, unlike Spark's Murmur3
+    * `hash()`. Non-negative by construction (8 hex chars = 32 bits), so
+    * plain `%` is already the uniform bucket. */
+  private def h32(tag: String, seed: Long, x: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$tag:$seed:"), x.cast("string")).cast("binary")),
+      1, 8), 16, 10).cast("long")
+
+  /** The same derivation as DuckDB SQL text (for the g01 oracle). */
+  def h32Sql(tag: String, seed: Long, x: String): String =
+    s"CAST('0x' || substr(md5('$tag:$seed:' || $x), 1, 8) AS BIGINT)"
+
   /** `n` CDC events for table `employees` over `nKeys` employee ids,
     * preceded by `nKeys` snapshot `r` events. Deterministic in (n, nKeys,
     * seed). Column layout mimics a Kafka record: topic, offset, value. */
@@ -38,17 +53,19 @@ object Workload {
     val stream = spark.range(nKeys.toLong, nKeys.toLong + n)
       .select($"id".as("offset"),
               element_at(array(lit("c"), lit("u"), lit("d")),
-                pmod(hash($"id" * lit(2654435761L), lit(seed)), lit(3)) + 1).as("op"),
-              pmod(hash($"id", lit(seed + 1)), lit(nKeys)).cast("int").as("id"))
+                (h32("op", seed, $"id") % 3 + 1).cast("int")).as("op"),
+              (h32("key", seed, $"id") % nKeys).cast("int").as("id"))
 
     snap.unionByName(stream)
       .withColumn("name",
-        concat(element_at(nameArr, pmod(hash($"id", lit(seed + 2)), lit(firstNames.size)) + 1),
-               (pmod(hash($"id", lit(seed + 3)), lit(900)) + 100).cast("string")))
+        concat(element_at(nameArr,
+                 (h32("nm", seed, $"id") % firstNames.size + 1).cast("int")),
+               (h32("n2", seed, $"id") % 900 + 100).cast("string")))
       .withColumn("position",
-        element_at(posArr, pmod(hash($"id", lit(seed + 4)), lit(positions.size)) + 1))
+        element_at(posArr, (h32("pos", seed, $"id") % positions.size + 1).cast("int")))
       .withColumn("salary",
-        (pmod(hash($"offset" + $"id", lit(seed + 5)), lit(150000)) + 50000).cast("double"))
+        (h32("sal", seed, concat($"offset".cast("string"), lit("_"), $"id".cast("string")))
+          % 150000 + 50000).cast("double"))
       .withColumn("row", struct($"id", $"name", $"position", $"salary"))
       .select(
         lit(topic).as("topic"),
