@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -141,6 +141,51 @@ object Curation {
         epochs.as("epochs"),
         (epochs * $"n_tokens").as("alloc_tokens"),
         (epochsRaw > lit(MaxEpochs)).as("data_constrained"))
+  }
+
+  /** The p07 split assignment as a pure map-side expression — split is a
+    * function of doc_id alone (Knuth multiplicative hash, buckets
+    * 0-799 train / 800-899 val / 900-999 test), so any pair list can be
+    * split-tagged with zero joins. */
+  private def splitOf(id: Column): Column = {
+    val b = pmod(id * 2654435761L, lit(1000L))
+    when(b < 800, "train").when(b < 900, "val").otherwise("test")
+  }
+
+  /** p13: near-duplicate TRAIN→EVAL decontamination — the leak check
+    * p07 cannot see. p07's exact-hash accounting catches verbatim copies
+    * straddling the split; a near-duplicate of a training document
+    * landing in val/test (one word dropped, punctuation changed) passes
+    * every exact-hash gate and still leaks the answer — the train-test
+    * overlap audit the GPT-3 paper ran post-hoc, run here as part of the
+    * split itself. Pairs come from the SAME verified LSH pair pipeline
+    * the dedup already pays for ([[Dedup.d18MinHashMapSide]], cached —
+    * this query adds no candidate generation of its own); the split tag
+    * is a map-side function of doc_id ([[splitOf]] — no join against a
+    * corpus-sized split table), so the whole audit is one pair-sized
+    * aggregation on top of work already done. Output: each contaminated
+    * eval document with its split, how many training near-dups hit it,
+    * the worst jaccard, and the smallest offending train doc.
+    *
+    * Oracle: the exact all-pairs true-jaccard device
+    * ([[Dedup.exactNearCtesFor]]) with the same split arithmetic — so the
+    * check is banding-independent and re-proves full ≥0.5-jaccard recall
+    * of the map-side banding each round. */
+  def p13SplitDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Dedup.d18MinHashMapSide(spark, dir)
+      .withColumn("sp1", splitOf($"id1"))
+      .withColumn("sp2", splitOf($"id2"))
+      .filter(($"sp1" === "train") =!= ($"sp2" === "train"))
+      .select(
+        when($"sp1" === "train", $"id2").otherwise($"id1").as("eval_doc_id"),
+        when($"sp1" === "train", $"sp2").otherwise($"sp1").as("eval_split"),
+        when($"sp1" === "train", $"id1").otherwise($"id2").as("train_doc_id"),
+        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct"))
+      .groupBy($"eval_doc_id", $"eval_split")
+      .agg(count(lit(1)).as("n_train_dups"),
+        max($"jacc_pct").as("max_jacc_pct"),
+        min($"train_doc_id").as("min_train_doc"))
   }
 
   /** Temperature-based mixture rebalancing (τ = 0.5): downsample each
@@ -413,6 +458,7 @@ object Curation {
     "p10_shard_shuffle" -> p10ShardShuffle _,
     "p11_temperature_mix" -> p11TemperatureMix _,
     "p12_token_budget" -> p12TokenBudget _,
+    "p13_split_decontam" -> p13SplitDecontam _,
     "p05_filter_funnel" -> p05FilterFunnel _,
     "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
@@ -525,6 +571,31 @@ object Curation {
                    / n_tokens > $MaxEpochs AS data_constrained
           FROM c CROSS JOIN tot"""
     },
+    // the exact (banding-free) all-pairs near set with the same split
+    // arithmetic — the comparison re-proves the map-side banding's full
+    // ≥0.5-jaccard recall every round (see p01's oracle comment)
+    "p13_split_decontam" ->
+      s"""WITH ${Dedup.exactNearCtesFor(Dedup.corpusSql)},
+          x AS (
+            SELECT id1, id2, inter, n1, n2,
+                   CASE WHEN (id1 * 2654435761) % 1000 < 800 THEN 'train'
+                        WHEN (id1 * 2654435761) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS sp1,
+                   CASE WHEN (id2 * 2654435761) % 1000 < 800 THEN 'train'
+                        WHEN (id2 * 2654435761) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS sp2
+            FROM truenear),
+          c AS (
+            SELECT CASE WHEN sp1 = 'train' THEN id2 ELSE id1 END AS eval_doc_id,
+                   CASE WHEN sp1 = 'train' THEN sp2 ELSE sp1 END AS eval_split,
+                   CASE WHEN sp1 = 'train' THEN id1 ELSE id2 END AS train_doc_id,
+                   inter * 100.0 / (n1 + n2 - inter) AS jacc_pct
+            FROM x WHERE (sp1 = 'train') <> (sp2 = 'train'))
+          SELECT CAST(eval_doc_id AS BIGINT) AS eval_doc_id, eval_split,
+                 CAST(COUNT(*) AS BIGINT) AS n_train_dups,
+                 MAX(jacc_pct) AS max_jacc_pct,
+                 CAST(MIN(train_doc_id) AS BIGINT) AS min_train_doc
+          FROM c GROUP BY 1, 2""",
     "p11_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
           tot AS (

@@ -1390,7 +1390,7 @@ object Dedup {
     * sf0.01). Each oracle built on this CTE therefore checks BOTH the
     * pipeline's arithmetic and that recall property, with no dependence
     * on either hash family's candidate generation. */
-  private def exactNearCtesFor(corpus: String): String =
+  private[graft] def exactNearCtesFor(corpus: String): String =
     s"""$corpus,
           $shinglesSql,
           tsizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),

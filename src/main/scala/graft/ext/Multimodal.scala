@@ -340,6 +340,30 @@ object Multimodal {
       .select($"id1", $"id2", $"h1", $"h2", $"hamming")
   }
 
+  /** Per-frame perceptual fingerprints over fixed 256-byte frames: the
+    * m08 64-pixel aHash strided WITHIN each frame (≥64-byte tail frames
+    * kept). One row per (doc_id, frame index, packed 64-bit hash) —
+    * shared by the position-locked vote (m09) and the offset-invariant
+    * constellation match (m10). */
+  private def frameHashes(corpus: DataFrame): DataFrame = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .select($"doc_id", $"text", length($"text").cast("long").as("len"))
+      .withColumn("f", explode(sequence(lit(0L), expr("(len - 1) div 256"))))
+      .withColumn("flen", least(lit(256L), $"len" - $"f" * 256))
+      .filter($"flen" >= 64)
+      .withColumn("px", expr(
+        """transform(sequence(0, 63),
+             i -> ascii(substr(text,
+                    cast(f * 256 + 1 + (i * flen) div 64 as int), 1)))"""))
+      .withColumn("total", aggregate($"px", lit(0L), (acc, x) => acc + x))
+      .withColumn("fhash",
+        (0 until 64).map(b =>
+          when(element_at($"px", b + 1) * 64 > $"total", lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select($"doc_id", $"f", $"fhash")
+  }
+
   /** m09: VIDEO near-dup — per-frame perceptual fingerprints, majority
     * vote across the frame sequence. A whole-payload hash (m07/m08) sees
     * one blob; a video is a SEQUENCE, and the realistic duplicate keeps
@@ -364,21 +388,7 @@ object Multimodal {
       .unionByName(base.filter($"doc_id" % 10 === 5)
         .select(($"doc_id" + 2000000L).as("doc_id"),
           concat($"text", lit(" trail-meta-0123456789abcdef")).as("text")))
-    val frames = corpus
-      .select($"doc_id", $"text", length($"text").cast("long").as("len"))
-      .withColumn("f", explode(sequence(lit(0L), expr("(len - 1) div 256"))))
-      .withColumn("flen", least(lit(256L), $"len" - $"f" * 256))
-      .filter($"flen" >= 64)
-      .withColumn("px", expr(
-        """transform(sequence(0, 63),
-             i -> ascii(substr(text,
-                    cast(f * 256 + 1 + (i * flen) div 64 as int), 1)))"""))
-      .withColumn("total", aggregate($"px", lit(0L), (acc, x) => acc + x))
-      .withColumn("fhash",
-        (0 until 64).map(b =>
-          when(element_at($"px", b + 1) * 64 > $"total", lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _))
-      .select($"doc_id", $"f", $"fhash").cache()
+    val frames = frameHashes(corpus).cache()
     val nf = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     val bands = (0 until 4).map { b =>
       frames.select($"doc_id", $"f", lit(b).as("band"),
@@ -401,7 +411,79 @@ object Multimodal {
       .select($"id1", $"id2", $"nf1", $"nf2", $"n_matched", $"match_frac")
   }
 
+  /** Band keys present in more than this many distinct docs are dropped
+    * as boilerplate before m10's any-offset band join (the d30 device:
+    * caps any key's join fan-out; the planted lead-in "silence" frame is
+    * exactly such a key). */
+  val MaxKeyDocs = 25
+
+  /** m10: AUDIO near-dup with offset-invariant matching — the Wang 2003
+    * (Shazam) constellation device. m09's vote joins frames at the SAME
+    * position, so a copy that is merely time-shifted (a prepended
+    * lead-in / trimmed intro — here: exactly one 256-byte frame of
+    * planted "silence") shares every content frame yet matches at zero
+    * positions. The fix is not to relax the hash but to relax the JOIN:
+    * candidates pair frames with equal (band, 16-bit key) at ANY
+    * position pair, then a true copy reveals itself as many verified
+    * matches at ONE consistent offset delta while chance collisions
+    * scatter across deltas. Mechanics: band keys in >[[MaxKeyDocs]]
+    * docs are dropped first (silence/boilerplate — also what bounds any
+    * key's fan-out at corpus scale, the d30 cap device); surviving
+    * key-equal frame pairs verify on full-hash hamming ≤ 3; votes
+    * group by (pair, delta = f1 - f2); the winning delta is the
+    * lexicographic max of (n_aligned, -delta) — deterministic
+    * tie-break toward the smaller delta; pairs keep when the aligned
+    * count clears half the SHORTER side (integer comparison, the one
+    * division happens after). Planted exact copies align at delta 0
+    * with share 1.0; the shifted copies at delta -1 with share 1.0 —
+    * both invisible to m09's positional vote. All integer until the
+    * final division — oracle-exact. */
+  def m10AudioOffsetMatch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select($"doc_id", $"text")
+    val corpus = base
+      .unionByName(base.filter($"doc_id" % 10 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 10 === 5)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat(lit("x" * 256), $"text").as("text")))
+    val frames = frameHashes(corpus).cache()
+    val nf = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    val bands = (0 until 4).map { b =>
+      frames.select($"doc_id", $"f", lit(b).as("band"),
+        shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
+    }.reduce(_ unionByName _)
+    val common = bands.groupBy($"band", $"bkey")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" > MaxKeyDocs)
+      .select($"band", $"bkey")
+    val rare = bands.join(common, Seq("band", "bkey"), "left_anti")
+    val cand = rare.as("x").join(rare.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("x.f").as("f1"),
+        col("y.doc_id").as("id2"), col("y.f").as("f2")).distinct()
+    val votes = cand
+      .join(frames.select($"doc_id".as("id1"), $"f".as("f1"), $"fhash".as("h1")),
+        Seq("id1", "f1"))
+      .join(frames.select($"doc_id".as("id2"), $"f".as("f2"), $"fhash".as("h2")),
+        Seq("id2", "f2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 3)
+      .groupBy($"id1", $"id2", ($"f1" - $"f2").as("delta"))
+      .agg(count(lit(1)).as("n_aligned"))
+    votes
+      .groupBy($"id1", $"id2")
+      .agg(max(struct($"n_aligned", (-$"delta").as("nd"))).as("b"))
+      .select($"id1", $"id2", $"b.n_aligned".as("n_aligned"),
+        (-$"b.nd").as("best_delta"))
+      .join(nf.select($"doc_id".as("id1"), $"nf".as("nf1")), "id1")
+      .join(nf.select($"doc_id".as("id2"), $"nf".as("nf2")), "id2")
+      .filter($"n_aligned" * 2 >= least($"nf1", $"nf2"))
+      .select($"id1", $"id2", $"nf1", $"nf2", $"best_delta", $"n_aligned",
+        ($"n_aligned".cast("double") / least($"nf1", $"nf2")).as("align_frac"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "m10_audio_offset_match" -> m10AudioOffsetMatch _,
     "m09_video_neardup" -> m09VideoNearDup _,
     "m08_phash_neardup_wide" -> m08PhashNearDupWide _,
     // m07 (8-bit-band aHash) demoted to spec-only in r9: 256-key
@@ -420,6 +502,77 @@ object Multimodal {
     "['image','audio','video'][CAST(doc_id % 3 AS INT) + 1]"
 
   val oracles: Map[String, String] = Map(
+    // per-frame aHash + ANY-offset pigeonhole bands (boilerplate keys
+    // dropped) + offset-delta vote; QUALIFY row_number replays the
+    // (n_aligned DESC, delta ASC) lexicographic argmax of the Spark
+    // max(struct(n_aligned, -delta)) device
+    "m10_audio_offset_match" -> {
+      val packSql = (0 until 64).map(b =>
+        s"(CASE WHEN px[${b + 1}] * 64 > total THEN ${1L << b} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+            UNION ALL
+            SELECT doc_id + 2000000, repeat('x', 256) || text
+            FROM documents WHERE doc_id % 10 = 5),
+          lens AS (SELECT doc_id, text, length(text) AS len FROM corpus),
+          fr AS (
+            SELECT doc_id, text, len,
+                   unnest(range(0, (len - 1) // 256 + 1)) AS f
+            FROM lens),
+          fl AS (
+            SELECT doc_id, text, f, LEAST(256, len - f * 256) AS flen
+            FROM fr WHERE LEAST(256, len - f * 256) >= 64),
+          pix AS (
+            SELECT doc_id, f,
+                   list_transform(range(0, 64),
+                     i -> ascii(substr(text,
+                            CAST(f * 256 + 1 + (i * flen) // 64 AS INT), 1))) AS px
+            FROM fl),
+          fp AS (
+            SELECT doc_id, f, CAST($packSql AS BIGINT) AS fhash
+            FROM (SELECT doc_id, f, px,
+                         list_reduce(list_prepend(0, px), (a, b) -> a + b) AS total
+                  FROM pix)),
+          nf AS (SELECT doc_id, COUNT(*) AS nf FROM fp GROUP BY 1),
+          bands AS (
+            ${(0 until 4).map(b =>
+              s"SELECT doc_id, f, $b AS band, (fhash >> ${16 * b}) & 65535 AS bkey FROM fp")
+              .mkString("\n            UNION ALL\n            ")}),
+          common AS (
+            SELECT band, bkey FROM bands
+            GROUP BY 1, 2 HAVING COUNT(DISTINCT doc_id) > $MaxKeyDocs),
+          rare AS (
+            SELECT b.* FROM bands b
+            WHERE NOT EXISTS (SELECT 1 FROM common c
+                              WHERE c.band = b.band AND c.bkey = b.bkey)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS id1, x.f AS f1,
+                            y.doc_id AS id2, y.f AS f2
+            FROM rare x JOIN rare y
+              ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+          votes AS (
+            SELECT c.id1, c.id2, c.f1 - c.f2 AS delta, COUNT(*) AS n_aligned
+            FROM cand c
+            JOIN fp a ON a.doc_id = c.id1 AND a.f = c.f1
+            JOIN fp b ON b.doc_id = c.id2 AND b.f = c.f2
+            WHERE bit_count(xor(a.fhash, b.fhash)) <= 3
+            GROUP BY 1, 2, 3),
+          best AS (
+            SELECT id1, id2, n_aligned, delta
+            FROM votes
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY id1, id2
+                                       ORDER BY n_aligned DESC, delta ASC) = 1)
+          SELECT b.id1, b.id2, n1.nf AS nf1, n2.nf AS nf2,
+                 b.delta AS best_delta, CAST(b.n_aligned AS BIGINT) AS n_aligned,
+                 CAST(b.n_aligned AS DOUBLE) / LEAST(n1.nf, n2.nf) AS align_frac
+          FROM best b
+          JOIN nf n1 ON n1.doc_id = b.id1
+          JOIN nf n2 ON n2.doc_id = b.id2
+          WHERE b.n_aligned * 2 >= LEAST(n1.nf, n2.nf)"""
+    },
     // per-frame aHash + same-position pigeonhole bands + majority vote
     "m09_video_neardup" -> {
       val packSql = (0 until 64).map(b =>

@@ -5,7 +5,7 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -40,6 +40,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     [[InputPartition]]s (default 8) AFTER clamping, so a selective id
   *     predicate shrinks the partition count — the DSv2 analogue of
   *     hive-partition pruning (o03), observable as `rdd.getNumPartitions`.
+  *   - '''Limit / TopN pushdown''' ([[SupportsPushDownLimit]] /
+  *     [[SupportsPushDownTopN]]): a LIMIT k (or ORDER BY id LIMIT k)
+  *     shrinks the planned range itself to the k-row prefix/suffix of
+  *     the clamp — `LIMIT 10` over a billion-row table generates 10
+  *     rows and plans 1 partition (o07; Dsv2Spec-asserted).
   *
   * Row formula (exact integer arithmetic, replayed verbatim by the DuckDB
   * oracle over `range(n)` — every column is engine-exact):
@@ -105,12 +110,23 @@ object SensorSource {
   /** Split the ORIGINAL [0,n) grid into `slices`, keep the ones that
     * intersect the pushed-filter clamp — grid stability is what makes
     * the pruning observable (a selective filter keeps few of the same
-    * slices). Shared by the row scan and the aggregate scan. */
+    * slices). Shared by the row scan and the aggregate scan.
+    *
+    * `takeFirst`/`takeLast` are the pushed LIMIT / TopN bounds: because
+    * rows are generated in id order, "any k rows" (LIMIT) and "the k
+    * largest/smallest ids" (TopN on id) are both contiguous sub-ranges
+    * of the clamp — the k-bounded range replaces the full one, so a
+    * LIMIT over a terabyte-scale range generates k rows, not a scan.
+    * The min() forms keep `lo + k` / `hi - k` overflow-safe for any
+    * rows value. */
   private[sources] def plannedSlices(rows: Long, slices: Int,
-      pushed: Seq[Filter]): Array[InputPartition] =
+      pushed: Seq[Filter], takeFirst: Option[Long] = None,
+      takeLast: Option[Long] = None): Array[InputPartition] =
     clamp(rows, pushed) match {
       case None => Array.empty
-      case Some((lo, hi)) =>
+      case Some((lo0, hi0)) =>
+        val hi = takeFirst.fold(hi0)(k => lo0 + math.min(math.max(k, 0L), hi0 - lo0))
+        val lo = takeLast.fold(lo0)(k => hi - math.min(math.max(k, 0L), hi - lo0))
         val out = ArrayBuffer.empty[InputPartition]
         var i = 0
         while (i < slices) {
@@ -156,10 +172,13 @@ class SensorTable(rows: Long, slices: Int) extends Table with SupportsRead {
 
 class SensorScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = SensorSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Array[AggregateFunc] = Array.empty
+  private var takeFirst: Option[Long] = None
+  private var takeLast: Option[Long] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = SensorSource.pushable(filters)
@@ -196,9 +215,38 @@ class SensorScanBuilder(rows: Long, slices: Int)
     ok
   }
 
+  /** LIMIT pushdown: rows generate in id order, so "any `limit` rows"
+    * is the first `limit` ids of the filter clamp — the planned range
+    * shrinks to a k-row prefix and slices outside it are pruned.
+    * Reported as PARTIALLY pushed (Spark keeps its own limit operator —
+    * at most k rows ever reach it, so the re-check is k-sized). */
+  override def pushLimit(limit: Int): Boolean = {
+    takeFirst = Some(limit.toLong)
+    true
+  }
+
+  /** TopN pushdown, accepted only for a single sort key on `id`: the
+    * top-k by id ASC is the k-row prefix of the clamp, by id DESC the
+    * k-row suffix — contiguous either way, so the scan generates exactly
+    * the k candidate rows and Spark's (partial-push) final sort orders
+    * k rows instead of the clamp. Any other sort key is declined and
+    * the full sort runs above the scan. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) if isId(o.expression()) =>
+        if (o.direction() == SortDirection.ASCENDING) takeFirst = Some(limit.toLong)
+        else takeLast = Some(limit.toLong)
+        true
+      case _ => false
+    }
+
+  // both pushdown interfaces declare this default; Spark re-applies the
+  // limit/sort above the scan, over at most k source rows
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
     if (aggs.nonEmpty) new SensorAggScan(rows, slices, pushed, aggs)
-    else new SensorScan(rows, slices, required, pushed)
+    else new SensorScan(rows, slices, required, pushed, takeFirst, takeLast)
 }
 
 /** The aggregate-pushdown scan: one closed-form partial row per
@@ -241,16 +289,19 @@ class SensorAggReaderFactory(aggs: Array[AggregateFunc])
 }
 
 class SensorScan(rows: Long, slices: Int, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], takeFirst: Option[Long] = None,
+    takeLast: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_sensors rows=$rows slices=$slices " +
       s"PushedFilters=[${pushed.mkString(", ")}] " +
-      s"ReadSchema=${required.fieldNames.mkString(",")}"
+      s"ReadSchema=${required.fieldNames.mkString(",")}" +
+      takeFirst.map(k => s" PushedLimit=$k").getOrElse("") +
+      takeLast.map(k => s" PushedTopNDescLimit=$k").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] =
-    SensorSource.plannedSlices(rows, slices, pushed.toSeq)
+    SensorSource.plannedSlices(rows, slices, pushed.toSeq, takeFirst, takeLast)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SensorReaderFactory(required)

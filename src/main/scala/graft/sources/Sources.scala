@@ -286,6 +286,22 @@ object Sources {
         max(col("id")).as("max_id"))
   }
 
+  /** o07: DSv2 LIMIT/TopN pushdown ([[SensorScanBuilder.pushTopN]]) —
+    * `ORDER BY id DESC LIMIT 25` over the filter-clamped range reaches
+    * the source, which generates exactly the 25-row suffix of the clamp
+    * and plans only the one slice containing it; Spark's final sort
+    * orders 25 rows instead of 70,000. Dsv2Spec asserts the pushed
+    * bound, the partition pruning, and the declined non-id sort; the
+    * oracle replays the row formula over `range()` with the same
+    * ORDER/LIMIT. */
+  def o07Dsv2TopNPushdown(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-sensors")
+      .option("rows", 100000).option("slices", 16).load()
+      .filter(col("id") >= 20000L && col("id") < 90000L)
+      .orderBy(col("id").desc)
+      .limit(25)
+      .select(col("id"), col("sensor"), col("reading"), col("status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
@@ -293,6 +309,7 @@ object Sources {
     "o04_schema_merge" -> o04SchemaMerge _,
     "o05_dsv2_source" -> o05Dsv2Source _,
     "o06_dsv2_agg_pushdown" -> o06Dsv2AggPushdown _,
+    "o07_dsv2_topn_pushdown" -> o07Dsv2TopNPushdown _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -340,5 +357,16 @@ object Sources {
       """SELECT COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
          FROM range(1000000) t(id)
          WHERE id >= 250000 AND id < 750000""",
+    "o07_dsv2_topn_pushdown" ->
+      """WITH s AS (
+           SELECT id, CAST(id % 97 AS INT) AS sensor,
+                  ((id * 2654435761) % 100000) / 1000.0 AS reading,
+                  CASE WHEN id % 13 = 0 THEN 'alert'
+                       WHEN id % 5 = 0 THEN 'warn'
+                       ELSE 'ok' END AS status
+           FROM range(100000) t(id))
+         SELECT id, sensor, reading, status FROM s
+         WHERE id >= 20000 AND id < 90000
+         ORDER BY id DESC LIMIT 25""",
   )
 }

@@ -123,6 +123,46 @@ class Dsv2Spec extends AnyFunSuite {
     assert(sums.head().getLong(1) == 10000L)
   } }
 
+  test("limit pushdown: the scan generates a k-row prefix and plans one slice") { withoutAqe {
+    val df = sensors(100000, 16).limit(10)
+    val scan = scanOf(df)
+    assert(scan.scan.description().contains("PushedLimit=10"), scan.scan.description())
+    // [0, 10) intersects only the first 6250-row slice
+    val parts = scan.scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    assert(parts == 1, s"expected 1 planned slice, got $parts")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == (0L until 10L))
+  } }
+
+  test("topN pushdown on id DESC: k-row suffix of the clamp, ordered result intact") { withoutAqe {
+    val df = sensors(100000, 16)
+      .filter(col("id") >= 20000L && col("id") < 90000L)
+      .orderBy(col("id").desc).limit(25)
+    val scan = scanOf(df)
+    val desc = scan.scan.description()
+    assert(desc.contains("PushedTopNDescLimit=25"), desc)
+    // the 25-row suffix [89975, 90000) lives in one slice
+    val parts = scan.scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    assert(parts == 1, s"expected 1 planned slice, got $parts")
+    assert(df.collect().map(_.getLong(0)).toSeq == (89999L to 89975L by -1L))
+  } }
+
+  test("topN pushdown on id ASC rides the prefix path") { withoutAqe {
+    val df = sensors(100000, 16).orderBy(col("id").asc).limit(7)
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("PushedLimit=7"), desc)
+    assert(df.collect().map(_.getLong(0)).toSeq == (0L until 7L))
+  } }
+
+  test("topN on a non-id or multi-key sort is declined; sort runs above the scan") { withoutAqe {
+    val df = sensors(1000, 4).orderBy(col("status").asc, col("id").asc).limit(5)
+    val desc = scanOf(df).scan.description()
+    assert(!desc.contains("PushedLimit") && !desc.contains("PushedTopN"), desc)
+    // 'alert' ids sort first: 0, 13, 26, 39, 52
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 13L, 26L, 39L, 52L))
+  } }
+
   test("o05 equals the same aggregate over the reference twin") {
     val got = Sources.o05Dsv2Source(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.get(3).toString, r.getLong(4)))

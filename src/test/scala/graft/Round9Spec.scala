@@ -216,4 +216,68 @@ class Round9Spec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("rows"))
   }
+
+  // --- m10: offset-invariant constellation matching ---------------------
+
+  test("m10: shifted copies align at delta -1 and exact copies at delta 0, both at full share") {
+    val rows = ext.Multimodal.m10AudioOffsetMatch(spark, sf0001)
+      .select($"id1", $"id2", $"best_delta", $"align_frac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the one-frame-shifted plants: every found (d, d+2000000) pair must
+    // have voted delta -1 (orig frame f aligns with copy frame f+1) and
+    // aligned ALL of the shorter side's frames
+    val shifted = rows.filter { case (a, b, _, _) => b == a + 2000000L }
+    assert(shifted.nonEmpty, "no shifted plant pairs found")
+    shifted.foreach { case (a, _, d, frac) =>
+      assert(d == -1L, s"shifted pair base=$a voted delta $d, expected -1")
+      assert(frac == 1.0, s"shifted pair base=$a share $frac, expected 1.0")
+    }
+    // the exact plants: delta 0, full share
+    val exact = rows.filter { case (a, b, _, _) => b == a + 1000000L }
+    assert(exact.nonEmpty, "no exact plant pairs found")
+    exact.foreach { case (a, _, d, frac) =>
+      assert(d == 0L, s"exact pair base=$a voted delta $d, expected 0")
+      assert(frac == 1.0, s"exact pair base=$a share $frac, expected 1.0")
+    }
+  }
+
+  // --- p13: near-dup train→eval decontamination -------------------------
+
+  /** The p07 split arithmetic, restated independently. */
+  private def splitName(id: Long): String = {
+    val b = (id * 2654435761L) % 1000L
+    if (b < 800) "train" else if (b < 900) "val" else "test"
+  }
+
+  test("p13: every flagged doc is eval-side, every offender is train-side, jaccard >= 50") {
+    val rows = ext.Curation.p13SplitDecontam(spark, sf0001).collect()
+    assert(rows.nonEmpty, "expected organic cross-split near-dup leakage in the fixture")
+    rows.foreach { r =>
+      val (evalId, evalSplit) = (r.getLong(0), r.getString(1))
+      val (n, maxJ, minTrain) = (r.getLong(2), r.getDouble(3), r.getLong(4))
+      assert(evalSplit == splitName(evalId),
+        s"doc $evalId tagged $evalSplit but hashes to ${splitName(evalId)}")
+      assert(evalSplit == "val" || evalSplit == "test",
+        s"doc $evalId: flagged split must be eval-side, got $evalSplit")
+      assert(splitName(minTrain) == "train",
+        s"offender $minTrain is ${splitName(minTrain)}, not train")
+      assert(n >= 1L && maxJ >= 50.0, s"doc $evalId: n=$n maxJ=$maxJ")
+    }
+    // completeness against the verified pair set: every cross-split pair
+    // from the (independently spec-pinned) d18 pipeline must surface its
+    // eval side here
+    val expect = ext.Dedup.d18MinHashMapSide(spark, sf0001)
+      .select($"id1", $"id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        (splitName(a) == "train", splitName(b) == "train") match {
+          case (true, false) => Some(b)
+          case (false, true) => Some(a)
+          case _             => None
+        }
+      }.toSet
+    assert(rows.map(_.getLong(0)).toSet == expect,
+      "flagged eval docs differ from the cross-split pairs of the verified LSH pair set")
+  }
 }
