@@ -357,6 +357,125 @@ object Similarity {
         $"min_comp", $"max_comp")
   }
 
+  // --- s18: dominant principal component via power iteration -------------
+
+  /** Per-dimension (n, s, ss) via the s15 two-level ordered fold — the
+    * shared statistics pass behind s18's mean vector and trace. */
+  private def dimMoments(e: DataFrame): DataFrame = {
+    val comps = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "comp")))
+      .select(col("vec_id"), expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"),
+        col("pos"), col("comp").cast("double").as("comp"))
+    val l1 = comps.groupBy(col("pos"), col("b"))
+      .agg(count(lit(1)).as("n1"),
+        array_sort(collect_list(struct(col("vec_id"), col("comp")))).as("xs"))
+      .select(col("pos"), col("b"), col("n1"),
+        aggregate(transform(col("xs"), s => s.getField("comp")),
+          lit(0.0), (a, x) => a + x).as("s1"),
+        aggregate(transform(col("xs"), s => s.getField("comp")),
+          lit(0.0), (a, x) => a + x * x).as("ss1"))
+    l1.groupBy(col("pos"))
+      .agg(sum(col("n1")).as("n"),
+        array_sort(collect_list(struct(col("b"), col("s1"), col("ss1")))).as("ps"))
+      .select(col("pos"), col("n"),
+        aggregate(transform(col("ps"), p => p.getField("s1")),
+          lit(0.0), (a, x) => a + x).as("s"),
+        aggregate(transform(col("ps"), p => p.getField("ss1")),
+          lit(0.0), (a, x) => a + x).as("ss"))
+  }
+
+  /** One matrix-free power-iteration step v → normalize(C·v): the
+    * covariance product never materializes C — per vector, the scalar
+    * projection s = (x−μ)·v is map-side (μ and v broadcast, both 1-row
+    * dim-sized tables), the contribution s·(x−μ) folds per dimension
+    * through the s15 hierarchical device, and the final normalize runs
+    * over one 64-element array. One corpus scan per step, buffers
+    * bounded by the 256-vector bucket at any scale. Every operation is
+    * order-fixed (products before ordered fold-adds, one sqrt, one
+    * division per component), so the step is bit-identical in DuckDB. */
+  private def powerStep(e: DataFrame, mu: DataFrame, v: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("mu"), (x, m) => x.cast("double") - m).as("c"),
+        col("v"))
+      .select(col("vec_id"), col("c"),
+        aggregate(zip_with(col("c"), col("v"), (a, b) => a * b),
+          lit(0.0), (s, t) => s + t).as("s"))
+    val comps = scored.select(col("vec_id"),
+      expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"),
+      posexplode(transform(col("c"), ci => ci * col("s"))).as(Seq("pos", "w")))
+    val l1 = comps.groupBy(col("pos"), col("b"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("vec_id"), col("w")))),
+          s => s.getField("w")), lit(0.0), (a, x) => a + x).as("s1"))
+    val l2 = l1.groupBy(col("pos"))
+      .agg(aggregate(transform(array_sort(collect_list(struct(col("b"), col("s1")))),
+          p => p.getField("s1")), lit(0.0), (a, x) => a + x).as("w"))
+    l2.groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+        p => p.getField("w")).as("w"))
+      .select(col("w"),
+        sqrt(aggregate(col("w"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
+      .select(transform(col("w"), wi => wi / col("nrm")).as("v"))
+  }
+
+  /** s18: the dominant principal direction of the (centered) embedding
+    * cloud via THREE fixed matrix-free power-iteration steps — the
+    * anisotropy/collapse diagnosis s15's per-dimension variances cannot
+    * see (a representation collapsing onto one direction keeps every
+    * per-dim variance healthy while one eigenvalue swallows the
+    * spectrum; Ethayarajh 2019's anisotropy measurement). Reported per
+    * dimension: the mean, the principal component, the Rayleigh
+    * quotient λ = Σ((x−μ)·v)²/N of the final direction, and
+    * λ / trace(C) — the explained-variance share, THE collapse number.
+    *
+    * Determinism: v₀ = (1/8, …, 1/8) (unit norm, exactly
+    * representable); every corpus sum is the s15 hierarchical ordered
+    * fold; sqrt and the per-component divisions are single correctly-
+    * rounded IEEE operations — the oracle replays all three steps
+    * add-for-add. Scale: each step is one scan + one dim-keyed fold
+    * (bucket-bounded buffers), μ/v broadcast at dim size, λ/trace are
+    * 1-row broadcasts; nothing corpus-sized ever converges on one
+    * executor. Fixed iteration count = fixed plan depth — the loop
+    * lives in the driver as plan composition, like s16's Lloyd rounds. */
+  def s18PcaPower(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val moments = dimMoments(e)
+    val means = moments.select($"pos", $"n", ($"s" / $"n").as("m"),
+      (($"ss" / $"n") - ($"s" / $"n") * ($"s" / $"n")).as("v_pos"))
+    val mu = means.groupBy()
+      .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+        p => p.getField("m")).as("mu"))
+    val trace = means.groupBy()
+      .agg(aggregate(transform(array_sort(collect_list(struct($"pos", $"v_pos"))),
+        p => p.getField("v_pos")), lit(0.0), (a, x) => a + x).as("tr"))
+    val v0 = spark.range(1).select(array_repeat(lit(0.125), 64).as("v"))
+    val v3 = powerStep(e, mu, powerStep(e, mu, powerStep(e, mu, v0)))
+    // Rayleigh quotient of the final direction: one more projection pass
+    val proj = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v3))
+      .select($"vec_id", expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"),
+        aggregate(zip_with(
+            zip_with($"embedding", $"mu", (x, m) => x.cast("double") - m),
+            $"v", (a, b) => a * b),
+          lit(0.0), (s, t) => s + t).as("s"))
+      .select($"vec_id", $"b", ($"s" * $"s").as("s2"))
+    val lam = proj.groupBy($"b")
+      .agg(count(lit(1)).as("n1"),
+        aggregate(transform(array_sort(collect_list(struct($"vec_id", $"s2"))),
+          s => s.getField("s2")), lit(0.0), (a, x) => a + x).as("t1"))
+      .groupBy()
+      .agg(sum($"n1").as("n"),
+        aggregate(transform(array_sort(collect_list(struct($"b", $"t1"))),
+          p => p.getField("t1")), lit(0.0), (a, x) => a + x).as("ss"))
+      .select(($"ss" / $"n").as("lambda"))
+    v3.select(posexplode($"v").as(Seq("pos", "pc1")))
+      .join(means.select($"pos", $"m".as("mean_comp")), "pos")
+      .crossJoin(broadcast(lam))
+      .crossJoin(broadcast(trace))
+      .select($"pos", $"mean_comp", $"pc1", $"lambda",
+        ($"lambda" / $"tr").as("explained_share"))
+  }
+
   /** Cosine range search (radius query): every vector within cosine ≥
     * 0.25 of each query vector — the "all matches above threshold"
     * retrieval mode (dedup candidates, recall evaluation) next to the
@@ -654,6 +773,7 @@ object Similarity {
     "s14_knn_graph"      -> s14KnnGraph _,
     "s15_dim_stats"      -> s15DimStats _,
     "s16_kmeans_lloyd"   -> s16KmeansLloyd _,
+    "s18_pca_power"      -> s18PcaPower _,
     "s17_crosslingual_mining" -> s17CrosslingualMining _,
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s11_hybrid_search"  -> s11HybridSearch _,
@@ -760,6 +880,95 @@ object Similarity {
             FROM pairs)
           SELECT lang1, lang2, CAST(rank AS INT) AS rank, id1, id2, cos_sim
           FROM ranked WHERE rank <= 3""",
+    // three matrix-free power steps replayed add-for-add: per-element
+    // products before ordered fold-adds at every stage (projection,
+    // per-dimension fold, norm, Rayleigh quotient), one sqrt and one
+    // division per component per step — the same IEEE sequence as Spark
+    "s18_pca_power" -> {
+      def step(i: Int, vPrev: String): String =
+        s"""sd$i AS (
+              SELECT c.vec_id, c.b, c.c,
+                     list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                         p -> c.c[p] * v.v[p])), (a, x) -> a + x) AS s
+              FROM cen c CROSS JOIN $vPrev v),
+            cw$i AS (
+              SELECT vec_id, b, unnest(range(1, 65)) AS j,
+                     unnest(list_transform(range(1, 65), p -> c[p] * s)) AS w
+              FROM sd$i),
+            w1$i AS (
+              SELECT j, b,
+                     list_reduce(list_prepend(0.0, list(w ORDER BY vec_id)),
+                                 (a, x) -> a + x) AS s1
+              FROM cw$i GROUP BY j, b),
+            w2$i AS (
+              SELECT j,
+                     list_reduce(list_prepend(0.0, list(s1 ORDER BY b)),
+                                 (a, x) -> a + x) AS w
+              FROM w1$i GROUP BY j),
+            wa$i AS (SELECT list(w ORDER BY j) AS w FROM w2$i),
+            vn$i AS (
+              SELECT list_transform(w, x -> x / nrm) AS v
+              FROM (SELECT w,
+                           sqrt(list_reduce(list_prepend(0.0,
+                               list_transform(w, x -> x * x)), (a, x) -> a + x)) AS nrm
+                    FROM wa$i))"""
+      s"""WITH mc AS (
+            SELECT vec_id, CAST(FLOOR(vec_id / 256.0) AS BIGINT) AS b,
+                   unnest(range(1, 65)) AS j,
+                   unnest(list_transform(range(1, 65),
+                          p -> CAST(embedding[p] AS DOUBLE))) AS comp
+            FROM embeddings),
+          m1 AS (
+            SELECT j, b, COUNT(*) AS n1,
+                   list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                               (a, x) -> a + x) AS s1,
+                   list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                               (a, x) -> a + x * x) AS ss1
+            FROM mc GROUP BY j, b),
+          m2 AS (
+            SELECT j, CAST(SUM(n1) AS BIGINT) AS n,
+                   list_reduce(list_prepend(0.0, list(s1 ORDER BY b)),
+                               (a, x) -> a + x) AS s,
+                   list_reduce(list_prepend(0.0, list(ss1 ORDER BY b)),
+                               (a, x) -> a + x) AS ss
+            FROM m1 GROUP BY j),
+          means AS (
+            SELECT j, n, s / n AS m,
+                   (ss / n) - (s / n) * (s / n) AS var FROM m2),
+          muarr AS (SELECT list(m ORDER BY j) AS mu FROM means),
+          tracev AS (
+            SELECT list_reduce(list_prepend(0.0, list(var ORDER BY j)),
+                               (a, x) -> a + x) AS tr
+            FROM means),
+          cen AS (
+            SELECT e.vec_id, CAST(FLOOR(e.vec_id / 256.0) AS BIGINT) AS b,
+                   list_transform(range(1, 65),
+                     p -> CAST(e.embedding[p] AS DOUBLE) - m.mu[p]) AS c
+            FROM embeddings e CROSS JOIN muarr m),
+          v00 AS (SELECT list_transform(range(1, 65),
+                           i -> CAST(0.125 AS DOUBLE)) AS v),
+          ${step(1, "v00")},
+          ${step(2, "vn1")},
+          ${step(3, "vn2")},
+          sf AS (
+            SELECT c.vec_id, c.b,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                       p -> c.c[p] * v.v[p])), (a, x) -> a + x) AS s
+            FROM cen c CROSS JOIN vn3 v),
+          lb AS (
+            SELECT b, COUNT(*) AS n1,
+                   list_reduce(list_prepend(0.0, list(s * s ORDER BY vec_id)),
+                               (a, x) -> a + x) AS t1
+            FROM sf GROUP BY b),
+          lam AS (
+            SELECT list_reduce(list_prepend(0.0, list(t1 ORDER BY b)),
+                               (a, x) -> a + x) / SUM(n1) AS lambda
+            FROM lb)
+          SELECT CAST(me.j - 1 AS INT) AS pos, me.m AS mean_comp,
+                 v.v[me.j] AS pc1, l.lambda AS lambda,
+                 l.lambda / t.tr AS explained_share
+          FROM means me CROSS JOIN vn3 v CROSS JOIN lam l CROSS JOIN tracev t"""
+    },
     "s16_kmeans_lloyd" ->
       s"""WITH $ivfAssignedCtes,
           comps1 AS (

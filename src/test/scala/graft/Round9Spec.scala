@@ -217,6 +217,74 @@ class Round9Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("rows"))
   }
 
+  // --- s18: power-iteration PCA -----------------------------------------
+
+  test("s18: engine result is bit-identical to a locally replayed 3-step power iteration") {
+    val got = ext.Similarity.s18PcaPower(spark, sf0001).collect()
+      .map(r => (r.getInt(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.size == 64)
+    // local replay with the same operation order
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+      .sortBy(_._1)
+    val dim = 64
+    val buckets = e.groupBy { case (id, _) => id / 256 }.toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.sortBy(_._1)) }
+    def foldDims(contrib: (Long, Array[Float]) => Array[Double]): Array[Double] = {
+      val out = Array.fill(dim)(0.0)
+      for (p <- 0 until dim) {
+        var acc = 0.0
+        buckets.foreach { case (_, xs) =>
+          var s1 = 0.0
+          xs.foreach { case (id, emb) => s1 += contrib(id, emb)(p) }
+          acc += s1
+        }
+        out(p) = acc
+      }
+      out
+    }
+    val n = e.length.toLong
+    val s = foldDims((_, emb) => emb.map(_.toDouble))
+    val ss = foldDims((_, emb) => emb.map(x => x.toDouble * x.toDouble))
+    val mu = s.map(_ / n)
+    val vars = (0 until dim).map(p => ss(p) / n - (s(p) / n) * (s(p) / n))
+    var trace = 0.0; vars.foreach(trace += _)
+    def centered(emb: Array[Float]): Array[Double] =
+      (0 until dim).map(p => emb(p).toDouble - mu(p)).toArray
+    def project(emb: Array[Float], v: Array[Double]): Double = {
+      val c = centered(emb); var acc = 0.0
+      (0 until dim).foreach(p => acc += c(p) * v(p)); acc
+    }
+    var v = Array.fill(dim)(0.125)
+    (1 to 3).foreach { _ =>
+      val vv = v
+      val w = foldDims((_, emb) => {
+        val c = centered(emb); val sc = project(emb, vv); c.map(_ * sc)
+      })
+      var nrm2 = 0.0; w.foreach(x => nrm2 += x * x)
+      val nrm = math.sqrt(nrm2)
+      v = w.map(_ / nrm)
+    }
+    // Rayleigh quotient via the same bucketed fold
+    var ssum = 0.0
+    buckets.foreach { case (_, xs) =>
+      var t1 = 0.0
+      xs.foreach { case (_, emb) => val p = project(emb, v); t1 += p * p }
+      ssum += t1
+    }
+    val lambda = ssum / n
+    val share = lambda / trace
+    assert(share > 0.0 && share <= 1.0, s"explained share $share out of range")
+    (0 until dim).foreach { p =>
+      val (gm, gv, gl, gs) = got(p)
+      assert(gm == mu(p), s"pos $p mean: $gm != ${mu(p)}")
+      assert(gv == v(p), s"pos $p pc1: $gv != ${v(p)}")
+      assert(gl == lambda, s"pos $p lambda: $gl != $lambda")
+      assert(gs == share, s"pos $p share: $gs != $share")
+    }
+  }
+
   // --- m10: offset-invariant constellation matching ---------------------
 
   test("m10: shifted copies align at delta -1 and exact copies at delta 0, both at full share") {
