@@ -417,7 +417,34 @@ object Relational7 {
       Map("lo" -> "1996-01-01", "hi" -> "1997-01-01"))
   }
 
+  /** q99: join-key skew audit — the measurement that DECIDES q42's
+    * salting (its `buckets = 8` is a choice; this is where the number
+    * comes from, run before any big keyed join at 100 TB). Per-key
+    * frequency is one map-side-combined groupBy — the same shuffle the
+    * join itself would pay, so the audit costs nothing extra in a
+    * pipeline that joins next; the corpus-wide scalars (total rows, key
+    * cardinality) come back as a 1-row broadcast; the report is the
+    * top-5 heaviest keys (TakeOrderedAndProject, never a global sort)
+    * with each key's share, its skew factor n·n_keys/total (how many
+    * times an average partition this key alone is), and the salt-bucket
+    * count an even split of it needs — ceil in exact integer
+    * arithmetic, so both engines agree on the boundary. */
+  def q99SkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = Tables.events(spark, dir).groupBy($"user_id")
+      .agg(count(lit(1)).as("n"))
+    val t = k.agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
+    k.crossJoin(broadcast(t))
+      .select($"user_id", $"n",
+        (($"n" * 100).cast("double") / $"total").as("share_pct"),
+        (($"n" * $"n_keys").cast("double") / $"total").as("skew_factor"),
+        expr("(n * n_keys + total - 1) div total").as("recommended_salt"))
+      .orderBy($"n".desc, $"user_id")
+      .limit(5)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q99_skew_audit"            -> q99SkewAudit _,
     "q98_modern_sql"            -> q98ModernSql _,
     "q97_decile_lift"           -> q97DecileLift _,
     "q96_pareto"                -> q96Pareto _,
@@ -442,6 +469,16 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    "q99_skew_audit" ->
+      """WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+          t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys FROM k)
+         SELECT user_id, n,
+                CAST(n * 100 AS DOUBLE) / total AS share_pct,
+                CAST(n * n_keys AS DOUBLE) / total AS skew_factor,
+                (n * n_keys + total - 1) // total AS recommended_salt
+         FROM k CROSS JOIN t
+         ORDER BY n DESC, user_id LIMIT 5""",
     // parameters and the SQL-UDF body inlined; GROUP BY ALL is shared
     "q98_modern_sql" ->
       """SELECT o_orderpriority,
