@@ -328,6 +328,48 @@ object CdcQueries {
         dsum(when($"late", $"value")).as("late_value"))
   }
 
+  /** c20: transactionally-consistent cross-table snapshot cut — the
+    * multi-topic coordination the reference's consumer has implicitly
+    * and never handles: one consumer feeds many tables (O4 routes by
+    * topic), each table's applied position advances unevenly, and a
+    * reader joining two raw tables can see table A past a transaction
+    * that table B hasn't landed yet. The fix every CDC warehouse ships:
+    * publish, per table, only up to the GLOBAL cut = min over tables of
+    * the per-table applied high-water mark (the log position every
+    * table has reached). Per-table progress is modeled deterministically
+    * (topic t has applied everything committed up to `max(ts) −
+    * (length(t) % 5) minutes` — a per-topic consumer lag), the cut is
+    * the min of the resulting event_id marks, and the report prices the
+    * cut: rows applied vs visible-at-cut vs held back, and the live
+    * (non-tombstone) key count the consistent snapshot exposes. Plan
+    * shape: two sketch-sized aggs broadcast back (per-table marks, the
+    * 1-row cut), one (table, key) window for liveness — no self-join of
+    * the log, scales like any keyed window. */
+  def c20ConsistentCut(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val log = Tables.events(spark, dir).withColumn("op", opOf(spark))
+    val gmax = log.agg(max($"ts").as("gts"))
+    val hwm = log.crossJoin(broadcast(gmax))
+      .filter($"ts" <= $"gts" - make_dt_interval(
+        lit(0), lit(0), (length($"event_type") % 5).cast("long"), lit(0)))
+      .groupBy($"event_type").agg(max($"event_id").as("hwm"))
+    val cut = hwm.agg(min($"hwm").as("cut"))
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    log.join(broadcast(hwm), "event_type").crossJoin(broadcast(cut))
+      .withColumn("at_cut", $"event_id" <= $"cut")
+      .withColumn("rnc", sum(when($"at_cut", 1L).otherwise(0L)).over(w))
+      .groupBy($"event_type")
+      .agg(max($"hwm").as("applied_hwm"), max($"cut").as("cut"),
+        sum(when($"event_id" <= $"hwm", 1L).otherwise(0L)).as("n_applied"),
+        sum(when($"at_cut", 1L).otherwise(0L)).as("n_at_cut"),
+        sum(when($"event_id" <= $"hwm" && !$"at_cut", 1L).otherwise(0L))
+          .as("n_held_back"),
+        sum(when($"at_cut" && $"rnc" === 1 && $"op" =!= "d", 1L).otherwise(0L))
+          .as("n_live_keys_at_cut"))
+  }
+
   /** c14: snapshot drift audit — diff the latest-per-key state at two cut
     * points (the reconciliation a CDC consumer runs to prove a replay or a
     * backfill landed: which keys appeared, which changed state, and what
@@ -562,6 +604,7 @@ object CdcQueries {
     "c17_stream_ingest" -> c17StreamIngest _,
     "c16_tombstone_gc" -> c16TombstoneGc _,
     "c19_late_arrival" -> c19LateArrival _,
+    "c20_consistent_cut" -> c20ConsistentCut _,
     "c15_declared_schema" -> c15DeclaredSchema _,
     "c14_snapshot_diff" -> c14SnapshotDiff _,
     "c12_dlq_repair" -> c12DlqRepair _,
@@ -661,6 +704,33 @@ object CdcQueries {
                  CAST(SUM(CASE WHEN NOT late THEN 1 ELSE 0 END) AS BIGINT) AS n_applied,
                  ${Tables.sqlDsum("CASE WHEN late THEN value END")} AS late_value
           FROM tagged GROUP BY 1""",
+    "c20_consistent_cut" ->
+      s"""WITH lg AS (SELECT *, $opSql AS op FROM events),
+          g AS (SELECT MAX(ts) AS gts FROM events),
+          hwm AS (
+            SELECT event_type, MAX(event_id) AS hwm
+            FROM lg CROSS JOIN g
+            WHERE ts <= gts - to_minutes(CAST(length(event_type) % 5 AS BIGINT))
+            GROUP BY 1),
+          c AS (SELECT MIN(hwm) AS cut FROM hwm),
+          r AS (
+            SELECT l.event_type, l.event_id, l.op, h.hwm, c.cut,
+                   l.event_id <= c.cut AS at_cut,
+                   SUM(CASE WHEN l.event_id <= c.cut THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY l.event_type, l.user_id
+                           ORDER BY l.ts DESC, l.event_id DESC
+                           ROWS UNBOUNDED PRECEDING) AS rnc
+            FROM lg l JOIN hwm h USING (event_type) CROSS JOIN c)
+          SELECT event_type, MAX(hwm) AS applied_hwm, MAX(cut) AS cut,
+                 CAST(SUM(CASE WHEN event_id <= hwm THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_applied,
+                 CAST(SUM(CASE WHEN at_cut THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_at_cut,
+                 CAST(SUM(CASE WHEN event_id <= hwm AND NOT at_cut
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_held_back,
+                 CAST(SUM(CASE WHEN at_cut AND rnc = 1 AND op <> 'd'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_live_keys_at_cut
+          FROM r GROUP BY 1""",
     "c16_tombstone_gc" ->
       s"""WITH old AS (
             SELECT *, $opSql AS op,

@@ -453,10 +453,13 @@ object Multimodal {
       frames.select($"doc_id", $"f", lit(b).as("band"),
         shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
     }.reduce(_ unionByName _)
+    // the excluded-key set is tiny (only keys shared by >MaxKeyDocs docs)
+    // — broadcast the anti join so the band table is shuffled once (for
+    // the self-join), not twice
     val common = bands.groupBy($"band", $"bkey")
       .agg(countDistinct($"doc_id").as("nd")).filter($"nd" > MaxKeyDocs)
       .select($"band", $"bkey")
-    val rare = bands.join(common, Seq("band", "bkey"), "left_anti")
+    val rare = bands.join(broadcast(common), Seq("band", "bkey"), "left_anti")
     val cand = rare.as("x").join(rare.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))

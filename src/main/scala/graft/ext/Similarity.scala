@@ -392,30 +392,44 @@ object Similarity {
     * over one 64-element array. One corpus scan per step, buffers
     * bounded by the 256-vector bucket at any scale. Every operation is
     * order-fixed (products before ordered fold-adds, one sqrt, one
-    * division per component), so the step is bit-identical in DuckDB. */
+    * division per component), so the step is bit-identical in DuckDB.
+    *
+    * The per-dimension fold keeps the contribution ARRAYS whole
+    * (zip_with accumulation inside the bucket, then over bucket
+    * partials) instead of posexploding to (pos, w) scalars: the add
+    * sequence PER POSITION is identical — vec_id order inside the
+    * bucket, bucket order across — but the shuffle carries one
+    * 64-double array per vector rather than 64 exploded rows, and the
+    * aggregation runs 1 group per bucket instead of 64. The result is
+    * returned CACHED: it is a single dim-sized row whose lineage holds
+    * a corpus pass, and every consumer (the next step, the final
+    * projection, the Rayleigh pass) would otherwise re-run that pass. */
   private def powerStep(e: DataFrame, mu: DataFrame, v: DataFrame): DataFrame = {
-    val scored = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
+    val zeros = array_repeat(lit(0.0), 64)
+    val contrib = e.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
       .select(col("vec_id"),
         zip_with(col("embedding"), col("mu"), (x, m) => x.cast("double") - m).as("c"),
         col("v"))
-      .select(col("vec_id"), col("c"),
+      .select(col("vec_id"),
+        expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"),
+        col("c"),
         aggregate(zip_with(col("c"), col("v"), (a, b) => a * b),
           lit(0.0), (s, t) => s + t).as("s"))
-    val comps = scored.select(col("vec_id"),
-      expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"),
-      posexplode(transform(col("c"), ci => ci * col("s"))).as(Seq("pos", "w")))
-    val l1 = comps.groupBy(col("pos"), col("b"))
-      .agg(aggregate(transform(array_sort(collect_list(struct(col("vec_id"), col("w")))),
-          s => s.getField("w")), lit(0.0), (a, x) => a + x).as("s1"))
-    val l2 = l1.groupBy(col("pos"))
-      .agg(aggregate(transform(array_sort(collect_list(struct(col("b"), col("s1")))),
-          p => p.getField("s1")), lit(0.0), (a, x) => a + x).as("w"))
-    l2.groupBy()
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-        p => p.getField("w")).as("w"))
+      .select(col("vec_id"), col("b"),
+        transform(col("c"), ci => ci * col("s")).as("warr"))
+    val l1 = contrib.groupBy(col("b"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("warr")))).as("xs"))
+      .select(col("b"),
+        aggregate(transform(col("xs"), s => s.getField("warr")),
+          zeros, (acc, x) => zip_with(acc, x, (a, w) => a + w)).as("s1"))
+    l1.groupBy()
+      .agg(array_sort(collect_list(struct(col("b"), col("s1")))).as("ps"))
+      .select(aggregate(transform(col("ps"), p => p.getField("s1")),
+        zeros, (acc, x) => zip_with(acc, x, (a, w) => a + w)).as("w"))
       .select(col("w"),
         sqrt(aggregate(col("w"), lit(0.0), (a, x) => a + x * x)).as("nrm"))
       .select(transform(col("w"), wi => wi / col("nrm")).as("v"))
+      .cache()
   }
 
   /** s18: the dominant principal direction of the (centered) embedding
@@ -441,11 +455,15 @@ object Similarity {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val moments = dimMoments(e)
+    // cached: 64 rows over a corpus-pass lineage, read by mu, the trace
+    // fold, and the final per-dimension join
     val means = moments.select($"pos", $"n", ($"s" / $"n").as("m"),
-      (($"ss" / $"n") - ($"s" / $"n") * ($"s" / $"n")).as("v_pos"))
+      (($"ss" / $"n") - ($"s" / $"n") * ($"s" / $"n")).as("v_pos")).cache()
+    // cached: one dim-sized row whose lineage is a corpus pass, read by
+    // all three power steps, the Rayleigh pass, and the final join
     val mu = means.groupBy()
       .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
-        p => p.getField("m")).as("mu"))
+        p => p.getField("m")).as("mu")).cache()
     val trace = means.groupBy()
       .agg(aggregate(transform(array_sort(collect_list(struct($"pos", $"v_pos"))),
         p => p.getField("v_pos")), lit(0.0), (a, x) => a + x).as("tr"))

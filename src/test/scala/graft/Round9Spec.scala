@@ -217,6 +217,28 @@ class Round9Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("rows"))
   }
 
+  // --- c20: consistent cross-table cut ----------------------------------
+
+  test("c20: one global cut = the min per-table mark; held-back accounting closes") {
+    val rows = cdc.CdcQueries.c20ConsistentCut(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val cuts = rows.map(_._3).distinct
+    assert(cuts.length == 1, s"cut must be global, got ${cuts.toSeq}")
+    val cut = cuts.head
+    assert(rows.map(_._2).min == cut, "cut must equal the minimum applied mark")
+    rows.foreach { case (t, hwm, _, nApplied, nAtCut, nHeld, nLive) =>
+      assert(hwm >= cut, s"$t: mark $hwm below the cut")
+      assert(nHeld == nApplied - nAtCut,
+        s"$t: held-back must be exactly the applied rows past the cut")
+      assert(nLive <= nAtCut, s"$t: live keys cannot exceed visible rows")
+    }
+    // the laggard table defines the cut and holds nothing back
+    assert(rows.exists { case (_, hwm, _, _, _, nHeld, _) =>
+      hwm == cut && nHeld == 0L })
+  }
+
   // --- s18: power-iteration PCA -----------------------------------------
 
   test("s18: engine result is bit-identical to a locally replayed 3-step power iteration") {
