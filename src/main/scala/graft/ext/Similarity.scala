@@ -494,6 +494,54 @@ object Similarity {
         ($"lambda" / $"tr").as("explained_share"))
   }
 
+  /** s19: clustering-quality readout — the SIMPLIFIED silhouette
+    * (centroid-based: a = squared L2 to the own-cluster mean, b = the
+    * smallest squared L2 to any OTHER cluster's mean, score =
+    * (b−a)/max(a,b)) per cluster over the s04 IVF assignment with the
+    * s05/s16 trained double centroids. The full silhouette is Θ(N²) in
+    * pairwise distances; the centroid form is the one a corpus-scale
+    * clustering run actually monitors: all k×dim centroid doubles ride
+    * ONE broadcast row, a and b are computed map-side inside the scan
+    * (nested higher-order functions — no per-(vector, centroid) row
+    * explosion, no shuffle before the per-cluster rollup), and the
+    * per-cluster mean is the s15 hierarchical ordered fold. min over
+    * centroid distances is order-independent (a VALUE min), so the only
+    * order-fixed reductions are the mean folds; one division per vector
+    * — engine-exact, oracle-exact. */
+  def s19Silhouette(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val assigned = ivfAssigned(e)
+    val centRow = centroidArrays(assigned)
+      .groupBy()
+      .agg(array_sort(collect_list(struct($"cid".as("ccid"), $"ce").as("c")))
+        .as("cs"))
+    def d2To(ce: Column): Column =
+      aggregate(zip_with($"embedding", ce,
+          (x, m) => (x.cast("double") - m) * (x.cast("double") - m)),
+        lit(0.0), (a, v) => a + v)
+    val sil = assigned.crossJoin(broadcast(centRow))
+      .select($"vec_id", $"cid",
+        d2To(element_at(filter($"cs", c => c.getField("ccid") === $"cid"), 1)
+          .getField("ce")).as("a"),
+        array_min(transform(filter($"cs", c => c.getField("ccid") =!= $"cid"),
+          c => d2To(c.getField("ce")))).as("b"))
+      .select($"vec_id", $"cid",
+        expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b2"),
+        (($"b" - $"a") / greatest($"a", $"b")).as("sil"))
+    sil.groupBy($"cid", $"b2")
+      .agg(count(lit(1)).as("n1"), min($"sil").as("mn1"), max($"sil").as("mx1"),
+        aggregate(transform(array_sort(collect_list(struct($"vec_id", $"sil"))),
+          s => s.getField("sil")), lit(0.0), (a, x) => a + x).as("s1"))
+      .groupBy($"cid")
+      .agg(sum($"n1").as("n_vectors"), min($"mn1").as("min_sil"),
+        max($"mx1").as("max_sil"),
+        aggregate(transform(array_sort(collect_list(struct($"b2", $"s1"))),
+          p => p.getField("s1")), lit(0.0), (a, x) => a + x).as("s"))
+      .select($"cid", $"n_vectors", ($"s" / $"n_vectors").as("mean_sil"),
+        $"min_sil", $"max_sil")
+  }
+
   /** Cosine range search (radius query): every vector within cosine ≥
     * 0.25 of each query vector — the "all matches above threshold"
     * retrieval mode (dedup candidates, recall evaluation) next to the
@@ -792,6 +840,7 @@ object Similarity {
     "s15_dim_stats"      -> s15DimStats _,
     "s16_kmeans_lloyd"   -> s16KmeansLloyd _,
     "s18_pca_power"      -> s18PcaPower _,
+    "s19_silhouette"     -> s19Silhouette _,
     "s17_crosslingual_mining" -> s17CrosslingualMining _,
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s11_hybrid_search"  -> s11HybridSearch _,
@@ -898,6 +947,58 @@ object Similarity {
             FROM pairs)
           SELECT lang1, lang2, CAST(rank AS INT) AS rank, id1, id2, cos_sim
           FROM ranked WHERE rank <= 3""",
+    // centroid training replayed through the s16 CTE chain (the proven
+    // bucketedMeans twin), then distances / a / b / the hierarchical
+    // mean fold add-for-add; min over centroid distances is a VALUE min
+    // on both sides (order-free)
+    "s19_silhouette" ->
+      s"""WITH $ivfAssignedCtes,
+          comps1 AS (
+            SELECT cid, vec_id, CAST(FLOOR(vec_id / 256.0) AS BIGINT) AS b,
+                   unnest(range(1, 65)) AS j,
+                   unnest(list_transform(range(1, 65),
+                          j -> CAST(embedding[j] AS DOUBLE))) AS comp
+            FROM assigned),
+          l1a AS (
+            SELECT cid, j, b, COUNT(*) AS n1,
+                   list_reduce(list_prepend(0.0, list(comp ORDER BY vec_id)),
+                               (a, x) -> a + x) AS s1
+            FROM comps1 GROUP BY cid, j, b),
+          means1 AS (
+            SELECT cid, j,
+                   list_reduce(list_prepend(0.0, list(s1 ORDER BY b)),
+                               (a, x) -> a + x) / SUM(n1) AS m
+            FROM l1a GROUP BY cid, j),
+          cent1 AS (SELECT cid, list(m ORDER BY j) AS ce FROM means1 GROUP BY cid),
+          d2 AS (
+            SELECT a.vec_id, a.cid, c.cid AS ccid,
+                   list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+                       i -> (CAST(a.embedding[i] AS DOUBLE) - c.ce[i])
+                            * (CAST(a.embedding[i] AS DOUBLE) - c.ce[i]))),
+                     (x, y) -> x + y) AS d2
+            FROM assigned a CROSS JOIN cent1 c),
+          ab AS (
+            SELECT vec_id, cid,
+                   MIN(CASE WHEN ccid = cid THEN d2 END) AS a,
+                   MIN(CASE WHEN ccid <> cid THEN d2 END) AS b
+            FROM d2 GROUP BY 1, 2),
+          sil AS (
+            SELECT vec_id, cid, CAST(FLOOR(vec_id / 256.0) AS BIGINT) AS b2,
+                   (b - a) / GREATEST(a, b) AS sil
+            FROM ab),
+          f1 AS (
+            SELECT cid, b2, COUNT(*) AS n1, MIN(sil) AS mn1, MAX(sil) AS mx1,
+                   list_reduce(list_prepend(0.0, list(sil ORDER BY vec_id)),
+                               (x, y) -> x + y) AS s1
+            FROM sil GROUP BY 1, 2),
+          f2 AS (
+            SELECT cid, CAST(SUM(n1) AS BIGINT) AS n_vectors,
+                   MIN(mn1) AS min_sil, MAX(mx1) AS max_sil,
+                   list_reduce(list_prepend(0.0, list(s1 ORDER BY b2)),
+                               (x, y) -> x + y) AS s
+            FROM f1 GROUP BY 1)
+          SELECT cid, n_vectors, s / n_vectors AS mean_sil, min_sil, max_sil
+          FROM f2""",
     // three matrix-free power steps replayed add-for-add: per-element
     // products before ordered fold-adds at every stage (projection,
     // per-dimension fold, norm, Rayleigh quotient), one sqrt and one

@@ -307,6 +307,22 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // --- s19: simplified silhouette ---------------------------------------
+
+  test("s19: silhouette bounds hold and every vector is accounted for") {
+    val rows = ext.Similarity.s19Silhouette(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_._2).sum == total, "every vector must appear in exactly one cluster")
+    rows.foreach { case (cid, n, mean, mn, mx) =>
+      assert(n >= 1, s"cluster $cid empty")
+      // (b - a) / max(a, b) is bounded by [-1, 1] by construction
+      assert(mn >= -1.0 && mx <= 1.0, s"cluster $cid: [$mn, $mx] out of bounds")
+      assert(mn <= mean && mean <= mx, s"cluster $cid: mean $mean outside [$mn, $mx]")
+    }
+  }
+
   // --- m10: offset-invariant constellation matching ---------------------
 
   test("m10: shifted copies align at delta -1 and exact copies at delta 0, both at full share") {
