@@ -288,9 +288,37 @@ class SensorAggReaderFactory(aggs: Array[AggregateFunc])
   }
 }
 
+/** The row scan, with '''runtime filtering''' ([[SupportsRuntimeFiltering]]
+  * — the DSv2 contract behind dynamic partition pruning): when this scan
+  * sits on the probe side of a broadcast join, Spark builds the join keys
+  * first and hands them to [[filter]] BEFORE partitions are planned; the
+  * source absorbs the key set conservatively as a [min, max+1] range
+  * clamp — a superset of the matching rows, which is all the contract
+  * requires (the join re-checks) — so a selective dimension side shrinks
+  * the generated range and the planned slices at RUNTIME, exactly like
+  * hive-style DPP prunes partitions (o03) but negotiated through the
+  * connector API. */
 class SensorScan(rows: Long, slices: Int, required: StructType,
     pushed: Array[Filter], takeFirst: Option[Long] = None,
-    takeLast: Option[Long] = None) extends Scan with Batch {
+    takeLast: Option[Long] = None) extends Scan with Batch
+    with SupportsRuntimeFiltering {
+  // runtime IN-filter clamp, conservative [min, max+1] over the key set;
+  // mutated by Spark via filter() before planInputPartitions
+  private var runtimeClamp: Option[(Long, Long)] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In("id", vs) if vs != null =>
+        val longs = vs.collect { case l: java.lang.Long => l.longValue() }
+        if (longs.nonEmpty)
+          runtimeClamp = Some((longs.min,
+            if (longs.max == Long.MaxValue) Long.MaxValue else longs.max + 1))
+        else runtimeClamp = Some((0L, 0L)) // empty build side: nothing matches
+      case _ => ()
+    }
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -300,8 +328,13 @@ class SensorScan(rows: Long, slices: Int, required: StructType,
       takeFirst.map(k => s" PushedLimit=$k").getOrElse("") +
       takeLast.map(k => s" PushedTopNDescLimit=$k").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] =
-    SensorSource.plannedSlices(rows, slices, pushed.toSeq, takeFirst, takeLast)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val extra = runtimeClamp.toSeq.flatMap { case (lo, hi) =>
+      Seq(GreaterThanOrEqual("id", lo): Filter, LessThan("id", hi): Filter)
+    }
+    SensorSource.plannedSlices(rows, slices, pushed.toSeq ++ extra,
+      takeFirst, takeLast)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SensorReaderFactory(required)

@@ -302,6 +302,32 @@ object Sources {
       .limit(25)
       .select(col("id"), col("sensor"), col("reading"), col("status"))
 
+  /** o08: DSv2 RUNTIME filtering ([[SensorScan.filter]] — the connector
+    * contract behind dynamic partition pruning): the probe side of a
+    * broadcast join is clamped at RUNTIME by the build side's key set —
+    * Spark computes the dimension keys first, hands them to the scan,
+    * and only the slices intersecting [min, max+1] of the keys are ever
+    * planned, exactly like o03's hive-partition pruning but negotiated
+    * through the DSv2 API. The key set is a deterministic function of a
+    * filtered `orders` slice so DuckDB replays the whole join; the
+    * million-row sensor range is never generated beyond the pruned
+    * window (Dsv2Spec asserts the planned RuntimeFilters and the row
+    * parity). */
+  def o08Dsv2RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit, max, min}
+    val sensors = spark.read.format("graft-sensors")
+      .option("rows", 1000000).option("slices", 32).load()
+    val keys = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderkey") < 30)
+      .select(((col("o_orderkey") * 7919) % 100000 + 450000)
+        .cast("long").as("id"))
+      .distinct()
+    sensors.join(broadcast(keys), "id")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+        max(col("id")).as("max_id"),
+        graft.Tables.dsum(col("reading")).as("total_reading"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
@@ -310,6 +336,7 @@ object Sources {
     "o05_dsv2_source" -> o05Dsv2Source _,
     "o06_dsv2_agg_pushdown" -> o06Dsv2AggPushdown _,
     "o07_dsv2_topn_pushdown" -> o07Dsv2TopNPushdown _,
+    "o08_dsv2_runtime_filter" -> o08Dsv2RuntimeFilter _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -368,5 +395,16 @@ object Sources {
          SELECT id, sensor, reading, status FROM s
          WHERE id >= 20000 AND id < 90000
          ORDER BY id DESC LIMIT 25""",
+    "o08_dsv2_runtime_filter" ->
+      s"""WITH s AS (
+            SELECT id, ((id * 2654435761) % 100000) / 1000.0 AS reading
+            FROM range(1000000) t(id)),
+          k AS (
+            SELECT DISTINCT CAST((o_orderkey * 7919) % 100000 + 450000
+                                 AS BIGINT) AS id
+            FROM orders WHERE o_orderkey < 30)
+          SELECT COUNT(*) AS n, MIN(s.id) AS min_id, MAX(s.id) AS max_id,
+                 ${graft.Tables.sqlDsum("reading")} AS total_reading
+          FROM s JOIN k USING (id)""",
   )
 }

@@ -163,6 +163,35 @@ class Dsv2Spec extends AnyFunSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 13L, 26L, 39L, 52L))
   } }
 
+  test("runtime filtering: the broadcast join's key set clamps the scan at execution") { withoutAqe {
+    // the pruning rule requires a selective predicate on the build side —
+    // a bare Range correctly plans RuntimeFilters: [] (no benefit inferred)
+    val bare = sensors(1000000, 32)
+      .join(broadcast(spark.range(450000, 450400).select(col("id"))), "id")
+      .agg(count(lit(1)).as("n"))
+    assert(bare.queryExecution.executedPlan.toString.contains("RuntimeFilters: []"))
+    val keys = spark.range(1000000)
+      .filter(col("id") >= 450000L && col("id") < 450400L)
+    val df = sensors(1000000, 32).join(broadcast(keys), "id")
+      .agg(count(lit(1)).as("n"), min(col("id")), max(col("id")))
+    // collect() executes THIS queryExecution (head() would build its own,
+    // leaving the inspected scan instance unfiltered)
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 400L && row.getLong(1) == 450000L && row.getLong(2) == 450399L)
+    // the executed plan must carry the runtime (dynamic pruning) filter on
+    // the v2 scan, and the post-filter scan must have planned only the
+    // slices intersecting [450000, 450400) — 1 of 32
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"), plan.take(2000))
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec if b.scan.description().contains("graft_sensors") => b
+    }.getOrElse(fail("no sensor BatchScanExec in executed plan"))
+    val parts = scan.scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+    assert(parts.length == 1,
+      s"expected 1 runtime-pruned slice, got ${parts.length}")
+  } }
+
   test("o05 equals the same aggregate over the reference twin") {
     val got = Sources.o05Dsv2Source(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.get(3).toString, r.getLong(4)))
