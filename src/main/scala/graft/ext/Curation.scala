@@ -188,6 +188,43 @@ object Curation {
         min($"train_doc_id").as("min_train_doc"))
   }
 
+  /** p14: decontamination APPLY — p13 reports train→eval leakage; this is
+    * the remediation step a release actually ships (what the GPT-3 paper
+    * did post-hoc): QUARANTINE every eval (val/test) document that shares
+    * exact content (md5) or a verified ≥0.5-jaccard near-dup with any
+    * training document, and emit the corrected split manifest. Removal —
+    * not reassignment to train — is the sound single-pass form: deleting
+    * an eval doc can never create new leakage, while moving it to train
+    * could contaminate its remaining eval near-dups (fixing that needs
+    * the full dup-cluster closure, d09's job). Near pairs ride the same
+    * cached d18 pipeline as p13; exact pairs ride the p07 hash shuffle
+    * with the train-side hash set joined semi — one pair-sized and one
+    * hash-keyed join on work the dedup already pays for. CurationSpec's
+    * soundness argument: train docs are never removed, so any surviving
+    * cross-split pair would have flagged its eval side — Round9Spec
+    * asserts the kept corpus has zero cross-split pairs left. */
+  def p14DecontamQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tagged = Dedup.corpusWithCopies(Tables.documents(spark, dir))
+      .select($"doc_id", md5($"text").as("h"), splitOf($"doc_id").as("split"))
+    val nearEval = Dedup.d18MinHashMapSide(spark, dir)
+      .withColumn("sp1", splitOf($"id1"))
+      .withColumn("sp2", splitOf($"id2"))
+      .filter(($"sp1" === "train") =!= ($"sp2" === "train"))
+      .select(when($"sp1" === "train", $"id2").otherwise($"id1").as("doc_id"))
+    val trainH = tagged.filter($"split" === "train").select($"h").distinct()
+    val exactEval = tagged.filter($"split" =!= "train")
+      .join(trainH, Seq("h"), "left_semi")
+      .select($"doc_id")
+    val quarantined = nearEval.unionByName(exactEval).distinct()
+      .withColumn("q", lit(1))
+    tagged.join(quarantined, Seq("doc_id"), "left")
+      .groupBy($"split".as("orig_split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"q".isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
+        sum(when($"q".isNull, 1L).otherwise(0L)).as("n_kept"))
+  }
+
   /** Temperature-based mixture rebalancing (τ = 0.5): downsample each
     * language toward uniform by keeping a sqrt(min_count/count) fraction —
     * the multilingual-corpus resampling step of an LLM data pipeline. The
@@ -459,6 +496,7 @@ object Curation {
     "p11_temperature_mix" -> p11TemperatureMix _,
     "p12_token_budget" -> p12TokenBudget _,
     "p13_split_decontam" -> p13SplitDecontam _,
+    "p14_decontam_quarantine" -> p14DecontamQuarantine _,
     "p05_filter_funnel" -> p05FilterFunnel _,
     "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
@@ -596,6 +634,37 @@ object Curation {
                  MAX(jacc_pct) AS max_jacc_pct,
                  CAST(MIN(train_doc_id) AS BIGINT) AS min_train_doc
           FROM c GROUP BY 1, 2""",
+    // p13's exact-pair device + the p07 hash split, applied as removal
+    "p14_decontam_quarantine" ->
+      s"""WITH ${Dedup.exactNearCtesFor(Dedup.corpusSql)},
+          tagged AS (
+            SELECT doc_id, md5(text) AS h,
+                   CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                        WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM corpus),
+          x AS (
+            SELECT id1, id2,
+                   CASE WHEN (id1 * 2654435761) % 1000 < 800 THEN 'train'
+                        ELSE 'eval' END AS sp1,
+                   CASE WHEN (id2 * 2654435761) % 1000 < 800 THEN 'train'
+                        ELSE 'eval' END AS sp2
+            FROM truenear),
+          nearev AS (
+            SELECT DISTINCT CASE WHEN sp1 = 'train' THEN id2 ELSE id1 END AS doc_id
+            FROM x WHERE sp1 <> sp2),
+          trainh AS (SELECT DISTINCT h FROM tagged WHERE split = 'train'),
+          exactev AS (
+            SELECT DISTINCT t.doc_id FROM tagged t
+            JOIN trainh USING (h) WHERE t.split <> 'train'),
+          q AS (SELECT doc_id FROM nearev UNION SELECT doc_id FROM exactev)
+          SELECT t.split AS orig_split, COUNT(*) AS n_docs,
+                 CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_quarantined,
+                 CAST(SUM(CASE WHEN q.doc_id IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_kept
+          FROM tagged t LEFT JOIN q ON q.doc_id = t.doc_id
+          GROUP BY 1""",
     "p11_temperature_mix" ->
       """WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
           tot AS (

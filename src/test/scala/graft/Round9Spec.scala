@@ -307,6 +307,51 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  // --- p14: decontamination quarantine ----------------------------------
+
+  test("p14: train is never quarantined, totals close, and the kept corpus has zero leakage left") {
+    val report = ext.Curation.p14DecontamQuarantine(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(report.keySet == Set("train", "val", "test"))
+    assert(report("train")._2 == 0L, "train docs must never be quarantined")
+    report.foreach { case (s, (n, q, k)) =>
+      assert(n == q + k, s"$s: docs must be exactly quarantined + kept")
+    }
+    // independent soundness re-check: rebuild the quarantine set locally
+    // and verify no cross-split pair (near or exact) survives among kept
+    val docs = ext.Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
+      .select($"doc_id", md5($"text").as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val pairs = ext.Dedup.d18MinHashMapSide(spark, sf0001)
+      .select($"id1", $"id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val trainH = docs.collect { case (d, h) if splitName(d) == "train" => h }.toSet
+    val quarantined = (
+      pairs.flatMap { case (a, b) =>
+        (splitName(a) == "train", splitName(b) == "train") match {
+          case (true, false) => Some(b)
+          case (false, true) => Some(a)
+          case _             => None
+        }
+      } ++
+      docs.collect { case (d, h) if splitName(d) != "train" && trainH(h) => d }
+    ).toSet
+    assert(quarantined.nonEmpty, "fixture must plant some leakage")
+    val kept = docs.map(_._1).toSet -- quarantined
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b) &&
+          ((splitName(a) == "train") != (splitName(b) == "train"))),
+        s"surviving near cross-split pair ($a, $b)")
+    }
+    val keptByHash = docs.filter(d => kept(d._1)).groupBy(_._2)
+    keptByHash.foreach { case (h, ds) =>
+      val sp = ds.map(d => splitName(d._1) == "train").distinct
+      assert(sp.length == 1 || !sp.contains(true),
+        s"surviving exact cross-split hash $h")
+    }
+    // the local rebuild agrees with the report
+    assert(quarantined.size.toLong == report.values.map(_._2).sum)
+  }
+
   // --- s19: simplified silhouette ---------------------------------------
 
   test("s19: silhouette bounds hold and every vector is accounted for") {
