@@ -449,8 +449,13 @@ object Multimodal {
           concat(lit("x" * 256), $"text").as("text")))
     val frames = frameHashes(corpus).cache()
     val nf = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
+    // band rows CARRY the full hash (8 bytes/row) so the hamming verify
+    // runs inside the band join's output — no join-back of the frame
+    // table, and the (id1, f1, id2, f2) distinct dedupes the already-
+    // verified (much smaller) set. Verify-then-distinct commutes with
+    // distinct-then-verify: hamming is a pure function of the pair.
     val bands = (0 until 4).map { b =>
-      frames.select($"doc_id", $"f", lit(b).as("band"),
+      frames.select($"doc_id", $"f", $"fhash", lit(b).as("band"),
         shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
     }.reduce(_ unionByName _)
     // the excluded-key set is tiny (only keys shared by >MaxKeyDocs docs)
@@ -460,17 +465,14 @@ object Multimodal {
       .agg(countDistinct($"doc_id").as("nd")).filter($"nd" > MaxKeyDocs)
       .select($"band", $"bkey")
     val rare = bands.join(broadcast(common), Seq("band", "bkey"), "left_anti")
-    val cand = rare.as("x").join(rare.as("y"),
+    val votes = rare.as("x").join(rare.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("x.f").as("f1"),
-        col("y.doc_id").as("id2"), col("y.f").as("f2")).distinct()
-    val votes = cand
-      .join(frames.select($"doc_id".as("id1"), $"f".as("f1"), $"fhash".as("h1")),
-        Seq("id1", "f1"))
-      .join(frames.select($"doc_id".as("id2"), $"f".as("f2"), $"fhash".as("h2")),
-        Seq("id2", "f2"))
+        col("y.doc_id").as("id2"), col("y.f").as("f2"),
+        col("x.fhash").as("h1"), col("y.fhash").as("h2"))
       .filter(expr("bit_count(h1 ^ h2)") <= 3)
+      .select($"id1", $"f1", $"id2", $"f2").distinct()
       .groupBy($"id1", $"id2", ($"f1" - $"f2").as("delta"))
       .agg(count(lit(1)).as("n_aligned"))
     votes
