@@ -225,6 +225,38 @@ object Curation {
         sum(when($"q".isNull, 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** p15: corpus drift monitor — the release-over-release distribution
+    * check a data pipeline runs before swapping in a new crawl (did the
+    * language mix shift?). Pearson's chi-square of the new release's
+    * per-language counts against the old release's proportions —
+    * chi-square, not PSI/KL, because it needs no logarithm: expected
+    * counts are one exact integer product and one correctly-rounded
+    * division each, contributions one subtraction, one multiply, one
+    * division — all bit-identical across engines — and the total is a
+    * language-ordered fold over domain-cardinality rows. Releases are
+    * modeled as the deterministic even/odd doc_id halves. Everything
+    * after the one per-(release, lang) count agg is broadcast-sized. */
+  def p15DistDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .groupBy($"lang")
+      .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n_old"),
+        sum(when($"doc_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_new"))
+    val tot = counts.agg(sum($"n_old").as("tot_old"), sum($"n_new").as("tot_new"))
+    val per = counts.crossJoin(broadcast(tot))
+      .select($"lang", $"n_old", $"n_new",
+        (($"tot_new" * $"n_old").cast("double") / $"tot_old").as("expected_new"))
+      .withColumn("contribution",
+        ($"n_new" - $"expected_new") * ($"n_new" - $"expected_new") / $"expected_new")
+    val total = per.groupBy()
+      .agg(count(lit(1)).as("k"),
+        aggregate(transform(array_sort(collect_list(struct($"lang", $"contribution"))),
+          s => s.getField("contribution")), lit(0.0), (a, x) => a + x).as("chi2"))
+    per.crossJoin(broadcast(total))
+      .select($"lang", $"n_old", $"n_new", $"expected_new", $"contribution",
+        $"chi2", ($"k" - 1).as("dof"))
+  }
+
   /** Temperature-based mixture rebalancing (τ = 0.5): downsample each
     * language toward uniform by keeping a sqrt(min_count/count) fraction —
     * the multilingual-corpus resampling step of an LLM data pipeline. The
@@ -497,6 +529,7 @@ object Curation {
     "p12_token_budget" -> p12TokenBudget _,
     "p13_split_decontam" -> p13SplitDecontam _,
     "p14_decontam_quarantine" -> p14DecontamQuarantine _,
+    "p15_dist_drift" -> p15DistDrift _,
     "p05_filter_funnel" -> p05FilterFunnel _,
     "p06_corpus_summary" -> p06CorpusSummary _,
     "p04_corpus_report" -> p04CorpusReport _,
@@ -609,6 +642,32 @@ object Curation {
                    / n_tokens > $MaxEpochs AS data_constrained
           FROM c CROSS JOIN tot"""
     },
+    "p15_dist_drift" ->
+      """WITH c AS (
+           SELECT lang,
+                  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_old,
+                  CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_new
+           FROM documents GROUP BY 1),
+         t AS (SELECT CAST(SUM(n_old) AS BIGINT) AS tot_old,
+                      CAST(SUM(n_new) AS BIGINT) AS tot_new FROM c),
+         per AS (
+           SELECT lang, n_old, n_new,
+                  CAST(tot_new * n_old AS DOUBLE) / tot_old AS expected_new
+           FROM c CROSS JOIN t),
+         per2 AS (
+           SELECT *, (n_new - expected_new) * (n_new - expected_new)
+                     / expected_new AS contribution
+           FROM per),
+         tot2 AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                  list_reduce(list_prepend(0.0, list(contribution ORDER BY lang)),
+                              (a, x) -> a + x) AS chi2
+           FROM per2)
+         SELECT lang, n_old, n_new, expected_new, contribution, chi2,
+                k - 1 AS dof
+         FROM per2 CROSS JOIN tot2""",
     // the exact (banding-free) all-pairs near set with the same split
     // arithmetic — the comparison re-proves the map-side banding's full
     // ≥0.5-jaccard recall every round (see p01's oracle comment)

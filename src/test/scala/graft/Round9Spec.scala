@@ -352,6 +352,24 @@ class Round9Spec extends AnyFunSuite {
     assert(quarantined.size.toLong == report.values.map(_._2).sum)
   }
 
+  // --- p15: chi-square drift monitor ------------------------------------
+
+  test("p15: expected counts sum to the new release total and chi2 closes over contributions") {
+    val rows = ext.Curation.p15DistDrift(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val totNew = rows.map(_._3).sum
+    assert(math.abs(rows.map(_._4).sum - totNew) < 1e-9,
+      "expected counts must redistribute exactly the new release total")
+    val chi2 = rows.head._6
+    assert(rows.forall(_._6 == chi2), "chi2 must be a single corpus-level value")
+    assert(rows.forall(r => r._5 >= 0.0), "contributions are non-negative")
+    assert(math.abs(rows.map(_._5).sum - chi2) < 1e-9,
+      "chi2 must close over the per-language contributions")
+    assert(rows.forall(_._7 == rows.length.toLong - 1), "dof = k - 1")
+  }
+
   // --- s19: simplified silhouette ---------------------------------------
 
   test("s19: silhouette bounds hold and every vector is accounted for") {
