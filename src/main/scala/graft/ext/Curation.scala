@@ -235,7 +235,12 @@ object Curation {
     * division — all bit-identical across engines — and the total is a
     * language-ordered fold over domain-cardinality rows. Releases are
     * modeled as the deterministic even/odd doc_id halves. Everything
-    * after the one per-(release, lang) count agg is broadcast-sized. */
+    * after the one per-(release, lang) count agg is broadcast-sized.
+    * Chi-square requires expected > 0: a language present ONLY in the
+    * new release yields an infinite contribution — which is the correct
+    * reading (unbounded evidence of drift; a brand-new language IS a
+    * distribution break a release gate should scream about), and ±Inf
+    * propagates identically in both engines. */
   def p15DistDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val counts = Tables.documents(spark, dir)

@@ -427,18 +427,22 @@ object Relational7 {
     * top-5 heaviest keys (TakeOrderedAndProject, never a global sort)
     * with each key's share, its skew factor n·n_keys/total (how many
     * times an average partition this key alone is), and the salt-bucket
-    * count an even split of it needs — ceil in exact integer
-    * arithmetic, so both engines agree on the boundary. */
+    * count an even split of it needs (ceil of the skew factor). The
+    * factor multiplies in DOUBLE deliberately: the exact integer product
+    * n·n_keys overflows Long on a big enough table (10^10-row key ×
+    * 10^9 keys), while n and n_keys each stay far below 2^53 — the two
+    * IEEE operations are the same on both engines, so parity holds. */
   def q99SkewAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val k = Tables.events(spark, dir).groupBy($"user_id")
       .agg(count(lit(1)).as("n"))
     val t = k.agg(sum($"n").as("total"), count(lit(1)).as("n_keys"))
     k.crossJoin(broadcast(t))
+      .withColumn("skew_factor", $"n".cast("double") * $"n_keys" / $"total")
       .select($"user_id", $"n",
         (($"n" * 100).cast("double") / $"total").as("share_pct"),
-        (($"n" * $"n_keys").cast("double") / $"total").as("skew_factor"),
-        expr("(n * n_keys + total - 1) div total").as("recommended_salt"))
+        $"skew_factor",
+        ceil($"skew_factor").as("recommended_salt"))
       .orderBy($"n".desc, $"user_id")
       .limit(5)
   }
@@ -469,14 +473,16 @@ object Relational7 {
   // are 4-decimal-exact, probe-verified) and the string→double hop from
   // Tables.sqlDec2Dbl everywhere a decimal leaves the aggregate.
   val oracles: Map[String, String] = Map(
+    // skew factor multiplies in DOUBLE (overflow-safe), matching Spark
     "q99_skew_audit" ->
       """WITH k AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
           t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
                        CAST(COUNT(*) AS BIGINT) AS n_keys FROM k)
          SELECT user_id, n,
                 CAST(n * 100 AS DOUBLE) / total AS share_pct,
-                CAST(n * n_keys AS DOUBLE) / total AS skew_factor,
-                (n * n_keys + total - 1) // total AS recommended_salt
+                CAST(n AS DOUBLE) * n_keys / total AS skew_factor,
+                CAST(CEIL(CAST(n AS DOUBLE) * n_keys / total) AS BIGINT)
+                  AS recommended_salt
          FROM k CROSS JOIN t
          ORDER BY n DESC, user_id LIMIT 5""",
     // parameters and the SQL-UDF body inlined; GROUP BY ALL is shared
