@@ -175,9 +175,10 @@ object CdcQueries {
   /** O14 + O3/O5/O10 end-to-end, driver-run every round: the seeded
     * distributed workload generator feeds envelope JSON through parse →
     * snapshot apply; output is the final employee headcount/payroll per
-    * position. Rows-only (the generator's victim selection uses Spark's
-    * Murmur3 `hash`, which DuckDB cannot replay); determinism and
-    * model-equivalence are ScalaCheck-tested in CdcSpec/PropertySpec. */
+    * position. Oracle-exact since r9: the generator's seeded choices run
+    * on the md5-prefix device (`Workload.h32`), which DuckDB replays
+    * verbatim — the pre-r9 Murmur3 `hash` forms could not be; determinism
+    * and model-equivalence stay ScalaCheck-tested in CdcSpec. */
   def g01WorkloadSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val raw = graft.gen.Workload.employeeCdc(spark, n = 5000, nKeys = 200)
     val env = Envelope.parse(raw).filter(!col("is_dlq"))
@@ -349,10 +350,18 @@ object CdcQueries {
     import spark.implicits._
     val log = Tables.events(spark, dir).withColumn("op", opOf(spark))
     val gmax = log.agg(max($"ts").as("gts"))
-    val hwm = log.crossJoin(broadcast(gmax))
+    // per-table mark over ALL tables: a topic with NO applied rows (every
+    // row inside its lag window) must surface hwm = -1 — "nothing
+    // publishable" — and drag the global cut to -1, not silently drop out
+    // of the min (an inner join on applied marks would ignore exactly the
+    // most-lagged table, the one the consistent cut exists to wait for)
+    val applied = log.crossJoin(broadcast(gmax))
       .filter($"ts" <= $"gts" - make_dt_interval(
         lit(0), lit(0), (length($"event_type") % 5).cast("long"), lit(0)))
-      .groupBy($"event_type").agg(max($"event_id").as("hwm"))
+      .groupBy($"event_type").agg(max($"event_id").as("applied_hwm"))
+    val hwm = log.select($"event_type").distinct()
+      .join(applied, Seq("event_type"), "left")
+      .select($"event_type", coalesce($"applied_hwm", lit(-1L)).as("hwm"))
     val cut = hwm.agg(min($"hwm").as("cut"))
     val w = Window.partitionBy($"event_type", $"user_id")
       .orderBy($"ts".desc, $"event_id".desc)
@@ -533,9 +542,7 @@ object CdcQueries {
       Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
     q.awaitTermination()
     val log = spark.read.parquet(s"$tmp/out/readings")
-    val snap = readingsReport(
-      Apply.snapshot(log, Seq("id"), Seq($"offset"))
-        .select(readingsCols.map(col): _*))
+    val snap = readingsReport(Apply.snapshot(log, Seq("id"), Seq($"offset")))
     // HARNESS SHIM, fixture-sized by construction (one row per user):
     // materialize so the scratch stream/source/checkpoint dirs can be
     // deleted before returning. Production streaming ingest is
@@ -707,11 +714,15 @@ object CdcQueries {
     "c20_consistent_cut" ->
       s"""WITH lg AS (SELECT *, $opSql AS op FROM events),
           g AS (SELECT MAX(ts) AS gts FROM events),
-          hwm AS (
-            SELECT event_type, MAX(event_id) AS hwm
+          applied AS (
+            SELECT event_type, MAX(event_id) AS applied_hwm
             FROM lg CROSS JOIN g
             WHERE ts <= gts - to_minutes(CAST(length(event_type) % 5 AS BIGINT))
             GROUP BY 1),
+          hwm AS (
+            SELECT t.event_type, COALESCE(a.applied_hwm, -1) AS hwm
+            FROM (SELECT DISTINCT event_type FROM lg) t
+            LEFT JOIN applied a USING (event_type)),
           c AS (SELECT MIN(hwm) AS cut FROM hwm),
           r AS (
             SELECT l.event_type, l.event_id, l.op, h.hwm, c.cut,

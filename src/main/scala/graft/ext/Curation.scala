@@ -421,10 +421,9 @@ object Curation {
     * and the leaking-hash set is tiny, so it broadcasts back. */
   def p07HashSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val b = pmod($"doc_id" * 2654435761L, lit(1000L))
     val tagged = Dedup.corpusWithCopies(Tables.documents(spark, dir)).select(
       $"doc_id", length($"text").as("n_chars"), md5($"text").as("h"),
-      when(b < 800, "train").when(b < 900, "val").otherwise("test").as("split"))
+      splitOf($"doc_id").as("split"))
     val leaking = tagged.groupBy($"h")
       .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
       .select($"h", lit(1).as("leak"))
@@ -567,20 +566,8 @@ object Curation {
       val scoreEn = s"len(list_filter($tok, t -> t IN ('the', 'a', 'value')))"
       val scoreDb = s"len(list_filter($tok, t -> t IN ('table', 'row', 'column', 'query')))"
       val scoreOps = s"len(list_filter($tok, t -> t IN ('merge', 'batch', 'stream', 'window')))"
-      s"""WITH ${Dedup.corpusSql},
-          ${Dedup.shinglesSql},
-          sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingle GROUP BY doc_id),
-          tj AS (
-            SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
-            FROM shingle a JOIN shingle b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          near AS (
-            SELECT t.id1, t.id2 FROM tj t
-            JOIN sizes s1 ON s1.doc_id = t.id1
-            JOIN sizes s2 ON s2.doc_id = t.id2
-            WHERE t.inter * 2 >= (s1.n + s2.n - t.inter)),
-          drops AS (SELECT DISTINCT id2 AS doc_id FROM near),
+      s"""WITH ${Dedup.exactNearCtesFor(Dedup.corpusSql)},
+          drops AS (SELECT DISTINCT id2 AS doc_id FROM truenear),
           exact AS (
             SELECT md5(text) AS h, MIN(doc_id) AS keep_id
             FROM corpus GROUP BY 1),

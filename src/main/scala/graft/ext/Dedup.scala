@@ -397,8 +397,11 @@ object Dedup {
     * dictionary; TRUE jaccard on raw shingle arrays — immune to the
     * mod-P sid collisions the exploded verify can hit at real corpus
     * scale, and the SAME pair set d07's drops come from, so the scale
-    * path's clusters and its corpus dedup can never disagree). Rows-only
-    * driver check; ExtSpec asserts cluster parity with d09. */
+    * path's clusters and its corpus dedup can never disagree).
+    * Oracle-exact since r9 via the banding-independent all-pairs
+    * true-jaccard device ([[exactNearCtesFor]] + the recursive
+    * reachability walk); ExtSpec additionally asserts cluster parity
+    * with d09. */
   def dedupClustersScale(spark: SparkSession, dir: String): DataFrame =
     memoDf(spark, dir, "labels:scale") {
       import spark.implicits._
@@ -451,14 +454,14 @@ object Dedup {
   /** d20: [[d19KeepBestDedup]]'s policy over the SCALE labels (d10's
     * xxhash64/zero-explode clustering) — the form a 100 TB run executes:
     * no shingle dictionary, no global sort anywhere in the plan
-    * (PlanSpec-guarded). Rows-only by construction: the two hash
-    * families band borderline near pairs differently (measured at
-    * sf0.01: xxhash64 finds one true near pair, (275, 2000275), that
-    * the dictionary banding misses), so d10's labels — and therefore the
-    * keeper set — can legitimately differ from d19's oracle-replayable
-    * labeling on exactly those borderline clusters. That is WHY the
-    * judge-suggested "swap d19 onto d10's labels" would break d19's
-    * DuckDB oracle, and why the scale path is a twin instead. */
+    * (PlanSpec-guarded). Oracle-exact since r9 via the exact all-pairs
+    * true-jaccard pair set ([[exactNearCtesFor]]): the two hash families
+    * band borderline near pairs differently (measured at sf0.01:
+    * xxhash64 finds one true near pair, (275, 2000275), that the
+    * dictionary banding misses), so d10/d20 could never share d09/d19's
+    * BANDED oracles — but both pipelines verify TRUE jaccard, so against
+    * the banding-free exact pair set the oracle pins them precisely
+    * (and re-proves the map-side banding's full recall each round). */
   def d20KeepBestScale(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     keepBestOver(corpusWithCopies(Tables.documents(spark, dir)),
@@ -846,8 +849,11 @@ object Dedup {
   /** d21: [[d17LshTuning]]'s banding sweep on xxhash64 shingle ids — the
     * dictionary-free form a corpus-scale tuning run executes (pure
     * map-side hashing; the only shuffles are the per-config band joins
-    * and the signature groupBy). Rows-only: xxhash64 has no DuckDB twin.
-    * Round7Spec pins its recall/verified readouts against d17's. */
+    * and the signature groupBy). Rows-only BY NECESSITY — its readout
+    * reports banding-specific candidate counts of the xxhash64 family,
+    * which has no DuckDB twin (unlike the d07/d10/d18/d20/d22 verified
+    * TRUE-jaccard outputs, exact-oracled in r9). Round7Spec pins its
+    * recall/verified readouts against d17's. */
   def d21LshTuningScale(spark: SparkSession, dir: String): DataFrame =
     memoDf(spark, dir, "sweep:scale") {
       import spark.implicits._
@@ -1096,8 +1102,11 @@ object Dedup {
     * 20-bit md5-prefix hash and a reversed position so the natural MIN is
     * rightmost-on-ties; the 43-bit position field keeps the packing
     * collision-free for documents up to 2^43 ≈ 8.8e12 grams — any
-    * conceivable single document — and 2^20·2^43 still fits a long
-    * with a sign bit to spare), so selection is a single keyed window MIN over
+    * conceivable single document. The packing is EXACTLY at capacity:
+    * the maximum key is (2^20−1)·2^43 + (2^43−1) = 2^63−1 = Long.MaxValue
+    * with ZERO slack — widening either field by even one bit overflows
+    * into negative keys and corrupts the argmin), so selection is a
+    * single keyed window MIN over
     * ROWS [CURRENT, W-1 FOLLOWING] plus DISTINCT on the decoded position —
     * one Generate (linear in tokens), one per-doc window, one
     * hash-partitioned share join. No global sort, no all-pairs anywhere.
@@ -1271,9 +1280,10 @@ object Dedup {
     * the zero-explode xxhash64 pipeline ([[minHashPairsMapSide]] over
     * index ∪ batch) — the incremental-admission form a 100 TB ingest
     * runs: no dictionary over the combined corpus, no global sort; the
-    * exact probe stays the same one md5 equi-join. Rows-only: xxhash64
-    * has no DuckDB twin. Round7Spec pins the planted admit/reject
-    * structure and parity with d12's decisions. */
+    * exact probe stays the same one md5 equi-join. Oracle-exact since r9
+    * via the exact all-pairs true-jaccard device restricted to
+    * index-side partners ([[exactNearCtesFor]]); Round7Spec additionally
+    * pins the planted admit/reject structure and parity with d12. */
   def d22IncrementalScale(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)

@@ -35,11 +35,14 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int, sortCol: Option[String] = None): Unit = {
     val spark = df.sparkSession
-    val memoKey = s"$table|$bucketCol|$buckets|$sortCol"
+    // the memo key carries the INPUT identity (the logical plan names the
+    // source files), not just the table name: a second caller writing
+    // different data under the same table name must rewrite, not reuse
+    val memoKey =
+      s"$table|$bucketCol|$buckets|$sortCol|${df.queryExecution.logical.semanticHash()}"
     // the catalog check keeps the memo honest against external DROPs
     // (test teardowns): skip only when the layout actually still exists
     if (writtenThisJvm.contains(memoKey) && spark.catalog.tableExists(table)) return
-    writtenThisJvm.add(memoKey)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
@@ -49,6 +52,9 @@ object Bucketing {
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(s => w.sortBy(s)).saveAsTable(table)
+    // memoize only a COMPLETED write — a failed saveAsTable must not
+    // leave a half-written table that later calls would accept
+    writtenThisJvm.add(memoKey)
   }
 
   /** Join two tables bucketed on the same key with the same bucket count:
