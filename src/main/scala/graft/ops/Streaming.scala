@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import graft.Tables
 import graft.Tables.dsum
 
@@ -222,6 +222,60 @@ object Streaming {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  // --- transformWithState TIMERS (event-time state eviction) -------------
+
+  case class TimedEvent(event_id: Long, user_id: Long,
+                        ts: java.sql.Timestamp, value: Double)
+  case class OpenSession(n_events: Long, last_event_id: Long, last_ts_ms: Long)
+  case class ClosedSession(user_id: Long, n_events: Long, last_event_id: Long)
+
+  /** Inactivity-timeout sessionization on EVENT-TIME TIMERS — the
+    * transformWithState surface [[TotalsProcessor]] doesn't touch: a
+    * key's output is emitted not when input arrives but when the
+    * WATERMARK passes its registered expiry (last event time + gap).
+    * This is the state-EVICTION half of the arbitrary-state API: a key
+    * that goes quiet is flushed and its state cleared by the expired
+    * timer, so the store holds only open sessions — bounded by active
+    * keys, never by stream length. Each arrival re-arms the key's single
+    * timer (delete + register — timers don't overwrite implicitly);
+    * output order is driven by watermark advancement, which StreamingSpec
+    * scripts deterministically with sentinel rows. */
+  class InactivityProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEvent, ClosedSession] {
+    @transient private var st: ValueState[OpenSession] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[OpenSession](
+        "session", Encoders.product[OpenSession], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[TimedEvent],
+                                 timerValues: TimerValues): Iterator[ClosedSession] = {
+      val evs = rows.toSeq.sortBy(_.event_id)
+      val prev = if (st.exists()) st.get() else OpenSession(0L, -1L, Long.MinValue)
+      val maxTs = math.max(prev.last_ts_ms, evs.map(_.ts.getTime).max)
+      st.update(OpenSession(prev.n_events + evs.size, evs.last.event_id, maxTs))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val s = st.get()
+      st.clear()
+      Iterator.single(ClosedSession(key, s.n_events, s.last_event_id))
+    }
+  }
+
+  /** Timer-closed sessions over a watermarked event stream (spec-driven;
+    * emission time depends on watermark progress, so this is streaming-
+    * only surface — StreamingSpec scripts the watermark with sentinels
+    * and asserts exactly the timed-out keys emit, with open keys held). */
+  def inactivitySessions(events: Dataset[TimedEvent],
+                         gapMs: Long): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new InactivityProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   // --- foreachBatch upsert sink (the O10 apply loop, actually streamed) --

@@ -188,6 +188,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 200)
   }
 
+  test("event-time timers: inactive keys flush via handleExpiredTimer, open keys hold") {
+    import ops.Streaming.{ClosedSession, TimedEvent}
+    implicit val sq = spark.sqlContext
+    // transformWithState (timers = extra column families) needs RocksDB
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ms = MemoryStream[TimedEvent]
+    val q = ops.Streaming.inactivitySessions(
+        ms.toDS().withWatermark("ts", "10 minutes"),
+        gapMs = 5 * 60000L)
+      .writeStream.outputMode("append").format("memory").queryName("timers")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    // batch 1: users 1 (two events) and 2 (one) near t0 — timers armed
+    ms.addData(Seq(
+      TimedEvent(1L, 1L, ts(0), 1.0), TimedEvent(2L, 1L, ts(1), 1.0),
+      TimedEvent(3L, 2L, ts(0), 1.0)))
+    q.processAllAvailable()
+    assert(spark.table("timers").count() == 0, "no watermark progress yet")
+    // batch 2: sentinel (user 99) at t0+60m — watermark will reach t0+50m
+    ms.addData(Seq(TimedEvent(4L, 99L, ts(60), 1.0)))
+    q.processAllAvailable()
+    // batch 3: the advanced watermark (t0+50m) fires users 1/2's timers
+    // (t0+6m / t0+5m); the follow-up batch sees watermark t0+110m and
+    // fires 99's (t0+65m) too. User 98's (t0+125m) stays armed — its key
+    // holds open state, the exact bounded-store behavior timers buy.
+    ms.addData(Seq(TimedEvent(5L, 98L, ts(120), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("timers").as[ClosedSession].collect()
+      .map(c => c.user_id -> ((c.n_events, c.last_event_id))).toMap
+    assert(got.keySet == Set(1L, 2L, 99L),
+      s"exactly the timed-out keys must emit, got ${got.keySet}")
+    assert(got(1L) == ((2L, 2L)), "user 1: both events in the flushed session")
+    assert(got(2L) == ((1L, 3L)), "user 2: single-event session")
+    assert(got(99L) == ((1L, 4L)), "sentinel's own session flushes once passed")
+    assert(!got.contains(98L), "open key must hold until its timer expires")
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("Pipeline.ingestStream: startable streaming ingest converges to the batch pipeline") {
     implicit val sq = spark.sqlContext
     val raw = Workload.employeeCdc(spark, n = 200, nKeys = 20)
