@@ -494,6 +494,43 @@ object Similarity {
         ($"lambda" / $"tr").as("explained_share"))
   }
 
+  /** s20: IVF tuning sweep — recall@5 AND candidate cost per `nprobe` ∈
+    * {1, 2, 4}, measured against the exact brute-force top-5. This is
+    * the measurement that PICKS an index configuration before a corpus-
+    * scale run (the ANN member of the repo's tuning-measurement family:
+    * d17 sweeps LSH bandings, q99 measures join skew): more probed
+    * lists buy recall with a linearly growing candidate set, and the
+    * sweep shows both axes per query so the knee is visible. One
+    * assignment pass and one probe ranking are shared by all three
+    * configs (the per-config work is a filter on the probe rank — no
+    * index rebuild per config); ground truth is the s01 contract. */
+  def s20IvfTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
+    val assigned = ivfAssigned(e)
+    val probeRanked = centroidScored(e).filter($"vec_id" < 5)
+      .withColumn("rn", row_number().over(wAssign))
+      .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid", $"rn")
+    val exact = s01KnnBruteForce(spark, dir).filter($"rank" <= 5)
+      .select($"qid", $"nid")
+    Seq(1, 2, 4).map { np =>
+      val probes = probeRanked.filter($"rn" <= np).select($"qid", $"qe", $"cid")
+      val cand = assigned.join(probes, Seq("cid")).filter($"vec_id" =!= $"qid")
+        .select($"qid", $"vec_id".as("nid"), cosine($"qe", $"embedding").as("cos_sim"))
+      val nCand = cand.groupBy($"qid").agg(count(lit(1)).as("n_candidates"))
+      val w = Window.partitionBy($"qid").orderBy($"cos_sim".desc, $"nid")
+      val top = cand.withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+        .select($"qid", $"nid")
+      exact.join(top.withColumn("hit", lit(1)), Seq("qid", "nid"), "left")
+        .groupBy($"qid").agg(count($"hit").as("n_hit"))
+        .join(nCand, Seq("qid"), "left")
+        .select(lit(np).as("nprobe"), $"qid",
+          coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+          $"n_hit", ($"n_hit".cast("double") / lit(5.0)).as("recall_at_5"))
+    }.reduce(_ unionByName _)
+  }
+
   /** s19: clustering-quality readout — the SIMPLIFIED silhouette
     * (centroid-based: a = squared L2 to the own-cluster mean, b = the
     * smallest squared L2 to any OTHER cluster's mean, score =
@@ -841,6 +878,7 @@ object Similarity {
     "s16_kmeans_lloyd"   -> s16KmeansLloyd _,
     "s18_pca_power"      -> s18PcaPower _,
     "s19_silhouette"     -> s19Silhouette _,
+    "s20_ivf_tuning"     -> s20IvfTuning _,
     "s17_crosslingual_mining" -> s17CrosslingualMining _,
     "s01_knn_bruteforce" -> s01KnnBruteForce _,
     "s11_hybrid_search"  -> s11HybridSearch _,
@@ -947,6 +985,53 @@ object Similarity {
             FROM pairs)
           SELECT lang1, lang2, CAST(rank AS INT) AS rank, id1, id2, cos_sim
           FROM ranked WHERE rank <= 3""",
+    // one probe ranking shared by all configs; candidates / top-5 /
+    // recall replayed per (nprobe, query) with the same tie-breaks
+    "s20_ivf_tuning" ->
+      s"""WITH $ivfAssignedCtes,
+          pr AS (
+            SELECT vec_id AS qid, embedding AS qe, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cdot DESC, cid) AS rn
+            FROM scored WHERE vec_id < 5),
+          q AS (SELECT vec_id AS qid, embedding AS qe2 FROM embeddings
+                WHERE vec_id < 5),
+          sc2 AS (
+            SELECT q.qid, e.vec_id AS nid,
+                   ${cosineSql("q.qe2", "e.embedding")} AS cs
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+          exact AS (
+            SELECT qid, nid FROM (
+              SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY cs DESC, nid) AS r FROM sc2) t
+            WHERE r <= 5),
+          cfg AS (SELECT unnest([1, 2, 4]) AS nprobe),
+          cand AS (
+            SELECT f.nprobe, p.qid, a.vec_id AS nid,
+                   ${cosineSql("p.qe", "a.embedding")} AS cos_sim
+            FROM cfg f
+            JOIN pr p ON p.rn <= f.nprobe
+            JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.qid),
+          nc AS (SELECT nprobe, qid, COUNT(*) AS n_candidates
+                 FROM cand GROUP BY 1, 2),
+          topk AS (
+            SELECT nprobe, qid, nid FROM (
+              SELECT nprobe, qid, nid,
+                     ROW_NUMBER() OVER (PARTITION BY nprobe, qid
+                       ORDER BY cos_sim DESC, nid) AS r
+              FROM cand) t WHERE r <= 5),
+          hits AS (
+            SELECT f.nprobe, e.qid,
+                   CAST(SUM(CASE WHEN t.nid IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hit
+            FROM cfg f CROSS JOIN exact e
+            LEFT JOIN topk t ON t.nprobe = f.nprobe AND t.qid = e.qid
+                            AND t.nid = e.nid
+            GROUP BY 1, 2)
+          SELECT h.nprobe, h.qid, COALESCE(nc.n_candidates, 0) AS n_candidates,
+                 h.n_hit, CAST(h.n_hit AS DOUBLE) / 5.0 AS recall_at_5
+          FROM hits h
+          LEFT JOIN nc ON nc.nprobe = h.nprobe AND nc.qid = h.qid""",
     // centroid training replayed through the s16 CTE chain (the proven
     // bucketedMeans twin), then distances / a / b / the hierarchical
     // mean fold add-for-add; min over centroid distances is a VALUE min

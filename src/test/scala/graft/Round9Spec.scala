@@ -352,6 +352,39 @@ class Round9Spec extends AnyFunSuite {
     assert(quarantined.size.toLong == report.values.map(_._2).sum)
   }
 
+  // --- s20: IVF nprobe sweep --------------------------------------------
+
+  test("s20: recall and candidate cost are monotone in nprobe; nprobe=4 matches s04") {
+    val rows = ext.Similarity.s20IvfTuning(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.length == 15, "3 configs x 5 queries")
+    val byQ = rows.groupBy(_._2)
+    byQ.foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._1)
+      val cands = sorted.map(_._3)
+      val hits = sorted.map(_._4)
+      assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+        s"q$qid: candidate cost must grow with nprobe: ${cands.toSeq}")
+      assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+        s"q$qid: probing more lists can only add candidates: ${hits.toSeq}")
+      sorted.foreach { case (_, _, _, h, rec) => assert(rec == h / 5.0) }
+    }
+    // the nprobe=4 column IS s04's configuration: its hit counts must
+    // equal |s04's top-5 ∩ exact top-5| per query
+    val s04 = ext.Similarity.s04AnnIvf(spark, sf0001)
+      .filter($"rank" <= 5).select($"qid", $"nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = ext.Similarity.s01KnnBruteForce(spark, sf0001)
+      .filter($"rank" <= 5).select($"qid", $"nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    rows.filter(_._1 == 4).foreach { case (_, qid, _, nHit, _) =>
+      val want = s04.getOrElse(qid, Set.empty).intersect(exact(qid)).size.toLong
+      assert(nHit == want, s"q$qid: nprobe=4 hits $nHit != s04-vs-exact $want")
+    }
+  }
+
   // --- p15: chi-square drift monitor ------------------------------------
 
   test("p15: expected counts sum to the new release total and chi2 closes over contributions") {
