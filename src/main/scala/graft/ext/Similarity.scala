@@ -508,12 +508,15 @@ object Similarity {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
-    val assigned = ivfAssigned(e)
+    // cached: all three configs read the same assignment, probe ranking,
+    // and ground truth — without the cache each config re-runs them
+    val assigned = ivfAssigned(e).cache()
     val probeRanked = centroidScored(e).filter($"vec_id" < 5)
       .withColumn("rn", row_number().over(wAssign))
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid", $"rn")
+      .cache()
     val exact = s01KnnBruteForce(spark, dir).filter($"rank" <= 5)
-      .select($"qid", $"nid")
+      .select($"qid", $"nid").cache()
     Seq(1, 2, 4).map { np =>
       val probes = probeRanked.filter($"rn" <= np).select($"qid", $"qe", $"cid")
       val cand = assigned.join(probes, Seq("cid")).filter($"vec_id" =!= $"qid")
