@@ -33,7 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   // max heap, not a reservation: local[32] at sf0.1 keeps base tables plus
   // the dedup pipelines' (doc_id, sid) caches resident — 8g forced
-  // multi-second GC pauses into individual bench timings
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // multi-second GC pauses into individual bench timings, and at 24g the
+  // r9 bench showed eviction-shaped 3-8x outliers on exactly the
+  // shared-cached dedup/similarity queries (storage pressure evicts the
+  // memoized pipelines between the two passes). The host has 125 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "56g")}",
   "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime",
 )

@@ -56,7 +56,8 @@ object Bench {
     // windows); the minimum of two independent passes is a far better
     // estimate of the engine's actual cost than any single pass
     val pass1 = onePass().toMap
-    val twoPass = onePass().map { case (name, t2) =>
+    val pass2 = onePass()
+    val twoPass = pass2.map { case (name, t2) =>
       name -> math.min(pass1(name), t2)
     }
     // The reported timings are the MEASUREMENTS (min of the two passes),
@@ -93,14 +94,26 @@ object Bench {
     val sfName = sfName0
     val full = line(results, total, sfName)
     // the driver parses a bounded (~2000 char) tail of stdout, and the
-    // full per-query map no longer fits it: keep the complete record in
-    // bench_last.json and an early stdout line, and make the guaranteed
-    // LAST line a compact summary (same shape, 30 slowest queries)
-    val compact = line(results.sortBy(-_._2).take(30).sortBy(_._1), total, sfName)
+    // full per-query map (239 entries ≈ 7 KB) cannot fit it: keep the
+    // complete record in bench_last.json and an early stdout line, and
+    // make the guaranteed LAST line a compact summary holding as many of
+    // the slowest queries as fit a conservative 1900-char budget (was a
+    // fixed 30, which blocked round-over-round comparison of the rest —
+    // VERDICT r09; the full map lives in bench_last.json either way)
+    val slowest = results.sortBy(-_._2)
+    val fitN = (30 to slowest.size).takeWhile { n =>
+      line(slowest.take(n), total, sfName).length <= 1900
+    }.lastOption.getOrElse(30)
+    val compact = line(slowest.take(fitN).sortBy(_._1), total, sfName)
     val bestQs = best.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    // per-pass totals: lets a reader tell host variance (p1 vs p2 spread)
+    // from plan regressions without re-running anything
+    val p1Total = pass1.values.sum
+    val p2Total = pass2.map(_._2).sum
     Files.writeString(Paths.get("bench_last.json"),
-      full.dropRight(1) + s""","best":$bestQs}""" + "\n")
+      full.dropRight(1) +
+        s""","best":$bestQs,"pass_totals":[${f(p1Total)},${f(p2Total)}]}""" + "\n")
     // roll the per-SF best forward (noise context only, never committed)
     Files.writeString(bestPath, line(best, best.map(_._2).sum, sfName) + "\n")
     println(full)

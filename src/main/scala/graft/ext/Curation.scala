@@ -239,20 +239,36 @@ object Curation {
     * Chi-square requires expected > 0: a language present ONLY in the
     * new release yields an infinite contribution — which is the correct
     * reading (unbounded evidence of drift; a brand-new language IS a
-    * distribution break a release gate should scream about), and ±Inf
-    * propagates identically in both engines. */
+    * distribution break a release gate should scream about). Since r10
+    * the +Inf is EXPLICIT on both sides (`when(expected = 0, +Inf)` here,
+    * the same CASE in the oracle) rather than relying on each engine's
+    * float division-by-zero semantics — DuckDB's x/0.0 behavior has
+    * varied across versions (NULL vs Inf), and the sf fixtures carry no
+    * new-only language to exercise the path in the differential
+    * (Round10Spec plants one and pins the +Inf). */
   def p15DistDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val counts = Tables.documents(spark, dir)
       .groupBy($"lang")
       .agg(sum(when($"doc_id" % 2 === 0, 1L).otherwise(0L)).as("n_old"),
         sum(when($"doc_id" % 2 =!= 0, 1L).otherwise(0L)).as("n_new"))
+    distDriftOver(counts)
+  }
+
+  /** The drift arithmetic over a prepared per-(lang) count frame —
+    * factored out so Round10Spec can plant a new-only language (a lang
+    * with n_old = 0) and pin the explicit-+Inf contribution path the sf
+    * fixtures never exercise. */
+  private[graft] def distDriftOver(counts: DataFrame): DataFrame = {
+    import counts.sparkSession.implicits._
     val tot = counts.agg(sum($"n_old").as("tot_old"), sum($"n_new").as("tot_new"))
     val per = counts.crossJoin(broadcast(tot))
       .select($"lang", $"n_old", $"n_new",
         (($"tot_new" * $"n_old").cast("double") / $"tot_old").as("expected_new"))
       .withColumn("contribution",
-        ($"n_new" - $"expected_new") * ($"n_new" - $"expected_new") / $"expected_new")
+        when($"expected_new" === 0.0, lit(Double.PositiveInfinity))
+          .otherwise(($"n_new" - $"expected_new") * ($"n_new" - $"expected_new")
+            / $"expected_new"))
     val total = per.groupBy()
       .agg(count(lit(1)).as("k"),
         aggregate(transform(array_sort(collect_list(struct($"lang", $"contribution"))),
@@ -649,8 +665,9 @@ object Curation {
                   CAST(tot_new * n_old AS DOUBLE) / tot_old AS expected_new
            FROM c CROSS JOIN t),
          per2 AS (
-           SELECT *, (n_new - expected_new) * (n_new - expected_new)
-                     / expected_new AS contribution
+           SELECT *, CASE WHEN expected_new = 0 THEN CAST('inf' AS DOUBLE)
+                          ELSE (n_new - expected_new) * (n_new - expected_new)
+                               / expected_new END AS contribution
            FROM per),
          tot2 AS (
            SELECT CAST(COUNT(*) AS BIGINT) AS k,

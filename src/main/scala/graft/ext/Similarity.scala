@@ -451,7 +451,8 @@ object Similarity {
     * 1-row broadcasts; nothing corpus-sized ever converges on one
     * executor. Fixed iteration count = fixed plan depth — the loop
     * lives in the driver as plan composition, like s16's Lloyd rounds. */
-  def s18PcaPower(spark: SparkSession, dir: String): DataFrame = {
+  def s18PcaPower(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "s18:pca") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val moments = dimMoments(e)
@@ -504,7 +505,8 @@ object Similarity {
     * assignment pass and one probe ranking are shared by all three
     * configs (the per-config work is a filter on the probe rank — no
     * index rebuild per config); ground truth is the s01 contract. */
-  def s20IvfTuning(spark: SparkSession, dir: String): DataFrame = {
+  def s20IvfTuning(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "s20:ivfTuning") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
@@ -861,7 +863,8 @@ object Similarity {
     * NProbe on the probe side is the recall knob, cf. s07's readout).
     * Emits one row per (vector, rank) with the neighbor and its cosine —
     * exact-fold cosine, so oracle-exact. */
-  def s14KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+  def s14KnnGraph(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "s14:knnGraph") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     // cache: both self-join sides read the assignment

@@ -253,7 +253,11 @@ object Streaming {
       val evs = rows.toSeq.sortBy(_.event_id)
       val prev = if (st.exists()) st.get() else OpenSession(0L, -1L, Long.MinValue)
       val maxTs = math.max(prev.last_ts_ms, evs.map(_.ts.getTime).max)
-      st.update(OpenSession(prev.n_events + evs.size, evs.last.event_id, maxTs))
+      // Merge monotonically on BOTH fields: a later micro-batch carrying
+      // only smaller event_ids (late-but-within-watermark arrivals) must
+      // not regress last_event_id while last_ts_ms keeps the max.
+      val lastId = math.max(prev.last_event_id, evs.last.event_id)
+      st.update(OpenSession(prev.n_events + evs.size, lastId, maxTs))
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(maxTs + gapMs)
       Iterator.empty

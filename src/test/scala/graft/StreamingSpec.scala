@@ -211,7 +211,13 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     assert(spark.table("timers").count() == 0, "no watermark progress yet")
     // batch 2: sentinel (user 99) at t0+60m — watermark will reach t0+50m
-    ms.addData(Seq(TimedEvent(4L, 99L, ts(60), 1.0)))
+    // — plus a LATE-but-within-watermark arrival for user 1 carrying a
+    // SMALLER event_id (0 < 2): the state merge must keep both fields
+    // monotone — last_ts_ms advances to t0+2m, last_event_id stays 2
+    // (the r9 advisor finding: taking last_event_id from the current
+    // batch alone would regress it to 0)
+    ms.addData(Seq(TimedEvent(4L, 99L, ts(60), 1.0),
+                   TimedEvent(0L, 1L, ts(2), 1.0)))
     q.processAllAvailable()
     // batch 3: the advanced watermark (t0+50m) fires users 1/2's timers
     // (t0+6m / t0+5m); the follow-up batch sees watermark t0+110m and
@@ -224,7 +230,8 @@ class StreamingSpec extends AnyFunSuite {
       .map(c => c.user_id -> ((c.n_events, c.last_event_id))).toMap
     assert(got.keySet == Set(1L, 2L, 99L),
       s"exactly the timed-out keys must emit, got ${got.keySet}")
-    assert(got(1L) == ((2L, 2L)), "user 1: both events in the flushed session")
+    assert(got(1L) == ((3L, 2L)),
+      "user 1: all three events; last_event_id must NOT regress to the late row's 0")
     assert(got(2L) == ((1L, 3L)), "user 2: single-event session")
     assert(got(99L) == ((1L, 4L)), "sentinel's own session flushes once passed")
     assert(!got.contains(98L), "open key must hold until its timer expires")
