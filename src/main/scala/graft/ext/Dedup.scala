@@ -957,6 +957,67 @@ object Dedup {
         ($"doc_id" === $"keeper").as("is_keeper"))
   }
 
+  // --- d31: deletion-neighborhood fuzzy join ------------------------------
+
+  /** d31: edit-distance-blocked fuzzy join over the corpus vocabulary —
+    * the typo/variant matcher (OCR noise, tokenizer drift, near-key
+    * record linkage) that exact hashing (d01/d16) and shingle jaccard
+    * (d02+) are both blind to at the single-token granularity. The naive
+    * form is all-pairs |V|² levenshtein; the scale form is FastSS-style
+    * deletion-neighborhood blocking (Bocek et al. 2007): two strings are
+    * within edit distance 1 IFF they share a member of their 1-deletion
+    * neighborhoods (the string itself plus each single-character
+    * deletion — a substitution at position i means both sides delete i
+    * to the same string; an insert/delete means one side IS the other's
+    * deletion), so candidate generation is a map-side variant explode
+    * (≤ len+1 variants per token, bounded by token length) and ONE
+    * hash-partitioned equi-join on the variant — exact-dedup's shuffle
+    * shape at variant granularity, never all-pairs. The neighborhood
+    * test over-generates transposition-shaped dist-2 pairs (ab/ba share
+    * both "a" and "b"), so candidates pass a final levenshtein ≤ 1
+    * verify — candidate-sized, never corpus-sized. Variants shared by
+    * > 100 tokens are dropped as degenerate blocks first (the d30
+    * fan-out cap: any block's join cost is capped at cap²).
+    *
+    * The corpus vocabulary is generator word-soup with no organic typos,
+    * so the query plants them: every selected-by-portable-hash token of
+    * length ≥ 5 gains a second-character-deleted variant, which must
+    * pair with (exactly) its source. Everything — tokenize, plant,
+    * variants, cap, verify — is string arithmetic both engines evaluate
+    * identically, so the readout is oracle-exact. */
+  def d31FuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+      .filter(length($"tok") >= 4).distinct()
+    // one planted variant per single-edit CLASS (delete 2nd char,
+    // substitute 3rd char, duplicate 1st char) so the join demonstrably
+    // catches all three lev-1 modes — variants of the SAME source sit at
+    // distance 2 from each other and must NOT pair
+    val seeds = base.filter(length($"tok") >= 5 && pmod(
+      conv(substring(md5($"tok".cast("binary")), 1, 8), 16, 10).cast("long"),
+      lit(3L)) === 0L)
+    val planted = seeds
+      .select(explode(array(
+        concat(substring($"tok", 1, 1), expr("substr(tok, 3)")),
+        concat(substring($"tok", 1, 2), lit("z"), expr("substr(tok, 4)")),
+        concat(substring($"tok", 1, 1), $"tok"))).as("tok"))
+    val vocab = base.unionByName(planted).distinct()
+    val vars = vocab.select($"tok", explode(array_distinct(concat(
+        array($"tok"),
+        expr("transform(sequence(0, length(tok) - 1), i -> concat(substr(tok, 1, i), substr(tok, i + 2)))")
+      ))).as("variant"))
+    val big = vars.groupBy($"variant")
+      .agg(count(lit(1)).as("n_toks")).filter($"n_toks" > 100)
+      .select($"variant")
+    val kept = vars.join(big, Seq("variant"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        $"a.variant" === $"b.variant" && $"a.tok" < $"b.tok")
+      .groupBy($"a.tok".as("t1"), $"b.tok".as("t2"))
+      .agg(count(lit(1)).as("n_shared_variants"))
+      .filter(levenshtein($"t1", $"t2") <= 1)
+  }
+
   // --- d15: minhash estimator quality -------------------------------------
 
   /** MinHash estimator evaluation: for the planted exact/near/control
@@ -1332,6 +1393,7 @@ object Dedup {
     "d15_minhash_estimate" -> d15MinhashEstimate _,
     "d16_normalized_dedup" -> d16NormalizedDedup _,
     "d17_lsh_tuning"       -> d17LshTuning _,
+    "d31_fuzzy_join"       -> d31FuzzyJoin _,
     "d11_contamination" -> d11Contamination _,
     "d28_bloom_contamination" -> d28BloomContamination _,
     "d12_incremental_dedup" -> d12IncrementalDedup _,
@@ -1621,6 +1683,45 @@ object Dedup {
     "d17_lsh_tuning" -> lshSweepSqlOver(
       s"""$shingleDictSql,
           ids AS (SELECT doc_id, sid FROM shingle JOIN dict USING (shingle))"""),
+    // d31: the same deletion-neighborhood blocking, cap, and levenshtein
+    // verify replayed over the same planted vocabulary
+    "d31_fuzzy_join" ->
+      """WITH base AS (
+           SELECT DISTINCT tok FROM (
+             SELECT unnest(string_split_regex(text, '\s+')) AS tok
+             FROM documents)
+           WHERE length(tok) >= 4),
+         seeds AS (
+           SELECT tok FROM base
+           WHERE length(tok) >= 5
+             AND CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 3 = 0),
+         planted AS (
+           SELECT substr(tok, 1, 1) || substr(tok, 3) AS tok FROM seeds
+           UNION ALL
+           SELECT substr(tok, 1, 2) || 'z' || substr(tok, 4) FROM seeds
+           UNION ALL
+           SELECT substr(tok, 1, 1) || tok FROM seeds),
+         vocab AS (
+           SELECT DISTINCT tok FROM (
+             SELECT tok FROM base UNION ALL SELECT tok FROM planted)),
+         vars AS (
+           SELECT DISTINCT tok, variant FROM (
+             SELECT tok, tok AS variant FROM vocab
+             UNION ALL
+             SELECT tok, substr(tok, 1, i) || substr(tok, i + 2) AS variant
+             FROM (SELECT tok, unnest(range(0, length(tok))) AS i FROM vocab))),
+         big AS (
+           SELECT variant FROM vars GROUP BY 1 HAVING COUNT(*) > 100),
+         kept AS (
+           SELECT tok, variant FROM vars
+           WHERE variant NOT IN (SELECT variant FROM big)),
+         cand AS (
+           SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS n_shared_variants
+           FROM kept a JOIN kept b
+             ON a.variant = b.variant AND a.tok < b.tok
+           GROUP BY 1, 2)
+         SELECT t1, t2, n_shared_variants
+         FROM cand WHERE levenshtein(t1, t2) <= 1""",
     // d21 oracle (r10): the identical sweep with the dictionary swapped
     // for the portable md5-prefix sid — same banding, same verification,
     // same report arithmetic, so every column (candidate counts

@@ -149,7 +149,40 @@ object Relational4 {
       .agg(countDistinct($"user_id").as("n_active"))
   }
 
+  /** q100: exponentially-weighted moving average (α = 1/2) over each
+    * event type's DAILY mean value — the smoother a monitoring pipeline
+    * runs over ingest metrics. EWMA is defined by a recursion
+    * (s_n = α·x_n + (1−α)·s_{n−1}), which plain SQL can't express — but
+    * with α pinned to 1/2 (the p11 device: the one coefficient whose
+    * arithmetic is exact halving, bit-identical in any IEEE engine) the
+    * recursion is a left fold of `(acc + x) / 2` seeded with the first
+    * day's value, and a fold over an explicit day-ordered array IS
+    * expressible on both engines (`aggregate` here,
+    * `list_reduce`/`list_slice` in DuckDB) with an identical operation
+    * sequence. Per day n the fold runs over the n-day prefix — O(days²)
+    * per group, fine because the array is calendar-bounded (the fixture
+    * spans one month; a year is 365), never corpus-bounded: the one
+    * shuffle is the (event_type, day) mean agg, map-side-combined, and
+    * everything after operates on day-cardinality arrays. The daily mean
+    * is exact-decimal sum → one division, so both engines fold the same
+    * doubles. */
+  def q100Ewma(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("timestamp_ntz").as("day"))
+      .agg((dsum($"value") / count(lit(1))).as("x"))
+    daily.groupBy($"event_type")
+      .agg(array_sort(collect_list(struct($"day", $"x"))).as("xs"))
+      .select($"event_type",
+        transform($"xs", e => e.getField("x")).as("xv"),
+        posexplode($"xs").as(Seq("i", "dx")))
+      .select($"event_type", $"dx.day".as("day"), $"dx.x".as("x_day"),
+        aggregate(slice($"xv", lit(2), $"i"), element_at($"xv", 1),
+          (a, x) => (a + x) / lit(2)).as("ewma"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q100_ewma"             -> q100Ewma _,
     "q56_funnel"            -> q56Funnel _,
     "q57_cohort_retention"  -> q57CohortRetention _,
     "q50_unpivot"           -> q50Unpivot _,
@@ -161,6 +194,23 @@ object Relational4 {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same seeded left fold over the same day-ordered array:
+    // list_reduce's implicit first-element init == aggregate's explicit
+    // element_at(xv, 1) init with the fold starting at element 2
+    "q100_ewma" ->
+      s"""WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   ${Tables.sqlDsum("value")} / COUNT(*) AS x
+            FROM events GROUP BY 1, 2),
+          arr AS (
+            SELECT event_type,
+                   list(x ORDER BY day) AS xv,
+                   list(day ORDER BY day) AS ds
+            FROM daily GROUP BY 1)
+          SELECT event_type, ds[i] AS day, xv[i] AS x_day,
+                 list_reduce(list_slice(xv, 1, i), (a, b) -> (a + b) / 2) AS ewma
+          FROM arr, (SELECT unnest(range(1, 400)) AS i) t
+          WHERE i <= len(xv)""",
     // portable long-form of UNPIVOT: one UNION ALL branch per measure
     "q50_unpivot" ->
       s"""WITH m AS (

@@ -1,0 +1,279 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE half of the DataSource V2 contract — the one connector
+  * surface the read-side family (o05 scan, o06 aggregate pushdown, o07
+  * limit/TopN, o08 runtime filtering) doesn't touch: a sink with a real
+  * two-phase distributed commit protocol, the shape every transactional
+  * lakehouse sink (Iceberg/Delta-style) implements.
+  *
+  * Why this is the scale-correct write shape (vs the reference's
+  * row-at-a-time `insert_dicts` sink, consumer_to_file.py:224, which has
+  * no commit boundary at all — a crashed consumer leaves half-applied
+  * work visible):
+  *
+  *   - '''Task isolation.''' Each [[CommitDataWriter]] streams its
+  *     partition to a PRIVATE staging file; nothing a running (or
+  *     failed, or speculative) task writes is visible to any reader.
+  *   - '''Two-phase commit.''' A task that finishes hands back a
+  *     [[StagedFile]] commit message (phase 1); only the DRIVER's
+  *     `BatchWrite.commit` — which runs once, after every task
+  *     succeeded — publishes them (phase 2). Spark's output-commit
+  *     coordinator guarantees at most one attempt per partition commits,
+  *     so speculative duplicates can never double-publish.
+  *   - '''Manifest as the atomicity point.''' Readers
+  *     ([[CommitSink.readCommitted]]) see ONLY files listed in the
+  *     `_MANIFEST.json`, which is swapped into place with one atomic
+  *     rename. A crash before the swap leaves the previous table version
+  *     fully intact; stray staged/renamed files are invisible garbage,
+  *     never phantom rows. This is exactly the design that stays correct
+  *     on object stores where directory listing is not transactional —
+  *     the manifest, not the filesystem, defines the table.
+  *   - '''Abort cleanup.''' Task abort deletes the task's own staging
+  *     file; job abort sweeps the staging directory. A failed write
+  *     leaves no state change at all (Round10Spec plants a failing
+  *     partition and proves it).
+  *
+  * Rows are staged as JSON lines (schema recorded in the manifest), so
+  * the payload is engine-portable and the o09 registry query can prove
+  * write → commit → read-back losslessness against a DuckDB oracle over
+  * the ORIGINAL table. Doubles round-trip bit-exactly: Java's
+  * `Double.toString` emits the shortest representation that re-parses to
+  * the same bits. Supported field types are the portable scalar set
+  * (long/int/double/string/boolean) — a declared-schema sink, validated
+  * at write resolution with a clear error, like TypeMapping's declared
+  * ingest path.
+  */
+object CommitSink {
+  val NAME = "graft-commit"
+  private val MANIFEST = "_MANIFEST.json"
+  private val STAGING = "_staging"
+
+  private[sources] val supportedTypes: Set[DataType] =
+    Set(LongType, IntegerType, DoubleType, StringType, BooleanType)
+
+  /** Read the committed snapshot: ONLY the manifest's file list, with the
+    * manifest's schema. An empty / never-committed target reads as an
+    * empty frame of the requested schema (if any committed version
+    * exists its schema wins). */
+  def readCommitted(spark: SparkSession, dir: String): DataFrame = {
+    val mf = Paths.get(dir, MANIFEST)
+    require(Files.exists(mf), s"graft-commit: no committed manifest at $dir")
+    val (ddl, files) = readManifest(mf)
+    val schema = StructType.fromDDL(ddl)
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(files.map(f => Paths.get(dir, f).toString): _*)
+  }
+
+  /** (schema DDL, relative file names) of a manifest. Hand-rolled parse
+    * of our own hand-rolled format — both sides live in this file. */
+  private[graft] def readManifest(mf: Path): (String, Seq[String]) = {
+    val txt = Files.readString(mf)
+    val ddl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse(sys.error(s"graft-commit: manifest missing schema: $mf"))
+    val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    (ddl, files)
+  }
+
+  private[sources] def writeManifest(dir: Path, ddl: String, files: Seq[String],
+                                     commitId: Long): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = s"""{"commit":$commitId,"schema":"${esc(ddl)}",""" +
+      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+    val tmp = dir.resolve(MANIFEST + ".tmp")
+    Files.writeString(tmp, body)
+    // the atomic swap IS the commit: readers either see the old manifest
+    // or the new one, never a torn state
+    Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private[sources] def currentCommit(dir: Path): Long = {
+    val mf = dir.resolve(MANIFEST)
+    if (!Files.exists(mf))
+      -1L
+    else
+      "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(Files.readString(mf))
+        .map(_.group(1).toLong).getOrElse(-1L)
+  }
+
+  private[sources] def stagingDir(dir: Path): Path = dir.resolve(STAGING)
+}
+
+/** Commit message: one staged file a task produced (phase 1 of the 2PC). */
+case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
+
+class CommitSinkProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = CommitSink.NAME
+  // write-only: the table accepts the incoming query's schema
+  // (ACCEPT_ANY_SCHEMA) and records it in the manifest; reads go through
+  // CommitSink.readCommitted, which trusts the manifest, not this stub
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CommitSinkTable(Option(properties.get("path"))
+      .getOrElse(sys.error("graft-commit: option 'path' is required")))
+}
+
+class CommitSinkTable(path: String) extends Table with SupportsWrite {
+  override def name(): String = s"graft_commit($path)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CommitWriteBuilder(path, info)
+}
+
+class CommitWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncateFlag = false
+  override def truncate(): WriteBuilder = { doTruncateFlag = true; this }
+  override def build(): Write = {
+    val schema = info.schema()
+    val bad = schema.fields.filterNot(f => CommitSink.supportedTypes.contains(f.dataType))
+    require(bad.isEmpty, "graft-commit supports long/int/double/string/boolean " +
+      s"columns; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+    val doTruncate = doTruncateFlag
+    new Write {
+      override def toBatch: BatchWrite = new CommitBatchWrite(path, schema, doTruncate)
+    }
+  }
+}
+
+class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  private val dir = Paths.get(path)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(CommitSink.stagingDir(dir))
+    // ship the schema as DDL text — StructType itself is serializable,
+    // but the DDL is also exactly what the manifest records
+    new CommitWriterFactory(path, schema.toDDL)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val commitId = CommitSink.currentCommit(dir) + 1
+    val staged = messages.collect { case s: StagedFile => s }
+    // phase 2: promote each task-committed staging file to its final
+    // name, then swap the manifest. Only files named by a commit message
+    // are promoted — output of failed/speculative attempts stays in
+    // staging and is swept below.
+    val promoted = staged.zipWithIndex.map { case (s, i) =>
+      val fin = f"part-c$commitId%05d-$i%05d.json"
+      Files.move(CommitSink.stagingDir(dir).resolve(s.name), dir.resolve(fin),
+        StandardCopyOption.ATOMIC_MOVE)
+      fin
+    }.toSeq
+    val carried =
+      if (truncate || !Files.exists(dir.resolve("_MANIFEST.json"))) Seq.empty
+      else CommitSink.readManifest(dir.resolve("_MANIFEST.json"))._2
+    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId)
+    // after the swap: previous-version files (on truncate) and stray
+    // staging output are garbage no reader can see — sweep them
+    if (truncate) {
+      Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          !promoted.contains(p.getFileName.toString))
+        .foreach(Files.deleteIfExists(_))
+    }
+    sweepStaging()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // a failed job publishes NOTHING: the manifest was never touched, so
+    // the previous version is still the table; just remove the debris
+    sweepStaging()
+
+  private def sweepStaging(): Unit = {
+    val st = CommitSink.stagingDir(dir)
+    if (Files.exists(st)) {
+      Files.list(st).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(st)
+    }
+  }
+}
+
+class CommitWriterFactory(path: String, ddl: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CommitDataWriter(path, ddl, partitionId, taskId)
+}
+
+/** Executor-side writer: streams rows to a task-private staging file as
+  * JSON lines. The (partitionId, taskId) pair makes the name unique per
+  * ATTEMPT, so a speculative retry can never clobber another attempt's
+  * staging output. */
+class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val schema = StructType.fromDDL(ddl)
+  private val name = s"attempt-p$partitionId-t$taskId.json"
+  private val file = CommitSink.stagingDir(Paths.get(path)).resolve(name)
+  private val out = Files.newBufferedWriter(file)
+  private var rows = 0L
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder
+    s.foreach {
+      case '"' => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val b = new StringBuilder("{")
+    var first = true
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        if (!first) b.append(',')
+        first = false
+        b.append('"').append(f.name).append("\":")
+        f.dataType match {
+          case LongType    => b.append(row.getLong(i))
+          case IntegerType => b.append(row.getInt(i))
+          // Double.toString is shortest-round-trip: the reader gets the
+          // identical bits back (NaN/Infinity rely on Spark's default
+          // allowNonNumericNumbers JSON option)
+          case DoubleType  => b.append(row.getDouble(i))
+          case BooleanType => b.append(row.getBoolean(i))
+          case StringType  => b.append('"').append(esc(row.getUTF8String(i).toString)).append('"')
+          case t => sys.error(s"unreachable: $t validated at build()")
+        }
+      }
+    }
+    out.write(b.append('}').toString)
+    out.newLine()
+    rows += 1
+  }
+
+  /** Phase 1: make the staging file durable and hand its name to the
+    * driver. NOT visible to readers until the driver's manifest swap. */
+  override def commit(): WriterCommitMessage = { out.close(); StagedFile(name, rows) }
+
+  /** Task abort: this attempt's output must leave no trace. */
+  override def abort(): Unit = { out.close(); Files.deleteIfExists(file) }
+  override def close(): Unit = ()
+}

@@ -328,7 +328,40 @@ object Sources {
         graft.Tables.dsum(col("reading")).as("total_reading"))
   }
 
+  /** o09: the DSv2 WRITE path ([[CommitSink]]) under a real query — the
+    * events table is written through the two-phase staged-file + manifest
+    * commit protocol (4 hash partitions → 4 task writers → 4 staged
+    * files → one atomic manifest swap) and read back from ONLY the
+    * manifest's committed file list; the aggregate over the read-back
+    * must equal the oracle's aggregate over the ORIGINAL table, proving
+    * the write → commit → read chain lossless (doubles round-trip
+    * bit-exactly through the shortest-representation JSON staging).
+    * Round10Spec additionally proves the abort path publishes nothing
+    * and the staging dir is swept either way. */
+  def o09Dsv2CommitWrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min}
+    val out = s"/tmp/graft_o09/${new java.io.File(dir).getName}"
+    val outPath = java.nio.file.Paths.get(out)
+    if (java.nio.file.Files.exists(outPath)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4, col("user_id"))
+      .write.format("graft-commit").option("path", out).mode("overwrite").save()
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o09_dsv2_commit_write" -> o09Dsv2CommitWrite _,
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
     "o03_partitioned_prune" -> o03PartitionedPrune _,
@@ -340,6 +373,15 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the read-back aggregate must equal the same aggregate over the
+    // source table — the losslessness statement of the commit protocol
+    "o09_dsv2_commit_write" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM events GROUP BY 1""",
     "o01_orc_roundtrip" ->
       s"""SELECT l_returnflag, COUNT(*) AS n,
                  ${graft.Tables.sqlDsum("l_extendedprice")} AS total

@@ -69,6 +69,136 @@ class Round10Spec extends AnyFunSuite {
 
   // --- d21: the portable-hash sweep --------------------------------------
 
+  // --- o09: DSv2 write path (two-phase commit) --------------------------
+
+  private def o09Dir(tag: String): String = {
+    val d = s"/tmp/graft_o09_spec/$tag"
+    val p = java.nio.file.Paths.get(d)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    d
+  }
+
+  private def sampleEvents = Tables.events(spark, sf0001)
+    .select($"event_id", $"user_id", $"event_type", $"value")
+    .filter($"event_id" < 500)
+
+  test("o09: write → commit → readCommitted round-trips rows exactly") {
+    val dir = o09Dir("roundtrip")
+    val in = sampleEvents
+    in.repartition(3, $"user_id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val back = sources.CommitSink.readCommitted(spark, dir)
+    assert(back.schema.map(f => f.name -> f.dataType) ==
+      in.schema.map(f => f.name -> f.dataType), "manifest schema == query schema")
+    assert(back.exceptAll(in).count() == 0 && in.exceptAll(back).count() == 0,
+      "doubles and all other columns must round-trip bit-exactly")
+    // the manifest is the table: exactly its files exist, staging swept
+    val p = java.nio.file.Paths.get(dir)
+    val listed = sources.CommitSink.readManifest(p.resolve("_MANIFEST.json"))._2.toSet
+    import scala.jdk.CollectionConverters._
+    val onDisk = java.nio.file.Files.list(p).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSet
+    assert(listed == onDisk, s"manifest files $listed != on-disk $onDisk")
+    assert(listed.size == 3, "one committed file per writer partition")
+    assert(!java.nio.file.Files.exists(p.resolve("_staging")), "staging swept")
+  }
+
+  test("o09: overwrite truncates, append accumulates") {
+    val dir = o09Dir("modes")
+    val first = sampleEvents.filter($"event_id" < 100)
+    val second = sampleEvents.filter($"event_id" >= 100 && $"event_id" < 200)
+    first.repartition(2).write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    second.repartition(2).write.format("graft-commit")
+      .option("path", dir).mode("append").save()
+    val both = sources.CommitSink.readCommitted(spark, dir)
+    val expected = first.unionByName(second)
+    assert(both.exceptAll(expected).count() == 0 && expected.exceptAll(both).count() == 0)
+    second.repartition(2).write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    val replaced = sources.CommitSink.readCommitted(spark, dir)
+    assert(replaced.exceptAll(second).count() == 0 &&
+      second.exceptAll(replaced).count() == 0, "overwrite must replace, not merge")
+  }
+
+  test("o09: a failed job publishes nothing — previous version intact, staging swept") {
+    val dir = o09Dir("abort")
+    val good = sampleEvents.filter($"event_id" < 100)
+    good.repartition(2).write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    val poisoned = sampleEvents
+      .withColumn("value",
+        when($"event_id" === 42L, raise_error(lit("planted task failure")))
+          .otherwise($"value"))
+    intercept[Exception] {
+      poisoned.repartition(2).write.format("graft-commit")
+        .option("path", dir).mode("overwrite").save()
+    }
+    // the manifest swap never happened: readers still see version 1
+    val back = sources.CommitSink.readCommitted(spark, dir)
+    assert(back.exceptAll(good).count() == 0 && good.exceptAll(back).count() == 0,
+      "aborted write must leave the previous committed version untouched")
+    val p = java.nio.file.Paths.get(dir)
+    assert(!java.nio.file.Files.exists(p.resolve("_staging")),
+      "job abort must sweep the staging debris")
+  }
+
+  test("o09: unsupported column types are rejected at write resolution") {
+    val dir = o09Dir("types")
+    val withTs = Tables.events(spark, sf0001).select($"event_id", $"ts")
+    val e = intercept[Exception] {
+      withTs.write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("graft-commit supports"),
+      s"expected the declared-type validation error, got: ${e.getMessage}")
+  }
+
+  // --- d31: deletion-neighborhood fuzzy join ----------------------------
+
+  test("d31: every planted typo pairs with exactly its source at distance 1") {
+    val got = ext.Dedup.d31FuzzyJoin(spark, sf0001)
+      .select($"t1", $"t2", $"n_shared_variants")
+      .as[(String, String, Long)].collect()
+    assert(got.nonEmpty)
+    // recompute the planted (source, typo) pairs independently
+    val base = Tables.documents(spark, sf0001)
+      .select(explode(split($"text", "\\s+")).as("tok"))
+      .filter(length($"tok") >= 4).distinct()
+      .as[String].collect().toSet
+    def h(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(8), 16) % 3
+    }
+    val planted = base.filter(t => t.length >= 5 && h(t) == 0)
+      .flatMap(t => Seq(
+        (t, t.substring(0, 1) + t.substring(2)),          // deletion
+        (t, t.substring(0, 2) + "z" + t.substring(3)),    // substitution
+        (t, t.substring(0, 1) + t)))                      // insertion
+    assert(planted.nonEmpty, "fixture must select some tokens to plant")
+    val pairSet = got.map(r => (r._1, r._2)).toSet
+    planted.foreach { case (src, typo) =>
+      val key = if (src < typo) (src, typo) else (typo, src)
+      assert(pairSet.contains(key), s"planted pair $key not found")
+    }
+    // verification really enforced: every emitted pair is within dist 1
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    got.foreach { case (t1, t2, n) =>
+      assert(lev(t1, t2) <= 1, s"($t1, $t2) beyond edit distance 1")
+      assert(n >= 1L)
+    }
+  }
+
   test("d21: sid family is the md5-prefix portable hash, bit-equal to its SQL form") {
     // the Spark expression and the DuckDB oracle text must derive the
     // same sid for any shingle — pin a few literals through the Spark
