@@ -25,6 +25,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // RocksDB uniformly: multi-column-family state (w14/w15) requires
+      // it, and one provider across both passes keeps timings comparable
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // testdata tables are single-row-group files → 1-partition scans; fan

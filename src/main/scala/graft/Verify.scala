@@ -16,6 +16,10 @@ object Verify {
       // read of our output agrees with DuckDB's own timestamp semantics
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
+      // RocksDB uniformly: multi-column-family state (w14/w15) requires
+      // it, and one provider for every stateful entry keeps runs uniform
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -536,6 +536,70 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** s21: PageRank centrality over the corpus kNN graph (s14's top-3
+    * within-cell edges) — the hub audit of the embedding space: a vector
+    * that many other vectors count among their nearest neighbors sits in
+    * an over-represented semantic region, and the rank is the principled
+    * version of the in-degree count (it discounts endorsements from
+    * vectors that are themselves generic hubs). Downstream uses in a
+    * training-data pipeline: representativeness-aware sampling (downweight
+    * the hubs d24's within-cell dedup keeps), picking exemplars per
+    * semantic region, and prioritizing human review. This is also the
+    * repo's iterated-graph-algorithm representative beyond connected
+    * components: per iteration ONE edge equi-join (shuffle by source id)
+    * + ONE keyed ordered fold by destination — rank state lives in the
+    * frame, the driver holds only the loop counter, and 3 fixed
+    * iterations = fixed plan depth (the s16/s18 device).
+    *
+    * Exactness: r₀ = 1/N (one division); per round each source's share
+    * is one division pr/deg; in-sums fold in source-id order; the
+    * dangling mass (vectors with NO same-cell neighbor — singleton IVF
+    * cells — redistributed uniformly, the standard treatment) is the
+    * s15/s18 two-level bucket fold, bounded at 256 per buffer; the
+    * damping update `0.15/N + 0.85·(insum + dm/N)` is the identical
+    * IEEE op sequence in both engines (the oracle CASTs its decimal
+    * literals to DOUBLE — DuckDB's bare 0.85 is DECIMAL). In-degree is
+    * cell-bounded at this scale; at 100 TB the in-sum fold moves onto
+    * the same 256-bucket device, changing no semantics. */
+  def s21PagerankKnn(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "s21:pagerank") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    // edges from the memoized s14 build (cached assignment reused)
+    val edges = s14KnnGraph(spark, dir).select($"vid", $"nid")
+    val nodes = e.select($"vec_id")
+    val degrees = nodes.join(
+        edges.groupBy($"vid").agg(count(lit(1)).as("deg"))
+          .withColumnRenamed("vid", "vec_id"),
+        Seq("vec_id"), "left")
+      .select($"vec_id", coalesce($"deg", lit(0L)).as("deg"))
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var r = degrees.crossJoin(broadcast(nRow))
+      .select($"vec_id", $"deg", (lit(1.0) / $"n").as("pr"))
+    for (_ <- 1 to 3) {
+      val shares = r.filter($"deg" > 0)
+        .select($"vec_id".as("u"), ($"pr" / $"deg".cast("double")).as("share"))
+      val contrib = edges.join(shares, edges("vid") === shares("u"))
+        .groupBy($"nid".as("vec_id"))
+        .agg(aggregate(transform(array_sort(collect_list(struct($"u", $"share"))),
+          s => s.getField("share")), lit(0.0), (a, x) => a + x).as("insum"))
+      val dangB = r.filter($"deg" === 0)
+        .groupBy(expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"))
+        .agg(aggregate(transform(array_sort(collect_list(struct($"vec_id", $"pr"))),
+          s => s.getField("pr")), lit(0.0), (a, x) => a + x).as("s"))
+      val dang = dangB.groupBy()
+        .agg(aggregate(transform(array_sort(collect_list(struct($"b", $"s"))),
+          p => p.getField("s")), lit(0.0), (a, x) => a + x).as("dm"))
+      r = r.select($"vec_id", $"deg")
+        .join(contrib, Seq("vec_id"), "left")
+        .crossJoin(broadcast(dang)).crossJoin(broadcast(nRow))
+        .select($"vec_id", $"deg",
+          (lit(0.15) / $"n" +
+            lit(0.85) * (coalesce($"insum", lit(0.0)) + $"dm" / $"n")).as("pr"))
+    }
+    r.select($"vec_id", $"deg".as("out_deg"), $"pr".as("pagerank"))
+  }
+
   /** s19: clustering-quality readout — the SIMPLIFIED silhouette
     * (centroid-based: a = squared L2 to the own-cluster mean, b = the
     * smallest squared L2 to any OTHER cluster's mean, score =
@@ -880,6 +944,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s14_knn_graph"      -> s14KnnGraph _,
+    "s21_pagerank_knn"   -> s21PagerankKnn _,
     "s15_dim_stats"      -> s15DimStats _,
     "s16_kmeans_lloyd"   -> s16KmeansLloyd _,
     "s18_pca_power"      -> s18PcaPower _,
@@ -1464,6 +1529,65 @@ object Similarity {
             FROM cand)
           SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
           FROM ranked WHERE rank <= 5""",
+    // 3 unrolled PageRank iterations over the s14 edge CTEs — identical
+    // fold orders (source-id for in-sums, the 256-bucket two-level fold
+    // for the dangling mass) and decimal literals CAST to DOUBLE so the
+    // damping update is the same IEEE op sequence as the Spark side
+    "s21_pagerank_knn" -> {
+      def iter(k: Int): String = {
+        val prev = if (k == 1) "r0" else s"r${k - 1}"
+        s"""share$k AS (
+              SELECT vec_id AS u, pr / CAST(deg AS DOUBLE) AS share
+              FROM $prev WHERE deg > 0),
+            ins$k AS (
+              SELECT e.nid AS vec_id,
+                     list_reduce(list_prepend(0.0, list(s.share ORDER BY s.u)),
+                                 (a, x) -> a + x) AS insum
+              FROM edges e JOIN share$k s ON e.vid = s.u
+              GROUP BY e.nid),
+            db$k AS (
+              SELECT CAST(FLOOR(vec_id / 256.0) AS BIGINT) AS b,
+                     list_reduce(list_prepend(0.0, list(pr ORDER BY vec_id)),
+                                 (a, x) -> a + x) AS s
+              FROM $prev WHERE deg = 0 GROUP BY 1),
+            dm$k AS (
+              SELECT COALESCE(list_reduce(list_prepend(0.0, list(s ORDER BY b)),
+                                          (a, x) -> a + x), 0.0) AS dm
+              FROM db$k),
+            r$k AS (
+              SELECT p.vec_id, p.deg,
+                     CAST(0.15 AS DOUBLE) / nn.n +
+                     CAST(0.85 AS DOUBLE) * (COALESCE(i.insum, 0.0) + d.dm / nn.n) AS pr
+              FROM $prev p
+              LEFT JOIN ins$k i ON p.vec_id = i.vec_id
+              CROSS JOIN dm$k d CROSS JOIN nn)"""
+      }
+      s"""WITH $ivfAssignedCtes,
+          knncand AS (
+            SELECT a.vec_id AS vid, b.vec_id AS nid,
+                   ${cosineSql("a.embedding", "b.embedding")} AS cos_sim
+            FROM assigned a JOIN assigned b USING (cid)
+            WHERE a.vec_id <> b.vec_id),
+          edges AS (
+            SELECT vid, nid FROM (
+              SELECT vid, nid,
+                     ROW_NUMBER() OVER (PARTITION BY vid
+                                        ORDER BY cos_sim DESC, nid) AS rank
+              FROM knncand) t WHERE rank <= 3),
+          deg AS (
+            SELECT e.vec_id, COALESCE(d.deg, 0) AS deg
+            FROM embeddings e
+            LEFT JOIN (SELECT vid, CAST(COUNT(*) AS BIGINT) AS deg
+                       FROM edges GROUP BY 1) d ON e.vec_id = d.vid),
+          nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+          r0 AS (
+            SELECT vec_id, deg, CAST(1.0 AS DOUBLE) / nn.n AS pr
+            FROM deg CROSS JOIN nn),
+          ${iter(1)},
+          ${iter(2)},
+          ${iter(3)}
+          SELECT vec_id, deg AS out_deg, pr AS pagerank FROM r3"""
+    },
     "s14_knn_graph" ->
       s"""WITH $ivfAssignedCtes,
           cand AS (

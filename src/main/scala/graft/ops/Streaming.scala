@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import graft.Tables
 import graft.Tables.dsum
 
@@ -222,6 +222,135 @@ object Streaming {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  // --- transformWithState MAP STATE (per-sub-key cumulative store) -------
+
+  case class Leader(event_type: String, rank: Int, user_id: Long,
+                    total_value: Double)
+
+  /** Per-event-type top-3 spenders on MAP state — the transformWithState
+    * handle [[TotalsProcessor]]'s ValueState can't model: state under the
+    * key `event_type` is a (user → cumulative value) MAP, and an arrival
+    * touches ONLY its user's sub-key (a point get/put in the state
+    * store). The ValueState alternative — one blob holding the whole map
+    * — would deserialize + rewrite every user of the type on every
+    * arrival; MapState is the API whose cost is per-sub-key, which is
+    * what makes a per-key sub-keyed store viable when sub-key
+    * cardinality is large. Emission scans the map for the current top-3
+    * (value desc, user_id asc tie-break) — the leaderboard read. Batch
+    * oracle: final per-(type, user) ordered-fold totals → top-3; the
+    * per-user double fold is in event_id order, so cumulative values are
+    * bit-deterministic on any batch slicing that preserves per-key
+    * order. */
+  class LeaderboardProcessor extends StatefulProcessor[String, UserEvent, Leader] {
+    @transient private var totals: MapState[Long, Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getMapState[Long, Double](
+        "totals", Encoders.scalaLong, Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[Leader] = {
+      // event_id order keeps each user's double fold deterministic
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        val cur = if (totals.containsKey(e.user_id)) totals.getValue(e.user_id) else 0.0
+        totals.updateValue(e.user_id, cur + e.value)
+      }
+      val top = totals.iterator().map(p => (p._1, p._2)).toSeq
+        .sortBy { case (uid, v) => (-v, uid) }.take(3)
+      top.iterator.zipWithIndex.map { case ((uid, v), i) =>
+        Leader(key, i + 1, uid, v)
+      }
+    }
+  }
+
+  def typeLeaderboard(events: Dataset[UserEvent]): Dataset[Leader] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new LeaderboardProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** The MapState path run as one batch (w14): final top-3 per type. In
+    * streaming the same processor re-emits the running top-3 every
+    * micro-batch; StreamingSpec feeds two batches and asserts the LAST
+    * emission per type equals this batch run. */
+  def w14MapStateLeaderboard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    requireRocksDb(spark)
+    typeLeaderboard(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[UserEvent])
+      .toDF()
+  }
+
+  /** Multi-column-family state (MapState/ListState — w14/w15) requires
+    * the RocksDB state store; the default HDFS-backed provider throws
+    * STATE_STORE_MULTIPLE_COLUMN_FAMILIES. Set session-wide and left
+    * set: RocksDB is the production provider and is semantics-neutral
+    * for every other streaming entry (Verify/Bench also set it at
+    * session build so all passes run one provider uniformly). */
+  private def requireRocksDb(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // RocksDB registers with the driver's StateStoreCoordinator RPC
+    // endpoint, which only the StreamingQueryManager creates — in a
+    // pure-batch session it doesn't exist yet and executors fail with
+    // RpcEndpointNotFoundException. Touching `streams` instantiates it.
+    spark.streams
+  }
+
+  // --- transformWithState LIST STATE (bounded CEP pattern window) --------
+
+  case class Ascent(user_id: Long, event_id: Long, v_prev2: Double,
+                    v_prev1: Double, v_cur: Double)
+
+  /** Three-rising-values pattern detection on LIST state — the CEP
+    * (complex-event-processing) shape: alert when a user's last three
+    * event values are strictly increasing. State is the user's last TWO
+    * values as a ListState, trimmed on every arrival — bounded at
+    * pattern-length−1 per key FOREVER, the property that separates a CEP
+    * sliding window from unbounded event buffering (contrast w05/w09,
+    * whose state is an unbounded-input fold into fixed-size aggregates;
+    * here the state is a bounded suffix of the raw sequence itself).
+    * Arrival order inside a batch is event_id order — the keyed-topic
+    * per-partition order contract, as in w13. Batch oracle: the LAG(1)/
+    * LAG(2) window form — the streaming operator IS the incremental
+    * evaluation of that window. */
+  class AscentProcessor extends StatefulProcessor[Long, UserEvent, Ascent] {
+    @transient private var lastTwo: ListState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastTwo = getHandle.getListState[Double](
+        "last_two", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[Ascent] = {
+      var window = lastTwo.get().toSeq
+      val out = Seq.newBuilder[Ascent]
+      rows.toSeq.sortBy(_.event_id).foreach { e =>
+        if (window.length == 2 && window(0) < window(1) && window(1) < e.value)
+          out += Ascent(key, e.event_id, window(0), window(1), e.value)
+        window = (window :+ e.value).takeRight(2)
+      }
+      lastTwo.put(window.toArray)
+      out.result().iterator
+    }
+  }
+
+  def risingValueAlerts(events: Dataset[UserEvent]): Dataset[Ascent] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AscentProcessor, TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The ListState CEP path run as one batch (w15): every strictly-rising
+    * triple in each user's event_id-ordered value sequence. */
+  def w15ListStateCep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    requireRocksDb(spark)
+    risingValueAlerts(
+      Tables.events(spark, dir)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[UserEvent])
+      .toDF()
   }
 
   // --- transformWithState TIMERS (event-time state eviction) -------------
@@ -446,6 +575,8 @@ object Streaming {
     "w09_transform_with_state" -> w09TransformWithState _,
     "w10_stream_static_join" -> ((s: SparkSession, d: String) =>
       enrichPerSegment(Tables.events(s, d), Tables.customer(s, d))),
+    "w14_mapstate_leaderboard" -> w14MapStateLeaderboard _,
+    "w15_liststate_cep" -> w15ListStateCep _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -569,6 +700,31 @@ object Streaming {
                  ${Tables.sqlDsum("e.value")} AS total_value
           FROM events e JOIN customer c ON e.user_id = c.c_custkey
           GROUP BY 1, 2""",
+    // the MapState totals are per-(type, user) event_id-ordered folds;
+    // the leaderboard is a plain top-3 window over them
+    "w14_mapstate_leaderboard" ->
+      """WITH totals AS (
+           SELECT event_type, user_id,
+                  list_reduce(list_prepend(0.0, list(value ORDER BY event_id)),
+                              (a, b) -> a + b) AS total_value
+           FROM events GROUP BY 1, 2),
+         ranked AS (
+           SELECT event_type, user_id, total_value,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY total_value DESC, user_id) AS rank
+           FROM totals)
+         SELECT event_type, CAST(rank AS INT) AS rank, user_id, total_value
+         FROM ranked WHERE rank <= 3""",
+    // the streaming CEP operator IS the incremental evaluation of this
+    // double-LAG window
+    "w15_liststate_cep" ->
+      """WITH w AS (
+           SELECT user_id, event_id, value,
+                  LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS v1,
+                  LAG(value, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS v2
+           FROM events)
+         SELECT user_id, event_id, v2 AS v_prev2, v1 AS v_prev1, value AS v_cur
+         FROM w WHERE v2 IS NOT NULL AND v2 < v1 AND v1 < value""",
     // identical fold to w05 — the two arbitrary-state APIs must agree
     "w09_transform_with_state" ->
       """SELECT user_id, COUNT(*) AS n_events,

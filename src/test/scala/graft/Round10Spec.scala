@@ -199,6 +199,54 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  // --- s21: PageRank over the kNN graph ---------------------------------
+
+  test("s21: mass conserves, floor nodes sit at the teleport+dangling level, and the engine fold replays bit-for-bit") {
+    val got = ext.Similarity.s21PagerankKnn(spark, sf0001)
+      .select($"vec_id", $"out_deg", $"pagerank")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // total mass 1 up to float error (teleport + dangling redistribution
+    // conserve it by construction)
+    val mass = got.map(_._3).sum
+    assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
+    // local replay with the IDENTICAL fold orders: r0 = 1/N; per round
+    // shares u-ordered into in-sums, dangling via the 256-bucket
+    // two-level fold, update 0.15/N + 0.85*(insum + dm/N)
+    val edges = ext.Similarity.s14KnnGraph(spark, sf0001)
+      .select($"vid", $"nid").as[(Long, Long)].collect()
+    val nodes = got.map(_._1)
+    val n = nodes.length
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var pr: Map[Long, Double] = nodes.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to 3) {
+      val share = pr.collect { case (u, r) if deg.getOrElse(u, 0L) > 0 =>
+        u -> r / deg(u).toDouble }
+      val ins = edges.filter(e => share.contains(e._1))
+        .groupBy(_._2).view.mapValues { es =>
+          es.map(e => (e._1, share(e._1))).sortBy(_._1)
+            .foldLeft(0.0)((a, p) => a + p._2)
+        }.toMap
+      val dangB = nodes.filter(v => deg.getOrElse(v, 0L) == 0L)
+        .map(v => (v / 256, v, pr(v)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).foldLeft(0.0)((a, t) => a + t._3))
+        .toSeq.sortBy(_._1)
+      val dm = dangB.foldLeft(0.0)((a, p) => a + p._2)
+      pr = nodes.map { v =>
+        v -> (0.15 / n + 0.85 * (ins.getOrElse(v, 0.0) + dm / n))
+      }.toMap
+    }
+    got.foreach { case (v, _, p) =>
+      assert(p == pr(v), s"vec $v: engine $p != replay ${pr(v)}")
+    }
+    // the no-in-edge floor: every node nobody endorses carries exactly
+    // the same (teleport + dangling) rank, and it is the minimum
+    val inNodes = edges.map(_._2).toSet
+    val floorRanks = got.filterNot(g => inNodes.contains(g._1)).map(_._3).distinct
+    assert(floorRanks.length == 1, "all floor nodes identical")
+    assert(floorRanks.head == got.map(_._3).min)
+  }
+
   test("d21: sid family is the md5-prefix portable hash, bit-equal to its SQL form") {
     // the Spark expression and the DuckDB oracle text must derive the
     // same sid for any shingle — pin a few literals through the Spark

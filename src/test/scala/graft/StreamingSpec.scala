@@ -188,6 +188,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 200)
   }
 
+  test("w14/w15: MapState leaderboard and ListState CEP — streaming == batch across micro-batches") {
+    import ops.Streaming.UserEvent
+    implicit val sq = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val feed = Tables.events(spark, sf0001)
+        .select($"event_id", $"user_id", $"event_type", $"value")
+        .as[UserEvent].collect().sortBy(_.event_id)
+
+      // --- w14: the state is cumulative, so the FINAL emission per type
+      // after two micro-batches must equal the one-batch run
+      val ms = MemoryStream[UserEvent]
+      val (half1, half2) = feed.splitAt(feed.length / 2)
+      ms.addData(half1.toSeq)
+      ms.addData(half2.toSeq)
+      val perBatch = scala.collection.mutable.Map.empty[Long, Seq[(String, Int, Long, Double)]]
+      val q = ops.Streaming.typeLeaderboard(ms.toDS())
+        .writeStream.outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[ops.Streaming.Leader], id: Long) =>
+          perBatch(id) = df.collect().toSeq
+            .map(l => (l.event_type, l.rank, l.user_id, l.total_value))
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+      val lastPerType = perBatch.toSeq.sortBy(_._1).flatMap(_._2)
+        .groupBy(_._1).map { case (t, rows) =>
+          // rows arrive batch-ordered; the final 3 are the last emission
+          t -> rows.takeRight(3).toSet
+        }
+      val batch14 = ops.Streaming.w14MapStateLeaderboard(spark, sf0001)
+        .as[(String, Int, Long, Double)].collect().toSeq
+        .groupBy(_._1).map { case (t, rows) => t -> rows.toSet }
+      assert(lastPerType == batch14,
+        "final streaming leaderboard must equal the batch run")
+
+      // --- w15: append emissions across the same two batches must equal
+      // the batch run exactly (the bounded ListState suffix stitches the
+      // pattern across the micro-batch boundary)
+      val ms2 = MemoryStream[UserEvent]
+      ms2.addData(half1.toSeq)
+      ms2.addData(half2.toSeq)
+      val q2 = ops.Streaming.risingValueAlerts(ms2.toDS())
+        .writeStream.outputMode("append").format("memory").queryName("w15par")
+        .start()
+      q2.processAllAvailable(); q2.stop()
+      val streamed = spark.table("w15par")
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+      val batch15 = ops.Streaming.w15ListStateCep(spark, sf0001)
+        .as[(Long, Long, Double, Double, Double)].collect().toSet
+      assert(streamed == batch15, "CEP emissions must match the batch LAG window form")
+      assert(streamed.nonEmpty)
+    } finally prevProvider match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("event-time timers: inactive keys flush via handleExpiredTimer, open keys hold") {
     import ops.Streaming.{ClosedSession, TimedEvent}
     implicit val sq = spark.sqlContext
