@@ -294,6 +294,33 @@ object TextAnalysis {
         $"vocab_size".cast("double") / $"cum_tokens".cast("double"))
   }
 
+  /** t26: Zipf rank-frequency audit — [[t24HeapsLaw]]'s companion sizing
+    * signal: for natural-language-like corpora frequency·rank is roughly
+    * constant (Zipf's law), and a corpus whose top ranks deviate wildly
+    * (flat = synthetic/uniform soup, cliff = boilerplate domination) is
+    * flagged before training. Read out per top-50 token: rank, count,
+    * the EXACT integer Zipf product count·rank, and the corpus share
+    * (one division). Shape: one map-side-combined token count, then
+    * TakeOrderedAndProject to 50 rows BEFORE the rank window — the
+    * window sorts 50 rows, never the vocabulary (ranks equal the global
+    * ones because the pre-limit uses the same (count desc, token)
+    * order). */
+  def t26ZipfAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .filter($"tok" =!= "")
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum($"n").as("total"))
+    val top = counts.orderBy($"n".desc, $"tok").limit(50)
+    val w = Window.orderBy($"n".desc, $"tok")
+    top.withColumn("rank", row_number().over(w))
+      .crossJoin(broadcast(total))
+      .select($"rank", $"tok", $"n",
+        ($"n" * $"rank").as("zipf_product"),
+        ($"n".cast("double") / $"total").as("share"))
+  }
+
   // --- t12: PII redaction ----------------------------------------------
 
   /** PII patterns in the RE2 ∩ java.util.regex common subset (no
@@ -662,6 +689,7 @@ object TextAnalysis {
     "t22_tokenizer_fertility" -> t22TokenizerFertility _,
     "t23_char_diversity" -> t23CharDiversity _,
     "t24_heaps_law" -> t24HeapsLaw _,
+    "t26_zipf_audit" -> t26ZipfAudit _,
     "t25_quality_auc" -> t25QualityAuc _,
   )
 
@@ -875,6 +903,20 @@ object TextAnalysis {
                   (a, b) -> greatest(a, b)) AS INT) AS max_sub_len
          FROM documents""",
     // integer sums + two final double divisions — engine-exact
+    "t26_zipf_audit" ->
+      s"""WITH c AS (
+            SELECT tok, COUNT(*) AS n FROM (
+              SELECT unnest($tokensSql) AS tok FROM documents)
+            WHERE tok <> '' GROUP BY 1),
+          t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+          ranked AS (
+            SELECT tok, n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS INT) AS rank
+            FROM c)
+          SELECT rank, tok, n, n * rank AS zipf_product,
+                 CAST(n AS DOUBLE) / total AS share
+          FROM ranked CROSS JOIN t
+          WHERE rank <= 50""",
     "t24_heaps_law" ->
       s"""WITH tok AS (
             SELECT doc_id, unnest($tokensSql) AS tok FROM documents),

@@ -165,12 +165,13 @@ class SensorTable(rows: Long, slices: Int) extends Table with SupportsRead {
   override def name(): String = s"graft_sensors($rows)"
   override def schema(): StructType = SensorSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SensorScanBuilder(rows, slices)
+    new SensorScanBuilder(rows, slices,
+      Option(options.get("streamBatchRows")).map(_.toLong).getOrElse(math.max(rows / 4, 1L)))
 }
 
-class SensorScanBuilder(rows: Long, slices: Int)
+class SensorScanBuilder(rows: Long, slices: Int, streamBatchRows: Long = 1L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -246,7 +247,8 @@ class SensorScanBuilder(rows: Long, slices: Int)
 
   override def build(): Scan =
     if (aggs.nonEmpty) new SensorAggScan(rows, slices, pushed, aggs)
-    else new SensorScan(rows, slices, required, pushed, takeFirst, takeLast)
+    else new SensorScan(rows, slices, required, pushed, takeFirst, takeLast,
+      streamBatchRows)
 }
 
 /** The aggregate-pushdown scan: one closed-form partial row per
@@ -300,7 +302,8 @@ class SensorAggReaderFactory(aggs: Array[AggregateFunc])
   * connector API. */
 class SensorScan(rows: Long, slices: Int, required: StructType,
     pushed: Array[Filter], takeFirst: Option[Long] = None,
-    takeLast: Option[Long] = None) extends Scan with Batch
+    takeLast: Option[Long] = None, streamBatchRows: Long = 1L)
+    extends Scan with Batch
     with SupportsRuntimeFiltering {
   // runtime IN-filter clamp, conservative [min, max+1] over the key set;
   // mutated by Spark via filter() before planInputPartitions
@@ -338,6 +341,60 @@ class SensorScan(rows: Long, slices: Int, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SensorReaderFactory(required)
+
+  /** The STREAMING read contract ([[SensorMicroBatchStream]]): the same
+    * deterministic id space consumed as an unbounded-source emulation,
+    * `streamBatchRows` new ids per trigger. Column pruning applies to
+    * the streaming scan unchanged; filter pushdown does NOT — Spark's
+    * micro-batch planner keeps query filters above the streaming scan
+    * (Dsv2Spec measures the source emitting the full admitted window),
+    * so `pushed` carries only what batch planning absorbed, and the
+    * per-batch planning slices the SAME grid as the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SensorMicroBatchStream(rows, slices, required, pushed, streamBatchRows)
+}
+
+/** Offset = the count of ids made available so far (ids ARE the stream
+  * position — the Kafka-offset analogy is exact). */
+case class SensorOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** DSv2 MICRO-BATCH streaming read — the fourth and last connector
+  * contract after batch scan (o05), pushdowns (o06/o07/o08), and the
+  * write path (o09/CommitSink): `latestOffset` admits `batchRows` more
+  * ids per trigger (the rate-limiting a real source derives from its
+  * log tail), `planInputPartitions(start, end)` slices exactly the
+  * admitted [start, end) window over the SAME stable grid as the batch
+  * scan — so a micro-batch parallelizes like any batch read and the
+  * union of all micro-batches is by construction the batch result —
+  * and `commit` marks progress (a no-op here: the generator can replay
+  * any range, the replayability Kafka gives via seek). Offsets
+  * round-trip through JSON for checkpoint recovery. */
+class SensorMicroBatchStream(rows: Long, slices: Int, required: StructType,
+    pushed: Array[Filter], batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private var available = 0L
+
+  override def initialOffset(): Offset = SensorOffset(0L)
+  override def latestOffset(): Offset = {
+    available = math.min(available + math.max(batchRows, 1L), rows)
+    SensorOffset(available)
+  }
+  override def deserializeOffset(json: String): Offset = SensorOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SensorOffset].pos
+    val hi = end.asInstanceOf[SensorOffset].pos
+    val window = Seq(GreaterThanOrEqual("id", lo): Filter, LessThan("id", hi): Filter)
+    SensorSource.plannedSlices(rows, slices, pushed.toSeq ++ window)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SensorReaderFactory(required)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SensorPartition(start: Long, end: Long) extends InputPartition

@@ -360,7 +360,45 @@ object Sources {
         max(col("event_id")).as("max_event_id"))
   }
 
+  /** o10: the DSv2 STREAMING read ([[SensorMicroBatchStream]]) driven
+    * end-to-end — 50k sensor ids admitted 10k per trigger (5 real
+    * micro-batches), a pushed id-range filter, and a complete-mode
+    * streaming aggregation whose state accumulates across the triggers;
+    * the final table must equal the oracle's one-shot aggregate over
+    * `range()`, proving the micro-batch windows tile the id space
+    * exactly once (no overlap, no gap) and the incremental agg state
+    * converges to the batch answer. All aggregates are order-free
+    * (count / exact-decimal sum / max), so batch-boundary placement
+    * cannot perturb the result. */
+  def o10Dsv2StreamRead(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = s"/tmp/graft_o10/${new java.io.File(dir).getName}"
+    val p = java.nio.file.Paths.get(ckpt)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    // repeat runs in one session (bench pass 2) must re-register the sink
+    spark.catalog.dropTempView("o10_sensor_stream")
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 50000).option("slices", 8)
+      .option("streamBatchRows", 10000).load()
+      .filter(col("id") >= 5000L && col("id") < 45000L)
+      .groupBy(col("sensor"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("reading")).as("total_reading"),
+        max(col("id")).as("max_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o10_sensor_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("o10_sensor_stream")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
     "o09_dsv2_commit_write" -> o09Dsv2CommitWrite _,
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
     "o02_bucketed_join" -> o02BucketedJoin _,
@@ -373,6 +411,17 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the one-shot aggregate the 5 micro-batches must converge to
+    "o10_dsv2_stream_read" ->
+      s"""WITH s AS (
+            SELECT id, CAST(id % 97 AS INT) AS sensor,
+                   ((id * 2654435761) % 100000) / 1000.0 AS reading
+            FROM range(50000) t(id))
+          SELECT sensor, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("reading")} AS total_reading,
+                 MAX(id) AS max_id
+          FROM s WHERE id >= 5000 AND id < 45000
+          GROUP BY 1""",
     // the read-back aggregate must equal the same aggregate over the
     // source table — the losslessness statement of the commit protocol
     "o09_dsv2_commit_write" ->

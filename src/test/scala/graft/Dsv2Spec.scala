@@ -192,6 +192,47 @@ class Dsv2Spec extends AnyFunSuite {
       s"expected 1 runtime-pruned slice, got ${parts.length}")
   } }
 
+  test("micro-batch streaming read: offsets tile the id space, several real triggers, result == batch") {
+    // o10's run, instrumented: the stream must advance in streamBatchRows
+    // windows (real incremental triggers, not one folded batch) and the
+    // complete-mode agg must equal the batch read of the same options
+    val ckpt = java.nio.file.Files.createTempDirectory("o10_spec").toString
+    spark.catalog.dropTempView("o10_spec_stream")
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 5000).option("slices", 4)
+      .option("streamBatchRows", 1000).load()
+      .filter(col("id") >= 500L && col("id") < 4500L)
+      .groupBy(col("sensor") % 10)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("max_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o10_spec_stream")
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    val progress = q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+      .recentProgress
+    q.stop()
+    val withRows = progress.filter(_.numInputRows > 0)
+    assert(withRows.length >= 3,
+      s"expected several real micro-batches, saw ${withRows.length}")
+    // offsets tile [0, rows) exactly once: total source rows == the full
+    // id space (measured: Spark does NOT push the filter into the
+    // micro-batch scan — it filters above, so the source emits every
+    // admitted id exactly once)
+    assert(withRows.map(_.numInputRows).sum == 5000L,
+      "micro-batch windows must cover the id space exactly once")
+    val streamed = spark.table("o10_spec_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val batch = spark.read.format("graft-sensors")
+      .option("rows", 5000).option("slices", 4).load()
+      .filter(col("id") >= 500L && col("id") < 4500L)
+      .groupBy(col("sensor") % 10)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("max_id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      "incremental state must converge to the one-shot batch aggregate")
+  }
+
   test("o05 equals the same aggregate over the reference twin") {
     val got = Sources.o05Dsv2Source(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.get(3).toString, r.getLong(4)))

@@ -199,6 +199,48 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  // --- checkpoint recovery (exactly-once across restarts) ---------------
+
+  test("checkpoint recovery: a restarted file-stream ingest resumes exactly-once") {
+    // The property the reference pipeline structurally lacks (fresh
+    // group-id + earliest = full replay with duplicates on every
+    // restart, consumer_to_file.py:185-186): a checkpointed stream
+    // killed between batches and restarted must process each input file
+    // EXACTLY once — no loss, no duplicates — because the checkpoint,
+    // not the consumer's group-id, is the source-of-truth offset.
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("ckpt_recovery")
+    val (src, out, ckpt) = (s"$tmp/src", s"$tmp/log", s"$tmp/ck")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val ev = Tables.events(spark, sf0001)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    val n = ev.count()
+    val half = ev.filter($"event_id" % 2 === 0)
+    val rest = ev.filter($"event_id" % 2 =!= 0)
+    half.coalesce(1).write.parquet(s"$src/gen1")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/*")
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    runOnce() // run 1: generation 1 only
+    assert(spark.read.parquet(out).count() == half.count())
+    rest.coalesce(1).write.parquet(s"$src/gen2")
+    runOnce() // run 2: SAME checkpoint — must pick up ONLY generation 2
+    val log = spark.read.parquet(out)
+    assert(log.count() == n, "restart must not drop or replay anything")
+    assert(log.select($"event_id").distinct().count() == n,
+      "every event exactly once across the restart boundary")
+  }
+
   // --- s21: PageRank over the kNN graph ---------------------------------
 
   test("s21: mass conserves, floor nodes sit at the teleport+dangling level, and the engine fold replays bit-for-bit") {
