@@ -115,9 +115,14 @@ object Bench {
     // from plan regressions without re-running anything
     val p1Total = pass1.values.sum
     val p2Total = pass2.map(_._2).sum
+    // full per-pass maps (file only): lets a reader attribute an inflated
+    // min to "slow in pass 1" vs "slow in both" without re-running
+    def qmap(rs: Seq[(String, Double)]): String = rs.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     Files.writeString(Paths.get("bench_last.json"),
       full.dropRight(1) +
-        s""","best":$bestQs,"pass_totals":[${f(p1Total)},${f(p2Total)}]}""" + "\n")
+        s""","best":$bestQs,"pass_totals":[${f(p1Total)},${f(p2Total)}],""" +
+        s""""pass1":${qmap(pass1.toSeq)},"pass2":${qmap(pass2)}}""" + "\n")
     // roll the per-SF best forward (noise context only, never committed)
     Files.writeString(bestPath, line(best, best.map(_._2).sum, sfName) + "\n")
     println(full)

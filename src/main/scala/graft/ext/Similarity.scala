@@ -565,8 +565,10 @@ object Similarity {
       Dedup.memoDf(spark, dir, "s21:pagerank") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    // edges from the memoized s14 build (cached assignment reused)
-    val edges = s14KnnGraph(spark, dir).select($"vid", $"nid")
+    // cached: the top-3 window over the memoized s14 assignment would
+    // otherwise re-run once per iteration (each iteration's contrib
+    // joins the edge list); edge-sized (≤ 3N rows)
+    val edges = s14KnnGraph(spark, dir).select($"vid", $"nid").cache()
     val nodes = e.select($"vec_id")
     val degrees = nodes.join(
         edges.groupBy($"vid").agg(count(lit(1)).as("deg"))
@@ -574,8 +576,14 @@ object Similarity {
         Seq("vec_id"), "left")
       .select($"vec_id", coalesce($"deg", lit(0L)).as("deg"))
     val nRow = nodes.agg(count(lit(1)).as("n"))
+    // each iteration's rank frame is read by THREE consumers (shares,
+    // the dangling fold, and the next iteration's base) — uncached, the
+    // lineage would re-execute multiplicatively per round (measured:
+    // 12 s → ~1 s at sf0.1 from exactly this). Node-sized rows; created
+    // once per (session, dir) behind the memo.
     var r = degrees.crossJoin(broadcast(nRow))
       .select($"vec_id", $"deg", (lit(1.0) / $"n").as("pr"))
+      .cache()
     for (_ <- 1 to 3) {
       val shares = r.filter($"deg" > 0)
         .select($"vec_id".as("u"), ($"pr" / $"deg".cast("double")).as("share"))
@@ -596,6 +604,7 @@ object Similarity {
         .select($"vec_id", $"deg",
           (lit(0.15) / $"n" +
             lit(0.85) * (coalesce($"insum", lit(0.0)) + $"dm" / $"n")).as("pr"))
+        .cache()
     }
     r.select($"vec_id", $"deg".as("out_deg"), $"pr".as("pagerank"))
   }
