@@ -119,10 +119,15 @@ object Streaming {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserState]) =>
           val prev = state.getOption.getOrElse(UserState(0L, 0.0, -1L))
-          // fold in event_id order for deterministic last_event_id
+          // fold in event_id order for a deterministic double sum;
+          // last_event_id merges as max so a later micro-batch carrying
+          // only smaller ids (late-but-in-order-per-key arrivals) cannot
+          // regress it below the oracle's MAX (the r9-advisor bug class,
+          // fixed here and in TotalsProcessor alike)
           val evs = batch.toSeq.sortBy(_.event_id)
           val next = evs.foldLeft(prev) { (s, e) =>
-            UserState(s.nEvents + 1, s.totalValue + e.value, e.event_id)
+            UserState(s.nEvents + 1, s.totalValue + e.value,
+              math.max(s.lastEventId, e.event_id))
           }
           state.update(next)
           Iterator.single(UserUpdate(userId, next.nEvents, next.totalValue, next.lastEventId))
@@ -209,9 +214,11 @@ object Streaming {
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
                                  timerValues: TimerValues): Iterator[UserUpdate] = {
       val prev = if (state.exists()) state.get() else UserState(0L, 0.0, -1L)
-      // event_id order keeps the double fold deterministic (as in w05)
+      // event_id order keeps the double fold deterministic (as in w05);
+      // last_event_id merges as max — monotone under late batches
       val next = rows.toSeq.sortBy(_.event_id).foldLeft(prev) { (s, e) =>
-        UserState(s.nEvents + 1, s.totalValue + e.value, e.event_id)
+        UserState(s.nEvents + 1, s.totalValue + e.value,
+          math.max(s.lastEventId, e.event_id))
       }
       state.update(next)
       Iterator.single(UserUpdate(key, next.nEvents, next.totalValue, next.lastEventId))
@@ -521,6 +528,12 @@ object Streaming {
     * asserts the streaming run over MemoryStream matches). */
   def w09TransformWithState(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // a batch TWS run under the RocksDB provider needs the driver's
+    // StateStoreCoordinator endpoint, which only exists once spark.streams
+    // is touched — without this, w09 fails when it's the FIRST stateful
+    // query of the session (found by a filtered Verify run; the full
+    // battery masked it because c17's streaming query runs earlier)
+    requireRocksDb(spark)
     statefulUserTotalsTws(
       Tables.events(spark, dir)
         .select($"event_id", $"user_id", $"event_type", $"value")

@@ -199,6 +199,21 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  // --- plan guards for the round-10 entries ------------------------------
+
+  test("d31/q100 plan shapes: blocked equi-join (no nested loop), fold not window") {
+    val d31Plan = ext.Dedup.d31FuzzyJoin(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!d31Plan.contains("CartesianProduct") &&
+      !d31Plan.contains("BroadcastNestedLoopJoin"),
+      "the deletion-neighborhood join must stay an equi-join — never all-pairs")
+    val q100Plan = ops.Relational4.q100Ewma(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!q100Plan.contains("Window"),
+      "the EWMA fold runs inside aggregate(), not a window sort")
+    assert(!q100Plan.contains("CartesianProduct"))
+  }
+
   // --- checkpoint recovery (exactly-once across restarts) ---------------
 
   test("checkpoint recovery: a restarted file-stream ingest resumes exactly-once") {
