@@ -369,7 +369,10 @@ object Sources {
     * exactly once (no overlap, no gap) and the incremental agg state
     * converges to the batch answer. All aggregates are order-free
     * (count / exact-decimal sum / max), so batch-boundary placement
-    * cannot perturb the result. */
+    * cannot perturb the result. The memory sink is a fixture-sized
+    * harness choice (the output is group-cardinality — 97 sensors);
+    * a production run points the same stream at a real sink (parquet /
+    * foreachBatch / the o09 commit sink). */
   def o10Dsv2StreamRead(spark: SparkSession, dir: String): DataFrame = {
     val ckpt = s"/tmp/graft_o10/${new java.io.File(dir).getName}"
     val p = java.nio.file.Paths.get(ckpt)
