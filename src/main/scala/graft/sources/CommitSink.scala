@@ -13,11 +13,15 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** The WRITE half of the DataSource V2 contract — the one connector
-  * surface the read-side family (o05 scan, o06 aggregate pushdown, o07
-  * limit/TopN, o08 runtime filtering) doesn't touch: a sink with a real
-  * two-phase distributed commit protocol, the shape every transactional
-  * lakehouse sink (Iceberg/Delta-style) implements.
+/** The WRITE half of the DataSource V2 contract — the connector surface
+  * the read-side family (o05 scan, o06 aggregate pushdown, o07
+  * limit/TopN, o08 runtime filtering, o10 micro-batch read) doesn't
+  * touch: a sink with a real two-phase distributed commit protocol, the
+  * shape every transactional lakehouse sink (Iceberg/Delta-style)
+  * implements — in BOTH the batch form ([[CommitBatchWrite]], o09) and
+  * the epoch-committing streaming form ([[CommitStreamingWrite]], o11,
+  * whose manifest-recorded epochs make re-delivered micro-batch commits
+  * idempotent: the exactly-once sink contract).
   *
   * Why this is the scale-correct write shape (vs the reference's
   * row-at-a-time `insert_dicts` sink, consumer_to_file.py:224, which has
@@ -91,9 +95,11 @@ object CommitSink {
   }
 
   private[sources] def writeManifest(dir: Path, ddl: String, files: Seq[String],
-                                     commitId: Long): Unit = {
+                                     commitId: Long,
+                                     epochs: Seq[Long] = Seq.empty): Unit = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val body = s"""{"commit":$commitId,"schema":"${esc(ddl)}",""" +
+    val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
+      s""""schema":"${esc(ddl)}",""" +
       s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
     val tmp = dir.resolve(MANIFEST + ".tmp")
     Files.writeString(tmp, body)
@@ -112,7 +118,25 @@ object CommitSink {
         .map(_.group(1).toLong).getOrElse(-1L)
   }
 
+  /** Streaming epochs already folded into the manifest — the idempotence
+    * ledger a re-delivered micro-batch commit is checked against. */
+  private[graft] def committedEpochs(dir: Path): Seq[Long] = {
+    val mf = dir.resolve(MANIFEST)
+    if (!Files.exists(mf)) Seq.empty
+    else "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(Files.readString(mf))
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+  }
+
   private[sources] def stagingDir(dir: Path): Path = dir.resolve(STAGING)
+
+  private[sources] def sweepStaging(dir: Path): Unit = {
+    val st = stagingDir(dir)
+    if (Files.exists(st)) {
+      Files.list(st).iterator().asScala.foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(st)
+    }
+  }
 }
 
 /** Commit message: one staged file a task produced (phase 1 of the 2PC). */
@@ -137,8 +161,8 @@ class CommitSinkTable(path: String) extends Table with SupportsWrite {
   override def name(): String = s"graft_commit($path)"
   override def schema(): StructType = new StructType()
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CommitWriteBuilder(path, info)
 }
@@ -155,8 +179,67 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo)
     val doTruncate = doTruncateFlag
     new Write {
       override def toBatch: BatchWrite = new CommitBatchWrite(path, schema, doTruncate)
+      override def toStreaming: streaming.StreamingWrite =
+        new CommitStreamingWrite(path, schema)
     }
   }
+}
+
+/** The STREAMING write contract — epoch-based two-phase commit, the
+  * second half of the connector write surface next to [[CommitBatchWrite]]
+  * (and the sink-side twin of [[SensorMicroBatchStream]]'s read path):
+  * each micro-batch (epoch) stages task files exactly like a batch write,
+  * and the driver's `commit(epochId, …)` promotes them under ONE manifest
+  * swap that also RECORDS the epoch. That record is what buys
+  * exactly-once: after a failure, Structured Streaming re-runs the last
+  * un-checkpointed batch and re-delivers its commit — an epoch already in
+  * the manifest is dropped (its re-staged files deleted, nothing
+  * promoted), so re-delivery is a no-op instead of a duplicate. This is
+  * precisely the idempotent-sink contract a foreachBatch MERGE implements
+  * by hand (w08) and the reference's consumer lacks entirely
+  * (consumer_to_file.py:185-186 re-inserts everything on restart). */
+class CommitStreamingWrite(path: String, schema: StructType)
+    extends streaming.StreamingWrite {
+  private val dir = Paths.get(path)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
+    Files.createDirectories(CommitSink.stagingDir(dir))
+    new CommitStreamingWriterFactory(path, schema.toDDL)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.collect { case s: StagedFile => s }
+    if (CommitSink.committedEpochs(dir).contains(epochId)) {
+      // re-delivered epoch (restart replay): drop the re-staged output —
+      // promoting it would double-write rows the manifest already has
+      staged.foreach(s =>
+        Files.deleteIfExists(CommitSink.stagingDir(dir).resolve(s.name)))
+    } else {
+      val commitId = CommitSink.currentCommit(dir) + 1
+      val promoted = staged.zipWithIndex.map { case (s, i) =>
+        val fin = f"part-e$epochId%05d-$i%05d.json"
+        Files.move(CommitSink.stagingDir(dir).resolve(s.name), dir.resolve(fin),
+          StandardCopyOption.ATOMIC_MOVE)
+        fin
+      }.toSeq
+      val mf = dir.resolve("_MANIFEST.json")
+      val carried = if (Files.exists(mf)) CommitSink.readManifest(mf)._2 else Seq.empty
+      CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId,
+        CommitSink.committedEpochs(dir) :+ epochId)
+    }
+    CommitSink.sweepStaging(dir)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    CommitSink.sweepStaging(dir)
+}
+
+class CommitStreamingWriterFactory(path: String, ddl: String)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new CommitDataWriter(path, ddl, partitionId, taskId, epochId)
 }
 
 class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
@@ -183,10 +266,15 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
         StandardCopyOption.ATOMIC_MOVE)
       fin
     }.toSeq
+    val hasManifest = Files.exists(dir.resolve("_MANIFEST.json"))
     val carried =
-      if (truncate || !Files.exists(dir.resolve("_MANIFEST.json"))) Seq.empty
+      if (truncate || !hasManifest) Seq.empty
       else CommitSink.readManifest(dir.resolve("_MANIFEST.json"))._2
-    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId)
+    // truncate also resets the streaming-epoch ledger; append carries it
+    val epochs =
+      if (truncate || !hasManifest) Seq.empty[Long]
+      else CommitSink.committedEpochs(dir)
+    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId, epochs)
     // after the swap: previous-version files (on truncate) and stray
     // staging output are garbage no reader can see — sweep them
     if (truncate) {
@@ -195,21 +283,13 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
           !promoted.contains(p.getFileName.toString))
         .foreach(Files.deleteIfExists(_))
     }
-    sweepStaging()
+    CommitSink.sweepStaging(dir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // a failed job publishes NOTHING: the manifest was never touched, so
     // the previous version is still the table; just remove the debris
-    sweepStaging()
-
-  private def sweepStaging(): Unit = {
-    val st = CommitSink.stagingDir(dir)
-    if (Files.exists(st)) {
-      Files.list(st).iterator().asScala.foreach(Files.deleteIfExists(_))
-      Files.deleteIfExists(st)
-    }
-  }
+    CommitSink.sweepStaging(dir)
 }
 
 class CommitWriterFactory(path: String, ddl: String) extends DataWriterFactory {
@@ -218,13 +298,14 @@ class CommitWriterFactory(path: String, ddl: String) extends DataWriterFactory {
 }
 
 /** Executor-side writer: streams rows to a task-private staging file as
-  * JSON lines. The (partitionId, taskId) pair makes the name unique per
-  * ATTEMPT, so a speculative retry can never clobber another attempt's
-  * staging output. */
-class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long)
+  * JSON lines. The (epoch, partitionId, taskId) triple makes the name
+  * unique per ATTEMPT, so a speculative retry (or a replayed epoch) can
+  * never clobber another attempt's staging output. */
+class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long,
+                       epochId: Long = -1L)
     extends DataWriter[InternalRow] {
   private val schema = StructType.fromDDL(ddl)
-  private val name = s"attempt-p$partitionId-t$taskId.json"
+  private val name = s"attempt-e$epochId-p$partitionId-t$taskId.json"
   private val file = CommitSink.stagingDir(Paths.get(path)).resolve(name)
   private val out = Files.newBufferedWriter(file)
   private var rows = 0L

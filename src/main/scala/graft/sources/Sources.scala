@@ -400,7 +400,46 @@ object Sources {
     spark.table("o10_sensor_stream")
   }
 
+  /** o11: the full DSv2 STREAMING pipeline — micro-batch READ
+    * ([[SensorMicroBatchStream]], 4 epochs of 5k ids) into the
+    * epoch-committing STREAMING WRITE ([[CommitStreamingWrite]]) — the
+    * complete connector matrix (batch/streaming × read/write) in one
+    * standing dataflow, the EP1 topology with both ends on our own
+    * connectors. Each epoch stages task files and lands under one atomic
+    * manifest swap that records the epoch (re-delivery after restart is
+    * a no-op — Round10Spec unit-proves it); the read-back aggregate of
+    * ONLY the manifest's files must equal the one-shot oracle over
+    * `range()`, proving the four epoch commits compose losslessly. */
+  def o11Dsv2StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max}
+    val base = s"/tmp/graft_o11/${new java.io.File(dir).getName}"
+    val p = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val out = s"$base/table"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 20000).option("slices", 8)
+      .option("streamBatchRows", 5000).load()
+      .select(col("id"), col("sensor"), col("reading"), col("status"))
+      .writeStream.outputMode("append").format("graft-commit")
+      .option("path", out)
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("sensor"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("reading")).as("total_reading"),
+        max(col("id")).as("max_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
     "o09_dsv2_commit_write" -> o09Dsv2CommitWrite _,
     "o01_orc_roundtrip" -> o01OrcRoundtrip _,
@@ -414,6 +453,16 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the one-shot aggregate the 4 epoch commits must compose to
+    "o11_dsv2_stream_sink" ->
+      s"""WITH s AS (
+            SELECT id, CAST(id % 97 AS INT) AS sensor,
+                   ((id * 2654435761) % 100000) / 1000.0 AS reading
+            FROM range(20000) t(id))
+          SELECT sensor, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("reading")} AS total_reading,
+                 MAX(id) AS max_id
+          FROM s GROUP BY 1""",
     // the one-shot aggregate the 5 micro-batches must converge to
     "o10_dsv2_stream_read" ->
       s"""WITH s AS (

@@ -147,6 +147,38 @@ class Round10Spec extends AnyFunSuite {
       "job abort must sweep the staging debris")
   }
 
+  test("o11: epoch commits are idempotent — a re-delivered epoch publishes nothing") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = o09Dir("epochs")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val schema = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val w = new sources.CommitStreamingWrite(dir, schema)
+    val info = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    def commitEpoch(epoch: Long, taskId: Long, ids: Seq[Long]): Unit = {
+      val dw = w.createStreamingWriterFactory(info).createWriter(0, taskId, epoch)
+      ids.foreach(i => dw.write(InternalRow(i)))
+      w.commit(epoch, Array(dw.commit()))
+    }
+    commitEpoch(7L, 1L, Seq(1L, 2L, 3L))
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 3)
+    assert(sources.CommitSink.committedEpochs(java.nio.file.Paths.get(dir)) == Seq(7L))
+    // restart replay: the SAME epoch re-delivered with re-staged output
+    // must change nothing — no new files, no duplicate rows
+    commitEpoch(7L, 2L, Seq(1L, 2L, 3L))
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 3,
+      "re-delivered epoch must be a no-op, not a duplicate append")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve("_staging")), "replay debris swept")
+    // a NEW epoch appends normally and joins the ledger
+    commitEpoch(8L, 3L, Seq(4L))
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 4)
+    assert(sources.CommitSink.committedEpochs(java.nio.file.Paths.get(dir))
+      == Seq(7L, 8L))
+  }
+
   test("o09: unsupported column types are rejected at write resolution") {
     val dir = o09Dir("types")
     val withTs = Tables.events(spark, sf0001).select($"event_id", $"ts")
