@@ -94,7 +94,7 @@ object CommitSink {
     (ddl, files)
   }
 
-  private[sources] def writeManifest(dir: Path, ddl: String, files: Seq[String],
+  private[graft] def writeManifest(dir: Path, ddl: String, files: Seq[String],
                                      commitId: Long,
                                      epochs: Seq[Long] = Seq.empty): Unit = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

@@ -87,4 +87,69 @@ object PropertySpec extends Properties("graft") {
         s.toLowerCase == "numeric"
       known || graft.cdc.TypeMapping.toSparkType(s) == StringType
     }
+
+  // --- CommitSink manifest (hand-rolled JSON) round-trip ------------------
+
+  private val fileName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('-', '.', '_')))
+      .map("part-" + _.mkString)
+
+  property("CommitSink manifest round-trips arbitrary DDL text and file lists") =
+    forAll(Gen.asciiPrintableStr, Gen.listOf(fileName), Gen.choose(0L, 1000L),
+      Gen.listOf(Gen.choose(0L, 50L))) { (ddl, files, commit, epochs) =>
+      // ddl here is ADVERSARIAL text (quotes, backslashes, braces) — the
+      // escaping, not DDL validity, is what the property pins
+      val dir = java.nio.file.Files.createTempDirectory("mf_prop")
+      try {
+        graft.sources.CommitSink.writeManifest(dir, ddl, files.distinct,
+          commit, epochs.distinct)
+        val (gotDdl, gotFiles) =
+          graft.sources.CommitSink.readManifest(dir.resolve("_MANIFEST.json"))
+        gotDdl == ddl &&
+          gotFiles == files.distinct.sorted &&
+          graft.sources.CommitSink.committedEpochs(dir) == epochs.distinct.sorted
+      } finally {
+        java.nio.file.Files.deleteIfExists(dir.resolve("_MANIFEST.json"))
+        java.nio.file.Files.deleteIfExists(dir)
+      }
+    }
+
+  // --- d31's FastSS blocking theorem --------------------------------------
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private def neighborhood(t: String): Set[String] =
+    Set(t) ++ t.indices.map(i => t.substring(0, i) + t.substring(i + 1))
+
+  private val word: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+
+  property("FastSS completeness: lev(u,v) <= 1 implies the 1-deletion neighborhoods intersect") =
+    forAll(word, word) { (u, v) =>
+      // the direction d31's candidate generation RELIES on (soundness is
+      // restored by the levenshtein verify); a tiny alphabet makes close
+      // pairs common enough to exercise the implication densely
+      lev(u, v) > 1 || (neighborhood(u) & neighborhood(v)).nonEmpty
+    }
+
+  property("FastSS blocking + verify == direct lev<=1 pair set") =
+    forAll(Gen.listOf(word)) { ws =>
+      val vocab = ws.distinct
+      val direct = (for {
+        a <- vocab; b <- vocab if a < b && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      val blocked = (for {
+        a <- vocab; b <- vocab
+        if a < b && (neighborhood(a) & neighborhood(b)).nonEmpty && lev(a, b) <= 1
+      } yield (a, b)).toSet
+      direct == blocked
+    }
 }
