@@ -379,7 +379,8 @@ object Multimodal {
     * LONGER video. Exact copies score 1.0; trailer variants (F-1)/F;
     * unrelated payloads never clear the vote. All integer until the one
     * final division — oracle-exact. */
-  def m09VideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def m09VideoNearDup(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "m09:frames") {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = base
@@ -438,7 +439,8 @@ object Multimodal {
     * with share 1.0; the shifted copies at delta -1 with share 1.0 —
     * both invisible to m09's positional vote. All integer until the
     * final division — oracle-exact. */
-  def m10AudioOffsetMatch(spark: SparkSession, dir: String): DataFrame = {
+  def m10AudioOffsetMatch(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "m10:frames") {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = base
