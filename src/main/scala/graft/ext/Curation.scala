@@ -55,7 +55,8 @@ object Curation {
   }
 
   /** p01: the chunk manifest of the curated corpus. */
-  def p01CurateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def p01CurateCorpus(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "p01:curate") {
     import spark.implicits._
     // consumed twice (chunk assignment + lang join): cache, or the whole
     // dedup pipeline behind curatedDocs runs twice

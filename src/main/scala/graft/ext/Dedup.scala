@@ -145,7 +145,8 @@ object Dedup {
       .select($"id1", $"id2", $"inter", $"n1", $"n2")
   }
 
-  def d02MinHashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def d02MinHashLsh(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d02:pairs") {
     import spark.implicits._
     minHashPairsDict(corpusWithCopies(Tables.documents(spark, dir)))
       .select($"id1", $"id2", $"inter", $"n1", $"n2",
@@ -158,7 +159,8 @@ object Dedup {
     * d02's dictionary form exists because DuckDB can replay it exactly.
     * (No oracle by construction — xxhash64 is Spark-specific; the spec
     * asserts it finds the same planted duplicates as d02.) */
-  def minHashLshScale(spark: SparkSession, dir: String): DataFrame = {
+  def minHashLshScale(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d06:pairs") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val ids = shingles(corpus)
@@ -216,7 +218,9 @@ object Dedup {
     * signatures vs the exploded build and exact pair parity with the
     * oracle-checked dictionary form (d02). */
   def d18MinHashMapSide(spark: SparkSession, dir: String): DataFrame =
-    minHashPairsMapSide(corpusWithCopies(Tables.documents(spark, dir)))
+    memoDf(spark, dir, "d18:pairs") {
+      minHashPairsMapSide(corpusWithCopies(Tables.documents(spark, dir)))
+    }
 
   /** The zero-explode pair pipeline of [[d18MinHashMapSide]] over an
     * arbitrary corpus — d18 runs it on the planted corpus, d22 on
@@ -419,7 +423,8 @@ object Dedup {
     * LSH. Same label-propagation machinery ([[clusterLabels]], pointer
     * doubling, O(log diameter) rounds); each cluster is labeled by its
     * min vec_id, which is also the kept representative. */
-  def d13SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+  def d13SemanticClusters(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d13:clusters") {
     import spark.implicits._
     val ids = Tables.embeddings(spark, dir).select($"vec_id")
     val nodes = ids
@@ -620,7 +625,8 @@ object Dedup {
     * per-bucket collisions. Rows-only (xxhash64 has no DuckDB twin);
     * Round7Spec pins the planted structure and the brute-force
     * hamming≤3 completeness. */
-  def d26SimHashNearDupScale(spark: SparkSession, dir: String): DataFrame = {
+  def d26SimHashNearDupScale(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d26:pairs") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sims = shingleArrays(corpus).filter(size($"shingles") > 0)
@@ -646,7 +652,8 @@ object Dedup {
 
   /** Jaccard over 3-gram shingles for constructed pair lists: exact pairs,
     * near pairs, and unrelated control pairs. */
-  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d04:pairs") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sh = shingles(corpus)
@@ -717,7 +724,8 @@ object Dedup {
     * smallest-id same-cell vector above the threshold. Cross-cell
     * duplicates are deliberately missed (the known SemDeDup
     * approximation; more/raised probes are the recall knob). */
-  def d24SemDedup(spark: SparkSession, dir: String): DataFrame = {
+  def d24SemDedup(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d24:cells") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val aug = e
@@ -1029,7 +1037,8 @@ object Dedup {
     * bit-for-bit on the derived percentages. Scale shape: signatures are
     * one groupBy over (doc, shingle-id); the eval joins only the planted
     * pair list — never all pairs. */
-  def d15MinhashEstimate(spark: SparkSession, dir: String): DataFrame = {
+  def d15MinhashEstimate(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d15:estimate") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sh = shingles(corpus)
@@ -1129,7 +1138,8 @@ object Dedup {
     * per-doc window. At 100 TB the stride-1 hash volume is the honest cost
     * of exact-substring semantics — a winnowed (Schleimer 2003) anchor
     * subset is the approximate fallback if even that shuffle is too big. */
-  def d27RepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+  def d27RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d27:spans") {
     import spark.implicits._
     val K = RepSpanK
     val toks = TextAnalysis.tokens($"text")
@@ -1268,7 +1278,8 @@ object Dedup {
     * cap² pairs, the same hot-key discipline as the LSH band joins.
     * Every step is exact integer arithmetic + one IEEE division, so the
     * oracle replays it verbatim over the d29 CTE chain. */
-  def d30ContainmentDedup(spark: SparkSession, dir: String): DataFrame = {
+  def d30ContainmentDedup(spark: SparkSession, dir: String): DataFrame =
+      memoDf(spark, dir, "d30:contain") {
     import spark.implicits._
     val anc = winnowAnchors(spark, dir)
     val hFreq = anc.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))

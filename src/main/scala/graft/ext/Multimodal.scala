@@ -304,7 +304,8 @@ object Multimodal {
     * identical in Spark and DuckDB (band masks never cover shift fill
     * bits since 4×16 tiles the long exactly). Still all integer
     * arithmetic — oracle-exact, not rows-only. */
-  def m08PhashNearDupWide(spark: SparkSession, dir: String): DataFrame = {
+  def m08PhashNearDupWide(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoDf(spark, dir, "m08:phash") {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = base
