@@ -552,15 +552,20 @@ object Similarity {
     * iterations = fixed plan depth (the s16/s18 device).
     *
     * Exactness: r₀ = 1/N (one division); per round each source's share
-    * is one division pr/deg; in-sums fold in source-id order; the
-    * dangling mass (vectors with NO same-cell neighbor — singleton IVF
-    * cells — redistributed uniformly, the standard treatment) is the
-    * s15/s18 two-level bucket fold, bounded at 256 per buffer; the
+    * is one division pr/deg; BOTH reductions — the per-destination
+    * in-sum AND the dangling mass (vectors with NO same-cell neighbor —
+    * singleton IVF cells — redistributed uniformly, the standard
+    * treatment) — run on the s15/s18 two-level bucket fold: sources
+    * fold in u order inside each 256-source bucket `FLOOR(u/256)`, then
+    * the bucket partials fold in bucket order. No aggregation buffer
+    * grows with in-degree — a kNN-graph hub with millions of in-edges
+    * collects at most 256 shares per buffer at level 1 and
+    * in-degree/256 scalar partials at level 2, the same bound at
+    * sf0.001 and at 100 TB (the r10-verdict port, done in r11). The
     * damping update `0.15/N + 0.85·(insum + dm/N)` is the identical
     * IEEE op sequence in both engines (the oracle CASTs its decimal
-    * literals to DOUBLE — DuckDB's bare 0.85 is DECIMAL). In-degree is
-    * cell-bounded at this scale; at 100 TB the in-sum fold moves onto
-    * the same 256-bucket device, changing no semantics. */
+    * literals to DOUBLE — DuckDB's bare 0.85 is DECIMAL), and the
+    * oracle replays both two-level folds add-for-add. */
   def s21PagerankKnn(spark: SparkSession, dir: String): DataFrame =
       Dedup.memoDf(spark, dir, "s21:pagerank") {
     import spark.implicits._
@@ -587,10 +592,18 @@ object Similarity {
     for (_ <- 1 to 3) {
       val shares = r.filter($"deg" > 0)
         .select($"vec_id".as("u"), ($"pr" / $"deg".cast("double")).as("share"))
-      val contrib = edges.join(shares, edges("vid") === shares("u"))
-        .groupBy($"nid".as("vec_id"))
+      // in-sum on the two-level bucket device: level 1 folds shares in
+      // u order inside each 256-source bucket, level 2 folds the bucket
+      // partials in bucket order — buffers bounded at 256 / in-deg/256,
+      // never in-degree-sized (hubs are THE skewed quantity here)
+      val inL1 = edges.join(shares, edges("vid") === shares("u"))
+        .groupBy($"nid".as("vec_id"),
+          expr("CAST(FLOOR(u / 256.0) AS BIGINT)").as("ib"))
         .agg(aggregate(transform(array_sort(collect_list(struct($"u", $"share"))),
-          s => s.getField("share")), lit(0.0), (a, x) => a + x).as("insum"))
+          s => s.getField("share")), lit(0.0), (a, x) => a + x).as("s1"))
+      val contrib = inL1.groupBy($"vec_id")
+        .agg(aggregate(transform(array_sort(collect_list(struct($"ib", $"s1"))),
+          p => p.getField("s1")), lit(0.0), (a, x) => a + x).as("insum"))
       val dangB = r.filter($"deg" === 0)
         .groupBy(expr("CAST(FLOOR(vec_id / 256.0) AS BIGINT)").as("b"))
         .agg(aggregate(transform(array_sort(collect_list(struct($"vec_id", $"pr"))),
@@ -1539,21 +1552,28 @@ object Similarity {
           SELECT qid, CAST(rank AS INT) AS rank, nid, cos_sim
           FROM ranked WHERE rank <= 5""",
     // 3 unrolled PageRank iterations over the s14 edge CTEs — identical
-    // fold orders (source-id for in-sums, the 256-bucket two-level fold
-    // for the dangling mass) and decimal literals CAST to DOUBLE so the
-    // damping update is the same IEEE op sequence as the Spark side
+    // fold orders (the 256-bucket two-level fold for BOTH the in-sums
+    // and the dangling mass, u-then-bucket order) and decimal literals
+    // CAST to DOUBLE so the damping update is the same IEEE op sequence
+    // as the Spark side
     "s21_pagerank_knn" -> {
       def iter(k: Int): String = {
         val prev = if (k == 1) "r0" else s"r${k - 1}"
         s"""share$k AS (
               SELECT vec_id AS u, pr / CAST(deg AS DOUBLE) AS share
               FROM $prev WHERE deg > 0),
-            ins$k AS (
+            insb$k AS (
               SELECT e.nid AS vec_id,
+                     CAST(FLOOR(s.u / 256.0) AS BIGINT) AS ib,
                      list_reduce(list_prepend(0.0, list(s.share ORDER BY s.u)),
-                                 (a, x) -> a + x) AS insum
+                                 (a, x) -> a + x) AS s1
               FROM edges e JOIN share$k s ON e.vid = s.u
-              GROUP BY e.nid),
+              GROUP BY 1, 2),
+            ins$k AS (
+              SELECT vec_id,
+                     list_reduce(list_prepend(0.0, list(s1 ORDER BY ib)),
+                                 (a, x) -> a + x) AS insum
+              FROM insb$k GROUP BY 1),
             db$k AS (
               SELECT CAST(FLOOR(vec_id / 256.0) AS BIGINT) AS b,
                      list_reduce(list_prepend(0.0, list(pr ORDER BY vec_id)),

@@ -69,9 +69,12 @@ object CommitSink {
     Set(LongType, IntegerType, DoubleType, StringType, BooleanType)
 
   /** Read the committed snapshot: ONLY the manifest's file list, with the
-    * manifest's schema. An empty / never-committed target reads as an
-    * empty frame of the requested schema (if any committed version
-    * exists its schema wins). */
+    * manifest's schema. A target that has never seen any write (no
+    * manifest at all) fails with a clear error; a committed-but-empty
+    * target (zero files — e.g. a stream whose every epoch was empty)
+    * reads as an empty frame of the manifest's schema. Streaming writes
+    * create an empty manifest at factory creation precisely so that a
+    * zero-epoch stream's target is readable. */
   def readCommitted(spark: SparkSession, dir: String): DataFrame = {
     val mf = Paths.get(dir, MANIFEST)
     require(Files.exists(mf), s"graft-commit: no committed manifest at $dir")
@@ -94,9 +97,27 @@ object CommitSink {
     (ddl, files)
   }
 
+  /** Write-and-swap the manifest. SINGLE-WRITER assumption: the manifest
+    * swap is atomic for READERS, but two concurrent writers to the same
+    * path would each read-modify-swap and one's files would silently
+    * vanish from the manifest. `expectedPrev` (the commit id the caller
+    * based its read-modify on) turns that silent loss into a hard error:
+    * if another writer slipped a commit in between, the check fails and
+    * nothing is swapped. Pass the sentinel [[SKIP_CAS]] only from
+    * fixture/test code that owns the path exclusively. */
+  private[graft] val SKIP_CAS: Long = Long.MinValue
+
   private[graft] def writeManifest(dir: Path, ddl: String, files: Seq[String],
                                      commitId: Long,
-                                     epochs: Seq[Long] = Seq.empty): Unit = {
+                                     epochs: Seq[Long] = Seq.empty,
+                                     expectedPrev: Long = SKIP_CAS): Unit = {
+    if (expectedPrev != SKIP_CAS) {
+      val cur = currentCommit(dir)
+      require(cur == expectedPrev,
+        s"graft-commit: concurrent writer detected at $dir — manifest is at " +
+          s"commit $cur but this writer planned commit $commitId on top of " +
+          s"$expectedPrev; aborting instead of silently dropping its files")
+    }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
       s""""schema":"${esc(ddl)}",""" +
@@ -133,7 +154,12 @@ object CommitSink {
   private[sources] def sweepStaging(dir: Path): Unit = {
     val st = stagingDir(dir)
     if (Files.exists(st)) {
-      Files.list(st).iterator().asScala.foreach(Files.deleteIfExists(_))
+      // Files.list holds a directory fd until the stream is closed — a
+      // long-lived driver (the bench runs every sink query twice per
+      // session) would leak one per sweep without the explicit close
+      val s = Files.list(st)
+      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
       Files.deleteIfExists(st)
     }
   }
@@ -205,6 +231,12 @@ class CommitStreamingWrite(path: String, schema: StructType)
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
     Files.createDirectories(CommitSink.stagingDir(dir))
+    // Initialize an EMPTY manifest for a never-written target so that a
+    // stream committing zero epochs (empty source) still leaves a
+    // readable table — readCommitted sees commit 0 with no files and
+    // returns an empty frame of this write's schema.
+    if (!Files.exists(dir.resolve("_MANIFEST.json")))
+      CommitSink.writeManifest(dir, schema.toDDL, Seq.empty, 0L)
     new CommitStreamingWriterFactory(path, schema.toDDL)
   }
 
@@ -216,17 +248,25 @@ class CommitStreamingWrite(path: String, schema: StructType)
       staged.foreach(s =>
         Files.deleteIfExists(CommitSink.stagingDir(dir).resolve(s.name)))
     } else {
-      val commitId = CommitSink.currentCommit(dir) + 1
+      val prev = CommitSink.currentCommit(dir)
+      val commitId = prev + 1
+      val mf = dir.resolve("_MANIFEST.json")
+      val (carriedDdl, carried) =
+        if (Files.exists(mf)) CommitSink.readManifest(mf) else (schema.toDDL, Seq.empty[String])
+      // Appending under a DIFFERENT schema would carry forward files that
+      // re-read as silent nulls under the new DDL — refuse instead.
+      require(carried.isEmpty || carriedDdl == schema.toDDL,
+        s"graft-commit: streaming append schema mismatch at $path — manifest " +
+          s"has [$carriedDdl] but this query writes [${schema.toDDL}]; " +
+          "truncate via a batch overwrite first or match the schema")
       val promoted = staged.zipWithIndex.map { case (s, i) =>
         val fin = f"part-e$epochId%05d-$i%05d.json"
         Files.move(CommitSink.stagingDir(dir).resolve(s.name), dir.resolve(fin),
           StandardCopyOption.ATOMIC_MOVE)
         fin
       }.toSeq
-      val mf = dir.resolve("_MANIFEST.json")
-      val carried = if (Files.exists(mf)) CommitSink.readManifest(mf)._2 else Seq.empty
       CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId,
-        CommitSink.committedEpochs(dir) :+ epochId)
+        CommitSink.committedEpochs(dir) :+ epochId, expectedPrev = prev)
     }
     CommitSink.sweepStaging(dir)
   }
@@ -254,8 +294,19 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val commitId = CommitSink.currentCommit(dir) + 1
+    val prev = CommitSink.currentCommit(dir)
+    val commitId = prev + 1
     val staged = messages.collect { case s: StagedFile => s }
+    val hasManifest = Files.exists(dir.resolve("_MANIFEST.json"))
+    val (carriedDdl, carried) =
+      if (truncate || !hasManifest) (schema.toDDL, Seq.empty[String])
+      else CommitSink.readManifest(dir.resolve("_MANIFEST.json"))
+    // Appending under a DIFFERENT schema would re-read carried files as
+    // silent nulls under the new DDL — refuse BEFORE promoting anything.
+    require(carried.isEmpty || carriedDdl == schema.toDDL,
+      s"graft-commit: append schema mismatch at $path — manifest has " +
+        s"[$carriedDdl] but this write has [${schema.toDDL}]; use " +
+        "overwrite (truncate) to replace the table under a new schema")
     // phase 2: promote each task-committed staging file to its final
     // name, then swap the manifest. Only files named by a commit message
     // are promoted — output of failed/speculative attempts stays in
@@ -266,22 +317,21 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
         StandardCopyOption.ATOMIC_MOVE)
       fin
     }.toSeq
-    val hasManifest = Files.exists(dir.resolve("_MANIFEST.json"))
-    val carried =
-      if (truncate || !hasManifest) Seq.empty
-      else CommitSink.readManifest(dir.resolve("_MANIFEST.json"))._2
     // truncate also resets the streaming-epoch ledger; append carries it
     val epochs =
       if (truncate || !hasManifest) Seq.empty[Long]
       else CommitSink.committedEpochs(dir)
-    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId, epochs)
+    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId, epochs,
+      expectedPrev = prev)
     // after the swap: previous-version files (on truncate) and stray
     // staging output are garbage no reader can see — sweep them
     if (truncate) {
-      Files.list(dir).iterator().asScala
+      val s = Files.list(dir)
+      try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("part-") &&
           !promoted.contains(p.getFileName.toString))
         .foreach(Files.deleteIfExists(_))
+      finally s.close()
     }
     CommitSink.sweepStaging(dir)
   }

@@ -384,10 +384,23 @@ class SensorMicroBatchStream(rows: Long, slices: Int, required: StructType,
     available = math.min(available + math.max(batchRows, 1L), rows)
     SensorOffset(available)
   }
-  override def deserializeOffset(json: String): Offset = SensorOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val off = SensorOffset(json.toLong)
+    // Checkpoint recovery: Spark hands the restored (committed) offset
+    // back through deserializeOffset before asking latestOffset. Seed the
+    // admission counter from it so a restarted stream resumes FROM the
+    // committed position — without this, latestOffset would restart at 0,
+    // plan a backwards (end < start) batch, and re-emit already-committed
+    // ids as duplicates.
+    available = math.max(available, off.pos)
+    off
+  }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SensorOffset].pos
     val hi = end.asInstanceOf[SensorOffset].pos
+    // belt-and-braces recovery seeding (planInputPartitions can see the
+    // restored offsets before deserializeOffset on some code paths)
+    available = math.max(available, hi)
     val window = Seq(GreaterThanOrEqual("id", lo): Filter, LessThan("id", hi): Filter)
     SensorSource.plannedSlices(rows, slices, pushed.toSeq ++ window)
   }

@@ -300,8 +300,9 @@ class Round10Spec extends AnyFunSuite {
     val mass = got.map(_._3).sum
     assert(math.abs(mass - 1.0) < 1e-9, s"mass $mass")
     // local replay with the IDENTICAL fold orders: r0 = 1/N; per round
-    // shares u-ordered into in-sums, dangling via the 256-bucket
-    // two-level fold, update 0.15/N + 0.85*(insum + dm/N)
+    // shares into in-sums via the 256-bucket two-level fold (u order
+    // inside each source bucket, then bucket order — the r11 port),
+    // dangling via the same device, update 0.15/N + 0.85*(insum + dm/N)
     val edges = ext.Similarity.s14KnnGraph(spark, sf0001)
       .select($"vid", $"nid").as[(Long, Long)].collect()
     val nodes = got.map(_._1)
@@ -312,9 +313,13 @@ class Round10Spec extends AnyFunSuite {
       val share = pr.collect { case (u, r) if deg.getOrElse(u, 0L) > 0 =>
         u -> r / deg(u).toDouble }
       val ins = edges.filter(e => share.contains(e._1))
-        .groupBy(_._2).view.mapValues { es =>
+        .groupBy(e => (e._2, e._1 / 256)).view.mapValues { es =>
           es.map(e => (e._1, share(e._1))).sortBy(_._1)
             .foldLeft(0.0)((a, p) => a + p._2)
+        }.toSeq
+        .map { case ((v, b), s1) => (v, b, s1) }
+        .groupBy(_._1).view.mapValues { bs =>
+          bs.sortBy(_._2).foldLeft(0.0)((a, t) => a + t._3)
         }.toMap
       val dangB = nodes.filter(v => deg.getOrElse(v, 0L) == 0L)
         .map(v => (v / 256, v, pr(v)))
