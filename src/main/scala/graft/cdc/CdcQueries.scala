@@ -617,7 +617,93 @@ object CdcQueries {
     res.tables("sensor").snapshot.select($"id", $"base", $"extra")
   }
 
+  /** c21: the bootstrap-DDL composition — the four reference operators the
+    * driver never hash-checked individually (r10 verdict Next #1), chained
+    * the way the reference's consumer bootstraps a fresh database:
+    *
+    *   O1  topic prefix filter   [consumer_to_file.py:10, 172-180]
+    *   O4  topic→table routing   (re-used; oracled alone as c02)
+    *   O7  type inference        [infer_clickhouse_type, 115-127] — the
+    *       ONE distributed groupBy(table, k) regex-vote of Pipeline
+    *   O8  PK-candidate + dynamic table creation [57, 129-153]
+    *   O15 create-if-absent      [data_inserter.py:18-25]
+    *
+    * Fixture: every event becomes an envelope record on topic
+    * `dbserver1.testdb.<event_type>`, except each 7th event which lands on
+    * `other.sys.<event_type>` — rows the prefix filter must drop BEFORE
+    * any parsing. The five event types carry five different payload
+    * shapes, chosen so inference and PK precedence both branch:
+    * signup(uuid,value,n) → pk uuid; click(id,value) → pk id;
+    * purchase(employee_id,label) → pk employee_id; view(session,value)
+    * and error(code,msg) → no candidate, first sorted column.
+    *
+    * Each inferred table is then created-if-absent TWICE — the second
+    * write is a 1-row decoy that MUST be ignored (SaveMode.Ignore): if it
+    * appended or overwrote, the read-back row count would miss the
+    * oracle. The report is read back from the created parquet (not from
+    * the in-flight frames), so every row the driver hashes passed through
+    * the full filter → route → infer → create → no-op-create chain.
+    * Driver-side state is metadata only (5 tables × ≤3 columns); counts
+    * and writes are distributed. */
+  def c21BootstrapDdl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"/tmp/graft_c21/${new java.io.File(dir).getName}"
+    val basePath = java.nio.file.Paths.get(base)
+    if (java.nio.file.Files.exists(basePath)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(basePath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val ev = Tables.events(spark, dir)
+    val after = when($"event_type" === "signup", map(
+        lit("uuid"), md5($"user_id".cast("string")),
+        lit("value"), $"value".cast("string"),
+        lit("n"), $"event_id".cast("string")))
+      .when($"event_type" === "click", map(
+        lit("id"), $"user_id".cast("string"),
+        lit("value"), $"value".cast("string")))
+      .when($"event_type" === "purchase", map(
+        lit("employee_id"), $"user_id".cast("string"),
+        lit("label"), $"props"))
+      .when($"event_type" === "view", map(
+        lit("session"), md5(concat(lit("s"), $"user_id".cast("string"))),
+        lit("value"), $"value".cast("string")))
+      .otherwise(map(
+        lit("code"), ($"user_id" % 100).cast("string"),
+        lit("msg"), $"props"))
+    val raw = ev.select(
+      concat(when($"event_id" % 7 === 0, "other.sys.")
+        .otherwise("dbserver1.testdb."), $"event_type").as("topic"),
+      $"event_id".as("offset"),
+      to_json(struct(struct(
+        lit("c").as("op"),
+        after.as("after"),
+        unix_millis($"ts".cast("timestamp")).as("ts_ms")).as("payload"))).as("value"))
+    // O1: the prefix gate drops the foreign topics before any JSON work
+    val matched = raw.filter(Envelope.topicHasPrefix($"topic", Seq("dbserver1.")))
+    val good = Envelope.good(Envelope.parse(matched))
+      .withColumn("payload", coalesce($"after", $"before"))
+    // O7: ONE distributed regex-vote over all tables' exploded payloads
+    val types = Pipeline.inferTableKeyTypes(
+      good.select($"table", explode($"payload").as(Seq("k", "v"))))
+    val reports = types.keys.toSeq.sorted.map { t =>
+      val keys = types(t).keys.toSeq.sorted
+      val pk = Apply.pkCandidate(keys) // O8 precedence
+      val typed = good.filter($"table" === t)
+        .select(keys.map(k => element_at($"payload", k).cast(types(t)(k)).as(k)): _*)
+      // O8/O15: dynamic creation, then the no-op re-create with a decoy
+      graft.sources.Sources.writeTableIfAbsent(typed, s"$base/$t")
+      graft.sources.Sources.writeTableIfAbsent(typed.limit(1), s"$base/$t")
+      val meta = keys.map(k => (t, pk, k, types(t)(k).simpleString))
+        .toDF("tbl", "pk_col", "col_name", "col_type")
+      meta.crossJoin(broadcast(
+        spark.read.parquet(s"$base/$t").agg(count(lit(1)).as("n_rows"))))
+    }
+    reports.reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
+    "c21_bootstrap_ddl" -> c21BootstrapDdl _,
     "c18_schema_change_topic" -> c18SchemaChangeTopic _,
     "c17_stream_ingest" -> c17StreamIngest _,
     "c16_tombstone_gc" -> c16TombstoneGc _,
@@ -671,6 +757,52 @@ object CdcQueries {
          FROM latest WHERE rn = 1"""
 
   val oracles: Map[String, String] = Map(
+    // c21: full replay of the bootstrap chain — the prefix filter is the
+    // event_id % 7 <> 0 gate, the per-table payload shapes are unioned as
+    // (tbl, k, v) rows, inference is the same two regex votes, PK
+    // precedence the same COALESCE ladder with MIN(k) fallback, and
+    // n_rows counts the prefix-passing rows (the created table's content;
+    // a non-no-op second create would break exactly this column)
+    "c21_bootstrap_ddl" ->
+      """WITH raw AS (
+           SELECT event_type AS tbl, event_id, user_id, value, props
+           FROM events WHERE event_id % 7 <> 0),
+         kv AS (
+           SELECT tbl, 'uuid' AS k, md5(CAST(user_id AS VARCHAR)) AS v
+           FROM raw WHERE tbl = 'signup'
+           UNION ALL SELECT tbl, 'value', CAST(value AS VARCHAR) FROM raw WHERE tbl = 'signup'
+           UNION ALL SELECT tbl, 'n', CAST(event_id AS VARCHAR) FROM raw WHERE tbl = 'signup'
+           UNION ALL SELECT tbl, 'id', CAST(user_id AS VARCHAR) FROM raw WHERE tbl = 'click'
+           UNION ALL SELECT tbl, 'value', CAST(value AS VARCHAR) FROM raw WHERE tbl = 'click'
+           UNION ALL SELECT tbl, 'employee_id', CAST(user_id AS VARCHAR) FROM raw WHERE tbl = 'purchase'
+           UNION ALL SELECT tbl, 'label', props FROM raw WHERE tbl = 'purchase'
+           UNION ALL SELECT tbl, 'session', md5('s' || CAST(user_id AS VARCHAR)) FROM raw WHERE tbl = 'view'
+           UNION ALL SELECT tbl, 'value', CAST(value AS VARCHAR) FROM raw WHERE tbl = 'view'
+           UNION ALL SELECT tbl, 'code', CAST(user_id % 100 AS VARCHAR) FROM raw WHERE tbl = 'error'
+           UNION ALL SELECT tbl, 'msg', props FROM raw WHERE tbl = 'error'),
+         votes AS (
+           SELECT tbl, k,
+                  MAX(CASE WHEN NOT regexp_matches(v, '^-?\d+$') THEN 1 ELSE 0 END) AS not_int,
+                  MAX(CASE WHEN NOT regexp_matches(v, '^-?\d+(\.\d+)?([eE]-?\d+)?$') THEN 1 ELSE 0 END) AS not_num
+           FROM kv GROUP BY 1, 2),
+         typed AS (
+           SELECT tbl, k,
+                  CASE WHEN not_int = 0 THEN 'bigint'
+                       WHEN not_num = 0 THEN 'double'
+                       ELSE 'string' END AS col_type
+           FROM votes),
+         pk AS (
+           SELECT tbl,
+                  COALESCE(MAX(CASE WHEN k = 'uuid' THEN k END),
+                           MAX(CASE WHEN k = 'id' THEN k END),
+                           MAX(CASE WHEN k = 'pk' THEN k END),
+                           MAX(CASE WHEN k = 'employee_id' THEN k END),
+                           MAX(CASE WHEN k = 'record_id' THEN k END),
+                           MIN(k)) AS pk_col
+           FROM (SELECT DISTINCT tbl, k FROM kv) GROUP BY 1),
+         counts AS (SELECT tbl, COUNT(*) AS n_rows FROM raw GROUP BY 1)
+         SELECT t.tbl, p.pk_col, t.k AS col_name, t.col_type, c.n_rows
+         FROM typed t JOIN pk p USING (tbl) JOIN counts c USING (tbl)""",
     // g01: full SQL replay of the generated workload (the generator's
     // md5-prefix choice device is engine-portable since r9 — see
     // Workload.h32) → latest-per-key tombstone-filtered snapshot →

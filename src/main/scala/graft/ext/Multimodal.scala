@@ -346,7 +346,7 @@ object Multimodal {
     * kept). One row per (doc_id, frame index, packed 64-bit hash) —
     * shared by the position-locked vote (m09) and the offset-invariant
     * constellation match (m10). */
-  private def frameHashes(corpus: DataFrame): DataFrame = {
+  private[graft] def frameHashes(corpus: DataFrame): DataFrame = {
     import corpus.sparkSession.implicits._
     corpus
       .select($"doc_id", $"text", length($"text").cast("long").as("len"))
@@ -442,15 +442,31 @@ object Multimodal {
     * final division — oracle-exact. */
   def m10AudioOffsetMatch(spark: SparkSession, dir: String): DataFrame =
       Dedup.memoDf(spark, dir, "m10:frames") {
+    m10OffsetMatch(frameHashes(m10Corpus(spark, dir)).cache())
+  }
+
+  /** The m10 fixture corpus: documents plus planted exact copies (every
+    * 10th doc) and 256-byte-shifted copies (every 10th+5 doc, one whole
+    * frame of prefix padding → alignment at delta -1). */
+  private[graft] def m10Corpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
-    val corpus = base
+    base
       .unionByName(base.filter($"doc_id" % 10 === 0)
         .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
       .unionByName(base.filter($"doc_id" % 10 === 5)
         .select(($"doc_id" + 2000000L).as("doc_id"),
           concat(lit("x" * 256), $"text").as("text")))
-    val frames = frameHashes(corpus).cache()
+  }
+
+  /** The m10 downstream, a pure function of the frame-fingerprint table —
+    * factored out so the spill path is EXECUTABLE: Round11Spec feeds it
+    * the same frames re-read from parquet (the 100 TB materialized-index
+    * form, README §"Corpus-sized caches") and proves row-identical
+    * output. The in-memory `.cache()` in [[m10AudioOffsetMatch]] is an
+    * optimization of re-read, never a correctness dependency. */
+  private[graft] def m10OffsetMatch(frames: DataFrame): DataFrame = {
+    import frames.sparkSession.implicits._
     val nf = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
     // band rows CARRY the full hash (8 bytes/row) so the hamming verify
     // runs inside the band join's output — no join-back of the frame

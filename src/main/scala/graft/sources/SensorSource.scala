@@ -375,32 +375,46 @@ case class SensorOffset(pos: Long)
   * round-trip through JSON for checkpoint recovery. */
 class SensorMicroBatchStream(rows: Long, slices: Int, required: StructType,
     pushed: Array[Filter], batchRows: Long)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   private var available = 0L
 
   override def initialOffset(): Offset = SensorOffset(0L)
+
+  /** Checkpoint recovery lives HERE, not in deserializeOffset: on restart
+    * the engine asks for new data BEFORE the source ever sees its restored
+    * offsets, so a driver-memory admission counter alone would restart at
+    * 0, plan a backwards (end < start) batch, commit the regressed offset,
+    * and re-emit already-committed ids as duplicates (the r10 advice
+    * finding — Round11Spec restarts a checkpointed stream and proves
+    * exactly-once). SupportsAdmissionControl passes the restored start
+    * offset into every latestOffset call, the hook a real source uses to
+    * resume its rate-limited tail from the committed position. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    available = math.max(available, start.asInstanceOf[SensorOffset].pos)
+    available = math.min(available + math.max(batchRows, 1L), rows)
+    SensorOffset(available)
+  }
+
+  /** Unreachable when SupportsAdmissionControl is implemented (the engine
+    * always calls the (start, limit) form); kept as its documented
+    * fallback contract. */
   override def latestOffset(): Offset = {
     available = math.min(available + math.max(batchRows, 1L), rows)
     SensorOffset(available)
   }
   override def deserializeOffset(json: String): Offset = {
     val off = SensorOffset(json.toLong)
-    // Checkpoint recovery: Spark hands the restored (committed) offset
-    // back through deserializeOffset before asking latestOffset. Seed the
-    // admission counter from it so a restarted stream resumes FROM the
-    // committed position — without this, latestOffset would restart at 0,
-    // plan a backwards (end < start) batch, and re-emit already-committed
-    // ids as duplicates.
+    // defense in depth: any restored offset that passes through also
+    // seeds the admission counter
     available = math.max(available, off.pos)
     off
   }
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[SensorOffset].pos
     val hi = end.asInstanceOf[SensorOffset].pos
-    // belt-and-braces recovery seeding (planInputPartitions can see the
-    // restored offsets before deserializeOffset on some code paths)
-    available = math.max(available, hi)
+    available = math.max(available, math.max(lo, hi))
     val window = Seq(GreaterThanOrEqual("id", lo): Filter, LessThan("id", hi): Filter)
     SensorSource.plannedSlices(rows, slices, pushed.toSeq ++ window)
   }
