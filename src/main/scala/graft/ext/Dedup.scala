@@ -1244,9 +1244,16 @@ object Dedup {
         .cache()
     }
 
-  def d29WinnowFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val anc = winnowAnchors(spark, dir)
+  def d29WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    d29Report(winnowAnchors(spark, dir))
+
+  /** The d29 downstream, a pure function of the anchor table — factored
+    * (like Multimodal.m10OffsetMatch) so the documented cache→parquet
+    * degradation path is executable: Round11Spec materializes
+    * [[winnowAnchors]] to parquet and proves this report row-identical
+    * off the re-read. */
+  private[graft] def d29Report(anc: DataFrame): DataFrame = {
+    import anc.sparkSession.implicits._
     val docsPerH = anc.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
     anc.join(docsPerH, "h")
       .groupBy($"doc_id")

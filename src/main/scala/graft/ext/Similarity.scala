@@ -509,10 +509,22 @@ object Similarity {
       Dedup.memoDf(spark, dir, "s20:ivfTuning") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
-    val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
     // cached: all three configs read the same assignment, probe ranking,
-    // and ground truth — without the cache each config re-runs them
-    val assigned = ivfAssigned(e).cache()
+    // and ground truth — without the cache each config re-runs them. At
+    // scale the assignment is the stored index payload; s20Sweep is a
+    // pure function of it, so swapping the cache for a parquet write +
+    // re-read changes nothing downstream (Round11Spec executes that).
+    s20Sweep(spark, dir, ivfAssigned(e).cache())
+  }
+
+  /** The s20 sweep as a pure function of the (vec_id, embedding, cid)
+    * assignment table — the spill-path seam, like Dedup.d29Report and
+    * Multimodal.m10OffsetMatch. */
+  private[graft] def s20Sweep(spark: SparkSession, dir: String,
+                              assigned: DataFrame): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
     val probeRanked = centroidScored(e).filter($"vec_id" < 5)
       .withColumn("rn", row_number().over(wAssign))
       .select($"vec_id".as("qid"), $"embedding".as("qe"), $"cid", $"rn")

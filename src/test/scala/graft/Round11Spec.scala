@@ -53,6 +53,31 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("d29 spill path: anchor table materialized to parquet, report row-identical") {
+    val expect = ext.Dedup.d29WinnowFingerprint(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val dir = freshDir("d29_spill")
+    ext.Dedup.winnowAnchors(spark, sf0001).write.parquet(dir)
+    val offDisk = ext.Dedup.d29Report(spark.read.parquet(dir))
+    assert(!offDisk.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "the spilled run must read parquet, not a leftover cache")
+    val got = offDisk.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e) => assert(g == e) }
+  }
+
+  test("s20 spill path: IVF assignment materialized to parquet, sweep row-identical") {
+    val expect = ext.Similarity.s20IvfTuning(spark, sf0001)
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val dir = freshDir("s20_spill")
+    val e = Tables.embeddings(spark, sf0001).select($"vec_id", $"embedding")
+    ext.Similarity.ivfAssigned(e).write.parquet(dir)
+    val got = ext.Similarity.s20Sweep(spark, sf0001, spark.read.parquet(dir))
+      .collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(got.length == expect.length && got.nonEmpty)
+    got.zip(expect).foreach { case (g, e2) => assert(g == e2) }
+  }
+
   // --- DSv2 micro-batch source: checkpoint recovery ----------------------
 
   test("graft-sensors stream restart resumes from the committed offset (no duplicates)") {
