@@ -546,8 +546,11 @@ object CdcQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft_c17_").toString
     val srcDir = s"$tmp/src"
     raw.repartitionByRange(4, $"offset").write.parquet(srcDir)
+    // 4 range-partitioned files, 2 per trigger → TWO real micro-batches:
+    // keeps the multi-batch property (state carried across triggers)
+    // at half the r10 trigger tax (6.7 s → ~4 s at sf0.1)
     val stream = spark.readStream.schema(raw.schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .option("maxFilesPerTrigger", 2).parquet(srcDir)
     val q = Pipeline.ingestStream(stream, s"$tmp/out", s"$tmp/ckpt",
       readingsDeclared,
       Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))

@@ -361,8 +361,9 @@ object Sources {
   }
 
   /** o10: the DSv2 STREAMING read ([[SensorMicroBatchStream]]) driven
-    * end-to-end — 50k sensor ids admitted 10k per trigger (5 real
-    * micro-batches), a pushed id-range filter, and a complete-mode
+    * end-to-end — 50k sensor ids admitted 20k per trigger (3 real
+    * micro-batches; Dsv2Spec separately instruments a 5-trigger run),
+    * a pushed id-range filter, and a complete-mode
     * streaming aggregation whose state accumulates across the triggers;
     * the final table must equal the oracle's one-shot aggregate over
     * `range()`, proving the micro-batch windows tile the id space
@@ -385,7 +386,7 @@ object Sources {
     spark.catalog.dropTempView("o10_sensor_stream")
     val q = spark.readStream.format("graft-sensors")
       .option("rows", 50000).option("slices", 8)
-      .option("streamBatchRows", 10000).load()
+      .option("streamBatchRows", 20000).load()
       .filter(col("id") >= 5000L && col("id") < 45000L)
       .groupBy(col("sensor"))
       .agg(count(lit(1)).as("n"),
