@@ -152,4 +152,47 @@ object PropertySpec extends Properties("graft") {
       } yield (a, b)).toSet
       direct == blocked
     }
+
+  // --- o10's admission-control tiling across restarts ---------------------
+
+  property("SensorMicroBatchStream: admitted windows tile [0, rows) exactly once across restarts") =
+    forAll(Gen.choose(1L, 500L), Gen.nonEmptyListOf(Gen.choose(1L, 100L)),
+      Gen.choose(1, 5)) { (rows, batchSizes, nRestarts) =>
+      // drive the SupportsAdmissionControl contract the way the engine
+      // does: per trigger, latestOffset(committedStart, limit) admits a
+      // window [start, end); a RESTART constructs a FRESH stream object
+      // (driver memory gone) and hands back only the committed offset.
+      // The r10-advice bug — a restarted counter regressing below the
+      // committed start — would produce an overlapping or backwards
+      // window and fail the tiling check.
+      import org.apache.spark.sql.connector.read.streaming.ReadLimit
+      import org.apache.spark.sql.types.StructType
+      def fresh(batch: Long) = new graft.sources.SensorMicroBatchStream(
+        rows, 2, new StructType(),
+        Array.empty[org.apache.spark.sql.sources.Filter], batch)
+      var stream = fresh(batchSizes.head)
+      var committed = 0L
+      var batches = List.empty[(Long, Long)]
+      var sizes = batchSizes
+      var restartsLeft = nRestarts
+      var guard = 0
+      while (committed < rows && guard < 2000) {
+        guard += 1
+        val end = stream.latestOffset(graft.sources.SensorOffset(committed),
+          ReadLimit.allAvailable()).asInstanceOf[graft.sources.SensorOffset].pos
+        if (end != committed) batches ::= (committed, end)
+        committed = math.max(committed, end)
+        // maybe crash-and-restart with a different rate limit
+        if (restartsLeft > 0 && guard % 3 == 0) {
+          restartsLeft -= 1
+          sizes = if (sizes.tail.nonEmpty) sizes.tail else batchSizes
+          stream = fresh(sizes.head)
+        }
+      }
+      val ordered = batches.reverse
+      val tiles = ordered.zip((0L, 0L) :: ordered).forall {
+        case ((lo, hi), (_, prevHi)) => lo == prevHi && hi > lo && hi <= rows
+      }
+      tiles && committed == rows
+    }
 }
