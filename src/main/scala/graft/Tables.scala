@@ -26,6 +26,20 @@ object Tables {
     if (n > 0) df.repartition(n) else df
   }
 
+  /** Recursive scratch-dir delete with the walk stream CLOSED — Files.walk
+    * holds directory fds until its Stream closes, and the registry's
+    * sink/scratch queries run twice per bench session. One shared helper
+    * replaces the per-call-site copies. */
+  def deleteRecursively(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally s.close()
+    }
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

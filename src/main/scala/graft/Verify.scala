@@ -34,11 +34,7 @@ object Verify {
       .foreach { case (name, fn) =>
       // drop any stale result first: a query that errors must not leave a
       // previous run's parquet behind to be graded as if it were current
-      val target = Paths.get(s"$outDir/$name")
-      if (Files.exists(target)) {
-        import scala.jdk.CollectionConverters._
-        Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      }
+      Tables.deleteRecursively(s"$outDir/$name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -651,12 +651,7 @@ object CdcQueries {
   def c21BootstrapDdl(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = s"/tmp/graft_c21/${new java.io.File(dir).getName}"
-    val basePath = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(basePath)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(basePath).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    Tables.deleteRecursively(base)
     val ev = Tables.events(spark, dir)
     val after = when($"event_type" === "signup", map(
         lit("uuid"), md5($"user_id".cast("string")),

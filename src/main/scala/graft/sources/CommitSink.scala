@@ -84,6 +84,45 @@ object CommitSink {
     else spark.read.schema(schema).json(files.map(f => Paths.get(dir, f).toString): _*)
   }
 
+  /** One fully-parsed manifest: the (commit, ddl, files, epochs) view a
+    * commit needs, read and regex-parsed ONCE (the per-field helpers
+    * below each re-read the file; a commit that called all of them did
+    * five reads whose non-atomicity also widened the concurrent-writer
+    * window the CAS closes). */
+  private[sources] case class Manifest(commit: Long, ddl: String,
+                                       files: Seq[String], epochs: Seq[Long])
+
+  private[sources] def parseManifest(dir: Path): Option[Manifest] = {
+    val mf = dir.resolve(MANIFEST)
+    if (!Files.exists(mf)) None
+    else {
+      val txt = Files.readString(mf)
+      val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      val ddl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+        .getOrElse(sys.error(s"graft-commit: manifest missing schema: $mf"))
+      val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      val epochs = "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+      Some(Manifest(commit, ddl, files, epochs))
+    }
+  }
+
+  /** Column-wise schema equivalence for the append guard: names + types,
+    * ignoring nullability and metadata — a nullable `id BIGINT` appends
+    * fine onto files written as non-null `id BIGINT NOT NULL` (the JSON
+    * payload is identical), so comparing raw DDL strings would refuse
+    * valid appends. */
+  private[sources] def sameColumns(a: String, b: String): Boolean = {
+    def cols(d: String) =
+      StructType.fromDDL(d).fields.map(f => (f.name, f.dataType)).toSeq
+    cols(a) == cols(b)
+  }
+
   /** (schema DDL, relative file names) of a manifest. Hand-rolled parse
     * of our own hand-rolled format — both sides live in this file. */
   private[graft] def readManifest(mf: Path): (String, Seq[String]) = {
@@ -234,28 +273,35 @@ class CommitStreamingWrite(path: String, schema: StructType)
     // Initialize an EMPTY manifest for a never-written target so that a
     // stream committing zero epochs (empty source) still leaves a
     // readable table — readCommitted sees commit 0 with no files and
-    // returns an empty frame of this write's schema.
+    // returns an empty frame of this write's schema. CAS on "no manifest
+    // yet" (expectedPrev = -1): if a concurrent writer commits in the
+    // window after our exists-check, the swap must NOT clobber its
+    // files — the CAS failure is caught and the existing manifest wins.
     if (!Files.exists(dir.resolve("_MANIFEST.json")))
-      CommitSink.writeManifest(dir, schema.toDDL, Seq.empty, 0L)
+      try CommitSink.writeManifest(dir, schema.toDDL, Seq.empty, 0L,
+        expectedPrev = -1L)
+      catch { case _: IllegalArgumentException => () }
     new CommitStreamingWriterFactory(path, schema.toDDL)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staged = messages.collect { case s: StagedFile => s }
-    if (CommitSink.committedEpochs(dir).contains(epochId)) {
+    // ONE manifest read per commit; writeManifest's CAS does the second,
+    // freshest-possible read just before the swap
+    val manifest = CommitSink.parseManifest(dir)
+    if (manifest.exists(_.epochs.contains(epochId))) {
       // re-delivered epoch (restart replay): drop the re-staged output —
       // promoting it would double-write rows the manifest already has
       staged.foreach(s =>
         Files.deleteIfExists(CommitSink.stagingDir(dir).resolve(s.name)))
     } else {
-      val prev = CommitSink.currentCommit(dir)
-      val commitId = prev + 1
-      val mf = dir.resolve("_MANIFEST.json")
-      val (carriedDdl, carried) =
-        if (Files.exists(mf)) CommitSink.readManifest(mf) else (schema.toDDL, Seq.empty[String])
-      // Appending under a DIFFERENT schema would carry forward files that
-      // re-read as silent nulls under the new DDL — refuse instead.
-      require(carried.isEmpty || carriedDdl == schema.toDDL,
+      val prev = manifest.map(_.commit).getOrElse(-1L)
+      val carriedDdl = manifest.map(_.ddl).getOrElse(schema.toDDL)
+      val carried = manifest.map(_.files).getOrElse(Seq.empty)
+      // Appending under a DIFFERENT column set would carry forward files
+      // that re-read as silent nulls under the new DDL — refuse instead
+      // (names + types; nullability does not change the JSON payload).
+      require(carried.isEmpty || CommitSink.sameColumns(carriedDdl, schema.toDDL),
         s"graft-commit: streaming append schema mismatch at $path — manifest " +
           s"has [$carriedDdl] but this query writes [${schema.toDDL}]; " +
           "truncate via a batch overwrite first or match the schema")
@@ -265,8 +311,8 @@ class CommitStreamingWrite(path: String, schema: StructType)
           StandardCopyOption.ATOMIC_MOVE)
         fin
       }.toSeq
-      CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId,
-        CommitSink.committedEpochs(dir) :+ epochId, expectedPrev = prev)
+      CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, prev + 1,
+        manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId, expectedPrev = prev)
     }
     CommitSink.sweepStaging(dir)
   }
@@ -294,16 +340,20 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val prev = CommitSink.currentCommit(dir)
+    // ONE manifest read per commit; writeManifest's CAS re-reads just
+    // before the swap
+    val manifest = CommitSink.parseManifest(dir)
+    val prev = manifest.map(_.commit).getOrElse(-1L)
     val commitId = prev + 1
     val staged = messages.collect { case s: StagedFile => s }
-    val hasManifest = Files.exists(dir.resolve("_MANIFEST.json"))
     val (carriedDdl, carried) =
-      if (truncate || !hasManifest) (schema.toDDL, Seq.empty[String])
-      else CommitSink.readManifest(dir.resolve("_MANIFEST.json"))
-    // Appending under a DIFFERENT schema would re-read carried files as
-    // silent nulls under the new DDL — refuse BEFORE promoting anything.
-    require(carried.isEmpty || carriedDdl == schema.toDDL,
+      if (truncate) (schema.toDDL, Seq.empty[String])
+      else (manifest.map(_.ddl).getOrElse(schema.toDDL),
+        manifest.map(_.files).getOrElse(Seq.empty))
+    // Appending under a DIFFERENT column set would re-read carried files
+    // as silent nulls under the new DDL — refuse BEFORE promoting
+    // anything (names + types; nullability does not change the payload).
+    require(carried.isEmpty || CommitSink.sameColumns(carriedDdl, schema.toDDL),
       s"graft-commit: append schema mismatch at $path — manifest has " +
         s"[$carriedDdl] but this write has [${schema.toDDL}]; use " +
         "overwrite (truncate) to replace the table under a new schema")
@@ -319,8 +369,8 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
     }.toSeq
     // truncate also resets the streaming-epoch ledger; append carries it
     val epochs =
-      if (truncate || !hasManifest) Seq.empty[Long]
-      else CommitSink.committedEpochs(dir)
+      if (truncate) Seq.empty[Long]
+      else manifest.map(_.epochs).getOrElse(Seq.empty)
     CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId, epochs,
       expectedPrev = prev)
     // after the swap: previous-version files (on truncate) and stray

@@ -392,8 +392,14 @@ class SensorMicroBatchStream(rows: Long, slices: Int, required: StructType,
     * offset into every latestOffset call, the hook a real source uses to
     * resume its rate-limited tail from the committed position. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    available = math.max(available, start.asInstanceOf[SensorOffset].pos)
+    val committed = start.asInstanceOf[SensorOffset].pos
+    available = math.max(available, committed)
     available = math.min(available + math.max(batchRows, 1L), rows)
+    // a `rows` option SHRUNK below the committed offset across a restart
+    // must not regress it — returning < start would plan a backwards
+    // batch, commit the regressed offset, and re-emit on the next
+    // restart (the same duplicate class as the counter-reset bug)
+    available = math.max(available, committed)
     SensorOffset(available)
   }
 

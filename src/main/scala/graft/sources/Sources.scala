@@ -341,12 +341,7 @@ object Sources {
   def o09Dsv2CommitWrite(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min}
     val out = s"/tmp/graft_o09/${new java.io.File(dir).getName}"
-    val outPath = java.nio.file.Paths.get(out)
-    if (java.nio.file.Files.exists(outPath)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(outPath).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    graft.Tables.deleteRecursively(out)
     graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .repartition(4, col("user_id"))
@@ -376,12 +371,7 @@ object Sources {
     * foreachBatch / the o09 commit sink). */
   def o10Dsv2StreamRead(spark: SparkSession, dir: String): DataFrame = {
     val ckpt = s"/tmp/graft_o10/${new java.io.File(dir).getName}"
-    val p = java.nio.file.Paths.get(ckpt)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    graft.Tables.deleteRecursively(ckpt)
     // repeat runs in one session (bench pass 2) must re-register the sink
     spark.catalog.dropTempView("o10_sensor_stream")
     val q = spark.readStream.format("graft-sensors")
@@ -414,12 +404,7 @@ object Sources {
   def o11Dsv2StreamSink(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max}
     val base = s"/tmp/graft_o11/${new java.io.File(dir).getName}"
-    val p = java.nio.file.Paths.get(base)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    graft.Tables.deleteRecursively(base)
     val out = s"$base/table"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val q = spark.readStream.format("graft-sensors")

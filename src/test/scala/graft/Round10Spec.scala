@@ -73,12 +73,7 @@ class Round10Spec extends AnyFunSuite {
 
   private def o09Dir(tag: String): String = {
     val d = s"/tmp/graft_o09_spec/$tag"
-    val p = java.nio.file.Paths.get(d)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    Tables.deleteRecursively(d)
     d
   }
 

@@ -23,12 +23,7 @@ class Round11Spec extends AnyFunSuite {
 
   private def freshDir(tag: String): String = {
     val d = s"/tmp/graft_r11_spec/$tag"
-    val p = java.nio.file.Paths.get(d)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
+    Tables.deleteRecursively(d)
     d
   }
 
@@ -112,6 +107,19 @@ class Round11Spec extends AnyFunSuite {
       "restart must emit exactly the ids admitted after the checkpoint")
     assert(log.select($"id").distinct().count() == 10000L,
       "every id exactly once across the restart boundary")
+  }
+
+  test("a rows option shrunk below the committed offset never regresses it") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.types.StructType
+    // restart with rows=4000 against a checkpoint committed at 6000:
+    // returning < start would plan a backwards batch, commit the
+    // regressed offset, and re-emit on a later restart
+    val s = new sources.SensorMicroBatchStream(4000L, 2, new StructType(),
+      Array.empty[org.apache.spark.sql.sources.Filter], 2000L)
+    val end = s.latestOffset(sources.SensorOffset(6000L), ReadLimit.allAvailable())
+      .asInstanceOf[sources.SensorOffset].pos
+    assert(end == 6000L, s"offset regressed to $end")
   }
 
   // --- CommitSink hardening ---------------------------------------------
