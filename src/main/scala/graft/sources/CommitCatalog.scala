@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal TableCatalog over [[CommitSink]] tables — the piece that
+  * lets SQL statements (most importantly `DELETE FROM`, o12) address a
+  * manifest-committed table by NAME instead of by path:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_commit",
+  *                  "graft.sources.CommitCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft_commit.root", "/data/tables")
+  *   spark.sql("DELETE FROM graft_commit.default.events WHERE ...")
+  * }}}
+  *
+  * Identifier → path mapping is the obvious one: `root/ns.../name`, a
+  * table existing iff its `_MANIFEST.json` does (the manifest, not the
+  * directory, defines the table — the same object-store-safe position
+  * as the sink itself). CREATE TABLE lands an empty commit-0 manifest
+  * through the same CAS'd writer every other path uses; DROP delegates
+  * to the shared recursive delete. ALTER/RENAME are deliberately
+  * unsupported — schema change on this sink is a truncate-rewrite, the
+  * copy-on-write discipline o12's DELETE follows.
+  */
+class CommitCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root"))
+      .getOrElse(sys.error("graft-commit catalog: option 'root' is required " +
+        s"(spark.sql.catalog.$name.root=<dir>)"))
+  }
+
+  override def name(): String = catalogName
+
+  private def pathFor(ident: Identifier): Path =
+    Paths.get((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
+
+  override def tableExists(ident: Identifier): Boolean =
+    Files.exists(pathFor(ident).resolve("_MANIFEST.json"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = Paths.get((root +: namespace.toSeq).mkString("/"))
+    if (!Files.isDirectory(d)) Array.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => Files.exists(p.resolve("_MANIFEST.json")))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+      finally s.close()
+    }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new CommitSinkTable(pathFor(ident).toString)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-commit tables do not support partition transforms")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val p = pathFor(ident)
+    Files.createDirectories(p)
+    // commit 0 with no files, CAS'd on "no manifest yet" so a racing
+    // writer's commit is never clobbered
+    try CommitSink.writeManifest(p, schema.toDDL, Seq.empty, 0L, expectedPrev = -1L)
+    catch { case _: IllegalArgumentException =>
+      throw new TableAlreadyExistsException(ident)
+    }
+    new CommitSinkTable(p.toString)
+  }
+
+  // the modern analyzer path goes through the Column[] variant; route it
+  // to the StructType implementation above (CatalogV2Util is
+  // private[sql], so convert the portable subset by hand)
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createTable(ident,
+      StructType(columns.map(c =>
+        org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
+      partitions, properties)
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-commit: ALTER is a truncate-rewrite on this sink (see scaladoc)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else { graft.Tables.deleteRecursively(pathFor(ident).toString); true }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft-commit: RENAME unsupported")
+}

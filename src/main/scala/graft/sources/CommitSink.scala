@@ -6,12 +6,15 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** The WRITE half of the DataSource V2 contract — the connector surface
   * the read-side family (o05 scan, o06 aggregate pushdown, o07
@@ -210,11 +213,15 @@ case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
 class CommitSinkProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = CommitSink.NAME
-  // write-only: the table accepts the incoming query's schema
-  // (ACCEPT_ANY_SCHEMA) and records it in the manifest; reads go through
-  // CommitSink.readCommitted, which trusts the manifest, not this stub
+  // reads resolve against the committed manifest's schema (also what
+  // `spark.read.format("graft-commit")` binds to); a never-written
+  // target is empty — the write path accepts the incoming query's
+  // schema regardless (ACCEPT_ANY_SCHEMA) and records it in the manifest
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new StructType()
+    Option(options.get("path"))
+      .flatMap(p => CommitSink.parseManifest(Paths.get(p)))
+      .map(m => StructType.fromDDL(m.ddl))
+      .getOrElse(new StructType())
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -222,14 +229,90 @@ class CommitSinkProvider extends TableProvider
       .getOrElse(sys.error("graft-commit: option 'path' is required")))
 }
 
-class CommitSinkTable(path: String) extends Table with SupportsWrite {
+class CommitSinkTable(path: String) extends Table with SupportsWrite
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, not}
+  import org.apache.spark.sql.{sources => sf}
+
   override def name(): String = s"graft_commit($path)"
-  override def schema(): StructType = new StructType()
+
+  /** The committed version's schema when one exists (the catalog /
+    * row-level-operation path needs real columns to resolve against);
+    * empty for a never-written target (the write-only provider path —
+    * ACCEPT_ANY_SCHEMA makes the incoming query's schema bind). */
+  override def schema(): StructType =
+    CommitSink.parseManifest(Paths.get(path))
+      .map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
+
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CommitWriteBuilder(path, info)
+
+  /** The READ half: one input partition per committed file (the write's
+    * task parallelism is the read's), rows decoded by [[CommitFileReader]]
+    * — the mirror of [[CommitDataWriter]]'s staging encoder. Required by
+    * SQL row-level DELETE too: Spark 4 plans `DELETE FROM t WHERE c` by
+    * first building the table's scan relation (the condition is
+    * normalized against it) and only then handing the translated
+    * predicates to [[deleteWhere]]. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CommitScanBuilder(path)
+
+  // --- row-level DELETE (o12): copy-on-write under the manifest swap ----
+  //
+  // `DELETE FROM graft_commit.ns.t WHERE <cond>` arrives here as pushed
+  // V1 filters (the SupportsDelete bridge translates the V2 predicates).
+  // The delete is Iceberg-style copy-on-write: read ONLY the manifest's
+  // committed files, keep the rows the condition does NOT select (NULL
+  // condition keeps the row — SQL DELETE semantics), and land the
+  // survivors as a NEW table version through the ordinary truncate
+  // write — task-isolated staging, atomic manifest swap, CAS against
+  // concurrent writers. Readers see the old version or the new one,
+  // never a partial delete. Like TRUNCATE, a DELETE starts a new table
+  // version and resets the streaming-epoch ledger (documented there).
+
+  private def filterToColumn(f: sf.Filter): Option[Column] = f match {
+    case sf.EqualTo(a, v)            => Some(col(a) === lit(v))
+    case sf.EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case sf.GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sf.LessThan(a, v)           => Some(col(a) < lit(v))
+    case sf.LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case sf.In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sf.IsNull(a)                => Some(col(a).isNull)
+    case sf.IsNotNull(a)             => Some(col(a).isNotNull)
+    case sf.StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case sf.StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case sf.StringContains(a, v)     => Some(col(a).contains(v))
+    case sf.AlwaysTrue()             => Some(lit(true))
+    case sf.AlwaysFalse()            => Some(lit(false))
+    case sf.And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case sf.Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case sf.Not(c) => filterToColumn(c).map(not)
+    case _ => None
+  }
+
+  override def canDeleteWhere(filters: Array[sf.Filter]): Boolean =
+    filters.forall(filterToColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[sf.Filter]): Unit = {
+    val spark = SparkSession.active
+    // the pushed filters are implicitly conjunctive
+    val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
+    CommitSink.readCommitted(spark, path)
+      // DELETE removes rows where the condition is TRUE; a NULL
+      // condition keeps the row
+      .filter(not(fnCoalesce(cond, lit(false))))
+      .write.format(CommitSink.NAME).option("path", path)
+      .mode("overwrite").save()
+  }
 }
 
 class CommitWriteBuilder(path: String, info: LogicalWriteInfo)
@@ -457,4 +540,102 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   /** Task abort: this attempt's output must leave no trace. */
   override def abort(): Unit = { out.close(); Files.deleteIfExists(file) }
   override def close(): Unit = ()
+}
+
+// --- the DSv2 batch READ over the committed snapshot ----------------------
+
+class CommitScanBuilder(path: String) extends ScanBuilder {
+  override def build(): Scan = new CommitScan(path)
+}
+
+/** Scan = the manifest's committed view, resolved ONCE at planning: the
+  * file list and schema are pinned here, so a concurrent commit swapping
+  * the manifest mid-query cannot tear the read — snapshot isolation for
+  * free from the manifest design. */
+class CommitScan(path: String) extends Scan with Batch {
+  private val manifest = CommitSink.parseManifest(Paths.get(path))
+    .getOrElse(sys.error(s"graft-commit: no committed manifest at $path"))
+  override def readSchema(): StructType = StructType.fromDDL(manifest.ddl)
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.files.map(f =>
+      CommitFilePartition(Paths.get(path, f).toString): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CommitReaderFactory(manifest.ddl)
+  override def description(): String = s"graft-commit scan of $path"
+}
+
+case class CommitFilePartition(file: String) extends InputPartition
+
+class CommitReaderFactory(ddl: String) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new CommitFileReader(p.asInstanceOf[CommitFilePartition].file,
+      StructType.fromDDL(ddl))
+}
+
+/** Executor-side reader: the exact mirror of [[CommitDataWriter]]'s
+  * line encoder — keys are unescaped field names, values are the
+  * portable scalar set with JSON string escapes (plus bare
+  * NaN/Infinity/-Infinity for doubles, which `Double.parseDouble`
+  * reads back bit-exactly). A field the writer omitted (null) stays
+  * null. Schema-driven, no generic JSON machinery needed. */
+class CommitFileReader(file: String, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  private val lines = Files.newBufferedReader(Paths.get(file))
+  private val fieldIndex = schema.fieldNames.zipWithIndex.toMap
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val l = lines.readLine()
+    if (l == null) false else { row = parse(l); true }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+
+  private def parse(line: String): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    var i = 1 // past '{'
+    while (i < line.length && line.charAt(i) != '}') {
+      i += 1 // opening key quote (keys are raw field names, never escaped)
+      val ks = i
+      while (line.charAt(i) != '"') i += 1
+      val key = line.substring(ks, i)
+      i += 2 // closing quote + ':'
+      if (line.charAt(i) == '"') {
+        i += 1
+        val sb = new java.lang.StringBuilder
+        while (line.charAt(i) != '"') {
+          if (line.charAt(i) == '\\') {
+            line.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'u' =>
+                sb.append(Integer.parseInt(line.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case c => sb.append(c); i += 2 // \" and \\
+            }
+          } else { sb.append(line.charAt(i)); i += 1 }
+        }
+        i += 1
+        fieldIndex.get(key).foreach(j =>
+          vals(j) = UTF8String.fromString(sb.toString))
+      } else {
+        val vs = i
+        while (i < line.length && line.charAt(i) != ',' && line.charAt(i) != '}') i += 1
+        val raw = line.substring(vs, i)
+        fieldIndex.get(key).foreach { j =>
+          vals(j) = schema(j).dataType match {
+            case LongType    => raw.toLong
+            case IntegerType => raw.toInt
+            case DoubleType  => java.lang.Double.parseDouble(raw)
+            case BooleanType => raw.toBoolean
+            case t => sys.error(s"unreachable: $t validated at write build()")
+          }
+        }
+      }
+      if (i < line.length && line.charAt(i) == ',') i += 1
+    }
+    new GenericInternalRow(vals)
+  }
 }

@@ -424,7 +424,45 @@ object Sources {
         max(col("id")).as("max_id"))
   }
 
+  /** o12: SQL row-level DELETE against the commit sink, addressed by
+    * NAME through [[CommitCatalog]] — the row-level-operation member of
+    * the DSv2 connector matrix (read o05-o08/o10, write o09, streaming
+    * sink o11). The events table is landed through the two-phase commit
+    * write, then `DELETE FROM graft_commit.default.events WHERE
+    * event_type = 'error' OR value > 90` runs as a real SQL statement:
+    * the analyzer resolves the table via the catalog, pushes the
+    * condition as connector predicates, and [[CommitSinkTable]] executes
+    * an Iceberg-style copy-on-write — survivors land as a NEW table
+    * version under the same atomic CAS'd manifest swap, so readers see
+    * the pre-delete or post-delete version, never a partial delete. The
+    * read-back aggregate must equal the oracle's aggregate over `events
+    * WHERE NOT (cond)` — proving the delete removed exactly the selected
+    * rows (NULL-condition rows would be kept; the fixture has none). */
+  def o12Dsv2DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val root = s"/tmp/graft_o12/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(root)
+    spark.conf.set("spark.sql.catalog.graft_commit", "graft.sources.CommitCatalog")
+    spark.conf.set("spark.sql.catalog.graft_commit.root", root)
+    val path = s"$root/default/events"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4, col("user_id"))
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    // 90.0D: a DOUBLE literal — a bare 90.0 is DECIMAL and the implicit
+    // cast could land on the column, blocking predicate translation
+    spark.sql("DELETE FROM graft_commit.`default`.events " +
+      "WHERE event_type = 'error' OR value > 90.0D")
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
     "o09_dsv2_commit_write" -> o09Dsv2CommitWrite _,
@@ -439,6 +477,16 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the survivors of the copy-on-write DELETE: NOT(cond) keeps a row
+    // (the fixture has no NULL event_type/value, so NOT() is total)
+    "o12_dsv2_delete_where" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM events
+          WHERE NOT (event_type = 'error' OR value > 90.0)
+          GROUP BY 1""",
     // the one-shot aggregate the 4 epoch commits must compose to
     "o11_dsv2_stream_sink" ->
       s"""WITH s AS (

@@ -174,6 +174,67 @@ class Round11Spec extends AnyFunSuite {
       Seq.empty, expectedPrev = 0L)
   }
 
+  // --- o12: catalog + row-level DELETE + DSv2 read ----------------------
+
+  /** One catalog NAME per test: Spark caches catalog instances by name,
+    * so re-pointing an existing name's `root` conf would silently keep
+    * the old instance (and its old root). */
+  private def withCatalog(tag: String): (String, String) = {
+    val root = freshDir(s"catalog_$tag")
+    val cat = s"graft_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  test("o12: DSv2 scan equals readCommitted, one partition per committed file") {
+    val (cat, root) = withCatalog("scan")
+    val path = s"$root/default/ev"
+    val in = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"value")
+    in.repartition(3).write.format("graft-commit")
+      .option("path", path).mode("overwrite").save()
+    val viaSql = spark.sql(s"SELECT * FROM $cat.`default`.ev")
+    assert(viaSql.exceptAll(in).count() == 0 && in.exceptAll(viaSql).count() == 0,
+      "the DSv2 scan must decode exactly what the writer staged")
+    assert(viaSql.rdd.getNumPartitions == 3,
+      "read parallelism = the write's committed file count")
+  }
+
+  test("o12: SQL DELETE is exact, idempotent, and refuses untranslatable conditions") {
+    val (cat, root) = withCatalog("delete")
+    val path = s"$root/default/ev"
+    val in = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"value")
+    in.repartition(2).write.format("graft-commit")
+      .option("path", path).mode("overwrite").save()
+    spark.sql(s"DELETE FROM $cat.`default`.ev WHERE event_type = 'error'")
+    val kept = sources.CommitSink.readCommitted(spark, path)
+    val expect = in.filter($"event_type" =!= "error")
+    assert(kept.exceptAll(expect).count() == 0 && expect.exceptAll(kept).count() == 0)
+    // re-running the same DELETE deletes nothing (new table version, same rows)
+    spark.sql(s"DELETE FROM $cat.`default`.ev WHERE event_type = 'error'")
+    assert(sources.CommitSink.readCommitted(spark, path).count() == expect.count())
+    // a condition the connector cannot translate must refuse, not scan-rewrite
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.`default`.ev WHERE value + 1.0D > 91.0D")
+    }
+    assert(sources.CommitSink.readCommitted(spark, path).count() == expect.count(),
+      "the refused DELETE must not have changed the table")
+  }
+
+  test("o12: catalog CREATE / EXISTS / DROP round-trip") {
+    val (cat, _) = withCatalog("ddl")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (id BIGINT, v DOUBLE) USING `graft-commit`")
+    assert(spark.sql(s"SELECT * FROM $cat.`default`.t").count() == 0,
+      "a created table is an empty commit-0 manifest, readable at once")
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.`default`.t (id BIGINT) USING `graft-commit`")
+    }
+    spark.sql(s"DROP TABLE $cat.`default`.t")
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.`default`.t") }
+  }
+
   // --- c21 bootstrap-DDL pins -------------------------------------------
 
   test("c21: five tables created, PK precedence branches, second create a no-op") {
