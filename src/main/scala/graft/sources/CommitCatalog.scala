@@ -65,7 +65,10 @@ class CommitCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new CommitSinkTable(pathFor(ident).toString)
+    // catalog tables pin the manifest schema (no ACCEPT_ANY_SCHEMA):
+    // required for UPDATE/MERGE assignment alignment — see the
+    // CommitSinkTable scaladoc
+    new CommitSinkTable(pathFor(ident).toString, acceptAnySchema = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -81,7 +84,7 @@ class CommitCatalog extends TableCatalog {
     catch { case _: IllegalArgumentException =>
       throw new TableAlreadyExistsException(ident)
     }
-    new CommitSinkTable(p.toString)
+    new CommitSinkTable(p.toString, acceptAnySchema = false)
   }
 
   // the modern analyzer path goes through the Column[] variant; route it

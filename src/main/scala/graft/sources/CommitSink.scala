@@ -229,9 +229,21 @@ class CommitSinkProvider extends TableProvider
       .getOrElse(sys.error("graft-commit: option 'path' is required")))
 }
 
-class CommitSinkTable(path: String) extends Table with SupportsWrite
+class CommitSinkTable(path: String,
+                      /** The PATH-based provider keeps ACCEPT_ANY_SCHEMA
+                        * (a fresh target takes the incoming query's
+                        * schema, the write-side commit enforces column
+                        * compatibility on append). CATALOG-loaded tables
+                        * drop it: their schema is the manifest's, and
+                        * Spark refuses to align UPDATE/MERGE assignments
+                        * against an any-schema table
+                        * (skipSchemaResolution) — the capability would
+                        * silently disable row-level SQL. */
+                      acceptAnySchema: Boolean = true) extends Table
+    with SupportsWrite
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, not}
   import org.apache.spark.sql.{sources => sf}
@@ -246,10 +258,13 @@ class CommitSinkTable(path: String) extends Table with SupportsWrite
     CommitSink.parseManifest(Paths.get(path))
       .map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CommitWriteBuilder(path, info)
 
@@ -262,6 +277,13 @@ class CommitSinkTable(path: String) extends Table with SupportsWrite
     * predicates to [[deleteWhere]]. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CommitScanBuilder(path)
+
+  /** SQL UPDATE / MERGE INTO (o13) — and the fallback for DELETEs whose
+    * condition the metadata path can't translate: the group-based
+    * [[CommitRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new CommitRowLevelOperation(path, info.command())
 
   // --- row-level DELETE (o12): copy-on-write under the manifest swap ----
   //
@@ -315,7 +337,12 @@ class CommitSinkTable(path: String) extends Table with SupportsWrite
   }
 }
 
-class CommitWriteBuilder(path: String, info: LogicalWriteInfo)
+class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
+                         /** Row-level (group-based) rewrites always
+                           * REPLACE: the scan read the whole committed
+                           * table, so the write lands the whole post-op
+                           * table as the next version. */
+                         forceTruncate: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncateFlag = false
   override def truncate(): WriteBuilder = { doTruncateFlag = true; this }
@@ -324,13 +351,35 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo)
     val bad = schema.fields.filterNot(f => CommitSink.supportedTypes.contains(f.dataType))
     require(bad.isEmpty, "graft-commit supports long/int/double/string/boolean " +
       s"columns; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
-    val doTruncate = doTruncateFlag
+    val doTruncate = doTruncateFlag || forceTruncate
     new Write {
       override def toBatch: BatchWrite = new CommitBatchWrite(path, schema, doTruncate)
       override def toStreaming: streaming.StreamingWrite =
         new CommitStreamingWrite(path, schema)
     }
   }
+}
+
+/** Group-based (copy-on-write) row-level operation — what turns SQL
+  * UPDATE and MERGE INTO (and DELETE with conditions the metadata path
+  * cannot translate) into executable plans on this sink: Spark reads the
+  * committed table through [[CommitScanBuilder]], computes the post-op
+  * row set (updated + untouched + inserted rows), and lands it through
+  * the ordinary two-phase write with truncate FORCED — the whole new
+  * version replaces the old under one atomic CAS'd manifest swap, so a
+  * reader sees the pre-op or post-op table, never a torn state. This is
+  * the Iceberg copy-on-write shape; DELETEs whose predicates DO
+  * translate still take the cheaper metadata path
+  * (`OptimizeMetadataOnlyDeleteFromTable` converts the rewritten plan
+  * back to [[CommitSinkTable.deleteWhere]]). */
+class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CommitScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CommitWriteBuilder(path, info, forceTruncate = true)
+  override def description(): String = s"graft-commit $cmd (copy-on-write)"
 }
 
 /** The STREAMING write contract — epoch-based two-phase commit, the
@@ -507,10 +556,27 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     b.toString
   }
 
+  /** Leading fields to skip, resolved from the first row. Normal writes
+    * have rows matching the declared schema (offset 0). The GROUP-BASED
+    * row-level path (ReplaceData) prepends an internal `__row_operation`
+    * INT column to the write query but — when the operation declares no
+    * metadata attributes — executes with the projection-less
+    * DataWritingSparkTask, so the marker column reaches the writer
+    * (ReplaceDataExec.writingTask only projects when a metadata
+    * projection exists). The declared schema stays authoritative; rows
+    * are read at `i + fieldOffset`. */
+  private var fieldOffset = -1
+
   override def write(row: InternalRow): Unit = {
+    if (fieldOffset < 0) {
+      fieldOffset = row.numFields - schema.length
+      require(fieldOffset == 0 || fieldOffset == 1,
+        s"graft-commit: row has ${row.numFields} fields for ${schema.length}-column schema")
+    }
     val b = new StringBuilder("{")
     var first = true
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.zipWithIndex.foreach { case (f, i0) =>
+      val i = i0 + fieldOffset
       if (!row.isNullAt(i)) {
         if (!first) b.append(',')
         first = false
@@ -583,11 +649,20 @@ class CommitFileReader(file: String, schema: StructType)
     extends PartitionReader[InternalRow] {
   private val lines = Files.newBufferedReader(Paths.get(file))
   private val fieldIndex = schema.fieldNames.zipWithIndex.toMap
+  // Emit UnsafeRow, not GenericInternalRow: consumers that buffer or
+  // shuffle scan output directly (the row-level ReplaceData write does)
+  // assume the binary row format — a generic row on that path is read
+  // as garbage memory. Same device every built-in row reader uses.
+  private val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
     val l = lines.readLine()
-    if (l == null) false else { row = parse(l); true }
+    // copy(): the projection reuses ONE buffer; defensive against any
+    // consumer that buffers row references across advances (fixture-
+    // scale files — the per-row allocation is not a hot path)
+    if (l == null) false else { row = toUnsafe(parse(l)).copy(); true }
   }
   override def get(): InternalRow = row
   override def close(): Unit = lines.close()

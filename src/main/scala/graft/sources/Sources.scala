@@ -461,7 +461,59 @@ object Sources {
         max(col("event_id")).as("max_event_id"))
   }
 
+  /** o13: SQL MERGE INTO against the commit sink — the reference's CDC
+    * upsert loop (consumer_to_file.py:214-224, applied row-at-a-time
+    * with no transaction) as ONE declarative three-branch MERGE through
+    * the group-based row-level operation ([[CommitRowLevelOperation]]):
+    * the target holds per-user state from one event slice, the source
+    * aggregates another slice plus a shifted-id cohort that can't match
+    * (forcing the INSERT branch), and the statement exercises all three
+    * branches — conditional DELETE (combined activity above the cap of 66,
+    * chosen at the per-user median so BOTH matched branches fire),
+    * UPDATE (exact long arithmetic, so the two-slice sum equals the
+    * one-shot oracle regardless of grouping), INSERT. Spark plans it as
+    * copy-on-write: scan the committed table, compute the post-merge row
+    * set, land it as ONE new version under the atomic CAS'd manifest
+    * swap — the transactional upsert the reference cannot express. The
+    * read-back must equal the oracle's FULL OUTER JOIN replay of the
+    * same three branches. */
+  def o13Dsv2MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val root = s"/tmp/graft_o13/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(root)
+    spark.conf.set("spark.sql.catalog.graft_merge", "graft.sources.CommitCatalog")
+    spark.conf.set("spark.sql.catalog.graft_merge.root", root)
+    val path = s"$root/default/user_state"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"))
+    // target: per-user state over events with event_id % 3 != 0
+    ev.filter(col("event_id") % 3 =!= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_eid"))
+      .repartition(4, col("user_id"))
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    // source: the % 3 == 0 slice, plus a shifted-id cohort that can never
+    // match (every 10th user) — the INSERT branch must fire
+    val s2 = ev.filter(col("event_id") % 3 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+    val src = s2.unionByName(
+      s2.filter(col("user_id") % 10 === 0)
+        .select((col("user_id") + 10000000L).as("user_id"), col("n"), col("s")))
+    spark.catalog.dropTempView("o13_src")
+    src.createTempView("o13_src")
+    spark.sql("""MERGE INTO graft_merge.`default`.user_state t
+                 USING o13_src s ON t.user_id = s.user_id
+                 WHEN MATCHED AND t.n_events + s.n > 66 THEN DELETE
+                 WHEN MATCHED THEN UPDATE SET
+                   n_events = t.n_events + s.n, sum_eid = t.sum_eid + s.s
+                 WHEN NOT MATCHED THEN INSERT (user_id, n_events, sum_eid)
+                   VALUES (s.user_id, s.n, s.s)""")
+    CommitSink.readCommitted(spark, path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o13_dsv2_merge_upsert" -> o13Dsv2MergeUpsert _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -477,6 +529,33 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // full replay of the three-branch MERGE over a FULL OUTER JOIN of the
+    // two slices (+ the shifted no-match cohort): matched & capped →
+    // deleted, matched → exact long sums, target-only → untouched,
+    // source-only → inserted
+    "o13_dsv2_merge_upsert" ->
+      """WITH t AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(event_id) AS BIGINT) AS sum_eid
+           FROM events WHERE event_id % 3 <> 0 GROUP BY 1),
+         s2 AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(event_id) AS BIGINT) AS s
+           FROM events WHERE event_id % 3 = 0 GROUP BY 1),
+         s AS (
+           SELECT user_id, n, s FROM s2
+           UNION ALL
+           SELECT user_id + 10000000, n, s FROM s2 WHERE user_id % 10 = 0)
+         SELECT COALESCE(t.user_id, s.user_id) AS user_id,
+                CASE WHEN t.user_id IS NULL THEN s.n
+                     WHEN s.user_id IS NULL THEN t.n_events
+                     ELSE t.n_events + s.n END AS n_events,
+                CASE WHEN t.user_id IS NULL THEN s.s
+                     WHEN s.user_id IS NULL THEN t.sum_eid
+                     ELSE t.sum_eid + s.s END AS sum_eid
+         FROM t FULL OUTER JOIN s ON t.user_id = s.user_id
+         WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+                    AND t.n_events + s.n > 66)""",
     // the survivors of the copy-on-write DELETE: NOT(cond) keeps a row
     // (the fixture has no NULL event_type/value, so NOT() is total)
     "o12_dsv2_delete_where" ->

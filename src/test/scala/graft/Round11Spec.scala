@@ -215,12 +215,30 @@ class Round11Spec extends AnyFunSuite {
     // re-running the same DELETE deletes nothing (new table version, same rows)
     spark.sql(s"DELETE FROM $cat.`default`.ev WHERE event_type = 'error'")
     assert(sources.CommitSink.readCommitted(spark, path).count() == expect.count())
-    // a condition the connector cannot translate must refuse, not scan-rewrite
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.`default`.ev WHERE value + 1.0D > 91.0D")
-    }
-    assert(sources.CommitSink.readCommitted(spark, path).count() == expect.count(),
-      "the refused DELETE must not have changed the table")
+    // a condition the metadata path cannot translate falls back to the
+    // group-based copy-on-write rewrite (SupportsRowLevelOperations)
+    // and still deletes exactly the selected rows
+    spark.sql(s"DELETE FROM $cat.`default`.ev WHERE value + 1.0D > 91.0D")
+    val expect2 = expect.filter(!($"value" + 1.0 > 91.0))
+    val kept2 = sources.CommitSink.readCommitted(spark, path)
+    assert(kept2.exceptAll(expect2).count() == 0 && expect2.exceptAll(kept2).count() == 0,
+      "the copy-on-write DELETE must remove exactly the selected rows")
+  }
+
+  test("o13: SQL UPDATE rewrites matched rows copy-on-write, others untouched") {
+    val (cat, root) = withCatalog("update")
+    val path = s"$root/default/ev"
+    val in = Tables.events(spark, sf0001)
+      .select($"event_id", $"event_type", $"value")
+    in.repartition(2).write.format("graft-commit")
+      .option("path", path).mode("overwrite").save()
+    spark.sql(s"UPDATE $cat.`default`.ev SET value = value * 2.0D " +
+      "WHERE event_type = 'click'")
+    val got = sources.CommitSink.readCommitted(spark, path)
+    val expect = in.select($"event_id", $"event_type",
+      when($"event_type" === "click", $"value" * 2.0).otherwise($"value").as("value"))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0,
+      "UPDATE must double exactly the clicks, bit-exact elsewhere")
   }
 
   test("o12: catalog CREATE / EXISTS / DROP round-trip") {
