@@ -371,7 +371,16 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
   * the Iceberg copy-on-write shape; DELETEs whose predicates DO
   * translate still take the cheaper metadata path
   * (`OptimizeMetadataOnlyDeleteFromTable` converts the rewritten plan
-  * back to [[CommitSinkTable.deleteWhere]]). */
+  * back to [[CommitSinkTable.deleteWhere]]).
+  *
+  * Like TRUNCATE (documented at the batch commit), a row-level rewrite
+  * starts a NEW table version and resets the streaming-epoch ledger: a
+  * micro-batch whose sink commit landed but whose checkpoint didn't,
+  * re-delivered AFTER a DML statement ran, would re-append. Mixing a
+  * standing exactly-once stream with concurrent DML on one table is a
+  * coordination problem above this sink (Iceberg/Delta sequence both
+  * through one transaction log); within one writer at a time — the
+  * sink's declared concurrency contract — the semantics are exact. */
 class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
   override def command(): RowLevelOperation.Command = cmd
@@ -572,6 +581,16 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       fieldOffset = row.numFields - schema.length
       require(fieldOffset == 0 || fieldOffset == 1,
         s"graft-commit: row has ${row.numFields} fields for ${schema.length}-column schema")
+      if (fieldOffset == 1) {
+        // an offset assumes the extra field is the PREPENDED operation
+        // marker; verify field 0 actually reads as a plausible op code
+        // (RowDeltaUtils: 1..6) so a future plan shape that APPENDS the
+        // extra column fails loudly instead of committing shifted data
+        val op = row.getInt(0)
+        require(op >= 1 && op <= 6,
+          s"graft-commit: leading field $op is not a row-operation marker; " +
+            "refusing to skip it (unknown row layout)")
+      }
     }
     val b = new StringBuilder("{")
     var first = true

@@ -438,12 +438,26 @@ object Sources {
     * read-back aggregate must equal the oracle's aggregate over `events
     * WHERE NOT (cond)` — proving the delete removed exactly the selected
     * rows (NULL-condition rows would be kept; the fixture has none). */
+  /** Register a CommitCatalog whose NAME encodes (query tag, dir):
+    * CatalogManager caches catalog instances by name and silently
+    * ignores a re-pointed `root` conf, so a fixed name would serve a
+    * STALE root when one session runs the query against two scale dirs
+    * (the trap Round11Spec.withCatalog documents). Returns
+    * (catalogName, freshly-wiped root). */
+  private def scopedCatalog(spark: SparkSession, tag: String,
+                            dir: String): (String, String) = {
+    val dirName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"/tmp/graft_$tag/$dirName"
+    graft.Tables.deleteRecursively(root)
+    val cat = s"graft_${tag}_$dirName"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
   def o12Dsv2DeleteWhere(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    val root = s"/tmp/graft_o12/${new java.io.File(dir).getName}"
-    graft.Tables.deleteRecursively(root)
-    spark.conf.set("spark.sql.catalog.graft_commit", "graft.sources.CommitCatalog")
-    spark.conf.set("spark.sql.catalog.graft_commit.root", root)
+    val (cat, root) = scopedCatalog(spark, "o12", dir)
     val path = s"$root/default/events"
     graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -451,7 +465,7 @@ object Sources {
       .write.format("graft-commit").option("path", path).mode("overwrite").save()
     // 90.0D: a DOUBLE literal — a bare 90.0 is DECIMAL and the implicit
     // cast could land on the column, blocking predicate translation
-    spark.sql("DELETE FROM graft_commit.`default`.events " +
+    spark.sql(s"DELETE FROM $cat.`default`.events " +
       "WHERE event_type = 'error' OR value > 90.0D")
     CommitSink.readCommitted(spark, path)
       .groupBy(col("event_type"))
@@ -479,10 +493,7 @@ object Sources {
     * same three branches. */
   def o13Dsv2MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, sum}
-    val root = s"/tmp/graft_o13/${new java.io.File(dir).getName}"
-    graft.Tables.deleteRecursively(root)
-    spark.conf.set("spark.sql.catalog.graft_merge", "graft.sources.CommitCatalog")
-    spark.conf.set("spark.sql.catalog.graft_merge.root", root)
+    val (cat, root) = scopedCatalog(spark, "o13", dir)
     val path = s"$root/default/user_state"
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"))
@@ -502,7 +513,7 @@ object Sources {
         .select((col("user_id") + 10000000L).as("user_id"), col("n"), col("s")))
     spark.catalog.dropTempView("o13_src")
     src.createTempView("o13_src")
-    spark.sql("""MERGE INTO graft_merge.`default`.user_state t
+    spark.sql(s"""MERGE INTO $cat.`default`.user_state t
                  USING o13_src s ON t.user_id = s.user_id
                  WHEN MATCHED AND t.n_events + s.n > 66 THEN DELETE
                  WHEN MATCHED THEN UPDATE SET
