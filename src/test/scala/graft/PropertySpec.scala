@@ -153,6 +153,76 @@ object PropertySpec extends Properties("graft") {
       direct == blocked
     }
 
+  // --- CommitSink staged-file format: writer → reader round-trip ----------
+
+  private val jsonString: Gen[String] = {
+    // BMP minus surrogates, weighted toward the escape paths: quotes,
+    // backslashes, \n\r\t, raw control chars (the \uXXXX branch)
+    val ch = Gen.frequency(
+      4 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('"', '\\', '\n', '\r', '\t'),
+      1 -> Gen.choose(0x00.toChar, 0x1F.toChar),
+      2 -> Gen.choose(0x20.toChar, 0xD7FF.toChar))
+    Gen.listOf(ch).map(_.mkString)
+  }
+
+  private val jsonDouble: Gen[Double] = Gen.frequency(
+    2 -> Gen.choose(-1e12, 1e12),
+    1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.0, 0.0, Double.MinPositiveValue,
+      Double.MaxValue, 8.48798316416e-313 /* a denormal */))
+
+  private val rowGen: Gen[(Option[Long], Option[Int], Option[Double],
+      Option[Boolean], Option[String])] =
+    for {
+      l <- Gen.option(Gen.choose(Long.MinValue, Long.MaxValue))
+      i <- Gen.option(Gen.choose(Int.MinValue, Int.MaxValue))
+      d <- Gen.option(jsonDouble)
+      b <- Gen.option(Gen.oneOf(true, false))
+      s <- Gen.option(jsonString)
+    } yield (l, i, d, b, s)
+
+  property("CommitSink staged-file format round-trips adversarial rows bit-exactly") =
+    forAll(Gen.listOf(rowGen)) { rows =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val dir = java.nio.file.Files.createTempDirectory("cs_rt")
+      try {
+        java.nio.file.Files.createDirectories(dir.resolve("_staging"))
+        val schema = StructType(Seq(
+          StructField("l", LongType), StructField("i", IntegerType),
+          StructField("d", DoubleType), StructField("b", BooleanType),
+          StructField("s", StringType)))
+        val w = new graft.sources.CommitDataWriter(dir.toString, schema.toDDL, 0, 0L)
+        rows.foreach { case (l, i, d, b, s) =>
+          w.write(new GenericInternalRow(Array[Any](
+            l.orNull, i.orNull, d.orNull, b.orNull,
+            s.map(UTF8String.fromString).orNull)))
+        }
+        val staged = w.commit().asInstanceOf[graft.sources.StagedFile]
+        val r = new graft.sources.CommitFileReader(
+          dir.resolve("_staging").resolve(staged.name).toString, schema)
+        val got = Iterator.continually(
+          if (r.next()) Some(r.get()) else None).takeWhile(_.isDefined).flatten.toList
+        r.close()
+        got.length == rows.length && got.zip(rows).forall { case (row, (l, i, d, b, s)) =>
+          def n[T](idx: Int, v: Option[T])(read: => T): Boolean =
+            if (v.isEmpty) row.isNullAt(idx) else !row.isNullAt(idx) && read == v.get
+          n(0, l)(row.getLong(0)) && n(1, i)(row.getInt(1)) &&
+            // doubles by BIT pattern: -0.0, denormals, infinities must
+            // survive; the writer canonicalizes NaN payloads (toString)
+            d.forall(dv => !row.isNullAt(2) &&
+              java.lang.Double.doubleToLongBits(row.getDouble(2)) ==
+                java.lang.Double.doubleToLongBits(dv)) &&
+            (d.nonEmpty || row.isNullAt(2)) &&
+            n(3, b)(row.getBoolean(3)) &&
+            n(4, s)(row.getUTF8String(4).toString)
+        }
+      } finally {
+        graft.Tables.deleteRecursively(dir.toString)
+      }
+    }
+
   // --- o10's admission-control tiling across restarts ---------------------
 
   property("SensorMicroBatchStream: admitted windows tile [0, rows) exactly once across restarts") =
