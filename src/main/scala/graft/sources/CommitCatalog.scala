@@ -71,6 +71,22 @@ class CommitCatalog extends TableCatalog {
     new CommitSinkTable(pathFor(ident).toString, acceptAnySchema = false)
   }
 
+  /** Time travel (o17): `SELECT ... FROM cat.ns.t VERSION AS OF n` loads
+    * the immutable manifest of commit n — a read-only table whose file
+    * list no later commit can change. The version string must be the
+    * commit number (timestamp-based travel would need a commit-time
+    * column in the manifest; deliberately out of scope). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.trim.toLong catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"graft-commit: VERSION AS OF takes a commit number, got '$version'")
+    }
+    new CommitSinkTable(pathFor(ident).toString, acceptAnySchema = false,
+      version = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,

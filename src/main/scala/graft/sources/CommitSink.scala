@@ -68,6 +68,50 @@ object CommitSink {
   private val MANIFEST = "_MANIFEST.json"
   private val STAGING = "_staging"
 
+  /** Immutable per-version manifest copy (`_MANIFEST-v<commit>.json`),
+    * written by every successful commit next to the mutable current
+    * pointer — the time-travel device (o17): `VERSION AS OF n` reads the
+    * version file, which no later commit ever rewrites. The Iceberg
+    * analog is the snapshot list; expiry (GC of old versions and the
+    * data files only they reference) is the operational knob a 100 TB
+    * deployment adds on top. */
+  private[sources] def versionFile(commit: Long): String = s"_MANIFEST-v$commit.json"
+
+  /** Per-column numeric range recorded at write time. `kind` is 'l'
+    * (long/int) or 'd' (double); min/max are the type's `toString`
+    * (shortest-round-trip for doubles, so decode is bit-exact). */
+  private[graft] case class ColRange(kind: Char, min: String, max: String)
+
+  /** Per-file statistics carried in the manifest — the zone-map /
+    * file-skipping index (o14) and the size/row statistics (o15), both
+    * collected DURING the write (no extra pass): the same footer-stats
+    * design parquet uses per row-group and Iceberg per data file. `pk`
+    * is the file's single partition-key value when the table is written
+    * `partitionBy` a column (o16) — identity-partitioned files carry
+    * exactly one key by construction. */
+  private[graft] case class FileStat(rows: Long, bytes: Long,
+                                       pk: Option[Long],
+                                       cols: Map[String, ColRange]) {
+    def encode: String = {
+      val head = s"$rows:$bytes" + pk.map(v => s":pk=$v").getOrElse("")
+      (head +: cols.toSeq.sortBy(_._1).map { case (c, r) =>
+        s"$c:${r.kind}:${r.min}:${r.max}" }).mkString(";")
+    }
+  }
+
+  private[graft] object FileStat {
+    def decode(s: String): FileStat = {
+      val segs = s.split(";")
+      val head = segs(0).split(":")
+      val pk = head.lift(2).filter(_.startsWith("pk=")).map(_.drop(3).toLong)
+      val cols = segs.iterator.drop(1).map { e =>
+        val p = e.split(":")
+        p(0) -> ColRange(p(1).charAt(0), p(2), p(3))
+      }.toMap
+      FileStat(head(0).toLong, head(1).toLong, pk, cols)
+    }
+  }
+
   private[sources] val supportedTypes: Set[DataType] =
     Set(LongType, IntegerType, DoubleType, StringType, BooleanType)
 
@@ -87,33 +131,77 @@ object CommitSink {
     else spark.read.schema(schema).json(files.map(f => Paths.get(dir, f).toString): _*)
   }
 
-  /** One fully-parsed manifest: the (commit, ddl, files, epochs) view a
-    * commit needs, read and regex-parsed ONCE (the per-field helpers
-    * below each re-read the file; a commit that called all of them did
-    * five reads whose non-atomicity also widened the concurrent-writer
-    * window the CAS closes). */
-  private[sources] case class Manifest(commit: Long, ddl: String,
-                                       files: Seq[String], epochs: Seq[Long])
+  /** Time-travel read (o17): the table as of commit `version`, from its
+    * immutable version manifest. */
+  def readCommittedVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val m = parseManifestVersion(Paths.get(dir), version)
+    val schema = StructType.fromDDL(m.ddl)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(m.files.map(f => Paths.get(dir, f).toString): _*)
+  }
 
-  private[sources] def parseManifest(dir: Path): Option[Manifest] = {
+  /** One fully-parsed manifest: the (commit, ddl, files, epochs, partcol,
+    * per-file stats) view a commit or scan needs, read and regex-parsed
+    * ONCE (the per-field helpers below each re-read the file; a commit
+    * that called all of them did five reads whose non-atomicity also
+    * widened the concurrent-writer window the CAS closes). `stats` keeps
+    * the ENCODED per-file strings — commits carry them forward verbatim,
+    * only the scan decodes. */
+  private[graft] case class Manifest(commit: Long, ddl: String,
+                                       files: Seq[String], epochs: Seq[Long],
+                                       partCol: Option[String] = None,
+                                       stats: Map[String, String] = Map.empty)
+
+  private[sources] def parseManifestText(txt: String, where: String): Manifest = {
+    val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    val ddl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+      .getOrElse(sys.error(s"graft-commit: manifest missing schema: $where"))
+    val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val epochs = "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
+    val partCol = "\"partcol\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    val stats = "\"filestats\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val bar = e.indexOf('|')
+        e.substring(0, bar) -> e.substring(bar + 1)
+      }.toMap
+    Manifest(commit, ddl, files, epochs, partCol, stats)
+  }
+
+  private[graft] def parseManifest(dir: Path): Option[Manifest] = {
     val mf = dir.resolve(MANIFEST)
     if (!Files.exists(mf)) None
-    else {
-      val txt = Files.readString(mf)
-      val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
-        .map(_.group(1).toLong).getOrElse(-1L)
-      val ddl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
-        .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
-        .getOrElse(sys.error(s"graft-commit: manifest missing schema: $mf"))
-      val files = "\"files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-      val epochs = "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
-      Some(Manifest(commit, ddl, files, epochs))
-    }
+    else Some(parseManifestText(Files.readString(mf), mf.toString))
   }
+
+  /** The immutable manifest of a PAST version (time travel, o17). Fails
+    * loudly on a version that never committed. */
+  private[graft] def parseManifestVersion(dir: Path, version: Long): Manifest = {
+    val mf = dir.resolve(versionFile(version))
+    require(Files.exists(mf),
+      s"graft-commit: no version $version at $dir (have: " +
+        listVersions(dir).mkString(", ") + ")")
+    parseManifestText(Files.readString(mf), mf.toString)
+  }
+
+  private[graft] def listVersions(dir: Path): Seq[Long] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .flatMap(n => "_MANIFEST-v(-?[0-9]+)\\.json".r
+          .findFirstMatchIn(n).map(_.group(1).toLong))
+        .toSeq.sorted
+      finally s.close()
+    }
 
   /** Column-wise schema equivalence for the append guard: names + types,
     * ignoring nullability and metadata — a nullable `id BIGINT` appends
@@ -152,7 +240,9 @@ object CommitSink {
   private[graft] def writeManifest(dir: Path, ddl: String, files: Seq[String],
                                      commitId: Long,
                                      epochs: Seq[Long] = Seq.empty,
-                                     expectedPrev: Long = SKIP_CAS): Unit = {
+                                     expectedPrev: Long = SKIP_CAS,
+                                     partCol: Option[String] = None,
+                                     stats: Map[String, String] = Map.empty): Unit = {
     if (expectedPrev != SKIP_CAS) {
       val cur = currentCommit(dir)
       require(cur == expectedPrev,
@@ -161,9 +251,16 @@ object CommitSink {
           s"$expectedPrev; aborting instead of silently dropping its files")
     }
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
     val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
+      partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
       s""""schema":"${esc(ddl)}",""" +
-      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}]}"""
+      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""filestats":[${statsBody.mkString(",")}]}"""
+    // the immutable per-version copy lands BEFORE the swap: any manifest a
+    // reader can see as current always has its time-travel twin (a crash
+    // between the two writes loses only the never-visible new version)
+    Files.writeString(dir.resolve(versionFile(commitId)), body)
     val tmp = dir.resolve(MANIFEST + ".tmp")
     Files.writeString(tmp, body)
     // the atomic swap IS the commit: readers either see the old manifest
@@ -207,26 +304,107 @@ object CommitSink {
   }
 }
 
-/** Commit message: one staged file a task produced (phase 1 of the 2PC). */
-case class StagedFile(name: String, rows: Long) extends WriterCommitMessage
+/** File-skipping predicate evaluation over the manifest's per-file column
+  * ranges (o14) — the zone-map device: a file whose recorded [min, max]
+  * provably cannot satisfy the scan's pushed conjunction is never opened.
+  * Pruning is ADVISORY ONLY: [[CommitScanBuilder.pushFilters]] returns
+  * every filter as residual, so Spark re-evaluates the full condition
+  * above the scan and a missed prune can only cost IO, never a wrong row.
+  * Conservatism rules: a column with no recorded range never prunes; a
+  * filter value whose numeric family differs from the recorded kind never
+  * prunes (comparing longs as doubles rounds above 2^53 — at corpus scale
+  * that rounding could mis-prune, so it is simply not trusted); NaN never
+  * prunes (NaN is excluded from recorded ranges and has its own ordering
+  * in SQL). */
+private[sources] object CommitSkip {
+  import org.apache.spark.sql.sources._
+  import CommitSink.{ColRange, FileStat}
+
+  /** Integral and fractional filter values, each kept in its own family. */
+  private def num(v: Any): Option[Either[Long, Double]] = v match {
+    case l: Long   => Some(Left(l))
+    case i: Int    => Some(Left(i.toLong))
+    case s: Short  => Some(Left(s.toLong))
+    case b: Byte   => Some(Left(b.toLong))
+    case d: Double => if (d.isNaN) None else Some(Right(d))
+    case f: Float  => if (f.isNaN) None else Some(Right(f.toDouble))
+    case _ => None
+  }
+
+  /** Can this filter shape contribute to file skipping at all? */
+  def usable(f: Filter): Boolean = f match {
+    case EqualTo(_, v)            => num(v).isDefined
+    case GreaterThan(_, v)        => num(v).isDefined
+    case GreaterThanOrEqual(_, v) => num(v).isDefined
+    case LessThan(_, v)           => num(v).isDefined
+    case LessThanOrEqual(_, v)    => num(v).isDefined
+    case In(_, vs)                => vs.nonEmpty && vs.forall(num(_).isDefined)
+    case And(l, r)                => usable(l) && usable(r)
+    case Or(l, r)                 => usable(l) && usable(r)
+    case _ => false
+  }
+
+  /** True unless the file's ranges PROVE no row can match — every
+    * unknown (missing stats, family mismatch) says "may match". */
+  def mayMatch(f: Filter, st: FileStat): Boolean = {
+    def check(col: String, v: Any)(p: (Long, Long, Long) => Boolean)(
+        q: (Double, Double, Double) => Boolean): Boolean =
+      (st.cols.get(col), num(v)) match {
+        case (Some(ColRange('l', mn, mx)), Some(Left(x)))  => p(mn.toLong, mx.toLong, x)
+        case (Some(ColRange('d', mn, mx)), Some(Right(x))) => q(mn.toDouble, mx.toDouble, x)
+        case _ => true
+      }
+    f match {
+      case And(l, r) => mayMatch(l, st) && mayMatch(r, st)
+      case Or(l, r)  => mayMatch(l, st) || mayMatch(r, st)
+      case EqualTo(a, v) =>
+        check(a, v)((mn, mx, x) => mn <= x && x <= mx)((mn, mx, x) => mn <= x && x <= mx)
+      case GreaterThan(a, v)        => check(a, v)((_, mx, x) => mx > x)((_, mx, x) => mx > x)
+      case GreaterThanOrEqual(a, v) => check(a, v)((_, mx, x) => mx >= x)((_, mx, x) => mx >= x)
+      case LessThan(a, v)           => check(a, v)((mn, _, x) => mn < x)((mn, _, x) => mn < x)
+      case LessThanOrEqual(a, v)    => check(a, v)((mn, _, x) => mn <= x)((mn, _, x) => mn <= x)
+      case In(a, vs) => vs.exists(v =>
+        check(a, v)((mn, mx, x) => mn <= x && x <= mx)((mn, mx, x) => mn <= x && x <= mx))
+      case _ => true
+    }
+  }
+}
+
+/** Commit message: one staged file a task produced (phase 1 of the 2PC).
+  * `stats` is the encoded [[CommitSink.FileStat]] collected during the
+  * write (empty only from pre-stats senders — decoded consumers treat
+  * empty as "no stats, never prune"). */
+case class StagedFile(name: String, rows: Long, stats: String = "")
+    extends WriterCommitMessage
+
+/** Commit message of a PARTITIONED task: one staged file per partition-key
+  * run the (cluster + sort)-distributed task wrote. */
+case class StagedFileSet(files: Seq[StagedFile]) extends WriterCommitMessage
 
 class CommitSinkProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = CommitSink.NAME
+  private def versionOf(options: util.Map[String, String]): Option[Long] =
+    Option(options.get("versionAsOf")).map(_.trim.toLong)
   // reads resolve against the committed manifest's schema (also what
   // `spark.read.format("graft-commit")` binds to); a never-written
   // target is empty — the write path accepts the incoming query's
   // schema regardless (ACCEPT_ANY_SCHEMA) and records it in the manifest
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Option(options.get("path"))
-      .flatMap(p => CommitSink.parseManifest(Paths.get(p)))
+      .flatMap { p =>
+        versionOf(options).map(v =>
+            Some(CommitSink.parseManifestVersion(Paths.get(p), v)))
+          .getOrElse(CommitSink.parseManifest(Paths.get(p)))
+      }
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(new StructType())
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new CommitSinkTable(Option(properties.get("path"))
-      .getOrElse(sys.error("graft-commit: option 'path' is required")))
+      .getOrElse(sys.error("graft-commit: option 'path' is required")),
+      version = versionOf(properties))
 }
 
 class CommitSinkTable(path: String,
@@ -239,7 +417,12 @@ class CommitSinkTable(path: String,
                         * against an any-schema table
                         * (skipSchemaResolution) — the capability would
                         * silently disable row-level SQL. */
-                      acceptAnySchema: Boolean = true) extends Table
+                      acceptAnySchema: Boolean = true,
+                      /** Time-travel pin (o17): when set, reads resolve
+                        * against the immutable `_MANIFEST-v<n>.json` of
+                        * that commit and every write/DML surface is
+                        * withdrawn — a past version is a read-only fact. */
+                      version: Option[Long] = None) extends Table
     with SupportsWrite
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -248,42 +431,54 @@ class CommitSinkTable(path: String,
   import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, not}
   import org.apache.spark.sql.{sources => sf}
 
-  override def name(): String = s"graft_commit($path)"
+  override def name(): String =
+    s"graft_commit($path${version.map(v => s"@v$v").getOrElse("")})"
 
   /** The committed version's schema when one exists (the catalog /
     * row-level-operation path needs real columns to resolve against);
     * empty for a never-written target (the write-only provider path —
     * ACCEPT_ANY_SCHEMA makes the incoming query's schema bind). */
-  override def schema(): StructType =
-    CommitSink.parseManifest(Paths.get(path))
-      .map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
+  override def schema(): StructType = version match {
+    case Some(v) =>
+      StructType.fromDDL(CommitSink.parseManifestVersion(Paths.get(path), v).ddl)
+    case None =>
+      CommitSink.parseManifest(Paths.get(path))
+        .map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
+  }
 
   override def capabilities(): util.Set[TableCapability] = {
+    if (version.isDefined) return util.EnumSet.of(TableCapability.BATCH_READ)
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty,
+      s"graft-commit: version-pinned table ${name()} is read-only")
     new CommitWriteBuilder(path, info)
+  }
 
-  /** The READ half: one input partition per committed file (the write's
-    * task parallelism is the read's), rows decoded by [[CommitFileReader]]
-    * — the mirror of [[CommitDataWriter]]'s staging encoder. Required by
-    * SQL row-level DELETE too: Spark 4 plans `DELETE FROM t WHERE c` by
-    * first building the table's scan relation (the condition is
-    * normalized against it) and only then handing the translated
-    * predicates to [[deleteWhere]]. */
+  /** The READ half: one input partition per committed file — or per
+    * partition-key file GROUP when the table was written `partitionBy`
+    * (o16) — rows decoded by [[CommitFilesReader]], the mirror of
+    * [[CommitDataWriter]]'s staging encoder. Required by SQL row-level
+    * DELETE too: Spark 4 plans `DELETE FROM t WHERE c` by first building
+    * the table's scan relation (the condition is normalized against it)
+    * and only then handing the translated predicates to [[deleteWhere]]. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CommitScanBuilder(path)
+    new CommitScanBuilder(path, version)
 
   /** SQL UPDATE / MERGE INTO (o13) — and the fallback for DELETEs whose
     * condition the metadata path can't translate: the group-based
     * [[CommitRowLevelOperation]]. */
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"graft-commit: version-pinned table ${name()} is read-only")
     () => new CommitRowLevelOperation(path, info.command())
+  }
 
   // --- row-level DELETE (o12): copy-on-write under the manifest swap ----
   //
@@ -322,17 +517,20 @@ class CommitSinkTable(path: String,
   }
 
   override def canDeleteWhere(filters: Array[sf.Filter]): Boolean =
-    filters.forall(filterToColumn(_).isDefined)
+    version.isEmpty && filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sf.Filter]): Unit = {
     val spark = SparkSession.active
     // the pushed filters are implicitly conjunctive
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
-    CommitSink.readCommitted(spark, path)
+    val w = CommitSink.readCommitted(spark, path)
       // DELETE removes rows where the condition is TRUE; a NULL
       // condition keeps the row
       .filter(not(fnCoalesce(cond, lit(false))))
       .write.format(CommitSink.NAME).option("path", path)
+    // DML preserves the table's partition layout
+    CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
+      .fold(w)(c => w.option("partitionBy", c))
       .mode("overwrite").save()
   }
 }
@@ -344,18 +542,60 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
                            * table as the next version. */
                          forceTruncate: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => CSortOrder}
+
   private var doTruncateFlag = false
   override def truncate(): WriteBuilder = { doTruncateFlag = true; this }
+
+  /** `option("partitionBy", col)` — identity partitioning (o16): the
+    * write DECLARES a clustered-by-key distribution plus an in-task sort
+    * on the key through [[RequiresDistributionAndOrdering]], Spark plans
+    * the shuffle + sort, and [[CommitDataWriter]] rolls to a new staged
+    * file on each key change — so every committed file holds exactly ONE
+    * partition-key value, which the scan reports back as
+    * KeyGroupedPartitioning: the storage-partitioned-join layout (the
+    * join shuffle is paid once at write time, like o02's bucketing but
+    * negotiated entirely through the DSv2 contract).
+    *
+    * Row-level rewrites (forceTruncate — UPDATE/MERGE/copy-on-write
+    * DELETE) inherit the table's partitioning: DML must preserve the
+    * layout, while an explicit user overwrite may change it. */
+  private val partCol: Option[String] =
+    Option(info.options.get("partitionBy")).map(_.trim).filter(_.nonEmpty)
+      .orElse(if (forceTruncate)
+        CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
+      else None)
+
   override def build(): Write = {
     val schema = info.schema()
     val bad = schema.fields.filterNot(f => CommitSink.supportedTypes.contains(f.dataType))
     require(bad.isEmpty, "graft-commit supports long/int/double/string/boolean " +
       s"columns; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
+    partCol.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"graft-commit: partitionBy column '$c' is not in the written schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"graft-commit: partitionBy column '$c' must be BIGINT or INT, got ${f.dataType.simpleString}")
+    }
     val doTruncate = doTruncateFlag || forceTruncate
-    new Write {
-      override def toBatch: BatchWrite = new CommitBatchWrite(path, schema, doTruncate)
-      override def toStreaming: streaming.StreamingWrite =
+    new Write with RequiresDistributionAndOrdering {
+      override def requiredDistribution(): Distribution =
+        partCol.map(c => Distributions.clustered(
+            Array(Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)))
+          .getOrElse(Distributions.unspecified())
+      override def requiredOrdering(): Array[CSortOrder] =
+        partCol.map(c => Array(
+            Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
+          .getOrElse(Array.empty[CSortOrder])
+      override def toBatch: BatchWrite =
+        new CommitBatchWrite(path, schema, doTruncate, partCol)
+      override def toStreaming: streaming.StreamingWrite = {
+        require(partCol.isEmpty,
+          "graft-commit: partitionBy is a batch-write layout decision; " +
+            "the streaming sink does not support it")
         new CommitStreamingWrite(path, schema)
+      }
     }
   }
 }
@@ -446,14 +686,23 @@ class CommitStreamingWrite(path: String, schema: StructType)
         s"graft-commit: streaming append schema mismatch at $path — manifest " +
           s"has [$carriedDdl] but this query writes [${schema.toDDL}]; " +
           "truncate via a batch overwrite first or match the schema")
+      // a partitioned table's one-key-per-file layout would be broken by
+      // an unpartitioned streaming append — refuse like a schema mismatch
+      require(carried.isEmpty || manifest.flatMap(_.partCol).isEmpty,
+        s"graft-commit: $path is partitioned by " +
+          s"${manifest.flatMap(_.partCol).getOrElse("?")}; the streaming sink " +
+          "writes unpartitioned files — truncate via a batch overwrite first")
       val promoted = staged.zipWithIndex.map { case (s, i) =>
         val fin = f"part-e$epochId%05d-$i%05d.json"
         Files.move(CommitSink.stagingDir(dir).resolve(s.name), dir.resolve(fin),
           StandardCopyOption.ATOMIC_MOVE)
-        fin
+        fin -> s.stats
       }.toSeq
-      CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, prev + 1,
-        manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId, expectedPrev = prev)
+      val stats = manifest.map(_.stats).getOrElse(Map.empty) ++
+        promoted.filter(_._2.nonEmpty).toMap
+      CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
+        prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId,
+        expectedPrev = prev, stats = stats)
     }
     CommitSink.sweepStaging(dir)
   }
@@ -469,7 +718,8 @@ class CommitStreamingWriterFactory(path: String, ddl: String)
     new CommitDataWriter(path, ddl, partitionId, taskId, epochId)
 }
 
-class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
+class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
+                       partCol: Option[String] = None)
     extends BatchWrite {
   private val dir = Paths.get(path)
 
@@ -477,7 +727,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
     Files.createDirectories(CommitSink.stagingDir(dir))
     // ship the schema as DDL text — StructType itself is serializable,
     // but the DDL is also exactly what the manifest records
-    new CommitWriterFactory(path, schema.toDDL)
+    new CommitWriterFactory(path, schema.toDDL, partCol)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -486,7 +736,11 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
     val manifest = CommitSink.parseManifest(dir)
     val prev = manifest.map(_.commit).getOrElse(-1L)
     val commitId = prev + 1
-    val staged = messages.collect { case s: StagedFile => s }
+    val staged = messages.flatMap {
+      case s: StagedFile => Seq(s)
+      case StagedFileSet(fs) => fs
+      case _ => Seq.empty
+    }.toSeq
     val (carriedDdl, carried) =
       if (truncate) (schema.toDDL, Seq.empty[String])
       else (manifest.map(_.ddl).getOrElse(schema.toDDL),
@@ -498,6 +752,15 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
       s"graft-commit: append schema mismatch at $path — manifest has " +
         s"[$carriedDdl] but this write has [${schema.toDDL}]; use " +
         "overwrite (truncate) to replace the table under a new schema")
+    // A partitioned table's layout guarantee (one key per file) holds only
+    // if every version's files were written under the SAME partition
+    // column — an append under a different (or no) partitioning would mix
+    // layouts, so refuse it like a schema mismatch.
+    val carriedPartCol = if (truncate) None else manifest.flatMap(_.partCol)
+    require(carried.isEmpty || carriedPartCol == partCol,
+      s"graft-commit: partition-layout mismatch at $path — manifest has " +
+        s"partitionBy=$carriedPartCol but this write has partitionBy=$partCol; " +
+        "use overwrite (truncate) to change the table layout")
     // phase 2: promote each task-committed staging file to its final
     // name, then swap the manifest. Only files named by a commit message
     // are promoted — output of failed/speculative attempts stays in
@@ -506,21 +769,40 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
       val fin = f"part-c$commitId%05d-$i%05d.json"
       Files.move(CommitSink.stagingDir(dir).resolve(s.name), dir.resolve(fin),
         StandardCopyOption.ATOMIC_MOVE)
-      fin
-    }.toSeq
+      fin -> s.stats
+    }
     // truncate also resets the streaming-epoch ledger; append carries it
     val epochs =
       if (truncate) Seq.empty[Long]
       else manifest.map(_.epochs).getOrElse(Seq.empty)
-    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted, commitId, epochs,
-      expectedPrev = prev)
+    // carried files keep their recorded stats verbatim; promoted files
+    // bring the stats their writer collected
+    val stats = (if (truncate) Map.empty[String, String]
+                 else manifest.map(_.stats).getOrElse(Map.empty)) ++
+      promoted.filter(_._2.nonEmpty).toMap
+    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
+      commitId, epochs, expectedPrev = prev,
+      partCol = if (truncate) partCol else carriedPartCol.orElse(partCol),
+      stats = stats)
     // after the swap: previous-version files (on truncate) and stray
     // staging output are garbage no reader can see — sweep them
     if (truncate) {
+      // NOTE: only CURRENT-version data files are swept; files still
+      // referenced by older version manifests must survive for time
+      // travel — but a truncate's survivors are exactly the promoted
+      // set, so sweep everything else EXCEPT files an older version
+      // manifest still lists (version-referenced files are the snapshot
+      // GC's job, not the commit's)
+      val keep = promoted.map(_._1).toSet
+      val versionReferenced = CommitSink.listVersions(dir)
+        .iterator.filter(_ < commitId)
+        .flatMap(v => CommitSink.parseManifestVersion(dir, v).files)
+        .toSet
       val s = Files.list(dir)
       try s.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("part-") &&
-          !promoted.contains(p.getFileName.toString))
+          !keep.contains(p.getFileName.toString) &&
+          !versionReferenced.contains(p.getFileName.toString))
         .foreach(Files.deleteIfExists(_))
       finally s.close()
     }
@@ -533,23 +815,97 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean)
     CommitSink.sweepStaging(dir)
 }
 
-class CommitWriterFactory(path: String, ddl: String) extends DataWriterFactory {
+class CommitWriterFactory(path: String, ddl: String,
+                          partCol: Option[String] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CommitDataWriter(path, ddl, partitionId, taskId)
+    new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol)
 }
 
 /** Executor-side writer: streams rows to a task-private staging file as
   * JSON lines. The (epoch, partitionId, taskId) triple makes the name
   * unique per ATTEMPT, so a speculative retry (or a replayed epoch) can
-  * never clobber another attempt's staging output. */
+  * never clobber another attempt's staging output.
+  *
+  * While writing, the writer also collects the per-file statistics the
+  * manifest records (o14/o15): row count, byte size, and min/max per
+  * numeric column — the zone-map index, built during the write's one
+  * pass exactly like a parquet footer. Under `partCol` (o16) the task's
+  * input arrives clustered AND sorted by the partition key (the write
+  * declared RequiresDistributionAndOrdering), so the writer simply rolls
+  * to a fresh staged file on each key change — every committed file
+  * holds one key, recorded as `pk` in its stats. */
 class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long,
-                       epochId: Long = -1L)
+                       epochId: Long = -1L, partCol: Option[String] = None)
     extends DataWriter[InternalRow] {
   private val schema = StructType.fromDDL(ddl)
-  private val name = s"attempt-e$epochId-p$partitionId-t$taskId.json"
-  private val file = CommitSink.stagingDir(Paths.get(path)).resolve(name)
-  private val out = Files.newBufferedWriter(file)
+  private val staging = CommitSink.stagingDir(Paths.get(path))
+
+  // --- statistics collection (reset per staged segment) -------------------
+  // stats are recorded only for clean [A-Za-z0-9_] column names — the
+  // encoding's separator chars must never appear in a recorded name
+  private val statKind: Array[Char] = schema.fields.map { f =>
+    if (!f.name.matches("[A-Za-z0-9_]+")) ' '
+    else f.dataType match {
+      case LongType | IntegerType => 'l'
+      case DoubleType => 'd'
+      case _ => ' '
+    }
+  }
+  private val seen = new Array[Boolean](schema.length)
+  private val minL = new Array[Long](schema.length)
+  private val maxL = new Array[Long](schema.length)
+  private val minD = new Array[Double](schema.length)
+  private val maxD = new Array[Double](schema.length)
+  private def resetStats(): Unit = java.util.Arrays.fill(seen, false)
+  private def noteL(i: Int, v: Long): Unit =
+    if (!seen(i)) { seen(i) = true; minL(i) = v; maxL(i) = v }
+    else { if (v < minL(i)) minL(i) = v; if (v > maxL(i)) maxL(i) = v }
+  private def noteD(i: Int, v: Double): Unit =
+    // NaN stays out of ranges: range predicates never match NaN, so
+    // pruning by NaN-free bounds stays conservative (see CommitSkip)
+    if (!v.isNaN) {
+      if (!seen(i)) { seen(i) = true; minD(i) = v; maxD(i) = v }
+      else { if (v < minD(i)) minD(i) = v; if (v > maxD(i)) maxD(i) = v }
+    }
+  private def encodeStats(bytes: Long, pk: Option[Long]): String =
+    CommitSink.FileStat(rows, bytes, pk,
+      schema.fields.iterator.zipWithIndex.collect {
+        case (f, i) if seen(i) && statKind(i) == 'l' =>
+          f.name -> CommitSink.ColRange('l', minL(i).toString, maxL(i).toString)
+        case (f, i) if seen(i) && statKind(i) == 'd' =>
+          f.name -> CommitSink.ColRange('d', minD(i).toString, maxD(i).toString)
+      }.toMap).encode
+
+  // --- staged segments -----------------------------------------------------
+  private val partIdx: Int = partCol.map(schema.fieldIndex).getOrElse(-1)
+  private var segOrdinal = 0
+  private var name: String = _
+  private var file: Path = _
+  private var out: java.io.BufferedWriter = _
   private var rows = 0L
+  private var curKey = 0L
+  private var done = List.empty[StagedFile]
+
+  private def openSegment(): Unit = {
+    name = if (partIdx < 0) s"attempt-e$epochId-p$partitionId-t$taskId.json"
+           else f"attempt-e$epochId-p$partitionId-t$taskId-s$segOrdinal%04d.json"
+    segOrdinal += 1
+    file = staging.resolve(name)
+    out = Files.newBufferedWriter(file)
+    rows = 0L
+    resetStats()
+  }
+
+  private def closeSegment(): Unit = {
+    out.close()
+    done ::= StagedFile(name, rows,
+      encodeStats(Files.size(file), if (partIdx < 0) None else Some(curKey)))
+    out = null
+  }
+
+  // unpartitioned tasks stage ONE file, opened eagerly so an empty task
+  // still commits a (zero-row) file — the pre-partitioning behavior
+  if (partIdx < 0) openSegment()
 
   private def esc(s: String): String = {
     val b = new StringBuilder
@@ -592,6 +948,23 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
             "refusing to skip it (unknown row layout)")
       }
     }
+    if (partIdx >= 0) {
+      val pi = partIdx + fieldOffset
+      require(!row.isNullAt(pi),
+        s"graft-commit: NULL partition key in column '${partCol.get}' — " +
+          "identity partitioning requires non-null keys")
+      val k = schema(partIdx).dataType match {
+        case LongType => row.getLong(pi)
+        case _        => row.getInt(pi).toLong
+      }
+      // input is clustered AND sorted by the key — a key change is a
+      // segment boundary, and a key can never reappear later
+      if (out == null || k != curKey) {
+        if (out != null) closeSegment()
+        curKey = k
+        openSegment()
+      }
+    }
     val b = new StringBuilder("{")
     var first = true
     schema.fields.zipWithIndex.foreach { case (f, i0) =>
@@ -601,12 +974,12 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
         first = false
         b.append('"').append(f.name).append("\":")
         f.dataType match {
-          case LongType    => b.append(row.getLong(i))
-          case IntegerType => b.append(row.getInt(i))
+          case LongType    => val v = row.getLong(i); noteL(i0, v); b.append(v)
+          case IntegerType => val v = row.getInt(i); noteL(i0, v.toLong); b.append(v)
           // Double.toString is shortest-round-trip: the reader gets the
           // identical bits back (NaN/Infinity rely on Spark's default
           // allowNonNumericNumbers JSON option)
-          case DoubleType  => b.append(row.getDouble(i))
+          case DoubleType  => val v = row.getDouble(i); noteD(i0, v); b.append(v)
           case BooleanType => b.append(row.getBoolean(i))
           case StringType  => b.append('"').append(esc(row.getUTF8String(i).toString)).append('"')
           case t => sys.error(s"unreachable: $t validated at build()")
@@ -618,55 +991,181 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     rows += 1
   }
 
-  /** Phase 1: make the staging file durable and hand its name to the
-    * driver. NOT visible to readers until the driver's manifest swap. */
-  override def commit(): WriterCommitMessage = { out.close(); StagedFile(name, rows) }
+  /** Phase 1: make the staging file(s) durable and hand their names to
+    * the driver. NOT visible to readers until the driver's manifest swap.
+    * Unpartitioned tasks return their single [[StagedFile]] (the original
+    * contract); partitioned tasks return the per-key [[StagedFileSet]]. */
+  override def commit(): WriterCommitMessage =
+    if (partIdx < 0) { closeSegment(); done.head }
+    else { if (out != null) closeSegment(); StagedFileSet(done.reverse) }
 
-  /** Task abort: this attempt's output must leave no trace. */
-  override def abort(): Unit = { out.close(); Files.deleteIfExists(file) }
+  /** Task abort: this attempt's output must leave no trace — the open
+    * segment AND every segment it already closed. */
+  override def abort(): Unit = {
+    if (out != null) { out.close(); Files.deleteIfExists(file) }
+    done.foreach(s => Files.deleteIfExists(staging.resolve(s.name)))
+  }
   override def close(): Unit = ()
 }
 
 // --- the DSv2 batch READ over the committed snapshot ----------------------
 
-class CommitScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new CommitScan(path)
+/** Filter pushdown here exists for SKIPPING, not evaluation: pushFilters
+  * returns EVERY filter as residual (Spark re-evaluates the full
+  * condition above the scan), and the skippable subset is used solely to
+  * prune whole files by their manifest-recorded ranges — the parquet
+  * row-group / Iceberg data-file skipping contract, where stats are an
+  * optimization and never a correctness dependency. */
+class CommitScanBuilder(path: String, version: Option[Long] = None)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+  private var skip: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skip = filters.filter(CommitSkip.usable)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = skip
+  override def build(): Scan = new CommitScan(path, version, skip)
 }
 
 /** Scan = the manifest's committed view, resolved ONCE at planning: the
   * file list and schema are pinned here, so a concurrent commit swapping
   * the manifest mid-query cannot tear the read — snapshot isolation for
-  * free from the manifest design. */
-class CommitScan(path: String) extends Scan with Batch {
-  private val manifest = CommitSink.parseManifest(Paths.get(path))
-    .getOrElse(sys.error(s"graft-commit: no committed manifest at $path"))
+  * free from the manifest design. On top of the pinned view the scan
+  * implements the three scale contracts:
+  *
+  *  - '''o14 file skipping''': files whose recorded column ranges cannot
+  *    satisfy the pushed conjunction are never planned (and never
+  *    opened) — [[CommitSkip]].
+  *  - '''o15 statistics''': exact row/byte totals of the SURVIVING files
+  *    from the manifest ([[SupportsReportStatistics]]) — what lets the
+  *    optimizer auto-broadcast a small committed table instead of
+  *    assuming the V2 default "infinitely large".
+  *  - '''o16 partitioning''': a `partitionBy`-written table reports
+  *    KeyGroupedPartitioning with one input partition per key
+  *    ([[SupportsReportPartitioning]] + [[HasPartitionKey]]), so an
+  *    equi-join of two co-partitioned committed tables runs with NO
+  *    exchange on either side (storage-partitioned join).
+  */
+class CommitScan(path: String, version: Option[Long] = None,
+                 skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+  import org.apache.spark.sql.connector.expressions.Expressions
+
+  private val manifest = version match {
+    case Some(v) => CommitSink.parseManifestVersion(Paths.get(path), v)
+    case None => CommitSink.parseManifest(Paths.get(path))
+      .getOrElse(sys.error(s"graft-commit: no committed manifest at $path"))
+  }
+  private val fileStats: Map[String, CommitSink.FileStat] =
+    manifest.stats.map { case (f, e) => f -> CommitSink.FileStat.decode(e) }
+
+  /** Files the pushed filters cannot rule out (all of them when no
+    * filter was pushed or no stats were recorded). */
+  private[sources] val surviving: Seq[String] = manifest.files.filter { f =>
+    fileStats.get(f).forall(st => skip.forall(CommitSkip.mayMatch(_, st)))
+  }
+
+  /** One (key → files) group per partition value when the table is
+    * identity-partitioned AND every surviving file knows its key;
+    * None falls back to per-file planning. */
+  private val partGroups: Option[Seq[(Long, Seq[String])]] =
+    manifest.partCol.flatMap { _ =>
+      val pks = surviving.map(f => fileStats.get(f).flatMap(_.pk))
+      if (surviving.nonEmpty && pks.forall(_.isDefined))
+        Some(surviving.zip(pks.map(_.get))
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (k, fs) => (k, fs.map(_._1)) })
+      else None
+    }
+
+  private def abs(f: String): String = Paths.get(path, f).toString
+
   override def readSchema(): StructType = StructType.fromDDL(manifest.ddl)
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    manifest.files.map(f =>
-      CommitFilePartition(Paths.get(path, f).toString): InputPartition).toArray
+
+  override def planInputPartitions(): Array[InputPartition] = partGroups match {
+    case Some(groups) =>
+      val pc = manifest.partCol.get
+      val dt = StructType.fromDDL(manifest.ddl).apply(pc).dataType
+      groups.map { case (k, fs) =>
+        val keyVal: Any = if (dt == IntegerType) k.toInt else k
+        CommitKeyedFilesPartition(fs.map(abs), keyVal): InputPartition
+      }.toArray
+    case None =>
+      surviving.map(f => CommitFilesPartition(Seq(abs(f))): InputPartition).toArray
+  }
+
+  override def outputPartitioning(): Partitioning = partGroups match {
+    case Some(groups) => new KeyGroupedPartitioning(
+      Array(Expressions.identity(manifest.partCol.get)), groups.size)
+    case None => new UnknownPartitioning(surviving.size)
+  }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val sts = surviving.map(fileStats.get)
+      private val known = sts.forall(_.isDefined)
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(sts.flatten.map(_.bytes).sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (known) java.util.OptionalLong.of(sts.flatten.map(_.rows).sum)
+        else java.util.OptionalLong.empty()
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitReaderFactory(manifest.ddl)
-  override def description(): String = s"graft-commit scan of $path"
+  override def description(): String =
+    s"graft-commit scan of $path" +
+      version.map(v => s" @v$v").getOrElse("") +
+      s" [files: ${surviving.size}/${manifest.files.size}]"
 }
 
-case class CommitFilePartition(file: String) extends InputPartition
+case class CommitFilesPartition(files: Seq[String]) extends InputPartition
+
+/** Identity-partitioned file group: all committed files of ONE partition
+  * key, exposing the key through [[HasPartitionKey]] so Spark can align
+  * co-partitioned scans for a storage-partitioned join. */
+case class CommitKeyedFilesPartition(files: Seq[String], key: Any)
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](key))
+}
 
 class CommitReaderFactory(ddl: String) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new CommitFileReader(p.asInstanceOf[CommitFilePartition].file,
-      StructType.fromDDL(ddl))
+    p match {
+      case CommitFilesPartition(fs) =>
+        new CommitFilesReader(fs, StructType.fromDDL(ddl))
+      case CommitKeyedFilesPartition(fs, _) =>
+        new CommitFilesReader(fs, StructType.fromDDL(ddl))
+      case other => sys.error(s"graft-commit: unexpected partition $other")
+    }
 }
+
+/** Single-file form of [[CommitFilesReader]] — kept as the unit-test
+  * surface for the encoder/decoder round-trip properties. */
+class CommitFileReader(file: String, schema: StructType)
+    extends CommitFilesReader(Seq(file), schema)
 
 /** Executor-side reader: the exact mirror of [[CommitDataWriter]]'s
   * line encoder — keys are unescaped field names, values are the
   * portable scalar set with JSON string escapes (plus bare
   * NaN/Infinity/-Infinity for doubles, which `Double.parseDouble`
   * reads back bit-exactly). A field the writer omitted (null) stays
-  * null. Schema-driven, no generic JSON machinery needed. */
-class CommitFileReader(file: String, schema: StructType)
+  * null. Schema-driven, no generic JSON machinery needed. Reads a file
+  * GROUP sequentially — one partition per key group under identity
+  * partitioning, one per file otherwise. */
+class CommitFilesReader(files: Seq[String], schema: StructType)
     extends PartitionReader[InternalRow] {
-  private val lines = Files.newBufferedReader(Paths.get(file))
+  private val queue = files.iterator
+  private var lines: java.io.BufferedReader = _
   private val fieldIndex = schema.fieldNames.zipWithIndex.toMap
   // Emit UnsafeRow, not GenericInternalRow: consumers that buffer or
   // shuffle scan output directly (the row-level ReplaceData write does)
@@ -676,15 +1175,26 @@ class CommitFileReader(file: String, schema: StructType)
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
   private var row: InternalRow = _
 
-  override def next(): Boolean = {
+  @scala.annotation.tailrec
+  private def nextLine(): String = {
+    if (lines == null) {
+      if (!queue.hasNext) return null
+      lines = Files.newBufferedReader(Paths.get(queue.next()))
+    }
     val l = lines.readLine()
+    if (l != null) l
+    else { lines.close(); lines = null; nextLine() }
+  }
+
+  override def next(): Boolean = {
+    val l = nextLine()
     // copy(): the projection reuses ONE buffer; defensive against any
     // consumer that buffers row references across advances (fixture-
     // scale files — the per-row allocation is not a hot path)
     if (l == null) false else { row = toUnsafe(parse(l)).copy(); true }
   }
   override def get(): InternalRow = row
-  override def close(): Unit = lines.close()
+  override def close(): Unit = if (lines != null) lines.close()
 
   private def parse(line: String): InternalRow = {
     val vals = new Array[Any](schema.length)

@@ -523,7 +523,163 @@ object Sources {
     CommitSink.readCommitted(spark, path)
   }
 
+  /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
+    * records each file's per-column ranges during the write (one pass,
+    * the parquet-footer design), and a selective range predicate prunes
+    * whole files at PLANNING: the events table lands range-partitioned
+    * by event_id into 8 files, so the [100, 2000) filter plans 1-2 of
+    * them and never opens the rest. Pruning is advisory — every filter
+    * stays residual, so correctness never depends on the stats
+    * (LakeSpec pins the prune counts, the OR/no-stats conservatism, and
+    * the residual re-evaluation). At 100 TB this is the second 100×
+    * after partition pruning: a sorted-write layout turns every range
+    * scan into a file-count proportional to selectivity. */
+  def o14Dsv2FileSkipping(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o14/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(8, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    spark.read.format(CommitSink.NAME).option("path", out).load()
+      .filter(col("event_id") >= 100L && col("event_id") < 2000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  /** o15: DSv2 STATISTICS REPORTING — the scan hands the optimizer the
+    * manifest's exact row/byte totals (SupportsReportStatistics), so a
+    * small committed dimension AUTO-broadcasts in a join with the events
+    * fact table: no hint, no shuffle of the fact side. Without the
+    * interface a V2 relation reports "unknown = infinite" and this join
+    * would sort-merge both sides. LakeSpec pins the BroadcastHashJoin
+    * plan and the exact reported numbers (post-prune). The broadcast
+    * decision is THE first join lever at 100 TB — it is made by
+    * statistics, and a connector that reports none opts out. */
+  def o15Dsv2StatsBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max}
+    val out = s"/tmp/graft_o15/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("type_n"), graft.Tables.dsum(col("value")).as("type_total"))
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    val dim = spark.read.format(CommitSink.NAME).option("path", out).load()
+    ev.join(dim, "event_type") // no hint: the reported stats pick broadcast
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("type_n")).as("type_n"),
+        max(col("type_total")).as("type_total"),
+        graft.Tables.dsum(col("value")).as("total_value"))
+  }
+
+  /** o16: STORAGE-PARTITIONED JOIN — the exchange-free join negotiated
+    * entirely through the DSv2 contract (SPARK-37375, the Iceberg
+    * bucket-join design): both tables are written
+    * `option("partitionBy", "bucket")` — the write declares a
+    * clustered+sorted distribution, each committed file holds exactly
+    * one key, the manifest records it — and both scans report
+    * KeyGroupedPartitioning, so the equi-join on the partition key plans
+    * with NO exchange on either side (LakeSpec pins the zero-Exchange
+    * plan and value parity with the shuffled join). o02 buys this with
+    * Hive bucketing; o16 is the same paid-once-at-write shuffle for a
+    * CONNECTOR table — at 100 TB the fact-to-summary join this query
+    * shapes (per-user state ⋈ per-bucket rollup) never moves the fact
+    * table again. */
+  def o16Dsv2Spj(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, sum}
+    val base = s"/tmp/graft_o16/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(base)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        (col("user_id") % 32).as("bucket"))
+    // A: per-user state from the even event slice (many rows per bucket)
+    ev.filter(col("event_id") % 2 === 0)
+      .groupBy(col("bucket"), col("user_id"))
+      .agg(count(lit(1)).as("a_n"), sum(col("event_id")).as("a_sum"))
+      .write.format(CommitSink.NAME).option("path", s"$base/a")
+      .option("partitionBy", "bucket").mode("overwrite").save()
+    // B: per-bucket rollup from the odd slice (one row per bucket)
+    ev.filter(col("event_id") % 2 === 1)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("b_n"), sum(col("event_id")).as("b_sum"))
+      .write.format(CommitSink.NAME).option("path", s"$base/b")
+      .option("partitionBy", "bucket").mode("overwrite").save()
+    val conf = spark.conf
+    val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // without this the o15 stats would (correctly) broadcast tiny B —
+      // the point here is the co-partitioned path a 100 TB B-side needs
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = spark.read.format(CommitSink.NAME).option("path", s"$base/a").load()
+      val b = spark.read.format(CommitSink.NAME).option("path", s"$base/b").load()
+      val joined = a.join(b, "bucket")
+        .groupBy(col("bucket"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          sum(col("a_n")).as("a_events"), sum(col("a_sum")).as("a_sum_eid"),
+          max(col("b_n")).as("b_events"), max(col("b_sum")).as("b_sum_eid"))
+      // materialize under the SPJ confs (the bucket-count-sized result),
+      // then restore — leaving a session-wide conf flipped would change
+      // every later query's planning
+      val rows = joined.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), joined.schema)
+    } finally {
+      prevBucketing.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevBcast.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  /** o17: TIME TRAVEL — every commit also lands an immutable
+    * `_MANIFEST-v<n>.json`, so any past version is readable forever
+    * (`option("versionAsOf", n)` / SQL `VERSION AS OF n` through the
+    * catalog): three commits land the three event_id%3 slices
+    * (overwrite, append, overwrite), and the query reads ALL THREE
+    * versions — including v0/v1 across the truncation, whose data files
+    * the truncate must keep because version manifests still reference
+    * them — into one per-version audit row. The reproducibility story a
+    * training pipeline needs: "the corpus as of run N" stays readable
+    * after compaction/deletes rewrite the current version (Iceberg
+    * snapshots; GC of expired versions is the operational knob on top).
+    * LakeSpec pins the version ledger, the read-only version pin, and
+    * the cross-truncate survival. */
+  def o17Dsv2TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o17/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 3 === 0)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    ev.filter(col("event_id") % 3 === 1)
+      .write.format(CommitSink.NAME).option("path", out).mode("append").save()
+    ev.filter(col("event_id") % 3 === 2)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    def at(v: Int): DataFrame =
+      spark.read.format(CommitSink.NAME).option("path", out)
+        .option("versionAsOf", v.toString).load()
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .select(lit(v.toLong).as("version"), col("n"), col("total_value"),
+          col("min_event_id"), col("max_event_id"))
+    at(0).unionByName(at(1)).unionByName(at(2))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o17_dsv2_time_travel" -> o17Dsv2TimeTravel _,
+    "o16_dsv2_spj" -> o16Dsv2Spj _,
+    "o15_dsv2_stats_broadcast" -> o15Dsv2StatsBroadcast _,
+    "o14_dsv2_file_skipping" -> o14Dsv2FileSkipping _,
     "o13_dsv2_merge_upsert" -> o13Dsv2MergeUpsert _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
@@ -540,6 +696,60 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the layout hop (range write → skipping read) must be value-invisible
+    "o14_dsv2_file_skipping" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM events
+          WHERE event_id >= 100 AND event_id < 2000
+          GROUP BY 1""",
+    // the broadcast-joined dim is itself a projection of events — replay
+    // the whole chain
+    "o15_dsv2_stats_broadcast" ->
+      s"""WITH dim AS (
+            SELECT event_type, COUNT(*) AS type_n,
+                   ${graft.Tables.sqlDsum("value")} AS type_total
+            FROM events GROUP BY 1)
+          SELECT e.event_type, COUNT(*) AS n,
+                 MAX(d.type_n) AS type_n,
+                 MAX(d.type_total) AS type_total,
+                 ${graft.Tables.sqlDsum("e.value")} AS total_value
+          FROM events e JOIN dim d USING (event_type)
+          GROUP BY 1""",
+    // the two slices' per-user / per-bucket aggregates joined back —
+    // exact integer arithmetic end to end
+    "o16_dsv2_spj" ->
+      """WITH a AS (
+           SELECT user_id % 32 AS bucket, user_id,
+                  CAST(COUNT(*) AS BIGINT) AS a_n,
+                  CAST(SUM(event_id) AS BIGINT) AS a_sum
+           FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+         b AS (
+           SELECT user_id % 32 AS bucket,
+                  CAST(COUNT(*) AS BIGINT) AS b_n,
+                  CAST(SUM(event_id) AS BIGINT) AS b_sum
+           FROM events WHERE event_id % 2 = 1 GROUP BY 1)
+         SELECT a.bucket, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users,
+                CAST(SUM(a.a_n) AS BIGINT) AS a_events,
+                CAST(SUM(a.a_sum) AS BIGINT) AS a_sum_eid,
+                MAX(b.b_n) AS b_events, MAX(b.b_sum) AS b_sum_eid
+         FROM a JOIN b USING (bucket)
+         GROUP BY 1""",
+    // each version is a deterministic event_id%3 slice union
+    "o17_dsv2_time_travel" ->
+      s"""WITH v AS (
+            SELECT 0 AS version, event_id, value FROM events WHERE event_id % 3 = 0
+            UNION ALL
+            SELECT 1, event_id, value FROM events WHERE event_id % 3 IN (0, 1)
+            UNION ALL
+            SELECT 2, event_id, value FROM events WHERE event_id % 3 = 2)
+          SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM v GROUP BY 1""",
     // full replay of the three-branch MERGE over a FULL OUTER JOIN of the
     // two slices (+ the shifted no-match cohort): matched & capped →
     // deleted, matched → exact long sums, target-only → untouched,

@@ -1,0 +1,302 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The round-11 lakehouse wave on the commit sink — the four remaining
+  * scale contracts of the DSv2 matrix:
+  *
+  *  - '''o14 zone-map file skipping''': per-file numeric ranges recorded
+  *    during the write prune whole files at planning; pruning is
+  *    advisory (all filters stay residual) so a wrong prune can only be
+  *    caught, never silently produce rows.
+  *  - '''o15 statistics reporting''': exact manifest row/byte totals
+  *    flow into the optimizer — a small committed table auto-broadcasts
+  *    where the V2 default ("assume infinite") would shuffle.
+  *  - '''o16 storage-partitioned join''': identity-partitioned writes
+  *    (clustered + sorted by key, one key per file) report
+  *    KeyGroupedPartitioning; a co-partitioned equi-join runs with NO
+  *    exchange on either side.
+  *  - '''o17 time travel''': every commit lands an immutable
+  *    `_MANIFEST-v<n>.json`; `VERSION AS OF n` reads it, and truncate
+  *    keeps version-referenced data files alive.
+  */
+class LakeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_lake_spec/$tag"
+    Tables.deleteRecursively(d)
+    d
+  }
+
+  private def fixture(n: Int): DataFrame =
+    spark.range(n.toLong).select(
+      $"id",
+      ($"id" % 16).as("k"),
+      ($"id" % 100).cast("int").as("grade"),
+      (($"id" * 7 % 1000) / 10.0).as("score"),
+      concat(lit("doc-"), $"id").as("tag"))
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan:\n" +
+        df.queryExecution.executedPlan.toString))
+
+  // --- o14: stats collection + file skipping ------------------------------
+
+  test("o14: the write records per-file rows/bytes/ranges in the manifest") {
+    val dir = freshDir("stats")
+    fixture(1000).repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val m = sources.CommitSink.parseManifest(java.nio.file.Paths.get(dir)).get
+    assert(m.files.size == 4 && m.stats.keySet == m.files.toSet,
+      "every committed file must carry stats")
+    val decoded = m.stats.values.map(sources.CommitSink.FileStat.decode).toSeq
+    assert(decoded.map(_.rows).sum == 1000L)
+    assert(decoded.forall(_.bytes > 0L))
+    // the id ranges of the 4 range-partitioned files must tile 0..999
+    val idRanges = decoded.map(_.cols("id")).map(r => (r.min.toLong, r.max.toLong))
+      .sortBy(_._1)
+    assert(idRanges.head._1 == 0L && idRanges.last._2 == 999L)
+    idRanges.sliding(2).foreach { case Seq((_, aMax), (bMin, _)) =>
+      assert(aMax < bMin, "range files must not overlap on the sort key")
+    case _ => }
+    // doubles and ints are statted; strings are not
+    assert(decoded.forall(s => s.cols.contains("score") && s.cols.contains("grade")))
+    assert(decoded.forall(s => !s.cols.contains("tag")))
+  }
+
+  test("o14: a selective range predicate prunes files at planning, result intact") {
+    val dir = freshDir("skip")
+    fixture(1000).repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    val pruned = read.filter($"id" >= 0L && $"id" < 100L)
+    assert(scanOf(pruned).inputPartitions.length == 1,
+      "a 100-id prefix must plan exactly the first of 4 range files")
+    assert(pruned.count() == 100L)
+    // equality and IN prune too
+    assert(scanOf(read.filter($"id" === 999L)).inputPartitions.length == 1)
+    assert(read.filter($"id" === 999L).count() == 1L)
+    assert(scanOf(read.filter($"id".isin(1L, 2L, 998L))).inputPartitions.length == 2)
+    assert(read.filter($"id".isin(1L, 2L, 998L)).count() == 3L)
+    // a double-range predicate prunes nothing here (score spans all files)
+    // but must not over-prune
+    assert(read.filter($"score" < 5.0).count() ==
+      sources.CommitSink.readCommitted(spark, dir).filter($"score" < 5.0).count())
+  }
+
+  test("o14: OR keeps both sides' files; skipping never loses rows") {
+    val dir = freshDir("or")
+    fixture(1000).repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    val both = read.filter($"id" < 50L || $"id" >= 950L)
+    assert(scanOf(both).inputPartitions.length == 2,
+      "an OR of the two extremes must keep exactly the first and last file")
+    assert(both.count() == 100L)
+    // a filter the stats can't decide (string) must not prune at all
+    assert(scanOf(read.filter($"tag" === "doc-7")).inputPartitions.length == 4)
+    assert(read.filter($"tag" === "doc-7").count() == 1L)
+  }
+
+  test("o14: pruning is advisory — Spark still applies the full predicate") {
+    val dir = freshDir("residual")
+    fixture(100).repartitionByRange(2, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    // the surviving file contains ids 0..49; the predicate must still
+    // filter WITHIN it (a scan that trusted pruning as exact would
+    // return all 50 rows of the file)
+    assert(read.filter($"id" >= 10L && $"id" < 20L).count() == 10L)
+  }
+
+  // --- o15: statistics reporting → automatic broadcast ---------------------
+
+  test("o15: committed-table stats drive automatic broadcast selection") {
+    val dir = freshDir("bcast")
+    // a 16-row dimension through the sink
+    fixture(1000).groupBy($"k").agg(count(lit(1)).as("k_n"))
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val dim = spark.read.format("graft-commit").option("path", dir).load()
+    val facts = spark.range(100000L).select($"id", ($"id" % 16).as("k"))
+    val joined = facts.join(dim, "k") // NO broadcast hint
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"16-row committed dim must auto-broadcast via reported stats:\n$plan")
+    assert(joined.count() == 100000L)
+    // the reported numbers are the manifest's exact totals
+    val scan = scanOf(dim)
+    val st = scan.scan.asInstanceOf[sources.CommitScan].estimateStatistics()
+    assert(st.numRows().getAsLong == 16L)
+    assert(st.sizeInBytes().getAsLong > 0L)
+  }
+
+  test("o15: statistics reflect pruned files (post-pushdown estimate)") {
+    val dir = freshDir("prunedstats")
+    fixture(1000).repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    val scan = scanOf(read.filter($"id" < 100L)).scan.asInstanceOf[sources.CommitScan]
+    assert(scan.estimateStatistics().numRows().getAsLong == 250L,
+      "the estimate must count only the one surviving file's rows")
+  }
+
+  // --- o16: storage-partitioned join ---------------------------------------
+
+  test("o16: partitionBy writes one key per file and round-trips exactly") {
+    val dir = freshDir("partwrite")
+    val in = fixture(1000).select($"id", $"k", $"score")
+    in.write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val m = sources.CommitSink.parseManifest(java.nio.file.Paths.get(dir)).get
+    assert(m.partCol.contains("k"))
+    val decoded = m.files.map(f => sources.CommitSink.FileStat.decode(m.stats(f)))
+    assert(decoded.forall(_.pk.isDefined), "every partitioned file knows its key")
+    assert(decoded.flatMap(_.pk).toSet == (0L until 16L).toSet)
+    decoded.foreach { s =>
+      val r = s.cols("k")
+      assert(r.min.toLong == s.pk.get && r.max.toLong == s.pk.get,
+        "a partitioned file holds exactly one key")
+    }
+    val back = sources.CommitSink.readCommitted(spark, dir)
+    assert(back.exceptAll(in).count() == 0 && in.exceptAll(back).count() == 0)
+  }
+
+  test("o16: co-partitioned committed tables join with ZERO exchanges") {
+    val dirA = freshDir("spj_a"); val dirB = freshDir("spj_b")
+    fixture(1000).select($"id", $"k", $"score")
+      .write.format("graft-commit").option("path", dirA)
+      .option("partitionBy", "k").mode("overwrite").save()
+    fixture(1000).groupBy($"k")
+      .agg(count(lit(1)).as("k_n"), sum($"id").as("k_sum"))
+      .write.format("graft-commit").option("path", dirB)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val conf = spark.conf
+    val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the SPJ path
+      val a = spark.read.format("graft-commit").option("path", dirA).load()
+      val b = spark.read.format("graft-commit").option("path", dirB).load()
+      val joined = a.join(b, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"the storage-partitioned join must run with no exchange on either side:\n$plan")
+      assert(joined.count() == 1000L)
+      // value parity with the plain (shuffled) join
+      val plainA = sources.CommitSink.readCommitted(spark, dirA)
+      val plainB = sources.CommitSink.readCommitted(spark, dirB)
+      val expect = plainA.join(plainB, "k")
+      assert(joined.exceptAll(expect).count() == 0 &&
+        expect.exceptAll(joined).count() == 0)
+    } finally {
+      prevBucketing.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevBcast.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("o16: DML preserves the partition layout (copy-on-write keeps partitionBy)") {
+    val dir = freshDir("partdml")
+    fixture(320).select($"id", $"k", $"score")
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    // metadata-path DELETE (translatable condition)
+    val tbl = new sources.CommitSinkTable(dir)
+    import org.apache.spark.sql.sources.{Filter, GreaterThanOrEqual}
+    tbl.deleteWhere(Array[Filter](GreaterThanOrEqual("id", 160L)))
+    val m = sources.CommitSink.parseManifest(java.nio.file.Paths.get(dir)).get
+    assert(m.partCol.contains("k"), "DELETE must keep the table partitioned")
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 160L)
+    val decoded = m.files.map(f => sources.CommitSink.FileStat.decode(m.stats(f)))
+    assert(decoded.forall(_.pk.isDefined), "post-DML files keep one key per file")
+  }
+
+  test("o16: appending with a different layout is refused") {
+    val dir = freshDir("partmix")
+    fixture(100).select($"id", $"k")
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val e = intercept[Exception] {
+      fixture(100).select($"id", $"k")
+        .write.format("graft-commit").option("path", dir)
+        .mode("append").save()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("partition-layout mismatch")
+      || e.getCause != null && e.getCause.getMessage.contains("partition-layout mismatch"))
+    // the refused append left the table intact
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 100L)
+  }
+
+  // --- o17: time travel -----------------------------------------------------
+
+  test("o17: every commit lands an immutable version manifest; VERSION AS OF reads it") {
+    val dir = freshDir("travel")
+    val v0 = fixture(100).select($"id", $"score")
+    v0.write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    fixture(200).filter($"id" >= 100L).select($"id", $"score")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    // a truncate on top — old data files must SURVIVE for time travel
+    fixture(10).select($"id", $"score")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    assert(sources.CommitSink.listVersions(java.nio.file.Paths.get(dir)) ==
+      Seq(0L, 1L, 2L))
+    assert(sources.CommitSink.readCommittedVersion(spark, dir, 0L).count() == 100L)
+    assert(sources.CommitSink.readCommittedVersion(spark, dir, 1L).count() == 200L)
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 10L)
+    // the DSv2 read path with versionAsOf
+    val pinned = spark.read.format("graft-commit").option("path", dir)
+      .option("versionAsOf", "1").load()
+    assert(pinned.count() == 200L)
+    assert(pinned.filter($"id" < 100L).count() == 100L)
+    // version 0's content is bit-identical to what was written
+    val back0 = spark.read.format("graft-commit").option("path", dir)
+      .option("versionAsOf", "0").load()
+    assert(back0.exceptAll(v0).count() == 0 && v0.exceptAll(back0).count() == 0)
+  }
+
+  test("o17: SQL VERSION AS OF through the catalog; pinned versions are read-only") {
+    val root = freshDir("travel_sql")
+    spark.conf.set("spark.sql.catalog.graft_lake_tt", "graft.sources.CommitCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lake_tt.root", root)
+    val path = s"$root/default/t"
+    fixture(100).select($"id", $"score")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    spark.sql("DELETE FROM graft_lake_tt.`default`.t WHERE id >= 50")
+    assert(spark.sql("SELECT COUNT(*) FROM graft_lake_tt.`default`.t").head().getLong(0) == 50L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_lake_tt.`default`.t VERSION AS OF 0").head().getLong(0) == 100L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft_lake_tt.`default`.t VERSION AS OF 1").head().getLong(0) == 50L)
+    // a write against a version pin must be refused
+    val e = intercept[Exception] {
+      fixture(5).select($"id", $"score")
+        .write.format("graft-commit").option("path", path)
+        .option("versionAsOf", "0").mode("append").save()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    // the version-pinned table withdraws BATCH_WRITE, so the writer is
+    // refused before any data moves (Spark words it as a CTAS refusal)
+    assert(msgs(e).exists(m => m.contains("read-only") ||
+        m.contains("does not support") || m.contains("does not allow")),
+      s"unexpected: ${msgs(e)}")
+  }
+
+  test("o17: a version that never committed fails loudly") {
+    val dir = freshDir("travel_missing")
+    fixture(10).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    val e = intercept[Exception] {
+      sources.CommitSink.readCommittedVersion(spark, dir, 7L)
+    }
+    assert(e.getMessage.contains("no version 7"))
+  }
+}

@@ -109,8 +109,9 @@ object PropertySpec extends Properties("graft") {
           gotFiles == files.distinct.sorted &&
           graft.sources.CommitSink.committedEpochs(dir) == epochs.distinct.sorted
       } finally {
-        java.nio.file.Files.deleteIfExists(dir.resolve("_MANIFEST.json"))
-        java.nio.file.Files.deleteIfExists(dir)
+        // writeManifest also lands the immutable _MANIFEST-v<n>.json
+        // time-travel copy — recursive delete, not a file-by-file list
+        graft.Tables.deleteRecursively(dir.toString)
       }
     }
 
