@@ -1015,19 +1015,153 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   * condition above the scan), and the skippable subset is used solely to
   * prune whole files by their manifest-recorded ranges — the parquet
   * row-group / Iceberg data-file skipping contract, where stats are an
-  * optimization and never a correctness dependency. */
+  * optimization and never a correctness dependency.
+  *
+  * Column pruning (SupportsPushDownRequiredColumns) reaches the reader:
+  * the JSON-line decoder materializes ONLY requested fields, so a 2-column
+  * projection of a 50-column table parses 2 values per row. Aggregate
+  * pushdown (SupportsPushDownAggregates) goes further — an unfiltered,
+  * ungrouped COUNT(*)/MIN/MAX is answered ENTIRELY from the manifest's
+  * per-file statistics (one row, zero data files opened): the Iceberg
+  * metadata-only query. Spark only attempts aggregate pushdown when no
+  * Filter remains between the aggregate and the scan, and this builder
+  * keeps every filter residual — so the metadata path is structurally
+  * unreachable under a WHERE clause, never merely "hoped correct". */
 class CommitScanBuilder(path: String, version: Option[Long] = None)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+
+  private val manifest = version match {
+    case Some(v) => Some(CommitSink.parseManifestVersion(Paths.get(path), v))
+    case None => CommitSink.parseManifest(Paths.get(path))
+  }
+  private def fullSchema: StructType =
+    manifest.map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
+
   private var skip: Array[Filter] = Array.empty
+  private var required: Option[StructType] = None
+  private var aggs: Array[AggregateFunc] = Array.empty
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     skip = filters.filter(CommitSkip.usable)
     filters
   }
   override def pushedFilters(): Array[Filter] = skip
-  override def build(): Scan = new CommitScan(path, version, skip)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep the manifest's field order; empty projection (COUNT(*)) is legal
+    required = Some(StructType(fullSchema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name))))
+
+  /** A column whose manifest stats can answer MIN/MAX soundly: integral
+    * only. A double column may hold NaN values, which the recorded
+    * ranges deliberately exclude (NaN sorts ABOVE everything in Spark),
+    * so a stats-served MAX(double) could be wrong — declined. A file
+    * with rows but no recorded range for an integral column holds only
+    * NULLs there, which MIN/MAX ignore — sound. */
+  private def statableLong(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        fullSchema.fields.find(_.name == r.fieldNames()(0))
+          .exists(f => f.dataType == LongType || f.dataType == IntegerType)
+      case _ => false
+    }
+
+  /** COMPLETE pushdown: the manifest's totals are exact, so the scan
+    * emits the final one-row answer and Spark plans no aggregate at all. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushAggregation(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    if (skip.nonEmpty) return false // unreachable (see scaladoc); belt+braces
+    // every surviving file must carry stats, or the totals are unknown
+    val m = manifest.getOrElse(return false)
+    if (!m.files.forall(m.stats.contains)) return false
+    val funcs = aggregation.aggregateExpressions
+    val ok = funcs.nonEmpty && funcs.forall {
+      case _: CountStar => true
+      case f: Min => statableLong(f.column)
+      case f: Max => statableLong(f.column)
+      case _ => false
+    }
+    if (ok) aggs = funcs
+    ok
+  }
+
+  override def build(): Scan =
+    if (aggs.nonEmpty) new CommitMetaAggScan(path, manifest.get, aggs)
+    else new CommitScan(path, version, skip, required)
 }
+
+/** The metadata-only aggregate scan (the Iceberg `SELECT COUNT(*)` device):
+  * one input partition, one row, computed purely from the manifest's
+  * per-file statistics — no committed data file is ever opened (LakeSpec
+  * proves it by DELETING the data files and aggregating anyway). At
+  * 100 TB this turns corpus-level row counts and key ranges — the
+  * queries every pipeline health check runs first — into O(manifest)
+  * driver work. */
+class CommitMetaAggScan(path: String, manifest: CommitSink.Manifest,
+    aggs: Array[org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc])
+    extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+
+  private val schemaFull = StructType.fromDDL(manifest.ddl)
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): String =
+    e.asInstanceOf[NamedReference].fieldNames()(0)
+  private def colType(name: String): DataType =
+    schemaFull.fields.find(_.name == name).get.dataType
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case _: CountStar => StructField("count(*)", LongType, nullable = false)
+    case f: Min => StructField(s"min(${colOf(f.column)})", colType(colOf(f.column)), nullable = true)
+    case f: Max => StructField(s"max(${colOf(f.column)})", colType(colOf(f.column)), nullable = true)
+    case other => sys.error(s"unreachable: $other declined at pushAggregation")
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-commit META-ONLY agg of $path " +
+      s"PushedAggregates=[${aggs.mkString(", ")}] (0 data files read)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CommitMetaAggPartition(answer()))
+
+  /** The final row, straight from the decoded stats. */
+  private def answer(): Seq[Any] = {
+    val stats = manifest.files.map(f => CommitSink.FileStat.decode(manifest.stats(f)))
+    aggs.toSeq.map {
+      case _: CountStar => stats.map(_.rows).sum
+      case f: Min =>
+        val c = colOf(f.column)
+        val mins = stats.flatMap(_.cols.get(c)).map(_.min.toLong)
+        if (mins.isEmpty) null
+        else if (colType(c) == IntegerType) mins.min.toInt else mins.min
+      case f: Max =>
+        val c = colOf(f.column)
+        val maxs = stats.flatMap(_.cols.get(c)).map(_.max.toLong)
+        if (maxs.isEmpty) null
+        else if (colType(c) == IntegerType) maxs.max.toInt else maxs.max
+      case other => sys.error(s"unreachable: $other")
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        p.asInstanceOf[CommitMetaAggPartition].row)
+      override def close(): Unit = ()
+    }
+}
+
+case class CommitMetaAggPartition(row: Seq[Any]) extends InputPartition
 
 /** Scan = the manifest's committed view, resolved ONCE at planning: the
   * file list and schema are pinned here, so a concurrent commit swapping
@@ -1049,7 +1183,8 @@ class CommitScanBuilder(path: String, version: Option[Long] = None)
   *    exchange on either side (storage-partitioned join).
   */
 class CommitScan(path: String, version: Option[Long] = None,
-                 skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+                 skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+                 required: Option[StructType] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1085,7 +1220,12 @@ class CommitScan(path: String, version: Option[Long] = None,
 
   private def abs(f: String): String = Paths.get(path, f).toString
 
-  override def readSchema(): StructType = StructType.fromDDL(manifest.ddl)
+  /** Pruned projection when Spark asked for one: the reader materializes
+    * exactly these fields (its per-line decoder skips keys it was not
+    * asked for, so unrequested columns cost a scan over their chars,
+    * never a parse or an allocation). */
+  override def readSchema(): StructType =
+    required.getOrElse(StructType.fromDDL(manifest.ddl))
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = partGroups match {
@@ -1101,8 +1241,12 @@ class CommitScan(path: String, version: Option[Long] = None,
   }
 
   override def outputPartitioning(): Partitioning = partGroups match {
-    case Some(groups) => new KeyGroupedPartitioning(
-      Array(Expressions.identity(manifest.partCol.get)), groups.size)
+    // the identity transform references the partition column by name —
+    // report the grouping only while the column survives projection
+    case Some(groups) if readSchema().fieldNames.contains(manifest.partCol.get) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.identity(manifest.partCol.get)), groups.size)
+    case Some(groups) => new UnknownPartitioning(groups.size)
     case None => new UnknownPartitioning(surviving.size)
   }
 
@@ -1119,11 +1263,12 @@ class CommitScan(path: String, version: Option[Long] = None,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitReaderFactory(manifest.ddl)
+    new CommitReaderFactory(readSchema().toDDL)
   override def description(): String =
     s"graft-commit scan of $path" +
       version.map(v => s" @v$v").getOrElse("") +
-      s" [files: ${surviving.size}/${manifest.files.size}]"
+      s" [files: ${surviving.size}/${manifest.files.size}, " +
+      s"columns: ${readSchema().size}/${StructType.fromDDL(manifest.ddl).size}]"
 }
 
 case class CommitFilesPartition(files: Seq[String]) extends InputPartition
@@ -1139,12 +1284,14 @@ case class CommitKeyedFilesPartition(files: Seq[String], key: Any)
 }
 
 class CommitReaderFactory(ddl: String) extends PartitionReaderFactory {
+  // a fully-pruned projection (COUNT(*) above a declined aggregate push)
+  // ships an EMPTY schema, which fromDDL refuses to parse
+  private def schema: StructType =
+    if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case CommitFilesPartition(fs) =>
-        new CommitFilesReader(fs, StructType.fromDDL(ddl))
-      case CommitKeyedFilesPartition(fs, _) =>
-        new CommitFilesReader(fs, StructType.fromDDL(ddl))
+      case CommitFilesPartition(fs)         => new CommitFilesReader(fs, schema)
+      case CommitKeyedFilesPartition(fs, _) => new CommitFilesReader(fs, schema)
       case other => sys.error(s"graft-commit: unexpected partition $other")
     }
 }

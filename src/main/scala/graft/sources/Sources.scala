@@ -675,7 +675,34 @@ object Sources {
     at(0).unionByName(at(1)).unionByName(at(2))
   }
 
+  /** o18: METADATA-ONLY aggregation — an unfiltered, ungrouped
+    * COUNT(*)/MIN/MAX over a committed table is answered entirely from
+    * the manifest's per-file statistics via DSv2 aggregate pushdown
+    * (`CommitMetaAggScan`): one input partition, one row, ZERO data
+    * files opened (LakeSpec proves it by deleting the data files and
+    * aggregating anyway; a WHERE clause or a NaN-unsafe double column
+    * declines to the honest scan). The Iceberg metadata-query device:
+    * at 100 TB the row counts and key ranges every pipeline health
+    * check runs first become O(manifest) driver work instead of a
+    * corpus scan. */
+  def o18Dsv2MetaAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o18/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4, col("user_id"))
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    spark.read.format(CommitSink.NAME).option("path", out).load()
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"),
+        min(col("user_id")).as("min_user_id"),
+        max(col("user_id")).as("max_user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o18_dsv2_meta_agg" -> o18Dsv2MetaAgg _,
     "o17_dsv2_time_travel" -> o17Dsv2TimeTravel _,
     "o16_dsv2_spj" -> o16Dsv2Spj _,
     "o15_dsv2_stats_broadcast" -> o15Dsv2StatsBroadcast _,
@@ -696,6 +723,12 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the manifest-served totals must equal the honest corpus aggregate
+    "o18_dsv2_meta_agg" ->
+      """SELECT COUNT(*) AS n,
+                MIN(event_id) AS min_event_id, MAX(event_id) AS max_event_id,
+                MIN(user_id) AS min_user_id, MAX(user_id) AS max_user_id
+         FROM events""",
     // the layout hop (range write → skipping read) must be value-invisible
     "o14_dsv2_file_skipping" ->
       s"""SELECT event_type, COUNT(*) AS n,

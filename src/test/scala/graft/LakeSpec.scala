@@ -235,6 +235,68 @@ class LakeSpec extends AnyFunSuite {
     assert(sources.CommitSink.readCommitted(spark, dir).count() == 100L)
   }
 
+  // --- o18: column pruning + metadata-only aggregates ----------------------
+
+  test("o18: column pruning reaches the commit-sink reader") {
+    val dir = freshDir("prune_cols")
+    fixture(100).write.format("graft-commit").option("path", dir)
+      .mode("overwrite").save()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    val two = read.select($"id", $"tag")
+    val scan = scanOf(two).scan.asInstanceOf[sources.CommitScan]
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id", "tag"),
+      "the scan must read only the projected columns")
+    assert(two.count() == 100L)
+    assert(two.filter($"tag" === "doc-7").head().getLong(0) == 7L)
+    // a projection needing ZERO source columns (a literal blocks the
+    // CountStar pushdown) must prune to an EMPTY read schema and still
+    // count rows — the empty-DDL reader path
+    val none = read.select(lit(1).as("one"))
+    assert(scanOf(none).scan.asInstanceOf[sources.CommitScan]
+      .readSchema().isEmpty, "literal-only projection prunes every column")
+    assert(none.count() == 100L)
+  }
+
+  test("o18: unfiltered COUNT/MIN/MAX are answered from the manifest alone") {
+    val dir = freshDir("meta_agg")
+    fixture(1000).select($"id", $"k", $"grade", $"score")
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    // the brutal proof that no data file is opened: DELETE them all
+    // (keep only the manifests) and aggregate anyway
+    val p = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(p)
+    try s.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .foreach(java.nio.file.Files.delete)
+    finally s.close()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    val agg = read.agg(count(lit(1)).as("n"), min($"id").as("min_id"),
+      max($"id").as("max_id"), min($"grade").as("min_grade"),
+      max($"grade").as("max_grade"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("META-ONLY"), s"expected the metadata-agg scan:\n$plan")
+    val r = agg.head()
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 0L && r.getLong(2) == 999L)
+    assert(r.getInt(3) == 0 && r.getInt(4) == 99, "int columns keep their type")
+  }
+
+  test("o18: a WHERE clause or a double column declines the metadata path") {
+    val dir = freshDir("meta_decline")
+    fixture(1000).select($"id", $"score")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    // filtered: must read real data (the count reflects the filter)
+    val filtered = read.filter($"id" < 100L).agg(count(lit(1)))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("META-ONLY"))
+    assert(filtered.head().getLong(0) == 100L)
+    // MAX over a double is NaN-unsafe from ranges: declined, computed honestly
+    val dmax = read.agg(max($"score"))
+    assert(!dmax.queryExecution.executedPlan.toString.contains("META-ONLY"))
+    assert(dmax.head().getDouble(0) == 99.9)
+  }
+
   // --- o17: time travel -----------------------------------------------------
 
   test("o17: every commit lands an immutable version manifest; VERSION AS OF reads it") {
