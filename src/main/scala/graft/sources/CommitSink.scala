@@ -131,6 +131,58 @@ object CommitSink {
     else spark.read.schema(schema).json(files.map(f => Paths.get(dir, f).toString): _*)
   }
 
+  /** File compaction — the OPTIMIZE command (o19): rewrite the current
+    * version's many small files as `numFiles` larger ones, landed as ONE
+    * new version under the ordinary truncate write (task-isolated
+    * staging, CAS'd manifest swap — readers see the pre- or post-compact
+    * table, never both). Values are untouched; the previous version
+    * stays time-travel readable until [[expireVersions]]. A partitioned
+    * table keeps its layout (the partitionBy write re-clusters, one key
+    * per file — numFiles then means "at most one file per key per
+    * task"). Small-file compaction is THE steady-state maintenance of a
+    * streaming-ingested table: epoch commits land one file per task per
+    * trigger, and a day of 1-minute triggers is 1440× too many files. */
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+    val partCol = parseManifest(Paths.get(dir)).flatMap(_.partCol)
+    val df = readCommitted(spark, dir)
+    // a partitioned table is NOT pre-repartitioned: the partitionBy write
+    // already declares (and plans) its own clustered+sorted shuffle, and
+    // one file per key per task is the compacted form of that layout
+    val shaped = if (partCol.isEmpty) df.repartition(numFiles) else df
+    val w = shaped.write.format(NAME).option("path", dir)
+    partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
+  }
+
+  /** Snapshot expiry — the VACUUM command (o19), the GC half of time
+    * travel: drop every version manifest except the newest `keepLast`,
+    * then delete data files no surviving version references. Runs under
+    * the sink's single-writer assumption (a concurrent commit could
+    * publish a new version mid-sweep; coordination is the transaction
+    * log's job in Iceberg/Delta, and the same position is documented on
+    * the manifest CAS). Returns (expired versions, deleted data files). */
+  def expireVersions(dir: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "expiry must keep at least the current version")
+    val d = Paths.get(dir)
+    val versions = listVersions(d)
+    val current = currentCommit(d)
+    // never expire the current version, whatever keepLast says
+    val keep = (versions.takeRight(keepLast) :+ current).distinct
+    val drop = versions.filterNot(keep.contains)
+    val live: Set[String] =
+      keep.flatMap(v => parseManifestVersion(d, v).files).toSet ++
+        parseManifest(d).map(_.files).getOrElse(Seq.empty)
+    drop.foreach(v => Files.deleteIfExists(d.resolve(versionFile(v))))
+    val removed = {
+      val s = Files.list(d)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("part-") && !live.contains(n))
+        .toSeq
+      finally s.close()
+    }
+    removed.foreach(n => Files.deleteIfExists(d.resolve(n)))
+    (drop, removed.sorted)
+  }
+
   /** Time-travel read (o17): the table as of commit `version`, from its
     * immutable version manifest. */
   def readCommittedVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {

@@ -701,7 +701,49 @@ object Sources {
         max(col("user_id")).as("max_user_id"))
   }
 
+  /** o19: COMPACTION + SNAPSHOT EXPIRY — the two maintenance commands
+    * that complete the sink's version lifecycle (Iceberg's
+    * rewrite_data_files + expire_snapshots): two event slices land as
+    * 16 small files across two commits (the steady state of a streaming
+    * ingest — one file per task per trigger), `CommitSink.compact`
+    * rewrites them as 4 files in ONE new version (values untouched,
+    * previous versions still time-travel readable), and
+    * `expireVersions(keepLast = 2)` drops the pre-compaction manifests
+    * and deletes the data files only they referenced. The readout pins
+    * the whole lifecycle: the post-compact aggregate must equal the
+    * oracle over both slices (nothing lost), file/version counts must
+    * land exactly (4 files, versions {1, 2} live), and the retained
+    * pre-compact version must still read (200-file time travel after
+    * GC). LakeSpec additionally proves expiry never touches files a
+    * kept version references and refuses keepLast = 0. */
+  def o19Dsv2Compaction(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o19/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0).repartition(8)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    ev.filter(col("event_id") % 2 === 1).repartition(8)
+      .write.format(CommitSink.NAME).option("path", out).mode("append").save()
+    CommitSink.compact(spark, out, 4)                  // version 2
+    val (expired, _) = CommitSink.expireVersions(out, keepLast = 2)
+    val p = java.nio.file.Paths.get(out)
+    val m = CommitSink.parseManifest(p).get
+    spark.read.format(CommitSink.NAME).option("path", out).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("n_files", lit(m.files.size.toLong))
+      .withColumn("n_versions_expired", lit(expired.size.toLong))
+      .withColumn("n_versions_live",
+        lit(CommitSink.listVersions(p).size.toLong))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o19_dsv2_compaction" -> o19Dsv2Compaction _,
     "o18_dsv2_meta_agg" -> o18Dsv2MetaAgg _,
     "o17_dsv2_time_travel" -> o17Dsv2TimeTravel _,
     "o16_dsv2_spj" -> o16Dsv2Spj _,
@@ -723,6 +765,18 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // compaction + expiry must be value-invisible; the file/version
+    // counts are the pinned lifecycle invariants (4 compacted files,
+    // 1 expired version, versions {1, 2} live)
+    "o19_dsv2_compaction" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(4 AS BIGINT) AS n_files,
+                 CAST(1 AS BIGINT) AS n_versions_expired,
+                 CAST(2 AS BIGINT) AS n_versions_live
+          FROM events GROUP BY 1""",
     // the manifest-served totals must equal the honest corpus aggregate
     "o18_dsv2_meta_agg" ->
       """SELECT COUNT(*) AS n,

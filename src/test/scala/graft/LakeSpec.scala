@@ -297,6 +297,89 @@ class LakeSpec extends AnyFunSuite {
     assert(dmax.head().getDouble(0) == 99.9)
   }
 
+  // --- o19: compaction + snapshot expiry ------------------------------------
+
+  test("o19: compaction rewrites small files as one new version, values untouched") {
+    val dir = freshDir("compact")
+    val in = fixture(1000).select($"id", $"k", $"score")
+    in.filter($"id" < 500L).repartition(8)
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    in.filter($"id" >= 500L).repartition(8)
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    val p = java.nio.file.Paths.get(dir)
+    assert(sources.CommitSink.parseManifest(p).get.files.size == 16)
+    sources.CommitSink.compact(spark, dir, 4)
+    val m = sources.CommitSink.parseManifest(p).get
+    assert(m.files.size == 4, "16 small files must compact to 4")
+    val back = sources.CommitSink.readCommitted(spark, dir)
+    assert(back.exceptAll(in).count() == 0 && in.exceptAll(back).count() == 0,
+      "compaction must be value-invisible (bit-exact doubles)")
+    // pre-compaction versions still time-travel readable
+    assert(sources.CommitSink.readCommittedVersion(spark, dir, 1L).count() == 1000L)
+    assert(sources.CommitSink.readCommittedVersion(spark, dir, 0L).count() == 500L)
+  }
+
+  test("o19: compaction of a partitioned table keeps the one-key-per-file layout") {
+    val dir = freshDir("compact_part")
+    val in = fixture(640).select($"id", $"k", $"score")
+    in.write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    sources.CommitSink.compact(spark, dir, 4)
+    val m = sources.CommitSink.parseManifest(java.nio.file.Paths.get(dir)).get
+    assert(m.partCol.contains("k"), "compaction must keep the partition column")
+    val decoded = m.files.map(f => sources.CommitSink.FileStat.decode(m.stats(f)))
+    assert(decoded.forall(_.pk.isDefined) &&
+      decoded.flatMap(_.pk).toSet == (0L until 16L).toSet,
+      "every compacted file still holds exactly one partition key")
+    val back = sources.CommitSink.readCommitted(spark, dir)
+    assert(back.exceptAll(in).count() == 0 && in.exceptAll(back).count() == 0)
+  }
+
+  test("o19: expiry drops old versions and exactly their orphaned files") {
+    val dir = freshDir("expire")
+    val in = fixture(600).select($"id", $"score")
+    in.filter($"id" < 300L).repartition(3)
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    in.filter($"id" >= 300L).repartition(3)
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    sources.CommitSink.compact(spark, dir, 2) // version 2
+    val p = java.nio.file.Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    def dataFiles: Set[String] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("part-")).toSet
+      finally s.close()
+    }
+    assert(dataFiles.size == 8, "6 original + 2 compacted before expiry")
+    val (expired, removed) = sources.CommitSink.expireVersions(dir, keepLast = 1)
+    assert(expired == Seq(0L, 1L))
+    assert(removed.size == 6, "exactly the pre-compaction files are GC'd")
+    assert(dataFiles.size == 2)
+    assert(sources.CommitSink.listVersions(p) == Seq(2L))
+    // the current version is untouched
+    val back = sources.CommitSink.readCommitted(spark, dir)
+    assert(back.exceptAll(in).count() == 0 && in.exceptAll(back).count() == 0)
+    // keepLast must retain at least the current version
+    intercept[IllegalArgumentException] {
+      sources.CommitSink.expireVersions(dir, keepLast = 0)
+    }
+  }
+
+  test("o19: expiry keeps files a retained version still references") {
+    val dir = freshDir("expire_shared")
+    // v0 writes files; v1 APPENDS — v1's manifest references v0's files,
+    // so expiring v0 must delete NOTHING
+    fixture(100).select($"id").repartition(2)
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    fixture(200).filter($"id" >= 100L).select($"id").repartition(2)
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    val (expired, removed) = sources.CommitSink.expireVersions(dir, keepLast = 1)
+    assert(expired == Seq(0L) && removed.isEmpty,
+      "v0's files live on inside v1 — expiry must not touch them")
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 200L)
+  }
+
   // --- o17: time travel -----------------------------------------------------
 
   test("o17: every commit lands an immutable version manifest; VERSION AS OF reads it") {
