@@ -742,7 +742,57 @@ object Sources {
         lit(CommitSink.listVersions(p).size.toLong))
   }
 
+  /** w16: the STREAMING CDC-upsert-to-lakehouse topology — the
+    * reference's whole consumer loop (consume → accumulate per-key state
+    * → upsert into the store, consumer_to_file.py:183-224) as one
+    * declarative pipeline on our own connectors: the DSv2 micro-batch
+    * sensor stream drives foreachBatch, and EACH micro-batch folds its
+    * per-sensor aggregate into the catalog table with a real SQL MERGE
+    * INTO (matched rows accumulate exact long sums, new sensors insert) —
+    * every batch lands as ONE copy-on-write version under the CAS'd
+    * manifest swap, so a reader mid-stream sees a consistent per-batch
+    * state, never a torn upsert. Exact long arithmetic makes the final
+    * state batch-boundary invariant: the read-back must equal the
+    * one-shot oracle over `range()` no matter how the 4 triggers tiled
+    * the ids. (foreachBatch MERGE is at-least-once under restart — a
+    * replayed batch would re-accumulate; the batchId-ledger dedup that
+    * w08 hand-rolls, or the o11 sink's native epoch ledger, is the
+    * exactly-once upgrade. This query runs a single uninterrupted
+    * stream, where the two semantics coincide; LakeSpec pins the
+    * 4-trigger shape and the per-batch version ledger.) */
+  def w16StreamMergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val (cat, root) = scopedCatalog(spark, "w16", dir)
+    val ck = s"$root/ck"
+    spark.sql(s"CREATE TABLE $cat.`default`.sensor_state " +
+      "(sensor INT, n BIGINT, sum_id BIGINT) USING `graft-commit`")
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 20000).option("slices", 8)
+      .option("streamBatchRows", 5000).load()
+      .select(col("id"), col("sensor"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        batch.groupBy(col("sensor"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+          .createOrReplaceTempView("w16_batch")
+        s.sql(s"""MERGE INTO $cat.`default`.sensor_state t
+                 USING w16_batch b ON t.sensor = b.sensor
+                 WHEN MATCHED THEN UPDATE SET
+                   n = t.n + b.n, sum_id = t.sum_id + b.s
+                 WHEN NOT MATCHED THEN INSERT (sensor, n, sum_id)
+                   VALUES (b.sensor, b.n, b.s)""")
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    CommitSink.readCommitted(spark, s"$root/default/sensor_state")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w16_stream_merge_upsert" -> w16StreamMergeUpsert _,
     "o19_dsv2_compaction" -> o19Dsv2Compaction _,
     "o18_dsv2_meta_agg" -> o18Dsv2MetaAgg _,
     "o17_dsv2_time_travel" -> o17Dsv2TimeTravel _,
@@ -765,6 +815,14 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the 4 per-batch MERGEs must fold to the one-shot aggregate —
+    // exact long arithmetic makes the state batch-boundary invariant
+    "w16_stream_merge_upsert" ->
+      """WITH s AS (
+           SELECT id, CAST(id % 97 AS INT) AS sensor FROM range(20000) t(id))
+         SELECT sensor, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(id) AS BIGINT) AS sum_id
+         FROM s GROUP BY 1""",
     // compaction + expiry must be value-invisible; the file/version
     // counts are the pinned lifecycle invariants (4 compacted files,
     // 1 expired version, versions {1, 2} live)

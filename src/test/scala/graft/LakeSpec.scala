@@ -435,6 +435,22 @@ class LakeSpec extends AnyFunSuite {
       s"unexpected: ${msgs(e)}")
   }
 
+  // --- w16: streaming MERGE topology ----------------------------------------
+
+  test("w16: each micro-batch MERGE lands one table version, state exact") {
+    val got = sources.Sources.w16StreamMergeUpsert(spark, sf0001)
+    val expect = spark.range(20000L)
+      .select(($"id" % 97).cast("int").as("sensor"), $"id")
+      .groupBy($"sensor")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+    assert(got.exceptAll(expect).count() == 0 && expect.exceptAll(got).count() == 0,
+      "4 per-batch MERGEs must fold to the one-shot aggregate exactly")
+    // version ledger: CREATE (v0) + one copy-on-write MERGE per trigger
+    val path = java.nio.file.Paths.get("/tmp/graft_w16/sf0_001/default/sensor_state")
+    assert(sources.CommitSink.listVersions(path) == Seq(0L, 1L, 2L, 3L, 4L),
+      "each of the 4 micro-batches commits exactly one table version")
+  }
+
   test("o17: a version that never committed fails loudly") {
     val dir = freshDir("travel_missing")
     fixture(10).select($"id").write.format("graft-commit")
