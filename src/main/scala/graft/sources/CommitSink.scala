@@ -164,23 +164,30 @@ object CommitSink {
     require(keepLast >= 1, "expiry must keep at least the current version")
     val d = Paths.get(dir)
     val versions = listVersions(d)
+    if (versions.isEmpty) return (Seq.empty, Seq.empty) // nothing to expire
     val current = currentCommit(d)
-    // never expire the current version, whatever keepLast says
-    val keep = (versions.takeRight(keepLast) :+ current).distinct
+    // never expire the current version, whatever keepLast says (guarded
+    // on existence: a pre-versioning current manifest has no version
+    // file, but its files are still protected via the union below)
+    val keep = (versions.takeRight(keepLast) ++ versions.filter(_ == current)).distinct
     val drop = versions.filterNot(keep.contains)
     val live: Set[String] =
       keep.flatMap(v => parseManifestVersion(d, v).files).toSet ++
         parseManifest(d).map(_.files).getOrElse(Seq.empty)
     drop.foreach(v => Files.deleteIfExists(d.resolve(versionFile(v))))
-    val removed = {
-      val s = Files.list(d)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(n => n.startsWith("part-") && !live.contains(n))
-        .toSeq
-      finally s.close()
-    }
+    val removed = listDataFiles(d).filterNot(live.contains)
     removed.foreach(n => Files.deleteIfExists(d.resolve(n)))
     (drop, removed.sorted)
+  }
+
+  /** Committed-style data files (`part-*`) currently on disk — shared by
+    * the truncate sweep and snapshot expiry, the two places that decide
+    * deletions (one lister, two liveness rules kept explicitly local). */
+  private[sources] def listDataFiles(dir: Path): Seq[String] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("part-")).toSeq
+    finally s.close()
   }
 
   /** Time-travel read (o17): the table as of commit `version`, from its
@@ -436,8 +443,15 @@ case class StagedFileSet(files: Seq[StagedFile]) extends WriterCommitMessage
 class CommitSinkProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = CommitSink.NAME
+  // getTable receives the ORIGINAL-case properties map while inferSchema
+  // gets a CaseInsensitiveStringMap — a case-insensitive lookup here keeps
+  // the two consistent (Spark options are conventionally case-insensitive;
+  // a case-sensitive get would silently read the CURRENT version while
+  // inferSchema pinned the old schema)
   private def versionOf(options: util.Map[String, String]): Option[Long] =
-    Option(options.get("versionAsOf")).map(_.trim.toLong)
+    options.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.trim.toLong
+    }
   // reads resolve against the committed manifest's schema (also what
   // `spark.read.format("graft-commit")` binds to); a never-written
   // target is empty — the write path accepts the incoming query's
@@ -832,10 +846,11 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val stats = (if (truncate) Map.empty[String, String]
                  else manifest.map(_.stats).getOrElse(Map.empty)) ++
       promoted.filter(_._2.nonEmpty).toMap
+    // record THIS write's layout: on append the require above already
+    // forced carriedPartCol == partCol (an empty-but-partitioned target
+    // must not impose its stale column on the files actually written)
     CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
-      commitId, epochs, expectedPrev = prev,
-      partCol = if (truncate) partCol else carriedPartCol.orElse(partCol),
-      stats = stats)
+      commitId, epochs, expectedPrev = prev, partCol = partCol, stats = stats)
     // after the swap: previous-version files (on truncate) and stray
     // staging output are garbage no reader can see — sweep them
     if (truncate) {
@@ -850,13 +865,9 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
         .iterator.filter(_ < commitId)
         .flatMap(v => CommitSink.parseManifestVersion(dir, v).files)
         .toSet
-      val s = Files.list(dir)
-      try s.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          !keep.contains(p.getFileName.toString) &&
-          !versionReferenced.contains(p.getFileName.toString))
-        .foreach(Files.deleteIfExists(_))
-      finally s.close()
+      CommitSink.listDataFiles(dir)
+        .filterNot(n => keep.contains(n) || versionReferenced.contains(n))
+        .foreach(n => Files.deleteIfExists(dir.resolve(n)))
     }
     CommitSink.sweepStaging(dir)
   }
@@ -1119,8 +1130,13 @@ class CommitScanBuilder(path: String, version: Option[Long] = None)
   private def statableLong(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
     e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
-        fullSchema.fields.find(_.name == r.fieldNames()(0))
-          .exists(f => f.dataType == LongType || f.dataType == IntegerType)
+        val name = r.fieldNames()(0)
+        // the name gate must MATCH the writer's statKind rule: a column
+        // the writer never records ranges for (separator chars in the
+        // name) would read "absent stats = all NULL" and answer NULL
+        name.matches("[A-Za-z0-9_]+") &&
+          fullSchema.fields.find(_.name == name)
+            .exists(f => f.dataType == LongType || f.dataType == IntegerType)
       case _ => false
     }
 
@@ -1148,7 +1164,13 @@ class CommitScanBuilder(path: String, version: Option[Long] = None)
 
   override def build(): Scan =
     if (aggs.nonEmpty) new CommitMetaAggScan(path, manifest.get, aggs)
-    else new CommitScan(path, version, skip, required)
+    else new CommitScan(path,
+      // hand the scan the manifest THIS builder's pushdown decisions were
+      // made against — a second disk read here could bind the scan to a
+      // concurrently-swapped snapshot with a different schema
+      manifest.getOrElse(
+        sys.error(s"graft-commit: no committed manifest at $path")),
+      version, skip, required)
 }
 
 /** The metadata-only aggregate scan (the Iceberg `SELECT COUNT(*)` device):
@@ -1234,7 +1256,8 @@ case class CommitMetaAggPartition(row: Seq[Any]) extends InputPartition
   *    equi-join of two co-partitioned committed tables runs with NO
   *    exchange on either side (storage-partitioned join).
   */
-class CommitScan(path: String, version: Option[Long] = None,
+class CommitScan(path: String, manifest: CommitSink.Manifest,
+                 version: Option[Long] = None,
                  skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                  required: Option[StructType] = None)
     extends Scan with Batch
@@ -1243,11 +1266,6 @@ class CommitScan(path: String, version: Option[Long] = None,
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
   import org.apache.spark.sql.connector.expressions.Expressions
 
-  private val manifest = version match {
-    case Some(v) => CommitSink.parseManifestVersion(Paths.get(path), v)
-    case None => CommitSink.parseManifest(Paths.get(path))
-      .getOrElse(sys.error(s"graft-commit: no committed manifest at $path"))
-  }
   private val fileStats: Map[String, CommitSink.FileStat] =
     manifest.stats.map { case (f, e) => f -> CommitSink.FileStat.decode(e) }
 

@@ -219,6 +219,43 @@ class LakeSpec extends AnyFunSuite {
     assert(decoded.forall(_.pk.isDefined), "post-DML files keep one key per file")
   }
 
+  test("o16: an append onto an EMPTY partitioned target records the write's own layout") {
+    val dir = freshDir("partempty")
+    fixture(100).select($"id", $"k").limit(0)
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    assert(sources.CommitSink.parseManifest(java.nio.file.Paths.get(dir))
+      .get.partCol.contains("k"))
+    // the target holds zero files, so an UNpartitioned append is legal —
+    // and the manifest must then describe the files actually written,
+    // not the stale empty version's layout (a wrong partCol would make
+    // the scan advertise a KeyGroupedPartitioning the files don't have)
+    fixture(100).select($"id", $"k")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    val m = sources.CommitSink.parseManifest(java.nio.file.Paths.get(dir)).get
+    assert(m.partCol.isEmpty, "the write's own (un)partitioning must win")
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 100L)
+  }
+
+  test("o17: versionAsOf is case-insensitive like every Spark option") {
+    val dir = freshDir("travel_case")
+    fixture(100).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    fixture(10).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    val pinned = spark.read.format("graft-commit").option("path", dir)
+      .option("versionasof", "0").load() // lower-case key
+    assert(pinned.count() == 100L,
+      "a case-variant option key must still pin the version, not silently read current")
+  }
+
+  test("o19: expiry on a never-versioned directory is a no-op") {
+    val dir = freshDir("expire_empty")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    assert(sources.CommitSink.expireVersions(dir, keepLast = 1) ==
+      ((Seq.empty, Seq.empty)))
+  }
+
   test("o16: appending with a different layout is refused") {
     val dir = freshDir("partmix")
     fixture(100).select($"id", $"k")
