@@ -375,7 +375,7 @@ object CommitSink {
   * that rounding could mis-prune, so it is simply not trusted); NaN never
   * prunes (NaN is excluded from recorded ranges and has its own ordering
   * in SQL). */
-private[sources] object CommitSkip {
+private[graft] object CommitSkip {
   import org.apache.spark.sql.sources._
   import CommitSink.{ColRange, FileStat}
 

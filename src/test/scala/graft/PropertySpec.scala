@@ -133,6 +133,110 @@ object PropertySpec extends Properties("graft") {
     Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
       .map(_.mkString)
 
+  // --- o14 zone maps: FileStat codec + skipping SOUNDNESS -----------------
+
+  private val statColName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+      .map(_.mkString).suchThat(_.nonEmpty)
+
+  private val longRange: Gen[(Long, Long)] = for {
+    a <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+    b <- Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)
+  } yield (math.min(a, b), math.max(a, b))
+
+  // adversarial but NaN-free (the writer excludes NaN from ranges)
+  private val dblVal: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-1e300, 1e300), Gen.oneOf(0.0, -0.0, Double.MinPositiveValue,
+      Double.PositiveInfinity, Double.NegativeInfinity, 1e-310 /* denormal */))
+
+  property("FileStat encode/decode round-trips rows, bytes, pk, and ranges") =
+    forAll(Gen.chooseNum(0L, Long.MaxValue / 2), Gen.chooseNum(0L, Long.MaxValue / 2),
+      Gen.option(Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2)),
+      Gen.mapOf(for {
+        c <- statColName
+        kind <- Gen.oneOf('l', 'd')
+        r <- if (kind == 'l') longRange.map { case (a, b) => (a.toString, b.toString) }
+             else for { x <- dblVal; y <- dblVal } yield
+               (math.min(x, y).toString, math.max(x, y).toString)
+      } yield c -> graft.sources.CommitSink.ColRange(kind, r._1, r._2))) {
+      (rows, bytes, pk, cols) =>
+        val st = graft.sources.CommitSink.FileStat(rows, bytes, pk, cols)
+        graft.sources.CommitSink.FileStat.decode(st.encode) == st
+    }
+
+  // The safety property of file skipping: if CommitSkip prunes a file,
+  // then NO row of that file satisfies the filter. Rows are generated,
+  // stats are computed exactly as CommitDataWriter computes them, and
+  // the filter is evaluated with SQL semantics on every row.
+  private sealed trait SkipFilterShape
+  private val filterGen: Gen[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    val col = Gen.oneOf("lv", "dv")
+    val value: String => Gen[Any] = {
+      case "lv" => Gen.chooseNum(-1000L, 1000L)
+      case _    => Gen.chooseNum(-100.0, 100.0)
+    }
+    lazy val leaf: Gen[Filter] = for {
+      c <- col
+      v <- value(c)
+      f <- Gen.oneOf[Any => Filter](
+        EqualTo(c, _), GreaterThan(c, _), GreaterThanOrEqual(c, _),
+        LessThan(c, _), LessThanOrEqual(c, _))
+    } yield f(v)
+    val inG: Gen[Filter] = for {
+      c <- col
+      vs <- Gen.nonEmptyListOf(value(c))
+    } yield In(c, vs.toArray)
+    def tree(depth: Int): Gen[Filter] =
+      if (depth == 0) Gen.oneOf(leaf, inG)
+      else Gen.frequency(
+        3 -> leaf, 1 -> inG,
+        1 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield And(l, r)),
+        1 -> (for { l <- tree(depth - 1); r <- tree(depth - 1) } yield Or(l, r)))
+    tree(2)
+  }
+
+  private def evalFilter(f: org.apache.spark.sql.sources.Filter,
+                         lv: Long, dv: Double): Boolean = {
+    import org.apache.spark.sql.sources._
+    def cmp(a: String, v: Any): Int = (a, v) match {
+      case ("lv", x: Long) => java.lang.Long.compare(lv, x)
+      // IEEE comparison, not Double.compare's total order: Spark (and the
+      // skipper's range checks) treat -0.0 == 0.0; inputs are NaN-free
+      case ("dv", x: Double) => if (dv == x) 0 else if (dv < x) -1 else 1
+      case _ => sys.error(s"unexpected $a=$v")
+    }
+    f match {
+      case EqualTo(a, v)            => cmp(a, v) == 0
+      case GreaterThan(a, v)        => cmp(a, v) > 0
+      case GreaterThanOrEqual(a, v) => cmp(a, v) >= 0
+      case LessThan(a, v)           => cmp(a, v) < 0
+      case LessThanOrEqual(a, v)    => cmp(a, v) <= 0
+      case In(a, vs)                => vs.exists(v => cmp(a, v) == 0)
+      case And(l, r)                => evalFilter(l, lv, dv) && evalFilter(r, lv, dv)
+      case Or(l, r)                 => evalFilter(l, lv, dv) || evalFilter(r, lv, dv)
+      case other => sys.error(s"unexpected $other")
+    }
+  }
+
+  property("file skipping is SOUND: a pruned file has no matching row") =
+    forAll(Gen.nonEmptyListOf(for {
+      l <- Gen.chooseNum(-1000L, 1000L)
+      d <- Gen.chooseNum(-100.0, 100.0)
+    } yield (l, d)), filterGen) { (rows, f) =>
+      // stats exactly as the writer records them
+      val st = graft.sources.CommitSink.FileStat(rows.length.toLong, 1L, None, Map(
+        "lv" -> graft.sources.CommitSink.ColRange('l',
+          rows.map(_._1).min.toString, rows.map(_._1).max.toString),
+        "dv" -> graft.sources.CommitSink.ColRange('d',
+          rows.map(_._2).min.toString, rows.map(_._2).max.toString)))
+      val pruned = graft.sources.CommitSkip.usable(f) &&
+        !graft.sources.CommitSkip.mayMatch(f, st)
+      // soundness: pruned ⇒ no row matches (completeness is NOT claimed —
+      // conservative non-prunes are always allowed)
+      !pruned || rows.forall { case (l, d) => !evalFilter(f, l, d) }
+    }
+
   property("FastSS completeness: lev(u,v) <= 1 implies the 1-deletion neighborhoods intersect") =
     forAll(word, word) { (u, v) =>
       // the direction d31's candidate generation RELIES on (soundness is
