@@ -791,7 +791,49 @@ object Sources {
     CommitSink.readCommitted(spark, s"$root/default/sensor_state")
   }
 
+  /** w17: streaming dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark` (the Spark 3.5+ API), the scale
+    * correction to w04's plain `dropDuplicates`: unbounded dedup keeps
+    * one state row per key FOREVER (at 100 TB of events that state is
+    * the job's death), while within-watermark dedup evicts a key's
+    * state once the watermark passes its event time + delay — state is
+    * bounded by the duplicate-arrival horizon, the contract
+    * at-least-once sources (Kafka redeliveries, the reference's
+    * fresh-group-id restarts) actually need. The sensor stream plants
+    * exact duplicates via `k = id % 2000` (10 arrivals per key across
+    * the 20000-id span); the 30000 s watermark delay exceeds the span,
+    * so every re-arrival is suppressed and the survivor key set is
+    * exactly DISTINCT(k) — the readout aggregates ONLY key-derived
+    * values (never the nondeterministic surviving row's timestamp), so
+    * the result is batch-boundary- and arrival-order-invariant and
+    * DuckDB-replayable. */
+  def w17DedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val ck = s"/tmp/graft_w17/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(ck)
+    spark.catalog.dropTempView("w17_dedup")
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 20000).option("slices", 8)
+      .option("streamBatchRows", 5000).load()
+      // watermarks require TIMESTAMP (LTZ); the source's ts is NTZ under
+      // Verify's UTC session — the cast is value-stable in UTC and the
+      // readout never reads ts anyway
+      .select((col("id") % 2000L).as("k"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "30000 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .groupBy((col("k") % 10L).as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("k")).as("sum_k"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("w17_dedup")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("w17_dedup")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w17_dedup_within_watermark" -> w17DedupWithinWatermark _,
     "w16_stream_merge_upsert" -> w16StreamMergeUpsert _,
     "o19_dsv2_compaction" -> o19Dsv2Compaction _,
     "o18_dsv2_meta_agg" -> o18Dsv2MetaAgg _,
@@ -815,6 +857,14 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the within-watermark dedup's survivor key set is exactly
+    // DISTINCT(id % 2000) — the readout never touches the surviving
+    // row's arrival-dependent columns
+    "w17_dedup_within_watermark" ->
+      """WITH s AS (SELECT DISTINCT id % 2000 AS k FROM range(20000) t(id))
+         SELECT k % 10 AS bucket, COUNT(*) AS n_keys,
+                CAST(SUM(k) AS BIGINT) AS sum_k
+         FROM s GROUP BY 1""",
     // the 4 per-batch MERGEs must fold to the one-shot aggregate —
     // exact long arithmetic makes the state batch-boundary invariant
     "w16_stream_merge_upsert" ->

@@ -417,6 +417,47 @@ class LakeSpec extends AnyFunSuite {
     assert(sources.CommitSink.readCommitted(spark, dir).count() == 200L)
   }
 
+  // --- w17: bounded-state streaming dedup -----------------------------------
+
+  test("w17: within-watermark dedup suppresses near re-arrivals and RE-ADMITS after eviction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val ck = freshDir("w17_spec_ck")
+    spark.catalog.dropTempView("w17_spec")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = mem.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("w17_spec").option("checkpointLocation", ck).start()
+    // batch 1: key 1 arrives, then re-arrives 5 s later — WITHIN the
+    // 10 s horizon, so the duplicate is suppressed
+    mem.addData((1L, ts(0)), (1L, ts(5)))
+    q.processAllAvailable()
+    // batch 2: a far-future key advances the watermark to 990 s, which
+    // passes key 1's eventTime + delay → its dedup state is EVICTED
+    mem.addData((99L, ts(1000)))
+    q.processAllAvailable()
+    // batch 3: key 1 re-arrives AFTER eviction — admitted again. This
+    // is the bounded-state contract: unlike w04's unbounded
+    // dropDuplicates (one state row per key forever), state size here
+    // is proportional to the duplicate-arrival horizon, not key count
+    mem.addData((1L, ts(1001)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("w17_spec").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L)).toSeq
+    // WHICH of two same-batch duplicates survives is arrival-order
+    // dependent (post-shuffle order) — assert the deterministic claims:
+    // one batch-1 survivor for key 1, the re-arrival admitted, 99 once
+    assert(got.size == 3, s"expected 3 admitted rows, got $got")
+    assert(got.count(_._1 == 1L) == 2, s"key 1 must admit twice, got $got")
+    assert(got.contains((99L, 1000L)) && got.contains((1L, 1001L)), s"got $got")
+    assert(got.exists(r => r._1 == 1L && (r._2 == 0L || r._2 == 5L)),
+      s"batch-1 survivor must be one of the two duplicates, got $got")
+  }
+
   // --- o17: time travel -----------------------------------------------------
 
   test("o17: every commit lands an immutable version manifest; VERSION AS OF reads it") {
