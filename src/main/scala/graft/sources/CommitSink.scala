@@ -1262,9 +1262,10 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
                  required: Option[StructType] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
-  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
   private val fileStats: Map[String, CommitSink.FileStat] =
     manifest.stats.map { case (f, e) => f -> CommitSink.FileStat.decode(e) }
@@ -1273,6 +1274,39 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     * filter was pushed or no stats were recorded). */
   private[sources] val surviving: Seq[String] = manifest.files.filter { f =>
     fileStats.get(f).forall(st => skip.forall(CommitSkip.mayMatch(_, st)))
+  }
+
+  // --- RUNTIME file skipping (the DPP contract, o08's device on the
+  // sink side): on the probe side of a broadcast join, Spark builds the
+  // dimension's key set first and hands it here BEFORE partitions are
+  // planned — the In-filter prunes committed files by the same manifest
+  // ranges as the static path, so a selective dimension shrinks the
+  // FILES OPENED at execution time. Offered only for unpartitioned
+  // tables: a KeyGroupedPartitioning's group count is already reported
+  // to the planner, and pruning groups afterwards would desync the
+  // partitioning contract (Iceberg sequences this through its own
+  // split planning; out of scope here).
+  private var runtimeSkip: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (manifest.partCol.isDefined) Array.empty
+    // only columns of the (possibly pruned) OUTPUT schema: Spark resolves
+    // these refs against the scan's output and fails analysis on a column
+    // the projection dropped
+    else readSchema().fields.collect {
+      case f if (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == DoubleType) && f.name.matches("[A-Za-z0-9_]+") =>
+        Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeSkip = filters.filter(CommitSkip.usable)
+
+  /** The runtime-pruned file set: static survivors minus files the
+    * runtime key set rules out. Evaluated inside planInputPartitions —
+    * Spark calls [[filter]] first. */
+  private def runtimeSurviving: Seq[String] = surviving.filter { f =>
+    fileStats.get(f).forall(st => runtimeSkip.forall(CommitSkip.mayMatch(_, st)))
   }
 
   /** One (key → files) group per partition value when the table is
@@ -1307,7 +1341,7 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         CommitKeyedFilesPartition(fs.map(abs), keyVal): InputPartition
       }.toArray
     case None =>
-      surviving.map(f => CommitFilesPartition(Seq(abs(f))): InputPartition).toArray
+      runtimeSurviving.map(f => CommitFilesPartition(Seq(abs(f))): InputPartition).toArray
   }
 
   override def outputPartitioning(): Partitioning = partGroups match {

@@ -272,6 +272,35 @@ class LakeSpec extends AnyFunSuite {
     assert(sources.CommitSink.readCommitted(spark, dir).count() == 100L)
   }
 
+  /** BatchScanExec hides its scan behind lazy fields until execution —
+    * disable AQE around plan assertions (mirrors Dsv2Spec). */
+  private def withoutAqe[A](body: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("o14: RUNTIME file skipping — a selective broadcast dim prunes fact files at execution") { withoutAqe {
+    val dir = freshDir("dpp")
+    fixture(1000).select($"id", $"score").repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val fact = spark.read.format("graft-commit").option("path", dir).load()
+    // selective predicate on the build side — the DPP rule's benefit gate
+    val keys = spark.range(1000L).filter($"id" >= 10L && $"id" < 40L)
+    val joined = fact.join(broadcast(keys), "id")
+      .agg(count(lit(1)).as("n"), min($"id").as("min_id"), max($"id").as("max_id"))
+    val row = joined.collect()(0)
+    assert(row.getLong(0) == 30L && row.getLong(1) == 10L && row.getLong(2) == 39L)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"), plan.take(2000))
+    val scan = joined.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[sources.CommitScan] => b
+    }.getOrElse(fail("no commit BatchScanExec in executed plan"))
+    val parts = scan.scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+    assert(parts.length == 1,
+      s"the key set [10, 40) must runtime-prune to the first of 4 files, got ${parts.length}")
+  } }
+
   // --- o18: column pruning + metadata-only aggregates ----------------------
 
   test("o18: column pruning reaches the commit-sink reader") {
