@@ -691,7 +691,7 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CommitScanBuilder(path)
+    new CommitScanBuilder(path, forDml = true)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CommitWriteBuilder(path, info, forceTruncate = true)
   override def description(): String = s"graft-commit $cmd (copy-on-write)"
@@ -1090,7 +1090,13 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   * Filter remains between the aggregate and the scan, and this builder
   * keeps every filter residual — so the metadata path is structurally
   * unreachable under a WHERE clause, never merely "hoped correct". */
-class CommitScanBuilder(path: String, version: Option[Long] = None)
+class CommitScanBuilder(path: String, version: Option[Long] = None,
+                        /** True for row-level-operation (UPDATE/MERGE/
+                          * DELETE-rewrite) scans: those must read the
+                          * WHOLE table — the write replaces it — so the
+                          * scan must not offer runtime filtering (see
+                          * the data-loss note at [[CommitScan]]). */
+                        forDml: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1111,7 +1117,13 @@ class CommitScanBuilder(path: String, version: Option[Long] = None)
   private var aggs: Array[AggregateFunc] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    skip = filters.filter(CommitSkip.usable)
+    // A DML scan must never prune FILES — not statically either: the
+    // row-level rewrite replaces the WHOLE table with the scan output,
+    // and Spark pushes the UPDATE/MERGE condition into this scan, so a
+    // zone-map prune here would silently delete every non-matching
+    // file's rows (LakeSpec regression-pins this with a 4-file
+    // range-partitioned UPDATE). Ordinary read scans keep the skip.
+    skip = if (forDml) Array.empty else filters.filter(CommitSkip.usable)
     filters
   }
   override def pushedFilters(): Array[Filter] = skip
@@ -1170,7 +1182,7 @@ class CommitScanBuilder(path: String, version: Option[Long] = None)
       // concurrently-swapped snapshot with a different schema
       manifest.getOrElse(
         sys.error(s"graft-commit: no committed manifest at $path")),
-      version, skip, required)
+      version, skip, required, forDml)
 }
 
 /** The metadata-only aggregate scan (the Iceberg `SELECT COUNT(*)` device):
@@ -1259,7 +1271,8 @@ case class CommitMetaAggPartition(row: Seq[Any]) extends InputPartition
 class CommitScan(path: String, manifest: CommitSink.Manifest,
                  version: Option[Long] = None,
                  skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-                 required: Option[StructType] = None)
+                 required: Option[StructType] = None,
+                 forDml: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1289,7 +1302,14 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   private var runtimeSkip: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    if (manifest.partCol.isDefined) Array.empty
+    // DML scans must NEVER offer runtime filtering: Spark's row-level
+    // runtime GROUP filtering (on by default) would inject the matched
+    // keys as an In-filter, this scan would prune non-matching FILES —
+    // and since the row-level write replaces the WHOLE table with the
+    // scan output, every pruned file's rows would be silently DELETED.
+    // (Iceberg survives that rule because its ReplaceData rewrites only
+    // the scanned groups; this sink's truncate-rewrite must read all.)
+    if (forDml || manifest.partCol.isDefined) Array.empty
     // only columns of the (possibly pruned) OUTPUT schema: Spark resolves
     // these refs against the scan's output and fails analysis on a column
     // the projection dropped

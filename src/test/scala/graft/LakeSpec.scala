@@ -446,6 +446,33 @@ class LakeSpec extends AnyFunSuite {
     assert(sources.CommitSink.readCommitted(spark, dir).count() == 200L)
   }
 
+  test("DML on a multi-file zone-mapped table must not lose unmatched files' rows") {
+    // regression for the runtime-group-filtering data-loss hazard: the
+    // row-level rewrite replaces the WHOLE table, so its scan must read
+    // every file — if Spark's row-level runtime group filtering were
+    // allowed to hand this scan the matched keys, files with disjoint id
+    // ranges (zone maps!) would prune and their rows would vanish
+    val root = freshDir("dml_dataloss")
+    spark.conf.set("spark.sql.catalog.graft_lake_dl", "graft.sources.CommitCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lake_dl.root", root)
+    val path = s"$root/default/t"
+    fixture(1000).select($"id", $"score")
+      .repartitionByRange(4, $"id") // 4 files with DISJOINT id ranges
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    spark.sql("UPDATE graft_lake_dl.`default`.t SET score = score + 1000.0 WHERE id < 40")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.count() == 1000L,
+      "an UPDATE matching one file must never drop the other files' rows")
+    assert(back.filter($"score" >= 1000.0).count() == 40L)
+    assert(back.filter($"id" >= 40L && $"score" >= 1000.0).count() == 0L)
+    // same shape through MERGE's DELETE branch
+    spark.range(10L).select($"id").createOrReplaceTempView("dl_src")
+    spark.sql("""MERGE INTO graft_lake_dl.`default`.t t USING dl_src s
+                 ON t.id = s.id WHEN MATCHED THEN DELETE""")
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 990L,
+      "a MERGE DELETE of 10 ids must keep the other 990 rows")
+  }
+
   // --- w17: bounded-state streaming dedup -----------------------------------
 
   test("w17: within-watermark dedup suppresses near re-arrivals and RE-ADMITS after eviction") {

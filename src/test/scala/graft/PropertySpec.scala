@@ -168,7 +168,6 @@ object PropertySpec extends Properties("graft") {
   // then NO row of that file satisfies the filter. Rows are generated,
   // stats are computed exactly as CommitDataWriter computes them, and
   // the filter is evaluated with SQL semantics on every row.
-  private sealed trait SkipFilterShape
   private val filterGen: Gen[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
     val col = Gen.oneOf("lv", "dv")
