@@ -515,6 +515,7 @@ class CommitSinkTable(path: String,
   override def capabilities(): util.Set[TableCapability] = {
     if (version.isDefined) return util.EnumSet.of(TableCapability.BATCH_READ)
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
@@ -534,7 +535,9 @@ class CommitSinkTable(path: String,
     * the table's scan relation (the condition is normalized against it)
     * and only then handing the translated predicates to [[deleteWhere]]. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CommitScanBuilder(path, version)
+    new CommitScanBuilder(path, version,
+      maxCommitsPerTrigger =
+        Option(options.get("maxCommitsPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue))
 
   /** SQL UPDATE / MERGE INTO (o13) — and the fallback for DELETEs whose
     * condition the metadata path can't translate: the group-based
@@ -1096,7 +1099,10 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
                           * WHOLE table — the write replaces it — so the
                           * scan must not offer runtime filtering (see
                           * the data-loss note at [[CommitScan]]). */
-                        forDml: Boolean = false)
+                        forDml: Boolean = false,
+                        /** Streaming-read admission knob (o20): how many
+                          * COMMITS one micro-batch may consume. */
+                        maxCommitsPerTrigger: Int = Int.MaxValue)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1182,7 +1188,7 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
       // concurrently-swapped snapshot with a different schema
       manifest.getOrElse(
         sys.error(s"graft-commit: no committed manifest at $path")),
-      version, skip, required, forDml)
+      version, skip, required, forDml, maxCommitsPerTrigger)
 }
 
 /** The metadata-only aggregate scan (the Iceberg `SELECT COUNT(*)` device):
@@ -1272,7 +1278,8 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
                  version: Option[Long] = None,
                  skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                  required: Option[StructType] = None,
-                 forDml: Boolean = false)
+                 forDml: Boolean = false,
+                 maxCommitsPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1388,11 +1395,93 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitReaderFactory(readSchema().toDDL)
+
+  /** The table AS A STREAM (o20) — each commit is a micro-batch. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version.isEmpty,
+      "graft-commit: a version-pinned table is a static fact, not a stream")
+    new CommitTableMicroBatchStream(path, manifest.ddl, maxCommitsPerTrigger)
+  }
+
   override def description(): String =
     s"graft-commit scan of $path" +
       version.map(v => s" @v$v").getOrElse("") +
       s" [files: ${surviving.size}/${manifest.files.size}, " +
       s"columns: ${readSchema().size}/${StructType.fromDDL(manifest.ddl).size}]"
+}
+
+/** The CHANGELOG micro-batch stream over a committed table (o20) — the
+  * Delta/Iceberg "table as a stream" device, the missing edge of the
+  * connector matrix (we could stream INTO the table since o11; this
+  * streams OUT OF it): the stream's offset IS the commit id, so each
+  * micro-batch reads exactly the files a commit range ADDED — computed
+  * as a set difference of the two immutable version manifests, which is
+  * also why offsets are restart-safe with no driver-side state at all
+  * (the r10 sensor-stream counter bug class cannot exist here: the
+  * ledger lives on disk).
+  *
+  * Contract: APPEND-ONLY ranges. A commit that removed files (truncate,
+  * DML rewrite, compaction) is not expressible as an incremental batch —
+  * the stream fails with a clear error instead of silently replaying or
+  * missing rows (Delta's position exactly; its `ignoreChanges` escape
+  * hatch is deliberately not replicated — silent row re-delivery is the
+  * wrong default). Snapshot expiry interplay: a consumer's next offset
+  * must still have its version manifest — retain at least as many
+  * versions as the slowest consumer lags, the same operational rule
+  * Delta documents for its checkpoint retention. */
+class CommitTableMicroBatchStream(path: String, ddl: String,
+                                  maxCommitsPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  private val dir = Paths.get(path)
+
+  /** Commit id already consumed; -1 = nothing yet (stream from genesis). */
+  private case class CommitPos(commit: Long) extends Offset {
+    override def json(): String = commit.toString
+  }
+
+  override def initialOffset(): Offset = CommitPos(-1L)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CommitPos].commit
+    val current = CommitSink.currentCommit(dir)
+    // never regress past a committed offset; admit at most
+    // maxCommitsPerTrigger commits per batch
+    CommitPos(math.max(from,
+      math.min(current, from + math.max(maxCommitsPerTrigger, 1))))
+  }
+
+  /** Unreachable under SupportsAdmissionControl; documented fallback. */
+  override def latestOffset(): Offset = CommitPos(CommitSink.currentCommit(dir))
+
+  override def deserializeOffset(json: String): Offset = CommitPos(json.toLong)
+
+  private def filesAt(commit: Long): Seq[String] =
+    if (commit < 0) Seq.empty
+    else CommitSink.parseManifestVersion(dir, commit).files
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[CommitPos].commit
+    val to = end.asInstanceOf[CommitPos].commit
+    val before = filesAt(from).toSet
+    val after = filesAt(to)
+    val removed = before -- after.toSet
+    if (removed.nonEmpty)
+      sys.error(s"graft-commit: commits ${from + 1}..$to of $path removed " +
+        s"${removed.size} file(s) (truncate/DML/compaction) — a changelog " +
+        "stream requires append-only commits; restart the stream from a " +
+        "fresh checkpoint to re-read the rewritten table")
+    after.filterNot(before)
+      .map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString)): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CommitReaderFactory(ddl)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class CommitFilesPartition(files: Seq[String]) extends InputPartition

@@ -832,7 +832,53 @@ object Sources {
     spark.table("w17_dedup")
   }
 
+  /** o20: the table AS A STREAM — the changelog micro-batch read
+    * ([[CommitTableMicroBatchStream]]), the last edge of the connector
+    * matrix (streaming INTO the table landed with o11; this streams OUT
+    * of it, the Delta/Iceberg table-stream device): three commits land
+    * the three event_id%3 slices, then `readStream` consumes the table
+    * with `maxCommitsPerTrigger=1` — the offset IS the commit id, each
+    * micro-batch reads exactly the files its commit range ADDED (a set
+    * difference of two immutable version manifests, so offsets are
+    * restart-safe with zero driver state), and the complete-mode
+    * aggregate after 3 real triggers must equal the one-shot oracle
+    * over the whole events table. Append-only ranges are the contract —
+    * a truncate/DML/compaction inside a consumed range fails loudly
+    * (LakeSpec pins the trigger count, incremental pickup of a commit
+    * made WHILE the stream runs, and the rewrite refusal). */
+  def o20Dsv2TableStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o20/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ck = s"/tmp/graft_o20_ck/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(ck)
+    spark.catalog.dropTempView("o20_table_stream")
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 3 === 0)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    ev.filter(col("event_id") % 3 === 1)
+      .write.format(CommitSink.NAME).option("path", out).mode("append").save()
+    ev.filter(col("event_id") % 3 === 2)
+      .write.format(CommitSink.NAME).option("path", out).mode("append").save()
+    val q = spark.readStream.format(CommitSink.NAME)
+      .option("path", out).option("maxCommitsPerTrigger", "1").load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o20_table_stream")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("o20_table_stream")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "o20_dsv2_table_stream" -> o20Dsv2TableStream _,
     "w17_dedup_within_watermark" -> w17DedupWithinWatermark _,
     "w16_stream_merge_upsert" -> w16StreamMergeUpsert _,
     "o19_dsv2_compaction" -> o19Dsv2Compaction _,
@@ -857,6 +903,13 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the 3 commit-batches must compose to the whole-table aggregate
+    "o20_dsv2_table_stream" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM events GROUP BY 1""",
     // the within-watermark dedup's survivor key set is exactly
     // DISTINCT(id % 2000) — the readout never touches the surviving
     // row's arrival-dependent columns

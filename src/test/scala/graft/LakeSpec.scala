@@ -473,6 +473,54 @@ class LakeSpec extends AnyFunSuite {
       "a MERGE DELETE of 10 ids must keep the other 990 rows")
   }
 
+  // --- o20: the table as a stream -------------------------------------------
+
+  test("o20: commit-granular triggers, incremental pickup, rewrite refusal") {
+    val dir = freshDir("tablestream")
+    val ck = freshDir("tablestream_ck")
+    spark.catalog.dropTempView("o20_spec")
+    fixture(300).filter($"id" < 100L).select($"id", $"score")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    fixture(300).filter($"id" >= 100L && $"id" < 200L).select($"id", $"score")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    val q = spark.readStream.format("graft-commit")
+      .option("path", dir).option("maxCommitsPerTrigger", "1").load()
+      .groupBy().agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o20_spec").option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    assert(spark.table("o20_spec").head().getLong(0) == 200L,
+      "the two existing commits must both be consumed")
+    val trigAfter2 = q.recentProgress.count(_.numInputRows > 0)
+    assert(trigAfter2 == 2,
+      s"maxCommitsPerTrigger=1 over 2 commits must run 2 data triggers, got $trigAfter2")
+    // a commit made WHILE the stream runs is picked up incrementally
+    fixture(300).filter($"id" >= 200L).select($"id", $"score")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    q.processAllAvailable()
+    val r = spark.table("o20_spec").head()
+    assert(r.getLong(0) == 300L && r.getLong(1) == (0L until 300L).sum,
+      "the live append must arrive as its own batch")
+    q.stop()
+    // a REWRRITE inside the unconsumed range must fail loudly, not
+    // silently re-deliver: truncate the table, restart from the same
+    // checkpoint — the next range (consumed..current) removed files
+    fixture(10).select($"id", $"score")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val q2 = spark.readStream.format("graft-commit")
+      .option("path", dir).load()
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o20_spec2").option("checkpointLocation", ck).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("append-only")), s"got: ${msgs(e)}")
+    q2.stop()
+  }
+
   // --- w17: bounded-state streaming dedup -----------------------------------
 
   test("w17: within-watermark dedup suppresses near re-arrivals and RE-ADMITS after eviction") {
