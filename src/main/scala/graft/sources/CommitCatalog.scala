@@ -95,8 +95,9 @@ class CommitCatalog extends TableCatalog {
     val p = pathFor(ident)
     Files.createDirectories(p)
     // commit 0 with no files, CAS'd on "no manifest yet" so a racing
-    // writer's commit is never clobbered
-    try CommitSink.writeManifest(p, schema.toDDL, Seq.empty, 0L, expectedPrev = -1L)
+    // writer's commit is never clobbered; a fresh generation id is minted
+    try CommitSink.writeManifest(p, schema.toDDL, Seq.empty, 0L, expectedPrev = -1L,
+      tableId = java.util.UUID.randomUUID().toString)
     catch { case _: IllegalArgumentException =>
       throw new TableAlreadyExistsException(ident)
     }

@@ -210,7 +210,16 @@ object CommitSink {
   private[graft] case class Manifest(commit: Long, ddl: String,
                                        files: Seq[String], epochs: Seq[Long],
                                        partCol: Option[String] = None,
-                                       stats: Map[String, String] = Map.empty)
+                                       stats: Map[String, String] = Map.empty,
+                                       /** Table GENERATION identity, minted at
+                                         * the first commit to a fresh target
+                                         * and carried by every later commit:
+                                         * what lets a changelog stream detect
+                                         * "dropped and re-created under my
+                                         * checkpoint" instead of silently
+                                         * skipping the new generation's rows
+                                         * (Delta's reservoir id). */
+                                       tableId: String = "")
 
   private[sources] def parseManifestText(txt: String, where: String): Manifest = {
     val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
@@ -225,6 +234,8 @@ object CommitSink {
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
     val partCol = "\"partcol\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+    val tableId = "\"tableid\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
     val stats = "\"filestats\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
@@ -232,7 +243,7 @@ object CommitSink {
         val bar = e.indexOf('|')
         e.substring(0, bar) -> e.substring(bar + 1)
       }.toMap
-    Manifest(commit, ddl, files, epochs, partCol, stats)
+    Manifest(commit, ddl, files, epochs, partCol, stats, tableId)
   }
 
   private[graft] def parseManifest(dir: Path): Option[Manifest] = {
@@ -301,7 +312,8 @@ object CommitSink {
                                      epochs: Seq[Long] = Seq.empty,
                                      expectedPrev: Long = SKIP_CAS,
                                      partCol: Option[String] = None,
-                                     stats: Map[String, String] = Map.empty): Unit = {
+                                     stats: Map[String, String] = Map.empty,
+                                     tableId: String = ""): Unit = {
     if (expectedPrev != SKIP_CAS) {
       val cur = currentCommit(dir)
       require(cur == expectedPrev,
@@ -312,6 +324,7 @@ object CommitSink {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
     val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
+      (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
       partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
       s""""schema":"${esc(ddl)}",""" +
       s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
@@ -346,6 +359,12 @@ object CommitSink {
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
   }
+
+  /** The table's generation id: carried from the existing manifest, or
+    * minted at the generation's FIRST commit. */
+  private[sources] def carriedOrFreshTableId(manifest: Option[Manifest]): String =
+    manifest.map(_.tableId).filter(_.nonEmpty)
+      .getOrElse(java.util.UUID.randomUUID().toString)
 
   private[sources] def stagingDir(dir: Path): Path = dir.resolve(STAGING)
 
@@ -537,7 +556,16 @@ class CommitSinkTable(path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CommitScanBuilder(path, version,
       maxCommitsPerTrigger =
-        Option(options.get("maxCommitsPerTrigger")).map(_.toInt).getOrElse(Int.MaxValue))
+        Option(options.get("maxCommitsPerTrigger")).map { v =>
+          val n = try v.trim.toInt catch {
+            case _: NumberFormatException => sys.error(
+              s"graft-commit: option maxCommitsPerTrigger must be a positive " +
+                s"integer, got '$v'")
+          }
+          require(n >= 1,
+            s"graft-commit: option maxCommitsPerTrigger must be >= 1, got $n")
+          n
+        }.getOrElse(Int.MaxValue))
 
   /** SQL UPDATE / MERGE INTO (o13) — and the fallback for DELETEs whose
     * condition the metadata path can't translate: the group-based
@@ -729,7 +757,7 @@ class CommitStreamingWrite(path: String, schema: StructType)
     // files — the CAS failure is caught and the existing manifest wins.
     if (!Files.exists(dir.resolve("_MANIFEST.json")))
       try CommitSink.writeManifest(dir, schema.toDDL, Seq.empty, 0L,
-        expectedPrev = -1L)
+        expectedPrev = -1L, tableId = CommitSink.carriedOrFreshTableId(None))
       catch { case _: IllegalArgumentException => () }
     new CommitStreamingWriterFactory(path, schema.toDDL)
   }
@@ -771,7 +799,8 @@ class CommitStreamingWrite(path: String, schema: StructType)
         promoted.filter(_._2.nonEmpty).toMap
       CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
         prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId,
-        expectedPrev = prev, stats = stats)
+        expectedPrev = prev, stats = stats,
+        tableId = CommitSink.carriedOrFreshTableId(manifest))
     }
     CommitSink.sweepStaging(dir)
   }
@@ -853,7 +882,8 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // forced carriedPartCol == partCol (an empty-but-partitioned target
     // must not impose its stale column on the files actually written)
     CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
-      commitId, epochs, expectedPrev = prev, partCol = partCol, stats = stats)
+      commitId, epochs, expectedPrev = prev, partCol = partCol, stats = stats,
+      tableId = CommitSink.carriedOrFreshTableId(manifest))
     // after the swap: previous-version files (on truncate) and stray
     // staging output are garbage no reader can see — sweep them
     if (truncate) {
@@ -1437,33 +1467,81 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   private val dir = Paths.get(path)
 
-  /** Commit id already consumed; -1 = nothing yet (stream from genesis). */
-  private case class CommitPos(commit: Long) extends Offset {
-    override def json(): String = commit.toString
+  /** This stream's table GENERATION. An offset restored from a
+    * checkpoint that names a different generation means the table was
+    * dropped and re-created underneath the consumer — silently diffing
+    * the NEW generation's manifests against the old offset would skip
+    * (lose) every new-generation commit up to it, so the mismatch is a
+    * hard error (Delta's reservoir-id check). */
+  private val generation: String =
+    CommitSink.parseManifest(dir).map(_.tableId).getOrElse("")
+
+  /** Commit id already consumed (-1 = genesis) + the generation that
+    * assigned it. */
+  private case class CommitPos(commit: Long, gen: String) extends Offset {
+    override def json(): String = s"$commit@$gen"
   }
 
-  override def initialOffset(): Offset = CommitPos(-1L)
+  private def checkGeneration(p: CommitPos): Unit =
+    require(p.gen.isEmpty || generation.isEmpty || p.gen == generation,
+      s"graft-commit: the checkpointed offset of $path belongs to table " +
+        s"generation ${p.gen} but the current table is generation " +
+        s"$generation — the table was dropped and re-created; restart the " +
+        "stream from a fresh checkpoint to read the new table")
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[CommitPos].commit
-    val current = CommitSink.currentCommit(dir)
-    // never regress past a committed offset; admit at most
-    // maxCommitsPerTrigger commits per batch
-    CommitPos(math.max(from,
-      math.min(current, from + math.max(maxCommitsPerTrigger, 1))))
-  }
+  override def initialOffset(): Offset = CommitPos(-1L, generation)
 
-  /** Unreachable under SupportsAdmissionControl; documented fallback. */
-  override def latestOffset(): Offset = CommitPos(CommitSink.currentCommit(dir))
-
-  override def deserializeOffset(json: String): Offset = CommitPos(json.toLong)
+  /** Versions that still have a manifest: admission steps only through
+    * EXISTING versions (snapshot expiry may have GC'd intermediate ones
+    * — the set-difference only ever needs the two ENDPOINT manifests,
+    * so skipping expired ids is sound). */
+  private def existingAfter(from: Long, current: Long): Seq[Long] =
+    CommitSink.listVersions(dir).filter(v => v > from && v <= current)
 
   private def filesAt(commit: Long): Seq[String] =
     if (commit < 0) Seq.empty
     else CommitSink.parseManifestVersion(dir, commit).files
 
+  /** Is per-commit replay through these versions append-only? */
+  private def chainAppendOnly(versions: Seq[Long]): Boolean =
+    (Seq(-1L) ++ versions).sliding(2).forall {
+      case Seq(a, b) => filesAt(a).toSet.subsetOf(filesAt(b).toSet)
+      case _ => true
+    }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CommitPos]
+    checkGeneration(s)
+    val from = s.commit
+    val current = CommitSink.currentCommit(dir)
+    if (current <= from) return CommitPos(from, generation)
+    val existing = existingAfter(from, current)
+    if (existing.isEmpty) return CommitPos(from, generation)
+    // A GENESIS consumer whose admissible history contains a rewrite (or
+    // whose early manifests imply one) cannot replay per-commit — but it
+    // CAN always bootstrap from the current snapshot in one batch (the
+    // endpoint diff from -1 removes nothing). Without this, a
+    // maxCommitsPerTrigger'd fresh stream on any rewritten-history table
+    // would crash-loop on a range no fresh checkpoint can ever clear.
+    if (from < 0 && !chainAppendOnly(existing))
+      return CommitPos(current, generation)
+    CommitPos(existing.take(math.max(maxCommitsPerTrigger, 1)).last, generation)
+  }
+
+  /** Unreachable under SupportsAdmissionControl; documented fallback. */
+  override def latestOffset(): Offset =
+    CommitPos(CommitSink.currentCommit(dir), generation)
+
+  override def deserializeOffset(json: String): Offset = {
+    val at = json.indexOf('@')
+    if (at < 0) CommitPos(json.toLong, "")
+    else CommitPos(json.substring(0, at).toLong, json.substring(at + 1))
+  }
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[CommitPos].commit
+    val sp = start.asInstanceOf[CommitPos]
+    checkGeneration(sp)
+    val from = sp.commit
     val to = end.asInstanceOf[CommitPos].commit
     val before = filesAt(from).toSet
     val after = filesAt(to)

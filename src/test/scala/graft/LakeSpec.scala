@@ -521,6 +521,99 @@ class LakeSpec extends AnyFunSuite {
     q2.stop()
   }
 
+  test("o20: a FRESH stream on a rewritten-history table bootstraps from the snapshot") {
+    // regression: per-commit admission over a history containing a
+    // rewrite used to crash-loop a fresh consumer (no fresh checkpoint
+    // could ever clear the historical range); the genesis consumer must
+    // instead take the current snapshot in one batch
+    val dir = freshDir("ts_rewrit"); val ck = freshDir("ts_rewrit_ck")
+    spark.catalog.dropTempView("o20_boot")
+    fixture(100).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()              // v0
+    fixture(50).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()              // v1 REWRITE
+    fixture(200).filter($"id" >= 50L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save() // v2
+    val q = spark.readStream.format("graft-commit")
+      .option("path", dir).option("maxCommitsPerTrigger", "1").load()
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o20_boot").option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("o20_boot").head().getLong(0) == 200L,
+      "the fresh consumer must read the whole current snapshot")
+  }
+
+  test("o20: expired intermediate versions do not break a fresh consumer") {
+    val dir = freshDir("ts_expired"); val ck = freshDir("ts_expired_ck")
+    spark.catalog.dropTempView("o20_exp")
+    fixture(100).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    fixture(200).filter($"id" >= 100L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    fixture(300).filter($"id" >= 200L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    // GC the early version manifests — admission must step only through
+    // versions that still exist
+    sources.CommitSink.expireVersions(dir, keepLast = 1)
+    val q = spark.readStream.format("graft-commit")
+      .option("path", dir).option("maxCommitsPerTrigger", "1").load()
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o20_exp").option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("o20_exp").head().getLong(0) == 300L)
+  }
+
+  test("o20: a dropped-and-recreated table is detected, never silently skipped") {
+    val dir = freshDir("ts_gen"); val ck = freshDir("ts_gen_ck")
+    spark.catalog.dropTempView("o20_gen")
+    fixture(100).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    fixture(200).filter($"id" >= 100L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    val q = spark.readStream.format("graft-commit").option("path", dir).load()
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o20_gen").option("checkpointLocation", ck).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("o20_gen").head().getLong(0) == 200L)
+    // DROP the table (directory) and re-create a new generation with
+    // MORE commits than the checkpointed offset
+    Tables.deleteRecursively(dir)
+    fixture(10).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    fixture(20).filter($"id" >= 10L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    val q2 = spark.readStream.format("graft-commit").option("path", dir).load()
+      .groupBy().agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("o20_gen2").option("checkpointLocation", ck).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dropped and re-created")), s"got: ${msgs(e)}")
+    q2.stop()
+  }
+
+  test("o20: a malformed maxCommitsPerTrigger names the option in its error") {
+    val dir = freshDir("ts_badopt")
+    fixture(10).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    val e = intercept[Exception] {
+      spark.read.format("graft-commit").option("path", dir)
+        .option("maxCommitsPerTrigger", "all").load().count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxCommitsPerTrigger")), s"got: ${msgs(e)}")
+  }
+
   // --- w17: bounded-state streaming dedup -----------------------------------
 
   test("w17: within-watermark dedup suppresses near re-arrivals and RE-ADMITS after eviction") {
