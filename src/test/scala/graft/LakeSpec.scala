@@ -203,6 +203,23 @@ class LakeSpec extends AnyFunSuite {
     }
   }
 
+  test("o16: a filter on the partition key statically prunes whole key groups") {
+    val dir = freshDir("partprune")
+    fixture(640).select($"id", $"k", $"score")
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val read = spark.read.format("graft-commit").option("path", dir).load()
+    // every partitioned file records pk as its k-range (min = max = key),
+    // so the zone-map skip IS partition pruning here — no extra machinery
+    val one = read.filter($"k" === 3L)
+    assert(scanOf(one).inputPartitions.length == 1,
+      "a single-key filter must plan exactly that key's group")
+    assert(one.count() == 40L)
+    val three = read.filter($"k".isin(1L, 5L, 9L))
+    assert(scanOf(three).inputPartitions.length == 3)
+    assert(three.count() == 120L)
+  }
+
   test("o16: DML preserves the partition layout (copy-on-write keeps partitionBy)") {
     val dir = freshDir("partdml")
     fixture(320).select($"id", $"k", $"score")
