@@ -1383,13 +1383,27 @@ object Dedup {
   def d22IncrementalScale(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    val index = docs.select($"doc_id", $"text")
-    val batch = incomingBatch(docs)
+    incrementalDecision(docs.select($"doc_id", $"text"), incomingBatch(docs))
+  }
+
+  /** The admit decision shared by d22 (one-shot) and d32 (streaming):
+    * exact (md5 equi-join) and near (map-side LSH, TRUE-jaccard
+    * verified) probes AGAINST THE INDEX ONLY. Because the minhash
+    * signature is a pure per-document function (no corpus dictionary),
+    * the near probe's banding is independent of WHICH other docs share
+    * the batch — so the decision for a doc is identical whether it
+    * arrives alone, in d22's one big batch, or in any micro-batch tiling
+    * (the property d32's oracle relies on). `cachePairs = false` for the
+    * streaming caller: per-batch caches would accumulate across
+    * triggers. */
+  private[graft] def incrementalDecision(index: DataFrame, batch: DataFrame,
+                                         cachePairs: Boolean = true): DataFrame = {
+    import index.sparkSession.implicits._
     val idxHash = index.select(md5($"text".cast("binary")).as("h"), $"doc_id".as("idx_id"))
     val exactHits = batch.select($"doc_id", md5($"text".cast("binary")).as("h"))
       .join(idxHash, "h")
       .groupBy($"doc_id").agg(min($"idx_id").as("exact_match"))
-    val nearHits = minHashPairsMapSide(index.unionByName(batch))
+    val nearHits = minHashPairsMapSide(index.unionByName(batch), doCache = cachePairs)
       .filter($"id1" < 1000000L && $"id2" >= 1000000L)
       .groupBy($"id2".as("doc_id")).agg(min($"id1").as("near_match"))
     batch.select($"doc_id")
@@ -1400,6 +1414,57 @@ object Dedup {
         $"near_match".isNotNull.as("is_near_dup"),
         coalesce($"exact_match", $"near_match").as("matched_id"),
         ($"exact_match".isNull && $"near_match".isNull).as("admit"))
+  }
+
+  /** d32: [[d22IncrementalScale]]'s admit decision running CONTINUOUSLY
+    * over the lakehouse — the operational shape of a live training-data
+    * ingest: incoming documents land in a commit table across three
+    * commits, the table's CHANGELOG stream (the o20 device — offset =
+    * commit id, one micro-batch per commit) delivers each arrival wave
+    * exactly once, every micro-batch is checked against the FIXED corpus
+    * index, and decisions append to a committed results table through
+    * the transactional sink. The per-doc minhash signature makes the
+    * decision batch-composition independent (see
+    * [[incrementalDecision]]), so the union of per-batch decisions is
+    * BY CONSTRUCTION equal to d22's one-shot run no matter how commits
+    * tile the incoming set — which is why d22's oracle is this query's
+    * oracle verbatim, and LakeSpec pins row-identity with d22. At
+    * 100 TB the index side's signatures are a precomputed table (d22's
+    * scale note) and each trigger's work is batch-sized; the streaming
+    * loop adds no new shuffle shape. */
+  def d32StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"/tmp/graft_d32/${new java.io.File(dir).getName}"
+    Tables.deleteRecursively(base)
+    val inPath = s"$base/incoming"; val outPath = s"$base/decisions"
+    val docs = Tables.documents(spark, dir)
+    val index = docs.select($"doc_id", $"text")
+    val incoming = incomingBatch(docs)
+    incoming.filter($"doc_id" % 3 === 0)
+      .write.format("graft-commit").option("path", inPath).mode("overwrite").save()
+    incoming.filter($"doc_id" % 3 === 1)
+      .write.format("graft-commit").option("path", inPath).mode("append").save()
+    incoming.filter($"doc_id" % 3 === 2)
+      .write.format("graft-commit").option("path", inPath).mode("append").save()
+    val q = spark.readStream.format("graft-commit")
+      .option("path", inPath).option("maxCommitsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // the micro-batch runs in a CLONED session whose function
+        // registry predates minhash_sig's lazy registration — register
+        // on every session the mixed-lineage plan can resolve against
+        graft.functions.MinHash.register(b.sparkSession)
+        graft.functions.MinHash.register(index.sparkSession)
+        incrementalDecision(index, b, cachePairs = false)
+          .write.format("graft-commit").option("path", outPath)
+          .mode("append").save()
+        ()
+      }
+      .option("checkpointLocation", s"$base/ck")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    graft.sources.CommitSink.readCommitted(spark, outPath)
   }
 
   val queries: Map[String, Q] = Map(
@@ -1433,6 +1498,7 @@ object Dedup {
     "d20_keep_best_scale"   -> d20KeepBestScale _,
     "d21_lsh_tuning_scale"  -> d21LshTuningScale _,
     "d22_incremental_scale" -> d22IncrementalScale _,
+    "d32_stream_dedup"      -> d32StreamDedup _,
     // d23 (8-bit-band simhash) demoted to spec-only in r9: the 256-key
     // pigeonhole banding is the small-corpus teaching form you'd never
     // run at scale (Θ(N²/256) candidate growth), and it was among the
@@ -1609,6 +1675,36 @@ object Dedup {
             SELECT a.doc_id, a.n_grams, g.h
             FROM anchors a JOIN gh g ON g.doc_id = a.doc_id AND g.p = a.apos)"""
   }
+
+  /** The incremental admit decision replayed exactly: exact matches via
+    * md5, near matches via the banding-free all-pairs true-jaccard
+    * device restricted to index-side partners — shared verbatim by d22
+    * (one-shot) and d32 (streamed), since the decision is provably
+    * batch-tiling invariant. */
+  private lazy val incrementalOracleSql: String =
+    s"""WITH ${exactNearCtesFor(incomingCorpusSql)},
+        batch AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
+        idx_hash AS (
+          SELECT md5(text) AS h, doc_id AS idx_id
+          FROM corpus WHERE doc_id < 1000000),
+        exact_hits AS (
+          SELECT b.doc_id, MIN(i.idx_id) AS exact_match
+          FROM (SELECT doc_id, md5(text) AS h FROM batch) b
+          JOIN idx_hash i USING (h)
+          GROUP BY b.doc_id),
+        near_hits AS (
+          SELECT id2 AS doc_id, MIN(id1) AS near_match
+          FROM truenear
+          WHERE id1 < 1000000 AND id2 >= 1000000
+          GROUP BY id2)
+        SELECT b.doc_id,
+               exact_match IS NOT NULL AS is_exact_dup,
+               near_match IS NOT NULL AS is_near_dup,
+               COALESCE(exact_match, near_match) AS matched_id,
+               (exact_match IS NULL AND near_match IS NULL) AS admit
+        FROM batch b
+        LEFT JOIN exact_hits USING (doc_id)
+        LEFT JOIN near_hits USING (doc_id)"""
 
   val oracles: Map[String, String] = Map(
     "d29_winnow_fingerprint" ->
@@ -1954,30 +2050,10 @@ object Dedup {
                    AS is_kept
           FROM lab l JOIN sz USING (cluster_id) JOIN tk USING (doc_id)
           WHERE sz.cluster_size > 1""",
-    "d22_incremental_scale" ->
-      s"""WITH ${exactNearCtesFor(incomingCorpusSql)},
-          batch AS (SELECT doc_id, text FROM corpus WHERE doc_id >= 1000000),
-          idx_hash AS (
-            SELECT md5(text) AS h, doc_id AS idx_id
-            FROM corpus WHERE doc_id < 1000000),
-          exact_hits AS (
-            SELECT b.doc_id, MIN(i.idx_id) AS exact_match
-            FROM (SELECT doc_id, md5(text) AS h FROM batch) b
-            JOIN idx_hash i USING (h)
-            GROUP BY b.doc_id),
-          near_hits AS (
-            SELECT id2 AS doc_id, MIN(id1) AS near_match
-            FROM truenear
-            WHERE id1 < 1000000 AND id2 >= 1000000
-            GROUP BY id2)
-          SELECT b.doc_id,
-                 exact_match IS NOT NULL AS is_exact_dup,
-                 near_match IS NOT NULL AS is_near_dup,
-                 COALESCE(exact_match, near_match) AS matched_id,
-                 (exact_match IS NULL AND near_match IS NULL) AS admit
-          FROM batch b
-          LEFT JOIN exact_hits USING (doc_id)
-          LEFT JOIN near_hits USING (doc_id)""",
+    // d32 streams the same decision batch-by-batch; the per-doc
+    // signature makes it batch-invariant, so the oracle is d22's
+    "d32_stream_dedup" -> incrementalOracleSql,
+    "d22_incremental_scale" -> incrementalOracleSql,
     "d01_exact_dedup" ->
       s"""WITH $corpusSql
           SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,

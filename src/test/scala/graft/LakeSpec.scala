@@ -631,6 +631,23 @@ class LakeSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("maxCommitsPerTrigger")), s"got: ${msgs(e)}")
   }
 
+  // --- d32: streaming incremental dedup over the changelog ------------------
+
+  test("d32: the streamed admit decisions equal d22's one-shot run row-for-row") {
+    val streamed = ext.Dedup.d32StreamDedup(spark, sf0001)
+    val oneShot = ext.Dedup.d22IncrementalScale(spark, sf0001)
+    assert(streamed.count() == oneShot.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(streamed).count() == 0,
+      "batch tiling must be invisible: per-doc signatures make the near " +
+        "probe's banding independent of batch composition")
+    // the decisions landed through the transactional sink in 3 commits —
+    // one per incoming changelog batch
+    val out = java.nio.file.Paths.get("/tmp/graft_d32/sf0.001/decisions")
+    assert(sources.CommitSink.listVersions(out).size == 3,
+      "one decision commit per incoming micro-batch")
+  }
+
   // --- w17: bounded-state streaming dedup -----------------------------------
 
   test("w17: within-watermark dedup suppresses near re-arrivals and RE-ADMITS after eviction") {
