@@ -1393,9 +1393,8 @@ object Dedup {
     * the near probe's banding is independent of WHICH other docs share
     * the batch — so the decision for a doc is identical whether it
     * arrives alone, in d22's one big batch, or in any micro-batch tiling
-    * (the property d32's oracle relies on). `cachePairs = false` for the
-    * streaming caller: per-batch caches would accumulate across
-    * triggers. */
+    * (the property d32's oracle relies on — d32 probes a PREPARED index
+    * with per-batch band joins, provably the same pair set). */
   private[graft] def incrementalDecision(index: DataFrame, batch: DataFrame,
                                          cachePairs: Boolean = true): DataFrame = {
     import index.sparkSession.implicits._
@@ -1432,6 +1431,17 @@ object Dedup {
     * 100 TB the index side's signatures are a precomputed table (d22's
     * scale note) and each trigger's work is batch-sized; the streaming
     * loop adds no new shuffle shape. */
+  /** The 2-row-per-signature LSH band projection shared by the map-side
+    * pair build and the prepared-index probe. */
+  private def bandsOf(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    (0 until K / 2).map { b =>
+      sig.select($"doc_id", lit(b).as("band"),
+        concat_ws(":", element_at($"sig", 2 * b + 1),
+                       element_at($"sig", 2 * b + 2)).as("bkey"))
+    }.reduce(_ unionByName _)
+  }
+
   def d32StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = s"/tmp/graft_d32/${new java.io.File(dir).getName}"
@@ -1439,32 +1449,80 @@ object Dedup {
     val inPath = s"$base/incoming"; val outPath = s"$base/decisions"
     val docs = Tables.documents(spark, dir)
     val index = docs.select($"doc_id", $"text")
-    val incoming = incomingBatch(docs)
-    incoming.filter($"doc_id" % 3 === 0)
-      .write.format("graft-commit").option("path", inPath).mode("overwrite").save()
-    incoming.filter($"doc_id" % 3 === 1)
-      .write.format("graft-commit").option("path", inPath).mode("append").save()
-    incoming.filter($"doc_id" % 3 === 2)
-      .write.format("graft-commit").option("path", inPath).mode("append").save()
-    val q = spark.readStream.format("graft-commit")
-      .option("path", inPath).option("maxCommitsPerTrigger", "1").load()
-      .writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        // the micro-batch runs in a CLONED session whose function
-        // registry predates minhash_sig's lazy registration — register
-        // on every session the mixed-lineage plan can resolve against
-        graft.functions.MinHash.register(b.sparkSession)
-        graft.functions.MinHash.register(index.sparkSession)
-        incrementalDecision(index, b, cachePairs = false)
-          .write.format("graft-commit").option("path", outPath)
-          .mode("append").save()
-        ()
-      }
-      .option("checkpointLocation", s"$base/ck")
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    graft.sources.CommitSink.readCommitted(spark, outPath)
+    // The index side is prepared ONCE, before the stream starts — the
+    // 100 TB form d22's scale note names: shingle arrays, signatures'
+    // band table, and the content-hash table are a STORED index a live
+    // ingest maintains, not something recomputed per arrival wave. Each
+    // micro-batch then only shingles ITSELF and probes the cached bands
+    // (per-trigger work is batch-sized). Cached for the stream's life,
+    // unpersisted after.
+    val sharrIdx = shingleArrays(index).filter(size($"shingles") > 0).cache()
+    val sigIdx = sharrIdx.select($"doc_id",
+      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))
+    val bandsIdx = bandsOf(sigIdx).cache()
+    val idxHash = index
+      .select(md5($"text".cast("binary")).as("h"), $"doc_id".as("idx_id")).cache()
+    try {
+      val incoming = incomingBatch(docs)
+      incoming.filter($"doc_id" % 3 === 0)
+        .write.format("graft-commit").option("path", inPath).mode("overwrite").save()
+      incoming.filter($"doc_id" % 3 === 1)
+        .write.format("graft-commit").option("path", inPath).mode("append").save()
+      incoming.filter($"doc_id" % 3 === 2)
+        .write.format("graft-commit").option("path", inPath).mode("append").save()
+      val q = spark.readStream.format("graft-commit")
+        .option("path", inPath).option("maxCommitsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          // the micro-batch runs in a CLONED session whose function
+          // registry predates minhash_sig's lazy registration
+          graft.functions.MinHash.register(b.sparkSession)
+          graft.functions.MinHash.register(spark)
+          val sharrB = shingleArrays(b).filter(size($"shingles") > 0)
+          val sigB = sharrB.select($"doc_id",
+            graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))
+          // candidates = stored index bands ⋈ this batch's bands — the
+          // same cross-boundary pair set minHashPairsMapSide(index ∪
+          // batch) yields (signatures are per-doc, so banding cannot
+          // depend on batch composition), verified on TRUE jaccard
+          val cand = bandsIdx.as("x").join(bandsOf(sigB).as("y"),
+              $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey")
+            .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+          val nearHits = cand
+            .join(sharrIdx.select($"doc_id".as("id1"), $"shingles".as("sh1")), "id1")
+            .join(sharrB.select($"doc_id".as("id2"), $"shingles".as("sh2")), "id2")
+            .select($"id1", $"id2",
+              size(array_intersect($"sh1", $"sh2")).cast("long").as("inter"),
+              size($"sh1").cast("long").as("n1"),
+              size($"sh2").cast("long").as("n2"))
+            .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+            .groupBy($"id2".as("doc_id")).agg(min($"id1").as("near_match"))
+          val exactHits = b.select($"doc_id", md5($"text".cast("binary")).as("h"))
+            .join(idxHash, "h")
+            .groupBy($"doc_id").agg(min($"idx_id").as("exact_match"))
+          b.select($"doc_id")
+            .join(exactHits, Seq("doc_id"), "left")
+            .join(nearHits, Seq("doc_id"), "left")
+            .select($"doc_id",
+              $"exact_match".isNotNull.as("is_exact_dup"),
+              $"near_match".isNotNull.as("is_near_dup"),
+              coalesce($"exact_match", $"near_match").as("matched_id"),
+              ($"exact_match".isNull && $"near_match".isNull).as("admit"))
+            .write.format("graft-commit").option("path", outPath)
+            .mode("append").save()
+          ()
+        }
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // materialize the decision read-back BEFORE dropping the caches
+      val rows = graft.sources.CommitSink.readCommitted(spark, outPath)
+      rows.count()
+      rows
+    } finally {
+      sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
+    }
   }
 
   val queries: Map[String, Q] = Map(
