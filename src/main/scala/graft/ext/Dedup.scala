@@ -1463,12 +1463,14 @@ object Dedup {
     val idxHash = index
       .select(md5($"text".cast("binary")).as("h"), $"doc_id".as("idx_id")).cache()
     try {
+      // two arrival waves: the multi-batch proof shape (>= 2 real
+      // triggers — the c17/o10 trigger-count precedent) at the least
+      // per-trigger harness cost; the decision is tiling-invariant, so
+      // any split proves the same property
       val incoming = incomingBatch(docs)
-      incoming.filter($"doc_id" % 3 === 0)
+      incoming.filter($"doc_id" % 2 === 0)
         .write.format("graft-commit").option("path", inPath).mode("overwrite").save()
-      incoming.filter($"doc_id" % 3 === 1)
-        .write.format("graft-commit").option("path", inPath).mode("append").save()
-      incoming.filter($"doc_id" % 3 === 2)
+      incoming.filter($"doc_id" % 2 === 1)
         .write.format("graft-commit").option("path", inPath).mode("append").save()
       val q = spark.readStream.format("graft-commit")
         .option("path", inPath).option("maxCommitsPerTrigger", "1").load()

@@ -641,10 +641,10 @@ class LakeSpec extends AnyFunSuite {
       oneShot.exceptAll(streamed).count() == 0,
       "batch tiling must be invisible: per-doc signatures make the near " +
         "probe's banding independent of batch composition")
-    // the decisions landed through the transactional sink in 3 commits —
-    // one per incoming changelog batch
+    // the decisions landed through the transactional sink in 2 commits —
+    // one per incoming changelog batch (the multi-batch proof shape)
     val out = java.nio.file.Paths.get("/tmp/graft_d32/sf0.001/decisions")
-    assert(sources.CommitSink.listVersions(out).size == 3,
+    assert(sources.CommitSink.listVersions(out).size == 2,
       "one decision commit per incoming micro-batch")
   }
 
