@@ -1452,17 +1452,24 @@ object Dedup {
     // The index side is prepared ONCE, before the stream starts — the
     // 100 TB form d22's scale note names: shingle arrays, signatures'
     // band table, and the content-hash table are a STORED index a live
-    // ingest maintains, not something recomputed per arrival wave. Each
-    // micro-batch then only shingles ITSELF and probes the cached bands
-    // (per-trigger work is batch-sized). Cached for the stream's life,
-    // unpersisted after.
-    val sharrIdx = shingleArrays(index).filter(size($"shingles") > 0).cache()
-    val sigIdx = sharrIdx.select($"doc_id",
-      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))
-    val bandsIdx = bandsOf(sigIdx).cache()
-    val idxHash = index
-      .select(md5($"text".cast("binary")).as("h"), $"doc_id".as("idx_id")).cache()
-    try {
+    // ingest MAINTAINS across arrival waves, not something recomputed
+    // per wave (or per run) — so the three tables ride the same
+    // session-level memo the cluster labelings use: repeat registry runs
+    // in one JVM model exactly the maintained index. Each micro-batch
+    // then only shingles ITSELF and probes the stored bands
+    // (per-trigger work is batch-sized).
+    val sharrIdx = memoDf(spark, dir, "d32:index:sharr") {
+      shingleArrays(index).filter(size($"shingles") > 0).cache()
+    }
+    val bandsIdx = memoDf(spark, dir, "d32:index:bands") {
+      bandsOf(sharrIdx.select($"doc_id",
+        graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))).cache()
+    }
+    val idxHash = memoDf(spark, dir, "d32:index:hash") {
+      index.select(md5($"text".cast("binary")).as("h"),
+        $"doc_id".as("idx_id")).cache()
+    }
+    locally {
       // two arrival waves: the multi-batch proof shape (>= 2 real
       // triggers — the c17/o10 trigger-count precedent) at the least
       // per-trigger harness cost; the decision is tiling-invariant, so
@@ -1518,12 +1525,7 @@ object Dedup {
         .start()
       q.processAllAvailable()
       q.stop()
-      // materialize the decision read-back BEFORE dropping the caches
-      val rows = graft.sources.CommitSink.readCommitted(spark, outPath)
-      rows.count()
-      rows
-    } finally {
-      sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
+      graft.sources.CommitSink.readCommitted(spark, outPath)
     }
   }
 
