@@ -44,14 +44,26 @@ class CommitCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
+  /** Identifier segments become path segments, so they must never BE
+    * path syntax: backquoted SQL identifiers can carry '/' or '..',
+    * which would resolve (and, via dropTable, recursively DELETE)
+    * outside the catalog root. Reject anything but a plain name. */
+  private def checkSegment(s: String): String = {
+    require(s.matches("[A-Za-z0-9_.-]+") && s != "." && s != "..",
+      s"graft-commit catalog: invalid identifier segment '$s' — segments " +
+        "must match [A-Za-z0-9_.-]+ and may not be '.' or '..'")
+    s
+  }
+
   private def pathFor(ident: Identifier): Path =
-    Paths.get((root +: ident.namespace().toSeq :+ ident.name()).mkString("/"))
+    Paths.get((root +: (ident.namespace().toSeq :+ ident.name())
+      .map(checkSegment)).mkString("/"))
 
   override def tableExists(ident: Identifier): Boolean =
     Files.exists(pathFor(ident).resolve("_MANIFEST.json"))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val d = Paths.get((root +: namespace.toSeq).mkString("/"))
+    val d = Paths.get((root +: namespace.toSeq.map(checkSegment)).mkString("/"))
     if (!Files.isDirectory(d)) Array.empty
     else {
       val s = Files.list(d)

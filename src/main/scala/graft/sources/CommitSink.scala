@@ -68,6 +68,60 @@ object CommitSink {
   private val MANIFEST = "_MANIFEST.json"
   private val STAGING = "_staging"
 
+  /** Thrown by the manifest CAS when another writer's commit landed
+    * between this writer's planning read and its swap. Subclasses
+    * IllegalArgumentException so pre-existing callers that treated the
+    * CAS refusal as an argument violation keep working; new callers (the
+    * append retry loop) catch THIS type to retry safely. */
+  private[graft] class ConcurrentCommitException(msg: String)
+      extends IllegalArgumentException(msg)
+
+  /** Per-path commit mutex: makes the CAS check + manifest swap one
+    * atomic step for writers in THIS JVM (local mode — the whole
+    * deployment). On a real object store this is the conditional-put /
+    * atomic-rename primitive the store provides; the lock models it so
+    * two local threads can never both pass the check. */
+  private val commitLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: Path): Object =
+    commitLocks.computeIfAbsent(dir.toAbsolutePath.normalize.toString,
+      _ => new Object)
+
+  /** A planned GROUP-GRANULAR rewrite: the manifest the rewrite's read
+    * side was planned against, plus the files that read actually scanned
+    * (everything else is carried forward verbatim). Threading this from
+    * planning into [[CommitBatchWrite]] is what makes (a) a one-row
+    * UPDATE rewrite one file instead of the whole table, and (b) the
+    * commit CAS compare against the PLANNING-time commit id — a commit
+    * landing while the rewrite job runs now hard-fails instead of being
+    * silently overwritten by the truncate. */
+  private[graft] case class DmlRewrite(planning: Manifest,
+                                       scanned: () => Set[String])
+
+  /** Driver-side handoff of a [[DmlRewrite]] into a DataFrame-API write
+    * (compact / deleteWhere go through `df.write.format(...)`, which can
+    * only carry string options): register → pass the token as an option →
+    * the write builder takes (removes) it. Same-JVM only, like the sink. */
+  private val pendingRewrites =
+    new java.util.concurrent.ConcurrentHashMap[String, DmlRewrite]()
+  private[graft] def registerRewrite(r: DmlRewrite): String = {
+    val t = java.util.UUID.randomUUID().toString
+    pendingRewrites.put(t, r)
+    t
+  }
+  private[graft] def takeRewrite(token: String): DmlRewrite =
+    Option(pendingRewrites.remove(token)).getOrElse(
+      sys.error(s"graft-commit: unknown or already-consumed rewrite token $token"))
+
+  /** Attempt-unique fragment for PROMOTED data-file names. Promotion
+    * happens before the manifest CAS, and two racing writers compute the
+    * same next commit id — with deterministic names the loser's
+    * ATOMIC_MOVE could replace the winner's already-committed file. A
+    * per-write nonce makes that structurally impossible: no two write
+    * attempts ever promote onto the same final name. */
+  private[sources] def writeNonce(): String =
+    java.lang.Long.toHexString(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() >>> 16)
+
   /** Immutable per-version manifest copy (`_MANIFEST-v<commit>.json`),
     * written by every successful commit next to the mutable current
     * pointer — the time-travel device (o17): `VERSION AS OF n` reads the
@@ -143,14 +197,28 @@ object CommitSink {
     * streaming-ingested table: epoch commits land one file per task per
     * trigger, and a day of 1-minute triggers is 1440× too many files. */
   def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
-    val partCol = parseManifest(Paths.get(dir)).flatMap(_.partCol)
-    val df = readCommitted(spark, dir)
+    // pin ONE manifest: the rows read below and the commit CAS both bind
+    // to it, so a commit landing while the compaction job runs hard-fails
+    // the swap instead of having its rows silently truncated away
+    val m = parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    val schema = StructType.fromDDL(m.ddl)
+    val df =
+      if (m.files.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .json(m.files.map(f => Paths.get(dir, f).toString): _*)
     // a partitioned table is NOT pre-repartitioned: the partitionBy write
     // already declares (and plans) its own clustered+sorted shuffle, and
     // one file per key per task is the compacted form of that layout
-    val shaped = if (partCol.isEmpty) df.repartition(numFiles) else df
+    val shaped = if (m.partCol.isEmpty) df.repartition(numFiles) else df
+    // compaction "scans" every pinned file — the rewrite replaces all of
+    // them, carrying none, exactly the old truncate shape but CAS'd
+    // against the PLANNING commit rather than a commit-time re-read
+    val token = registerRewrite(DmlRewrite(m, () => m.files.toSet))
     val w = shaped.write.format(NAME).option("path", dir)
-    partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
+      .option("rewriteToken", token)
+    m.partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
   }
 
   /** Snapshot expiry — the VACUUM command (o19), the GC half of time
@@ -313,33 +381,37 @@ object CommitSink {
                                      expectedPrev: Long = SKIP_CAS,
                                      partCol: Option[String] = None,
                                      stats: Map[String, String] = Map.empty,
-                                     tableId: String = ""): Unit = {
-    if (expectedPrev != SKIP_CAS) {
-      val cur = currentCommit(dir)
-      require(cur == expectedPrev,
-        s"graft-commit: concurrent writer detected at $dir — manifest is at " +
-          s"commit $cur but this writer planned commit $commitId on top of " +
-          s"$expectedPrev; aborting instead of silently dropping its files")
+                                     tableId: String = ""): Unit =
+    lockFor(dir).synchronized {
+      // check + swap under the per-path lock: two same-JVM writers can
+      // never both pass the check (the object-store analog is a
+      // conditional put on the manifest key)
+      if (expectedPrev != SKIP_CAS) {
+        val cur = currentCommit(dir)
+        if (cur != expectedPrev) throw new ConcurrentCommitException(
+          s"graft-commit: concurrent writer detected at $dir — manifest is at " +
+            s"commit $cur but this writer planned commit $commitId on top of " +
+            s"$expectedPrev; aborting instead of silently dropping its files")
+      }
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
+      val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
+        (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
+        partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
+        s""""schema":"${esc(ddl)}",""" +
+        s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""filestats":[${statsBody.mkString(",")}]}"""
+      // the immutable per-version copy lands BEFORE the swap: any manifest a
+      // reader can see as current always has its time-travel twin (a crash
+      // between the two writes loses only the never-visible new version)
+      Files.writeString(dir.resolve(versionFile(commitId)), body)
+      val tmp = dir.resolve(MANIFEST + ".tmp")
+      Files.writeString(tmp, body)
+      // the atomic swap IS the commit: readers either see the old manifest
+      // or the new one, never a torn state
+      Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
     }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
-    val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
-      (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
-      partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
-      s""""schema":"${esc(ddl)}",""" +
-      s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""filestats":[${statsBody.mkString(",")}]}"""
-    // the immutable per-version copy lands BEFORE the swap: any manifest a
-    // reader can see as current always has its time-travel twin (a crash
-    // between the two writes loses only the never-visible new version)
-    Files.writeString(dir.resolve(versionFile(commitId)), body)
-    val tmp = dir.resolve(MANIFEST + ".tmp")
-    Files.writeString(tmp, body)
-    // the atomic swap IS the commit: readers either see the old manifest
-    // or the new one, never a torn state
-    Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
 
   private[sources] def currentCommit(dir: Path): Long = {
     val mf = dir.resolve(MANIFEST)
@@ -366,10 +438,16 @@ object CommitSink {
     manifest.map(_.tableId).filter(_.nonEmpty)
       .getOrElse(java.util.UUID.randomUUID().toString)
 
-  private[sources] def stagingDir(dir: Path): Path = dir.resolve(STAGING)
+  /** Staging is WRITE-PRIVATE: each write (batch commit attempt or
+    * streaming epoch) stages under `_staging/<nonce>/`, so a concurrent
+    * writer's commit-time sweep can never delete another writer's
+    * in-flight task files (two appenders to one path are now supported —
+    * see the append CAS-retry). */
+  private[sources] def stagingDir(dir: Path, sub: String): Path =
+    dir.resolve(STAGING).resolve(sub)
 
-  private[sources] def sweepStaging(dir: Path): Unit = {
-    val st = stagingDir(dir)
+  private[sources] def sweepStaging(dir: Path, sub: String): Unit = {
+    val st = stagingDir(dir, sub)
     if (Files.exists(st)) {
       // Files.list holds a directory fd until the stream is closed — a
       // long-lived driver (the bench runs every sink query twice per
@@ -379,6 +457,10 @@ object CommitSink {
       finally s.close()
       Files.deleteIfExists(st)
     }
+    // drop the shared parent too once the LAST writer's sweep empties it
+    // (non-empty = another write is in flight: leave it, ignore the race)
+    try Files.deleteIfExists(dir.resolve(STAGING))
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 }
 
@@ -618,29 +700,55 @@ class CommitSinkTable(path: String,
 
   override def deleteWhere(filters: Array[sf.Filter]): Unit = {
     val spark = SparkSession.active
+    // pin ONE manifest: the rows read, the carried set, and the commit
+    // CAS all bind to it (a commit landing mid-delete hard-fails the swap)
+    val m = CommitSink.parseManifest(Paths.get(path)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $path"))
+    // GROUP-GRANULAR delete: a file whose recorded ranges PROVE no row
+    // satisfies the delete condition is untouched by the delete — carry
+    // it forward verbatim instead of rewriting it (mayMatch == false
+    // means zero matching rows, so skipping the rewrite loses nothing)
+    val stats = m.stats.map { case (f, e) => f -> CommitSink.FileStat.decode(e) }
+    val usable = filters.filter(CommitSkip.usable)
+    val scanned = m.files.filter { f =>
+      stats.get(f).forall(st => usable.forall(CommitSkip.mayMatch(_, st)))
+    }
+    if (scanned.isEmpty) return // provably nothing to delete: no-op
+    val schema = StructType.fromDDL(m.ddl)
     // the pushed filters are implicitly conjunctive
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
-    val w = CommitSink.readCommitted(spark, path)
+    val token = CommitSink.registerRewrite(
+      CommitSink.DmlRewrite(m, () => scanned.toSet))
+    val w = spark.read.schema(schema)
+      .json(scanned.map(f => Paths.get(path, f).toString): _*)
       // DELETE removes rows where the condition is TRUE; a NULL
       // condition keeps the row
       .filter(not(fnCoalesce(cond, lit(false))))
       .write.format(CommitSink.NAME).option("path", path)
+      .option("rewriteToken", token)
     // DML preserves the table's partition layout
-    CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
-      .fold(w)(c => w.option("partitionBy", c))
+    m.partCol.fold(w)(c => w.option("partitionBy", c))
       .mode("overwrite").save()
   }
 }
 
 class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
-                         /** Row-level (group-based) rewrites always
-                           * REPLACE: the scan read the whole committed
-                           * table, so the write lands the whole post-op
-                           * table as the next version. */
-                         forceTruncate: Boolean = false)
+                         /** Group-granular rewrite contract (row-level
+                           * operations pass it directly; compact /
+                           * deleteWhere hand it over as a `rewriteToken`
+                           * option): replace exactly the scanned files,
+                           * carry the rest, CAS against the planning
+                           * commit. */
+                         rewrite: Option[CommitSink.DmlRewrite] = None)
     extends WriteBuilder with SupportsTruncate {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => CSortOrder}
+
+  /** The DataFrame-API handoff (see [[CommitSink.registerRewrite]]);
+    * lazy so the token is consumed exactly once per write. */
+  private lazy val effectiveRewrite: Option[CommitSink.DmlRewrite] =
+    rewrite.orElse(
+      Option(info.options.get("rewriteToken")).map(CommitSink.takeRewrite))
 
   private var doTruncateFlag = false
   override def truncate(): WriteBuilder = { doTruncateFlag = true; this }
@@ -655,14 +763,13 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     * join shuffle is paid once at write time, like o02's bucketing but
     * negotiated entirely through the DSv2 contract).
     *
-    * Row-level rewrites (forceTruncate — UPDATE/MERGE/copy-on-write
-    * DELETE) inherit the table's partitioning: DML must preserve the
-    * layout, while an explicit user overwrite may change it. */
-  private val partCol: Option[String] =
+    * Row-level rewrites (UPDATE/MERGE/copy-on-write DELETE) inherit the
+    * table's partitioning from their PLANNING manifest: DML must
+    * preserve the layout, while an explicit user overwrite may change
+    * it. */
+  private lazy val partCol: Option[String] =
     Option(info.options.get("partitionBy")).map(_.trim).filter(_.nonEmpty)
-      .orElse(if (forceTruncate)
-        CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
-      else None)
+      .orElse(effectiveRewrite.flatMap(_.planning.partCol))
 
   override def build(): Write = {
     val schema = info.schema()
@@ -675,7 +782,11 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       require(f.dataType == LongType || f.dataType == IntegerType,
         s"graft-commit: partitionBy column '$c' must be BIGINT or INT, got ${f.dataType.simpleString}")
     }
-    val doTruncate = doTruncateFlag || forceTruncate
+    // a rewrite is its own commit mode: truncate() may also have been
+    // called on the builder (DataFrame overwrite), but the rewrite's
+    // replace-scanned/carry-rest semantics win
+    val doTruncate = doTruncateFlag && effectiveRewrite.isEmpty
+    val rw = effectiveRewrite
     new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
         partCol.map(c => Distributions.clustered(
@@ -686,7 +797,7 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
             Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
-        new CommitBatchWrite(path, schema, doTruncate, partCol)
+        new CommitBatchWrite(path, schema, doTruncate, partCol, rw)
       override def toStreaming: streaming.StreamingWrite = {
         require(partCol.isEmpty,
           "graft-commit: partitionBy is a batch-write layout decision; " +
@@ -702,30 +813,51 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
   * cannot translate) into executable plans on this sink: Spark reads the
   * committed table through [[CommitScanBuilder]], computes the post-op
   * row set (updated + untouched + inserted rows), and lands it through
-  * the ordinary two-phase write with truncate FORCED — the whole new
-  * version replaces the old under one atomic CAS'd manifest swap, so a
-  * reader sees the pre-op or post-op table, never a torn state. This is
-  * the Iceberg copy-on-write shape; DELETEs whose predicates DO
-  * translate still take the cheaper metadata path
+  * the two-phase write in GROUP-GRANULAR replace mode — the Iceberg
+  * copy-on-write shape proper: the scan records exactly which committed
+  * files it planned (after zone-map pruning of the pushed DML
+  * condition), the write replaces ONLY those files and carries every
+  * untouched file forward in the manifest, all under one atomic CAS'd
+  * manifest swap against the PLANNING-time commit id — so a reader sees
+  * the pre-op or post-op table (never a torn state) and a concurrent
+  * commit landing mid-operation hard-fails the swap instead of being
+  * silently truncated away. Zone-map pruning on the DML scan is safe BY
+  * CONSTRUCTION under this contract: a pruned file is a carried file,
+  * not a deleted one (the r11 whole-table-rewrite design had to decline
+  * all pruning precisely because its truncate-write deleted whatever the
+  * scan skipped). A one-row UPDATE on a 100 TB table now reads and
+  * rewrites one file's worth of data, not 100 TB. DELETEs whose
+  * predicates translate still take the cheaper metadata path
   * (`OptimizeMetadataOnlyDeleteFromTable` converts the rewritten plan
-  * back to [[CommitSinkTable.deleteWhere]]).
+  * back to [[CommitSinkTable.deleteWhere]], itself group-granular).
   *
-  * Like TRUNCATE (documented at the batch commit), a row-level rewrite
-  * starts a NEW table version and resets the streaming-epoch ledger: a
-  * micro-batch whose sink commit landed but whose checkpoint didn't,
-  * re-delivered AFTER a DML statement ran, would re-append. Mixing a
-  * standing exactly-once stream with concurrent DML on one table is a
-  * coordination problem above this sink (Iceberg/Delta sequence both
-  * through one transaction log); within one writer at a time — the
-  * sink's declared concurrency contract — the semantics are exact. */
+  * The scan and write BOTH bind to [[planning]], the manifest read once
+  * when Spark builds the operation — the snapshot-isolation pin.
+  * Streaming-epoch ledger: a group rewrite CARRIES the ledger (unlike
+  * TRUNCATE, which resets it) — the table's content lineage is
+  * continuous, so a re-delivered micro-batch commit must still be
+  * recognized and dropped. */
 class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
+  /** The snapshot this operation reads AND replaces against. */
+  private[sources] val planning: CommitSink.Manifest =
+    CommitSink.parseManifest(Paths.get(path)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $path"))
+  /** Files the operation's scan actually planned (set by
+    * [[CommitScan.planInputPartitions]], which always runs before the
+    * write's commit). Never set ⇒ the optimizer proved the scan empty
+    * (e.g. a statically-false condition): nothing was read, so nothing
+    * is replaced and every file is carried. */
+  private[sources] val scanned =
+    new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CommitScanBuilder(path, forDml = true)
+    new CommitScanBuilder(path, dmlOp = Some(this))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new CommitWriteBuilder(path, info, forceTruncate = true)
-  override def description(): String = s"graft-commit $cmd (copy-on-write)"
+    new CommitWriteBuilder(path, info,
+      rewrite = Some(CommitSink.DmlRewrite(planning,
+        () => Option(scanned.get).getOrElse(Set.empty))))
+  override def description(): String = s"graft-commit $cmd (group copy-on-write)"
 }
 
 /** The STREAMING write contract — epoch-based two-phase commit, the
@@ -744,10 +876,13 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
 class CommitStreamingWrite(path: String, schema: StructType)
     extends streaming.StreamingWrite {
   private val dir = Paths.get(path)
+  /** This query's identity: names its private staging subdirectory AND
+    * makes its promoted epoch-file names attempt-unique. */
+  private val nonce = CommitSink.writeNonce()
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
-    Files.createDirectories(CommitSink.stagingDir(dir))
+    Files.createDirectories(CommitSink.stagingDir(dir, nonce))
     // Initialize an EMPTY manifest for a never-written target so that a
     // stream committing zero epochs (empty source) still leaves a
     // readable table — readCommitted sees commit 0 with no files and
@@ -759,7 +894,7 @@ class CommitStreamingWrite(path: String, schema: StructType)
       try CommitSink.writeManifest(dir, schema.toDDL, Seq.empty, 0L,
         expectedPrev = -1L, tableId = CommitSink.carriedOrFreshTableId(None))
       catch { case _: IllegalArgumentException => () }
-    new CommitStreamingWriterFactory(path, schema.toDDL)
+    new CommitStreamingWriterFactory(path, schema.toDDL, nonce)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -771,7 +906,7 @@ class CommitStreamingWrite(path: String, schema: StructType)
       // re-delivered epoch (restart replay): drop the re-staged output —
       // promoting it would double-write rows the manifest already has
       staged.foreach(s =>
-        Files.deleteIfExists(CommitSink.stagingDir(dir).resolve(s.name)))
+        Files.deleteIfExists(CommitSink.stagingDir(dir, nonce).resolve(s.name)))
     } else {
       val prev = manifest.map(_.commit).getOrElse(-1L)
       val carriedDdl = manifest.map(_.ddl).getOrElse(schema.toDDL)
@@ -789,9 +924,11 @@ class CommitStreamingWrite(path: String, schema: StructType)
         s"graft-commit: $path is partitioned by " +
           s"${manifest.flatMap(_.partCol).getOrElse("?")}; the streaming sink " +
           "writes unpartitioned files — truncate via a batch overwrite first")
+      // attempt-unique names (same rationale as the batch commit): two
+      // racing writers can never promote onto the same committed file
       val promoted = staged.zipWithIndex.map { case (s, i) =>
-        val fin = f"part-e$epochId%05d-$i%05d.json"
-        Files.move(CommitSink.stagingDir(dir).resolve(s.name), dir.resolve(fin),
+        val fin = f"part-e$epochId%05d-$nonce-$i%05d.json"
+        Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
           StandardCopyOption.ATOMIC_MOVE)
         fin -> s.stats
       }.toSeq
@@ -802,119 +939,187 @@ class CommitStreamingWrite(path: String, schema: StructType)
         expectedPrev = prev, stats = stats,
         tableId = CommitSink.carriedOrFreshTableId(manifest))
     }
-    CommitSink.sweepStaging(dir)
+    CommitSink.sweepStaging(dir, nonce)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    CommitSink.sweepStaging(dir)
+    CommitSink.sweepStaging(dir, nonce)
 }
 
-class CommitStreamingWriterFactory(path: String, ddl: String)
+class CommitStreamingWriterFactory(path: String, ddl: String, nonce: String)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new CommitDataWriter(path, ddl, partitionId, taskId, epochId)
+    new CommitDataWriter(path, ddl, partitionId, taskId, epochId, stagingSub = nonce)
 }
 
 class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
-                       partCol: Option[String] = None)
+                       partCol: Option[String] = None,
+                       rewrite: Option[CommitSink.DmlRewrite] = None)
     extends BatchWrite {
   private val dir = Paths.get(path)
+  /** This write's identity: names its private staging subdirectory AND
+    * makes its promoted file names attempt-unique. */
+  private val nonce = CommitSink.writeNonce()
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(CommitSink.stagingDir(dir))
+    Files.createDirectories(CommitSink.stagingDir(dir, nonce))
     // ship the schema as DDL text — StructType itself is serializable,
     // but the DDL is also exactly what the manifest records
-    new CommitWriterFactory(path, schema.toDDL, partCol)
+    new CommitWriterFactory(path, schema.toDDL, partCol, nonce)
   }
 
+  /** How many times an APPEND re-reads + re-swaps after losing the CAS
+    * race. Appends compose (carried ∪ promoted is order-independent), so
+    * retrying is always safe; truncates and rewrites are NOT retried —
+    * their content was computed against a snapshot the race invalidated,
+    * so the whole statement must re-run. */
+  private val APPEND_CAS_RETRIES = 5
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // ONE manifest read per commit; writeManifest's CAS re-reads just
-    // before the swap
-    val manifest = CommitSink.parseManifest(dir)
-    val prev = manifest.map(_.commit).getOrElse(-1L)
-    val commitId = prev + 1
     val staged = messages.flatMap {
       case s: StagedFile => Seq(s)
       case StagedFileSet(fs) => fs
       case _ => Seq.empty
     }.toSeq
-    val (carriedDdl, carried) =
-      if (truncate) (schema.toDDL, Seq.empty[String])
-      else (manifest.map(_.ddl).getOrElse(schema.toDDL),
-        manifest.map(_.files).getOrElse(Seq.empty))
-    // Appending under a DIFFERENT column set would re-read carried files
-    // as silent nulls under the new DDL — refuse BEFORE promoting
-    // anything (names + types; nullability does not change the payload).
-    require(carried.isEmpty || CommitSink.sameColumns(carriedDdl, schema.toDDL),
-      s"graft-commit: append schema mismatch at $path — manifest has " +
-        s"[$carriedDdl] but this write has [${schema.toDDL}]; use " +
-        "overwrite (truncate) to replace the table under a new schema")
-    // A partitioned table's layout guarantee (one key per file) holds only
-    // if every version's files were written under the SAME partition
-    // column — an append under a different (or no) partitioning would mix
-    // layouts, so refuse it like a schema mismatch.
-    val carriedPartCol = if (truncate) None else manifest.flatMap(_.partCol)
-    require(carried.isEmpty || carriedPartCol == partCol,
-      s"graft-commit: partition-layout mismatch at $path — manifest has " +
-        s"partitionBy=$carriedPartCol but this write has partitionBy=$partCol; " +
-        "use overwrite (truncate) to change the table layout")
     // phase 2: promote each task-committed staging file to its final
-    // name, then swap the manifest. Only files named by a commit message
-    // are promoted — output of failed/speculative attempts stays in
-    // staging and is swept below.
+    // name. Only files named by a commit message are promoted — output of
+    // failed/speculative attempts stays in staging and is swept at the
+    // end. Names carry a per-write nonce, so a racing writer that loses
+    // the CAS below can never have renamed onto a committed file — and a
+    // lost race leaves only unreferenced garbage, which the failure
+    // handler below (and any later sweep) removes.
+    val plannedId = rewrite.map(_.planning.commit + 1)
+      .getOrElse(CommitSink.currentCommit(dir) + 1)
     val promoted = staged.zipWithIndex.map { case (s, i) =>
-      val fin = f"part-c$commitId%05d-$i%05d.json"
-      Files.move(CommitSink.stagingDir(dir).resolve(s.name), dir.resolve(fin),
+      val fin = f"part-c$plannedId%05d-$nonce-$i%05d.json"
+      Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
         StandardCopyOption.ATOMIC_MOVE)
       fin -> s.stats
     }
-    // truncate also resets the streaming-epoch ledger; append carries it
-    val epochs =
-      if (truncate) Seq.empty[Long]
-      else manifest.map(_.epochs).getOrElse(Seq.empty)
-    // carried files keep their recorded stats verbatim; promoted files
-    // bring the stats their writer collected
-    val stats = (if (truncate) Map.empty[String, String]
-                 else manifest.map(_.stats).getOrElse(Map.empty)) ++
-      promoted.filter(_._2.nonEmpty).toMap
-    // record THIS write's layout: on append the require above already
-    // forced carriedPartCol == partCol (an empty-but-partitioned target
-    // must not impose its stale column on the files actually written)
-    CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
-      commitId, epochs, expectedPrev = prev, partCol = partCol, stats = stats,
-      tableId = CommitSink.carriedOrFreshTableId(manifest))
-    // after the swap: previous-version files (on truncate) and stray
-    // staging output are garbage no reader can see — sweep them
-    if (truncate) {
-      // NOTE: only CURRENT-version data files are swept; files still
-      // referenced by older version manifests must survive for time
-      // travel — but a truncate's survivors are exactly the promoted
-      // set, so sweep everything else EXCEPT files an older version
-      // manifest still lists (version-referenced files are the snapshot
-      // GC's job, not the commit's)
-      val keep = promoted.map(_._1).toSet
-      val versionReferenced = CommitSink.listVersions(dir)
-        .iterator.filter(_ < commitId)
-        .flatMap(v => CommitSink.parseManifestVersion(dir, v).files)
-        .toSet
-      CommitSink.listDataFiles(dir)
-        .filterNot(n => keep.contains(n) || versionReferenced.contains(n))
-        .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+    val newStats = promoted.filter(_._2.nonEmpty).toMap
+    try rewrite match {
+      case Some(rw) => commitRewrite(rw, promoted.map(_._1), newStats)
+      case None if truncate => commitTruncate(promoted.map(_._1), newStats)
+      case None => commitAppend(promoted.map(_._1), newStats)
+    } catch { case e: Throwable =>
+      // a refused/failed commit must leave no trace: the manifest was
+      // never swapped, so the promoted files are invisible garbage —
+      // remove them so the target is byte-identical to before the write
+      promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
+      CommitSink.sweepStaging(dir, nonce)
+      throw e
     }
-    CommitSink.sweepStaging(dir)
+    CommitSink.sweepStaging(dir, nonce)
+  }
+
+  /** Group-granular replace (row-level DML / compaction / metadata
+    * delete): replace exactly the files the operation's scan planned,
+    * carry every other file of the PLANNING manifest forward verbatim,
+    * and CAS against the planning commit — a commit that landed while
+    * the rewrite job ran fails the swap loudly. */
+  private def commitRewrite(rw: CommitSink.DmlRewrite, newFiles: Seq[String],
+                            newStats: Map[String, String]): Unit = {
+    val planning = rw.planning
+    val scanned = rw.scanned()
+    val carried = planning.files.filterNot(scanned)
+    require(carried.isEmpty || CommitSink.sameColumns(planning.ddl, schema.toDDL),
+      s"graft-commit: rewrite schema mismatch at $path — carried files have " +
+        s"[${planning.ddl}] but this rewrite writes [${schema.toDDL}]")
+    // carried files keep their recorded stats verbatim; a group rewrite
+    // CARRIES the epoch ledger (content lineage is continuous — see the
+    // row-level operation scaladoc)
+    val stats = planning.stats.view.filterKeys(carried.toSet).toMap ++ newStats
+    CommitSink.writeManifest(dir, schema.toDDL, carried ++ newFiles,
+      planning.commit + 1, planning.epochs, expectedPrev = planning.commit,
+      partCol = partCol, stats = stats,
+      tableId = CommitSink.carriedOrFreshTableId(Some(planning)))
+    // replaced files are NOT swept: the planning version's immutable
+    // manifest references every one of them (time travel); snapshot
+    // expiry GC's them when their last referencing version is dropped
+  }
+
+  /** Whole-table overwrite: new version is exactly the promoted set; the
+    * streaming-epoch ledger resets (a truncate is a new content lineage). */
+  private def commitTruncate(newFiles: Seq[String],
+                             newStats: Map[String, String]): Unit = {
+    val manifest = CommitSink.parseManifest(dir)
+    val prev = manifest.map(_.commit).getOrElse(-1L)
+    val commitId = prev + 1
+    CommitSink.writeManifest(dir, schema.toDDL, newFiles, commitId,
+      Seq.empty, expectedPrev = prev, partCol = partCol, stats = newStats,
+      tableId = CommitSink.carriedOrFreshTableId(manifest))
+    // after the swap: previous-version files are garbage no reader can
+    // see — sweep them, EXCEPT files an older version manifest still
+    // lists (version-referenced files are the snapshot GC's job)
+    val keep = newFiles.toSet
+    val versionReferenced = CommitSink.listVersions(dir)
+      .iterator.filter(_ < commitId)
+      .flatMap(v => CommitSink.parseManifestVersion(dir, v).files)
+      .toSet
+    CommitSink.listDataFiles(dir)
+      .filterNot(n => keep.contains(n) || versionReferenced.contains(n))
+      .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+  }
+
+  /** Append: carried ∪ promoted under a CAS on the read manifest — and
+    * because appends compose, a LOST race is retried: re-read the
+    * manifest, re-run the compatibility checks against the new current
+    * version, and re-swap carrying the interleaved writer's files. The
+    * promoted files are already at their final (nonce-unique) names, so
+    * a retry only rebuilds the manifest — no file is touched twice. */
+  private def commitAppend(newFiles: Seq[String],
+                           newStats: Map[String, String]): Unit = {
+    var attempt = 0
+    while (true) {
+      val manifest = CommitSink.parseManifest(dir)
+      val prev = manifest.map(_.commit).getOrElse(-1L)
+      val carriedDdl = manifest.map(_.ddl).getOrElse(schema.toDDL)
+      val carried = manifest.map(_.files).getOrElse(Seq.empty)
+      // Appending under a DIFFERENT column set would re-read carried files
+      // as silent nulls under the new DDL — refuse BEFORE swapping
+      // anything (names + types; nullability does not change the payload).
+      require(carried.isEmpty || CommitSink.sameColumns(carriedDdl, schema.toDDL),
+        s"graft-commit: append schema mismatch at $path — manifest has " +
+          s"[$carriedDdl] but this write has [${schema.toDDL}]; use " +
+          "overwrite (truncate) to replace the table under a new schema")
+      // A partitioned table's layout guarantee (one key per file) holds only
+      // if every version's files were written under the SAME partition
+      // column — an append under a different (or no) partitioning would mix
+      // layouts, so refuse it like a schema mismatch.
+      val carriedPartCol = manifest.flatMap(_.partCol)
+      require(carried.isEmpty || carriedPartCol == partCol,
+        s"graft-commit: partition-layout mismatch at $path — manifest has " +
+          s"partitionBy=$carriedPartCol but this write has partitionBy=$partCol; " +
+          "use overwrite (truncate) to change the table layout")
+      val stats = manifest.map(_.stats).getOrElse(Map.empty) ++ newStats
+      try {
+        CommitSink.writeManifest(dir, schema.toDDL, carried ++ newFiles,
+          prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty),
+          expectedPrev = prev, partCol = partCol, stats = stats,
+          tableId = CommitSink.carriedOrFreshTableId(manifest))
+        return
+      } catch { case e: CommitSink.ConcurrentCommitException =>
+        attempt += 1
+        if (attempt > APPEND_CAS_RETRIES) throw e
+        // another writer won the race: loop — re-read THEIR manifest and
+        // append on top of it
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     // a failed job publishes NOTHING: the manifest was never touched, so
     // the previous version is still the table; just remove the debris
-    CommitSink.sweepStaging(dir)
+    CommitSink.sweepStaging(dir, nonce)
 }
 
 class CommitWriterFactory(path: String, ddl: String,
-                          partCol: Option[String] = None) extends DataWriterFactory {
+                          partCol: Option[String] = None,
+                          nonce: String = "") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol)
+    new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol,
+      stagingSub = nonce)
 }
 
 /** Executor-side writer: streams rows to a task-private staging file as
@@ -931,10 +1136,11 @@ class CommitWriterFactory(path: String, ddl: String,
   * to a fresh staged file on each key change — every committed file
   * holds one key, recorded as `pk` in its stats. */
 class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long,
-                       epochId: Long = -1L, partCol: Option[String] = None)
+                       epochId: Long = -1L, partCol: Option[String] = None,
+                       stagingSub: String = "")
     extends DataWriter[InternalRow] {
   private val schema = StructType.fromDDL(ddl)
-  private val staging = CommitSink.stagingDir(Paths.get(path))
+  private val staging = CommitSink.stagingDir(Paths.get(path), stagingSub)
 
   // --- statistics collection (reset per staged segment) -------------------
   // stats are recorded only for clean [A-Za-z0-9_] column names — the
@@ -1124,12 +1330,15 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   * keeps every filter residual — so the metadata path is structurally
   * unreachable under a WHERE clause, never merely "hoped correct". */
 class CommitScanBuilder(path: String, version: Option[Long] = None,
-                        /** True for row-level-operation (UPDATE/MERGE/
-                          * DELETE-rewrite) scans: those must read the
-                          * WHOLE table — the write replaces it — so the
-                          * scan must not offer runtime filtering (see
-                          * the data-loss note at [[CommitScan]]). */
-                        forDml: Boolean = false,
+                        /** Set for row-level-operation (UPDATE/MERGE/
+                          * DELETE-rewrite) scans: the scan binds to the
+                          * operation's PLANNING manifest and reports the
+                          * file set it planned back to the operation —
+                          * the group-granular replace contract. Zone-map
+                          * pruning of the pushed DML condition is safe
+                          * here: a pruned file is carried forward by the
+                          * rewrite commit, never deleted. */
+                        dmlOp: Option[CommitRowLevelOperation] = None,
                         /** Streaming-read admission knob (o20): how many
                           * COMMITS one micro-batch may consume. */
                         maxCommitsPerTrigger: Int = Int.MaxValue)
@@ -1141,9 +1350,15 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 
-  private val manifest = version match {
-    case Some(v) => Some(CommitSink.parseManifestVersion(Paths.get(path), v))
-    case None => CommitSink.parseManifest(Paths.get(path))
+  private val manifest = dmlOp match {
+    // a DML scan binds to the operation's pinned manifest — the same
+    // snapshot the rewrite commit CAS's against (never a fresh read,
+    // which could bind the scan to a concurrently-swapped version)
+    case Some(op) => Some(op.planning)
+    case None => version match {
+      case Some(v) => Some(CommitSink.parseManifestVersion(Paths.get(path), v))
+      case None => CommitSink.parseManifest(Paths.get(path))
+    }
   }
   private def fullSchema: StructType =
     manifest.map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
@@ -1153,13 +1368,14 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
   private var aggs: Array[AggregateFunc] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // A DML scan must never prune FILES — not statically either: the
-    // row-level rewrite replaces the WHOLE table with the scan output,
-    // and Spark pushes the UPDATE/MERGE condition into this scan, so a
-    // zone-map prune here would silently delete every non-matching
-    // file's rows (LakeSpec regression-pins this with a 4-file
-    // range-partitioned UPDATE). Ordinary read scans keep the skip.
-    skip = if (forDml) Array.empty else filters.filter(CommitSkip.usable)
+    // Zone-map file skipping applies to DML scans too: Spark pushes the
+    // UPDATE/DELETE condition here, a file whose ranges prove no row can
+    // match is never scanned — and under the GROUP-GRANULAR rewrite an
+    // unscanned file is CARRIED in the manifest, never deleted, so the
+    // prune is safe by construction (the r11 whole-table-truncate design
+    // had to decline pruning; LakeSpec's 4-file range-partitioned UPDATE
+    // now pins both no-data-loss AND the 1-rewritten/3-carried split).
+    skip = filters.filter(CommitSkip.usable)
     filters
   }
   override def pushedFilters(): Array[Filter] = skip
@@ -1218,7 +1434,7 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
       // concurrently-swapped snapshot with a different schema
       manifest.getOrElse(
         sys.error(s"graft-commit: no committed manifest at $path")),
-      version, skip, required, forDml, maxCommitsPerTrigger)
+      version, skip, required, dmlOp, maxCommitsPerTrigger)
 }
 
 /** The metadata-only aggregate scan (the Iceberg `SELECT COUNT(*)` device):
@@ -1308,7 +1524,7 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
                  version: Option[Long] = None,
                  skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                  required: Option[StructType] = None,
-                 forDml: Boolean = false,
+                 dmlOp: Option[CommitRowLevelOperation] = None,
                  maxCommitsPerTrigger: Int = Int.MaxValue)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -1339,14 +1555,16 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   private var runtimeSkip: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    // DML scans must NEVER offer runtime filtering: Spark's row-level
-    // runtime GROUP filtering (on by default) would inject the matched
-    // keys as an In-filter, this scan would prune non-matching FILES —
-    // and since the row-level write replaces the WHOLE table with the
-    // scan output, every pruned file's rows would be silently DELETED.
-    // (Iceberg survives that rule because its ReplaceData rewrites only
-    // the scanned groups; this sink's truncate-rewrite must read all.)
-    if (forDml || manifest.partCol.isDefined) Array.empty
+    // DML scans do not offer runtime filtering even though the
+    // group-granular rewrite would now tolerate it: Spark's row-level
+    // runtime group filtering plans a SECOND scan of this table (the
+    // matching-groups subquery), and the replaced-file set must come
+    // from exactly the scan whose rows feed the rewrite — a second scan
+    // racing the holder would make the set ambiguous. Static zone-map
+    // pruning of the pushed DML condition (see pushFilters) covers
+    // UPDATE/DELETE; MERGE's join-dependent pruning is the one deferred
+    // piece, and it degrades to reading more files, never to data loss.
+    if (dmlOp.isDefined || manifest.partCol.isDefined) Array.empty
     // only columns of the (possibly pruned) OUTPUT schema: Spark resolves
     // these refs against the scan's output and fails analysis on a column
     // the projection dropped
@@ -1389,16 +1607,26 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     required.getOrElse(StructType.fromDDL(manifest.ddl))
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = partGroups match {
-    case Some(groups) =>
-      val pc = manifest.partCol.get
-      val dt = StructType.fromDDL(manifest.ddl).apply(pc).dataType
-      groups.map { case (k, fs) =>
-        val keyVal: Any = if (dt == IntegerType) k.toInt else k
-        CommitKeyedFilesPartition(fs.map(abs), keyVal): InputPartition
-      }.toArray
-    case None =>
-      runtimeSurviving.map(f => CommitFilesPartition(Seq(abs(f))): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = partGroups match {
+      case Some(groups) =>
+        val pc = manifest.partCol.get
+        val dt = StructType.fromDDL(manifest.ddl).apply(pc).dataType
+        groups.map { case (k, fs) =>
+          val keyVal: Any = if (dt == IntegerType) k.toInt else k
+          CommitKeyedFilesPartition(fs.map(abs), keyVal): InputPartition
+        }.toArray[InputPartition]
+      case None =>
+        runtimeSurviving.map(f =>
+          CommitFilesPartition(Seq(abs(f))): InputPartition).toArray[InputPartition]
+    }
+    // report the files this DML scan actually planned: exactly the set
+    // the group-granular rewrite replaces (everything else is carried)
+    dmlOp.foreach(_.scanned.set(partGroups match {
+      case Some(groups) => groups.flatMap(_._2).toSet
+      case None => runtimeSurviving.toSet
+    }))
+    parts
   }
 
   override def outputPartitioning(): Partitioning = partGroups match {
@@ -1431,7 +1659,10 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(version.isEmpty,
       "graft-commit: a version-pinned table is a static fact, not a stream")
-    new CommitTableMicroBatchStream(path, manifest.ddl, maxCommitsPerTrigger)
+    // hand the stream the (possibly pruned) projection, not the full
+    // manifest DDL: if a future Spark prunes columns on streaming scans,
+    // the readers must emit rows of the PLAN's schema, not full width
+    new CommitTableMicroBatchStream(path, readSchema().toDDL, maxCommitsPerTrigger)
   }
 
   override def description(): String =
@@ -1482,12 +1713,25 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
     override def json(): String = s"$commit@$gen"
   }
 
-  private def checkGeneration(p: CommitPos): Unit =
-    require(p.gen.isEmpty || generation.isEmpty || p.gen == generation,
+  private def checkGeneration(p: CommitPos): Unit = {
+    // a table with NO generation id (pre-generation manifest) has nothing
+    // to check against; but once the table HAS one, an offset without a
+    // generation is NOT waived — a pre-generation checkpoint on a
+    // dropped-and-re-created table would silently diff the new
+    // generation's manifests against the old commit id and skip the new
+    // table's first commits, the exact bug class tableId detects
+    if (generation.isEmpty) return
+    require(p.gen.nonEmpty,
+      s"graft-commit: the checkpointed offset of $path carries no table " +
+        s"generation but the current table is generation $generation — " +
+        "cannot prove the checkpoint belongs to this table (it may predate " +
+        "a drop-and-recreate); restart the stream from a fresh checkpoint")
+    require(p.gen == generation,
       s"graft-commit: the checkpointed offset of $path belongs to table " +
         s"generation ${p.gen} but the current table is generation " +
         s"$generation — the table was dropped and re-created; restart the " +
         "stream from a fresh checkpoint to read the new table")
+  }
 
   override def initialOffset(): Offset = CommitPos(-1L, generation)
 
