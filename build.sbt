@@ -36,7 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // multi-second GC pauses into individual bench timings, and at 24g the
   // r9 bench showed eviction-shaped 3-8x outliers on exactly the
   // shared-cached dedup/similarity queries (storage pressure evicts the
-  // memoized pipelines between the two passes). The host has 125 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "56g")}",
+  // memoized pipelines between the two passes). 56g showed the same
+  // eviction signature again in r11 at 261 queries x 2 passes (18
+  // entries 2-7.5x their best); the registry keeps growing, so take the
+  // heap to 80g — the host has 125 GiB and nothing else runs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")}",
   "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime",
 )

@@ -47,20 +47,50 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).cache().count())
     Tables.events(spark, sfDir).cache().count()
     // sorted order: deterministic timings run-to-run, and the scale twins
-    // (d06 before d07) reuse each other's plan-matched caches
+    // (d06 before d07) reuse each other's plan-matched caches.
+    // SPARK_GRAFT_ONLY (comma-separated names) restricts the run — a
+    // local iteration knob; the driver never sets it, so official runs
+    // always measure the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // per-pass storage/GC telemetry: lets a reader tell "slow because the
+    // heap was under storage pressure / GC" (the r11 eviction cluster)
+    // from a plan regression without re-running anything. GC is a delta
+    // per pass; heap/storage are end-of-pass snapshots.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def snapshot(): (Long, Long) = {
+      val rt = Runtime.getRuntime
+      val heapMb = (rt.totalMemory - rt.freeMemory) / (1 << 20)
+      val storageMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
+      (heapMb, storageMb)
+    }
     // two passes, min per query: this host exhibits bursty CPU steal
     // (multi-second freezes at random points — /proc/stat steal grows in
     // windows); the minimum of two independent passes is a far better
     // estimate of the engine's actual cost than any single pass
+    val gc0 = gcMs()
     val pass1 = onePass().toMap
+    val gc1 = gcMs()
+    val (heap1, stor1) = snapshot()
     val pass2 = onePass()
+    val gc2 = gcMs()
+    val (heap2, stor2) = snapshot()
+    val telemetry =
+      s""""telemetry":{"pass1":{"gc_ms":${gc1 - gc0},"heap_mb":$heap1,""" +
+        s""""storage_mb":$stor1},"pass2":{"gc_ms":${gc2 - gc1},""" +
+        s""""heap_mb":$heap2,"storage_mb":$stor2}}"""
     val twoPass = pass2.map { case (name, t2) =>
       name -> math.min(pass1(name), t2)
     }
@@ -122,6 +152,7 @@ object Bench {
     Files.writeString(Paths.get("bench_last.json"),
       full.dropRight(1) +
         s""","best":$bestQs,"pass_totals":[${f(p1Total)},${f(p2Total)}],""" +
+        s"""$telemetry,""" +
         s""""pass1":${qmap(pass1.toSeq)},"pass2":${qmap(pass2)}}""" + "\n")
     // roll the per-SF best forward (noise context only, never committed)
     Files.writeString(bestPath, line(best, best.map(_._2).sum, sfName) + "\n")

@@ -1442,6 +1442,48 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** One micro-batch's admit decisions against the prepared index —
+    * shared by d32 (live ingest) and d33 (recovery after rewrite): the
+    * batch shingles only ITSELF and probes the stored band/shingle/hash
+    * tables. candidates = stored index bands ⋈ the batch's bands — the
+    * same cross-boundary pair set `minHashPairsMapSide(index ∪ batch)`
+    * yields (signatures are per-doc, so banding cannot depend on batch
+    * composition), verified on TRUE jaccard. */
+  private def probeIndex(spark: SparkSession, b: DataFrame, sharrIdx: DataFrame,
+                         bandsIdx: DataFrame, idxHash: DataFrame): DataFrame = {
+    import spark.implicits._
+    // the micro-batch runs in a CLONED session whose function registry
+    // predates minhash_sig's lazy registration
+    graft.functions.MinHash.register(b.sparkSession)
+    graft.functions.MinHash.register(spark)
+    val sharrB = shingleArrays(b).filter(size($"shingles") > 0)
+    val sigB = sharrB.select($"doc_id",
+      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))
+    val cand = bandsIdx.as("x").join(bandsOf(sigB).as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey")
+      .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
+    val nearHits = cand
+      .join(sharrIdx.select($"doc_id".as("id1"), $"shingles".as("sh1")), "id1")
+      .join(sharrB.select($"doc_id".as("id2"), $"shingles".as("sh2")), "id2")
+      .select($"id1", $"id2",
+        size(array_intersect($"sh1", $"sh2")).cast("long").as("inter"),
+        size($"sh1").cast("long").as("n1"),
+        size($"sh2").cast("long").as("n2"))
+      .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+      .groupBy($"id2".as("doc_id")).agg(min($"id1").as("near_match"))
+    val exactHits = b.select($"doc_id", md5($"text".cast("binary")).as("h"))
+      .join(idxHash, "h")
+      .groupBy($"doc_id").agg(min($"idx_id").as("exact_match"))
+    b.select($"doc_id")
+      .join(exactHits, Seq("doc_id"), "left")
+      .join(nearHits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        $"exact_match".isNotNull.as("is_exact_dup"),
+        $"near_match".isNotNull.as("is_near_dup"),
+        coalesce($"exact_match", $"near_match").as("matched_id"),
+        ($"exact_match".isNull && $"near_match".isNull).as("admit"))
+  }
+
   def d32StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val base = s"/tmp/graft_d32/${new java.io.File(dir).getName}"
@@ -1452,24 +1494,19 @@ object Dedup {
     // The index side is prepared ONCE, before the stream starts — the
     // 100 TB form d22's scale note names: shingle arrays, signatures'
     // band table, and the content-hash table are a STORED index a live
-    // ingest MAINTAINS across arrival waves, not something recomputed
-    // per wave (or per run) — so the three tables ride the same
-    // session-level memo the cluster labelings use: repeat registry runs
-    // in one JVM model exactly the maintained index. Each micro-batch
-    // then only shingles ITSELF and probes the stored bands
-    // (per-trigger work is batch-sized).
-    val sharrIdx = memoDf(spark, dir, "d32:index:sharr") {
-      shingleArrays(index).filter(size($"shingles") > 0).cache()
-    }
-    val bandsIdx = memoDf(spark, dir, "d32:index:bands") {
-      bandsOf(sharrIdx.select($"doc_id",
-        graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))).cache()
-    }
-    val idxHash = memoDf(spark, dir, "d32:index:hash") {
-      index.select(md5($"text".cast("binary")).as("h"),
-        $"doc_id".as("idx_id")).cache()
-    }
-    locally {
+    // ingest MAINTAINS, not something recomputed per arrival wave. The
+    // three tables are cached for the QUERY's lifetime and unpersisted
+    // once the decisions have landed: a session-lifetime memo here
+    // stacked three corpus-sized cached relations on top of the 27
+    // shared memos and evicted the dedup family's working set between
+    // bench passes (the r11 2-7.5x outlier cluster) — the maintained
+    // index a live ingest keeps is storage, not executor cache.
+    val sharrIdx = shingleArrays(index).filter(size($"shingles") > 0).cache()
+    val bandsIdx = bandsOf(sharrIdx.select($"doc_id",
+      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))).cache()
+    val idxHash = index.select(md5($"text".cast("binary")).as("h"),
+      $"doc_id".as("idx_id")).cache()
+    try {
       // two arrival waves: the multi-batch proof shape (>= 2 real
       // triggers — the c17/o10 trigger-count precedent) at the least
       // per-trigger harness cost; the decision is tiling-invariant, so
@@ -1483,40 +1520,7 @@ object Dedup {
         .option("path", inPath).option("maxCommitsPerTrigger", "1").load()
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          // the micro-batch runs in a CLONED session whose function
-          // registry predates minhash_sig's lazy registration
-          graft.functions.MinHash.register(b.sparkSession)
-          graft.functions.MinHash.register(spark)
-          val sharrB = shingleArrays(b).filter(size($"shingles") > 0)
-          val sigB = sharrB.select($"doc_id",
-            graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))
-          // candidates = stored index bands ⋈ this batch's bands — the
-          // same cross-boundary pair set minHashPairsMapSide(index ∪
-          // batch) yields (signatures are per-doc, so banding cannot
-          // depend on batch composition), verified on TRUE jaccard
-          val cand = bandsIdx.as("x").join(bandsOf(sigB).as("y"),
-              $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey")
-            .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
-          val nearHits = cand
-            .join(sharrIdx.select($"doc_id".as("id1"), $"shingles".as("sh1")), "id1")
-            .join(sharrB.select($"doc_id".as("id2"), $"shingles".as("sh2")), "id2")
-            .select($"id1", $"id2",
-              size(array_intersect($"sh1", $"sh2")).cast("long").as("inter"),
-              size($"sh1").cast("long").as("n1"),
-              size($"sh2").cast("long").as("n2"))
-            .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
-            .groupBy($"id2".as("doc_id")).agg(min($"id1").as("near_match"))
-          val exactHits = b.select($"doc_id", md5($"text".cast("binary")).as("h"))
-            .join(idxHash, "h")
-            .groupBy($"doc_id").agg(min($"idx_id").as("exact_match"))
-          b.select($"doc_id")
-            .join(exactHits, Seq("doc_id"), "left")
-            .join(nearHits, Seq("doc_id"), "left")
-            .select($"doc_id",
-              $"exact_match".isNotNull.as("is_exact_dup"),
-              $"near_match".isNotNull.as("is_near_dup"),
-              coalesce($"exact_match", $"near_match").as("matched_id"),
-              ($"exact_match".isNull && $"near_match".isNull).as("admit"))
+          probeIndex(spark, b, sharrIdx, bandsIdx, idxHash)
             .write.format("graft-commit").option("path", outPath)
             .mode("append").save()
           ()
@@ -1525,7 +1529,99 @@ object Dedup {
         .start()
       q.processAllAvailable()
       q.stop()
+      // decisions are ON DISK in the committed table — the returned frame
+      // reads files, so the index caches can be released immediately
       graft.sources.CommitSink.readCommitted(spark, outPath)
+    } finally {
+      sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
+    }
+  }
+
+  /** d33: d32's ingest loop under the OPERATIONAL failure the o19/o20
+    * unit tests pin separately — "consumer lags, the table compacts
+    * underneath it, the consumer recovers" — composed end to end:
+    *
+    *  1. wave 1 commits; the consumer processes it and STOPS (lags);
+    *  2. wave 2 commits, then the table COMPACTS (a rewrite commit);
+    *  3. the lagging consumer resumes its checkpoint and must FAIL
+    *     LOUDLY — the changelog contract refuses a range that removed
+    *     files (silent replay/skip is the data-loss case);
+    *  4. recovery: a fresh checkpoint bootstraps from the current
+    *     SNAPSHOT (one batch, the whole compacted table), and the
+    *     decision write is made idempotent by anti-joining the doc_ids
+    *     already decided — the re-read of wave 1 lands nothing twice.
+    *
+    * The final decision set must equal d22's one-shot run exactly
+    * (d22's oracle verbatim, like d32) — proving recovery-after-rewrite
+    * loses nothing and duplicates nothing. At 100 TB the anti-join is
+    * the idempotent-sink MERGE every exactly-once recovery runs; its
+    * key side is the decisions table's doc_id column, shuffle-sized. */
+  def d33StreamDedupRecovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"/tmp/graft_d33/${new java.io.File(dir).getName}"
+    Tables.deleteRecursively(base)
+    val inPath = s"$base/incoming"; val outPath = s"$base/decisions"
+    val docs = Tables.documents(spark, dir)
+    val index = docs.select($"doc_id", $"text")
+    // prepared index, cached for the query, released after (see d32)
+    val sharrIdx = shingleArrays(index).filter(size($"shingles") > 0).cache()
+    val bandsIdx = bandsOf(sharrIdx.select($"doc_id",
+      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))).cache()
+    val idxHash = index.select(md5($"text".cast("binary")).as("h"),
+      $"doc_id".as("idx_id")).cache()
+    try {
+      val incoming = incomingBatch(docs)
+      def consume(ck: String, idempotent: Boolean): Unit = {
+        val q = spark.readStream.format("graft-commit")
+          .option("path", inPath).load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // recovery re-reads the whole snapshot: drop docs already
+            // decided (the idempotent-sink anti-join), decide the rest
+            val fresh =
+              if (!idempotent) b
+              else b.join(graft.sources.CommitSink
+                  .readCommitted(spark, outPath).select($"doc_id"),
+                Seq("doc_id"), "left_anti")
+            probeIndex(spark, fresh, sharrIdx, bandsIdx, idxHash)
+              .write.format("graft-commit").option("path", outPath)
+              .mode("append").save()
+            ()
+          }
+          .option("checkpointLocation", ck)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        // surface an async batch failure as this call's failure
+        q.exception.foreach(e => throw e)
+      }
+      // 1. wave 1 lands; the consumer processes it, checkpoints, stops
+      incoming.filter($"doc_id" % 2 === 0)
+        .write.format("graft-commit").option("path", inPath).mode("overwrite").save()
+      consume(s"$base/ck", idempotent = false)
+      // 2. while the consumer is DOWN: wave 2 lands, then compaction
+      //    rewrites the table under the lagging checkpoint
+      incoming.filter($"doc_id" % 2 === 1)
+        .write.format("graft-commit").option("path", inPath).mode("append").save()
+      graft.sources.CommitSink.compact(spark, inPath, 1)
+      // 3. resuming the stale checkpoint must fail LOUDLY — the
+      //    changelog refuses ranges that removed files
+      val refused =
+        try { consume(s"$base/ck", idempotent = false); None }
+        catch { case e: Throwable =>
+          def msgs(t: Throwable): Seq[String] =
+            if (t == null) Seq.empty
+            else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+          Some(msgs(e))
+        }
+      require(refused.exists(_.exists(_.contains("append-only"))),
+        s"resuming a checkpoint across a compaction must be refused, got: $refused")
+      // 4. recovery: fresh checkpoint -> snapshot bootstrap (one batch,
+      //    the whole compacted table), idempotent decision write
+      consume(s"$base/ck2", idempotent = true)
+      graft.sources.CommitSink.readCommitted(spark, outPath)
+    } finally {
+      sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
     }
   }
 
@@ -1561,6 +1657,7 @@ object Dedup {
     "d21_lsh_tuning_scale"  -> d21LshTuningScale _,
     "d22_incremental_scale" -> d22IncrementalScale _,
     "d32_stream_dedup"      -> d32StreamDedup _,
+    "d33_stream_dedup_recovery" -> d33StreamDedupRecovery _,
     // d23 (8-bit-band simhash) demoted to spec-only in r9: the 256-key
     // pigeonhole banding is the small-corpus teaching form you'd never
     // run at scale (Θ(N²/256) candidate growth), and it was among the
@@ -2115,6 +2212,10 @@ object Dedup {
     // d32 streams the same decision batch-by-batch; the per-doc
     // signature makes it batch-invariant, so the oracle is d22's
     "d32_stream_dedup" -> incrementalOracleSql,
+    // d33 recovers the SAME decision set after a mid-stream compaction:
+    // refusal + snapshot re-bootstrap + idempotent write must compose to
+    // exactly d22's one-shot answer
+    "d33_stream_dedup_recovery" -> incrementalOracleSql,
     "d22_incremental_scale" -> incrementalOracleSql,
     "d01_exact_dedup" ->
       s"""WITH $corpusSql

@@ -172,6 +172,24 @@ class Round12Spec extends AnyFunSuite {
     assert(manifest(dir).commit == 3L)
   }
 
+  // --- d33: recovery after a mid-stream rewrite --------------------------------
+
+  test("d33: refusal + snapshot re-bootstrap + idempotent write equals d22 exactly") {
+    val recovered = ext.Dedup.d33StreamDedupRecovery(spark, TestSpark.sf0001)
+    val oneShot = ext.Dedup.d22IncrementalScale(spark, TestSpark.sf0001)
+    assert(recovered.count() == oneShot.count() && recovered.count() > 0)
+    assert(recovered.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(recovered).count() == 0,
+      "recovery after a mid-stream compaction must lose nothing and " +
+        "duplicate nothing: the decision set is d22's one-shot answer")
+    // the decisions landed in exactly 2 commits: wave 1 before the lag,
+    // the recovery batch after (the stale-checkpoint attempt lands NONE)
+    val out = java.nio.file.Paths.get("/tmp/graft_d33/sf0.001/decisions")
+    assert(sources.CommitSink.listVersions(out).size == 2,
+      "one decision commit per successful consume — the refused resume " +
+        "must not have written anything")
+  }
+
   // --- generation hard error ---------------------------------------------------
 
   test("a generation-less checkpointed offset on a generation-tracked table is refused") {
