@@ -124,10 +124,8 @@ object Dedup {
     // band self-join — uncached it would be recomputed 8×
     val sig = signatures(ids).cache()
     // band keys: (band index, the band's two signature values)
-    val bands = (0 until K / 2).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}")).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = explodeBands(sig, Seq($"doc_id"), (0 until K / 2).map(b =>
+      concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}"))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
@@ -168,10 +166,8 @@ object Dedup {
     // cached for the same 8× band-self-join reuse as in d02; also lets
     // dedupCorpus' second pass over the pipeline plan-match it
     val sig = signatures(ids).cache()
-    val bands = (0 until K / 2).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}")).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = explodeBands(sig, Seq($"doc_id"), (0 until K / 2).map(b =>
+      concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}"))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
@@ -225,8 +221,11 @@ object Dedup {
   /** The zero-explode pair pipeline of [[d18MinHashMapSide]] over an
     * arbitrary corpus — d18 runs it on the planted corpus, d22 on
     * index ∪ incoming batch, d10 consumes it for cluster edges.
+    * "Zero-explode" means zero SHINGLE explosion (the corpus x
+    * shingle-count row blowup); the band projection itself is a
+    * constant-4 posexplode since r12 (see [[explodeBands]]).
     * `doCache=false` exists only for plan-shape tests (PlanSpec asserts
-    * the no-Generate guarantee on the uncached plan, which caching would
+    * the no-shingle-Generate guarantee on the uncached plan, which caching would
     * hide inside InMemoryRelation). */
   private[graft] def minHashPairsMapSide(corpus: DataFrame,
                                          doCache: Boolean = true): DataFrame = {
@@ -239,11 +238,9 @@ object Dedup {
     // the cache pins ONE minhash_sig evaluation per document
     val sig = maybeCache(sharr.select($"doc_id",
       graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig")))
-    val bands = (0 until K / 2).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        concat_ws(":", element_at($"sig", 2 * b + 1),
-                       element_at($"sig", 2 * b + 2)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = explodeBands(sig, Seq($"doc_id"), (0 until K / 2).map(b =>
+      concat_ws(":", element_at($"sig", 2 * b + 1),
+                     element_at($"sig", 2 * b + 2))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
@@ -387,6 +384,17 @@ object Dedup {
       .foreach(dfMemo.remove)
     dfMemo.getOrElseUpdate((spark, dir, key), compute)
   }
+
+  /** One (band, bkey) row per input row per band as a SINGLE projection
+    * (`posexplode` over the per-band key array) instead of a
+    * branch-per-band union: an N-way union of the same (often cached)
+    * input re-scans it once PER BRANCH per action, and r12 profiling
+    * measured the union-form band aggregates 3-5x slower than this form
+    * on identical rows. `keep` columns ride along unchanged; `band` is
+    * the key's position, exactly the old `lit(b)`. */
+  private[graft] def explodeBands(df: DataFrame, keep: Seq[Column],
+                                  keys: Seq[Column]): DataFrame =
+    df.select(keep :+ posexplode(array(keys: _*)).as(Seq("band", "bkey")): _*)
 
   /** Dedup cluster assignment: every corpus document labeled with the min
     * doc_id of its duplicate component (exact-dup edges ∪ verified LSH
@@ -596,10 +604,8 @@ object Dedup {
     val sims = simHashFrom(
       sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid"),
       SimPairBits).cache()
-    val bands = (0 until 4).map { b =>
-      sims.select($"doc_id", lit(b).as("band"),
-        shiftright($"simhash", 8 * b).bitwiseAND(lit(255L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = explodeBands(sims, Seq($"doc_id"), (0 until 4).map(b =>
+      shiftright($"simhash", 8 * b).bitwiseAND(lit(255L))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
@@ -633,10 +639,8 @@ object Dedup {
       .select($"doc_id",
         graft.functions.SimHash.simhashSig($"shingles", SimPairBitsWide, P).as("simhash"))
       .cache()
-    val bands = (0 until 4).map { b =>
-      sims.select($"doc_id", lit(b).as("band"),
-        shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = explodeBands(sims, Seq($"doc_id"), (0 until 4).map(b =>
+      shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
@@ -831,10 +835,8 @@ object Dedup {
     * recall, lower precision (the s-curve moves left). */
   def lshCandidates(sig: DataFrame, b: Int, r: Int): DataFrame = {
     require(b * r == K, s"banding $b x $r must tile the $K-hash signature")
-    val bands = (0 until b).map { i =>
-      sig.select(col("doc_id"), lit(i).as("band"),
-        concat_ws(":", (0 until r).map(j => col(s"min_${i * r + j}")): _*).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = explodeBands(sig, Seq(col("doc_id")), (0 until b).map(i =>
+      concat_ws(":", (0 until r).map(j => col(s"min_${i * r + j}")): _*)))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -1435,11 +1437,9 @@ object Dedup {
     * pair build and the prepared-index probe. */
   private def bandsOf(sig: DataFrame): DataFrame = {
     import sig.sparkSession.implicits._
-    (0 until K / 2).map { b =>
-      sig.select($"doc_id", lit(b).as("band"),
-        concat_ws(":", element_at($"sig", 2 * b + 1),
-                       element_at($"sig", 2 * b + 2)).as("bkey"))
-    }.reduce(_ unionByName _)
+    explodeBands(sig, Seq($"doc_id"), (0 until K / 2).map(b =>
+      concat_ws(":", element_at($"sig", 2 * b + 1),
+                     element_at($"sig", 2 * b + 2))))
   }
 
   /** One micro-batch's admit decisions against the prepared index —

@@ -276,10 +276,8 @@ object Multimodal {
           when(element_at($"px", b + 1) * 32 > $"total", 1L << b).otherwise(0L))
           .reduce(_ + _))
       .select($"doc_id", $"phash").cache()
-    val bands = (0 until 4).map { b =>
-      packed.select($"doc_id", lit(b).as("band"),
-        shiftright($"phash", 8 * b).bitwiseAND(lit(255L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = Dedup.explodeBands(packed, Seq($"doc_id"), (0 until 4).map(b =>
+      shiftright($"phash", 8 * b).bitwiseAND(lit(255L))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
@@ -326,10 +324,8 @@ object Multimodal {
           when(element_at($"px", b + 1) * 64 > $"total", lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _))
       .select($"doc_id", $"phash").cache()
-    val bands = (0 until 4).map { b =>
-      packed.select($"doc_id", lit(b).as("band"),
-        shiftright($"phash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = Dedup.explodeBands(packed, Seq($"doc_id"), (0 until 4).map(b =>
+      shiftright($"phash", 16 * b).bitwiseAND(lit(65535L))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
@@ -392,10 +388,8 @@ object Multimodal {
           concat($"text", lit(" trail-meta-0123456789abcdef")).as("text")))
     val frames = frameHashes(corpus).cache()
     val nf = frames.groupBy($"doc_id").agg(count(lit(1)).as("nf"))
-    val bands = (0 until 4).map { b =>
-      frames.select($"doc_id", $"f", lit(b).as("band"),
-        shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = Dedup.explodeBands(frames, Seq($"doc_id", $"f"),
+      (0 until 4).map(b => shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L))))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.f") === col("y.f") && col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
@@ -473,10 +467,8 @@ object Multimodal {
     // table, and the (id1, f1, id2, f2) distinct dedupes the already-
     // verified (much smaller) set. Verify-then-distinct commutes with
     // distinct-then-verify: hamming is a pure function of the pair.
-    val bands = (0 until 4).map { b =>
-      frames.select($"doc_id", $"f", $"fhash", lit(b).as("band"),
-        shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L)).as("bkey"))
-    }.reduce(_ unionByName _)
+    val bands = Dedup.explodeBands(frames, Seq($"doc_id", $"f", $"fhash"),
+      (0 until 4).map(b => shiftright($"fhash", 16 * b).bitwiseAND(lit(65535L))))
     // the excluded-key set is tiny (only keys shared by >MaxKeyDocs docs)
     // — broadcast the anti join so the band table is shuffled once (for
     // the self-join), not twice

@@ -205,13 +205,20 @@ class PlanSpec extends AnyFunSuite {
       s"the double-EXISTS reformulation must stay hash-join shaped:\n$p")
   }
 
-  test("d18 map-side LSH: zero Generate/explode and zero global sort in the whole pair plan") {
+  test("d18 map-side LSH: no shingle explode and zero global sort in the whole pair plan") {
     // uncached build: caching would hide upstream operators inside
     // InMemoryRelation and make the guard vacuous
     val corpus = ext.Dedup.corpusWithCopies(Tables.documents(spark, sf0001))
     val p = planOf(ext.Dedup.minHashPairsMapSide(corpus, doCache = false))
-    assert(!p.contains("Generate"),
-      s"the zero-explode claim: no Generate anywhere before or after the band exchange:\n$p")
+    // The SCALE claim is "no row-per-SHINGLE explosion" (a corpus x
+    // shingle-count blowup): minhash_sig folds shingles inside one
+    // codegen'd expression. The band projection IS a Generate since r12
+    // — a constant-4 posexplode of the per-band keys, O(1) fan-out,
+    // which replaced a 4-branch union that re-ran the minhash once per
+    // branch — so the guard forbids any OTHER Generate shape.
+    val gens = "Generate ([a-z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(gens.subsetOf(Set("posexplode")),
+      s"only the constant-fan-out band posexplode may Generate, got $gens:\n$p")
     assert(!p.contains("Exchange SinglePartition"),
       s"no single-partition global sort in the pair pipeline:\n$p")
   }

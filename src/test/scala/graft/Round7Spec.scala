@@ -257,10 +257,15 @@ class Round7Spec extends AnyFunSuite {
     } yield (i1, i2)).toSet
     assert(keys == brute,
       s"banding missed ${(brute -- keys).size}, invented ${(keys -- brute).size}")
-    // zero-explode claim: no Generate node anywhere in the pair plan
+    // zero-explode claim = zero SHINGLE explosion (the corpus x
+    // shingle-count blowup); the band projection is a constant-4
+    // posexplode since r12 (Dedup.explodeBands) — forbid any OTHER
+    // Generate shape
     val plan = Dedup.d26SimHashNearDupScale(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Generate"), s"zero-explode plan must have no Generate:\n$plan")
+    val gens = "Generate ([a-z_]+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(gens.subsetOf(Set("posexplode")),
+      s"only the constant-fan-out band posexplode may Generate, got $gens:\n$plan")
   }
 
   // --- c15 / TypeMapping ------------------------------------------------
