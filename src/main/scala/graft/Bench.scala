@@ -154,8 +154,11 @@ object Bench {
         s""","best":$bestQs,"pass_totals":[${f(p1Total)},${f(p2Total)}],""" +
         s"""$telemetry,""" +
         s""""pass1":${qmap(pass1.toSeq)},"pass2":${qmap(pass2)}}""" + "\n")
-    // roll the per-SF best forward (noise context only, never committed)
-    Files.writeString(bestPath, line(best, best.map(_._2).sum, sfName) + "\n")
+    // roll the per-SF best forward (noise context only, never committed).
+    // NOT on filtered runs: writing a partial map would drop every
+    // unfiltered query's best (this clobbered the r12 history once)
+    if (only.isEmpty)
+      Files.writeString(bestPath, line(best, best.map(_._2).sum, sfName) + "\n")
     println(full)
     spark.stop()
     // last line of stdout, after spark.stop() so no shutdown logging follows

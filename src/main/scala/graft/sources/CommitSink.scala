@@ -223,11 +223,14 @@ object CommitSink {
 
   /** Snapshot expiry — the VACUUM command (o19), the GC half of time
     * travel: drop every version manifest except the newest `keepLast`,
-    * then delete data files no surviving version references. Runs under
-    * the sink's single-writer assumption (a concurrent commit could
-    * publish a new version mid-sweep; coordination is the transaction
-    * log's job in Iceberg/Delta, and the same position is documented on
-    * the manifest CAS). Returns (expired versions, deleted data files). */
+    * then delete data files no surviving version references. The CURRENT
+    * manifest is always re-read and unioned into the live set, so a
+    * commit racing the sweep keeps its files; a commit landing between
+    * the live-set read and the delete loop could still lose a file it
+    * newly references — sequencing maintenance against writers is the
+    * transaction log's job in Iceberg/Delta too (their vacuum documents
+    * the same retention-window rule). Returns (expired versions,
+    * deleted data files). */
   def expireVersions(dir: String, keepLast: Int): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "expiry must keep at least the current version")
     val d = Paths.get(dir)
@@ -365,14 +368,19 @@ object CommitSink {
     (ddl, files)
   }
 
-  /** Write-and-swap the manifest. SINGLE-WRITER assumption: the manifest
-    * swap is atomic for READERS, but two concurrent writers to the same
-    * path would each read-modify-swap and one's files would silently
-    * vanish from the manifest. `expectedPrev` (the commit id the caller
-    * based its read-modify on) turns that silent loss into a hard error:
-    * if another writer slipped a commit in between, the check fails and
-    * nothing is swapped. Pass the sentinel [[SKIP_CAS]] only from
-    * fixture/test code that owns the path exclusively. */
+  /** Write-and-swap the manifest under the per-path commit lock: the
+    * swap is atomic for READERS, and the `expectedPrev` CAS makes
+    * concurrent WRITERS safe — a writer whose planning read is stale
+    * fails with [[ConcurrentCommitException]] instead of silently
+    * dropping the interleaved commit's files. Appends RETRY on that
+    * failure (re-read, re-carry, re-swap — see CommitBatchWrite);
+    * truncates and group rewrites propagate it, because their content
+    * was computed against the invalidated snapshot and the statement
+    * must re-run. `expectedPrev` is the commit id of the manifest the
+    * caller based its read-modify on: the PLANNING manifest for
+    * rewrites, the fresh commit-time read for appends/truncates. Pass
+    * the sentinel [[SKIP_CAS]] only from fixture/test code that owns
+    * the path exclusively. */
   private[graft] val SKIP_CAS: Long = Long.MinValue
 
   private[graft] def writeManifest(dir: Path, ddl: String, files: Seq[String],

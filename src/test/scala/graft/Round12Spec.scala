@@ -79,6 +79,30 @@ class Round12Spec extends AnyFunSuite {
     assert(back.filter($"id" >= 40L && $"score" >= 1000.0).count() == 0L)
   }
 
+  test("a selective UPDATE on a PARTITIONED table carries the other keys' files") {
+    val (cat, root) = withCatalog("cow_part")
+    val path = s"$root/default/t"
+    spark.range(1000L).select($"id", ($"id" % 8).as("k"),
+        (($"id" * 7 % 1000) / 10.0).as("score"))
+      .write.format("graft-commit").option("path", path)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val before = manifest(path)
+    assert(before.partCol.contains("k") && before.files.size >= 8)
+    spark.sql(s"UPDATE $cat.`default`.t SET score = score + 1000.0 WHERE k = 3")
+    val after = manifest(path)
+    assert(after.partCol.contains("k"), "DML preserves the partition layout")
+    // every key != 3 file is carried; only key 3's file(s) are replaced
+    val k3Before = before.files.filter(f =>
+      sources.CommitSink.FileStat.decode(before.stats(f)).pk.contains(3L)).toSet
+    assert(k3Before.nonEmpty)
+    assert(before.files.toSet -- after.files.toSet == k3Before,
+      "exactly the matched partition key's files are replaced")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.count() == 1000L)
+    assert(back.filter($"score" >= 1000.0).count() == 125L)
+    assert(back.filter($"k" =!= 3L && $"score" >= 1000.0).count() == 0L)
+  }
+
   test("metadata DELETE carries files the zone maps prove unmatched") {
     val (cat, root) = withCatalog("cow_delete")
     val path = s"$root/default/t"
