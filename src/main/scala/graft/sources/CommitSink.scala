@@ -169,6 +169,9 @@ object CommitSink {
   private[sources] val supportedTypes: Set[DataType] =
     Set(LongType, IntegerType, DoubleType, StringType, BooleanType)
 
+  /** Name of the `_file` metadata column (o21). */
+  private[graft] val FILE_COL = "_file"
+
   /** Read the committed snapshot: ONLY the manifest's file list, with the
     * manifest's schema. A target that has never seen any write (no
     * manifest at all) fails with a clear error; a committed-but-empty
@@ -601,13 +604,31 @@ class CommitSinkTable(path: String,
     with SupportsWrite
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.{coalesce => fnCoalesce, col, lit, not}
   import org.apache.spark.sql.{sources => sf}
 
   override def name(): String =
     s"graft_commit($path${version.map(v => s"@v$v").getOrElse("")})"
+
+  /** `_file` — the committed data file a row was read from (o21), the
+    * Iceberg FILE_PATH device: lineage/debugging on its own, and the
+    * attribute the row-level operation's RUNTIME GROUP FILTERING keys
+    * on — a MERGE's matched _file set is bounded by the FILE count, so
+    * the DPP In-filter stays manifest-sized where data-column keys
+    * could be corpus-sized. Withdrawn when a (nonstandard) data column
+    * already claims the name — data columns win. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema().fieldNames.contains(CommitSink.FILE_COL)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = CommitSink.FILE_COL
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "committed data file (manifest-relative name) this row was read from"
+    })
 
   /** The committed version's schema when one exists (the catalog /
     * row-level-operation path needs real columns to resolve against);
@@ -859,6 +880,19 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
   private[sources] val scanned =
     new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
   override def command(): RowLevelOperation.Command = cmd
+  /** The operation reads rows WITH their `_file` metadata column — what
+    * lets Spark's runtime GROUP filtering find the matched groups: the
+    * matching-rows subquery (planned over the ORIGINAL table — Spark
+    * swaps RowLevelOperationTable back before building it, so it never
+    * touches this operation's scanned-files holder) computes the
+    * DISTINCT `_file` values the command condition matches, and this
+    * operation's scan prunes to exactly those files at execution. The
+    * In-set is bounded by the FILE count (the reason Iceberg keys group
+    * filtering on FILE_PATH, not data columns). */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(CommitSink.FILE_COL))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CommitScanBuilder(path, dmlOp = Some(this))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1388,10 +1422,20 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
   }
   override def pushedFilters(): Array[Filter] = skip
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep the manifest's field order; empty projection (COUNT(*)) is legal
-    required = Some(StructType(fullSchema.fields
-      .filter(f => requiredSchema.fieldNames.contains(f.name))))
+    val data = fullSchema.fields
+      .filter(f => requiredSchema.fieldNames.contains(f.name))
+    // the _file METADATA column (o21) — appended after the data columns
+    // when the plan asked for it (and no data column claims the name,
+    // in which case the table never exposed the metadata column)
+    val meta =
+      if (requiredSchema.fieldNames.contains(CommitSink.FILE_COL) &&
+          !fullSchema.fieldNames.contains(CommitSink.FILE_COL))
+        Array(StructField(CommitSink.FILE_COL, StringType, nullable = false))
+      else Array.empty[StructField]
+    required = Some(StructType(data ++ meta))
+  }
 
   /** A column whose manifest stats can answer MIN/MAX soundly: integral
     * only. A double column may hold NaN values, which the recorded
@@ -1563,16 +1607,24 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   private var runtimeSkip: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def filterAttributes(): Array[NamedReference] =
-    // DML scans do not offer runtime filtering even though the
-    // group-granular rewrite would now tolerate it: Spark's row-level
-    // runtime group filtering plans a SECOND scan of this table (the
-    // matching-groups subquery), and the replaced-file set must come
-    // from exactly the scan whose rows feed the rewrite — a second scan
-    // racing the holder would make the set ambiguous. Static zone-map
-    // pruning of the pushed DML condition (see pushFilters) covers
-    // UPDATE/DELETE; MERGE's join-dependent pruning is the one deferred
-    // piece, and it degrades to reading more files, never to data loss.
-    if (dmlOp.isDefined || manifest.partCol.isDefined) Array.empty
+    // DML scans key runtime filtering on the _file METADATA column
+    // (o21) — Iceberg's FILE_PATH device: the matching-groups subquery
+    // is planned over the ORIGINAL table (Spark swaps
+    // RowLevelOperationTable back before building it — verified against
+    // Spark 4.1's RowLevelOperationRuntimeGroupFiltering — so it never
+    // races this operation's scanned-files holder), computes the
+    // DISTINCT matched _file values (bounded by the FILE count, where a
+    // data-column key set could be corpus-sized), and this scan prunes
+    // to exactly those files. Safe under the group-granular rewrite: a
+    // pruned file is a CARRIED file. Partitioned tables stay excluded —
+    // pruning KeyGrouped groups after the partitioning is reported
+    // would desync the contract.
+    if (dmlOp.isDefined)
+      if (manifest.partCol.isEmpty &&
+          readSchema().fieldNames.contains(CommitSink.FILE_COL))
+        Array(Expressions.column(CommitSink.FILE_COL))
+      else Array.empty
+    else if (manifest.partCol.isDefined) Array.empty
     // only columns of the (possibly pruned) OUTPUT schema: Spark resolves
     // these refs against the scan's output and fails analysis on a column
     // the projection dropped
@@ -1582,14 +1634,28 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         Expressions.column(f.name)
     }
 
-  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+  /** Runtime In/Eq filters on `_file` (the row-level group-filtering
+    * path) prune files DIRECTLY by name — conjunction = intersection.
+    * None = no file filter arrived (prune by stats only). */
+  private var runtimeFiles: Option[Set[String]] = None
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtimeSkip = filters.filter(CommitSkip.usable)
+    val fileSets = filters.collect {
+      case org.apache.spark.sql.sources.In(c, vs) if c == CommitSink.FILE_COL =>
+        vs.collect { case s: String => s }.toSet
+      case org.apache.spark.sql.sources.EqualTo(c, v: String)
+          if c == CommitSink.FILE_COL => Set(v)
+    }
+    runtimeFiles = fileSets.reduceOption(_ intersect _)
+  }
 
   /** The runtime-pruned file set: static survivors minus files the
     * runtime key set rules out. Evaluated inside planInputPartitions —
     * Spark calls [[filter]] first. */
   private def runtimeSurviving: Seq[String] = surviving.filter { f =>
-    fileStats.get(f).forall(st => runtimeSkip.forall(CommitSkip.mayMatch(_, st)))
+    runtimeFiles.forall(_.contains(f)) &&
+      fileStats.get(f).forall(st => runtimeSkip.forall(CommitSkip.mayMatch(_, st)))
   }
 
   /** One (key → files) group per partition value when the table is
@@ -1660,7 +1726,11 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitReaderFactory(readSchema().toDDL)
+    new CommitReaderFactory(readSchema().toDDL,
+      // stamp `_file` per row only when it is the METADATA column (a
+      // data column of that name is decoded from the payload as usual)
+      stampFile = readSchema().fieldNames.contains(CommitSink.FILE_COL) &&
+        !StructType.fromDDL(manifest.ddl).fieldNames.contains(CommitSink.FILE_COL))
 
   /** The table AS A STREAM (o20) — each commit is a micro-batch. */
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1826,15 +1896,16 @@ case class CommitKeyedFilesPartition(files: Seq[String], key: Any)
     new GenericInternalRow(Array[Any](key))
 }
 
-class CommitReaderFactory(ddl: String) extends PartitionReaderFactory {
+class CommitReaderFactory(ddl: String, stampFile: Boolean = false)
+    extends PartitionReaderFactory {
   // a fully-pruned projection (COUNT(*) above a declined aggregate push)
   // ships an EMPTY schema, which fromDDL refuses to parse
   private def schema: StructType =
     if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case CommitFilesPartition(fs)         => new CommitFilesReader(fs, schema)
-      case CommitKeyedFilesPartition(fs, _) => new CommitFilesReader(fs, schema)
+      case CommitFilesPartition(fs)         => new CommitFilesReader(fs, schema, stampFile)
+      case CommitKeyedFilesPartition(fs, _) => new CommitFilesReader(fs, schema, stampFile)
       case other => sys.error(s"graft-commit: unexpected partition $other")
     }
 }
@@ -1852,11 +1923,19 @@ class CommitFileReader(file: String, schema: StructType)
   * null. Schema-driven, no generic JSON machinery needed. Reads a file
   * GROUP sequentially — one partition per key group under identity
   * partitioning, one per file otherwise. */
-class CommitFilesReader(files: Seq[String], schema: StructType)
+class CommitFilesReader(files: Seq[String], schema: StructType,
+                        /** Fill the `_file` METADATA column (o21) with
+                          * the manifest-relative name of the file each
+                          * row came from. False when `_file` is a DATA
+                          * column (decoded from the payload). */
+                        stampFile: Boolean = false)
     extends PartitionReader[InternalRow] {
   private val queue = files.iterator
   private var lines: java.io.BufferedReader = _
   private val fieldIndex = schema.fieldNames.zipWithIndex.toMap
+  private val fileIdx: Int =
+    if (stampFile) schema.fieldNames.indexOf(CommitSink.FILE_COL) else -1
+  private var curFile: UTF8String = _
   // Emit UnsafeRow, not GenericInternalRow: consumers that buffer or
   // shuffle scan output directly (the row-level ReplaceData write does)
   // assume the binary row format — a generic row on that path is read
@@ -1869,7 +1948,9 @@ class CommitFilesReader(files: Seq[String], schema: StructType)
   private def nextLine(): String = {
     if (lines == null) {
       if (!queue.hasNext) return null
-      lines = Files.newBufferedReader(Paths.get(queue.next()))
+      val f = Paths.get(queue.next())
+      curFile = UTF8String.fromString(f.getFileName.toString)
+      lines = Files.newBufferedReader(f)
     }
     val l = lines.readLine()
     if (l != null) l
@@ -1930,6 +2011,7 @@ class CommitFilesReader(files: Seq[String], schema: StructType)
       }
       if (i < line.length && line.charAt(i) == ',') i += 1
     }
+    if (fileIdx >= 0) vals(fileIdx) = curFile
     new GenericInternalRow(vals)
   }
 }

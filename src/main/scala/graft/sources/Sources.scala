@@ -523,6 +523,56 @@ object Sources {
     CommitSink.readCommitted(spark, path)
   }
 
+  /** o21: MERGE with RUNTIME GROUP FILTERING — the `_file` metadata
+    * column (Iceberg's FILE_PATH device) closing the one DML scale gap
+    * static zone maps cannot: a MERGE's ON condition references the
+    * SOURCE, so no planning-time prune is possible, and without group
+    * filtering the copy-on-write scan reads (and the rewrite replaces)
+    * the WHOLE table. With it, Spark plans a matching-groups subquery
+    * over the ORIGINAL table (joining source x target), collects the
+    * DISTINCT `_file` values the condition matches — bounded by the
+    * FILE count, which is why the key is _file and not a data column —
+    * and hands them to the DML scan as a runtime In-filter; the
+    * group-granular rewrite then replaces exactly those files and
+    * carries the rest. The proof is IN the oracle: the readout carries
+    * `n_carried_files`, the count of pre-MERGE files still listed in
+    * the post-MERGE manifest — 7 of 8 iff the matched band (event_id <
+    * 50, one file of the range-partitioned layout) was the only group
+    * rewritten; a silent fallback to whole-table copy-on-write would
+    * hash-mismatch. At 100 TB this is the difference between a MERGE
+    * that rewrites ~its matched partitions and one that rewrites the
+    * table. */
+  def o21Dsv2MergeGroupPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o21", dir)
+    val path = s"$root/default/ev"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.repartitionByRange(8, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    val before = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    val matched = ev.filter(col("event_id") < 50)
+      .select(col("event_id"), (col("value") + 1.0).as("v"))
+    spark.catalog.dropTempView("o21_src")
+    matched.unionByName(matched.filter(col("event_id") % 2 === 0)
+        .select((col("event_id") + 100000000L).as("event_id"), col("v")))
+      .createTempView("o21_src")
+    spark.sql(s"""MERGE INTO $cat.`default`.ev t USING o21_src s
+                 ON t.event_id = s.event_id
+                 WHEN MATCHED THEN UPDATE SET value = t.value + s.v
+                 WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+                   VALUES (s.event_id, 'merged', s.v)""")
+    val after = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    val carried = after.files.toSet.intersect(before.files.toSet).size
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("n_carried_files", lit(carried))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -921,6 +971,7 @@ object Sources {
     "o15_dsv2_stats_broadcast" -> o15Dsv2StatsBroadcast _,
     "o14_dsv2_file_skipping" -> o14Dsv2FileSkipping _,
     "o13_dsv2_merge_upsert" -> o13Dsv2MergeUpsert _,
+    "o21_dsv2_merge_groupprune" -> o21Dsv2MergeGroupPrune _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -936,6 +987,30 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // the selective MERGE replayed as LEFT JOIN + anti-join INSERT; the
+    // n_carried_files literal 7 is the group-prune proof — a fallback to
+    // whole-table copy-on-write reports 0 carried and hash-mismatches
+    "o21_dsv2_merge_groupprune" ->
+      s"""WITH m AS (SELECT event_id, value FROM events WHERE event_id < 50),
+               s AS (SELECT event_id, value + 1.0 AS v FROM m
+                     UNION ALL
+                     SELECT event_id + 100000000, value + 1.0 FROM m
+                     WHERE event_id % 2 = 0),
+               merged AS (
+                 SELECT t.event_id, t.event_type,
+                        CASE WHEN s.event_id IS NOT NULL
+                             THEN t.value + s.v ELSE t.value END AS value
+                 FROM events t LEFT JOIN s ON t.event_id = s.event_id
+                 UNION ALL
+                 SELECT s.event_id, 'merged', s.v
+                 FROM s LEFT JOIN events t ON t.event_id = s.event_id
+                 WHERE t.event_id IS NULL)
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(7 AS INTEGER) AS n_carried_files
+          FROM merged GROUP BY 1""",
     // the 3 commit-batches must compose to the whole-table aggregate
     "o20_dsv2_table_stream" ->
       s"""SELECT event_type, COUNT(*) AS n,

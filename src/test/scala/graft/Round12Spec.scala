@@ -196,6 +196,49 @@ class Round12Spec extends AnyFunSuite {
     assert(manifest(dir).commit == 3L)
   }
 
+  // --- o21: the _file metadata column + MERGE runtime group filtering ---------
+
+  test("o21: _file maps every row to its committed file, exactly per manifest stats") {
+    val dir = freshDir("file_meta")
+    fixture(1000).repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val m = manifest(dir)
+    val perFile = spark.read.format("graft-commit").option("path", dir).load()
+      .groupBy(col("_file")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = m.files.map(f =>
+      f -> sources.CommitSink.FileStat.decode(m.stats(f)).rows).toMap
+    assert(perFile == expected,
+      "per-_file row counts must equal the manifest's per-file stats")
+    // SELECT * must NOT include the metadata column
+    assert(!spark.read.format("graft-commit").option("path", dir).load()
+      .columns.contains("_file"))
+  }
+
+  test("o21: MERGE runtime group filtering replaces only the matched files") {
+    val (cat, root) = withCatalog("merge_prune")
+    val path = s"$root/default/t"
+    fixture(1000).repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    val before = manifest(path)
+    assert(before.files.size == 4)
+    // the MERGE's ON condition references the SOURCE, so no STATIC prune
+    // is possible — only the runtime matching-groups subquery (keyed on
+    // the _file metadata column) can discover that all matched ids live
+    // in one file
+    spark.range(10L).select($"id").createOrReplaceTempView("mp_src")
+    spark.sql(s"""MERGE INTO $cat.`default`.t t USING mp_src s ON t.id = s.id
+                  WHEN MATCHED THEN UPDATE SET score = t.score + 5000.0""")
+    val after = manifest(path)
+    assert(after.files.toSet.intersect(before.files.toSet).size == 3,
+      s"the 3 unmatched files must be CARRIED (runtime group filtering); " +
+        s"before=${before.files}, after=${after.files}")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.count() == 1000L, "no rows lost")
+    assert(back.filter($"score" >= 5000.0).count() == 10L)
+    assert(back.filter($"id" >= 10L && $"score" >= 5000.0).count() == 0L)
+  }
+
   // --- d33: recovery after a mid-stream rewrite --------------------------------
 
   test("d33: refusal + snapshot re-bootstrap + idempotent write equals d22 exactly") {
