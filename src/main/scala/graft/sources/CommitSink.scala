@@ -1082,26 +1082,24 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
   }
 
   /** Whole-table overwrite: new version is exactly the promoted set; the
-    * streaming-epoch ledger resets (a truncate is a new content lineage). */
+    * streaming-epoch ledger resets (a truncate is a new content lineage).
+    *
+    * No commit-time file sweep: every previous-version file is
+    * referenced by its immutable version manifest (time travel), and a
+    * data file referenced by NO manifest is either a crash leftover
+    * (this writer's failure handler already deletes a refused commit's
+    * promoted files) or — since appends became concurrent — another
+    * writer's promoted-but-not-yet-committed output, which a sweep here
+    * would DELETE out from under its CAS-retry. Unreferenced leftovers
+    * are [[CommitSink.expireVersions]]'s job, the maintenance operation
+    * whose coordination contract is documented. */
   private def commitTruncate(newFiles: Seq[String],
                              newStats: Map[String, String]): Unit = {
     val manifest = CommitSink.parseManifest(dir)
     val prev = manifest.map(_.commit).getOrElse(-1L)
-    val commitId = prev + 1
-    CommitSink.writeManifest(dir, schema.toDDL, newFiles, commitId,
+    CommitSink.writeManifest(dir, schema.toDDL, newFiles, prev + 1,
       Seq.empty, expectedPrev = prev, partCol = partCol, stats = newStats,
       tableId = CommitSink.carriedOrFreshTableId(manifest))
-    // after the swap: previous-version files are garbage no reader can
-    // see — sweep them, EXCEPT files an older version manifest still
-    // lists (version-referenced files are the snapshot GC's job)
-    val keep = newFiles.toSet
-    val versionReferenced = CommitSink.listVersions(dir)
-      .iterator.filter(_ < commitId)
-      .flatMap(v => CommitSink.parseManifestVersion(dir, v).files)
-      .toSet
-    CommitSink.listDataFiles(dir)
-      .filterNot(n => keep.contains(n) || versionReferenced.contains(n))
-      .foreach(n => Files.deleteIfExists(dir.resolve(n)))
   }
 
   /** Append: carried ∪ promoted under a CAS on the read manifest — and

@@ -257,6 +257,27 @@ class Round12Spec extends AnyFunSuite {
         "must not have written anything")
   }
 
+  test("truncate leaves unreferenced data files alone (concurrent-append safety)") {
+    // a data file referenced by NO manifest may be another writer's
+    // promoted-but-not-yet-committed output (appends promote BEFORE the
+    // CAS) — a commit-time sweep would delete it out from under that
+    // writer's CAS-retry; cleanup belongs to snapshot expiry
+    val dir = freshDir("no_sweep")
+    fixture(100).write.format("graft-commit").option("path", dir)
+      .mode("overwrite").save()
+    val stray = Paths.get(dir, "part-c00099-deadbeef-00000.json")
+    java.nio.file.Files.writeString(stray, "{\"id\":1,\"score\":2.0}\n")
+    fixture(50).write.format("graft-commit").option("path", dir)
+      .mode("overwrite").save()
+    assert(java.nio.file.Files.exists(stray),
+      "truncate must not delete files it cannot prove are garbage")
+    // reads never see it (the manifest defines the table) ...
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 50L)
+    // ... and expiry — the documented maintenance point — GC's it
+    sources.CommitSink.expireVersions(dir, keepLast = 1)
+    assert(!java.nio.file.Files.exists(stray))
+  }
+
   // --- generation hard error ---------------------------------------------------
 
   test("a generation-less checkpointed offset on a generation-tracked table is refused") {
