@@ -976,10 +976,16 @@ class CommitStreamingWrite(path: String, schema: StructType)
       }.toSeq
       val stats = manifest.map(_.stats).getOrElse(Map.empty) ++
         promoted.filter(_._2.nonEmpty).toMap
-      CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
+      try CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
         prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId,
         expectedPrev = prev, stats = stats,
         tableId = CommitSink.carriedOrFreshTableId(manifest))
+      catch { case e: Throwable =>
+        // a refused epoch commit (e.g. a batch DML raced this trigger)
+        // must leave no trace — same contract as the batch commit
+        promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
+        throw e
+      }
     }
     CommitSink.sweepStaging(dir, nonce)
   }
