@@ -573,6 +573,65 @@ object Sources {
       .withColumn("n_carried_files", lit(carried))
   }
 
+  /** o22: XML round-trip — Spark 4's built-in XML datasource (the
+    * spark-xml merge), the classic enterprise-ingest format the json/
+    * csv/orc/parquet/jdbc matrix was missing: events write as
+    * `<event>…</event>` rows and read back under an explicit schema
+    * (schema-on-read, like the csv/json paths — inference is a luxury a
+    * 100 TB ingest skips). Doubles survive exactly: the writer emits
+    * shortest-round-trip decimal strings. Oracle = the same aggregate
+    * over the ORIGINAL table, so the round-trip itself is what is
+    * hash-checked. */
+  def o22XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_o22_").toString
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").option("rowTag", "event").format("xml").save(tmp)
+    spark.read.schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .option("rowTag", "event").format("xml").load(tmp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  /** o23: streaming-state INTROSPECTION — Spark 4's State Data Source
+    * (`format("statestore")`): read a stateful query's checkpointed
+    * state store as a DataFrame, without the query. At 100 TB the state
+    * store IS the streaming job's database (the thing that grows, skews,
+    * and gets debugged at 3am), and this is its SELECT: find the hot
+    * keys, audit a suspect aggregate, size the shards — none of which
+    * the running query exposes. The entry runs a 2-trigger grouped
+    * aggregation to completion, then reads the RocksDB state files
+    * directly; the oracle replays the aggregation in DuckDB, so the
+    * STATE CONTENT itself (count + sum buffer per key) is hash-checked
+    * against what the stream must have accumulated. */
+  def o23StateIntrospection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val ck = s"/tmp/graft_o23/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(ck)
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 20000).option("slices", 8)
+      .option("streamBatchRows", 10000).load()
+      .select((col("id") % 97L).as("k"), col("id"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the state VALUE struct carries the physical aggregation buffer —
+    // field names are the agg functions' (`count`, `sum`), not the
+    // query aliases (those live above the state)
+    spark.read.format("statestore").load(ck)
+      .select(col("key.k").as("k"),
+        col("value.count").as("n_events"),
+        col("value.sum").as("sum_id"))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -972,6 +1031,8 @@ object Sources {
     "o14_dsv2_file_skipping" -> o14Dsv2FileSkipping _,
     "o13_dsv2_merge_upsert" -> o13Dsv2MergeUpsert _,
     "o21_dsv2_merge_groupprune" -> o21Dsv2MergeGroupPrune _,
+    "o22_xml_roundtrip" -> o22XmlRoundtrip _,
+    "o23_state_introspection" -> o23StateIntrospection _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -987,6 +1048,19 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // XML write -> schema-on-read must be value-lossless
+    "o22_xml_roundtrip" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM events GROUP BY 1""",
+    // the checkpointed state buffers must hold exactly the aggregation
+    // the stream accumulated — replayed over the sensor id domain
+    "o23_state_introspection" ->
+      """SELECT id % 97 AS k, COUNT(*) AS n_events,
+                CAST(SUM(id) AS BIGINT) AS sum_id
+         FROM range(20000) t(id) GROUP BY 1""",
     // the selective MERGE replayed as LEFT JOIN + anti-join INSERT; the
     // n_carried_files literal 7 is the group-prune proof — a fallback to
     // whole-table copy-on-write reports 0 carried and hash-mismatches
