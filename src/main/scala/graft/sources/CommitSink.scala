@@ -226,14 +226,16 @@ object CommitSink {
 
   /** Snapshot expiry — the VACUUM command (o19), the GC half of time
     * travel: drop every version manifest except the newest `keepLast`,
-    * then delete data files no surviving version references. The CURRENT
-    * manifest is always re-read and unioned into the live set, so a
-    * commit racing the sweep keeps its files; a commit landing between
-    * the live-set read and the delete loop could still lose a file it
-    * newly references — sequencing maintenance against writers is the
-    * transaction log's job in Iceberg/Delta too (their vacuum documents
-    * the same retention-window rule). Returns (expired versions,
-    * deleted data files). */
+    * then delete the data files ONLY those dropped versions referenced
+    * (and no retained version still does). Files referenced by NO
+    * manifest at all are deliberately NOT touched: since appends became
+    * concurrent, such a file may be another writer's
+    * promoted-but-not-yet-committed output — deleting it would corrupt
+    * that writer's CAS-retry. Never-referenced leftovers (crashed
+    * writers) are [[removeOrphanFiles]]' job, behind a
+    * modification-time grace window — exactly Iceberg's
+    * expireSnapshots / removeOrphanFiles split. Returns (expired
+    * versions, deleted data files). */
   def expireVersions(dir: String, keepLast: Int): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "expiry must keep at least the current version")
     val d = Paths.get(dir)
@@ -248,10 +250,36 @@ object CommitSink {
     val live: Set[String] =
       keep.flatMap(v => parseManifestVersion(d, v).files).toSet ++
         parseManifest(d).map(_.files).getOrElse(Seq.empty)
+    // enumerate the dropped versions' files BEFORE deleting their
+    // manifests — the manifest is the only record of what they held
+    val droppedReferenced = drop.flatMap(v => parseManifestVersion(d, v).files).toSet
     drop.foreach(v => Files.deleteIfExists(d.resolve(versionFile(v))))
-    val removed = listDataFiles(d).filterNot(live.contains)
+    val removed = droppedReferenced.filterNot(live.contains).toSeq.sorted
     removed.foreach(n => Files.deleteIfExists(d.resolve(n)))
-    (drop, removed.sorted)
+    (drop, removed)
+  }
+
+  /** Orphan-file cleanup — the second half of the GC pair (Iceberg's
+    * removeOrphanFiles): delete data files referenced by NO manifest
+    * (current or any retained version) whose last modification is older
+    * than `graceMs`. The grace window is the writer-safety device: a
+    * concurrent append promotes its files to final names BEFORE its
+    * manifest CAS, so a too-eager orphan sweep would delete an in-flight
+    * writer's output — any grace comfortably above a commit's
+    * promote-to-swap window (default 1h, Iceberg defaults to 3 DAYS) is
+    * safe. Returns the deleted file names. */
+  def removeOrphanFiles(dir: String, graceMs: Long = 3600L * 1000): Seq[String] = {
+    val d = Paths.get(dir)
+    val live: Set[String] =
+      listVersions(d).flatMap(v => parseManifestVersion(d, v).files).toSet ++
+        parseManifest(d).map(_.files).getOrElse(Seq.empty)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val removed = listDataFiles(d)
+      .filterNot(live.contains)
+      .filter(n => Files.getLastModifiedTime(d.resolve(n)).toMillis < cutoff)
+      .sorted
+    removed.foreach(n => Files.deleteIfExists(d.resolve(n)))
+    removed
   }
 
   /** Committed-style data files (`part-*`) currently on disk — shared by

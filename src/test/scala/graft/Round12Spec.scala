@@ -273,8 +273,17 @@ class Round12Spec extends AnyFunSuite {
       "truncate must not delete files it cannot prove are garbage")
     // reads never see it (the manifest defines the table) ...
     assert(sources.CommitSink.readCommitted(spark, dir).count() == 50L)
-    // ... and expiry — the documented maintenance point — GC's it
+    // ... snapshot EXPIRY leaves it too (it may be an in-flight writer's
+    // output — expiry deletes only dropped-version-referenced files) ...
     sources.CommitSink.expireVersions(dir, keepLast = 1)
+    assert(java.nio.file.Files.exists(stray),
+      "expiry must not delete never-referenced files")
+    // ... within the orphan grace window it is still protected ...
+    assert(sources.CommitSink.removeOrphanFiles(dir).isEmpty)
+    assert(java.nio.file.Files.exists(stray))
+    // ... and past the grace, orphan cleanup GC's it
+    assert(sources.CommitSink.removeOrphanFiles(dir, graceMs = 0L) ==
+      Seq(stray.getFileName.toString))
     assert(!java.nio.file.Files.exists(stray))
   }
 
