@@ -112,6 +112,14 @@ object CommitSink {
     Option(pendingRewrites.remove(token)).getOrElse(
       sys.error(s"graft-commit: unknown or already-consumed rewrite token $token"))
 
+  /** Failure-path cleanup for a registered token: a write that dies at
+    * analysis/validation BEFORE the builder's lazy takeRewrite runs
+    * would otherwise leak the entry (holding the full planning manifest)
+    * in a long-lived driver. Idempotent — a token the write already
+    * consumed is simply gone. */
+  private[graft] def dropRewrite(token: String): Unit =
+    pendingRewrites.remove(token)
+
   /** Attempt-unique fragment for PROMOTED data-file names. Promotion
     * happens before the manifest CAS, and two racing writers compute the
     * same next commit id — with deterministic names the loser's
@@ -219,9 +227,11 @@ object CommitSink {
     // them, carrying none, exactly the old truncate shape but CAS'd
     // against the PLANNING commit rather than a commit-time re-read
     val token = registerRewrite(DmlRewrite(m, () => m.files.toSet))
-    val w = shaped.write.format(NAME).option("path", dir)
-      .option("rewriteToken", token)
-    m.partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
+    try {
+      val w = shaped.write.format(NAME).option("path", dir)
+        .option("rewriteToken", token)
+      m.partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
+    } finally dropRewrite(token) // no-op on success; reclaims on early failure
   }
 
   /** Snapshot expiry — the VACUUM command (o19), the GC half of time
@@ -444,12 +454,22 @@ object CommitSink {
       // reader can see as current always has its time-travel twin (a crash
       // between the two writes loses only the never-visible new version)
       Files.writeString(dir.resolve(versionFile(commitId)), body)
-      val tmp = dir.resolve(MANIFEST + ".tmp")
-      Files.writeString(tmp, body)
-      // the atomic swap IS the commit: readers either see the old manifest
-      // or the new one, never a torn state
-      Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+      try {
+        val tmp = dir.resolve(MANIFEST + ".tmp")
+        Files.writeString(tmp, body)
+        // the atomic swap IS the commit: readers either see the old manifest
+        // or the new one, never a torn state
+        Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: Throwable =>
+        // a failed swap must not leave a PHANTOM version: the commit never
+        // became current, its data files will be deleted by the caller's
+        // failure handler, and listVersions/time travel must not expose a
+        // version whose files are gone. Safe to delete: the CAS above
+        // proves no successful commit ever used this id.
+        Files.deleteIfExists(dir.resolve(versionFile(commitId)))
+        throw e
+      }
     }
 
   private[sources] def currentCommit(dir: Path): Long = {
@@ -776,16 +796,18 @@ class CommitSinkTable(path: String,
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
     val token = CommitSink.registerRewrite(
       CommitSink.DmlRewrite(m, () => scanned.toSet))
-    val w = spark.read.schema(schema)
-      .json(scanned.map(f => Paths.get(path, f).toString): _*)
-      // DELETE removes rows where the condition is TRUE; a NULL
-      // condition keeps the row
-      .filter(not(fnCoalesce(cond, lit(false))))
-      .write.format(CommitSink.NAME).option("path", path)
-      .option("rewriteToken", token)
-    // DML preserves the table's partition layout
-    m.partCol.fold(w)(c => w.option("partitionBy", c))
-      .mode("overwrite").save()
+    try {
+      val w = spark.read.schema(schema)
+        .json(scanned.map(f => Paths.get(path, f).toString): _*)
+        // DELETE removes rows where the condition is TRUE; a NULL
+        // condition keeps the row
+        .filter(not(fnCoalesce(cond, lit(false))))
+        .write.format(CommitSink.NAME).option("path", path)
+        .option("rewriteToken", token)
+      // DML preserves the table's partition layout
+      m.partCol.fold(w)(c => w.option("partitionBy", c))
+        .mode("overwrite").save()
+    } finally CommitSink.dropRewrite(token) // reclaim on pre-build failure
   }
 }
 
@@ -908,6 +930,72 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
   private[sources] val scanned =
     new java.util.concurrent.atomic.AtomicReference[Set[String]](null)
   override def command(): RowLevelOperation.Command = cmd
+
+  /** PROFITABILITY GUARD for runtime group filtering (the r12 o13
+    * regression): the matching-groups subquery pays one source×target
+    * join per MERGE/UPDATE, which only earns its keep when the layout
+    * HAS prunable group structure. The manifest's own zone maps decide:
+    *
+    *  - an identity-PARTITIONED table always has it (one key per file);
+    *  - an unpartitioned table has it iff some recorded column's
+    *    per-file ranges are pairwise DISJOINT (a range-clustered
+    *    layout: matched keys land in few files). On a hash-scattered
+    *    layout every file's ranges overlap and a source of k keys
+    *    leaves a file unmatched with probability (1-1/N)^k ≈ 0 — the
+    *    subquery would discover "all files match" at the price of a
+    *    second table scan, so it is skipped and the rewrite replaces
+    *    the statically-planned set (Iceberg's own
+    *    stats-prove-filtering-can't-help short-circuit).
+    *
+    * `spark.graft.commit.runtimeGroupFilter` = always|never|auto
+    * overrides the heuristic (a selective point-UPDATE on a
+    * hash-scattered layout is the one case where `always` wins: the
+    * matched-file set is exact regardless of layout). ≤2 files (or <2
+    * non-empty stat'd files) never filter — the bounded saving cannot
+    * repay the subquery. */
+  private[sources] def groupFilterUseful: Boolean = {
+    val mode =
+      try SparkSession.active.conf.get("spark.graft.commit.runtimeGroupFilter", "auto")
+      catch { case _: Throwable => "auto" }
+    mode match {
+      case "always" => true
+      case "never"  => false
+      case _ =>
+        planning.partCol.isDefined || {
+          planning.files.size > 2 && {
+            val stats = planning.files.map(f =>
+              planning.stats.get(f).map(CommitSink.FileStat.decode))
+            if (stats.exists(_.isEmpty)) true // unknown layout: keep the filter
+            else {
+              // zero-row files carry no ranges and say nothing about layout
+              val decoded = stats.flatten.filter(_.rows > 0)
+              decoded.size >= 2 && {
+                val cols = decoded.flatMap(_.cols.keySet).distinct
+                  .filter(c => decoded.forall(_.cols.contains(c)))
+                cols.exists { c =>
+                  val rs = decoded.map(_.cols(c))
+                  rs.map(_.kind).distinct.size == 1 && (rs.head.kind match {
+                    case 'l' =>
+                      val s = rs.map(r => (r.min.toLong, r.max.toLong)).sortBy(_._1)
+                      s.sliding(2).forall {
+                        case Seq(a, b) => a._2 < b._1
+                        case _ => true
+                      }
+                    case _ =>
+                      val s = rs.map(r => (r.min.toDouble, r.max.toDouble)).sortBy(_._1)
+                      s.sliding(2).forall {
+                        case Seq(a, b) => a._2 < b._1
+                        case _ => true
+                      }
+                  })
+                }
+              }
+            }
+          }
+        }
+    }
+  }
+
   /** The operation reads rows WITH their `_file` metadata column — what
     * lets Spark's runtime GROUP filtering find the matched groups: the
     * matching-rows subquery (planned over the ORIGINAL table — Spark
@@ -916,11 +1004,20 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
     * DISTINCT `_file` values the command condition matches, and this
     * operation's scan prunes to exactly those files at execution. The
     * In-set is bounded by the FILE count (the reason Iceberg keys group
-    * filtering on FILE_PATH, not data columns). */
+    * filtering on FILE_PATH, not data columns). Withdrawn when (a) a
+    * data column claims the `_file` name — the table's metadataColumns()
+    * is withdrawn too, so demanding it would fail analysis (the rewrite
+    * already handles the no-runtime-filter case by replacing every
+    * scanned file) — or (b) the [[groupFilterUseful]] guard says the
+    * subquery cannot pay for itself on this layout. */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(CommitSink.FILE_COL))
+    if (StructType.fromDDL(planning.ddl).fieldNames.contains(CommitSink.FILE_COL) ||
+        !groupFilterUseful)
+      Array.empty
+    else
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(CommitSink.FILE_COL))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CommitScanBuilder(path, dmlOp = Some(this))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -995,23 +1092,30 @@ class CommitStreamingWrite(path: String, schema: StructType)
           s"${manifest.flatMap(_.partCol).getOrElse("?")}; the streaming sink " +
           "writes unpartitioned files — truncate via a batch overwrite first")
       // attempt-unique names (same rationale as the batch commit): two
-      // racing writers can never promote onto the same committed file
-      val promoted = staged.zipWithIndex.map { case (s, i) =>
-        val fin = f"part-e$epochId%05d-$nonce-$i%05d.json"
-        Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
-          StandardCopyOption.ATOMIC_MOVE)
-        fin -> s.stats
-      }.toSeq
-      val stats = manifest.map(_.stats).getOrElse(Map.empty) ++
-        promoted.filter(_._2.nonEmpty).toMap
-      try CommitSink.writeManifest(dir, schema.toDDL, carried ++ promoted.map(_._1),
-        prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId,
-        expectedPrev = prev, stats = stats,
-        tableId = CommitSink.carriedOrFreshTableId(manifest))
-      catch { case e: Throwable =>
+      // racing writers can never promote onto the same committed file.
+      // Promotion runs INSIDE the cleanup scope — a partial promotion
+      // (ATOMIC_MOVE failure mid-loop) deletes the promoted-so-far
+      // names, same contract as a refused manifest swap.
+      val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      try {
+        staged.zipWithIndex.foreach { case (s, i) =>
+          val fin = f"part-e$epochId%05d-$nonce-$i%05d.json"
+          Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
+            StandardCopyOption.ATOMIC_MOVE)
+          promoted += (fin -> s.stats)
+        }
+        val stats = manifest.map(_.stats).getOrElse(Map.empty) ++
+          promoted.filter(_._2.nonEmpty).toMap
+        CommitSink.writeManifest(dir, schema.toDDL,
+          carried ++ promoted.map(_._1),
+          prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId,
+          expectedPrev = prev, stats = stats,
+          tableId = CommitSink.carriedOrFreshTableId(manifest))
+      } catch { case e: Throwable =>
         // a refused epoch commit (e.g. a batch DML raced this trigger)
         // must leave no trace — same contract as the batch commit
         promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
+        CommitSink.sweepStaging(dir, nonce)
         throw e
       }
     }
@@ -1067,17 +1171,25 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // handler below (and any later sweep) removes.
     val plannedId = rewrite.map(_.planning.commit + 1)
       .getOrElse(CommitSink.currentCommit(dir) + 1)
-    val promoted = staged.zipWithIndex.map { case (s, i) =>
-      val fin = f"part-c$plannedId%05d-$nonce-$i%05d.json"
-      Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
-        StandardCopyOption.ATOMIC_MOVE)
-      fin -> s.stats
-    }
-    val newStats = promoted.filter(_._2.nonEmpty).toMap
-    try rewrite match {
-      case Some(rw) => commitRewrite(rw, promoted.map(_._1), newStats)
-      case None if truncate => commitTruncate(promoted.map(_._1), newStats)
-      case None => commitAppend(promoted.map(_._1), newStats)
+    // promotion runs INSIDE the cleanup scope: an ATOMIC_MOVE failing
+    // partway must delete the already-promoted names and sweep staging,
+    // exactly like a refused manifest swap — otherwise the partial
+    // promotion leaves unreferenced garbage only abort()/orphan GC
+    // would ever reclaim
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    try {
+      staged.zipWithIndex.foreach { case (s, i) =>
+        val fin = f"part-c$plannedId%05d-$nonce-$i%05d.json"
+        Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
+          StandardCopyOption.ATOMIC_MOVE)
+        promoted += (fin -> s.stats)
+      }
+      val newStats = promoted.filter(_._2.nonEmpty).toMap
+      rewrite match {
+        case Some(rw) => commitRewrite(rw, promoted.map(_._1).toSeq, newStats)
+        case None if truncate => commitTruncate(promoted.map(_._1).toSeq, newStats)
+        case None => commitAppend(promoted.map(_._1).toSeq, newStats)
+      }
     } catch { case e: Throwable =>
       // a refused/failed commit must leave no trace: the manifest was
       // never swapped, so the promoted files are invisible garbage —

@@ -584,7 +584,11 @@ object Sources {
     * hash-checked. */
   def o22XmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_o22_").toString
+    // fixed per-(query, sf) scratch root, wiped at entry — a fresh
+    // createTempDirectory per run would accumulate XML output across
+    // bench/verify runs
+    val tmp = s"/tmp/graft_o22/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(tmp)
     graft.Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").option("rowTag", "event").format("xml").save(tmp)
