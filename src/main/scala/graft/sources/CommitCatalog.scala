@@ -104,12 +104,25 @@ class CommitCatalog extends TableCatalog {
     require(partitions.isEmpty,
       "graft-commit tables do not support partition transforms")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    // payload format per table (TBLPROPERTIES ('payload'='json')); the
+    // default is the at-scale parquet encoder — validate the declared
+    // schema against it NOW so CREATE fails fast, not the first INSERT
+    val payload = Option(properties.get("payload")).map(_.trim.toLowerCase)
+      .getOrElse("parquet")
+    require(payload == "json" || payload == "parquet",
+      s"graft-commit: table property payload must be 'json' or 'parquet', got '$payload'")
+    val ok: org.apache.spark.sql.types.DataType => Boolean =
+      if (payload == "parquet") ParquetPayload.supported
+      else CommitSink.supportedTypes.contains
+    val bad = schema.fields.filterNot(f => ok(f.dataType))
+    require(bad.isEmpty, s"graft-commit ($payload payload): unsupported column " +
+      s"types: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
     val p = pathFor(ident)
     Files.createDirectories(p)
     // commit 0 with no files, CAS'd on "no manifest yet" so a racing
     // writer's commit is never clobbered; a fresh generation id is minted
     try CommitSink.writeManifest(p, schema.toDDL, Seq.empty, 0L, expectedPrev = -1L,
-      tableId = java.util.UUID.randomUUID().toString)
+      tableId = java.util.UUID.randomUUID().toString, payload = payload)
     catch { case _: IllegalArgumentException =>
       throw new TableAlreadyExistsException(ident)
     }

@@ -53,15 +53,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *     leaves no state change at all (Round10Spec plants a failing
   *     partition and proves it).
   *
-  * Rows are staged as JSON lines (schema recorded in the manifest), so
-  * the payload is engine-portable and the o09 registry query can prove
-  * write → commit → read-back losslessness against a DuckDB oracle over
-  * the ORIGINAL table. Doubles round-trip bit-exactly: Java's
-  * `Double.toString` emits the shortest representation that re-parses to
-  * the same bits. Supported field types are the portable scalar set
-  * (long/int/double/string/boolean) — a declared-schema sink, validated
-  * at write resolution with a clear error, like TypeMapping's declared
-  * ingest path.
+  * Staged files carry one of two PAYLOAD formats, recorded per manifest
+  * and homogeneous per content lineage:
+  *
+  *   - '''parquet''' (default — [[ParquetPayload]]): columnar chunks,
+  *     snappy, chunk-level projection, and the full declared-type
+  *     surface (timestamp / timestamp_ntz / date / decimal / float /
+  *     smallint / tinyint on top of the scalar set) — the at-scale
+  *     encoder, and the one that can hold the CDC path's TYPE_MAPPING
+  *     schemas (the reference's ClickHouse DDL stores real
+  *     Date/DateTime/Decimal columns, consumer_to_file.py:145-150).
+  *     Driver-side re-reads go through Spark's native vectorized
+  *     parquet scan.
+  *   - '''json''' (`option("payload", "json")`): the original
+  *     engine-portable JSON-lines format, kept so the o09 registry
+  *     query can prove write → commit → read-back losslessness against
+  *     a DuckDB oracle byte-for-byte. Doubles round-trip bit-exactly
+  *     (shortest-round-trip `Double.toString`); field types are the
+  *     portable scalar set (long/int/double/string/boolean).
+  *
+  * Both are declared-schema payloads, validated at write resolution
+  * with a clear error, like TypeMapping's declared ingest path.
   */
 object CommitSink {
   val NAME = "graft-commit"
@@ -187,13 +199,25 @@ object CommitSink {
     * reads as an empty frame of the manifest's schema. Streaming writes
     * create an empty manifest at factory creation precisely so that a
     * zero-epoch stream's target is readable. */
-  def readCommitted(spark: SparkSession, dir: String): DataFrame = {
-    val mf = Paths.get(dir, MANIFEST)
-    require(Files.exists(mf), s"graft-commit: no committed manifest at $dir")
-    val (ddl, files) = readManifest(mf)
-    val schema = StructType.fromDDL(ddl)
-    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(files.map(f => Paths.get(dir, f).toString): _*)
+  def readCommitted(spark: SparkSession, dir: String): DataFrame =
+    readManifestFiles(spark, dir, parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir")))
+
+  /** Spark-native read of a manifest's committed files — json or
+    * parquet per the manifest's recorded payload (the parquet branch
+    * gets Spark's vectorized columnar scan). Shared by every
+    * driver-side re-read: readCommitted, time travel, compaction, and
+    * the metadata-DELETE rewrite. */
+  private[graft] def readManifestFiles(spark: SparkSession, dir: String,
+                                       m: Manifest): DataFrame = {
+    val schema = StructType.fromDDL(m.ddl)
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val paths = m.files.map(f => Paths.get(dir, f).toString)
+      val r = spark.read.schema(schema)
+      if (m.payload == "parquet") r.parquet(paths: _*) else r.json(paths: _*)
+    }
   }
 
   /** File compaction — the OPTIMIZE command (o19): rewrite the current
@@ -213,12 +237,7 @@ object CommitSink {
     // the swap instead of having its rows silently truncated away
     val m = parseManifest(Paths.get(dir)).getOrElse(
       sys.error(s"graft-commit: no committed manifest at $dir"))
-    val schema = StructType.fromDDL(m.ddl)
-    val df =
-      if (m.files.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .json(m.files.map(f => Paths.get(dir, f).toString): _*)
+    val df = readManifestFiles(spark, dir, m)
     // a partitioned table is NOT pre-repartitioned: the partitionBy write
     // already declares (and plans) its own clustered+sorted shuffle, and
     // one file per key per task is the compacted form of that layout
@@ -304,13 +323,8 @@ object CommitSink {
 
   /** Time-travel read (o17): the table as of commit `version`, from its
     * immutable version manifest. */
-  def readCommittedVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
-    val m = parseManifestVersion(Paths.get(dir), version)
-    val schema = StructType.fromDDL(m.ddl)
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).json(m.files.map(f => Paths.get(dir, f).toString): _*)
-  }
+  def readCommittedVersion(spark: SparkSession, dir: String, version: Long): DataFrame =
+    readManifestFiles(spark, dir, parseManifestVersion(Paths.get(dir), version))
 
   /** One fully-parsed manifest: the (commit, ddl, files, epochs, partcol,
     * per-file stats) view a commit or scan needs, read and regex-parsed
@@ -331,7 +345,18 @@ object CommitSink {
                                          * checkpoint" instead of silently
                                          * skipping the new generation's rows
                                          * (Delta's reservoir id). */
-                                       tableId: String = "")
+                                       tableId: String = "",
+                                       /** Staged-file payload format of every
+                                         * file this manifest lists: "parquet"
+                                         * (the at-scale default —
+                                         * [[ParquetPayload]]) or "json" (the
+                                         * original fixture-portable lines
+                                         * format). Homogeneous per content
+                                         * lineage: appends and rewrites carry
+                                         * it, only a truncate may switch.
+                                         * Absent in pre-payload manifests ⇒
+                                         * json (what they were written as). */
+                                       payload: String = "json")
 
   private[sources] def parseManifestText(txt: String, where: String): Manifest = {
     val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
@@ -348,6 +373,8 @@ object CommitSink {
     val partCol = "\"partcol\":\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
     val tableId = "\"tableid\":\"([^\"]*)\"".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
+    val payload = "\"payload\":\"([a-z]+)\"".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("json")
     val stats = "\"filestats\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
@@ -355,7 +382,7 @@ object CommitSink {
         val bar = e.indexOf('|')
         e.substring(0, bar) -> e.substring(bar + 1)
       }.toMap
-    Manifest(commit, ddl, files, epochs, partCol, stats, tableId)
+    Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload)
   }
 
   private[graft] def parseManifest(dir: Path): Option[Manifest] = {
@@ -430,7 +457,8 @@ object CommitSink {
                                      expectedPrev: Long = SKIP_CAS,
                                      partCol: Option[String] = None,
                                      stats: Map[String, String] = Map.empty,
-                                     tableId: String = ""): Unit =
+                                     tableId: String = "",
+                                     payload: String = "json"): Unit =
     lockFor(dir).synchronized {
       // check + swap under the per-path lock: two same-JVM writers can
       // never both pass the check (the object-store analog is a
@@ -445,6 +473,7 @@ object CommitSink {
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
       val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
+        s""""payload":"$payload",""" +
         (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
         partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
         s""""schema":"${esc(ddl)}",""" +
@@ -539,7 +568,11 @@ private[graft] object CommitSkip {
   import org.apache.spark.sql.sources._
   import CommitSink.{ColRange, FileStat}
 
-  /** Integral and fractional filter values, each kept in its own family. */
+  /** Integral and fractional filter values, each kept in its own family.
+    * Date/timestamp values translate to the writer's recorded
+    * representation (days / micros — the InternalRow encoding the
+    * parquet payload stores), so time-range predicates prune files: the
+    * first filter every time-partitioned 100 TB scan pushes. */
   private def num(v: Any): Option[Either[Long, Double]] = v match {
     case l: Long   => Some(Left(l))
     case i: Int    => Some(Left(i.toLong))
@@ -547,6 +580,15 @@ private[graft] object CommitSkip {
     case b: Byte   => Some(Left(b.toLong))
     case d: Double => if (d.isNaN) None else Some(Right(d))
     case f: Float  => if (f.isNaN) None else Some(Right(f.toDouble))
+    case d: java.sql.Date =>
+      Some(Left(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong))
+    case d: java.time.LocalDate => Some(Left(d.toEpochDay))
+    case t: java.sql.Timestamp =>
+      Some(Left(org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+    case i: java.time.Instant =>
+      Some(Left(org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+    case t: java.time.LocalDateTime =>
+      Some(Left(org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)))
     case _ => None
   }
 
@@ -791,14 +833,12 @@ class CommitSinkTable(path: String,
       stats.get(f).forall(st => usable.forall(CommitSkip.mayMatch(_, st)))
     }
     if (scanned.isEmpty) return // provably nothing to delete: no-op
-    val schema = StructType.fromDDL(m.ddl)
     // the pushed filters are implicitly conjunctive
     val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
     val token = CommitSink.registerRewrite(
       CommitSink.DmlRewrite(m, () => scanned.toSet))
     try {
-      val w = spark.read.schema(schema)
-        .json(scanned.map(f => Paths.get(path, f).toString): _*)
+      val w = CommitSink.readManifestFiles(spark, path, m.copy(files = scanned))
         // DELETE removes rows where the condition is TRUE; a NULL
         // condition keeps the row
         .filter(not(fnCoalesce(cond, lit(false))))
@@ -850,10 +890,45 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     Option(info.options.get("partitionBy")).map(_.trim).filter(_.nonEmpty)
       .orElse(effectiveRewrite.flatMap(_.planning.partCol))
 
+  /** This write's staged-file payload format. Resolution order mirrors
+    * the partition-layout rules: a REWRITE must keep its planning
+    * manifest's payload (carried files and new files share one
+    * decoder); an APPEND joins the table's existing payload (an
+    * explicit conflicting option is refused, like a schema mismatch —
+    * and the commit-time CAS retry re-checks, see commitAppend); a
+    * TRUNCATE or first write takes `option("payload", ...)`, defaulting
+    * to parquet — the at-scale encoder ([[ParquetPayload]]); "json"
+    * keeps the original fixture-portable lines format. */
+  private lazy val payload: String = {
+    val opt = Option(info.options.get("payload")).map(_.trim.toLowerCase)
+    opt.foreach(p => require(p == "json" || p == "parquet",
+      s"graft-commit: option payload must be 'json' or 'parquet', got '$p'"))
+    effectiveRewrite.map(_.planning.payload).getOrElse {
+      val existing =
+        if (doTruncateFlag) None else CommitSink.parseManifest(Paths.get(path))
+      existing match {
+        case Some(m) =>
+          opt.foreach(p => require(p == m.payload,
+            s"graft-commit: append payload mismatch at $path — the table is " +
+              s"'${m.payload}' but this write asked for '$p'; use overwrite " +
+              "(truncate) to switch the payload format"))
+          m.payload
+        case None => opt.getOrElse("parquet")
+      }
+    }
+  }
+
   override def build(): Write = {
     val schema = info.schema()
-    val bad = schema.fields.filterNot(f => CommitSink.supportedTypes.contains(f.dataType))
-    require(bad.isEmpty, "graft-commit supports long/int/double/string/boolean " +
+    val ok: DataType => Boolean =
+      if (payload == "parquet") ParquetPayload.supported
+      else CommitSink.supportedTypes.contains
+    val bad = schema.fields.filterNot(f => ok(f.dataType))
+    require(bad.isEmpty, s"graft-commit ($payload payload) supports " +
+      (if (payload == "parquet")
+        "long/int/smallint/tinyint/double/float/string/boolean/date/" +
+          "timestamp/timestamp_ntz/decimal(<=38) "
+       else "long/int/double/string/boolean ") +
       s"columns; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
     partCol.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
@@ -866,6 +941,7 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     // replace-scanned/carry-rest semantics win
     val doTruncate = doTruncateFlag && effectiveRewrite.isEmpty
     val rw = effectiveRewrite
+    val pay = payload
     new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
         partCol.map(c => Distributions.clustered(
@@ -876,12 +952,12 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
             Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
-        new CommitBatchWrite(path, schema, doTruncate, partCol, rw)
+        new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay)
       override def toStreaming: streaming.StreamingWrite = {
         require(partCol.isEmpty,
           "graft-commit: partitionBy is a batch-write layout decision; " +
             "the streaming sink does not support it")
-        new CommitStreamingWrite(path, schema)
+        new CommitStreamingWrite(path, schema, pay)
       }
     }
   }
@@ -1040,7 +1116,8 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
   * precisely the idempotent-sink contract a foreachBatch MERGE implements
   * by hand (w08) and the reference's consumer lacks entirely
   * (consumer_to_file.py:185-186 re-inserts everything on restart). */
-class CommitStreamingWrite(path: String, schema: StructType)
+class CommitStreamingWrite(path: String, schema: StructType,
+                           payload: String = "json")
     extends streaming.StreamingWrite {
   private val dir = Paths.get(path)
   /** This query's identity: names its private staging subdirectory AND
@@ -1059,9 +1136,10 @@ class CommitStreamingWrite(path: String, schema: StructType)
     // files — the CAS failure is caught and the existing manifest wins.
     if (!Files.exists(dir.resolve("_MANIFEST.json")))
       try CommitSink.writeManifest(dir, schema.toDDL, Seq.empty, 0L,
-        expectedPrev = -1L, tableId = CommitSink.carriedOrFreshTableId(None))
+        expectedPrev = -1L, tableId = CommitSink.carriedOrFreshTableId(None),
+        payload = payload)
       catch { case _: IllegalArgumentException => () }
-    new CommitStreamingWriterFactory(path, schema.toDDL, nonce)
+    new CommitStreamingWriterFactory(path, schema.toDDL, nonce, payload)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -1096,10 +1174,17 @@ class CommitStreamingWrite(path: String, schema: StructType)
       // Promotion runs INSIDE the cleanup scope — a partial promotion
       // (ATOMIC_MOVE failure mid-loop) deletes the promoted-so-far
       // names, same contract as a refused manifest swap.
+      // epochs append to the table's recorded payload (the factory's
+      // writers staged under it; a fresh target staged this write's own)
+      val epochPayload = manifest.map(_.payload).getOrElse(payload)
+      require(carried.isEmpty || epochPayload == payload,
+        s"graft-commit: payload mismatch at $path — the table is " +
+          s"'$epochPayload' but this stream stages '$payload' files; " +
+          "truncate via a batch overwrite first")
       val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
       try {
         staged.zipWithIndex.foreach { case (s, i) =>
-          val fin = f"part-e$epochId%05d-$nonce-$i%05d.json"
+          val fin = f"part-e$epochId%05d-$nonce-$i%05d.$payload%s"
           Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
             StandardCopyOption.ATOMIC_MOVE)
           promoted += (fin -> s.stats)
@@ -1110,7 +1195,8 @@ class CommitStreamingWrite(path: String, schema: StructType)
           carried ++ promoted.map(_._1),
           prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId,
           expectedPrev = prev, stats = stats,
-          tableId = CommitSink.carriedOrFreshTableId(manifest))
+          tableId = CommitSink.carriedOrFreshTableId(manifest),
+          payload = payload)
       } catch { case e: Throwable =>
         // a refused epoch commit (e.g. a batch DML raced this trigger)
         // must leave no trace — same contract as the batch commit
@@ -1126,16 +1212,19 @@ class CommitStreamingWrite(path: String, schema: StructType)
     CommitSink.sweepStaging(dir, nonce)
 }
 
-class CommitStreamingWriterFactory(path: String, ddl: String, nonce: String)
+class CommitStreamingWriterFactory(path: String, ddl: String, nonce: String,
+                                   payload: String = "json")
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new CommitDataWriter(path, ddl, partitionId, taskId, epochId, stagingSub = nonce)
+    new CommitDataWriter(path, ddl, partitionId, taskId, epochId,
+      stagingSub = nonce, payload = payload)
 }
 
 class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
                        partCol: Option[String] = None,
-                       rewrite: Option[CommitSink.DmlRewrite] = None)
+                       rewrite: Option[CommitSink.DmlRewrite] = None,
+                       payload: String = "json")
     extends BatchWrite {
   private val dir = Paths.get(path)
   /** This write's identity: names its private staging subdirectory AND
@@ -1146,7 +1235,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     Files.createDirectories(CommitSink.stagingDir(dir, nonce))
     // ship the schema as DDL text — StructType itself is serializable,
     // but the DDL is also exactly what the manifest records
-    new CommitWriterFactory(path, schema.toDDL, partCol, nonce)
+    new CommitWriterFactory(path, schema.toDDL, partCol, nonce, payload)
   }
 
   /** How many times an APPEND re-reads + re-swaps after losing the CAS
@@ -1179,7 +1268,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
       staged.zipWithIndex.foreach { case (s, i) =>
-        val fin = f"part-c$plannedId%05d-$nonce-$i%05d.json"
+        val fin = f"part-c$plannedId%05d-$nonce-$i%05d.$payload%s"
         Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
           StandardCopyOption.ATOMIC_MOVE)
         promoted += (fin -> s.stats)
@@ -1221,7 +1310,8 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     CommitSink.writeManifest(dir, schema.toDDL, carried ++ newFiles,
       planning.commit + 1, planning.epochs, expectedPrev = planning.commit,
       partCol = partCol, stats = stats,
-      tableId = CommitSink.carriedOrFreshTableId(Some(planning)))
+      tableId = CommitSink.carriedOrFreshTableId(Some(planning)),
+      payload = planning.payload)
     // replaced files are NOT swept: the planning version's immutable
     // manifest references every one of them (time travel); snapshot
     // expiry GC's them when their last referencing version is dropped
@@ -1245,7 +1335,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val prev = manifest.map(_.commit).getOrElse(-1L)
     CommitSink.writeManifest(dir, schema.toDDL, newFiles, prev + 1,
       Seq.empty, expectedPrev = prev, partCol = partCol, stats = newStats,
-      tableId = CommitSink.carriedOrFreshTableId(manifest))
+      tableId = CommitSink.carriedOrFreshTableId(manifest), payload = payload)
   }
 
   /** Append: carried ∪ promoted under a CAS on the read manifest — and
@@ -1278,12 +1368,19 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
         s"graft-commit: partition-layout mismatch at $path — manifest has " +
           s"partitionBy=$carriedPartCol but this write has partitionBy=$partCol; " +
           "use overwrite (truncate) to change the table layout")
+      // carried files must share this write's decoder — re-checked per
+      // retry in case a truncate switched the payload mid-race
+      require(carried.isEmpty || manifest.forall(_.payload == payload),
+        s"graft-commit: payload mismatch at $path — the table is " +
+          s"'${manifest.map(_.payload).getOrElse("?")}' but this append " +
+          s"staged '$payload' files; use overwrite (truncate) to switch")
       val stats = manifest.map(_.stats).getOrElse(Map.empty) ++ newStats
       try {
         CommitSink.writeManifest(dir, schema.toDDL, carried ++ newFiles,
           prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty),
           expectedPrev = prev, partCol = partCol, stats = stats,
-          tableId = CommitSink.carriedOrFreshTableId(manifest))
+          tableId = CommitSink.carriedOrFreshTableId(manifest),
+          payload = payload)
         return
       } catch { case e: CommitSink.ConcurrentCommitException =>
         attempt += 1
@@ -1302,10 +1399,11 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
 
 class CommitWriterFactory(path: String, ddl: String,
                           partCol: Option[String] = None,
-                          nonce: String = "") extends DataWriterFactory {
+                          nonce: String = "",
+                          payload: String = "json") extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol,
-      stagingSub = nonce)
+      stagingSub = nonce, payload = payload)
 }
 
 /** Executor-side writer: streams rows to a task-private staging file as
@@ -1323,19 +1421,29 @@ class CommitWriterFactory(path: String, ddl: String,
   * holds one key, recorded as `pk` in its stats. */
 class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long,
                        epochId: Long = -1L, partCol: Option[String] = None,
-                       stagingSub: String = "")
+                       stagingSub: String = "", payload: String = "json")
     extends DataWriter[InternalRow] {
   private val schema = StructType.fromDDL(ddl)
   private val staging = CommitSink.stagingDir(Paths.get(path), stagingSub)
+  private val parquet = payload == "parquet"
+  private val msgType = if (parquet) ParquetPayload.message(schema) else null
+  private val groupFactory =
+    if (parquet) new org.apache.parquet.example.data.simple.SimpleGroupFactory(msgType)
+    else null
 
   // --- statistics collection (reset per staged segment) -------------------
   // stats are recorded only for clean [A-Za-z0-9_] column names — the
-  // encoding's separator chars must never appear in a recorded name
+  // encoding's separator chars must never appear in a recorded name.
+  // The 'l' family covers every integral-representation type (ints of
+  // all widths, DATE days, TIMESTAMP/NTZ micros), 'd' the fractional
+  // ones (double, float widened exactly) — so zone maps prune
+  // date/timestamp range scans on parquet-payload tables too.
   private val statKind: Array[Char] = schema.fields.map { f =>
     if (!f.name.matches("[A-Za-z0-9_]+")) ' '
     else f.dataType match {
-      case LongType | IntegerType => 'l'
-      case DoubleType => 'd'
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType => 'l'
+      case DoubleType | FloatType => 'd'
       case _ => ' '
     }
   }
@@ -1355,6 +1463,25 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       if (!seen(i)) { seen(i) = true; minD(i) = v; maxD(i) = v }
       else { if (v < minD(i)) minD(i) = v; if (v > maxD(i)) maxD(i) = v }
     }
+  /** Range notes for the parquet branch (the JSON encoder notes inline
+    * while formatting) — one pass over the row's stat-eligible fields. */
+  private def noteRow(row: InternalRow): Unit = {
+    var i = 0
+    while (i < schema.length) {
+      val j = i + fieldOffset
+      if (statKind(i) != ' ' && !row.isNullAt(j)) schema(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType => noteL(i, row.getLong(j))
+        case IntegerType | DateType => noteL(i, row.getInt(j).toLong)
+        case ShortType  => noteL(i, row.getShort(j).toLong)
+        case ByteType   => noteL(i, row.getByte(j).toLong)
+        case DoubleType => noteD(i, row.getDouble(j))
+        case FloatType  => noteD(i, row.getFloat(j).toDouble) // exact widening
+        case _ => ()
+      }
+      i += 1
+    }
+  }
+
   private def encodeStats(bytes: Long, pk: Option[Long]): String =
     CommitSink.FileStat(rows, bytes, pk,
       schema.fields.iterator.zipWithIndex.collect {
@@ -1370,25 +1497,29 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   private var name: String = _
   private var file: Path = _
   private var out: java.io.BufferedWriter = _
+  private var pw: org.apache.parquet.hadoop.ParquetWriter[
+    org.apache.parquet.example.data.Group] = _
   private var rows = 0L
   private var curKey = 0L
   private var done = List.empty[StagedFile]
 
+  private def segActive: Boolean = if (parquet) pw != null else out != null
+
   private def openSegment(): Unit = {
-    name = if (partIdx < 0) s"attempt-e$epochId-p$partitionId-t$taskId.json"
-           else f"attempt-e$epochId-p$partitionId-t$taskId-s$segOrdinal%04d.json"
+    name = if (partIdx < 0) s"attempt-e$epochId-p$partitionId-t$taskId.$payload"
+           else f"attempt-e$epochId-p$partitionId-t$taskId-s$segOrdinal%04d.$payload%s"
     segOrdinal += 1
     file = staging.resolve(name)
-    out = Files.newBufferedWriter(file)
+    if (parquet) pw = ParquetPayload.writer(file, msgType)
+    else out = Files.newBufferedWriter(file)
     rows = 0L
     resetStats()
   }
 
   private def closeSegment(): Unit = {
-    out.close()
+    if (parquet) { pw.close(); pw = null } else { out.close(); out = null }
     done ::= StagedFile(name, rows,
       encodeStats(Files.size(file), if (partIdx < 0) None else Some(curKey)))
-    out = null
   }
 
   // unpartitioned tasks stage ONE file, opened eagerly so an empty task
@@ -1447,11 +1578,17 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       }
       // input is clustered AND sorted by the key — a key change is a
       // segment boundary, and a key can never reappear later
-      if (out == null || k != curKey) {
-        if (out != null) closeSegment()
+      if (!segActive || k != curKey) {
+        if (segActive) closeSegment()
         curKey = k
         openSegment()
       }
+    }
+    if (parquet) {
+      pw.write(ParquetPayload.toGroup(groupFactory, schema, row, fieldOffset))
+      noteRow(row)
+      rows += 1
+      return
     }
     val b = new StringBuilder("{")
     var first = true
@@ -1485,12 +1622,15 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     * contract); partitioned tasks return the per-key [[StagedFileSet]]. */
   override def commit(): WriterCommitMessage =
     if (partIdx < 0) { closeSegment(); done.head }
-    else { if (out != null) closeSegment(); StagedFileSet(done.reverse) }
+    else { if (segActive) closeSegment(); StagedFileSet(done.reverse) }
 
   /** Task abort: this attempt's output must leave no trace — the open
     * segment AND every segment it already closed. */
   override def abort(): Unit = {
-    if (out != null) { out.close(); Files.deleteIfExists(file) }
+    if (segActive) {
+      if (parquet) pw.close() else out.close()
+      Files.deleteIfExists(file)
+    }
     done.foreach(s => Files.deleteIfExists(staging.resolve(s.name)))
   }
   override def close(): Unit = ()
@@ -1874,7 +2014,8 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
       // stamp `_file` per row only when it is the METADATA column (a
       // data column of that name is decoded from the payload as usual)
       stampFile = readSchema().fieldNames.contains(CommitSink.FILE_COL) &&
-        !StructType.fromDDL(manifest.ddl).fieldNames.contains(CommitSink.FILE_COL))
+        !StructType.fromDDL(manifest.ddl).fieldNames.contains(CommitSink.FILE_COL),
+      payload = manifest.payload)
 
   /** The table AS A STREAM (o20) — each commit is a micro-batch. */
   override def toMicroBatchStream(checkpointLocation: String)
@@ -1884,7 +2025,8 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     // hand the stream the (possibly pruned) projection, not the full
     // manifest DDL: if a future Spark prunes columns on streaming scans,
     // the readers must emit rows of the PLAN's schema, not full width
-    new CommitTableMicroBatchStream(path, readSchema().toDDL, maxCommitsPerTrigger)
+    new CommitTableMicroBatchStream(path, readSchema().toDDL, maxCommitsPerTrigger,
+      payload = manifest.payload)
   }
 
   override def description(): String =
@@ -1914,7 +2056,8 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   * versions as the slowest consumer lags, the same operational rule
   * Delta documents for its checkpoint retention. */
 class CommitTableMicroBatchStream(path: String, ddl: String,
-                                  maxCommitsPerTrigger: Int)
+                                  maxCommitsPerTrigger: Int,
+                                  payload: String = "json")
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2023,7 +2166,7 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitReaderFactory(ddl)
+    new CommitReaderFactory(ddl, payload = payload)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -2040,18 +2183,96 @@ case class CommitKeyedFilesPartition(files: Seq[String], key: Any)
     new GenericInternalRow(Array[Any](key))
 }
 
-class CommitReaderFactory(ddl: String, stampFile: Boolean = false)
+class CommitReaderFactory(ddl: String, stampFile: Boolean = false,
+                          payload: String = "json")
     extends PartitionReaderFactory {
   // a fully-pruned projection (COUNT(*) above a declined aggregate push)
   // ships an EMPTY schema, which fromDDL refuses to parse
   private def schema: StructType =
     if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
+  private def reader(fs: Seq[String]): PartitionReader[InternalRow] =
+    if (payload == "parquet") new ParquetFilesReader(fs, schema, stampFile)
+    else new CommitFilesReader(fs, schema, stampFile)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case CommitFilesPartition(fs)         => new CommitFilesReader(fs, schema, stampFile)
-      case CommitKeyedFilesPartition(fs, _) => new CommitFilesReader(fs, schema, stampFile)
+      case CommitFilesPartition(fs)         => reader(fs)
+      case CommitKeyedFilesPartition(fs, _) => reader(fs)
       case other => sys.error(s"graft-commit: unexpected partition $other")
     }
+}
+
+/** Executor-side reader of the PARQUET payload — the columnar mirror of
+  * [[CommitDataWriter]]'s Group encoder, one file group per input
+  * partition. Column projection reaches the chunk level: only
+  * requested columns' pages are read ([[ParquetPayload.FileGroups]]),
+  * and a fully-pruned projection (COUNT-shaped plans) reads NO pages at
+  * all — row counts come straight from the footer. `_file` stamping
+  * works exactly like the JSON reader's. */
+class ParquetFilesReader(files: Seq[String], schema: StructType,
+                         stampFile: Boolean = false)
+    extends PartitionReader[InternalRow] {
+  private val queue = files.iterator
+  private val fileIdx: Int =
+    if (stampFile) schema.fieldNames.indexOf(CommitSink.FILE_COL) else -1
+  /** The decoded projection: every output field except the stamped
+    * metadata column. */
+  private val dataSchema: StructType =
+    if (fileIdx < 0) schema
+    else StructType(schema.fields.zipWithIndex.collect {
+      case (f, i) if i != fileIdx => f
+    })
+  // COPIED UnsafeRows, like every reader here: downstream buffering
+  // consumers assume the binary row format
+  private val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+  private var cur: ParquetPayload.FileGroups = _
+  private var curFile: UTF8String = _
+  private var countOnly = 0L
+  private var row: InternalRow = _
+
+  @scala.annotation.tailrec
+  private def advance(): Boolean = {
+    if (cur == null) {
+      if (!queue.hasNext) return false
+      val f = Paths.get(queue.next())
+      curFile = UTF8String.fromString(f.getFileName.toString)
+      cur = new ParquetPayload.FileGroups(f, dataSchema)
+      if (!cur.hasColumns) countOnly = cur.rowCount
+    }
+    if (!cur.hasColumns) {
+      // zero decoded columns (pure COUNT / _file-only projection):
+      // emit footer-counted rows without touching any page
+      if (countOnly > 0) { countOnly -= 1; row = emit(null); true }
+      else { cur.close(); cur = null; advance() }
+    } else {
+      val g = cur.next()
+      if (g == null) { cur.close(); cur = null; advance() }
+      else { row = emit(g); true }
+    }
+  }
+
+  private def emit(g: org.apache.parquet.example.data.Group): InternalRow = {
+    val vals = new Array[Any](schema.length)
+    if (g != null) {
+      var i = 0
+      var di = 0
+      while (i < schema.length) {
+        if (i != fileIdx) {
+          val fi = cur.fieldIndex(di)
+          if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+            vals(i) = ParquetPayload.value(g, fi, schema(i).dataType)
+          di += 1
+        }
+        i += 1
+      }
+    }
+    if (fileIdx >= 0) vals(fileIdx) = curFile
+    toUnsafe(new GenericInternalRow(vals)).copy()
+  }
+
+  override def next(): Boolean = advance()
+  override def get(): InternalRow = row
+  override def close(): Unit = if (cur != null) { cur.close(); cur = null }
 }
 
 /** Single-file form of [[CommitFilesReader]] — kept as the unit-test

@@ -1,0 +1,203 @@
+package graft.sources
+
+import java.nio.file.{Path => NioPath}
+
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile, LocalOutputFile}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The PARQUET staged-file payload of the commit sink — the at-scale
+  * encoder the JSON-lines fixture format (CommitSink's original payload,
+  * kept behind `option("payload", "json")`) documented as its own
+  * replacement: columnar chunks with dictionary/RLE encodings and
+  * snappy compression, column projection that skips whole chunks
+  * instead of scanning text, and the full declared-type surface the CDC
+  * path produces — TIMESTAMP / TIMESTAMP_NTZ (INT64 micros, the
+  * adjustedToUTC flag distinguishing them), DATE (INT32 days), DECIMAL
+  * (INT64 unscaled for p ≤ 18, 16-byte fixed for wider), FLOAT,
+  * SMALLINT/TINYINT (INT32 with bit-width annotation) — none of which
+  * a portable JSON text line can carry without private conventions.
+  * The reference's sink models a ClickHouse DDL with real
+  * Date/DateTime/Decimal columns (consumer_to_file.py:145-150); this is
+  * the payload that lets the graft-commit table hold them.
+  *
+  * Encode/decode go through parquet-java's public example-Group API
+  * (the writer is one staged file per task, the reader one file group
+  * per input partition — both inherently row-at-a-time at the sink's
+  * task boundary, so the vectorized reader machinery buys nothing
+  * here), while every DRIVER-side read path (`readCommitted`, compact,
+  * DML re-reads) goes through `spark.read.parquet` and gets Spark's
+  * native vectorized scan. All values round-trip bit-exactly: numerics
+  * and timestamps are stored in their InternalRow representation
+  * (micros/days/unscaled), strings as UTF-8 bytes.
+  */
+private[graft] object ParquetPayload {
+
+  /** Spark types the parquet payload accepts — the JSON payload's
+    * portable scalar set plus the declared-schema (TYPE_MAPPING) types. */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | StringType | BooleanType => true
+    case FloatType | ShortType | ByteType | DateType => true
+    case TimestampType | TimestampNTZType => true
+    case d: DecimalType => d.precision <= 38
+    case _ => false
+  }
+
+  /** All fields optional: SQL-nullable, like the JSON payload's
+    * omitted-key convention. */
+  private def toParquetField(f: StructField): Type = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation => LTA}
+    val b = f.dataType match {
+      case LongType        => Types.optional(INT64)
+      case IntegerType     => Types.optional(INT32)
+      case ShortType       => Types.optional(INT32).as(LTA.intType(16, true))
+      case ByteType        => Types.optional(INT32).as(LTA.intType(8, true))
+      case DoubleType      => Types.optional(DOUBLE)
+      case FloatType       => Types.optional(FLOAT)
+      case BooleanType     => Types.optional(BOOLEAN)
+      case StringType      => Types.optional(BINARY).as(LTA.stringType())
+      case DateType        => Types.optional(INT32).as(LTA.dateType())
+      case TimestampType   =>
+        Types.optional(INT64).as(LTA.timestampType(true, LTA.TimeUnit.MICROS))
+      case TimestampNTZType =>
+        Types.optional(INT64).as(LTA.timestampType(false, LTA.TimeUnit.MICROS))
+      case d: DecimalType if d.precision <= 18 =>
+        Types.optional(INT64).as(LTA.decimalType(d.scale, d.precision))
+      case d: DecimalType =>
+        Types.optional(FIXED_LEN_BYTE_ARRAY).length(16)
+          .as(LTA.decimalType(d.scale, d.precision))
+      case t => sys.error(s"graft-commit parquet payload: unsupported type $t")
+    }
+    b.named(f.name)
+  }
+
+  def message(schema: StructType): MessageType =
+    new MessageType("graft", schema.fields.map(toParquetField).toSeq: _*)
+
+  def writer(file: NioPath, msg: MessageType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(new LocalOutputFile(file))
+      .withType(msg)
+      // snappy: the 100 TB default trade (cheap CPU, ~2-4x smaller IO);
+      // available in the Spark runtime everywhere this sink runs
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+
+  /** Two's-complement big-endian, sign-extended to 16 bytes — the
+    * FIXED_LEN_BYTE_ARRAY(16) encoding of a wide decimal's unscaled
+    * value (holds every p ≤ 38). */
+  private def fixed16(unscaled: java.math.BigInteger): Array[Byte] = {
+    val raw = unscaled.toByteArray
+    val out = new Array[Byte](16)
+    val pad: Byte = if (unscaled.signum() < 0) -1 else 0
+    java.util.Arrays.fill(out, pad)
+    System.arraycopy(raw, 0, out, 16 - raw.length, raw.length)
+    out
+  }
+
+  /** One row → one Group of `msg`'s schema. `offset` skips the
+    * row-level operation marker exactly like the JSON encoder. */
+  def toGroup(factory: SimpleGroupFactory, schema: StructType,
+              row: InternalRow, offset: Int): Group = {
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      val j = i + offset
+      if (!row.isNullAt(j)) schema(i).dataType match {
+        case LongType | TimestampType | TimestampNTZType => g.add(i, row.getLong(j))
+        case IntegerType | DateType => g.add(i, row.getInt(j))
+        case ShortType   => g.add(i, row.getShort(j).toInt)
+        case ByteType    => g.add(i, row.getByte(j).toInt)
+        case DoubleType  => g.add(i, row.getDouble(j))
+        case FloatType   => g.add(i, row.getFloat(j))
+        case BooleanType => g.add(i, row.getBoolean(j))
+        case StringType  =>
+          g.add(i, Binary.fromConstantByteArray(row.getUTF8String(j).getBytes))
+        case d: DecimalType if d.precision <= 18 =>
+          g.add(i, row.getDecimal(j, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType =>
+          g.add(i, Binary.fromConstantByteArray(fixed16(
+            row.getDecimal(j, d.precision, d.scale)
+              .toJavaBigDecimal.unscaledValue())))
+        case t => sys.error(s"unreachable: $t validated at build()")
+      }
+      i += 1
+    }
+    g
+  }
+
+  /** Decoded Spark-internal value of requested-field `fi` in `g`. */
+  def value(g: Group, fi: Int, dt: DataType): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => g.getLong(fi, 0)
+    case IntegerType | DateType => g.getInteger(fi, 0)
+    case ShortType   => g.getInteger(fi, 0).toShort
+    case ByteType    => g.getInteger(fi, 0).toByte
+    case DoubleType  => g.getDouble(fi, 0)
+    case FloatType   => g.getFloat(fi, 0)
+    case BooleanType => g.getBoolean(fi, 0)
+    case StringType  => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
+    case d: DecimalType if d.precision <= 18 =>
+      Decimal(g.getLong(fi, 0), d.precision, d.scale)
+    case d: DecimalType =>
+      Decimal(new java.math.BigDecimal(
+        new java.math.BigInteger(g.getBinary(fi, 0).getBytes), d.scale),
+        d.precision, d.scale)
+    case t => sys.error(s"unreachable: $t validated at build()")
+  }
+
+  /** Streaming Group decoder over one parquet file with COLUMN
+    * PROJECTION: only `wanted`'s fields are materialized — unrequested
+    * column chunks are never read off disk (the columnar contract the
+    * JSON payload could only approximate by skipping chars). Fields in
+    * `wanted` absent from the file decode as null. */
+  final class FileGroups(file: NioPath, wanted: StructType) {
+    private val reader = ParquetFileReader.open(new LocalInputFile(file))
+    private val fileSchema = reader.getFooter.getFileMetaData.getSchema
+    private val present = wanted.fields.filter(f => fileSchema.containsField(f.name))
+    /** requested-schema index per wanted field (-1 = absent → null). */
+    val fieldIndex: Array[Int] = {
+      val idx = present.map(_.name).zipWithIndex.toMap
+      wanted.fields.map(f => idx.getOrElse(f.name, -1))
+    }
+    private val requested =
+      new MessageType("graft", present.map(f =>
+        fileSchema.getType(Seq(f.name): _*)).toSeq: _*)
+    reader.setRequestedSchema(requested)
+
+    /** Total rows, from the footer — the zero-column path (pure
+      * COUNT-shaped projections) needs no record assembly at all. */
+    val rowCount: Long = reader.getRecordCount
+
+    private val materializer = new GroupRecordConverter(requested)
+    private var remaining = 0L
+    private var records: org.apache.parquet.io.RecordReader[Group] = _
+
+    /** Next decoded Group, or null at end of file. Call only when
+      * `present` is non-empty. */
+    def next(): Group = {
+      while (remaining == 0L) {
+        val pages = reader.readNextRowGroup()
+        if (pages == null) return null
+        remaining = pages.getRowCount
+        records = new ColumnIOFactory()
+          .getColumnIO(requested, fileSchema)
+          .getRecordReader(pages, materializer)
+      }
+      remaining -= 1
+      records.read()
+    }
+
+    def hasColumns: Boolean = present.nonEmpty
+    def close(): Unit = reader.close()
+  }
+}

@@ -158,8 +158,7 @@ class Round12Spec extends AnyFunSuite {
     fixture(150).filter($"id" >= 100L)
       .write.format("graft-commit").option("path", dir).mode("append").save()
     val e = intercept[Exception] {
-      spark.read.schema("id BIGINT, score DOUBLE")
-        .json(m.files.map(f => s"$dir/$f"): _*)
+      sources.CommitSink.readManifestFiles(spark, dir, m)
         .write.format("graft-commit").option("path", dir)
         .option("rewriteToken", token).mode("overwrite").save()
     }
