@@ -1625,6 +1625,73 @@ object Dedup {
     }
   }
 
+  /** Round13Spec-only twin of [[d33StreamDedupRecovery]]: the SAME
+    * checkpoint survives the mid-stream compaction because the stream
+    * opts into the changelog's self-service recovery
+    * (`option("snapshotOnRewrite", true)`) — when the append-only check
+    * fires, the source re-bootstraps by emitting the current snapshot
+    * as one batch instead of refusing, and the consumer's idempotent
+    * anti-join absorbs the re-delivery. d33 (the registry entry) keeps
+    * the LOUD-refusal default: silent re-delivery is only correct above
+    * an idempotent sink, so it is opt-in, never the default. The
+    * decision set must still equal d22's one-shot answer exactly. */
+  private[graft] def d33SnapshotOnRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = s"/tmp/graft_r13_sor/${new java.io.File(dir).getName}"
+    Tables.deleteRecursively(base)
+    val inPath = s"$base/incoming"; val outPath = s"$base/decisions"
+    val docs = Tables.documents(spark, dir)
+    val index = docs.select($"doc_id", $"text")
+    val sharrIdx = shingleArrays(index).filter(size($"shingles") > 0).cache()
+    val bandsIdx = bandsOf(sharrIdx.select($"doc_id",
+      graft.functions.MinHash.minhashSig($"shingles", K, P).as("sig"))).cache()
+    val idxHash = index.select(md5($"text".cast("binary")).as("h"),
+      $"doc_id".as("idx_id")).cache()
+    try {
+      val incoming = incomingBatch(docs)
+      // ONE checkpoint for the whole exercise — the property under test
+      def consume(): Unit = {
+        val q = spark.readStream.format("graft-commit")
+          .option("path", inPath)
+          .option("snapshotOnRewrite", true)
+          .load()
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            // idempotent from the first batch: a snapshot re-bootstrap
+            // re-delivers everything, so every write anti-joins the
+            // already-decided ids (the d33 recovery discipline, applied
+            // unconditionally — which is what makes the opt-in safe)
+            val decided = graft.sources.CommitSink
+              .parseManifest(java.nio.file.Paths.get(outPath))
+              .map(_ => graft.sources.CommitSink
+                .readCommitted(spark, outPath).select($"doc_id"))
+            val fresh = decided.fold(b)(d => b.join(d, Seq("doc_id"), "left_anti"))
+            probeIndex(spark, fresh, sharrIdx, bandsIdx, idxHash)
+              .write.format("graft-commit").option("path", outPath)
+              .mode("append").save()
+            ()
+          }
+          .option("checkpointLocation", s"$base/ck")
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+        q.exception.foreach(e => throw e)
+      }
+      incoming.filter($"doc_id" % 2 === 0)
+        .write.format("graft-commit").option("path", inPath).mode("overwrite").save()
+      consume() // wave 1 decided; checkpoint records the offset
+      incoming.filter($"doc_id" % 2 === 1)
+        .write.format("graft-commit").option("path", inPath).mode("append").save()
+      graft.sources.CommitSink.compact(spark, inPath, 1)
+      // the SAME checkpoint resumes across the compaction: the source
+      // re-bootstraps (full snapshot batch), the anti-join drops wave 1
+      consume()
+      graft.sources.CommitSink.readCommitted(spark, outPath)
+    } finally {
+      sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup"   -> d01Exact _,
     "d14_passage_dedup" -> d14PassageDedup _,

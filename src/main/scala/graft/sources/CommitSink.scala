@@ -766,7 +766,8 @@ class CommitSinkTable(path: String,
           require(n >= 1,
             s"graft-commit: option maxCommitsPerTrigger must be >= 1, got $n")
           n
-        }.getOrElse(Int.MaxValue))
+        }.getOrElse(Int.MaxValue),
+      snapshotOnRewrite = options.getBoolean("snapshotOnRewrite", false))
 
   /** SQL UPDATE / MERGE INTO (o13) — and the fallback for DELETEs whose
     * condition the metadata path can't translate: the group-based
@@ -1667,7 +1668,13 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
                         dmlOp: Option[CommitRowLevelOperation] = None,
                         /** Streaming-read admission knob (o20): how many
                           * COMMITS one micro-batch may consume. */
-                        maxCommitsPerTrigger: Int = Int.MaxValue)
+                        maxCommitsPerTrigger: Int = Int.MaxValue,
+                        /** Opt-in changelog SELF-SERVICE RECOVERY: when a
+                          * rewrite or generation change fires the
+                          * append-only check, re-bootstrap from the
+                          * current snapshot instead of refusing (see
+                          * [[CommitTableMicroBatchStream]]). */
+                        snapshotOnRewrite: Boolean = false)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1770,7 +1777,7 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
       // concurrently-swapped snapshot with a different schema
       manifest.getOrElse(
         sys.error(s"graft-commit: no committed manifest at $path")),
-      version, skip, required, dmlOp, maxCommitsPerTrigger)
+      version, skip, required, dmlOp, maxCommitsPerTrigger, snapshotOnRewrite)
 }
 
 /** The metadata-only aggregate scan (the Iceberg `SELECT COUNT(*)` device):
@@ -1861,7 +1868,8 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
                  skip: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
                  required: Option[StructType] = None,
                  dmlOp: Option[CommitRowLevelOperation] = None,
-                 maxCommitsPerTrigger: Int = Int.MaxValue)
+                 maxCommitsPerTrigger: Int = Int.MaxValue,
+                 snapshotOnRewrite: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2026,7 +2034,7 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     // manifest DDL: if a future Spark prunes columns on streaming scans,
     // the readers must emit rows of the PLAN's schema, not full width
     new CommitTableMicroBatchStream(path, readSchema().toDDL, maxCommitsPerTrigger,
-      payload = manifest.payload)
+      payload = manifest.payload, snapshotOnRewrite = snapshotOnRewrite)
   }
 
   override def description(): String =
@@ -2057,7 +2065,28 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   * Delta documents for its checkpoint retention. */
 class CommitTableMicroBatchStream(path: String, ddl: String,
                                   maxCommitsPerTrigger: Int,
-                                  payload: String = "json")
+                                  payload: String = "json",
+                                  /** Opt-in SELF-SERVICE RECOVERY
+                                    * (`option("snapshotOnRewrite", true)`) —
+                                    * the Iceberg
+                                    * streaming-skip-overwrite-snapshots
+                                    * ergonomics: when the append-only or
+                                    * generation check would refuse (a
+                                    * compaction/DML/truncate landed under
+                                    * the checkpoint, or the table was
+                                    * dropped and re-created), the stream
+                                    * re-bootstraps by emitting the CURRENT
+                                    * snapshot as one batch and then resumes
+                                    * incremental tailing — instead of
+                                    * failing for a fresh checkpoint. This
+                                    * re-delivers rows by design, so it is
+                                    * only correct above an IDEMPOTENT
+                                    * consumer (the d32/d33 anti-join
+                                    * decision write); the loud refusal
+                                    * stays the default precisely because
+                                    * silent re-delivery into a
+                                    * non-idempotent sink duplicates rows. */
+                                  snapshotOnRewrite: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2118,8 +2147,17 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
       case _ => true
     }
 
+  /** Does this offset provably belong to the current generation? */
+  private def genMatches(p: CommitPos): Boolean =
+    generation.isEmpty || (p.gen.nonEmpty && p.gen == generation)
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[CommitPos]
+    if (snapshotOnRewrite && !genMatches(s))
+      // dropped-and-re-created table: re-bootstrap from the current
+      // snapshot in ONE batch under the new generation (stepping through
+      // the new generation's history would re-deliver it commit by commit)
+      return CommitPos(CommitSink.currentCommit(dir), generation)
     checkGeneration(s)
     val from = s.commit
     val current = CommitSink.currentCommit(dir)
@@ -2149,20 +2187,48 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sp = start.asInstanceOf[CommitPos]
+    def part(fs: Seq[String]) = fs
+      .map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString)): InputPartition)
+      .toArray
+    // end-offset resolution: a checkpointed end of a DROPPED generation
+    // (or an expired version) has no manifest — under snapshotOnRewrite
+    // the current snapshot stands in (at-least-once above an idempotent
+    // consumer); without the flag the missing-version error propagates
+    def after: Seq[String] =
+      if (snapshotOnRewrite)
+        try filesAt(end.asInstanceOf[CommitPos].commit)
+        catch { case _: IllegalArgumentException =>
+          CommitSink.parseManifest(dir).map(_.files).getOrElse(Seq.empty) }
+      else filesAt(end.asInstanceOf[CommitPos].commit)
+    if (snapshotOnRewrite && !genMatches(sp))
+      return part(after) // generation change: full snapshot re-bootstrap
     checkGeneration(sp)
     val from = sp.commit
     val to = end.asInstanceOf[CommitPos].commit
-    val before = filesAt(from).toSet
-    val after = filesAt(to)
-    val removed = before -- after.toSet
-    if (removed.nonEmpty)
+    val afterFiles = after
+    // an EXPIRED from-version (the consumer lagged past retention) is a
+    // recovery case too under the flag — without it, the error names the
+    // missing version (the documented retention rule)
+    val beforeOpt =
+      if (snapshotOnRewrite)
+        try Some(filesAt(from).toSet)
+        catch { case _: IllegalArgumentException => None }
+      else Some(filesAt(from).toSet)
+    if (beforeOpt.isEmpty) return part(afterFiles)
+    val before = beforeOpt.get
+    val removed = before -- afterFiles.toSet
+    if (removed.nonEmpty) {
+      // a rewrite landed inside the range: refuse (default) or, under
+      // snapshotOnRewrite, re-bootstrap — emit the END snapshot whole;
+      // later ranges resume incremental tailing from `to`
+      if (snapshotOnRewrite) return part(afterFiles)
       sys.error(s"graft-commit: commits ${from + 1}..$to of $path removed " +
         s"${removed.size} file(s) (truncate/DML/compaction) — a changelog " +
         "stream requires append-only commits; restart the stream from a " +
-        "fresh checkpoint to re-read the rewritten table")
-    after.filterNot(before)
-      .map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString)): InputPartition)
-      .toArray
+        "fresh checkpoint to re-read the rewritten table (or opt in to " +
+        "snapshotOnRewrite above an idempotent consumer)")
+    }
+    part(afterFiles.filterNot(before))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

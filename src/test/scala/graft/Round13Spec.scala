@@ -1,0 +1,335 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 wave: the parquet staged-file payload (full declared-type
+  * surface), the MERGE group-filter profitability guard, changelog
+  * self-service recovery (snapshotOnRewrite), and the manifest scale
+  * proof.
+  *
+  *  - '''Parquet payload''': staged files default to columnar parquet;
+  *    every declared type (timestamp/ntz, date, decimal narrow+wide,
+  *    float, smallint, tinyint) round-trips bit-exactly through write →
+  *    commit → DSv2 scan AND the Spark-native re-read; payloads are
+  *    homogeneous per lineage (append mismatch refused).
+  *  - '''Group-filter guard''': the matching-groups subquery only runs
+  *    when the manifest's zone maps show prunable structure — a
+  *    hash-scattered layout skips it (rewrite = statically planned
+  *    set), `runtimeGroupFilter=always` restores it.
+  *  - '''snapshotOnRewrite''': the SAME checkpoint survives a
+  *    compaction — the stream re-bootstraps from the current snapshot
+  *    and an idempotent consumer converges to d22's exact answer. The
+  *    loud-refusal default is unchanged (d33 / Round12Spec pin it).
+  *  - '''Manifest scale''': an 8k-file manifest stays O(files) in bytes,
+  *    parses in bounded time, and serves the metadata-only COUNT with
+  *    zero data files on disk — the 100 TB planning story as a pinned
+  *    number instead of a README sentence.
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_r13_spec/$tag"
+    Tables.deleteRecursively(d)
+    d
+  }
+
+  private def manifest(path: String) =
+    sources.CommitSink.parseManifest(Paths.get(path)).get
+
+  private def withCatalog(tag: String): (String, String) = {
+    val root = freshDir(s"catalog_$tag")
+    val cat = s"graft_r13_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  // --- parquet payload: the full type surface ------------------------------
+
+  /** Every parquet-payload type, with the hostile values: negative wide
+    * decimals (sign-extended fixed16), pre-epoch timestamps, NaN floats,
+    * nulls in every column, unicode + escapes in strings. */
+  private def typedFixture: DataFrame = {
+    val rows = Seq(
+      (1L, Some(42), Some(7.toShort), Some(3.toByte), Some(2.5d), Some(1.5f),
+        Some(true), Some("plain"), Some(java.sql.Date.valueOf("2024-02-29")),
+        Some(java.sql.Timestamp.valueOf("2024-06-01 12:34:56.789")),
+        // decimals travel as strings: the default BigDecimal encoder is
+        // (38,18), too narrow for the wide fixture — the select casts
+        Some("12345678.9012"), Some("-987654321098765432109876543210.0001")),
+      (2L, None, None, None, Some(Double.NaN), Some(Float.NegativeInfinity),
+        Some(false), Some("unié中\n\"q\""), Some(java.sql.Date.valueOf("1969-07-20")),
+        Some(java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999")),
+        Some("-0.0001"), Some("0.0000")),
+      (3L, Some(-2147483648), Some(Short.MinValue), Some(Byte.MinValue), None, None,
+        None, None, None, None, None, None))
+    rows.toDF("id", "i", "s", "b", "d", "f", "bo", "str", "dt", "ts", "dec", "wide")
+      .select($"id", $"i", $"s", $"b", $"d", $"f", $"bo", $"str", $"dt", $"ts",
+        $"dec".cast(DecimalType(12, 4)).as("dec"),
+        $"wide".cast(DecimalType(34, 4)).as("wide"),
+        $"ts".cast(TimestampNTZType).as("ntz"))
+  }
+
+  test("parquet payload: every declared type round-trips bit-exactly (both read paths)") {
+    val dir = freshDir("typed_roundtrip")
+    val in = typedFixture
+    in.write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val m = manifest(dir)
+    assert(m.payload == "parquet", "parquet is the default payload")
+    assert(m.files.forall(_.endsWith(".parquet")))
+    // declared types survive in the manifest schema
+    val sch = sources.CommitSink.readCommitted(spark, dir).schema
+    assert(sch("dec").dataType == DecimalType(12, 4))
+    assert(sch("wide").dataType == DecimalType(34, 4))
+    assert(sch("f").dataType == FloatType && sch("b").dataType == ByteType)
+    assert(sch("dt").dataType == DateType && sch("ts").dataType == TimestampType)
+    assert(sch("ntz").dataType == TimestampNTZType)
+    // both read paths decode identical rows (NaN-safe comparison via <=>)
+    for (back <- Seq(
+        sources.CommitSink.readCommitted(spark, dir),            // native vectorized
+        spark.read.format("graft-commit").option("path", dir).load())) { // DSv2 Group reader
+      assert(back.count() == 3)
+      val joined = back.as("a").join(in.as("b"), $"a.id" === $"b.id")
+      in.columns.filter(_ != "id").foreach { c =>
+        assert(joined.filter(!(col(s"a.$c") <=> col(s"b.$c"))).count() == 0,
+          s"column $c must round-trip bit-exactly")
+      }
+    }
+  }
+
+  test("parquet payload: column projection and zone maps work through the DSv2 scan") {
+    val dir = freshDir("typed_prune")
+    spark.range(1000L).select($"id",
+        to_date(lit("2024-01-01")).as("day"),
+        ($"id" * 1000000L).cast(TimestampType).as("ts"),
+        ($"id" / 10.0).cast(DecimalType(12, 4)).as("dec"))
+      .withColumn("day", date_add($"day", ($"id" / 10L).cast("int")))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val df = spark.read.format("graft-commit").option("path", dir).load()
+      .filter($"day" < to_date(lit("2024-01-05"))) // days 0..3 → ids < 40: 1 of 4 files
+      .select($"id", $"day")
+    assert(df.count() == 40)
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val desc = scans.head.scan.description()
+    assert(desc.contains("files: 1/4"), s"date zone map must prune 3 of 4 files: $desc")
+    assert(desc.contains("columns: 2/4"), s"projection must reach the scan: $desc")
+  }
+
+  test("parquet payload: appends carry the format; a json append onto parquet is refused") {
+    val dir = freshDir("payload_mismatch")
+    spark.range(5L).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    // un-optioned append joins the table's payload
+    spark.range(5L, 10L).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("append").save()
+    assert(manifest(dir).payload == "parquet")
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 10L)
+    val e = intercept[Exception] {
+      spark.range(10L, 15L).select($"id").write.format("graft-commit")
+        .option("path", dir).option("payload", "json").mode("append").save()
+    }
+    assert(e.getMessage.contains("payload mismatch"), e.getMessage)
+    // a truncate MAY switch
+    spark.range(3L).select($"id").write.format("graft-commit")
+      .option("path", dir).option("payload", "json").mode("overwrite").save()
+    assert(manifest(dir).payload == "json")
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 3L)
+  }
+
+  test("parquet payload: DML (UPDATE zone-prune + MERGE) runs group-granular over parquet files") {
+    val (cat, root) = withCatalog("typed_dml")
+    val path = s"$root/default/t"
+    spark.range(1000L).select($"id",
+        ($"id" / 100.0).cast(DecimalType(12, 4)).as("price"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    val before = manifest(path)
+    spark.sql(s"UPDATE $cat.`default`.t SET price = CAST(price + 100 AS DECIMAL(12,4)) WHERE id < 40")
+    val after = manifest(path)
+    assert(after.files.toSet.intersect(before.files.toSet).size == 3,
+      "zone maps prune the parquet-payload DML scan too")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.filter($"price" >= 100.0).count() == 40L)
+    assert(back.count() == 1000L)
+  }
+
+  // --- MERGE group-filter profitability guard ------------------------------
+
+  test("group filtering skips on a hash-scattered layout; runtimeGroupFilter=always restores it") {
+    val (cat, root) = withCatalog("guard")
+    val key = "spark.graft.commit.runtimeGroupFilter"
+    def mergeOnce(tag: String): Int = {
+      val path = s"$root/default/$tag"
+      spark.range(1000L).select($"id", ($"id" % 100 / 10.0).as("score"))
+        .repartition(4, $"id") // HASH layout: every file's id range overlaps
+        .write.format("graft-commit").option("path", path).mode("overwrite").save()
+      val before = manifest(path)
+      assert(before.files.size == 4)
+      spark.range(5L, 6L).select($"id").createOrReplaceTempView("r13_guard_src")
+      spark.sql(s"""MERGE INTO $cat.`default`.$tag t USING r13_guard_src s
+                    ON t.id = s.id
+                    WHEN MATCHED THEN UPDATE SET score = t.score + 1000.0""")
+      val back = sources.CommitSink.readCommitted(spark, path)
+      assert(back.count() == 1000L)
+      assert(back.filter($"score" >= 1000.0).count() == 1L)
+      manifest(path).files.toSet.intersect(before.files.toSet).size
+    }
+    try {
+      // auto (default): overlapping ranges → no prunable structure → the
+      // matching-groups subquery is skipped and the rewrite replaces the
+      // statically-planned set (all 4 files) — values stay exact
+      assert(mergeOnce("auto") == 0,
+        "hash layout must skip runtime group filtering (no carried files)")
+      // explicit opt-in: the subquery runs and finds the single matched
+      // file even on the unclustered layout (the point-update case)
+      spark.conf.set(key, "always")
+      assert(mergeOnce("always") == 3,
+        "runtimeGroupFilter=always must restore the matched-file prune")
+    } finally spark.conf.unset(key)
+  }
+
+  test("range-clustered layouts keep group filtering under the guard (the o21 shape)") {
+    val (cat, root) = withCatalog("guard_range")
+    val path = s"$root/default/t"
+    spark.range(1000L).select($"id", ($"id" % 100 / 10.0).as("score"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    val before = manifest(path)
+    spark.range(10L).select($"id").createOrReplaceTempView("r13_range_src")
+    spark.sql(s"""MERGE INTO $cat.`default`.t t USING r13_range_src s ON t.id = s.id
+                  WHEN MATCHED THEN UPDATE SET score = t.score + 1000.0""")
+    assert(manifest(path).files.toSet.intersect(before.files.toSet).size == 3,
+      "disjoint per-file id ranges = prunable structure: the subquery must run")
+  }
+
+  // --- rewrite-token hygiene ----------------------------------------------
+
+  test("dropRewrite reclaims an unconsumed token; consumed tokens are gone") {
+    val m = sources.CommitSink.Manifest(0L, "id BIGINT", Seq.empty, Seq.empty)
+    val t1 = sources.CommitSink.registerRewrite(
+      sources.CommitSink.DmlRewrite(m, () => Set.empty))
+    sources.CommitSink.dropRewrite(t1)
+    val e = intercept[RuntimeException](sources.CommitSink.takeRewrite(t1))
+    assert(e.getMessage.contains("unknown or already-consumed"))
+    val t2 = sources.CommitSink.registerRewrite(
+      sources.CommitSink.DmlRewrite(m, () => Set.empty))
+    assert(sources.CommitSink.takeRewrite(t2) != null)
+    sources.CommitSink.dropRewrite(t2) // idempotent after consumption
+  }
+
+  // --- changelog self-service recovery (snapshotOnRewrite) -----------------
+
+  test("snapshotOnRewrite: the SAME checkpoint survives a compaction; decisions equal d22") {
+    val recovered = ext.Dedup.d33SnapshotOnRewrite(spark, TestSpark.sf0001)
+    val oneShot = ext.Dedup.d22IncrementalScale(spark, TestSpark.sf0001)
+    assert(recovered.count() == oneShot.count() && recovered.count() > 0)
+    assert(recovered.exceptAll(oneShot).count() == 0 &&
+      oneShot.exceptAll(recovered).count() == 0,
+      "self-service recovery must lose nothing and duplicate nothing")
+    // the run used ONE checkpoint (no ck2): the recovery was in-place
+    assert(Files.exists(Paths.get(s"/tmp/graft_r13_sor/sf0.001/ck")))
+    assert(!Files.exists(Paths.get(s"/tmp/graft_r13_sor/sf0.001/ck2")))
+    Tables.deleteRecursively("/tmp/graft_r13_sor/sf0.001")
+  }
+
+  test("snapshotOnRewrite: a dropped-and-recreated table re-bootstraps under the old checkpoint") {
+    val dir = freshDir("sor_generation")
+    val ck = freshDir("sor_generation_ck")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-commit").option("path", dir)
+        .option("snapshotOnRewrite", true).load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select($"id").as[Long].collect().foreach(got.add); ()
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      q.exception.foreach(e => throw e)
+    }
+    spark.range(5L).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    drain()
+    assert(got.size == 5)
+    // drop + re-create: new generation id, different content
+    Tables.deleteRecursively(dir)
+    spark.range(100L, 103L).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    drain() // default would hard-fail the generation check (Round11/12 pin it)
+    val all = { val b = Seq.newBuilder[Long]; got.forEach(v => b += v); b.result() }
+    assert(all.sorted.takeRight(3) == Seq(100L, 101L, 102L),
+      "the old checkpoint must re-bootstrap onto the new generation's snapshot")
+  }
+
+  // --- manifest scale proof -------------------------------------------------
+
+  test("manifest scale: 8k files stay O(files) in bytes, parse fast, and serve metadata-only aggs") {
+    val dir = freshDir("bigmanifest")
+    Files.createDirectories(Paths.get(dir))
+    def mk(n: Int, path: String): Unit = {
+      val files = (0 until n).map(i => f"part-c00001-deadbeef-$i%05d.parquet")
+      val stats = files.zipWithIndex.map { case (f, i) =>
+        f -> sources.CommitSink.FileStat(10L, 1000L, None,
+          Map("id" -> sources.CommitSink.ColRange('l',
+            (i * 10L).toString, (i * 10L + 9).toString))).encode
+      }.toMap
+      sources.CommitSink.writeManifest(Paths.get(path), "id BIGINT", files, 1L,
+        stats = stats, payload = "parquet")
+    }
+    val small = freshDir("bigmanifest_1k")
+    Files.createDirectories(Paths.get(small))
+    mk(1000, small); mk(8000, dir)
+    // bytes: linear in files, bounded per entry (the "100k files ≈ 10 MB"
+    // claim at its measured per-file rate)
+    val bytes8k = Files.size(Paths.get(dir, "_MANIFEST.json"))
+    val bytes1k = Files.size(Paths.get(small, "_MANIFEST.json"))
+    assert(bytes8k < 8000L * 150, s"manifest must stay <150 B/file, got ${bytes8k / 8000.0}")
+    assert(bytes8k < bytes1k * 10, "growth must be linear in the file count")
+    // parse + plan: one driver read, bounded time, all 8000 partitions
+    val t0 = System.nanoTime()
+    val m = manifest(dir)
+    val scan = new sources.CommitScanBuilder(dir).build()
+    val parts = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions()
+    val planMs = (System.nanoTime() - t0) / 1e6
+    assert(m.files.size == 8000 && parts.length == 8000)
+    assert(planMs < 2000.0, s"8k-file parse+plan must stay sub-2s, took $planMs ms")
+    // the metadata-only COUNT/MIN/MAX path answers with ZERO data files
+    // on disk (none were ever written)
+    val agg = spark.read.format("graft-commit").option("path", dir).load()
+      .agg(count(lit(1)).as("n"), min($"id").as("mn"), max($"id").as("mx"))
+      .head()
+    assert(agg.getLong(0) == 80000L && agg.getLong(1) == 0L && agg.getLong(2) == 79999L)
+  }
+
+  // --- o24/o25 type fidelity -------------------------------------------------
+
+  test("o24: the committed table keeps the declared narrow types (report widens only)") {
+    val out = sources.Sources.o24TypedCommit(spark, TestSpark.sf0001)
+    assert(out.count() > 0)
+    // the REPORT is widened (driver-hash rule) ...
+    val rep = out.schema
+    assert(rep("tiny").dataType == ShortType && rep("f").dataType == DoubleType &&
+      rep("price").dataType == DoubleType)
+    // ... while the COMMITTED table holds the declared types
+    val sch = sources.CommitSink.readCommitted(spark,
+      "/tmp/graft_o24/sf0.001").schema
+    assert(sch("price").dataType == DecimalType(12, 4))
+    assert(sch("f").dataType == FloatType && sch("tiny").dataType == ByteType)
+    assert(sch("born").dataType == DateType)
+    assert(sch("updated").dataType == TimestampNTZType)
+    assert(sch("updated_utc").dataType == TimestampType)
+    assert(sch("y").dataType == ShortType)
+  }
+}
