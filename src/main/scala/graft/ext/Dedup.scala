@@ -1529,11 +1529,24 @@ object Dedup {
         .start()
       q.processAllAvailable()
       q.stop()
-      // decisions are ON DISK in the committed table — the returned frame
-      // reads files, so the index caches can be released immediately
-      graft.sources.CommitSink.readCommitted(spark, outPath)
+      // the multi-batch proof shape, checked BEFORE the scratch is
+      // swept (LakeSpec relies on this require): one decision commit
+      // per incoming changelog micro-batch
+      require(graft.sources.CommitSink
+          .listVersions(java.nio.file.Paths.get(outPath)).size == 2,
+        "d32: expected one decision commit per incoming micro-batch")
+      // HARNESS SHIM, fixture-sized by construction (one decision row
+      // per incoming doc — ~30% of the documents table): materialize so
+      // the scratch tables + checkpoint can be deleted before returning
+      // (the c17/o26 standard). Production keeps the decisions table —
+      // it IS the output a live ingest maintains.
+      val decisions = graft.sources.CommitSink.readCommitted(spark, outPath)
+      val rows = decisions.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), decisions.schema)
     } finally {
       sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
+      Tables.deleteRecursively(base)
     }
   }
 
@@ -1619,9 +1632,21 @@ object Dedup {
       // 4. recovery: fresh checkpoint -> snapshot bootstrap (one batch,
       //    the whole compacted table), idempotent decision write
       consume(s"$base/ck2", idempotent = true)
-      graft.sources.CommitSink.readCommitted(spark, outPath)
+      // exactly 2 decision commits: wave 1 before the lag, the recovery
+      // batch after — the REFUSED resume must have written NOTHING.
+      // Checked before the scratch sweep (Round12Spec relies on this).
+      require(graft.sources.CommitSink
+          .listVersions(java.nio.file.Paths.get(outPath)).size == 2,
+        "d33: the refused resume must not land a commit")
+      // HARNESS SHIM, fixture-sized (see d32): materialize the decision
+      // set so the scratch tables + both checkpoints can be deleted
+      val decisions = graft.sources.CommitSink.readCommitted(spark, outPath)
+      val rows = decisions.collect().toSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), decisions.schema)
     } finally {
       sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
+      Tables.deleteRecursively(base)
     }
   }
 
@@ -1686,6 +1711,8 @@ object Dedup {
       // the SAME checkpoint resumes across the compaction: the source
       // re-bootstraps (full snapshot batch), the anti-join drops wave 1
       consume()
+      // scratch cleanup is the CALLING spec's job: it asserts on the
+      // checkpoint tree (one ck, no ck2) before deleting it
       graft.sources.CommitSink.readCommitted(spark, outPath)
     } finally {
       sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()

@@ -192,6 +192,57 @@ object CommitSink {
   /** Name of the `_file` metadata column (o21). */
   private[graft] val FILE_COL = "_file"
 
+  /** Name of the `_pos` metadata column (o27): a row's PHYSICAL position
+    * within its committed data file (0-based, in the file's storage
+    * order — parquet row order / JSON line order), stable across reads
+    * because both payload readers emit rows sequentially. The position
+    * is what merge-on-read DELETE records: (file, pos) identifies a row
+    * without touching its data (Iceberg's position-delete / Delta's
+    * deletion-vector row id). Stamped BEFORE deletion vectors are
+    * applied — a surviving row keeps its physical position, so a later
+    * delete's positions compose with the earlier vector by union. */
+  private[graft] val POS_COL = "_pos"
+
+  /** One deletion vector: the DV file (manifest-relative, `part-dv-*` so
+    * the GC listers see it) holding the sorted deleted positions of one
+    * data file, plus the position count (for stats arithmetic without
+    * opening the vector). */
+  private[graft] case class DvEntry(dv: String, ndel: Long)
+
+  // --- deletion-vector file format -------------------------------------
+  // magic, count, then `count` sorted int64 positions, all big-endian.
+  // At 100 TB the format upgrade is a roaring bitmap (Delta's DV / the
+  // Iceberg v3 Puffin blob) behind these two functions; sorted int64s
+  // keep the fixture inspectable and are within 8 bytes/row of optimal
+  // for the SELECTIVE deletes merge-on-read exists for — a delete dense
+  // enough for bitmap compression to matter is better served by
+  // copy-on-write anyway (the rewrite amortizes over the rows touched).
+  private val DV_MAGIC = 0x47445631 // "GDV1"
+
+  private[graft] def writeDv(file: Path, positions: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      Files.newOutputStream(file)))
+    try {
+      out.writeInt(DV_MAGIC)
+      out.writeInt(positions.length)
+      positions.foreach(out.writeLong)
+    } finally out.close()
+  }
+
+  private[graft] def readDv(file: Path): Array[Long] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      Files.newInputStream(file)))
+    try {
+      require(in.readInt() == DV_MAGIC,
+        s"graft-commit: $file is not a deletion-vector file")
+      val n = in.readInt()
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) { out(i) = in.readLong(); i += 1 }
+      out
+    } finally in.close()
+  }
+
   /** Read the committed snapshot: ONLY the manifest's file list, with the
     * manifest's schema. A target that has never seen any write (no
     * manifest at all) fails with a clear error; a committed-but-empty
@@ -216,7 +267,32 @@ object CommitSink {
     else {
       val paths = m.files.map(f => Paths.get(dir, f).toString)
       val r = spark.read.schema(schema)
-      if (m.payload == "parquet") r.parquet(paths: _*) else r.json(paths: _*)
+      val base = if (m.payload == "parquet") r.parquet(paths: _*) else r.json(paths: _*)
+      val dvs = m.files.flatMap(f => m.deletes.get(f).map(f -> _))
+      if (dvs.isEmpty) base
+      else {
+        // merge-on-read: anti-join away the deleted (file, position)
+        // pairs using the native scan's own _metadata device. The
+        // vectors are read on EXECUTORS (the pair list shipped is
+        // file-count-sized, the positions dataset is deleted-row-sized
+        // and distributed), and Spark's file-name + row-index metadata
+        // matches the sink readers' position contract: physical row
+        // order within each file.
+        import spark.implicits._
+        import org.apache.spark.sql.functions.col
+        val pairs = dvs.map { case (f, e) => (f, Paths.get(dir, e.dv).toString) }
+        val deleted = spark.createDataset(pairs)
+          .flatMap { case (f, dv) => readDv(Paths.get(dv)).map(p => (f, p)) }
+          .toDF("_graft_del_file", "_graft_del_pos")
+        val stamped = base
+          .withColumn("_graft_src_file", col("_metadata.file_name"))
+          .withColumn("_graft_src_pos", col("_metadata.row_index"))
+        stamped.join(deleted,
+            stamped("_graft_src_file") === deleted("_graft_del_file") &&
+              stamped("_graft_src_pos") === deleted("_graft_del_pos"),
+            "left_anti")
+          .drop("_graft_src_file", "_graft_src_pos")
+      }
     }
   }
 
@@ -253,6 +329,105 @@ object CommitSink {
     } finally dropRewrite(token) // no-op on success; reclaims on early failure
   }
 
+  /** Merge-on-read DELETE (o27) — the Iceberg v2 position-delete /
+    * Delta deletion-vector write mode, the flip side of the
+    * group-granular copy-on-write rewrite: instead of rewriting every
+    * file that holds a matching row (one row matched in a 1 GB file =
+    * 1 GB rewritten), record the matched rows' (file, position) pairs
+    * as per-file DELETION VECTORS and commit a new version whose data
+    * files are UNCHANGED. A one-row DELETE on a 100 TB table writes
+    * ~20 bytes. The trade is Iceberg's own: reads pay a per-file
+    * position skip until compaction (or any rewrite of the file)
+    * materializes the deletes — which is exactly what [[compact]]
+    * does, since its scan applies the vectors and its rewrite drops
+    * them.
+    *
+    * Mechanics, all existing machinery: the matched positions come
+    * from an ordinary DSv2 scan with the `_file`/`_pos` metadata
+    * columns (so the pushed condition zone-prunes candidate files, and
+    * already-deleted rows are never re-matched); each file's vector is
+    * written EXECUTOR-side into the write's private staging dir (the
+    * driver sees only file-count-sized names); promotion + a CAS'd
+    * manifest swap against the PLANNING commit land the new version
+    * atomically (a commit interleaving hard-fails the swap — statement
+    * retry, the rewrite position). A vector that comes to cover EVERY
+    * row of its file drops the file from the manifest outright.
+    * Vectors compose: a second delete unions with the first file's
+    * vector (disjoint by construction — the scan applied the old one).
+    *
+    * Parquet payload only: MOR needs stable physical row positions,
+    * which the columnar payload defines; selecting the mode on a json
+    * table falls back to copy-on-write (same result, different cost).
+    */
+  private[graft] def deleteToVectors(spark: SparkSession, path: String,
+                                       planning: Manifest,
+                                       cond: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list, lit, sort_array}
+    import spark.implicits._
+    require(planning.payload == "parquet",
+      s"graft-commit: merge-on-read DELETE requires the parquet payload, $path is '${planning.payload}'")
+    val dir = Paths.get(path)
+    val nonce = writeNonce()
+    val staging = stagingDir(dir, nonce)
+    Files.createDirectories(staging)
+    try {
+      // the DSv2 scan: applies existing vectors, stamps PHYSICAL
+      // positions, zone-prunes the pushed condition
+      val matched = spark.read.format(NAME).option("path", path).load()
+        .filter(coalesce(cond, lit(false))) // DELETE: NULL keeps the row
+        .select(col(FILE_COL).as("f"), col(POS_COL).as("p"))
+      val oldDvs: Map[String, String] =
+        planning.deletes.map { case (f, e) => f -> Paths.get(path, e.dv).toString }
+      val stagingStr = staging.toString
+      val staged: Map[String, (String, Long)] = matched
+        .groupBy($"f").agg(sort_array(collect_list($"p")).as("ps"))
+        .as[(String, Seq[Long])]
+        .mapPartitions { it =>
+          it.map { case (f, ps) =>
+            val old = oldDvs.get(f).map(p => readDv(Paths.get(p)))
+              .getOrElse(Array.empty[Long])
+            val merged = (old ++ ps).sorted
+            val name = s"dv-$f"
+            writeDv(Paths.get(stagingStr, name), merged)
+            (f, name, merged.length.toLong)
+          }
+        }.collect().map { case (f, n, c) => f -> (n, c) }.toMap
+      if (staged.isEmpty) return // nothing matched: no new version
+      val commitId = planning.commit + 1
+      val rowsOf = planning.stats.map { case (f, e) => f -> FileStat.decode(e).rows }
+      // a file whose vector covers every physical row is DROPPED from the
+      // manifest (the classic point: MOR must not keep reading a file
+      // that contributes nothing); its bytes stay for older versions
+      val dead = staged.collect {
+        case (f, (_, n)) if rowsOf.get(f).contains(n) => f
+      }.toSet
+      val files = planning.files.filterNot(dead)
+      val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, DvEntry)]
+      try {
+        staged.toSeq.sortBy(_._1).filterNot(e => dead(e._1)).zipWithIndex
+          .foreach { case ((f, (name, n)), i) =>
+            val fin = f"part-dv-c$commitId%05d-$nonce-$i%05d.bin"
+            Files.move(staging.resolve(name), dir.resolve(fin),
+              StandardCopyOption.ATOMIC_MOVE)
+            promoted += (f -> DvEntry(fin, n))
+          }
+        writeManifest(dir, planning.ddl, files, commitId,
+          planning.epochs, // content lineage continues: the ledger carries
+          expectedPrev = planning.commit,
+          partCol = planning.partCol,
+          stats = planning.stats.view.filterKeys(files.toSet).toMap,
+          tableId = carriedOrFreshTableId(Some(planning)),
+          payload = planning.payload,
+          deletes = (planning.deletes ++ promoted).view
+            .filterKeys(files.toSet).toMap)
+      } catch { case e: Throwable =>
+        // refused CAS / failed promote: leave no trace (the rewrite rule)
+        promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._2.dv)))
+        throw e
+      }
+    } finally sweepStaging(dir, nonce)
+  }
+
   /** Snapshot expiry — the VACUUM command (o19), the GC half of time
     * travel: drop every version manifest except the newest `keepLast`,
     * then delete the data files ONLY those dropped versions referenced
@@ -277,11 +452,12 @@ object CommitSink {
     val keep = (versions.takeRight(keepLast) ++ versions.filter(_ == current)).distinct
     val drop = versions.filterNot(keep.contains)
     val live: Set[String] =
-      keep.flatMap(v => parseManifestVersion(d, v).files).toSet ++
-        parseManifest(d).map(_.files).getOrElse(Seq.empty)
+      keep.flatMap(v => manifestRefs(parseManifestVersion(d, v))).toSet ++
+        parseManifest(d).toSeq.flatMap(manifestRefs)
     // enumerate the dropped versions' files BEFORE deleting their
     // manifests — the manifest is the only record of what they held
-    val droppedReferenced = drop.flatMap(v => parseManifestVersion(d, v).files).toSet
+    val droppedReferenced =
+      drop.flatMap(v => manifestRefs(parseManifestVersion(d, v))).toSet
     drop.foreach(v => Files.deleteIfExists(d.resolve(versionFile(v))))
     val removed = droppedReferenced.filterNot(live.contains).toSeq.sorted
     removed.foreach(n => Files.deleteIfExists(d.resolve(n)))
@@ -300,8 +476,8 @@ object CommitSink {
   def removeOrphanFiles(dir: String, graceMs: Long = 3600L * 1000): Seq[String] = {
     val d = Paths.get(dir)
     val live: Set[String] =
-      listVersions(d).flatMap(v => parseManifestVersion(d, v).files).toSet ++
-        parseManifest(d).map(_.files).getOrElse(Seq.empty)
+      listVersions(d).flatMap(v => manifestRefs(parseManifestVersion(d, v))).toSet ++
+        parseManifest(d).toSeq.flatMap(manifestRefs)
     val cutoff = System.currentTimeMillis() - graceMs
     val removed = listDataFiles(d)
       .filterNot(live.contains)
@@ -311,8 +487,16 @@ object CommitSink {
     removed
   }
 
-  /** Committed-style data files (`part-*`) currently on disk — shared by
-    * the truncate sweep and snapshot expiry, the two places that decide
+  /** Every on-disk name a manifest keeps alive: its data files plus
+    * their deletion vectors — GC liveness must protect both (an expired
+    * DV under a live version would silently RESURRECT its deleted
+    * rows). */
+  private[graft] def manifestRefs(m: Manifest): Seq[String] =
+    m.files ++ m.files.flatMap(f => m.deletes.get(f).map(_.dv))
+
+  /** Committed-style data files (`part-*`, deletion vectors included —
+    * their names share the prefix) currently on disk — shared by the
+    * truncate sweep and snapshot expiry, the two places that decide
     * deletions (one lister, two liveness rules kept explicitly local). */
   private[sources] def listDataFiles(dir: Path): Seq[String] = {
     val s = Files.list(dir)
@@ -356,7 +540,19 @@ object CommitSink {
                                          * it, only a truncate may switch.
                                          * Absent in pre-payload manifests ⇒
                                          * json (what they were written as). */
-                                       payload: String = "json")
+                                       payload: String = "json",
+                                       /** Merge-on-read DELETEs (o27): data
+                                         * file → its deletion vector. A
+                                         * listed file's rows at positions in
+                                         * the vector are DELETED — every
+                                         * read path applies the vector, every
+                                         * rewrite of the file drops it (the
+                                         * rewrite's scan already applied it).
+                                         * Absent ⇒ no deletes, and always
+                                         * absent for json-payload tables
+                                         * (MOR requires the parquet payload's
+                                         * stable row positions). */
+                                       deletes: Map[String, DvEntry] = Map.empty)
 
   private[sources] def parseManifestText(txt: String, where: String): Manifest = {
     val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
@@ -382,7 +578,14 @@ object CommitSink {
         val bar = e.indexOf('|')
         e.substring(0, bar) -> e.substring(bar + 1)
       }.toMap
-    Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload)
+    val deletes = "\"deletevectors\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val p = e.split("\\|")
+        p(0) -> DvEntry(p(1), p(2).toLong)
+      }.toMap
+    Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload, deletes)
   }
 
   private[graft] def parseManifest(dir: Path): Option[Manifest] = {
@@ -458,7 +661,8 @@ object CommitSink {
                                      partCol: Option[String] = None,
                                      stats: Map[String, String] = Map.empty,
                                      tableId: String = "",
-                                     payload: String = "json"): Unit =
+                                     payload: String = "json",
+                                     deletes: Map[String, DvEntry] = Map.empty): Unit =
     lockFor(dir).synchronized {
       // check + swap under the per-path lock: two same-JVM writers can
       // never both pass the check (the object-store analog is a
@@ -472,10 +676,15 @@ object CommitSink {
       }
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
+      // only vectors for files this manifest actually lists — a dropped
+      // (fully-deleted or rewritten) file's vector must not survive it
+      val dvBody = files.sorted.flatMap(f =>
+        deletes.get(f).map(e => s""""$f|${e.dv}|${e.ndel}""""))
       val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
         s""""payload":"$payload",""" +
         (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
         partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
+        (if (dvBody.nonEmpty) s""""deletevectors":[${dvBody.mkString(",")}],""" else "") +
         s""""schema":"${esc(ddl)}",""" +
         s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""filestats":[${statsBody.mkString(",")}]}"""
@@ -710,15 +919,32 @@ class CommitSinkTable(path: String,
     * the DPP In-filter stays manifest-sized where data-column keys
     * could be corpus-sized. Withdrawn when a (nonstandard) data column
     * already claims the name — data columns win. */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    if (schema().fieldNames.contains(CommitSink.FILE_COL)) Array.empty
-    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = CommitSink.FILE_COL
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "committed data file (manifest-relative name) this row was read from"
-    })
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val names = schema().fieldNames
+    val file: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      if (names.contains(CommitSink.FILE_COL)) Array.empty
+      else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = CommitSink.FILE_COL
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "committed data file (manifest-relative name) this row was read from"
+      })
+    // `_pos` (o27): physical row position within `_file` — the row id
+    // merge-on-read deletion vectors record. Withdrawn independently
+    // when a data column claims the name, like `_file`.
+    val pos: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+      if (names.contains(CommitSink.POS_COL)) Array.empty
+      else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = CommitSink.POS_COL
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "physical row position within _file (0-based, storage order; " +
+            "stamped before deletion vectors are applied)"
+      })
+    file ++ pos
+  }
 
   /** The committed version's schema when one exists (the catalog /
     * row-level-operation path needs real columns to resolve against);
@@ -824,6 +1050,27 @@ class CommitSinkTable(path: String,
     // CAS all bind to it (a commit landing mid-delete hard-fails the swap)
     val m = CommitSink.parseManifest(Paths.get(path)).getOrElse(
       sys.error(s"graft-commit: no committed manifest at $path"))
+    // DELETE MODE (o27): `spark.graft.commit.deleteMode=merge-on-read`
+    // records deletion vectors instead of rewriting files — Iceberg's
+    // write.delete.mode knob. Requires the parquet payload's stable row
+    // positions and the _file/_pos metadata columns (withdrawn when data
+    // columns claim the names); ineligible tables fall back to
+    // copy-on-write — the MODE is a cost knob, the RESULT is identical.
+    val deleteMode =
+      try spark.conf.get("spark.graft.commit.deleteMode", "copy-on-write")
+      catch { case _: Throwable => "copy-on-write" }
+    require(deleteMode == "copy-on-write" || deleteMode == "merge-on-read",
+      s"graft-commit: spark.graft.commit.deleteMode must be 'copy-on-write' " +
+        s"or 'merge-on-read', got '$deleteMode'")
+    val morEligible = m.payload == "parquet" && {
+      val names = StructType.fromDDL(m.ddl).fieldNames
+      !names.contains(CommitSink.FILE_COL) && !names.contains(CommitSink.POS_COL)
+    }
+    if (deleteMode == "merge-on-read" && morEligible) {
+      val cond = filters.flatMap(filterToColumn).reduceOption(_ && _).getOrElse(lit(true))
+      CommitSink.deleteToVectors(spark, path, m, cond)
+      return
+    }
     // GROUP-GRANULAR delete: a file whose recorded ranges PROVE no row
     // satisfies the delete condition is untouched by the delete — carry
     // it forward verbatim instead of rewriting it (mayMatch == false
@@ -1197,7 +1444,9 @@ class CommitStreamingWrite(path: String, schema: StructType,
           prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty) :+ epochId,
           expectedPrev = prev, stats = stats,
           tableId = CommitSink.carriedOrFreshTableId(manifest),
-          payload = payload)
+          payload = payload,
+          // an epoch append never touches existing rows: vectors carry
+          deletes = manifest.map(_.deletes).getOrElse(Map.empty))
       } catch { case e: Throwable =>
         // a refused epoch commit (e.g. a batch DML raced this trigger)
         // must leave no trace — same contract as the batch commit
@@ -1312,7 +1561,12 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
       planning.commit + 1, planning.epochs, expectedPrev = planning.commit,
       partCol = partCol, stats = stats,
       tableId = CommitSink.carriedOrFreshTableId(Some(planning)),
-      payload = planning.payload)
+      payload = planning.payload,
+      // carried files keep their deletion vectors; a REPLACED file's
+      // vector dies with it — the rewrite's scan already applied it,
+      // so the new files hold only surviving rows (compaction's
+      // materialize-the-deletes path falls out of this line)
+      deletes = planning.deletes.view.filterKeys(carried.toSet).toMap)
     // replaced files are NOT swept: the planning version's immutable
     // manifest references every one of them (time travel); snapshot
     // expiry GC's them when their last referencing version is dropped
@@ -1381,7 +1635,9 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
           prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty),
           expectedPrev = prev, partCol = partCol, stats = stats,
           tableId = CommitSink.carriedOrFreshTableId(manifest),
-          payload = payload)
+          payload = payload,
+          // an append never touches existing rows: vectors carry verbatim
+          deletes = manifest.map(_.deletes).getOrElse(Map.empty))
         return
       } catch { case e: CommitSink.ConcurrentCommitException =>
         attempt += 1
@@ -1717,15 +1973,19 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
     // keep the manifest's field order; empty projection (COUNT(*)) is legal
     val data = fullSchema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name))
-    // the _file METADATA column (o21) — appended after the data columns
-    // when the plan asked for it (and no data column claims the name,
-    // in which case the table never exposed the metadata column)
-    val meta =
-      if (requiredSchema.fieldNames.contains(CommitSink.FILE_COL) &&
-          !fullSchema.fieldNames.contains(CommitSink.FILE_COL))
-        Array(StructField(CommitSink.FILE_COL, StringType, nullable = false))
+    // the _file/_pos METADATA columns (o21/o27) — appended after the
+    // data columns when the plan asked for them (and no data column
+    // claims the name, in which case the table never exposed the
+    // metadata column); fixed order `_file` then `_pos`, mirrored by
+    // the readers' stamping
+    def meta(name: String, dt: DataType) =
+      if (requiredSchema.fieldNames.contains(name) &&
+          !fullSchema.fieldNames.contains(name))
+        Array(StructField(name, dt, nullable = false))
       else Array.empty[StructField]
-    required = Some(StructType(data ++ meta))
+    required = Some(StructType(data ++
+      meta(CommitSink.FILE_COL, StringType) ++
+      meta(CommitSink.POS_COL, LongType)))
   }
 
   /** A column whose manifest stats can answer MIN/MAX soundly: integral
@@ -1759,10 +2019,15 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
     val m = manifest.getOrElse(return false)
     if (!m.files.forall(m.stats.contains)) return false
     val funcs = aggregation.aggregateExpressions
+    // deletion vectors (o27): COUNT stays metadata-only — live rows =
+    // physical rows minus recorded vector counts (Iceberg's live-rows
+    // arithmetic). MIN/MAX decline: a deleted row may hold the extremum,
+    // and the recorded ranges are physical.
+    val hasDvs = m.files.exists(m.deletes.contains)
     val ok = funcs.nonEmpty && funcs.forall {
       case _: CountStar => true
-      case f: Min => statableLong(f.column)
-      case f: Max => statableLong(f.column)
+      case f: Min => !hasDvs && statableLong(f.column)
+      case f: Max => !hasDvs && statableLong(f.column)
       case _ => false
     }
     if (ok) aggs = funcs
@@ -1817,7 +2082,10 @@ class CommitMetaAggScan(path: String, manifest: CommitSink.Manifest,
   private def answer(): Seq[Any] = {
     val stats = manifest.files.map(f => CommitSink.FileStat.decode(manifest.stats(f)))
     aggs.toSeq.map {
-      case _: CountStar => stats.map(_.rows).sum
+      case _: CountStar =>
+        // live rows: physical minus deletion-vector counts (o27)
+        stats.map(_.rows).sum -
+          manifest.files.flatMap(manifest.deletes.get).map(_.ndel).sum
       case f: Min =>
         val c = colOf(f.column)
         val mins = stats.flatMap(_.cols.get(c)).map(_.min.toLong)
@@ -1919,10 +2187,13 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     else if (manifest.partCol.isDefined) Array.empty
     // only columns of the (possibly pruned) OUTPUT schema: Spark resolves
     // these refs against the scan's output and fails analysis on a column
-    // the projection dropped
+    // the projection dropped. The stamped metadata columns are excluded —
+    // no zone map exists for them, so a runtime filter could never prune.
     else readSchema().fields.collect {
       case f if (f.dataType == LongType || f.dataType == IntegerType ||
-        f.dataType == DoubleType) && f.name.matches("[A-Za-z0-9_]+") =>
+        f.dataType == DoubleType) && f.name.matches("[A-Za-z0-9_]+") &&
+        !(f.name == CommitSink.POS_COL &&
+          !StructType.fromDDL(manifest.ddl).fieldNames.contains(CommitSink.POS_COL)) =>
         Expressions.column(f.name)
     }
 
@@ -1965,6 +2236,11 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
 
   private def abs(f: String): String = Paths.get(path, f).toString
 
+  /** Per-file deletion-vector path ("" = none) — shipped alongside the
+    * file list so the reader skips the recorded positions (o27). */
+  private def dvOf(f: String): String =
+    manifest.deletes.get(f).map(e => abs(e.dv)).getOrElse("")
+
   /** Pruned projection when Spark asked for one: the reader materializes
     * exactly these fields (its per-line decoder skips keys it was not
     * asked for, so unrequested columns cost a scan over their chars,
@@ -1980,11 +2256,13 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         val dt = StructType.fromDDL(manifest.ddl).apply(pc).dataType
         groups.map { case (k, fs) =>
           val keyVal: Any = if (dt == IntegerType) k.toInt else k
-          CommitKeyedFilesPartition(fs.map(abs), keyVal): InputPartition
+          CommitKeyedFilesPartition(fs.map(abs), keyVal,
+            fs.map(dvOf)): InputPartition
         }.toArray[InputPartition]
       case None =>
         runtimeSurviving.map(f =>
-          CommitFilesPartition(Seq(abs(f))): InputPartition).toArray[InputPartition]
+          CommitFilesPartition(Seq(abs(f)),
+            Seq(dvOf(f))): InputPartition).toArray[InputPartition]
     }
     // report the files this DML scan actually planned: exactly the set
     // the group-granular rewrite replaces (everything else is carried)
@@ -2009,21 +2287,27 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     new org.apache.spark.sql.connector.read.Statistics {
       private val sts = surviving.map(fileStats.get)
       private val known = sts.forall(_.isDefined)
+      /** Deletion-vector counts of the surviving files — live rows, not
+        * physical rows, feed the planner (o27). */
+      private val ndel =
+        surviving.flatMap(manifest.deletes.get).map(_.ndel).sum
       override def sizeInBytes(): java.util.OptionalLong =
         if (known) java.util.OptionalLong.of(sts.flatten.map(_.bytes).sum)
         else java.util.OptionalLong.empty()
       override def numRows(): java.util.OptionalLong =
-        if (known) java.util.OptionalLong.of(sts.flatten.map(_.rows).sum)
+        if (known) java.util.OptionalLong.of(sts.flatten.map(_.rows).sum - ndel)
         else java.util.OptionalLong.empty()
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitReaderFactory(readSchema().toDDL,
-      // stamp `_file` per row only when it is the METADATA column (a
-      // data column of that name is decoded from the payload as usual)
+      // stamp `_file`/`_pos` per row only when they are the METADATA
+      // columns (a data column of either name decodes from the payload)
       stampFile = readSchema().fieldNames.contains(CommitSink.FILE_COL) &&
         !StructType.fromDDL(manifest.ddl).fieldNames.contains(CommitSink.FILE_COL),
-      payload = manifest.payload)
+      payload = manifest.payload,
+      stampPos = readSchema().fieldNames.contains(CommitSink.POS_COL) &&
+        !StructType.fromDDL(manifest.ddl).fieldNames.contains(CommitSink.POS_COL))
 
   /** The table AS A STREAM (o20) — each commit is a micro-batch. */
   override def toMicroBatchStream(checkpointLocation: String)
@@ -2136,14 +2420,28 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   private def existingAfter(from: Long, current: Long): Seq[Long] =
     CommitSink.listVersions(dir).filter(v => v > from && v <= current)
 
-  private def filesAt(commit: Long): Seq[String] =
-    if (commit < 0) Seq.empty
-    else CommitSink.parseManifestVersion(dir, commit).files
+  private def manifestAt(commit: Long): CommitSink.Manifest =
+    if (commit < 0) CommitSink.Manifest(-1L, ddl, Seq.empty, Seq.empty)
+    else CommitSink.parseManifestVersion(dir, commit)
+
+  private def filesAt(commit: Long): Seq[String] = manifestAt(commit).files
+
+  /** Append-only between two manifests: no file removed AND no deletion
+    * vector added/changed on a file the start already had — a DV commit
+    * (merge-on-read DELETE, o27) removes ROWS without removing files,
+    * which an incremental batch cannot express any more than a rewrite
+    * can. A vector on a file ADDED within the range is fine: the
+    * endpoint diff emits that file with its end-version vector, the net
+    * content. */
+  private def pairAppendOnly(a: CommitSink.Manifest,
+                             b: CommitSink.Manifest): Boolean =
+    a.files.toSet.subsetOf(b.files.toSet) &&
+      a.files.forall(f => a.deletes.get(f) == b.deletes.get(f))
 
   /** Is per-commit replay through these versions append-only? */
   private def chainAppendOnly(versions: Seq[Long]): Boolean =
     (Seq(-1L) ++ versions).sliding(2).forall {
-      case Seq(a, b) => filesAt(a).toSet.subsetOf(filesAt(b).toSet)
+      case Seq(a, b) => pairAppendOnly(manifestAt(a), manifestAt(b))
       case _ => true
     }
 
@@ -2187,48 +2485,61 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sp = start.asInstanceOf[CommitPos]
-    def part(fs: Seq[String]) = fs
-      .map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString)): InputPartition)
+    // emitted files carry the END version's deletion vectors (o27): the
+    // net content of the range — and of the snapshot on a re-bootstrap
+    def part(m: CommitSink.Manifest, fs: Seq[String]) = fs
+      .map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString),
+        Seq(m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
+          .getOrElse(""))): InputPartition)
       .toArray
     // end-offset resolution: a checkpointed end of a DROPPED generation
     // (or an expired version) has no manifest — under snapshotOnRewrite
     // the current snapshot stands in (at-least-once above an idempotent
-    // consumer); without the flag the missing-version error propagates
-    def after: Seq[String] =
+    // consumer); without the flag the missing-version error propagates.
+    // LAZY: the generation check below must fire BEFORE a missing end
+    // version can — its error names the actual problem (stale
+    // generation-less checkpoint), not the symptom (missing version).
+    lazy val endM: CommitSink.Manifest =
       if (snapshotOnRewrite)
-        try filesAt(end.asInstanceOf[CommitPos].commit)
+        try manifestAt(end.asInstanceOf[CommitPos].commit)
         catch { case _: IllegalArgumentException =>
-          CommitSink.parseManifest(dir).map(_.files).getOrElse(Seq.empty) }
-      else filesAt(end.asInstanceOf[CommitPos].commit)
+          CommitSink.parseManifest(dir).getOrElse(manifestAt(-1L)) }
+      else manifestAt(end.asInstanceOf[CommitPos].commit)
     if (snapshotOnRewrite && !genMatches(sp))
-      return part(after) // generation change: full snapshot re-bootstrap
+      return part(endM, endM.files) // generation change: full re-bootstrap
     checkGeneration(sp)
     val from = sp.commit
     val to = end.asInstanceOf[CommitPos].commit
-    val afterFiles = after
     // an EXPIRED from-version (the consumer lagged past retention) is a
     // recovery case too under the flag — without it, the error names the
     // missing version (the documented retention rule)
     val beforeOpt =
       if (snapshotOnRewrite)
-        try Some(filesAt(from).toSet)
+        try Some(manifestAt(from))
         catch { case _: IllegalArgumentException => None }
-      else Some(filesAt(from).toSet)
-    if (beforeOpt.isEmpty) return part(afterFiles)
-    val before = beforeOpt.get
-    val removed = before -- afterFiles.toSet
-    if (removed.nonEmpty) {
+      else Some(manifestAt(from))
+    if (beforeOpt.isEmpty) return part(endM, endM.files)
+    val beforeM = beforeOpt.get
+    val before = beforeM.files.toSet
+    val removed = before -- endM.files.toSet
+    // a merge-on-read DELETE changed a vector on a file the start
+    // already had: rows were removed without removing files — as
+    // inexpressible incrementally as a rewrite (see pairAppendOnly)
+    val dvChanged = beforeM.files.filter(f =>
+      beforeM.deletes.get(f) != endM.deletes.get(f))
+    if (removed.nonEmpty || dvChanged.nonEmpty) {
       // a rewrite landed inside the range: refuse (default) or, under
       // snapshotOnRewrite, re-bootstrap — emit the END snapshot whole;
       // later ranges resume incremental tailing from `to`
-      if (snapshotOnRewrite) return part(afterFiles)
+      if (snapshotOnRewrite) return part(endM, endM.files)
       sys.error(s"graft-commit: commits ${from + 1}..$to of $path removed " +
-        s"${removed.size} file(s) (truncate/DML/compaction) — a changelog " +
-        "stream requires append-only commits; restart the stream from a " +
-        "fresh checkpoint to re-read the rewritten table (or opt in to " +
-        "snapshotOnRewrite above an idempotent consumer)")
+        s"${removed.size} file(s) / changed ${dvChanged.size} deletion " +
+        "vector(s) (truncate/DML/compaction/merge-on-read delete) — a " +
+        "changelog stream requires append-only commits; restart the " +
+        "stream from a fresh checkpoint to re-read the rewritten table " +
+        "(or opt in to snapshotOnRewrite above an idempotent consumer)")
     }
-    part(afterFiles.filterNot(before))
+    part(endM, endM.files.filterNot(before))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -2237,12 +2548,16 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   override def stop(): Unit = ()
 }
 
-case class CommitFilesPartition(files: Seq[String]) extends InputPartition
+/** `dvs` (o27): per-file deletion-vector ABSOLUTE path, parallel to
+  * `files` ("" = no vector) — the reader skips the vector's positions. */
+case class CommitFilesPartition(files: Seq[String], dvs: Seq[String] = Seq.empty)
+    extends InputPartition
 
 /** Identity-partitioned file group: all committed files of ONE partition
   * key, exposing the key through [[HasPartitionKey]] so Spark can align
   * co-partitioned scans for a storage-partitioned join. */
-case class CommitKeyedFilesPartition(files: Seq[String], key: Any)
+case class CommitKeyedFilesPartition(files: Seq[String], key: Any,
+                                     dvs: Seq[String] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -2250,19 +2565,20 @@ case class CommitKeyedFilesPartition(files: Seq[String], key: Any)
 }
 
 class CommitReaderFactory(ddl: String, stampFile: Boolean = false,
-                          payload: String = "json")
+                          payload: String = "json",
+                          stampPos: Boolean = false)
     extends PartitionReaderFactory {
   // a fully-pruned projection (COUNT(*) above a declined aggregate push)
   // ships an EMPTY schema, which fromDDL refuses to parse
   private def schema: StructType =
     if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
-  private def reader(fs: Seq[String]): PartitionReader[InternalRow] =
-    if (payload == "parquet") new ParquetFilesReader(fs, schema, stampFile)
-    else new CommitFilesReader(fs, schema, stampFile)
+  private def reader(fs: Seq[String], dvs: Seq[String]): PartitionReader[InternalRow] =
+    if (payload == "parquet") new ParquetFilesReader(fs, schema, stampFile, stampPos, dvs)
+    else new CommitFilesReader(fs, schema, stampFile, stampPos, dvs)
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case CommitFilesPartition(fs)         => reader(fs)
-      case CommitKeyedFilesPartition(fs, _) => reader(fs)
+      case CommitFilesPartition(fs, dvs)         => reader(fs, dvs)
+      case CommitKeyedFilesPartition(fs, _, dvs) => reader(fs, dvs)
       case other => sys.error(s"graft-commit: unexpected partition $other")
     }
 }
@@ -2275,17 +2591,24 @@ class CommitReaderFactory(ddl: String, stampFile: Boolean = false,
   * all — row counts come straight from the footer. `_file` stamping
   * works exactly like the JSON reader's. */
 class ParquetFilesReader(files: Seq[String], schema: StructType,
-                         stampFile: Boolean = false)
+                         stampFile: Boolean = false,
+                         stampPos: Boolean = false,
+                         /** Per-file deletion-vector paths, parallel to
+                           * `files` ("" = none): the vector's positions
+                           * are skipped during the sequential read
+                           * (o27). Empty seq = no vectors at all. */
+                         dvs: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
-  private val queue = files.iterator
+  private val queue = files.zipWithIndex.iterator
   private val fileIdx: Int =
     if (stampFile) schema.fieldNames.indexOf(CommitSink.FILE_COL) else -1
+  private val posIdx: Int =
+    if (stampPos) schema.fieldNames.indexOf(CommitSink.POS_COL) else -1
   /** The decoded projection: every output field except the stamped
-    * metadata column. */
+    * metadata columns. */
   private val dataSchema: StructType =
-    if (fileIdx < 0) schema
-    else StructType(schema.fields.zipWithIndex.collect {
-      case (f, i) if i != fileIdx => f
+    StructType(schema.fields.zipWithIndex.collect {
+      case (f, i) if i != fileIdx && i != posIdx => f
     })
   // COPIED UnsafeRows, like every reader here: downstream buffering
   // consumers assume the binary row format
@@ -2294,36 +2617,65 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
   private var cur: ParquetPayload.FileGroups = _
   private var curFile: UTF8String = _
   private var countOnly = 0L
+  /** Physical position of the NEXT row within the current file. */
+  private var pos = 0L
+  /** Sorted deleted positions of the current file + cursor — rows are
+    * emitted in position order, so one forward pointer applies the
+    * whole vector in O(rows + deletes). */
+  private var dv: Array[Long] = Array.emptyLongArray
+  private var dvPtr = 0
   private var row: InternalRow = _
+
+  private def deleted(p: Long): Boolean = {
+    while (dvPtr < dv.length && dv(dvPtr) < p) dvPtr += 1
+    dvPtr < dv.length && dv(dvPtr) == p
+  }
 
   @scala.annotation.tailrec
   private def advance(): Boolean = {
     if (cur == null) {
       if (!queue.hasNext) return false
-      val f = Paths.get(queue.next())
+      val (name, idx) = queue.next()
+      val f = Paths.get(name)
       curFile = UTF8String.fromString(f.getFileName.toString)
       cur = new ParquetPayload.FileGroups(f, dataSchema)
       if (!cur.hasColumns) countOnly = cur.rowCount
+      pos = 0L
+      dvPtr = 0
+      dv = dvs.lift(idx).filter(_.nonEmpty)
+        .map(p => CommitSink.readDv(Paths.get(p)))
+        .getOrElse(Array.emptyLongArray)
     }
     if (!cur.hasColumns) {
-      // zero decoded columns (pure COUNT / _file-only projection):
-      // emit footer-counted rows without touching any page
-      if (countOnly > 0) { countOnly -= 1; row = emit(null); true }
+      // zero decoded columns (pure COUNT / metadata-only projection):
+      // emit footer-counted rows without touching any page — skipping
+      // the deletion vector's positions by count alone
+      if (countOnly > 0) {
+        countOnly -= 1
+        val p = pos; pos += 1
+        if (deleted(p)) advance()
+        else { row = emit(null, p); true }
+      }
       else { cur.close(); cur = null; advance() }
     } else {
       val g = cur.next()
       if (g == null) { cur.close(); cur = null; advance() }
-      else { row = emit(g); true }
+      else {
+        val p = pos; pos += 1
+        if (deleted(p)) advance()
+        else { row = emit(g, p); true }
+      }
     }
   }
 
-  private def emit(g: org.apache.parquet.example.data.Group): InternalRow = {
+  private def emit(g: org.apache.parquet.example.data.Group,
+                   p: Long): InternalRow = {
     val vals = new Array[Any](schema.length)
     if (g != null) {
       var i = 0
       var di = 0
       while (i < schema.length) {
-        if (i != fileIdx) {
+        if (i != fileIdx && i != posIdx) {
           val fi = cur.fieldIndex(di)
           if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
             vals(i) = ParquetPayload.value(g, fi, schema(i).dataType)
@@ -2333,6 +2685,7 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
       }
     }
     if (fileIdx >= 0) vals(fileIdx) = curFile
+    if (posIdx >= 0) vals(posIdx) = p
     toUnsafe(new GenericInternalRow(vals)).copy()
   }
 
@@ -2359,14 +2712,28 @@ class CommitFilesReader(files: Seq[String], schema: StructType,
                           * the manifest-relative name of the file each
                           * row came from. False when `_file` is a DATA
                           * column (decoded from the payload). */
-                        stampFile: Boolean = false)
+                        stampFile: Boolean = false,
+                        /** Fill the `_pos` METADATA column (o27) with
+                          * the row's line index within its file. */
+                        stampPos: Boolean = false,
+                        /** Per-file deletion-vector paths (parallel to
+                          * `files`, "" = none). Always empty in practice
+                          * — merge-on-read requires the parquet payload
+                          * — but the skip is generic. */
+                        dvs: Seq[String] = Seq.empty)
     extends PartitionReader[InternalRow] {
-  private val queue = files.iterator
+  private val queue = files.zipWithIndex.iterator
   private var lines: java.io.BufferedReader = _
   private val fieldIndex = schema.fieldNames.zipWithIndex.toMap
   private val fileIdx: Int =
     if (stampFile) schema.fieldNames.indexOf(CommitSink.FILE_COL) else -1
+  private val posIdx: Int =
+    if (stampPos) schema.fieldNames.indexOf(CommitSink.POS_COL) else -1
   private var curFile: UTF8String = _
+  /** Physical position (line index) of the NEXT row in the current file. */
+  private var pos = 0L
+  private var dv: Array[Long] = Array.emptyLongArray
+  private var dvPtr = 0
   // Emit UnsafeRow, not GenericInternalRow: consumers that buffer or
   // shuffle scan output directly (the row-level ReplaceData write does)
   // assume the binary row format — a generic row on that path is read
@@ -2375,30 +2742,47 @@ class CommitFilesReader(files: Seq[String], schema: StructType,
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
   private var row: InternalRow = _
 
+  private def deleted(p: Long): Boolean = {
+    while (dvPtr < dv.length && dv(dvPtr) < p) dvPtr += 1
+    dvPtr < dv.length && dv(dvPtr) == p
+  }
+
   @scala.annotation.tailrec
   private def nextLine(): String = {
     if (lines == null) {
       if (!queue.hasNext) return null
-      val f = Paths.get(queue.next())
+      val (name, idx) = queue.next()
+      val f = Paths.get(name)
       curFile = UTF8String.fromString(f.getFileName.toString)
       lines = Files.newBufferedReader(f)
+      pos = 0L
+      dvPtr = 0
+      dv = dvs.lift(idx).filter(_.nonEmpty)
+        .map(p => CommitSink.readDv(Paths.get(p)))
+        .getOrElse(Array.emptyLongArray)
     }
     val l = lines.readLine()
     if (l != null) l
     else { lines.close(); lines = null; nextLine() }
   }
 
-  override def next(): Boolean = {
+  @scala.annotation.tailrec
+  final override def next(): Boolean = {
     val l = nextLine()
     // copy(): the projection reuses ONE buffer; defensive against any
     // consumer that buffers row references across advances (fixture-
     // scale files — the per-row allocation is not a hot path)
-    if (l == null) false else { row = toUnsafe(parse(l)).copy(); true }
+    if (l == null) false
+    else {
+      val p = pos; pos += 1
+      if (deleted(p)) next()
+      else { row = toUnsafe(parse(l, p)).copy(); true }
+    }
   }
   override def get(): InternalRow = row
   override def close(): Unit = if (lines != null) lines.close()
 
-  private def parse(line: String): InternalRow = {
+  private def parse(line: String, p: Long): InternalRow = {
     val vals = new Array[Any](schema.length)
     var i = 1 // past '{'
     while (i < line.length && line.charAt(i) != '}') {
@@ -2443,6 +2827,7 @@ class CommitFilesReader(files: Seq[String], schema: StructType,
       if (i < line.length && line.charAt(i) == ',') i += 1
     }
     if (fileIdx >= 0) vals(fileIdx) = curFile
+    if (posIdx >= 0) vals(posIdx) = p
     new GenericInternalRow(vals)
   }
 }

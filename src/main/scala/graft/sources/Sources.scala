@@ -791,6 +791,53 @@ object Sources {
     out
   }
 
+  /** o27: merge-on-read DELETE via DELETION VECTORS — the Iceberg v2
+    * position-delete / Delta deletion-vector write mode on the
+    * graft-commit table, the flip side of the r12 group-granular
+    * copy-on-write rewrite: `spark.graft.commit.deleteMode=
+    * merge-on-read` makes SQL DELETE record the matched rows'
+    * (file, position) pairs as per-file vectors and commit a version
+    * whose DATA FILES ARE UNCHANGED — a one-row delete on a 100 TB
+    * table writes ~20 bytes instead of rewriting a 1 GB file. Two
+    * deletes land here: a range-selective one (the pushed condition
+    * zone-prunes the range-clustered layout, so vectors are written
+    * only for the files that can match) and an overlapping value
+    * predicate (its vector UNIONS with the first on shared files —
+    * positions compose because the second delete's scan already
+    * applied the first vector). Every read path applies the vectors —
+    * the DSv2 scan per-file, the driver re-reads via Spark's native
+    * `_metadata.row_index` anti-join — and the read-back aggregate
+    * must equal the oracle's NOT(cond1) AND NOT(cond2) replay.
+    * Round13Spec pins the mechanism: file names byte-identical across
+    * the delete commits, vector union counts, the fully-deleted-file
+    * drop, compaction materializing the deletes, and the changelog
+    * stream refusing a vector commit as non-append-only. */
+  def o27DeleteVectors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o27", dir)
+    val path = s"$root/default/events"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartitionByRange(8, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    val prev = spark.conf.getOption("spark.graft.commit.deleteMode")
+    spark.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.`default`.events " +
+        "WHERE event_id >= 100 AND event_id < 2000 AND event_type = 'click'")
+      spark.sql(s"DELETE FROM $cat.`default`.events WHERE value > 95.0D")
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.commit.deleteMode"))(
+        spark.conf.set("spark.graft.commit.deleteMode", _))
+    }
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1195,6 +1242,7 @@ object Sources {
     "o24_typed_commit" -> o24TypedCommit _,
     "o25_typed_cdc_merge" -> o25TypedCdcMerge _,
     "o26_state_families" -> o26StateFamilies _,
+    "o27_delete_vectors" -> o27DeleteVectors _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1434,6 +1482,17 @@ object Sources {
                     AND t.n_events + s.n > 66)""",
     // the survivors of the copy-on-write DELETE: NOT(cond) keeps a row
     // (the fixture has no NULL event_type/value, so NOT() is total)
+    // merge-on-read: two stacked vector deletes must read back as the
+    // one-shot NOT(c1) AND NOT(c2) survivor set
+    "o27_delete_vectors" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM events
+          WHERE NOT (event_id >= 100 AND event_id < 2000 AND event_type = 'click')
+            AND NOT (value > 95.0)
+          GROUP BY 1""",
     "o12_dsv2_delete_where" ->
       s"""SELECT event_type, COUNT(*) AS n,
                  ${graft.Tables.sqlDsum("value")} AS total_value,

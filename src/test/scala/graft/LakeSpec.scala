@@ -642,10 +642,10 @@ class LakeSpec extends AnyFunSuite {
       "batch tiling must be invisible: per-doc signatures make the near " +
         "probe's banding independent of batch composition")
     // the decisions landed through the transactional sink in 2 commits —
-    // one per incoming changelog batch (the multi-batch proof shape)
-    val out = java.nio.file.Paths.get("/tmp/graft_d32/sf0.001/decisions")
-    assert(sources.CommitSink.listVersions(out).size == 2,
-      "one decision commit per incoming micro-batch")
+    // one per incoming changelog batch (the multi-batch proof shape).
+    // Since r13 the entry sweeps its scratch tables before returning, so
+    // the commit-count proof is a require INSIDE d32StreamDedup (checked
+    // before the sweep) — reaching this line means it held.
   }
 
   // --- w17: bounded-state streaming dedup -----------------------------------

@@ -332,4 +332,228 @@ class Round13Spec extends AnyFunSuite {
     assert(sch("updated_utc").dataType == TimestampType)
     assert(sch("y").dataType == ShortType)
   }
+
+  // --- o27: merge-on-read deletion vectors ---------------------------------
+
+  private def withDeleteMode[A](mode: String)(body: => A): A = {
+    val key = "spark.graft.commit.deleteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, mode)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** 1000 ids range-clustered into 4 files (disjoint id zones). */
+  private def rangeTable(cat: String, root: String, tag: String): String = {
+    val path = s"$root/default/$tag"
+    spark.range(1000L).select($"id", ($"id" % 100 / 10.0).as("score"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    path
+  }
+
+  test("mor delete: data files unchanged, vector recorded, both read paths agree") {
+    val (cat, root) = withCatalog("mor_basic")
+    val path = rangeTable(cat, root, "t")
+    val before = manifest(path)
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 10 AND id < 20")
+    }
+    val after = manifest(path)
+    assert(after.files == before.files, "merge-on-read must not touch data files")
+    assert(after.commit == before.commit + 1)
+    // the vector lands on exactly the one file whose zone covers [10, 20)
+    assert(after.deletes.size == 1, s"one vector expected: ${after.deletes}")
+    val (vf, ve) = after.deletes.head
+    assert(ve.ndel == 10L)
+    assert(sources.CommitSink.readDv(Paths.get(path, ve.dv)).toSeq ==
+      (10L to 19L).toSeq, "positions are the physical row indexes (write order = id order here)")
+    for (back <- Seq(
+        sources.CommitSink.readCommitted(spark, path),             // native + _metadata anti-join
+        spark.read.format("graft-commit").option("path", path).load())) { // DSv2 position skip
+      assert(back.count() == 990L)
+      assert(back.filter($"id" >= 10 && $"id" < 20).count() == 0L)
+      assert(back.agg(sum($"id")).head().getLong(0) == (0L until 1000L).sum - (10L until 20L).sum)
+    }
+  }
+
+  test("mor delete: a second delete UNIONS vectors; _pos stays physical") {
+    val (cat, root) = withCatalog("mor_union")
+    val path = rangeTable(cat, root, "t")
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 10 AND id < 20")
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 15 AND id < 30")
+    }
+    val m = manifest(path)
+    assert(m.deletes.size == 1)
+    val ve = m.deletes.head._2
+    assert(ve.ndel == 20L, "union of [10,20) and [15,30) is 20 positions")
+    assert(sources.CommitSink.readDv(Paths.get(path, ve.dv)).toSeq ==
+      (10L to 29L).toSeq)
+    // `_pos` is stamped BEFORE vectors apply: surviving rows keep their
+    // physical positions — the gap [10,30) is visible
+    val pos = spark.read.format("graft-commit").option("path", path).load()
+      .filter($"id" < 40).select(col("_file"), col("_pos"), $"id")
+    assert(pos.count() == 20L)
+    assert(pos.filter($"_pos" =!= $"id").count() == 0L,
+      "one range-clustered file: position == id for the survivors")
+    assert(pos.filter($"_pos" >= 10 && $"_pos" < 30).count() == 0L)
+  }
+
+  test("mor delete: a fully-deleted file is dropped from the manifest") {
+    val (cat, root) = withCatalog("mor_drop")
+    val path = rangeTable(cat, root, "t")
+    val before = manifest(path)
+    withDeleteMode("merge-on-read") {
+      // file zones are [0,250) [250,500) [500,750) [750,1000): wipe one whole zone
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 250 AND id < 500")
+    }
+    val after = manifest(path)
+    assert(after.files.size == before.files.size - 1,
+      "a vector covering every physical row drops its file outright")
+    assert(after.deletes.isEmpty, "no vector survives for a dropped file")
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 750L)
+    // the dropped file's bytes remain for the PREVIOUS version (time travel)
+    assert(sources.CommitSink.readCommittedVersion(spark, path, before.commit)
+      .count() == 1000L)
+  }
+
+  test("mor delete: COUNT stays metadata-only (live rows); MIN/MAX falls back") {
+    val (cat, root) = withCatalog("mor_meta")
+    val path = rangeTable(cat, root, "t")
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 990")
+    }
+    val df = spark.read.format("graft-commit").option("path", path).load()
+    val cnt = df.agg(count(lit(1)).as("n"))
+    assert(cnt.head().getLong(0) == 990L)
+    val cntScans = cnt.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s }
+    assert(cntScans.exists(_.scan.isInstanceOf[sources.CommitMetaAggScan]),
+      "COUNT over vectors is still manifest arithmetic: physical minus ndel")
+    val mx = df.agg(max($"id").as("mx"))
+    assert(mx.head().getLong(0) == 989L,
+      "MAX must NOT be answered from physical zone maps (the deleted rows held the max)")
+    val mxScans = mx.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s }
+    assert(!mxScans.exists(_.scan.isInstanceOf[sources.CommitMetaAggScan]),
+      "MIN/MAX declines the metadata path when vectors exist")
+  }
+
+  test("mor delete: compaction materializes the deletes; UPDATE drops the rewritten file's vector") {
+    val (cat, root) = withCatalog("mor_compact")
+    val path = rangeTable(cat, root, "t")
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 10 AND id < 20")
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 300 AND id < 305")
+    }
+    assert(manifest(path).deletes.size == 2)
+    // updating an already-DELETED row is a no-op: the DML scan applies
+    // the vector, no row matches, everything (vectors included) carries
+    spark.sql(s"UPDATE $cat.`default`.t SET score = -1.0 WHERE id = 11")
+    assert(manifest(path).deletes.size == 2,
+      "a no-match UPDATE must not disturb the vectors")
+    // a copy-on-write UPDATE of a LIVE row rewrites its file: the
+    // vector dies with the rewrite (its deletes are materialized), the
+    // untouched file's vector is carried
+    spark.sql(s"UPDATE $cat.`default`.t SET score = -1.0 WHERE id = 25")
+    val afterUpd = manifest(path)
+    assert(afterUpd.deletes.size == 1, s"carried: ${afterUpd.deletes}")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.count() == 985L)
+    assert(back.filter($"id" === 11).count() == 0L,
+      "the rewrite's scan applied the vector: id=11 stays deleted")
+    assert(back.filter($"score" === -1.0).count() == 1L)
+    // compaction rewrites everything: vectors fully materialized
+    sources.CommitSink.compact(spark, path, 2)
+    val afterCompact = manifest(path)
+    assert(afterCompact.deletes.isEmpty)
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 985L)
+  }
+
+  test("mor delete: the changelog stream refuses a vector commit; snapshotOnRewrite recovers") {
+    val dir = freshDir("mor_stream")
+    spark.range(100L).select($"id").repartitionByRange(2, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    def consume(ck: String, flag: Boolean): Long = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val reader = spark.readStream.format("graft-commit").option("path", dir)
+      val q = (if (flag) reader.option("snapshotOnRewrite", true) else reader)
+        .load().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          out += b.count(); ()
+        }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      q.exception.foreach(e => throw e)
+      out.sum
+    }
+    val ck = freshDir("mor_stream_ck")
+    assert(consume(ck, flag = false) == 100L)
+    sources.CommitSink.deleteToVectors(spark, dir,
+      manifest(dir), $"id" >= 10 && $"id" < 20)
+    // default: rows were removed without removing files — refuse loudly
+    val e = intercept[Exception] { consume(ck, flag = false) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("deletion") && m.contains("append-only")),
+      s"got: ${msgs(e)}")
+    // opt-in: the SAME checkpoint re-bootstraps from the snapshot, with
+    // the vector APPLIED (90 live rows)
+    assert(consume(ck, flag = true) == 90L)
+  }
+
+  test("mor delete: GC — expiry reclaims a dropped version's vector, keeps live ones") {
+    val (cat, root) = withCatalog("mor_gc")
+    val path = rangeTable(cat, root, "t")
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 10 AND id < 20")   // v1: dv A
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 15 AND id < 30")   // v2: dv B (superset)
+    }
+    val dvA = sources.CommitSink.parseManifestVersion(Paths.get(path), 1L)
+      .deletes.head._2.dv
+    val dvB = manifest(path).deletes.head._2.dv
+    assert(dvA != dvB)
+    // orphan sweep (zero grace) must not touch referenced vectors
+    assert(sources.CommitSink.removeOrphanFiles(path, graceMs = 0L).isEmpty)
+    val (expired, removed) = sources.CommitSink.expireVersions(path, keepLast = 1)
+    assert(expired.contains(1L))
+    assert(removed.contains(dvA), "v1's superseded vector is GC'd with v1")
+    assert(Files.exists(Paths.get(path, dvB)), "the live vector survives")
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 980L)
+  }
+
+  test("mor delete: json payload falls back to copy-on-write (same answer)") {
+    val (cat, root) = withCatalog("mor_json")
+    val path = s"$root/default/t"
+    spark.range(100L).select($"id").repartitionByRange(2, $"id")
+      .write.format("graft-commit").option("path", path)
+      .option("payload", "json").mode("overwrite").save()
+    val before = manifest(path)
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 10 AND id < 20")
+    }
+    val after = manifest(path)
+    assert(after.deletes.isEmpty, "json payload has no stable positions: COW fallback")
+    assert(after.files.intersect(before.files).size == 1,
+      "the fallback is still group-granular: one file rewritten, one carried")
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 90L)
+  }
+
+  test("mor delete: a concurrent commit fails the vector CAS (statement retry)") {
+    val dir = freshDir("mor_cas")
+    spark.range(100L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val planning = manifest(dir)
+    // an append lands between planning and the vector commit
+    spark.range(100L, 110L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    val e = intercept[Exception] {
+      sources.CommitSink.deleteToVectors(spark, dir, planning, $"id" < 5)
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 110L,
+      "the refused delete leaves no trace")
+    assert(manifest(dir).deletes.isEmpty)
+  }
 }
