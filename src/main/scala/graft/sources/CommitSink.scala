@@ -209,6 +209,78 @@ object CommitSink {
     * opening the vector). */
   private[graft] case class DvEntry(dv: String, ndel: Long)
 
+  // --- CHANGE DATA FEED (o29) ------------------------------------------
+  // `option("readChangeFeed", true)`: rows + Delta's CDF columns. What
+  // makes it possible here is the deletion-vector representation — a
+  // vector commit's delta IS expressible as rows (the newly-deleted
+  // positions of an unchanged file), so the changelog's "rows removed"
+  // refusal becomes real CDC output: inserts from added files, deletes
+  // from vector diffs, per commit. Merge-on-read updates surface as
+  // delete+insert pairs (their physical representation — the Iceberg
+  // CDC position). Rewrites (compaction/COW DML/truncate) stay
+  // inexpressible and refuse, exactly like the plain changelog.
+  private[graft] val CHANGE_TYPE_COL = "_change_type"
+  private[graft] val COMMIT_VERSION_COL = "_commit_version"
+
+  private[graft] def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ Array(
+      StructField(CHANGE_TYPE_COL, StringType, nullable = false),
+      StructField(COMMIT_VERSION_COL, LongType, nullable = false)))
+
+  /** Per-commit change partitions for the range (fromExclusive, to] —
+    * shared by the batch CDF scan and the streaming CDF source. Every
+    * commit in the range must still have its version manifest (per-
+    * commit attribution needs per-commit diffs; an expired intermediate
+    * version is the documented retention error). A pair that REMOVED a
+    * file refuses: manifests alone cannot distinguish a rewrite (whose
+    * net change is inexpressible) from a full-vector file drop. */
+  private[graft] def changePartitions(dir: Path, path: String,
+                                      fromExclusive: Long, to: Long,
+                                      ddl: String): Array[InputPartition] = {
+    if (to <= fromExclusive) return Array.empty
+    val first = if (fromExclusive < 0) 0L else fromExclusive
+    val have = listVersions(dir).toSet
+    val missing = (first to to).filterNot(have)
+    require(missing.isEmpty,
+      s"graft-commit: change feed needs every version in " +
+        s"[$first, $to] of $path, but ${missing.mkString(",")} " +
+        "expired — per-commit change attribution requires retaining at " +
+        "least as many versions as the feed lags (the changelog retention rule)")
+    def at(v: Long): Manifest =
+      if (v < 0) Manifest(-1L, ddl, Seq.empty, Seq.empty)
+      else parseManifestVersion(dir, v)
+    var prev = at(fromExclusive)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    ((fromExclusive + 1) max 0L to to).foreach { v =>
+      val cur = at(v)
+      require(cur.payload == "parquet" || cur.files.isEmpty,
+        s"graft-commit: the change feed requires the parquet payload " +
+          s"($path is '${cur.payload}')")
+      val removed = prev.files.toSet -- cur.files.toSet
+      require(removed.isEmpty,
+        s"graft-commit: commit $v of $path removed ${removed.size} file(s) " +
+          "(truncate/copy-on-write DML/compaction, or a fully-deleting " +
+          "vector commit) — a change feed can only express appends and " +
+          "deletion-vector commits; restart from a fresh checkpoint past " +
+          "the rewrite")
+      def abs(f: String) = Paths.get(path, f).toString
+      cur.files.filterNot(prev.files.contains).foreach { f =>
+        parts += CommitChangesPartition(abs(f),
+          cur.deletes.get(f).map(e => abs(e.dv)).getOrElse(""), "",
+          insert = true, commitVersion = v)
+      }
+      prev.files.filter(f => prev.deletes.get(f) != cur.deletes.get(f))
+        .foreach { f =>
+          parts += CommitChangesPartition(abs(f),
+            cur.deletes.get(f).map(e => abs(e.dv)).getOrElse(""),
+            prev.deletes.get(f).map(e => abs(e.dv)).getOrElse(""),
+            insert = false, commitVersion = v)
+        }
+      prev = cur
+    }
+    parts.toArray
+  }
+
   // --- deletion-vector file format -------------------------------------
   // magic, count, then `count` sorted int64 positions, all big-endian.
   // At 100 TB the format upgrade is a roaring bitmap (Delta's DV / the
@@ -863,12 +935,16 @@ class CommitSinkProvider extends TableProvider
     options.asScala.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.trim.toLong
     }
+  private def cdfOf(options: util.Map[String, String]): Boolean =
+    options.asScala.exists {
+      case (k, v) => k.equalsIgnoreCase("readChangeFeed") && v.trim.toBoolean
+    }
   // reads resolve against the committed manifest's schema (also what
   // `spark.read.format("graft-commit")` binds to); a never-written
   // target is empty — the write path accepts the incoming query's
   // schema regardless (ACCEPT_ANY_SCHEMA) and records it in the manifest
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Option(options.get("path"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = Option(options.get("path"))
       .flatMap { p =>
         versionOf(options).map(v =>
             Some(CommitSink.parseManifestVersion(Paths.get(p), v)))
@@ -876,12 +952,15 @@ class CommitSinkProvider extends TableProvider
       }
       .map(m => StructType.fromDDL(m.ddl))
       .getOrElse(new StructType())
+    if (cdfOf(options)) CommitSink.cdfSchema(base) else base
+  }
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new CommitSinkTable(Option(properties.get("path"))
       .getOrElse(sys.error("graft-commit: option 'path' is required")),
-      version = versionOf(properties))
+      version = versionOf(properties),
+      changeFeed = cdfOf(properties))
 }
 
 class CommitSinkTable(path: String,
@@ -899,7 +978,13 @@ class CommitSinkTable(path: String,
                         * against the immutable `_MANIFEST-v<n>.json` of
                         * that commit and every write/DML surface is
                         * withdrawn — a past version is a read-only fact. */
-                      version: Option[Long] = None) extends Table
+                      version: Option[Long] = None,
+                      /** CHANGE DATA FEED mode (o29,
+                        * `option("readChangeFeed", true)`): the table
+                        * reads as its change rows (+ _change_type /
+                        * _commit_version), batch and streaming; every
+                        * write/DML surface is withdrawn. */
+                      changeFeed: Boolean = false) extends Table
     with SupportsWrite
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -920,6 +1005,8 @@ class CommitSinkTable(path: String,
     * could be corpus-sized. Withdrawn when a (nonstandard) data column
     * already claims the name — data columns win. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    if (changeFeed)
+      return Array.empty // the feed's columns are real output, not metadata
     val names = schema().fieldNames
     val file: Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
       if (names.contains(CommitSink.FILE_COL)) Array.empty
@@ -950,15 +1037,25 @@ class CommitSinkTable(path: String,
     * row-level-operation path needs real columns to resolve against);
     * empty for a never-written target (the write-only provider path —
     * ACCEPT_ANY_SCHEMA makes the incoming query's schema bind). */
-  override def schema(): StructType = version match {
-    case Some(v) =>
-      StructType.fromDDL(CommitSink.parseManifestVersion(Paths.get(path), v).ddl)
-    case None =>
-      CommitSink.parseManifest(Paths.get(path))
-        .map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
+  override def schema(): StructType = {
+    val base = version match {
+      case Some(v) =>
+        StructType.fromDDL(CommitSink.parseManifestVersion(Paths.get(path), v).ddl)
+      case None =>
+        CommitSink.parseManifest(Paths.get(path))
+          .map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
+    }
+    if (changeFeed) CommitSink.cdfSchema(base) else base
   }
 
   override def capabilities(): util.Set[TableCapability] = {
+    if (changeFeed) {
+      require(version.isEmpty,
+        "graft-commit: readChangeFeed and versionAsOf are mutually " +
+          "exclusive — bound the feed with startingVersion/endingVersion")
+      return util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
+    }
     if (version.isDefined) return util.EnumSet.of(TableCapability.BATCH_READ)
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -970,6 +1067,8 @@ class CommitSinkTable(path: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty,
       s"graft-commit: version-pinned table ${name()} is read-only")
+    require(!changeFeed,
+      s"graft-commit: a change-feed read of ${name()} is read-only")
     new CommitWriteBuilder(path, info)
   }
 
@@ -980,7 +1079,14 @@ class CommitSinkTable(path: String,
     * DELETE too: Spark 4 plans `DELETE FROM t WHERE c` by first building
     * the table's scan relation (the condition is normalized against it)
     * and only then handing the translated predicates to [[deleteWhere]]. */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    def versionOpt(key: String): Option[Long] =
+      Option(options.get(key)).map { v =>
+        try v.trim.toLong catch {
+          case _: NumberFormatException => sys.error(
+            s"graft-commit: option $key must be a version number, got '$v'")
+        }
+      }
     new CommitScanBuilder(path, version,
       maxCommitsPerTrigger =
         Option(options.get("maxCommitsPerTrigger")).map { v =>
@@ -993,7 +1099,11 @@ class CommitSinkTable(path: String,
             s"graft-commit: option maxCommitsPerTrigger must be >= 1, got $n")
           n
         }.getOrElse(Int.MaxValue),
-      snapshotOnRewrite = options.getBoolean("snapshotOnRewrite", false))
+      snapshotOnRewrite = options.getBoolean("snapshotOnRewrite", false),
+      changeFeed = changeFeed || options.getBoolean("readChangeFeed", false),
+      startingVersion = versionOpt("startingVersion"),
+      endingVersion = versionOpt("endingVersion"))
+  }
 
   /** SQL UPDATE / MERGE INTO (o13) — and the fallback for DELETEs whose
     * condition the metadata path can't translate: the group-based
@@ -1002,7 +1112,35 @@ class CommitSinkTable(path: String,
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(version.isEmpty,
       s"graft-commit: version-pinned table ${name()} is read-only")
-    () => new CommitRowLevelOperation(path, info.command())
+    require(!changeFeed,
+      s"graft-commit: a change-feed read of ${name()} is read-only")
+    () => {
+      // o28: `spark.graft.commit.rowLevelMode=merge-on-read` selects the
+      // DELTA-based operation (deletion vectors + appended files) for
+      // eligible tables — parquet payload (stable positions),
+      // unpartitioned (inserts would have to preserve the one-key-per-
+      // file layout), no `_file`/`_pos` data columns (the rowId needs
+      // the metadata columns). Ineligible tables fall back to group
+      // copy-on-write: the MODE is a cost knob, the RESULT is identical
+      // (Iceberg's write.update.mode/write.merge.mode position).
+      val mode =
+        try SparkSession.active.conf
+          .get("spark.graft.commit.rowLevelMode", "copy-on-write")
+        catch { case _: Throwable => "copy-on-write" }
+      require(mode == "copy-on-write" || mode == "merge-on-read",
+        "graft-commit: spark.graft.commit.rowLevelMode must be " +
+          s"'copy-on-write' or 'merge-on-read', got '$mode'")
+      val eligible = mode == "merge-on-read" &&
+        CommitSink.parseManifest(Paths.get(path)).exists { m =>
+          m.payload == "parquet" && m.partCol.isEmpty && {
+            val names = StructType.fromDDL(m.ddl).fieldNames
+            !names.contains(CommitSink.FILE_COL) &&
+              !names.contains(CommitSink.POS_COL)
+          }
+        }
+      if (eligible) new CommitDeltaRowLevelOperation(path, info.command())
+      else new CommitRowLevelOperation(path, info.command())
+    }
   }
 
   // --- row-level DELETE (o12): copy-on-write under the manifest swap ----
@@ -1042,7 +1180,8 @@ class CommitSinkTable(path: String,
   }
 
   override def canDeleteWhere(filters: Array[sf.Filter]): Boolean =
-    version.isEmpty && filters.forall(filterToColumn(_).isDefined)
+    version.isEmpty && !changeFeed &&
+      filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sf.Filter]): Unit = {
     val spark = SparkSession.active
@@ -1349,6 +1488,231 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
       rewrite = Some(CommitSink.DmlRewrite(planning,
         () => Option(scanned.get).getOrElse(Set.empty))))
   override def description(): String = s"graft-commit $cmd (group copy-on-write)"
+}
+
+/** DELTA-BASED merge-on-read row-level operations (o28) — the
+  * [[SupportsDelta]] half of the DML surface, Iceberg's position-delta
+  * shape: instead of rewriting every file a matched row lives in
+  * (group copy-on-write), Spark hands this operation the per-row
+  * CHANGES — delete(rowId), insert(row), with updates represented as
+  * delete+insert — and the commit lands them as deletion vectors plus
+  * appended files, leaving every existing data file untouched. A MERGE
+  * that updates 100 rows of a 100 TB table writes 100 vector positions
+  * and one small file of new row versions, not 100 rewritten files.
+  *
+  * The rowId is (`_file`, `_pos`) — the same physical coordinates the
+  * o27 metadata DELETE records, so the vector machinery (union,
+  * fully-deleted-file drop, read-side skip, GC liveness, changelog
+  * refusal) is shared verbatim. The write requests clustering on
+  * `_file` and ordering by (`_file`, `_pos`) — exactly Iceberg's
+  * position-delta distribution — so each file's deletes land in one
+  * task as one sorted staged vector; the commit still tolerates an
+  * unhonored request by unioning partials. Scan and commit both bind
+  * to [[planning]]; the manifest swap CAS's on it, so a concurrent
+  * commit hard-fails the statement (the rewrite position).
+  *
+  * Selected per table by `spark.graft.commit.rowLevelMode=
+  * merge-on-read` when eligible (parquet payload, unpartitioned, no
+  * `_file`/`_pos` data columns) — copy-on-write stays the default and
+  * the fallback, matching Iceberg's write.update.mode/write.merge.mode
+  * table properties (a cost knob, never a semantics change). */
+class CommitDeltaRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
+    extends RowLevelOperation with SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+
+  private[sources] val planning: CommitSink.Manifest =
+    CommitSink.parseManifest(Paths.get(path)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $path"))
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CommitScanBuilder(path, pinned = Some(planning))
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(CommitSink.FILE_COL),
+      Expressions.column(CommitSink.POS_COL))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new CommitDeltaWriteBuilder(path, planning)
+  override def description(): String =
+    s"graft-commit $cmd (merge-on-read, deletion vectors)"
+}
+
+class CommitDeltaWriteBuilder(path: String, planning: CommitSink.Manifest)
+    extends DeltaWriteBuilder {
+  override def build(): DeltaWrite = new CommitDeltaWrite(path, planning)
+}
+
+class CommitDeltaWrite(path: String, planning: CommitSink.Manifest)
+    extends DeltaWrite with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => CSortOrder}
+  /** Cluster on `_file` so each committed file's delete positions land
+    * in ONE task (one staged vector per file), ordered by position so
+    * the vector streams out sorted — Iceberg's position-delta layout. */
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(
+      Expressions.identity(CommitSink.FILE_COL): org.apache.spark.sql.connector.expressions.Expression))
+  override def requiredOrdering(): Array[CSortOrder] = Array(
+    Expressions.sort(Expressions.identity(CommitSink.FILE_COL),
+      SortDirection.ASCENDING),
+    Expressions.sort(Expressions.identity(CommitSink.POS_COL),
+      SortDirection.ASCENDING))
+  override def toBatch: DeltaBatchWrite = new CommitDeltaBatchWrite(path, planning)
+  override def description(): String = "graft-commit delta write"
+}
+
+/** One task's delta output: staged inserted-row files plus
+  * (data file, staged vector name, merged position count) triples. */
+case class DeltaTaskResult(inserted: Seq[StagedFile],
+                           dvs: Seq[(String, String, Long)])
+    extends WriterCommitMessage
+
+class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
+    extends DeltaBatchWrite {
+  private val dir = Paths.get(path)
+  private val nonce = CommitSink.writeNonce()
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    Files.createDirectories(CommitSink.stagingDir(dir, nonce))
+    new CommitDeltaWriterFactory(path, planning.ddl, nonce,
+      planning.deletes.map { case (f, e) => f -> Paths.get(path, e.dv).toString })
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val results = messages.collect { case r: DeltaTaskResult => r }.toSeq
+    val staged = results.flatMap(_.inserted)
+    // one staged vector per file under the requested clustering; if the
+    // request was not honored, partials union below (each already merged
+    // the OLD vector, so the union dedupes it)
+    val byFile: Seq[(String, Seq[(String, Long)])] = results.flatMap(_.dvs)
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toSeq.sortBy(_._1)
+    if (staged.isEmpty && byFile.isEmpty) {
+      CommitSink.sweepStaging(dir, nonce)
+      return // nothing matched, nothing inserted: no new version
+    }
+    val commitId = planning.commit + 1
+    val rowsOf = planning.stats.map { case (f, e) =>
+      f -> CommitSink.FileStat.decode(e).rows }
+    val staging = CommitSink.stagingDir(dir, nonce)
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val newStats = scala.collection.mutable.Map.empty[String, String]
+      val newFiles = staged.zipWithIndex.map { case (s, i) =>
+        val fin = f"part-c$commitId%05d-$nonce-$i%05d.parquet"
+        Files.move(staging.resolve(s.name), dir.resolve(fin),
+          StandardCopyOption.ATOMIC_MOVE)
+        promoted += fin
+        if (s.stats.nonEmpty) newStats += (fin -> s.stats)
+        fin
+      }
+      val newDvs: Seq[(String, CommitSink.DvEntry)] =
+        byFile.zipWithIndex.map { case ((f, parts), i) =>
+          val fin = f"part-dv-c$commitId%05d-$nonce-$i%05d.bin"
+          val n =
+            if (parts.size == 1) {
+              Files.move(staging.resolve(parts.head._1), dir.resolve(fin),
+                StandardCopyOption.ATOMIC_MOVE)
+              parts.head._2
+            } else {
+              val merged = parts.flatMap(p =>
+                CommitSink.readDv(staging.resolve(p._1))).distinct.sorted.toArray
+              CommitSink.writeDv(dir.resolve(fin), merged)
+              merged.length.toLong
+            }
+          promoted += fin
+          f -> CommitSink.DvEntry(fin, n)
+        }
+      // a vector covering every physical row drops its file outright
+      val dead = newDvs.collect {
+        case (f, e) if rowsOf.get(f).contains(e.ndel) => f
+      }.toSet
+      val files = planning.files.filterNot(dead) ++ newFiles
+      CommitSink.writeManifest(dir, planning.ddl, files, commitId,
+        planning.epochs, // content lineage continues: the ledger carries
+        expectedPrev = planning.commit,
+        partCol = None, // delta mode requires an unpartitioned table
+        stats = planning.stats.view.filterKeys(files.toSet).toMap ++ newStats,
+        tableId = CommitSink.carriedOrFreshTableId(Some(planning)),
+        payload = planning.payload,
+        deletes = (planning.deletes ++ newDvs).view
+          .filterKeys(files.toSet).toMap)
+      // a dead file's just-promoted vector is referenced by nothing:
+      // remove it now rather than leaving it to the orphan sweep
+      newDvs.collect { case (f, e) if dead(f) => e.dv }
+        .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+    } catch { case e: Throwable =>
+      // refused CAS / failed promote: leave no trace (the rewrite rule)
+      promoted.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      CommitSink.sweepStaging(dir, nonce)
+      throw e
+    }
+    CommitSink.sweepStaging(dir, nonce)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    CommitSink.sweepStaging(dir, nonce)
+}
+
+class CommitDeltaWriterFactory(path: String, ddl: String, nonce: String,
+                               oldDvs: Map[String, String])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new CommitDeltaWriter(path, ddl, partitionId, taskId, nonce, oldDvs)
+}
+
+/** Executor-side delta writer: inserted rows stream through an ordinary
+  * staged-file writer (parquet payload, stats collected); deleted
+  * positions buffer per file and flush as one merged staged vector at
+  * task commit. Buffering (not streaming against the requested sort)
+  * keeps correctness independent of whether the distribution/ordering
+  * request was honored — memory is this task's deleted positions, the
+  * quantity a position-delete file holds anyway. */
+class CommitDeltaWriter(path: String, ddl: String, partitionId: Int,
+                        taskId: Long, nonce: String,
+                        oldDvs: Map[String, String])
+    extends DeltaWriter[InternalRow] {
+  private val staging = CommitSink.stagingDir(Paths.get(path), nonce)
+  private val inserts = new CommitDataWriter(path, ddl, partitionId, taskId,
+    stagingSub = nonce, payload = "parquet")
+  private val dels = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    // rowId layout = rowId() order: (_file string, _pos long)
+    val f = id.getUTF8String(0).toString
+    dels.getOrElseUpdate(f, scala.collection.mutable.ArrayBuffer.empty) +=
+      id.getLong(1)
+  }
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit =
+    sys.error("unreachable: updates are represented as delete+insert")
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+  override def reinsert(meta: InternalRow, row: InternalRow): Unit =
+    inserts.write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val ins = inserts.commit() match {
+      case s: StagedFile => Seq(s)
+      case StagedFileSet(fs) => fs
+      case _ => Seq.empty
+    }
+    val dvs = dels.toSeq.zipWithIndex.map { case ((f, ps), i) =>
+      val old = oldDvs.get(f).map(p => CommitSink.readDv(Paths.get(p)))
+        .getOrElse(Array.emptyLongArray)
+      // disjoint by construction: the operation's scan applied `old`,
+      // so a re-deleted position cannot arrive; sort merges the two runs
+      val merged = (old ++ ps).sorted
+      val name = f"dv-p$partitionId%05d-t$taskId%05d-$i%05d"
+      CommitSink.writeDv(staging.resolve(name), merged)
+      (f, name, merged.length.toLong)
+    }
+    // the eagerly-opened empty insert segment adds nothing: drop it
+    DeltaTaskResult(ins.filter(_.rows > 0), dvs)
+  }
+  override def abort(): Unit = inserts.abort()
+  override def close(): Unit = ()
 }
 
 /** The STREAMING write contract — epoch-based two-phase commit, the
@@ -1925,12 +2289,25 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
                         /** Streaming-read admission knob (o20): how many
                           * COMMITS one micro-batch may consume. */
                         maxCommitsPerTrigger: Int = Int.MaxValue,
+                        /** Pin the scan to THIS manifest (the delta
+                          * row-level operation's planning snapshot —
+                          * like dmlOp's pin, but with no scanned-files
+                          * reporting: a delta commit replaces no
+                          * files). */
+                        pinned: Option[CommitSink.Manifest] = None,
                         /** Opt-in changelog SELF-SERVICE RECOVERY: when a
                           * rewrite or generation change fires the
                           * append-only check, re-bootstrap from the
                           * current snapshot instead of refusing (see
                           * [[CommitTableMicroBatchStream]]). */
-                        snapshotOnRewrite: Boolean = false)
+                        snapshotOnRewrite: Boolean = false,
+                        /** CHANGE DATA FEED mode (o29): build a
+                          * [[CommitChangesScan]] instead of a row scan.
+                          * Pushdown declines wholesale — the feed's
+                          * output is the change rows themselves. */
+                        changeFeed: Boolean = false,
+                        startingVersion: Option[Long] = None,
+                        endingVersion: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1939,16 +2316,14 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 
-  private val manifest = dmlOp match {
+  private val manifest =
     // a DML scan binds to the operation's pinned manifest — the same
-    // snapshot the rewrite commit CAS's against (never a fresh read,
-    // which could bind the scan to a concurrently-swapped version)
-    case Some(op) => Some(op.planning)
-    case None => version match {
+    // snapshot the rewrite/vector commit CAS's against (never a fresh
+    // read, which could bind the scan to a concurrently-swapped version)
+    dmlOp.map(_.planning).orElse(pinned).orElse(version match {
       case Some(v) => Some(CommitSink.parseManifestVersion(Paths.get(path), v))
       case None => CommitSink.parseManifest(Paths.get(path))
-    }
-  }
+    })
   private def fullSchema: StructType =
     manifest.map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
 
@@ -1964,12 +2339,13 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
     // prune is safe by construction (the r11 whole-table-truncate design
     // had to decline pruning; LakeSpec's 4-file range-partitioned UPDATE
     // now pins both no-data-loss AND the 1-rewritten/3-carried split).
-    skip = filters.filter(CommitSkip.usable)
+    if (!changeFeed) skip = filters.filter(CommitSkip.usable)
     filters
   }
   override def pushedFilters(): Array[Filter] = skip
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (changeFeed) return // the feed's schema is fixed: rows + CDF columns
     // keep the manifest's field order; empty projection (COUNT(*)) is legal
     val data = fullSchema.fields
       .filter(f => requiredSchema.fieldNames.contains(f.name))
@@ -2013,6 +2389,7 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
     pushAggregation(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (changeFeed) return false
     if (aggregation.groupByExpressions.nonEmpty) return false
     if (skip.nonEmpty) return false // unreachable (see scaladoc); belt+braces
     // every surviving file must carry stats, or the totals are unknown
@@ -2035,7 +2412,12 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
   }
 
   override def build(): Scan =
-    if (aggs.nonEmpty) new CommitMetaAggScan(path, manifest.get, aggs)
+    if (changeFeed)
+      new CommitChangesScan(path,
+        manifest.getOrElse(
+          sys.error(s"graft-commit: no committed manifest at $path")),
+        startingVersion, endingVersion, maxCommitsPerTrigger, snapshotOnRewrite)
+    else if (aggs.nonEmpty) new CommitMetaAggScan(path, manifest.get, aggs)
     else new CommitScan(path,
       // hand the scan the manifest THIS builder's pushdown decisions were
       // made against — a second disk read here could bind the scan to a
@@ -2043,6 +2425,43 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
       manifest.getOrElse(
         sys.error(s"graft-commit: no committed manifest at $path")),
       version, skip, required, dmlOp, maxCommitsPerTrigger, snapshotOnRewrite)
+}
+
+/** The CHANGE DATA FEED scan (o29) — `option("readChangeFeed", true)`:
+  * rows plus `_change_type` ('insert' | 'delete') and
+  * `_commit_version`, per commit, for the version range
+  * [`startingVersion` (default 0), `endingVersion` (default current)].
+  * Inserts come from files a commit added; deletes from deletion-
+  * vector diffs on unchanged files — which is why the feed exists at
+  * all: the vector representation makes a DELETE's delta expressible
+  * as rows (merge-on-read updates surface as delete+insert, their
+  * physical form). Rewrites refuse, like the plain changelog. The
+  * same per-commit planner backs [[toMicroBatchStream]], so the batch
+  * and streaming feeds are one code path. */
+class CommitChangesScan(path: String, manifest: CommitSink.Manifest,
+                        startingVersion: Option[Long],
+                        endingVersion: Option[Long],
+                        maxCommitsPerTrigger: Int,
+                        snapshotOnRewrite: Boolean)
+    extends Scan with Batch {
+  private val dir = Paths.get(path)
+  override def readSchema(): StructType =
+    CommitSink.cdfSchema(StructType.fromDDL(manifest.ddl))
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    CommitSink.changePartitions(dir, path,
+      startingVersion.map(_ - 1).getOrElse(-1L),
+      endingVersion.getOrElse(manifest.commit), manifest.ddl)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CommitChangesReaderFactory(readSchema().toDDL)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new CommitTableMicroBatchStream(path, manifest.ddl, maxCommitsPerTrigger,
+      payload = manifest.payload, snapshotOnRewrite = snapshotOnRewrite,
+      changeFeed = true)
+  override def description(): String =
+    s"graft-commit change feed of $path " +
+      s"[${startingVersion.getOrElse(0L)}..${endingVersion.getOrElse(manifest.commit)}]"
 }
 
 /** The metadata-only aggregate scan (the Iceberg `SELECT COUNT(*)` device):
@@ -2370,7 +2789,15 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
                                     * stays the default precisely because
                                     * silent re-delivery into a
                                     * non-idempotent sink duplicates rows. */
-                                  snapshotOnRewrite: Boolean = false)
+                                  snapshotOnRewrite: Boolean = false,
+                                  /** CHANGE DATA FEED mode (o29): each
+                                    * micro-batch emits the range's
+                                    * change rows (per-commit planner
+                                    * [[CommitSink.changePartitions]])
+                                    * instead of its appended files —
+                                    * vector commits become 'delete'
+                                    * rows rather than refusals. */
+                                  changeFeed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2445,6 +2872,16 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
       case _ => true
     }
 
+  /** CHANGE-FEED expressibility of the same chain: vector changes are
+    * fine (they ARE the feed's 'delete' rows); only file removal — a
+    * rewrite — is inexpressible. */
+  private def chainExpressible(versions: Seq[Long]): Boolean =
+    (Seq(-1L) ++ versions).sliding(2).forall {
+      case Seq(a, b) =>
+        manifestAt(a).files.toSet.subsetOf(manifestAt(b).files.toSet)
+      case _ => true
+    }
+
   /** Does this offset provably belong to the current generation? */
   private def genMatches(p: CommitPos): Boolean =
     generation.isEmpty || (p.gen.nonEmpty && p.gen == generation)
@@ -2468,7 +2905,8 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
     // endpoint diff from -1 removes nothing). Without this, a
     // maxCommitsPerTrigger'd fresh stream on any rewritten-history table
     // would crash-loop on a range no fresh checkpoint can ever clear.
-    if (from < 0 && !chainAppendOnly(existing))
+    if (from < 0 &&
+        !(if (changeFeed) chainExpressible(existing) else chainAppendOnly(existing)))
       return CommitPos(current, generation)
     CommitPos(existing.take(math.max(maxCommitsPerTrigger, 1)).last, generation)
   }
@@ -2485,6 +2923,32 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sp = start.asInstanceOf[CommitPos]
+    if (changeFeed) {
+      val endCommit = end.asInstanceOf[CommitPos].commit
+      // a re-bootstrap emits the current snapshot as ONE 'insert' batch
+      // (vectors applied as skips — the live rows), version-stamped at
+      // the snapshot's commit
+      def bootstrap: Array[InputPartition] = {
+        val m =
+          try manifestAt(endCommit)
+          catch { case _: IllegalArgumentException =>
+            CommitSink.parseManifest(dir).getOrElse(manifestAt(-1L)) }
+        m.files.map { f =>
+          CommitChangesPartition(Paths.get(path, f).toString,
+            m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
+              .getOrElse(""),
+            "", insert = true, commitVersion = m.commit): InputPartition
+        }.toArray
+      }
+      if (snapshotOnRewrite && !genMatches(sp)) return bootstrap
+      checkGeneration(sp)
+      try return CommitSink.changePartitions(dir, path, sp.commit, endCommit, ddl)
+      catch { case e: IllegalArgumentException =>
+        // a rewrite or expired version inside the range: refuse
+        // (default) or re-bootstrap under the flag, like the changelog
+        if (snapshotOnRewrite) return bootstrap else throw e
+      }
+    }
     // emitted files carry the END version's deletion vectors (o27): the
     // net content of the range — and of the snapshot on a re-bootstrap
     def part(m: CommitSink.Manifest, fs: Seq[String]) = fs
@@ -2543,7 +3007,10 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new CommitReaderFactory(ddl, payload = payload)
+    if (changeFeed)
+      new CommitChangesReaderFactory(
+        CommitSink.cdfSchema(StructType.fromDDL(ddl)).toDDL)
+    else new CommitReaderFactory(ddl, payload = payload)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -2552,6 +3019,97 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   * `files` ("" = no vector) — the reader skips the vector's positions. */
 case class CommitFilesPartition(files: Seq[String], dvs: Seq[String] = Seq.empty)
     extends InputPartition
+
+/** One change-feed unit (o29): ONE data file's contribution to ONE
+  * commit. `insert = true` → the file was added at [[commitVersion]]:
+  * emit its live rows ('insert'), skipping `dv` (non-empty only on a
+  * snapshot re-bootstrap). `insert = false` → the file's vector changed
+  * at [[commitVersion]]: emit exactly the positions of `dv` minus
+  * `prevDv` ('delete') — the rows that commit deleted. Paths absolute;
+  * "" = none. */
+case class CommitChangesPartition(file: String, dv: String, prevDv: String,
+                                  insert: Boolean, commitVersion: Long)
+    extends InputPartition
+
+class CommitChangesReaderFactory(ddl: String) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case c: CommitChangesPartition =>
+        new CommitChangesReader(c, StructType.fromDDL(ddl))
+      case other => sys.error(s"graft-commit: unexpected CDF partition $other")
+    }
+}
+
+/** Change-feed reader: the data columns of one parquet-payload file,
+  * position-filtered per the partition's mode, with the two CDF
+  * columns stamped. Parquet payload only — [[CommitSink.changePartitions]]
+  * enforces it. */
+class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
+    extends PartitionReader[InternalRow] {
+  // schema = data fields ++ _change_type ++ _commit_version
+  private val dataSchema = StructType(schema.fields.dropRight(2))
+  private val toUnsafe =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+  private val groups =
+    new ParquetPayload.FileGroups(Paths.get(p.file), dataSchema)
+  private val changeType =
+    UTF8String.fromString(if (p.insert) "insert" else "delete")
+  /** keep=false: emit rows NOT in `positions` (insert mode, vector as a
+    * skip list). keep=true: emit ONLY `positions` (delete mode, the
+    * vector diff). */
+  private val (keep, positions): (Boolean, Array[Long]) =
+    if (p.insert)
+      (false, if (p.dv.isEmpty) Array.emptyLongArray
+              else CommitSink.readDv(Paths.get(p.dv)))
+    else {
+      val cur = CommitSink.readDv(Paths.get(p.dv))
+      val old =
+        if (p.prevDv.isEmpty) Array.emptyLongArray
+        else CommitSink.readDv(Paths.get(p.prevDv))
+      // sorted-merge diff: cur \ old (sized defensively at cur.length —
+      // vectors only ever grow, but never trust that with an index)
+      val out = new Array[Long](cur.length)
+      var i = 0; var j = 0; var k = 0
+      while (i < cur.length) {
+        while (j < old.length && old(j) < cur(i)) j += 1
+        if (j < old.length && old(j) == cur(i)) i += 1
+        else { out(k) = cur(i); k += 1; i += 1 }
+      }
+      (true, java.util.Arrays.copyOf(out, k))
+    }
+  private var ptr = 0
+  private var pos = 0L
+  private var row: InternalRow = _
+
+  @scala.annotation.tailrec
+  private def advance(): Boolean = {
+    val g = groups.next()
+    if (g == null) { groups.close(); false }
+    else {
+      val at = pos; pos += 1
+      while (ptr < positions.length && positions(ptr) < at) ptr += 1
+      val hit = ptr < positions.length && positions(ptr) == at
+      if (hit != keep) advance()
+      else {
+        val vals = new Array[Any](schema.length)
+        var i = 0
+        while (i < dataSchema.length) {
+          val fi = groups.fieldIndex(i)
+          if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+            vals(i) = ParquetPayload.value(g, fi, dataSchema(i).dataType)
+          i += 1
+        }
+        vals(schema.length - 2) = changeType
+        vals(schema.length - 1) = p.commitVersion
+        row = toUnsafe(new GenericInternalRow(vals)).copy()
+        true
+      }
+    }
+  }
+  override def next(): Boolean = advance()
+  override def get(): InternalRow = row
+  override def close(): Unit = groups.close()
+}
 
 /** Identity-partitioned file group: all committed files of ONE partition
   * key, exposing the key through [[HasPartitionKey]] so Spark can align

@@ -838,6 +838,101 @@ object Sources {
         max(col("event_id")).as("max_event_id"))
   }
 
+  /** o28: merge-on-read MERGE via the DELTA row-level operation
+    * ([[graft.sources.CommitDeltaRowLevelOperation]], SupportsDelta) —
+    * the write-mode counterpart of o27's metadata DELETE: under
+    * `spark.graft.commit.rowLevelMode=merge-on-read`, a three-branch
+    * MERGE (conditional DELETE, UPDATE, INSERT) lands as deletion
+    * vectors plus one appended file of new row versions, leaving every
+    * pre-existing data file byte-untouched — Iceberg's position-delta
+    * shape (rowId = `_file`/`_pos`, clustering on `_file`, updates
+    * represented as delete+insert). The readout carries two
+    * mechanism-proof columns the oracle must reproduce:
+    * `n_untouched_files` (all 8 original files survive the MERGE — a
+    * copy-on-write fallback would rewrite matched files and
+    * hash-mismatch) and `n_vector_positions` (the manifest's summed
+    * vector count = the matched row count, since every matched row's
+    * old version — deleted or updated — becomes exactly one position,
+    * which DuckDB computes as COUNT(*) of the match predicate). */
+  def o28MorMerge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o28", dir)
+    val path = s"$root/default/ev"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.repartitionByRange(8, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    val before = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    val matched = ev.filter(col("event_id") < 50)
+      .select(col("event_id"), (col("value") + 1.0).as("v"))
+    spark.catalog.dropTempView("o28_src")
+    matched.unionByName(matched.filter(col("event_id") % 2 === 0)
+        .select((col("event_id") + 100000000L).as("event_id"), col("v")))
+      .createTempView("o28_src")
+    val prev = spark.conf.getOption("spark.graft.commit.rowLevelMode")
+    spark.conf.set("spark.graft.commit.rowLevelMode", "merge-on-read")
+    try
+      spark.sql(s"""MERGE INTO $cat.`default`.ev t USING o28_src s
+                   ON t.event_id = s.event_id
+                   WHEN MATCHED AND t.value > 95.0D THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET value = t.value + s.v
+                   WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+                     VALUES (s.event_id, 'merged', s.v)""")
+    finally prev.fold(spark.conf.unset("spark.graft.commit.rowLevelMode"))(
+      spark.conf.set("spark.graft.commit.rowLevelMode", _))
+    val after = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    val untouched = after.files.toSet.intersect(before.files.toSet).size
+    val positions = after.files.flatMap(after.deletes.get).map(_.ndel).sum
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("n_untouched_files", lit(untouched))
+      .withColumn("n_vector_positions", lit(positions))
+  }
+
+  /** o29: CHANGE DATA FEED — `option("readChangeFeed", true)` reads a
+    * graft-commit table as its change rows (Delta CDF's surface:
+    * `_change_type` 'insert'|'delete' + `_commit_version`), batch over
+    * a version range here, streaming via the same per-commit planner
+    * (Round13Spec pins stream≡batch). The deletion-vector
+    * representation is what makes this possible: a vector commit's
+    * delta IS rows — the newly-deleted positions of an unchanged file —
+    * so the changelog's "rows removed, refuse" gap becomes real CDC
+    * output (merge-on-read updates surface as delete+insert, their
+    * physical form; rewrites still refuse). History: v0 odd-id rows,
+    * v1 even-id append, v2 a merge-on-read DELETE — the feed must
+    * replay all three attributed to the right version, which the
+    * oracle reproduces from the raw table. */
+  def o29ChangeDataFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o29", dir)
+    val path = s"$root/default/ev"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(4, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    ev.filter(col("event_id") % 2 === 0)
+      .write.format(CommitSink.NAME).option("path", path).mode("append").save()
+    val prev = spark.conf.getOption("spark.graft.commit.deleteMode")
+    spark.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
+    try spark.sql(s"DELETE FROM $cat.`default`.ev WHERE value > 90.0D")
+    finally prev.fold(spark.conf.unset("spark.graft.commit.deleteMode"))(
+      spark.conf.set("spark.graft.commit.deleteMode", _))
+    spark.read.format(CommitSink.NAME).option("path", path)
+      .option("readChangeFeed", true).option("startingVersion", 0).load()
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1243,6 +1338,8 @@ object Sources {
     "o25_typed_cdc_merge" -> o25TypedCdcMerge _,
     "o26_state_families" -> o26StateFamilies _,
     "o27_delete_vectors" -> o27DeleteVectors _,
+    "o28_mor_merge" -> o28MorMerge _,
+    "o29_change_data_feed" -> o29ChangeDataFeed _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1358,6 +1455,52 @@ object Sources {
                  MAX(event_id) AS max_event_id,
                  CAST(7 AS INTEGER) AS n_carried_files
           FROM merged GROUP BY 1""",
+    // merge-on-read MERGE: update/delete/insert replay; 8 untouched
+    // files by construction (the delta write appends, never rewrites);
+    // vector positions = the matched row count (each matched row's old
+    // version becomes exactly one position)
+    "o28_mor_merge" ->
+      s"""WITH m AS (SELECT event_id, value FROM events WHERE event_id < 50),
+               s AS (SELECT event_id, value + 1.0 AS v FROM m
+                     UNION ALL
+                     SELECT event_id + 100000000, value + 1.0 FROM m
+                     WHERE event_id % 2 = 0),
+               merged AS (
+                 SELECT t.event_id, t.event_type,
+                        CASE WHEN s.event_id IS NOT NULL
+                             THEN t.value + s.v ELSE t.value END AS value
+                 FROM events t LEFT JOIN s ON t.event_id = s.event_id
+                 WHERE NOT (s.event_id IS NOT NULL AND t.value > 95.0)
+                 UNION ALL
+                 SELECT s.event_id, 'merged', s.v
+                 FROM s LEFT JOIN events t ON t.event_id = s.event_id
+                 WHERE t.event_id IS NULL)
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(8 AS INTEGER) AS n_untouched_files,
+                 CAST((SELECT COUNT(*) FROM events WHERE event_id < 50)
+                      AS BIGINT) AS n_vector_positions
+          FROM merged GROUP BY 1""",
+    // the change feed's three commits replayed from the raw table:
+    // v0 = odd-id inserts, v1 = even-id inserts, v2 = vector deletes
+    "o29_change_data_feed" ->
+      s"""WITH ch AS (
+            SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+                   event_id, event_type, value
+            FROM events WHERE event_id % 2 = 1
+            UNION ALL
+            SELECT 'insert', 1, event_id, event_type, value
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT 'delete', 2, event_id, event_type, value
+            FROM events WHERE value > 90.0)
+          SELECT change_type, commit_version, event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM ch GROUP BY 1, 2, 3""",
     // the 3 commit-batches must compose to the whole-table aggregate
     "o20_dsv2_table_stream" ->
       s"""SELECT event_type, COUNT(*) AS n,

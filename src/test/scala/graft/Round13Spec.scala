@@ -540,6 +540,213 @@ class Round13Spec extends AnyFunSuite {
     assert(sources.CommitSink.readCommitted(spark, path).count() == 90L)
   }
 
+  // --- o28: delta-based (merge-on-read) UPDATE / MERGE ---------------------
+
+  private def withRowLevelMode[A](mode: String)(body: => A): A = {
+    val key = "spark.graft.commit.rowLevelMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, mode)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  test("mor update: data files unchanged, vector + one new file, values exact") {
+    val (cat, root) = withCatalog("mor_update")
+    val path = rangeTable(cat, root, "t")
+    val before = manifest(path)
+    withRowLevelMode("merge-on-read") {
+      spark.sql(s"UPDATE $cat.`default`.t SET score = -1.0 WHERE id >= 10 AND id < 20")
+    }
+    val after = manifest(path)
+    assert(before.files.forall(after.files.contains),
+      "merge-on-read UPDATE must not rewrite existing files")
+    val newFiles = after.files.filterNot(before.files.contains)
+    assert(newFiles.size == 1, s"one appended file of new row versions: $newFiles")
+    assert(after.deletes.size == 1 && after.deletes.head._2.ndel == 10L,
+      s"one 10-position vector: ${after.deletes}")
+    assert(after.deletes.head._1 != newFiles.head,
+      "the vector points at the OLD file, never the appended one")
+    for (back <- Seq(
+        sources.CommitSink.readCommitted(spark, path),
+        spark.read.format("graft-commit").option("path", path).load())) {
+      assert(back.count() == 1000L)
+      assert(back.filter($"score" === -1.0).count() == 10L)
+      assert(back.filter($"id" >= 10 && $"id" < 20 && $"score" =!= -1.0).count() == 0L)
+    }
+  }
+
+  test("mor merge: three branches land as vectors + appended rows; equals the COW answer") {
+    val (cat, root) = withCatalog("mor_merge")
+    def build(tag: String): String = rangeTable(cat, root, tag)
+    def mergeInto(tag: String): Unit = {
+      spark.range(900L, 1100L).select($"id", lit(5.0).as("score"))
+        .createOrReplaceTempView("r13_delta_src")
+      spark.sql(s"""MERGE INTO $cat.`default`.$tag t USING r13_delta_src s
+        ON t.id = s.id
+        WHEN MATCHED AND t.id < 950 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET score = t.score + s.score
+        WHEN NOT MATCHED THEN INSERT (id, score) VALUES (s.id, s.score)""")
+    }
+    val cowPath = build("cow")
+    withRowLevelMode("copy-on-write") { mergeInto("cow") }
+    val morPath = build("mor")
+    val beforeMor = manifest(morPath)
+    withRowLevelMode("merge-on-read") { mergeInto("mor") }
+    val afterMor = manifest(morPath)
+    assert(beforeMor.files.forall(afterMor.files.contains),
+      "merge-on-read MERGE must not rewrite existing files")
+    // the matched rows (900..999, all in the last zone file) became
+    // vector positions: 50 DELETEs + 50 update-deletes
+    assert(afterMor.deletes.size == 1 && afterMor.deletes.head._2.ndel == 100L,
+      s"${afterMor.deletes}")
+    val cow = sources.CommitSink.readCommitted(spark, cowPath)
+    val mor = sources.CommitSink.readCommitted(spark, morPath)
+    assert(cow.count() == mor.count() && mor.count() == 1050L,
+      s"cow=${cow.count()} mor=${mor.count()}") // 1000 - 50 deleted + 100 inserted = 1050
+    assert(mor.exceptAll(cow).count() == 0 && cow.exceptAll(mor).count() == 0,
+      "the write MODE must never change the answer")
+    // compaction materializes the merge's vectors too
+    sources.CommitSink.compact(spark, morPath, 2)
+    assert(manifest(morPath).deletes.isEmpty)
+    assert(sources.CommitSink.readCommitted(spark, morPath).count() == 1050L)
+  }
+
+  test("mor row-level ops: a partitioned table falls back to copy-on-write") {
+    val (cat, root) = withCatalog("mor_part")
+    val path = s"$root/default/t"
+    spark.range(100L).select($"id", ($"id" % 4).as("k"), ($"id" * 1.0).as("v"))
+      .write.format("graft-commit").option("path", path)
+      .option("partitionBy", "k").mode("overwrite").save()
+    withRowLevelMode("merge-on-read") {
+      spark.sql(s"UPDATE $cat.`default`.t SET v = -1.0 WHERE id = 7")
+    }
+    val m = manifest(path)
+    assert(m.deletes.isEmpty,
+      "partitioned layout: no vectors — the COW path preserves one-key-per-file")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.filter($"v" === -1.0).count() == 1L && back.count() == 100L)
+  }
+
+  // --- o29: change data feed ------------------------------------------------
+
+  /** 3-commit history: v0 = ids 0..49 (2 files), v1 = ids 50..99
+    * appended, v2 = a merge-on-read DELETE of [10, 20). */
+  private def cdfTable(tag: String): (String, String) = {
+    val (cat, root) = withCatalog(tag)
+    val path = s"$root/default/t"
+    spark.range(50L).select($"id", ($"id" % 10 * 1.0).as("v"))
+      .repartitionByRange(2, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    spark.range(50L, 100L).select($"id", ($"id" % 10 * 1.0).as("v"))
+      .coalesce(1)
+      .write.format("graft-commit").option("path", path).mode("append").save()
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 10 AND id < 20")
+    }
+    (cat, path)
+  }
+
+  test("cdf batch: inserts and vector deletes replay per commit") {
+    val (_, path) = cdfTable("cdf_batch")
+    val feed = spark.read.format("graft-commit").option("path", path)
+      .option("readChangeFeed", true).option("startingVersion", 0).load()
+    assert(feed.columns.takeRight(2).toSeq == Seq("_change_type", "_commit_version"))
+    val byCommit = feed.groupBy($"_commit_version", $"_change_type")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byCommit == Map((0L, "insert") -> 50L, (1L, "insert") -> 50L,
+      (2L, "delete") -> 10L), s"got $byCommit")
+    // the deleted rows are the right ones, values included
+    val dels = feed.filter($"_change_type" === "delete")
+    assert(dels.agg(sum($"id")).head().getLong(0) == (10L until 20L).sum)
+    // net effect == the final table
+    val net = feed.filter($"_change_type" === "insert").select($"id", $"v")
+      .exceptAll(feed.filter($"_change_type" === "delete").select($"id", $"v"))
+    val table = sources.CommitSink.readCommitted(spark, path)
+    assert(net.exceptAll(table).count() == 0 && table.exceptAll(net).count() == 0)
+    // a bounded range reads only its commits
+    val only2 = spark.read.format("graft-commit").option("path", path)
+      .option("readChangeFeed", true)
+      .option("startingVersion", 2).option("endingVersion", 2).load()
+    assert(only2.count() == 10L &&
+      only2.filter($"_change_type" =!= "delete").count() == 0L)
+  }
+
+  test("cdf batch: a merge-on-read MERGE surfaces as delete+insert at one version") {
+    val (cat, path) = cdfTable("cdf_merge")
+    spark.range(30L, 35L).select($"id").createOrReplaceTempView("r13_cdf_src")
+    withRowLevelMode("merge-on-read") {
+      spark.sql(s"""MERGE INTO $cat.`default`.t t USING r13_cdf_src s
+        ON t.id = s.id WHEN MATCHED THEN UPDATE SET v = -1.0""")
+    }
+    val v3 = spark.read.format("graft-commit").option("path", path)
+      .option("readChangeFeed", true)
+      .option("startingVersion", 3).option("endingVersion", 3).load()
+    assert(v3.filter($"_change_type" === "delete").count() == 5L,
+      "the update's pre-images delete")
+    val ins = v3.filter($"_change_type" === "insert")
+    assert(ins.count() == 5L && ins.filter($"v" =!= -1.0).count() == 0L,
+      "the update's post-images insert")
+  }
+
+  test("cdf stream: the feed equals the batch feed, commit by commit") {
+    val (_, path) = cdfTable("cdf_stream")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+    val q = spark.readStream.format("graft-commit").option("path", path)
+      .option("readChangeFeed", true).option("maxCommitsPerTrigger", 1).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select($"id", $"_change_type", $"_commit_version")
+          .collect().foreach(r => got.add((r.getLong(0), r.getString(1), r.getLong(2))))
+        ()
+      }
+      .option("checkpointLocation", freshDir("cdf_stream_ck")).start()
+    try q.processAllAvailable() finally q.stop()
+    q.exception.foreach(e => throw e)
+    import scala.jdk.CollectionConverters._
+    val streamed = got.asScala.toSeq.sorted
+    val batch = spark.read.format("graft-commit").option("path", path)
+      .option("readChangeFeed", true).option("startingVersion", 0).load()
+      .select($"id", $"_change_type", $"_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(streamed == batch,
+      "streaming and batch feeds are one per-commit planner")
+  }
+
+  test("cdf: a rewrite refuses; snapshotOnRewrite re-bootstraps with vectors applied") {
+    val (_, path) = cdfTable("cdf_rewrite")
+    sources.CommitSink.compact(spark, path, 1)
+    val e = intercept[Exception] {
+      spark.read.format("graft-commit").option("path", path)
+        .option("readChangeFeed", true).option("startingVersion", 0).load().count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("removed")), s"got: ${msgs(e)}")
+    // streaming, same refusal on a checkpoint crossing the compaction —
+    // and under snapshotOnRewrite the SAME checkpoint re-bootstraps
+    val ck = freshDir("cdf_rewrite_ck")
+    val (cat2, path2) = cdfTable("cdf_rewrite2")
+    def drain(flag: Boolean): Long = {
+      var n = 0L
+      val reader = spark.readStream.format("graft-commit").option("path", path2)
+        .option("readChangeFeed", true)
+      val q = (if (flag) reader.option("snapshotOnRewrite", true) else reader)
+        .load().writeStream
+        .foreachBatch { (b: DataFrame, _: Long) => n += b.count(); () }
+        .option("checkpointLocation", ck).start()
+      try q.processAllAvailable() finally q.stop()
+      q.exception.foreach(e => throw e)
+      n
+    }
+    assert(drain(flag = false) == 110L) // 100 inserts + 10 deletes
+    sources.CommitSink.compact(spark, path2, 1)
+    val e2 = intercept[Exception] { drain(flag = false) }
+    assert(msgs(e2).exists(_.contains("removed")), s"got: ${msgs(e2)}")
+    // re-bootstrap: the 90 LIVE rows arrive as one 'insert' snapshot
+    assert(drain(flag = true) == 90L)
+  }
+
   test("mor delete: a concurrent commit fails the vector CAS (statement retry)") {
     val dir = freshDir("mor_cas")
     spark.range(100L).select($"id")
