@@ -282,36 +282,74 @@ object CommitSink {
   }
 
   // --- deletion-vector file format -------------------------------------
-  // magic, count, then `count` sorted int64 positions, all big-endian.
-  // At 100 TB the format upgrade is a roaring bitmap (Delta's DV / the
-  // Iceberg v3 Puffin blob) behind these two functions; sorted int64s
-  // keep the fixture inspectable and are within 8 bytes/row of optimal
-  // for the SELECTIVE deletes merge-on-read exists for — a delete dense
-  // enough for bitmap compression to matter is better served by
-  // copy-on-write anyway (the rewrite amortizes over the rows touched).
+  // DENSITY-ADAPTIVE, chosen per vector at write time (the roaring-
+  // bitmap idea — Delta's DV / Iceberg v3 Puffin — reduced to its two
+  // extreme containers, which is all a position set over one file's
+  // row space needs):
+  //   GDV1: magic, count, `count` sorted int64 positions — 8 B/delete,
+  //         optimal for the SELECTIVE deletes merge-on-read exists for,
+  //         and byte-inspectable.
+  //   GDV2: magic, count, word count, then a bitset over [0, maxPos] —
+  //         1 BIT/row, taking over exactly when a vector grows dense
+  //         (> 1/64 of its file's positions), so a wide DELETE's
+  //         vector is bounded by rows/8 bytes instead of deletes*8.
+  // The choice is strictly by encoded size; both decode through
+  // [[readDv]] to the same sorted position array, so every consumer
+  // (readers, merges, diffs, GC) is format-blind.
   private val DV_MAGIC = 0x47445631 // "GDV1"
+  private val DV_MAGIC_BITMAP = 0x47445632 // "GDV2"
 
   private[graft] def writeDv(file: Path, positions: Array[Long]): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(file)))
     try {
-      out.writeInt(DV_MAGIC)
-      out.writeInt(positions.length)
-      positions.foreach(out.writeLong)
+      val nWords =
+        if (positions.isEmpty) 0 else (positions.last >>> 6).toInt + 1
+      if (positions.nonEmpty && nWords.toLong * 8 < positions.length.toLong * 8) {
+        out.writeInt(DV_MAGIC_BITMAP)
+        out.writeInt(positions.length)
+        out.writeInt(nWords)
+        val words = new Array[Long](nWords)
+        positions.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
+        words.foreach(out.writeLong)
+      } else {
+        out.writeInt(DV_MAGIC)
+        out.writeInt(positions.length)
+        positions.foreach(out.writeLong)
+      }
     } finally out.close()
   }
 
   private[graft] def readDv(file: Path): Array[Long] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       Files.newInputStream(file)))
-    try {
-      require(in.readInt() == DV_MAGIC,
-        s"graft-commit: $file is not a deletion-vector file")
-      val n = in.readInt()
-      val out = new Array[Long](n)
-      var i = 0
-      while (i < n) { out(i) = in.readLong(); i += 1 }
-      out
+    try in.readInt() match {
+      case DV_MAGIC =>
+        val n = in.readInt()
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) { out(i) = in.readLong(); i += 1 }
+        out
+      case DV_MAGIC_BITMAP =>
+        val n = in.readInt()
+        val nWords = in.readInt()
+        val out = new Array[Long](n)
+        var k = 0
+        var w = 0
+        while (w < nWords) {
+          var bits = in.readLong()
+          while (bits != 0L) {
+            out(k) = w.toLong * 64 + java.lang.Long.numberOfTrailingZeros(bits)
+            k += 1
+            bits &= bits - 1
+          }
+          w += 1
+        }
+        require(k == n,
+          s"graft-commit: corrupt bitmap deletion vector $file ($k of $n positions)")
+        out
+      case other => sys.error(
+        s"graft-commit: $file is not a deletion-vector file (magic $other)")
     } finally in.close()
   }
 
@@ -2445,6 +2483,15 @@ class CommitChangesScan(path: String, manifest: CommitSink.Manifest,
                         snapshotOnRewrite: Boolean)
     extends Scan with Batch {
   private val dir = Paths.get(path)
+  require(manifest.payload == "parquet" || manifest.files.isEmpty,
+    s"graft-commit: the change feed requires the parquet payload " +
+      s"($path is '${manifest.payload}')")
+  require(!StructType.fromDDL(manifest.ddl).fieldNames
+      .exists(n => n == CommitSink.CHANGE_TYPE_COL ||
+        n == CommitSink.COMMIT_VERSION_COL),
+    s"graft-commit: $path has a data column named " +
+      s"${CommitSink.CHANGE_TYPE_COL}/${CommitSink.COMMIT_VERSION_COL} — " +
+      "the change feed cannot disambiguate it from its own columns")
   override def readSchema(): StructType =
     CommitSink.cdfSchema(StructType.fromDDL(manifest.ddl))
   override def toBatch: Batch = this

@@ -627,6 +627,31 @@ class Round13Spec extends AnyFunSuite {
     assert(back.filter($"v" === -1.0).count() == 1L && back.count() == 100L)
   }
 
+  test("dv format: dense vectors switch to the bitmap container, sparse stay positional") {
+    val d = Paths.get(freshDir("dv_format"))
+    Files.createDirectories(d)
+    // sparse: 10 of ~1M rows — positional (84 B), not a 128 KB bitmap
+    val sparse = Array.tabulate(10)(i => i * 100000L)
+    sources.CommitSink.writeDv(d.resolve("sparse.bin"), sparse)
+    assert(Files.size(d.resolve("sparse.bin")) < 100)
+    assert(sources.CommitSink.readDv(d.resolve("sparse.bin")).toSeq == sparse.toSeq)
+    // dense: every other row of 100k — bitmap (~12.5 KB), not 400 KB of longs
+    val dense = Array.tabulate(50000)(i => i * 2L)
+    sources.CommitSink.writeDv(d.resolve("dense.bin"), dense)
+    assert(Files.size(d.resolve("dense.bin")) < 50000L * 8 / 4,
+      s"dense vector must compress: ${Files.size(d.resolve("dense.bin"))} bytes")
+    assert(sources.CommitSink.readDv(d.resolve("dense.bin")).toSeq == dense.toSeq)
+    // end-to-end: a dense MOR delete reads back exactly (bitmap on disk)
+    val (cat, root) = withCatalog("dv_dense")
+    val path = rangeTable(cat, root, "t")
+    withDeleteMode("merge-on-read") {
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id % 2 = 0 AND id < 250")
+    }
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.count() == 875L)
+    assert(back.filter($"id" % 2 === 0 && $"id" < 250).count() == 0L)
+  }
+
   // --- o29: change data feed ------------------------------------------------
 
   /** 3-commit history: v0 = ids 0..49 (2 files), v1 = ids 50..99
