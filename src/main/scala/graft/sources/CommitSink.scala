@@ -439,6 +439,43 @@ object CommitSink {
     } finally dropRewrite(token) // no-op on success; reclaims on early failure
   }
 
+  /** Targeted DELETE maintenance — Iceberg's
+    * rewrite_position_delete_files / binpack-with-delete-threshold
+    * analog, the operational knob between "pay a position skip on
+    * every read" and "compact the whole table": rewrite ONLY the files
+    * whose deletion vector covers at least `minDeleteRatio` of their
+    * physical rows (materializing those deletes — the rewrite's scan
+    * applies the vectors, commitRewrite drops them with the replaced
+    * files), carrying every other file — vectors included — untouched.
+    * Runs under the ordinary group-granular rewrite contract: CAS'd
+    * against the planning manifest, old version time-travel readable
+    * until expiry. Returns the rewritten file names. At 100 TB this is
+    * the steady-state MOR maintenance loop: vectors accumulate from
+    * the CDC-upsert stream, and only the files where dead rows
+    * actually dominate pay a rewrite. */
+  def compactDeletes(spark: SparkSession, dir: String,
+                     minDeleteRatio: Double): Seq[String] = {
+    require(minDeleteRatio > 0 && minDeleteRatio <= 1,
+      s"minDeleteRatio must be in (0, 1], got $minDeleteRatio")
+    val m = parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    val rowsOf = m.stats.map { case (f, e) => f -> FileStat.decode(e).rows }
+    val picked = m.files.filter { f =>
+      m.deletes.get(f).exists(e => rowsOf.get(f)
+        .exists(r => r > 0 && e.ndel.toDouble / r >= minDeleteRatio))
+    }
+    if (picked.isEmpty) return Seq.empty // no vector dense enough: no-op
+    val token = registerRewrite(DmlRewrite(m, () => picked.toSet))
+    try {
+      // the read applies the picked files' vectors, so the rewritten
+      // files hold exactly the live rows
+      val w = readManifestFiles(spark, dir, m.copy(files = picked))
+        .write.format(NAME).option("path", dir).option("rewriteToken", token)
+      m.partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
+    } finally dropRewrite(token)
+    picked
+  }
+
   /** Merge-on-read DELETE (o27) — the Iceberg v2 position-delete /
     * Delta deletion-vector write mode, the flip side of the
     * group-granular copy-on-write rewrite: instead of rewriting every

@@ -652,6 +652,93 @@ class Round13Spec extends AnyFunSuite {
     assert(back.filter($"id" % 2 === 0 && $"id" < 250).count() == 0L)
   }
 
+  test("mor streaming: a per-trigger MERGE upsert appends vectors, never rewrites") {
+    val (cat, root) = withCatalog("mor_stream_merge")
+    spark.sql(s"CREATE TABLE $cat.`default`.state " +
+      "(sensor INT, n BIGINT, sum_id BIGINT) USING `graft-commit`")
+    // the MATCHED branch updates only sensors < 50, so each trigger's
+    // vector covers PART of the state file — the file carries with its
+    // vector instead of being dropped as fully dead (w16's all-keys
+    // update degenerates to exactly that drop+append, also vector-true
+    // but trivially so)
+    withRowLevelMode("merge-on-read") {
+      val q = spark.readStream.format("graft-sensors")
+        .option("rows", 20000).option("slices", 8)
+        .option("streamBatchRows", 5000).load()
+        .select($"id", $"sensor")
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val s = batch.sparkSession
+          batch.groupBy($"sensor")
+            .agg(count(lit(1)).as("n"), sum($"id").as("s"))
+            .createOrReplaceTempView("r13_msm_batch")
+          s.sql(s"""MERGE INTO $cat.`default`.state t USING r13_msm_batch b
+                   ON t.sensor = b.sensor
+                   WHEN MATCHED AND b.sensor < 50 THEN UPDATE SET
+                     n = t.n + b.n, sum_id = t.sum_id + b.s
+                   WHEN NOT MATCHED THEN INSERT (sensor, n, sum_id)
+                     VALUES (b.sensor, b.n, b.s)""")
+          ()
+        }
+        .option("checkpointLocation", freshDir("mor_stream_merge_ck")).start()
+      try q.processAllAvailable() finally q.stop()
+      q.exception.foreach(e => throw e)
+    }
+    val p = Paths.get(s"$root/default/state")
+    val versions = sources.CommitSink.listVersions(p)
+    assert(versions.size >= 5, s"create + one version per trigger: $versions")
+    // THE merge-on-read claim, pinned per trigger: bytes written are
+    // proportional to rows CHANGED — every added file holds exactly the
+    // trigger's post-images (97 first-trigger inserts, then 50 updated
+    // rows), where a copy-on-write rewrite would also carry the matched
+    // files' untouched survivors. (A file MAY leave the manifest — the
+    // previous trigger's post-image file is fully dead once all its 50
+    // rows update again — but nothing is ever partially rewritten.)
+    versions.sliding(2).toSeq.zipWithIndex.foreach {
+      case (Seq(a, b), i) =>
+        val ma = sources.CommitSink.parseManifestVersion(p, a)
+        val mb = sources.CommitSink.parseManifestVersion(p, b)
+        val addedRows = mb.files.filterNot(ma.files.contains)
+          .map(f => sources.CommitSink.FileStat.decode(mb.stats(f)).rows).sum
+        assert(addedRows == (if (i == 0) 97L else 50L),
+          s"v$a -> v$b wrote $addedRows rows; merge-on-read writes only the changes")
+      case _ => ()
+    }
+    assert(sources.CommitSink.parseManifest(p).get.deletes.nonEmpty,
+      "the first trigger's file carries a vector for its updated half")
+    // exact state: sensor < 50 accumulated over all 4 triggers, the
+    // rest frozen at their first-trigger insert
+    val back = sources.CommitSink.readCommitted(spark, p.toString)
+    assert(back.count() == 97L)
+    val expected = (0 until 20000).count(_ % 97 < 50) +
+      (0 until 5000).count(_ % 97 >= 50)
+    assert(back.agg(sum($"n")).head().getLong(0) == expected.toLong)
+  }
+
+  test("compactDeletes: only delete-dominated files rewrite; sparse vectors carry") {
+    val (cat, root) = withCatalog("compact_deletes")
+    val path = rangeTable(cat, root, "t")
+    withDeleteMode("merge-on-read") {
+      // file zones: [0,250) [250,500) [500,750) [750,1000)
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id < 200")          // 80% of file 1
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 300 AND id < 305") // 2% of file 2
+    }
+    val before = manifest(path)
+    assert(before.deletes.size == 2)
+    val rewritten = sources.CommitSink.compactDeletes(spark, path, 0.5)
+    assert(rewritten.size == 1, s"only the 80%-dead file qualifies: $rewritten")
+    val after = manifest(path)
+    assert(!after.files.contains(rewritten.head))
+    assert(after.deletes.size == 1 && after.deletes.head._2.ndel == 5L,
+      s"the sparse vector carries untouched: ${after.deletes}")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.count() == 795L)
+    assert(back.filter($"id" < 200).count() == 0L)
+    assert(back.filter($"id" >= 300 && $"id" < 305).count() == 0L)
+    // idempotent: nothing left above the threshold
+    assert(sources.CommitSink.compactDeletes(spark, path, 0.5).isEmpty)
+  }
+
   // --- o29: change data feed ------------------------------------------------
 
   /** 3-commit history: v0 = ids 0..49 (2 files), v1 = ids 50..99
