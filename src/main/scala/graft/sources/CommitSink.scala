@@ -3164,11 +3164,14 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
   private var ptr = 0
   private var pos = 0L
   private var row: InternalRow = _
+  private var closed = false
+  private def closeOnce(): Unit =
+    if (!closed) { closed = true; groups.close() }
 
   @scala.annotation.tailrec
   private def advance(): Boolean = {
     val g = groups.next()
-    if (g == null) { groups.close(); false }
+    if (g == null) { closeOnce(); false }
     else {
       val at = pos; pos += 1
       while (ptr < positions.length && positions(ptr) < at) ptr += 1
@@ -3192,7 +3195,7 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
   }
   override def next(): Boolean = advance()
   override def get(): InternalRow = row
-  override def close(): Unit = groups.close()
+  override def close(): Unit = closeOnce()
 }
 
 /** Identity-partitioned file group: all committed files of ONE partition

@@ -933,6 +933,69 @@ object Sources {
         max(col("event_id")).as("max_event_id"))
   }
 
+  /** o30: targeted VECTOR MAINTENANCE — `CommitSink.compactDeletes`
+    * (Iceberg's rewrite_position_delete_files analog): after two
+    * merge-on-read DELETEs leave one file delete-dominated (~78% dead)
+    * and another barely touched, compacting at minDeleteRatio=0.5
+    * rewrites ONLY the dominated file (materializing its deletes,
+    * dropping its vector) and carries the sparse vector untouched —
+    * the steady-state middle ground between per-read position skips
+    * and whole-table compaction. The readout's proof columns make the
+    * TARGETING oracle-checked, not just the values: `n_rewritten` (1 —
+    * only the dominated zone file qualifies; the sparse vectors sit at
+    * ~1% per file) and `n_positions_left` = the sparse delete's exact
+    * row count, which DuckDB computes from the predicate (the sparse
+    * VECTORS survive the maintenance pass untouched — their per-file
+    * distribution over zone boundaries is sampling-dependent, so the
+    * readout proves the position total, not the vector count). */
+  def o30VectorMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o30", dir)
+    val path = s"$root/default/ev"
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartitionByRange(4, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    // zone 1 of 4 covers the lowest event_id quartile: kill most of it
+    // (the 22nd-percentile cut ≈ 88% of the zone), then nick sparse rows
+    // strictly ABOVE the 40th percentile — comfortably past zone 1's
+    // sampled boundary, so none of the sparse positions land in the file
+    // the maintenance pass rewrites (which would materialize them and
+    // make the left-over position count boundary-dependent)
+    val Array(cut, cutHigh) = graft.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.expr("percentile_cont(0.22) WITHIN GROUP (ORDER BY event_id)"),
+        org.apache.spark.sql.functions.expr("percentile_cont(0.40) WITHIN GROUP (ORDER BY event_id)"))
+      .head() match { case r => Array(r.getDouble(0).toLong, r.getDouble(1).toLong) }
+    // both MOR knobs: the range DELETE takes the metadata path
+    // (deleteMode), the modulo DELETE is untranslatable as V1 filters
+    // and routes through the row-level operation (rowLevelMode) —
+    // either way, positions land as vectors, no file rewrites
+    val prevD = spark.conf.getOption("spark.graft.commit.deleteMode")
+    val prevR = spark.conf.getOption("spark.graft.commit.rowLevelMode")
+    spark.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
+    spark.conf.set("spark.graft.commit.rowLevelMode", "merge-on-read")
+    try {
+      spark.sql(s"DELETE FROM $cat.`default`.ev WHERE event_id <= $cut")
+      spark.sql(s"DELETE FROM $cat.`default`.ev WHERE event_id % 97 = 0 AND event_id > $cutHigh")
+    } finally {
+      prevD.fold(spark.conf.unset("spark.graft.commit.deleteMode"))(
+        spark.conf.set("spark.graft.commit.deleteMode", _))
+      prevR.fold(spark.conf.unset("spark.graft.commit.rowLevelMode"))(
+        spark.conf.set("spark.graft.commit.rowLevelMode", _))
+    }
+    val rewritten = CommitSink.compactDeletes(spark, path, 0.5)
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("n_rewritten", lit(rewritten.size))
+      .withColumn("n_positions_left",
+        lit(m.files.flatMap(m.deletes.get).map(_.ndel).sum))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1340,6 +1403,7 @@ object Sources {
     "o27_delete_vectors" -> o27DeleteVectors _,
     "o28_mor_merge" -> o28MorMerge _,
     "o29_change_data_feed" -> o29ChangeDataFeed _,
+    "o30_vector_maintenance" -> o30VectorMaintenance _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1483,6 +1547,27 @@ object Sources {
                  CAST((SELECT COUNT(*) FROM events WHERE event_id < 50)
                       AS BIGINT) AS n_vector_positions
           FROM merged GROUP BY 1""",
+    // vector maintenance: survivors after both deletes, with the
+    // targeting proven — 1 file rewritten, and the positions still in
+    // vectors = exactly the sparse delete's row count (q55 precedent:
+    // percentile_cont == quantile_cont interpolation, cast to BIGINT)
+    "o30_vector_maintenance" ->
+      s"""WITH cut AS (
+            SELECT CAST(FLOOR(quantile_cont(event_id, 0.22)) AS BIGINT) AS c,
+                   CAST(FLOOR(quantile_cont(event_id, 0.40)) AS BIGINT) AS ch
+            FROM events),
+           survivors AS (
+            SELECT event_id, event_type, value FROM events, cut
+            WHERE NOT (event_id <= c)
+              AND NOT (event_id % 97 = 0 AND event_id > ch))
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS INTEGER) AS n_rewritten,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM events, cut
+                  WHERE event_id % 97 = 0 AND event_id > ch) AS n_positions_left
+          FROM survivors GROUP BY 1""",
     // the change feed's three commits replayed from the raw table:
     // v0 = odd-id inserts, v1 = even-id inserts, v2 = vector deletes
     "o29_change_data_feed" ->
