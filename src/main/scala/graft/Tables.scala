@@ -26,6 +26,19 @@ object Tables {
     if (n > 0) df.repartition(n) else df
   }
 
+  /** HARNESS SHIM for FIXTURE-SIZED results only: pin the rows on the
+    * driver and rebuild the frame from them, cutting its lineage — so
+    * the scratch dirs / checkpoints the plan reads can be deleted (or
+    * session confs restored) before the entry returns. Every call site
+    * is bounded by construction (key-count or top-k results); never
+    * use on corpus-sized output. One shared helper replaces the
+    * per-call-site copies. */
+  def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rows = df.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+  }
+
   /** Recursive scratch-dir delete with the walk stream CLOSED — Files.walk
     * holds directory fds until its Stream closes, and the registry's
     * sink/scratch queries run twice per bench session. One shared helper

@@ -562,9 +562,7 @@ object CdcQueries {
     // deleted before returning. Production streaming ingest is
     // [[Pipeline.ingestStream]] itself — it returns the running
     // StreamingQuery and never materializes anything on the driver.
-    val rows = snap.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), snap.schema)
+    val out = Tables.materialize(snap)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
     }

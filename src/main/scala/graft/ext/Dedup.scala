@@ -1540,10 +1540,7 @@ object Dedup {
       // the scratch tables + checkpoint can be deleted before returning
       // (the c17/o26 standard). Production keeps the decisions table —
       // it IS the output a live ingest maintains.
-      val decisions = graft.sources.CommitSink.readCommitted(spark, outPath)
-      val rows = decisions.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), decisions.schema)
+      Tables.materialize(graft.sources.CommitSink.readCommitted(spark, outPath))
     } finally {
       sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
       Tables.deleteRecursively(base)
@@ -1640,10 +1637,7 @@ object Dedup {
         "d33: the refused resume must not land a commit")
       // HARNESS SHIM, fixture-sized (see d32): materialize the decision
       // set so the scratch tables + both checkpoints can be deleted
-      val decisions = graft.sources.CommitSink.readCommitted(spark, outPath)
-      val rows = decisions.collect().toSeq
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), decisions.schema)
+      Tables.materialize(graft.sources.CommitSink.readCommitted(spark, outPath))
     } finally {
       sharrIdx.unpersist(); bandsIdx.unpersist(); idxHash.unpersist()
       Tables.deleteRecursively(base)

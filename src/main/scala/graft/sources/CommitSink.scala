@@ -1358,23 +1358,29 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     * decoder); an APPEND joins the table's existing payload (an
     * explicit conflicting option is refused, like a schema mismatch —
     * and the commit-time CAS retry re-checks, see commitAppend); a
-    * TRUNCATE or first write takes `option("payload", ...)`, defaulting
-    * to parquet — the at-scale encoder ([[ParquetPayload]]); "json"
-    * keeps the original fixture-portable lines format. */
+    * TRUNCATE keeps the table's recorded payload unless
+    * `option("payload", ...)` explicitly switches it — a table pinned
+    * to json via TBLPROPERTIES must not silently flip to parquet on an
+    * un-optioned INSERT OVERWRITE (the catalog table object carries no
+    * options, so the manifest is the only place the choice survives);
+    * a FIRST write takes the option, defaulting to parquet — the
+    * at-scale encoder ([[ParquetPayload]]); "json" keeps the original
+    * fixture-portable lines format. */
   private lazy val payload: String = {
     val opt = Option(info.options.get("payload")).map(_.trim.toLowerCase)
     opt.foreach(p => require(p == "json" || p == "parquet",
       s"graft-commit: option payload must be 'json' or 'parquet', got '$p'"))
     effectiveRewrite.map(_.planning.payload).getOrElse {
-      val existing =
-        if (doTruncateFlag) None else CommitSink.parseManifest(Paths.get(path))
-      existing match {
+      CommitSink.parseManifest(Paths.get(path)) match {
         case Some(m) =>
-          opt.foreach(p => require(p == m.payload,
-            s"graft-commit: append payload mismatch at $path — the table is " +
-              s"'${m.payload}' but this write asked for '$p'; use overwrite " +
-              "(truncate) to switch the payload format"))
-          m.payload
+          if (doTruncateFlag) opt.getOrElse(m.payload) // truncate MAY switch
+          else {
+            opt.foreach(p => require(p == m.payload,
+              s"graft-commit: append payload mismatch at $path — the table is " +
+                s"'${m.payload}' but this write asked for '$p'; use overwrite " +
+                "(truncate) to switch the payload format"))
+            m.payload
+          }
         case None => opt.getOrElse("parquet")
       }
     }
@@ -1495,6 +1501,11 @@ class CommitRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
     val mode =
       try SparkSession.active.conf.get("spark.graft.commit.runtimeGroupFilter", "auto")
       catch { case _: Throwable => "auto" }
+    // a typo'd value must not silently become the heuristic — the
+    // sibling deleteMode/rowLevelMode knobs hard-fail the same way
+    require(mode == "always" || mode == "never" || mode == "auto",
+      "graft-commit: spark.graft.commit.runtimeGroupFilter must be " +
+        s"'always', 'never' or 'auto', got '$mode'")
     mode match {
       case "always" => true
       case "never"  => false
@@ -2144,18 +2155,30 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     }
   }
   private val seen = new Array[Boolean](schema.length)
+  /** Columns whose segment saw a NaN: no range recorded (see noteD). */
+  private val nanPoisoned = new Array[Boolean](schema.length)
   private val minL = new Array[Long](schema.length)
   private val maxL = new Array[Long](schema.length)
   private val minD = new Array[Double](schema.length)
   private val maxD = new Array[Double](schema.length)
-  private def resetStats(): Unit = java.util.Arrays.fill(seen, false)
+  private def resetStats(): Unit = {
+    java.util.Arrays.fill(seen, false)
+    java.util.Arrays.fill(nanPoisoned, false)
+  }
   private def noteL(i: Int, v: Long): Unit =
     if (!seen(i)) { seen(i) = true; minL(i) = v; maxL(i) = v }
     else { if (v < minL(i)) minL(i) = v; if (v > maxL(i)) maxL(i) = v }
   private def noteD(i: Int, v: Double): Unit =
-    // NaN stays out of ranges: range predicates never match NaN, so
-    // pruning by NaN-free bounds stays conservative (see CommitSkip)
-    if (!v.isNaN) {
+    // A NaN POISONS the column's range for this segment: Spark SQL's
+    // total order puts NaN ABOVE every value (`value > 95.0` is TRUE
+    // for a NaN row), so a NaN-free recorded range would let
+    // `GreaterThan` prune a file whose NaN rows actually match — a
+    // silently-missing row on reads and, worse, an un-deleted row on
+    // the metadata DELETE path. A poisoned column records NO range
+    // (absent stats = never prune), which is sound at the cost of
+    // pruning only on NaN-containing files.
+    if (v.isNaN) nanPoisoned(i) = true
+    else if (!nanPoisoned(i)) {
       if (!seen(i)) { seen(i) = true; minD(i) = v; maxD(i) = v }
       else { if (v < minD(i)) minD(i) = v; if (v > maxD(i)) maxD(i) = v }
     }
@@ -2183,7 +2206,7 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       schema.fields.iterator.zipWithIndex.collect {
         case (f, i) if seen(i) && statKind(i) == 'l' =>
           f.name -> CommitSink.ColRange('l', minL(i).toString, maxL(i).toString)
-        case (f, i) if seen(i) && statKind(i) == 'd' =>
+        case (f, i) if seen(i) && !nanPoisoned(i) && statKind(i) == 'd' =>
           f.name -> CommitSink.ColRange('d', minD(i).toString, maxD(i).toString)
       }.toMap).encode
 
@@ -2542,7 +2565,9 @@ class CommitChangesScan(path: String, manifest: CommitSink.Manifest,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new CommitTableMicroBatchStream(path, manifest.ddl, maxCommitsPerTrigger,
       payload = manifest.payload, snapshotOnRewrite = snapshotOnRewrite,
-      changeFeed = true)
+      changeFeed = true,
+      // startingVersion is INCLUSIVE: the first batch begins there
+      startAfter = startingVersion.map(_ - 1).getOrElse(-1L))
   override def description(): String =
     s"graft-commit change feed of $path " +
       s"[${startingVersion.getOrElse(0L)}..${endingVersion.getOrElse(manifest.commit)}]"
@@ -2881,7 +2906,17 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
                                     * instead of its appended files —
                                     * vector commits become 'delete'
                                     * rows rather than refusals. */
-                                  changeFeed: Boolean = false)
+                                  changeFeed: Boolean = false,
+                                  /** Last commit id BEFORE the stream's
+                                    * first batch (-1 = genesis). A CDF
+                                    * stream's `startingVersion` option
+                                    * lands here as startingVersion - 1,
+                                    * so a FRESH checkpoint begins at the
+                                    * requested version instead of
+                                    * re-delivering the whole history;
+                                    * a restored checkpoint's offset
+                                    * wins, as always. */
+                                  startAfter: Long = -1L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -2922,7 +2957,7 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
         "stream from a fresh checkpoint to read the new table")
   }
 
-  override def initialOffset(): Offset = CommitPos(-1L, generation)
+  override def initialOffset(): Offset = CommitPos(startAfter, generation)
 
   /** Versions that still have a manifest: admission steps only through
     * EXISTING versions (snapshot expiry may have GC'd intermediate ones
@@ -3017,6 +3052,13 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
           try manifestAt(endCommit)
           catch { case _: IllegalArgumentException =>
             CommitSink.parseManifest(dir).getOrElse(manifestAt(-1L)) }
+        // a truncate may have switched the payload under the stream —
+        // the CDF reader decodes parquet only, so refuse instead of
+        // parsing the wrong format as data
+        require(m.payload == "parquet" || m.files.isEmpty,
+          s"graft-commit: the change feed's snapshot re-bootstrap found a " +
+            s"'${m.payload}'-payload table at $path — restart the stream " +
+            "from a fresh checkpoint")
         m.files.map { f =>
           CommitChangesPartition(Paths.get(path, f).toString,
             m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
@@ -3053,8 +3095,18 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
         catch { case _: IllegalArgumentException =>
           CommitSink.parseManifest(dir).getOrElse(manifestAt(-1L)) }
       else manifestAt(end.asInstanceOf[CommitPos].commit)
+    // a re-bootstrap (or any emitted batch) must decode with THIS
+    // stream's reader: a truncate that switched the payload under the
+    // stream is refused loudly instead of parsed as the wrong format
+    def checkPayload(m: CommitSink.Manifest): CommitSink.Manifest = {
+      require(m.payload == payload || m.files.isEmpty,
+        s"graft-commit: the table at $path switched payload " +
+          s"('$payload' -> '${m.payload}') under this stream — restart " +
+          "from a fresh checkpoint")
+      m
+    }
     if (snapshotOnRewrite && !genMatches(sp))
-      return part(endM, endM.files) // generation change: full re-bootstrap
+      return part(checkPayload(endM), endM.files) // generation change: re-bootstrap
     checkGeneration(sp)
     val from = sp.commit
     val to = end.asInstanceOf[CommitPos].commit
@@ -3066,7 +3118,7 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
         try Some(manifestAt(from))
         catch { case _: IllegalArgumentException => None }
       else Some(manifestAt(from))
-    if (beforeOpt.isEmpty) return part(endM, endM.files)
+    if (beforeOpt.isEmpty) return part(checkPayload(endM), endM.files)
     val beforeM = beforeOpt.get
     val before = beforeM.files.toSet
     val removed = before -- endM.files.toSet
@@ -3079,7 +3131,7 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
       // a rewrite landed inside the range: refuse (default) or, under
       // snapshotOnRewrite, re-bootstrap — emit the END snapshot whole;
       // later ranges resume incremental tailing from `to`
-      if (snapshotOnRewrite) return part(endM, endM.files)
+      if (snapshotOnRewrite) return part(checkPayload(endM), endM.files)
       sys.error(s"graft-commit: commits ${from + 1}..$to of $path removed " +
         s"${removed.size} file(s) / changed ${dvChanged.size} deletion " +
         "vector(s) (truncate/DML/compaction/merge-on-read delete) — a " +
@@ -3170,6 +3222,10 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
 
   @scala.annotation.tailrec
   private def advance(): Boolean = {
+    // delete mode emits ONLY the diff positions: once the cursor is
+    // exhausted, stop — never decode the rest of a 10M-row file to
+    // skip it (the read side of "a delete costs bytes-per-position")
+    if (keep && ptr >= positions.length) { closeOnce(); return false }
     val g = groups.next()
     if (g == null) { closeOnce(); false }
     else {

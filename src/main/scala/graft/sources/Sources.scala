@@ -172,9 +172,7 @@ object Sources {
     // materialize the (priority-count-sized, ≤5-row) aggregate so the
     // scratch generations can be deleted before returning — the merged
     // READ is still the distributed mergeSchema scan under test
-    val rows = merged.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), merged.schema)
+    val out = graft.Tables.materialize(merged)
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
     }
@@ -642,9 +640,7 @@ object Sources {
     // HARNESS SHIM, fixture-sized by construction (97 keys: id % 97):
     // materialize so the checkpoint scratch can be deleted before
     // returning — the statestore read is lazy over it
-    val rows = snap.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), snap.schema)
+    val out = graft.Tables.materialize(snap)
     graft.Tables.deleteRecursively(ck)
     out
   }
@@ -784,9 +780,7 @@ object Sources {
     // HARNESS SHIM, fixture-sized by construction (3 rows per event
     // type): materialize so the scratch table + checkpoint can be
     // deleted before returning
-    val rows = lead.collect().toSeq
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), lead.schema)
+    val out = graft.Tables.materialize(lead)
     graft.Tables.deleteRecursively(base)
     out
   }
@@ -1101,8 +1095,7 @@ object Sources {
       // materialize under the SPJ confs (the bucket-count-sized result),
       // then restore — leaving a session-wide conf flipped would change
       // every later query's planning
-      val rows = joined.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), joined.schema)
+      graft.Tables.materialize(joined)
     } finally {
       prevBucketing.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
         conf.set("spark.sql.sources.v2.bucketing.enabled", _))

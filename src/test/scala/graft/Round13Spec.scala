@@ -739,6 +739,57 @@ class Round13Spec extends AnyFunSuite {
     assert(sources.CommitSink.compactDeletes(spark, path, 0.5).isEmpty)
   }
 
+  test("zone maps: a NaN poisons its column's range — the file is never pruned") {
+    val dir = freshDir("nan_zonemap")
+    // file A: ids 0..9 with small values + ONE NaN; file B: ids 100..109,
+    // values ~1000 (range-clustered so the layouts are two clean zones)
+    spark.range(10L).select($"id",
+        when($"id" === 5, lit(Double.NaN)).otherwise($"id" * 0.1).as("v"))
+      .unionByName(spark.range(100L, 110L).select($"id", ($"id" * 10.0).as("v")))
+      .repartitionByRange(2, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val df = spark.read.format("graft-commit").option("path", dir).load()
+      .filter($"v" > 5000.0) // Spark's total order: NaN > 5000.0 is TRUE
+    // the NaN row MUST survive: with a NaN-free recorded range
+    // (max 0.9), file A would be pruned and the row silently lost
+    assert(df.count() == 1L)
+    assert(df.head().getLong(0) == 5L)
+    // and the metadata DELETE path must not skip the file either
+    val (cat, root) = withCatalog("nan_delete")
+    val path = s"$root/default/t"
+    spark.read.format("graft-commit").option("path", dir).load()
+      .repartitionByRange(2, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    spark.sql(s"DELETE FROM $cat.`default`.t WHERE v > 5000.0")
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 19L,
+      "the NaN row matches v > 5000.0 and must be deleted")
+    // a NaN-free column still prunes: the id zone maps are intact
+    val pruned = spark.read.format("graft-commit").option("path", dir).load()
+      .filter($"id" >= 100L).select($"id")
+    pruned.collect()
+    val desc = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head.scan.description()
+    assert(desc.contains("files: 1/2"), s"id ranges still prune: $desc")
+  }
+
+  test("payload: an un-optioned INSERT OVERWRITE keeps a json table json") {
+    val (cat, root) = withCatalog("payload_pin")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (id BIGINT) USING `graft-commit` " +
+      "TBLPROPERTIES ('payload'='json')")
+    val path = s"$root/default/t"
+    assert(manifest(path).payload == "json")
+    spark.sql(s"INSERT OVERWRITE $cat.`default`.t SELECT id FROM range(5)")
+    assert(manifest(path).payload == "json",
+      "the TBLPROPERTIES choice must survive an un-optioned overwrite")
+    assert(manifest(path).files.forall(_.endsWith(".json")))
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 5L)
+    // an EXPLICIT truncate option still switches
+    spark.range(3L).select($"id").write.format("graft-commit")
+      .option("path", path).option("payload", "parquet").mode("overwrite").save()
+    assert(manifest(path).payload == "parquet")
+  }
+
   // --- o29: change data feed ------------------------------------------------
 
   /** 3-commit history: v0 = ids 0..49 (2 files), v1 = ids 50..99
@@ -823,6 +874,25 @@ class Round13Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
     assert(streamed == batch,
       "streaming and batch feeds are one per-commit planner")
+  }
+
+  test("cdf stream: startingVersion bounds a FRESH checkpoint") {
+    val (_, path) = cdfTable("cdf_start")
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = spark.readStream.format("graft-commit").option("path", path)
+      .option("readChangeFeed", true).option("startingVersion", 2).load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select($"_change_type", $"_commit_version").collect()
+          .foreach(r => got.add((r.getString(0), r.getLong(1)))); ()
+      }
+      .option("checkpointLocation", freshDir("cdf_start_ck")).start()
+    try q.processAllAvailable() finally q.stop()
+    q.exception.foreach(e => throw e)
+    import scala.jdk.CollectionConverters._
+    val seen = got.asScala.toSeq
+    assert(seen.size == 10 && seen.forall(_ == ("delete", 2L)),
+      s"only version 2's changes may arrive: $seen")
   }
 
   test("cdf: a rewrite refuses; snapshotOnRewrite re-bootstraps with vectors applied") {
