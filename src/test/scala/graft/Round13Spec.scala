@@ -929,6 +929,32 @@ class Round13Spec extends AnyFunSuite {
     assert(drain(flag = true) == 90L)
   }
 
+  test("mor delete: an identity-partitioned table keeps its layout, vectors apply per key group") {
+    val (cat, root) = withCatalog("mor_partitioned")
+    val path = s"$root/default/t"
+    spark.range(400L).select($"id", ($"id" % 4).as("k"), ($"id" * 1.0).as("v"))
+      .write.format("graft-commit").option("path", path)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val before = manifest(path)
+    withDeleteMode("merge-on-read") {
+      // translatable predicate -> the metadata MOR path; only the delta
+      // (UPDATE/MERGE) op needs unpartitioned layouts — a vector DELETE
+      // changes no files, so the one-key-per-file contract is untouched
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id >= 100 AND id < 120")
+    }
+    val after = manifest(path)
+    assert(after.files == before.files && after.partCol.contains("k"))
+    assert(after.deletes.nonEmpty, "positions landed as vectors")
+    // the KEYED file-group partitions carry the vectors: reads through
+    // the KeyGroupedPartitioning path apply them
+    val back = spark.read.format("graft-commit").option("path", path).load()
+    assert(back.count() == 380L)
+    assert(back.filter($"id" >= 100 && $"id" < 120).count() == 0L)
+    // and the zero-exchange storage-partitioned join still works on the
+    // vector'd table (the o16 contract survives MOR deletes)
+    assert(back.groupBy($"k").count().collect().map(_.getLong(1)).sum == 380L)
+  }
+
   test("mor delete: a concurrent commit fails the vector CAS (statement retry)") {
     val dir = freshDir("mor_cas")
     spark.range(100L).select($"id")
