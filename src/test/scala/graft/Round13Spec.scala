@@ -9,14 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-13 wave: the parquet staged-file payload (full declared-type
   * surface), the MERGE group-filter profitability guard, changelog
-  * self-service recovery (snapshotOnRewrite), and the manifest scale
-  * proof.
+  * self-service recovery (snapshotOnRewrite), the manifest scale
+  * proof — and the MERGE-ON-READ family (o27-o30): deletion vectors,
+  * delta UPDATE/MERGE, the change data feed, and targeted vector
+  * maintenance.
   *
   *  - '''Parquet payload''': staged files default to columnar parquet;
   *    every declared type (timestamp/ntz, date, decimal narrow+wide,
   *    float, smallint, tinyint) round-trips bit-exactly through write →
   *    commit → DSv2 scan AND the Spark-native re-read; payloads are
-  *    homogeneous per lineage (append mismatch refused).
+  *    homogeneous per lineage (append mismatch refused; an un-optioned
+  *    truncate KEEPS the table's recorded choice).
   *  - '''Group-filter guard''': the matching-groups subquery only runs
   *    when the manifest's zone maps show prunable structure — a
   *    hash-scattered layout skips it (rewrite = statically planned
@@ -29,6 +32,18 @@ import org.scalatest.funsuite.AnyFunSuite
   *    parses in bounded time, and serves the metadata-only COUNT with
   *    zero data files on disk — the 100 TB planning story as a pinned
   *    number instead of a README sentence.
+  *  - '''Merge-on-read (o27/o28)''': DELETE records (file, _pos)
+  *    deletion vectors (data files untouched, vectors union, a fully-
+  *    covered file drops, COUNT stays metadata-only, GC protects
+  *    referenced vectors, density-adaptive container); UPDATE/MERGE go
+  *    delta-based (SupportsDelta — per trigger/statement, bytes
+  *    written ∝ rows changed); identity-partitioned layouts keep their
+  *    key groups under vectors; zone maps stay NaN-sound.
+  *  - '''Change data feed (o29)''': rows + _change_type/_commit_version
+  *    per commit, batch == streaming planner, startingVersion-bounded;
+  *    vector commits stream as 'delete' rows, rewrites still refuse.
+  *  - '''Vector maintenance (o30)''': compactDeletes rewrites only
+  *    delete-dominated files, sparse vectors carry.
   */
 class Round13Spec extends AnyFunSuite {
   import TestSpark._
