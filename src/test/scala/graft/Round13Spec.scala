@@ -788,6 +788,38 @@ class Round13Spec extends AnyFunSuite {
     assert(desc.contains("files: 1/2"), s"id ranges still prune: $desc")
   }
 
+  test("z-order clustered write: one sort key serves zone-map pruning on BOTH columns") {
+    val dir = freshDir("zorder_prune")
+    // two 8-bit dims over a 256x256 grid, one row per cell; the q68
+    // Morton key interleaves them, so range-clustering by zkey gives
+    // every committed file a TIGHT min/max box on x AND y — the
+    // Delta OPTIMIZE ZORDER layout, composed from the existing sorted
+    // write + o14 zone maps with zero new sink code
+    val a = ($"id" % 256).cast("long")
+    val b = (($"id" / 256) % 256).cast("long")
+    val z = (0 until 8).map { i =>
+      (shiftleft(shiftright(a, i) % 2, 2 * i) +
+        shiftleft(shiftright(b, i) % 2, 2 * i + 1)): org.apache.spark.sql.Column
+    }.reduce(_ + _)
+    spark.range(65536L)
+      .select(a.as("x"), b.as("y"), ($"id" * 1.0).as("v"), z.as("zkey"))
+      .repartitionByRange(16, $"zkey")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    // a 32x32 quadrant-aligned box = 1/64 of the space = ONE contiguous
+    // z-range: almost every file's x- or y-range provably excludes it.
+    // A layout sorted by x alone could prune on x but NEVER on y.
+    val box = spark.read.format("graft-commit").option("path", dir).load()
+      .filter($"x" >= 64 && $"x" < 96 && $"y" >= 128 && $"y" < 160)
+    assert(box.count() == 32L * 32L)
+    val desc = box.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head.scan.description()
+    val m = "files: (\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+    assert(m.group(2).toInt == 16, desc)
+    assert(m.group(1).toInt <= 4,
+      s"a 1/64 box over a z-clustered layout must prune most files: $desc")
+  }
+
   test("payload: an un-optioned INSERT OVERWRITE keeps a json table json") {
     val (cat, root) = withCatalog("payload_pin")
     spark.sql(s"CREATE TABLE $cat.`default`.t (id BIGINT) USING `graft-commit` " +
