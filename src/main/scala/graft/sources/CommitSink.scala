@@ -240,6 +240,12 @@ object CommitSink {
     if (to <= fromExclusive) return Array.empty
     val first = if (fromExclusive < 0) 0L else fromExclusive
     val have = listVersions(dir).toSet
+    // a `to` beyond the newest commit is a caller error (an endingVersion
+    // typo), not a retention problem — name it before the missing-manifest
+    // check would mislabel every absent version as 'expired'
+    require(have.nonEmpty && to <= have.max,
+      s"graft-commit: change feed endingVersion $to of $path does not " +
+        s"exist yet (newest commit: ${if (have.isEmpty) -1L else have.max})")
     val missing = (first to to).filterNot(have)
     require(missing.isEmpty,
       s"graft-commit: change feed needs every version in " +
@@ -303,13 +309,19 @@ object CommitSink {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       Files.newOutputStream(file)))
     try {
-      val nWords =
-        if (positions.isEmpty) 0 else (positions.last >>> 6).toInt + 1
-      if (positions.nonEmpty && nWords.toLong * 8 < positions.length.toLong * 8) {
+      // word count as a Long: a position at or above 2^37 would wrap the
+      // Int form ((p >>> 6).toInt + 1) into a negative/garbage count and
+      // corrupt the bitmap container — unreachable at realistic per-file
+      // row counts, but the positional container handles any Long
+      // position, so oversized vectors simply fall through to it
+      val nWords: Long =
+        if (positions.isEmpty) 0L else (positions.last >>> 6) + 1L
+      if (positions.nonEmpty && nWords <= Int.MaxValue.toLong &&
+          nWords * 8 < positions.length.toLong * 8) {
         out.writeInt(DV_MAGIC_BITMAP)
         out.writeInt(positions.length)
-        out.writeInt(nWords)
-        val words = new Array[Long](nWords)
+        out.writeInt(nWords.toInt)
+        val words = new Array[Long](nWords.toInt)
         positions.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63))
         words.foreach(out.writeLong)
       } else {
@@ -394,14 +406,23 @@ object CommitSink {
         val deleted = spark.createDataset(pairs)
           .flatMap { case (f, dv) => readDv(Paths.get(dv)).map(p => (f, p)) }
           .toDF("_graft_del_file", "_graft_del_pos")
+        // helper names must not collide with data columns: withColumn
+        // would silently REPLACE (and then drop) a data column named
+        // `_graft_src_file`/`_graft_src_pos` — uniquify instead, the same
+        // rule the scan applies by withdrawing _file/_pos on collision
+        def fresh(base0: String): String =
+          Iterator.from(0).map(i => if (i == 0) base0 else s"$base0$i")
+            .find(n => !schema.fieldNames.contains(n)).get
+        val srcFile = fresh("_graft_src_file")
+        val srcPos = fresh("_graft_src_pos")
         val stamped = base
-          .withColumn("_graft_src_file", col("_metadata.file_name"))
-          .withColumn("_graft_src_pos", col("_metadata.row_index"))
+          .withColumn(srcFile, col("_metadata.file_name"))
+          .withColumn(srcPos, col("_metadata.row_index"))
         stamped.join(deleted,
-            stamped("_graft_src_file") === deleted("_graft_del_file") &&
-              stamped("_graft_src_pos") === deleted("_graft_del_pos"),
+            stamped(srcFile) === deleted("_graft_del_file") &&
+              stamped(srcPos) === deleted("_graft_del_pos"),
             "left_anti")
-          .drop("_graft_src_file", "_graft_src_pos")
+          .drop(srcFile, srcPos)
       }
     }
   }
@@ -519,8 +540,14 @@ object CommitSink {
     Files.createDirectories(staging)
     try {
       // the DSv2 scan: applies existing vectors, stamps PHYSICAL
-      // positions, zone-prunes the pushed condition
-      val matched = spark.read.format(NAME).option("path", path).load()
+      // positions, zone-prunes the pushed condition. PINNED to the
+      // planning manifest via its immutable version file — the scan and
+      // the commit CAS below provably bind to one snapshot (an unpinned
+      // read here could scan a concurrently-swapped manifest, and the
+      // CAS failure would then be the only thing standing between a
+      // stale caller and mismatched positions)
+      val matched = spark.read.format(NAME).option("path", path)
+        .option("versionAsOf", planning.commit).load()
         .filter(coalesce(cond, lit(false))) // DELETE: NULL keeps the row
         .select(col(FILE_COL).as("f"), col(POS_COL).as("p"))
       val oldDvs: Map[String, String] =

@@ -447,6 +447,20 @@ object Sources {
     * STALE root when one session runs the query against two scale dirs
     * (the trap Round11Spec.withCatalog documents). Returns
     * (catalogName, freshly-wiped root). */
+  /** Session clone for registry entries that set DML-mode knobs or temp
+    * views (the d32 precedent): shared SparkContext and CacheManager,
+    * private conf/catalog/view state — a future parallel Verify cannot
+    * interleave one entry's knobs into another's statement. The
+    * scan-repartition knob is copied over because [[graft.Tables.load]]
+    * bakes it into the plan (cache substitution is plan-equality-based:
+    * a clone without the knob would silently MISS the warmed cache). */
+  private def dmlSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    spark.conf.getOption("graft.scan.repartition")
+      .foreach(s.conf.set("graft.scan.repartition", _))
+    s
+  }
+
   private def scopedCatalog(spark: SparkSession, tag: String,
                             dir: String): (String, String) = {
     val dirName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
@@ -808,22 +822,20 @@ object Sources {
     * stream refusing a vector commit as non-append-only. */
   def o27DeleteVectors(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    val (cat, root) = scopedCatalog(spark, "o27", dir)
+    // the MOR knob + catalog registration live on a CLONED session (the
+    // d32 precedent): registry entries must not mutate the shared
+    // session's conf — a future parallel Verify could interleave knobs
+    val dml = dmlSession(spark)
+    val (cat, root) = scopedCatalog(dml, "o27", dir)
     val path = s"$root/default/events"
     graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .repartitionByRange(8, col("event_id"))
       .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
-    val prev = spark.conf.getOption("spark.graft.commit.deleteMode")
-    spark.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
-    try {
-      spark.sql(s"DELETE FROM $cat.`default`.events " +
-        "WHERE event_id >= 100 AND event_id < 2000 AND event_type = 'click'")
-      spark.sql(s"DELETE FROM $cat.`default`.events WHERE value > 95.0D")
-    } finally {
-      prev.fold(spark.conf.unset("spark.graft.commit.deleteMode"))(
-        spark.conf.set("spark.graft.commit.deleteMode", _))
-    }
+    dml.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
+    dml.sql(s"DELETE FROM $cat.`default`.events " +
+      "WHERE event_id >= 100 AND event_id < 2000 AND event_type = 'click'")
+    dml.sql(s"DELETE FROM $cat.`default`.events WHERE value > 95.0D")
     CommitSink.readCommitted(spark, path)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -850,30 +862,33 @@ object Sources {
     * which DuckDB computes as COUNT(*) of the match predicate). */
   def o28MorMerge(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    val (cat, root) = scopedCatalog(spark, "o28", dir)
+    // cloned session: the MOR knob, the catalog registration AND the
+    // o28_src temp view are all session-scoped to this entry
+    val dml = dmlSession(spark)
+    val (cat, root) = scopedCatalog(dml, "o28", dir)
     val path = s"$root/default/ev"
-    val ev = graft.Tables.events(spark, dir)
+    // the source view must be OWNED by the clone — createTempView
+    // registers in the DataFrame's own session — so ev reads through dml
+    // (the CacheManager is shared state: the cached base-table plan
+    // substitutes across sessions)
+    val ev = graft.Tables.events(dml, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     ev.repartitionByRange(8, col("event_id"))
       .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
     val before = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
     val matched = ev.filter(col("event_id") < 50)
       .select(col("event_id"), (col("value") + 1.0).as("v"))
-    spark.catalog.dropTempView("o28_src")
+    dml.catalog.dropTempView("o28_src")
     matched.unionByName(matched.filter(col("event_id") % 2 === 0)
         .select((col("event_id") + 100000000L).as("event_id"), col("v")))
       .createTempView("o28_src")
-    val prev = spark.conf.getOption("spark.graft.commit.rowLevelMode")
-    spark.conf.set("spark.graft.commit.rowLevelMode", "merge-on-read")
-    try
-      spark.sql(s"""MERGE INTO $cat.`default`.ev t USING o28_src s
-                   ON t.event_id = s.event_id
-                   WHEN MATCHED AND t.value > 95.0D THEN DELETE
-                   WHEN MATCHED THEN UPDATE SET value = t.value + s.v
-                   WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
-                     VALUES (s.event_id, 'merged', s.v)""")
-    finally prev.fold(spark.conf.unset("spark.graft.commit.rowLevelMode"))(
-      spark.conf.set("spark.graft.commit.rowLevelMode", _))
+    dml.conf.set("spark.graft.commit.rowLevelMode", "merge-on-read")
+    dml.sql(s"""MERGE INTO $cat.`default`.ev t USING o28_src s
+               ON t.event_id = s.event_id
+               WHEN MATCHED AND t.value > 95.0D THEN DELETE
+               WHEN MATCHED THEN UPDATE SET value = t.value + s.v
+               WHEN NOT MATCHED THEN INSERT (event_id, event_type, value)
+                 VALUES (s.event_id, 'merged', s.v)""")
     val after = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
     val untouched = after.files.toSet.intersect(before.files.toSet).size
     val positions = after.files.flatMap(after.deletes.get).map(_.ndel).sum
@@ -902,7 +917,8 @@ object Sources {
     * oracle reproduces from the raw table. */
   def o29ChangeDataFeed(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    val (cat, root) = scopedCatalog(spark, "o29", dir)
+    val dml = dmlSession(spark)
+    val (cat, root) = scopedCatalog(dml, "o29", dir)
     val path = s"$root/default/ev"
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -911,11 +927,8 @@ object Sources {
       .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
     ev.filter(col("event_id") % 2 === 0)
       .write.format(CommitSink.NAME).option("path", path).mode("append").save()
-    val prev = spark.conf.getOption("spark.graft.commit.deleteMode")
-    spark.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
-    try spark.sql(s"DELETE FROM $cat.`default`.ev WHERE value > 90.0D")
-    finally prev.fold(spark.conf.unset("spark.graft.commit.deleteMode"))(
-      spark.conf.set("spark.graft.commit.deleteMode", _))
+    dml.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
+    dml.sql(s"DELETE FROM $cat.`default`.ev WHERE value > 90.0D")
     spark.read.format(CommitSink.NAME).option("path", path)
       .option("readChangeFeed", true).option("startingVersion", 0).load()
       .groupBy(col("_change_type").as("change_type"),
@@ -944,7 +957,8 @@ object Sources {
     * readout proves the position total, not the vector count). */
   def o30VectorMaintenance(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{count, lit, max, min}
-    val (cat, root) = scopedCatalog(spark, "o30", dir)
+    val dml = dmlSession(spark)
+    val (cat, root) = scopedCatalog(dml, "o30", dir)
     val path = s"$root/default/ev"
     graft.Tables.events(spark, dir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -963,20 +977,12 @@ object Sources {
     // both MOR knobs: the range DELETE takes the metadata path
     // (deleteMode), the modulo DELETE is untranslatable as V1 filters
     // and routes through the row-level operation (rowLevelMode) —
-    // either way, positions land as vectors, no file rewrites
-    val prevD = spark.conf.getOption("spark.graft.commit.deleteMode")
-    val prevR = spark.conf.getOption("spark.graft.commit.rowLevelMode")
-    spark.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
-    spark.conf.set("spark.graft.commit.rowLevelMode", "merge-on-read")
-    try {
-      spark.sql(s"DELETE FROM $cat.`default`.ev WHERE event_id <= $cut")
-      spark.sql(s"DELETE FROM $cat.`default`.ev WHERE event_id % 97 = 0 AND event_id > $cutHigh")
-    } finally {
-      prevD.fold(spark.conf.unset("spark.graft.commit.deleteMode"))(
-        spark.conf.set("spark.graft.commit.deleteMode", _))
-      prevR.fold(spark.conf.unset("spark.graft.commit.rowLevelMode"))(
-        spark.conf.set("spark.graft.commit.rowLevelMode", _))
-    }
+    // either way, positions land as vectors, no file rewrites. Knobs on
+    // the entry's cloned session only.
+    dml.conf.set("spark.graft.commit.deleteMode", "merge-on-read")
+    dml.conf.set("spark.graft.commit.rowLevelMode", "merge-on-read")
+    dml.sql(s"DELETE FROM $cat.`default`.ev WHERE event_id <= $cut")
+    dml.sql(s"DELETE FROM $cat.`default`.ev WHERE event_id % 97 = 0 AND event_id > $cutHigh")
     val rewritten = CommitSink.compactDeletes(spark, path, 0.5)
     val m = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
     CommitSink.readCommitted(spark, path)
