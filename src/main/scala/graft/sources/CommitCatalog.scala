@@ -27,9 +27,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * directory, defines the table — the same object-store-safe position
   * as the sink itself). CREATE TABLE lands an empty commit-0 manifest
   * through the same CAS'd writer every other path uses; DROP delegates
-  * to the shared recursive delete. ALTER/RENAME are deliberately
-  * unsupported — schema change on this sink is a truncate-rewrite, the
-  * copy-on-write discipline o12's DELETE follows.
+  * to the shared recursive delete. ALTER TABLE ADD COLUMNS is the one
+  * supported evolution (o31, a metadata-only commit — see
+  * [[alterTable]]); RENAME and every other ALTER stay a
+  * truncate-rewrite, the copy-on-write discipline o12's DELETE follows.
   */
 class CommitCatalog extends TableCatalog {
   private var catalogName: String = _
@@ -139,9 +140,62 @@ class CommitCatalog extends TableCatalog {
         org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))),
       partitions, properties)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-commit: ALTER is a truncate-rewrite on this sink (see scaladoc)")
+  /** Lakehouse SCHEMA EVOLUTION (o31) — `ALTER TABLE t ADD COLUMNS (c T)`:
+    * a METADATA-ONLY commit that widens the manifest DDL and carries
+    * every file, stat, vector and epoch verbatim. Old files simply lack
+    * the column and read as NULL — the parquet-payload reader's
+    * absent-field rule and Spark's native schema-on-read both already do
+    * this, and the zone-map rule "no recorded range = never prune / MIN
+    * and MAX see only NULLs there" keeps file skipping and metadata-only
+    * aggregation sound with zero special cases (the same semantics
+    * Iceberg's add-column gets from field-id projection). Time travel to
+    * a pre-ALTER version reads with the OLD schema (version manifests
+    * are immutable). Only ADD COLUMN is supported: it is the evolution
+    * appends need (the storage twin of the CDC path's in-flight schema
+    * evolution, consumer_to_file.py:155-168); renames/drops/retypes
+    * would change what EXISTING bytes mean and stay a truncate-rewrite.
+    *
+    * New columns must be nullable (existing rows have no value to give
+    * them), top-level, and appended at the END — a position clause would
+    * desync the payload's by-name decoding for no semantic gain. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = pathFor(ident)
+    val m = CommitSink.parseManifest(p).getOrElse(throw new NoSuchTableException(ident))
+    val cur = StructType.fromDDL(m.ddl)
+    val ok: org.apache.spark.sql.types.DataType => Boolean =
+      if (m.payload == "parquet") ParquetPayload.supported
+      else CommitSink.supportedTypes.contains
+    val widened = changes.foldLeft(cur) { (sch, ch) => ch match {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft-commit: ALTER ADD COLUMN supports top-level columns only, " +
+            s"got ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"graft-commit: column '$name' already exists in ${ident.name()}")
+        require(add.isNullable,
+          s"graft-commit: ALTER ADD COLUMN '$name' must be nullable — " +
+            "existing rows read the new column as NULL")
+        require(add.position() == null,
+          "graft-commit: ALTER ADD COLUMN FIRST/AFTER is unsupported — " +
+            "new columns append at the end")
+        require(ok(add.dataType()),
+          s"graft-commit (${m.payload} payload): unsupported ALTER column " +
+            s"type ${add.dataType().simpleString} for '$name'")
+        sch.add(org.apache.spark.sql.types.StructField(name, add.dataType()))
+      case other => throw new UnsupportedOperationException(
+        s"graft-commit: unsupported ALTER ($other) — only ADD COLUMN; " +
+          "renames/drops/retypes are a truncate-rewrite on this sink")
+    }}
+    // one metadata-only commit, CAS'd on the manifest this ALTER read —
+    // a concurrent writer landing mid-ALTER fails the swap loudly
+    CommitSink.writeManifest(p, widened.toDDL, m.files, m.commit + 1,
+      m.epochs, expectedPrev = m.commit, partCol = m.partCol,
+      stats = m.stats, tableId = CommitSink.carriedOrFreshTableId(Some(m)),
+      payload = m.payload, deletes = m.deletes)
+    new CommitSinkTable(p.toString, acceptAnySchema = false)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false

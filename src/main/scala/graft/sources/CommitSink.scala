@@ -1219,12 +1219,16 @@ class CommitSinkTable(path: String,
     () => {
       // o28: `spark.graft.commit.rowLevelMode=merge-on-read` selects the
       // DELTA-based operation (deletion vectors + appended files) for
-      // eligible tables — parquet payload (stable positions),
-      // unpartitioned (inserts would have to preserve the one-key-per-
-      // file layout), no `_file`/`_pos` data columns (the rowId needs
-      // the metadata columns). Ineligible tables fall back to group
-      // copy-on-write: the MODE is a cost knob, the RESULT is identical
-      // (Iceberg's write.update.mode/write.merge.mode position).
+      // eligible tables — parquet payload (stable positions), no
+      // `_file`/`_pos` data columns (the rowId needs the metadata
+      // columns). Partitioned tables are eligible too (since r14): the
+      // vector machinery is per-file and layout-blind, and the delta
+      // write preserves the one-key-per-file layout by clustering
+      // inserted rows on the partition column (the insert writer rolls
+      // per key exactly like a partitioned append). Ineligible tables
+      // fall back to group copy-on-write: the MODE is a cost knob, the
+      // RESULT is identical (Iceberg's write.update.mode/
+      // write.merge.mode position).
       val mode =
         try SparkSession.active.conf
           .get("spark.graft.commit.rowLevelMode", "copy-on-write")
@@ -1234,7 +1238,7 @@ class CommitSinkTable(path: String,
           s"'copy-on-write' or 'merge-on-read', got '$mode'")
       val eligible = mode == "merge-on-read" &&
         CommitSink.parseManifest(Paths.get(path)).exists { m =>
-          m.payload == "parquet" && m.partCol.isEmpty && {
+          m.payload == "parquet" && {
             val names = StructType.fromDDL(m.ddl).fieldNames
             !names.contains(CommitSink.FILE_COL) &&
               !names.contains(CommitSink.POS_COL)
@@ -1647,31 +1651,43 @@ class CommitDeltaRowLevelOperation(path: String, cmd: RowLevelOperation.Command)
     Array.empty
   override def representUpdateAsDeleteAndInsert(): Boolean = true
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
-    new CommitDeltaWriteBuilder(path, planning)
+    new CommitDeltaWriteBuilder(path, planning, cmd)
   override def description(): String =
     s"graft-commit $cmd (merge-on-read, deletion vectors)"
 }
 
-class CommitDeltaWriteBuilder(path: String, planning: CommitSink.Manifest)
+class CommitDeltaWriteBuilder(path: String, planning: CommitSink.Manifest,
+                              cmd: RowLevelOperation.Command)
     extends DeltaWriteBuilder {
-  override def build(): DeltaWrite = new CommitDeltaWrite(path, planning)
+  override def build(): DeltaWrite = new CommitDeltaWrite(path, planning, cmd)
 }
 
-class CommitDeltaWrite(path: String, planning: CommitSink.Manifest)
+class CommitDeltaWrite(path: String, planning: CommitSink.Manifest,
+                       cmd: RowLevelOperation.Command)
     extends DeltaWrite with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => CSortOrder}
   /** Cluster on `_file` so each committed file's delete positions land
     * in ONE task (one staged vector per file), ordered by position so
-    * the vector streams out sorted — Iceberg's position-delta layout. */
+    * the vector streams out sorted — Iceberg's position-delta layout.
+    *
+    * On a PARTITIONED table, UPDATE/MERGE writes also carry INSERTED
+    * rows (their `_file` rowId is null), which must land one-key-per-
+    * file: the partition column joins the clustering and the sort, so
+    * inserts of one key colocate and arrive contiguously at the insert
+    * writer's per-key roll. A pure DELETE's delta plan projects no data
+    * columns, so the partition column is only referenced when it can
+    * resolve. */
+  private def partRefs: Seq[String] =
+    if (cmd == RowLevelOperation.Command.DELETE) Seq.empty
+    else planning.partCol.toSeq
   override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(
-      Expressions.identity(CommitSink.FILE_COL): org.apache.spark.sql.connector.expressions.Expression))
-  override def requiredOrdering(): Array[CSortOrder] = Array(
-    Expressions.sort(Expressions.identity(CommitSink.FILE_COL),
-      SortDirection.ASCENDING),
-    Expressions.sort(Expressions.identity(CommitSink.POS_COL),
-      SortDirection.ASCENDING))
+    Distributions.clustered(
+      (CommitSink.FILE_COL +: partRefs).map(c =>
+        Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering(): Array[CSortOrder] =
+    ((CommitSink.FILE_COL +: partRefs) :+ CommitSink.POS_COL).map(c =>
+      Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
   override def toBatch: DeltaBatchWrite = new CommitDeltaBatchWrite(path, planning)
   override def description(): String = "graft-commit delta write"
 }
@@ -1690,7 +1706,8 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
     Files.createDirectories(CommitSink.stagingDir(dir, nonce))
     new CommitDeltaWriterFactory(path, planning.ddl, nonce,
-      planning.deletes.map { case (f, e) => f -> Paths.get(path, e.dv).toString })
+      planning.deletes.map { case (f, e) => f -> Paths.get(path, e.dv).toString },
+      planning.partCol)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -1745,7 +1762,7 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
       CommitSink.writeManifest(dir, planning.ddl, files, commitId,
         planning.epochs, // content lineage continues: the ledger carries
         expectedPrev = planning.commit,
-        partCol = None, // delta mode requires an unpartitioned table
+        partCol = planning.partCol, // DML preserves the table layout
         stats = planning.stats.view.filterKeys(files.toSet).toMap ++ newStats,
         tableId = CommitSink.carriedOrFreshTableId(Some(planning)),
         payload = planning.payload,
@@ -1769,10 +1786,11 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
 }
 
 class CommitDeltaWriterFactory(path: String, ddl: String, nonce: String,
-                               oldDvs: Map[String, String])
+                               oldDvs: Map[String, String],
+                               partCol: Option[String] = None)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
-    new CommitDeltaWriter(path, ddl, partitionId, taskId, nonce, oldDvs)
+    new CommitDeltaWriter(path, ddl, partitionId, taskId, nonce, oldDvs, partCol)
 }
 
 /** Executor-side delta writer: inserted rows stream through an ordinary
@@ -1784,11 +1802,16 @@ class CommitDeltaWriterFactory(path: String, ddl: String, nonce: String,
   * quantity a position-delete file holds anyway. */
 class CommitDeltaWriter(path: String, ddl: String, partitionId: Int,
                         taskId: Long, nonce: String,
-                        oldDvs: Map[String, String])
+                        oldDvs: Map[String, String],
+                        partCol: Option[String] = None)
     extends DeltaWriter[InternalRow] {
   private val staging = CommitSink.stagingDir(Paths.get(path), nonce)
+  // inserted rows of a partitioned table go through the same per-key
+  // rolling writer a partitioned append uses — each new file holds one
+  // key (with its pk recorded), preserving the storage-partitioned-join
+  // layout across MOR DML
   private val inserts = new CommitDataWriter(path, ddl, partitionId, taskId,
-    stagingSub = nonce, payload = "parquet")
+    partCol = partCol, stagingSub = nonce, payload = "parquet")
   private val dels = scala.collection.mutable.LinkedHashMap
     .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
 

@@ -996,6 +996,50 @@ object Sources {
         lit(m.files.flatMap(m.deletes.get).map(_.ndel).sum))
   }
 
+  /** o31: lakehouse SCHEMA EVOLUTION — `ALTER TABLE ADD COLUMNS` through
+    * [[graft.sources.CommitCatalog]], the storage twin of the CDC path's
+    * in-flight evolution (O9/c10; the reference ALTERs its ClickHouse
+    * table per new key, consumer_to_file.py:155-168): a metadata-only
+    * commit widens the manifest DDL and carries every file verbatim, old
+    * files read the new column as NULL (schema-on-read — no rewrite of
+    * a single byte, the 100 TB evolution story), appends after the ALTER
+    * land the full widened schema, and time travel to the pre-ALTER
+    * version still reads the OLD 3-column shape (immutable version
+    * manifests) — pinned by the `n_v0_cols` proof column. The readout
+    * buckets both generations together: `n_with_priority` counts
+    * non-NULL values of the ADDED column (exactly the post-ALTER rows)
+    * and `min_nullkey` proves WHICH rows read NULL (the pre-ALTER
+    * generation), so a reader that dropped or backfilled either
+    * generation hash-mismatches. */
+  def o31SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min, when}
+    val dml = dmlSession(spark)
+    val (cat, root) = scopedCatalog(dml, "o31", dir)
+    val path = s"$root/default/ord"
+    val ord = graft.Tables.orders(spark, dir)
+    // generation 0: three columns (commit 0)
+    ord.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    // the evolution commit (commit 1): metadata-only, zero files touched
+    dml.sql(s"ALTER TABLE $cat.`default`.ord ADD COLUMNS (o_orderpriority STRING)")
+    // generation 1: the widened schema appends (commit 2)
+    ord.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.format(CommitSink.NAME).option("path", path).mode("append").save()
+    // proof: the pre-ALTER version is still the 3-column table
+    val v0Cols = CommitSink.readCommittedVersion(spark, path, 0L).schema.length
+    CommitSink.readCommitted(spark, path)
+      .groupBy((col("o_orderkey") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("o_totalprice")).as("total_price"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        min(when(col("o_orderpriority").isNull, col("o_orderkey"))).as("min_nullkey"),
+        max(col("o_custkey")).as("max_custkey"))
+      .withColumn("n_v0_cols", lit(v0Cols))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1403,6 +1447,7 @@ object Sources {
     "o28_mor_merge" -> o28MorMerge _,
     "o29_change_data_feed" -> o29ChangeDataFeed _,
     "o30_vector_maintenance" -> o30VectorMaintenance _,
+    "o31_schema_evolution" -> o31SchemaEvolution _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1418,6 +1463,25 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // schema evolution: generation 0 (pre-ALTER) reads the added column
+    // as NULL, generation 1 carries real values; the version-0 read is
+    // the unchanged 3-column table (n_v0_cols)
+    "o31_schema_evolution" ->
+      s"""WITH t AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 1)
+          SELECT o_orderkey % 10 AS bucket, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("o_totalprice")} AS total_price,
+                 CAST(COUNT(o_orderpriority) AS BIGINT) AS n_with_priority,
+                 MIN(CASE WHEN o_orderpriority IS NULL THEN o_orderkey END)
+                   AS min_nullkey,
+                 MAX(o_custkey) AS max_custkey,
+                 CAST(3 AS INTEGER) AS n_v0_cols
+          FROM t GROUP BY 1""",
     // XML write -> schema-on-read must be value-lossless
     "o22_xml_roundtrip" ->
       s"""SELECT event_type, COUNT(*) AS n,

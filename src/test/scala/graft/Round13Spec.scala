@@ -626,18 +626,21 @@ class Round13Spec extends AnyFunSuite {
     assert(sources.CommitSink.readCommitted(spark, morPath).count() == 1050L)
   }
 
-  test("mor row-level ops: a partitioned table falls back to copy-on-write") {
-    val (cat, root) = withCatalog("mor_part")
+  test("mor row-level ops: a json-payload table falls back to copy-on-write") {
+    // r14 lifted the partitioned-table exclusion (Round14Spec pins the
+    // delta path's layout preservation); the payload gate remains — json
+    // lines have no stable physical positions for a vector to name
+    val (cat, root) = withCatalog("mor_json_cow")
     val path = s"$root/default/t"
-    spark.range(100L).select($"id", ($"id" % 4).as("k"), ($"id" * 1.0).as("v"))
+    spark.range(100L).select($"id", ($"id" * 1.0).as("v"))
       .write.format("graft-commit").option("path", path)
-      .option("partitionBy", "k").mode("overwrite").save()
+      .option("payload", "json").mode("overwrite").save()
     withRowLevelMode("merge-on-read") {
       spark.sql(s"UPDATE $cat.`default`.t SET v = -1.0 WHERE id = 7")
     }
     val m = manifest(path)
     assert(m.deletes.isEmpty,
-      "partitioned layout: no vectors — the COW path preserves one-key-per-file")
+      "json payload: no vectors — the COW path rewrites instead")
     val back = sources.CommitSink.readCommitted(spark, path)
     assert(back.filter($"v" === -1.0).count() == 1L && back.count() == 100L)
   }
