@@ -193,7 +193,8 @@ class CommitCatalog extends TableCatalog {
     CommitSink.writeManifest(p, widened.toDDL, m.files, m.commit + 1,
       m.epochs, expectedPrev = m.commit, partCol = m.partCol,
       stats = m.stats, tableId = CommitSink.carriedOrFreshTableId(Some(m)),
-      payload = m.payload, deletes = m.deletes)
+      payload = m.payload, deletes = m.deletes,
+      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes)
     new CommitSinkTable(p.toString, acceptAnySchema = false)
   }
 

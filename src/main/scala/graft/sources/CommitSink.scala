@@ -209,6 +209,23 @@ object CommitSink {
     * opening the vector). */
   private[graft] case class DvEntry(dv: String, ndel: Long)
 
+  /** One EQUALITY-DELETE file (o32) — Iceberg v2's second delete form:
+    * a parquet-payload file of `nkeys` DISTINCT key tuples over columns
+    * `cols` (';'-joined data-column names; their types come from the
+    * table DDL). It deletes every row of any data file whose recorded
+    * sequence is strictly BELOW `seq` whose key tuple appears in the
+    * file — which is what lets a streaming upsert commit "replace these
+    * keys" with ZERO reads: the new rows land at seq == the delete's
+    * seq, so they are exempt by the strict inequality, while every
+    * older file is covered. Position deletes (DvEntry) name rows the
+    * writer had to FIND; equality deletes name rows by VALUE and defer
+    * the finding to readers (or to [[convertEqDeletes]], the
+    * maintenance op that turns them into vectors). */
+  private[graft] case class EqDelete(file: String, seq: Long,
+                                     nkeys: Long, cols: String) {
+    def colNames: Seq[String] = cols.split(";").toSeq
+  }
+
   // --- CHANGE DATA FEED (o29) ------------------------------------------
   // `option("readChangeFeed", true)`: rows + Delta's CDF columns. What
   // makes it possible here is the deletion-vector representation — a
@@ -269,6 +286,11 @@ object CommitSink {
           "vector commit) — a change feed can only express appends and " +
           "deletion-vector commits; restart from a fresh checkpoint past " +
           "the rewrite")
+      require(prev.eqDeletes == cur.eqDeletes,
+        s"graft-commit: commit $v of $path changed its equality deletes " +
+          "(an upsert-by-key write) — the rows such a delete matches are " +
+          "unknown without a scan, so the change feed cannot express it; " +
+          "convertEqDeletes turns them into expressible vectors")
       def abs(f: String) = Paths.get(path, f).toString
       cur.files.filterNot(prev.files.contains).foreach { f =>
         parts += CommitChangesPartition(abs(f),
@@ -387,42 +409,75 @@ object CommitSink {
     if (m.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{broadcast, col}
       val paths = m.files.map(f => Paths.get(dir, f).toString)
       val r = spark.read.schema(schema)
       val base = if (m.payload == "parquet") r.parquet(paths: _*) else r.json(paths: _*)
       val dvs = m.files.flatMap(f => m.deletes.get(f).map(f -> _))
-      if (dvs.isEmpty) base
+      if (dvs.isEmpty && m.eqDeletes.isEmpty) base
       else {
-        // merge-on-read: anti-join away the deleted (file, position)
-        // pairs using the native scan's own _metadata device. The
-        // vectors are read on EXECUTORS (the pair list shipped is
-        // file-count-sized, the positions dataset is deleted-row-sized
-        // and distributed), and Spark's file-name + row-index metadata
-        // matches the sink readers' position contract: physical row
-        // order within each file.
-        import spark.implicits._
-        import org.apache.spark.sql.functions.col
-        val pairs = dvs.map { case (f, e) => (f, Paths.get(dir, e.dv).toString) }
-        val deleted = spark.createDataset(pairs)
-          .flatMap { case (f, dv) => readDv(Paths.get(dv)).map(p => (f, p)) }
-          .toDF("_graft_del_file", "_graft_del_pos")
         // helper names must not collide with data columns: withColumn
         // would silently REPLACE (and then drop) a data column named
         // `_graft_src_file`/`_graft_src_pos` — uniquify instead, the same
-        // rule the scan applies by withdrawing _file/_pos on collision
-        def fresh(base0: String): String =
-          Iterator.from(0).map(i => if (i == 0) base0 else s"$base0$i")
+        // rule the scan applies by withdrawing _file/_pos on collision.
+        // Both filters need the native scan's `_metadata` device, which
+        // only resolves on the BASE relation — stamp once, before any join.
+        def fresh(b: String): String =
+          Iterator.from(0).map(i => if (i == 0) b else s"$b$i")
             .find(n => !schema.fieldNames.contains(n)).get
         val srcFile = fresh("_graft_src_file")
         val srcPos = fresh("_graft_src_pos")
-        val stamped = base
+        var out = base
           .withColumn(srcFile, col("_metadata.file_name"))
           .withColumn(srcPos, col("_metadata.row_index"))
-        stamped.join(deleted,
-            stamped(srcFile) === deleted("_graft_del_file") &&
-              stamped(srcPos) === deleted("_graft_del_pos"),
+        // merge-on-read vectors (o27): anti-join away the deleted
+        // (file, position) pairs. The vectors are read on EXECUTORS (the
+        // pair list shipped is file-count-sized, the positions dataset is
+        // deleted-row-sized and distributed); Spark's file-name +
+        // row-index metadata matches the sink readers' position contract.
+        if (dvs.nonEmpty) {
+          val pairs = dvs.map { case (f, e) => (f, Paths.get(dir, e.dv).toString) }
+          val deleted = spark.createDataset(pairs)
+            .flatMap { case (f, dv) => readDv(Paths.get(dv)).map(p => (f, p)) }
+            .toDF("_graft_del_file", "_graft_del_pos")
+          out = out.join(deleted,
+            out(srcFile) === deleted("_graft_del_file") &&
+              out(srcPos) === deleted("_graft_del_pos"),
             "left_anti")
-          .drop(srcFile, srcPos)
+        }
+        // equality deletes (o32): anti-join each key file's tuples
+        // against rows of STRICTLY-OLDER data files — key equality is
+        // SQL equality (a NULL key matches nothing), and the sequence
+        // comparison scopes every delete to the files it was committed
+        // above. Key sets are batch-sized: broadcast.
+        if (m.eqDeletes.nonEmpty) {
+          val srcSeq = fresh("_graft_src_seq")
+          val seqDf = broadcast(
+            m.files.map(f => (f, m.seqOf(f))).toDF(srcFile, srcSeq))
+          out = out.join(seqDf, srcFile)
+          m.eqDeletes.groupBy(_.cols).foreach { case (_, group) =>
+            val keyCols = group.head.colNames
+            val keySchema = StructType(keyCols.map(c => schema(schema.fieldIndex(c))))
+            val delFile = fresh("_graft_eqdel_file")
+            val delSeq = fresh("_graft_eqdel_seq")
+            // rename key columns BY NAME (the USING join reorders
+            // columns, so a positional rename would mislabel them)
+            val del = keyCols.foldLeft(
+              spark.read.schema(keySchema)
+                .parquet(group.map(e => Paths.get(dir, e.file).toString): _*)
+                .withColumn(delFile, col("_metadata.file_name"))
+                .join(broadcast(group.map(e => (e.file, e.seq)).toDF(delFile, delSeq)),
+                  delFile)) {
+              (d, c) => d.withColumnRenamed(c, "_graft_k_" + c)
+            }
+            val cond = keyCols.map(c => out(c) === del("_graft_k_" + c))
+              .reduce(_ && _) && del(delSeq) > out(srcSeq)
+            out = out.join(broadcast(del), cond, "left_anti")
+          }
+          out = out.drop(srcSeq)
+        }
+        out.drop(srcFile, srcPos)
       }
     }
   }
@@ -550,56 +605,131 @@ object CommitSink {
         .option("versionAsOf", planning.commit).load()
         .filter(coalesce(cond, lit(false))) // DELETE: NULL keeps the row
         .select(col(FILE_COL).as("f"), col(POS_COL).as("p"))
-      val oldDvs: Map[String, String] =
-        planning.deletes.map { case (f, e) => f -> Paths.get(path, e.dv).toString }
-      val stagingStr = staging.toString
-      val staged: Map[String, (String, Long)] = matched
-        .groupBy($"f").agg(sort_array(collect_list($"p")).as("ps"))
-        .as[(String, Seq[Long])]
-        .mapPartitions { it =>
-          it.map { case (f, ps) =>
-            val old = oldDvs.get(f).map(p => readDv(Paths.get(p)))
-              .getOrElse(Array.empty[Long])
-            val merged = (old ++ ps).sorted
-            val name = s"dv-$f"
-            writeDv(Paths.get(stagingStr, name), merged)
-            (f, name, merged.length.toLong)
-          }
-        }.collect().map { case (f, n, c) => f -> (n, c) }.toMap
-      if (staged.isEmpty) return // nothing matched: no new version
-      val commitId = planning.commit + 1
-      val rowsOf = planning.stats.map { case (f, e) => f -> FileStat.decode(e).rows }
-      // a file whose vector covers every physical row is DROPPED from the
-      // manifest (the classic point: MOR must not keep reading a file
-      // that contributes nothing); its bytes stay for older versions
-      val dead = staged.collect {
-        case (f, (_, n)) if rowsOf.get(f).contains(n) => f
-      }.toSet
-      val files = planning.files.filterNot(dead)
-      val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, DvEntry)]
-      try {
-        staged.toSeq.sortBy(_._1).filterNot(e => dead(e._1)).zipWithIndex
-          .foreach { case ((f, (name, n)), i) =>
-            val fin = f"part-dv-c$commitId%05d-$nonce-$i%05d.bin"
-            Files.move(staging.resolve(name), dir.resolve(fin),
-              StandardCopyOption.ATOMIC_MOVE)
-            promoted += (f -> DvEntry(fin, n))
-          }
-        writeManifest(dir, planning.ddl, files, commitId,
-          planning.epochs, // content lineage continues: the ledger carries
-          expectedPrev = planning.commit,
-          partCol = planning.partCol,
-          stats = planning.stats.view.filterKeys(files.toSet).toMap,
-          tableId = carriedOrFreshTableId(Some(planning)),
-          payload = planning.payload,
-          deletes = (planning.deletes ++ promoted).view
-            .filterKeys(files.toSet).toMap)
-      } catch { case e: Throwable =>
-        // refused CAS / failed promote: leave no trace (the rewrite rule)
-        promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._2.dv)))
-        throw e
-      }
+      commitPositionsAsVectors(spark, path, planning, matched,
+        nonce, staging, dropEq = false)
     } finally sweepStaging(dir, nonce)
+  }
+
+  /** Stage per-file merged deletion vectors for `matched` (f, p) rows and
+    * land them as ONE CAS'd commit — shared by [[deleteToVectors]] (cond
+    * scan: positions disjoint from existing vectors by construction) and
+    * [[convertEqDeletes]] (native scan: positions may duplicate existing
+    * vector entries, hence the distinct merge). `dropEq = true` retires
+    * every equality delete in the new manifest — the positions now carry
+    * them. */
+  private def commitPositionsAsVectors(spark: SparkSession, path: String,
+                                       planning: Manifest,
+                                       matched: org.apache.spark.sql.DataFrame,
+                                       nonce: String, staging: Path,
+                                       dropEq: Boolean): Unit = {
+    import org.apache.spark.sql.functions.{collect_list, sort_array}
+    import spark.implicits._
+    val dir = Paths.get(path)
+    val oldDvs: Map[String, String] =
+      planning.deletes.map { case (f, e) => f -> Paths.get(path, e.dv).toString }
+    val stagingStr = staging.toString
+    val staged: Map[String, (String, Long)] = matched
+      .groupBy($"f").agg(sort_array(collect_list($"p")).as("ps"))
+      .as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        it.map { case (f, ps) =>
+          val old = oldDvs.get(f).map(p => readDv(Paths.get(p)))
+            .getOrElse(Array.empty[Long])
+          val merged = (old ++ ps).distinct.sorted
+          val name = s"dv-$f"
+          writeDv(Paths.get(stagingStr, name), merged)
+          (f, name, merged.length.toLong)
+        }
+      }.collect().map { case (f, n, c) => f -> (n, c) }.toMap
+    if (staged.isEmpty && !dropEq) return // nothing matched: no new version
+    val commitId = planning.commit + 1
+    val rowsOf = planning.stats.map { case (f, e) => f -> FileStat.decode(e).rows }
+    // a file whose vector covers every physical row is DROPPED from the
+    // manifest (the classic point: MOR must not keep reading a file
+    // that contributes nothing); its bytes stay for older versions
+    val dead = staged.collect {
+      case (f, (_, n)) if rowsOf.get(f).contains(n) => f
+    }.toSet
+    val files = planning.files.filterNot(dead)
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, DvEntry)]
+    try {
+      staged.toSeq.sortBy(_._1).filterNot(e => dead(e._1)).zipWithIndex
+        .foreach { case ((f, (name, n)), i) =>
+          val fin = f"part-dv-c$commitId%05d-$nonce-$i%05d.bin"
+          Files.move(staging.resolve(name), dir.resolve(fin),
+            StandardCopyOption.ATOMIC_MOVE)
+          promoted += (f -> DvEntry(fin, n))
+        }
+      writeManifest(dir, planning.ddl, files, commitId,
+        planning.epochs, // content lineage continues: the ledger carries
+        expectedPrev = planning.commit,
+        partCol = planning.partCol,
+        stats = planning.stats.view.filterKeys(files.toSet).toMap,
+        tableId = carriedOrFreshTableId(Some(planning)),
+        payload = planning.payload,
+        deletes = (planning.deletes ++ promoted).view
+          .filterKeys(files.toSet).toMap,
+        fileSeq = planning.fileSeq,
+        eqDeletes = if (dropEq) Seq.empty else planning.eqDeletes)
+    } catch { case e: Throwable =>
+      // refused CAS / failed promote: leave no trace (the rewrite rule)
+      promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._2.dv)))
+      throw e
+    }
+  }
+
+  /** EQUALITY→POSITION conversion — the o32 maintenance op (Iceberg's
+    * convert-equality-deletes rewrite): scan ONLY the files some key
+    * file still covers, locate the matching rows ONCE, record them as
+    * ordinary deletion vectors, and retire every key file — restoring
+    * everything equality deletes suspend (metadata-only COUNT, the
+    * change feed, per-read key probes). The scan is Spark's native
+    * vectorized parquet read with `_metadata` row indexes (NOT the DSv2
+    * scan, which would apply the very deletes being converted), reading
+    * ONLY the key columns. Returns the files that received positions. */
+  def convertEqDeletes(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    val m = parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    if (m.eqDeletes.isEmpty) return Seq.empty
+    val schema = StructType.fromDDL(m.ddl)
+    val affected = m.files.filter(f => m.eqDeletes.exists(_.seq > m.seqOf(f)))
+    val seqDf = broadcast(affected.map(f => (f, m.seqOf(f)))
+      .toDF("_graft_src_file", "_graft_src_seq"))
+    val matched = m.eqDeletes.groupBy(_.cols).map { case (_, group) =>
+      val keyCols = group.head.colNames
+      val keySchema = StructType(keyCols.map(c => schema(schema.fieldIndex(c))))
+      // rename key columns BY NAME — the USING join reorders columns
+      val del = keyCols.foldLeft(
+        spark.read.schema(keySchema)
+          .parquet(group.map(e => Paths.get(dir, e.file).toString): _*)
+          .withColumn("_graft_del_file", col("_metadata.file_name"))
+          .join(broadcast(group.map(e => (e.file, e.seq))
+            .toDF("_graft_del_file", "_graft_del_seq")), "_graft_del_file")) {
+        (d, c) => d.withColumnRenamed(c, "_graft_k_" + c)
+      }
+      // helper names are reserved (_graft_ prefix, key names are plain
+      // [A-Za-z0-9_]+ data columns — but "f"/"p" ARE legal key names, so
+      // the stamps use _graft_ names and alias to (f, p) only at the end)
+      val data = spark.read.schema(keySchema)
+        .parquet(affected.map(f => Paths.get(dir, f).toString): _*)
+        .withColumn("_graft_src_file", col("_metadata.file_name"))
+        .withColumn("_graft_src_pos", col("_metadata.row_index"))
+        .join(seqDf, "_graft_src_file")
+      data.join(broadcast(del),
+          keyCols.map(c => data(c) === del("_graft_k_" + c)).reduce(_ && _) &&
+            del("_graft_del_seq") > data("_graft_src_seq"),
+          "left_semi")
+        .select($"_graft_src_file".as("f"), $"_graft_src_pos".as("p"))
+    }.reduce(_ unionByName _).distinct()
+    val nonce = writeNonce()
+    val staging = stagingDir(Paths.get(dir), nonce)
+    Files.createDirectories(staging)
+    try commitPositionsAsVectors(spark, dir, m, matched, nonce, staging,
+      dropEq = true)
+    finally sweepStaging(Paths.get(dir), nonce)
+    affected
   }
 
   /** Snapshot expiry — the VACUUM command (o19), the GC half of time
@@ -666,7 +796,8 @@ object CommitSink {
     * DV under a live version would silently RESURRECT its deleted
     * rows). */
   private[graft] def manifestRefs(m: Manifest): Seq[String] =
-    m.files ++ m.files.flatMap(f => m.deletes.get(f).map(_.dv))
+    m.files ++ m.files.flatMap(f => m.deletes.get(f).map(_.dv)) ++
+      m.eqDeletes.map(_.file) // key files are as live as the vectors (o32)
 
   /** Committed-style data files (`part-*`, deletion vectors included —
     * their names share the prefix) currently on disk — shared by the
@@ -726,7 +857,26 @@ object CommitSink {
                                          * absent for json-payload tables
                                          * (MOR requires the parquet payload's
                                          * stable row positions). */
-                                       deletes: Map[String, DvEntry] = Map.empty)
+                                       deletes: Map[String, DvEntry] = Map.empty,
+                                       /** Per-file ADD sequence (o32):
+                                         * the commit id at which each
+                                         * listed file joined the table.
+                                         * Absent ⇒ 0 (legacy files).
+                                         * Only consulted by equality-
+                                         * delete applicability — an
+                                         * [[EqDelete]] covers file f iff
+                                         * fileSeq(f) < its seq. */
+                                       fileSeq: Map[String, Long] = Map.empty,
+                                       /** Equality deletes (o32), newest
+                                         * last. Dropped automatically
+                                         * when no listed file is still
+                                         * covered (see writeManifest). */
+                                       eqDeletes: Seq[EqDelete] = Seq.empty) {
+    /** The recorded add-sequence of a listed file (0 = legacy/unknown). */
+    def seqOf(f: String): Long = fileSeq.getOrElse(f, 0L)
+    /** Equality deletes covering file `f`: strictly newer than its add. */
+    def eqFor(f: String): Seq[EqDelete] = eqDeletes.filter(_.seq > seqOf(f))
+  }
 
   private[sources] def parseManifestText(txt: String, where: String): Manifest = {
     val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
@@ -759,7 +909,22 @@ object CommitSink {
         val p = e.split("\\|")
         p(0) -> DvEntry(p(1), p(2).toLong)
       }.toMap
-    Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload, deletes)
+    val fileSeq = "\"fileseq\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val bar = e.lastIndexOf('|')
+        e.substring(0, bar) -> e.substring(bar + 1).toLong
+      }.toMap
+    val eqDeletes = "\"eqdeletes\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val p = e.split("\\|")
+        EqDelete(p(0), p(1).toLong, p(2).toLong, p(3))
+      }.toSeq
+    Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload,
+      deletes, fileSeq, eqDeletes)
   }
 
   private[graft] def parseManifest(dir: Path): Option[Manifest] = {
@@ -836,7 +1001,9 @@ object CommitSink {
                                      stats: Map[String, String] = Map.empty,
                                      tableId: String = "",
                                      payload: String = "json",
-                                     deletes: Map[String, DvEntry] = Map.empty): Unit =
+                                     deletes: Map[String, DvEntry] = Map.empty,
+                                     fileSeq: Map[String, Long] = Map.empty,
+                                     eqDeletes: Seq[EqDelete] = Seq.empty): Unit =
     lockFor(dir).synchronized {
       // check + swap under the per-path lock: two same-JVM writers can
       // never both pass the check (the object-store analog is a
@@ -854,11 +1021,25 @@ object CommitSink {
       // (fully-deleted or rewritten) file's vector must not survive it
       val dvBody = files.sorted.flatMap(f =>
         deletes.get(f).map(e => s""""$f|${e.dv}|${e.ndel}""""))
+      // sequence entries for listed files only, and only non-zero ones
+      val seqBody = files.sorted.flatMap(f =>
+        fileSeq.get(f).filter(_ != 0L).map(s => s""""$f|$s""""))
+      // an equality delete survives only while it still COVERS some
+      // listed file (seq(f) < its seq) — a rewrite/compaction that
+      // replaced every covered file (its scan applied the delete)
+      // retires the entry here, centrally, so no caller can leak a
+      // dead key file into eternity
+      val liveEq = eqDeletes.filter(e =>
+        files.exists(f => fileSeq.getOrElse(f, 0L) < e.seq))
+      val eqBody = liveEq.sortBy(e => (e.seq, e.file))
+        .map(e => s""""${e.file}|${e.seq}|${e.nkeys}|${e.cols}"""")
       val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
         s""""payload":"$payload",""" +
         (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
         partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
         (if (dvBody.nonEmpty) s""""deletevectors":[${dvBody.mkString(",")}],""" else "") +
+        (if (seqBody.nonEmpty) s""""fileseq":[${seqBody.mkString(",")}],""" else "") +
+        (if (eqBody.nonEmpty) s""""eqdeletes":[${eqBody.mkString(",")}],""" else "") +
         s""""schema":"${esc(ddl)}",""" +
         s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""filestats":[${statsBody.mkString(",")}]}"""
@@ -1024,6 +1205,12 @@ case class StagedFile(name: String, rows: Long, stats: String = "")
 /** Commit message of a PARTITIONED task: one staged file per partition-key
   * run the (cluster + sort)-distributed task wrote. */
 case class StagedFileSet(files: Seq[StagedFile]) extends WriterCommitMessage
+
+/** Commit message of an UPSERT task (o32): the ordinary staged-data
+  * message plus the task's staged equality-delete key file (`eqName`
+  * empty when the task saw no non-null keys). */
+case class UpsertTaskResult(data: WriterCommitMessage, eqName: String,
+                            nkeys: Long) extends WriterCommitMessage
 
 class CommitSinkProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -1417,6 +1604,15 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     }
   }
 
+  /** UPSERT-BY-KEY append mode (o32): `option("upsertKeys", "k1,k2")`
+    * makes this append also record the batch's distinct key tuples as an
+    * EQUALITY DELETE over strictly-older files — replace-these-keys with
+    * zero table reads. */
+  private lazy val upsertKeys: Seq[String] =
+    Option(info.options.get("upsertKeys"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
   override def build(): Write = {
     val schema = info.schema()
     val ok: DataType => Boolean =
@@ -1435,12 +1631,36 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       require(f.dataType == LongType || f.dataType == IntegerType,
         s"graft-commit: partitionBy column '$c' must be BIGINT or INT, got ${f.dataType.simpleString}")
     }
+    if (upsertKeys.nonEmpty) {
+      require(!doTruncateFlag && effectiveRewrite.isEmpty,
+        "graft-commit: upsertKeys is an APPEND-mode option — a truncate " +
+          "or rewrite replaces content outright and records no deletes")
+      require(payload == "parquet",
+        "graft-commit: upsertKeys requires the parquet payload (the key " +
+          "files are parquet, and equality deletes are applied by the " +
+          "columnar readers)")
+      upsertKeys.foreach { k =>
+        val f = schema.fields.find(_.name == k).getOrElse(
+          sys.error(s"graft-commit: upsertKeys column '$k' is not in the written schema"))
+        require(k.matches("[A-Za-z0-9_]+") && !k.startsWith("_graft_"),
+          s"graft-commit: upsertKeys column '$k' — key names must match " +
+            "[A-Za-z0-9_]+ and may not use the reserved _graft_ prefix")
+        val keyable = f.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | StringType |
+               BooleanType | DateType | TimestampType | TimestampNTZType => true
+          case _ => false // float/double/decimal keys: equality footguns
+        }
+        require(keyable,
+          s"graft-commit: upsertKeys column '$k' has non-keyable type ${f.dataType.simpleString}")
+      }
+    }
     // a rewrite is its own commit mode: truncate() may also have been
     // called on the builder (DataFrame overwrite), but the rewrite's
     // replace-scanned/carry-rest semantics win
     val doTruncate = doTruncateFlag && effectiveRewrite.isEmpty
     val rw = effectiveRewrite
     val pay = payload
+    val upsert = upsertKeys
     new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
         partCol.map(c => Distributions.clustered(
@@ -1451,12 +1671,12 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
             Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
-        new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay)
+        new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert)
       override def toStreaming: streaming.StreamingWrite = {
         require(partCol.isEmpty,
           "graft-commit: partitionBy is a batch-write layout decision; " +
             "the streaming sink does not support it")
-        new CommitStreamingWrite(path, schema, pay)
+        new CommitStreamingWrite(path, schema, pay, upsert)
       }
     }
   }
@@ -1767,7 +1987,9 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
         tableId = CommitSink.carriedOrFreshTableId(Some(planning)),
         payload = planning.payload,
         deletes = (planning.deletes ++ newDvs).view
-          .filterKeys(files.toSet).toMap)
+          .filterKeys(files.toSet).toMap,
+        fileSeq = planning.fileSeq ++ newFiles.map(_ -> commitId),
+        eqDeletes = planning.eqDeletes)
       // a dead file's just-promoted vector is referenced by nothing:
       // remove it now rather than leaving it to the orphan sweep
       newDvs.collect { case (f, e) if dead(f) => e.dv }
@@ -1865,7 +2087,14 @@ class CommitDeltaWriter(path: String, ddl: String, partitionId: Int,
   * by hand (w08) and the reference's consumer lacks entirely
   * (consumer_to_file.py:185-186 re-inserts everything on restart). */
 class CommitStreamingWrite(path: String, schema: StructType,
-                           payload: String = "json")
+                           payload: String = "json",
+                           /** o32: per-trigger upsert-by-key — each
+                             * epoch's commit also records the batch's
+                             * key file as an equality delete over
+                             * strictly-older files: the TRUE zero-read
+                             * CDC apply (the delta path must still scan
+                             * for positions every trigger). */
+                           upsertKeys: Seq[String] = Seq.empty)
     extends streaming.StreamingWrite {
   private val dir = Paths.get(path)
   /** This query's identity: names its private staging subdirectory AND
@@ -1887,19 +2116,27 @@ class CommitStreamingWrite(path: String, schema: StructType,
         expectedPrev = -1L, tableId = CommitSink.carriedOrFreshTableId(None),
         payload = payload)
       catch { case _: IllegalArgumentException => () }
-    new CommitStreamingWriterFactory(path, schema.toDDL, nonce, payload)
+    new CommitStreamingWriterFactory(path, schema.toDDL, nonce, payload,
+      upsertKeys)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.collect { case s: StagedFile => s }
+    val eqStaged: Seq[(String, Long)] = messages.collect {
+      case UpsertTaskResult(_, n, k) if n.nonEmpty => (n, k)
+    }.toSeq
+    val staged = messages.map {
+      case UpsertTaskResult(d, _, _) => d
+      case m => m
+    }.collect { case s: StagedFile => s }
     // ONE manifest read per commit; writeManifest's CAS does the second,
     // freshest-possible read just before the swap
     val manifest = CommitSink.parseManifest(dir)
     if (manifest.exists(_.epochs.contains(epochId))) {
       // re-delivered epoch (restart replay): drop the re-staged output —
-      // promoting it would double-write rows the manifest already has
-      staged.foreach(s =>
-        Files.deleteIfExists(CommitSink.stagingDir(dir, nonce).resolve(s.name)))
+      // promoting it would double-write rows AND re-apply the epoch's
+      // equality delete the manifest already has
+      (staged.map(_.name) ++ eqStaged.map(_._1)).foreach(n =>
+        Files.deleteIfExists(CommitSink.stagingDir(dir, nonce).resolve(n)))
     } else {
       val prev = manifest.map(_.commit).getOrElse(-1L)
       val carriedDdl = manifest.map(_.ddl).getOrElse(schema.toDDL)
@@ -1930,12 +2167,19 @@ class CommitStreamingWrite(path: String, schema: StructType,
           s"'$epochPayload' but this stream stages '$payload' files; " +
           "truncate via a batch overwrite first")
       val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val promotedEq = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
       try {
         staged.zipWithIndex.foreach { case (s, i) =>
           val fin = f"part-e$epochId%05d-$nonce-$i%05d.$payload%s"
           Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
             StandardCopyOption.ATOMIC_MOVE)
           promoted += (fin -> s.stats)
+        }
+        eqStaged.zipWithIndex.foreach { case ((n, k), i) =>
+          val fin = f"part-eq-e$epochId%05d-$nonce-$i%05d.parquet"
+          Files.move(CommitSink.stagingDir(dir, nonce).resolve(n), dir.resolve(fin),
+            StandardCopyOption.ATOMIC_MOVE)
+          promotedEq += (fin -> k)
         }
         val stats = manifest.map(_.stats).getOrElse(Map.empty) ++
           promoted.filter(_._2.nonEmpty).toMap
@@ -1946,11 +2190,19 @@ class CommitStreamingWrite(path: String, schema: StructType,
           tableId = CommitSink.carriedOrFreshTableId(manifest),
           payload = payload,
           // an epoch append never touches existing rows: vectors carry
-          deletes = manifest.map(_.deletes).getOrElse(Map.empty))
+          deletes = manifest.map(_.deletes).getOrElse(Map.empty),
+          // this epoch's files join at the new sequence; its key file
+          // (upsert mode) covers everything strictly older (o32)
+          fileSeq = manifest.map(_.fileSeq).getOrElse(Map.empty) ++
+            promoted.map(_._1 -> (prev + 1)),
+          eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
+            promotedEq.map { case (n, k) =>
+              CommitSink.EqDelete(n, prev + 1, k, upsertKeys.mkString(";")) })
       } catch { case e: Throwable =>
         // a refused epoch commit (e.g. a batch DML raced this trigger)
         // must leave no trace — same contract as the batch commit
         promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
+        promotedEq.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
         CommitSink.sweepStaging(dir, nonce)
         throw e
       }
@@ -1963,18 +2215,23 @@ class CommitStreamingWrite(path: String, schema: StructType,
 }
 
 class CommitStreamingWriterFactory(path: String, ddl: String, nonce: String,
-                                   payload: String = "json")
+                                   payload: String = "json",
+                                   upsertKeys: Seq[String] = Seq.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new CommitDataWriter(path, ddl, partitionId, taskId, epochId,
-      stagingSub = nonce, payload = payload)
+    if (upsertKeys.isEmpty)
+      new CommitDataWriter(path, ddl, partitionId, taskId, epochId,
+        stagingSub = nonce, payload = payload)
+    else new UpsertDataWriter(path, ddl, upsertKeys, partitionId, taskId,
+      epochId, nonce, None)
 }
 
 class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
                        partCol: Option[String] = None,
                        rewrite: Option[CommitSink.DmlRewrite] = None,
-                       payload: String = "json")
+                       payload: String = "json",
+                       upsertKeys: Seq[String] = Seq.empty)
     extends BatchWrite {
   private val dir = Paths.get(path)
   /** This write's identity: names its private staging subdirectory AND
@@ -1985,7 +2242,8 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     Files.createDirectories(CommitSink.stagingDir(dir, nonce))
     // ship the schema as DDL text — StructType itself is serializable,
     // but the DDL is also exactly what the manifest records
-    new CommitWriterFactory(path, schema.toDDL, partCol, nonce, payload)
+    new CommitWriterFactory(path, schema.toDDL, partCol, nonce, payload,
+      upsertKeys)
   }
 
   /** How many times an APPEND re-reads + re-swaps after losing the CAS
@@ -1996,7 +2254,15 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
   private val APPEND_CAS_RETRIES = 5
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val staged = messages.flatMap {
+    // unwrap upsert messages: data files commit like any append, the
+    // staged key files become this commit's equality delete (o32)
+    val eqStaged: Seq[(String, Long)] = messages.collect {
+      case UpsertTaskResult(_, n, k) if n.nonEmpty => (n, k)
+    }.toSeq
+    val staged = messages.map {
+      case UpsertTaskResult(d, _, _) => d
+      case m => m
+    }.flatMap {
       case s: StagedFile => Seq(s)
       case StagedFileSet(fs) => fs
       case _ => Seq.empty
@@ -2016,6 +2282,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // promotion leaves unreferenced garbage only abort()/orphan GC
     // would ever reclaim
     val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val promotedEq = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
       staged.zipWithIndex.foreach { case (s, i) =>
         val fin = f"part-c$plannedId%05d-$nonce-$i%05d.$payload%s"
@@ -2024,16 +2291,26 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
         promoted += (fin -> s.stats)
       }
       val newStats = promoted.filter(_._2.nonEmpty).toMap
+      // promote the upsert key files alongside (same failure contract:
+      // a refused swap deletes them via promotedEq below)
+      val newEq = eqStaged.zipWithIndex.map { case ((n, k), i) =>
+        val fin = f"part-eq-c$plannedId%05d-$nonce-$i%05d.parquet"
+        Files.move(CommitSink.stagingDir(dir, nonce).resolve(n), dir.resolve(fin),
+          StandardCopyOption.ATOMIC_MOVE)
+        promotedEq += fin
+        (fin, k)
+      }
       rewrite match {
         case Some(rw) => commitRewrite(rw, promoted.map(_._1).toSeq, newStats)
         case None if truncate => commitTruncate(promoted.map(_._1).toSeq, newStats)
-        case None => commitAppend(promoted.map(_._1).toSeq, newStats)
+        case None => commitAppend(promoted.map(_._1).toSeq, newStats, newEq)
       }
     } catch { case e: Throwable =>
       // a refused/failed commit must leave no trace: the manifest was
       // never swapped, so the promoted files are invisible garbage —
       // remove them so the target is byte-identical to before the write
       promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
+      promotedEq.foreach(n => Files.deleteIfExists(dir.resolve(n)))
       CommitSink.sweepStaging(dir, nonce)
       throw e
     }
@@ -2066,7 +2343,12 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
       // vector dies with it — the rewrite's scan already applied it,
       // so the new files hold only surviving rows (compaction's
       // materialize-the-deletes path falls out of this line)
-      deletes = planning.deletes.view.filterKeys(carried.toSet).toMap)
+      deletes = planning.deletes.view.filterKeys(carried.toSet).toMap,
+      // rewritten files land ABOVE every existing equality delete's
+      // sequence (the scan applied those deletes too); entries no
+      // carried file is still covered by retire centrally (o32)
+      fileSeq = planning.fileSeq ++ newFiles.map(_ -> (planning.commit + 1)),
+      eqDeletes = planning.eqDeletes)
     // replaced files are NOT swept: the planning version's immutable
     // manifest references every one of them (time travel); snapshot
     // expiry GC's them when their last referencing version is dropped
@@ -2088,9 +2370,12 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
                              newStats: Map[String, String]): Unit = {
     val manifest = CommitSink.parseManifest(dir)
     val prev = manifest.map(_.commit).getOrElse(-1L)
+    // a truncate is a fresh content lineage: sequences restart and any
+    // equality deletes die with the content they scoped (o32 default)
     CommitSink.writeManifest(dir, schema.toDDL, newFiles, prev + 1,
       Seq.empty, expectedPrev = prev, partCol = partCol, stats = newStats,
-      tableId = CommitSink.carriedOrFreshTableId(manifest), payload = payload)
+      tableId = CommitSink.carriedOrFreshTableId(manifest), payload = payload,
+      fileSeq = newFiles.map(_ -> (prev + 1)).toMap)
   }
 
   /** Append: carried ∪ promoted under a CAS on the read manifest — and
@@ -2100,7 +2385,9 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     * promoted files are already at their final (nonce-unique) names, so
     * a retry only rebuilds the manifest — no file is touched twice. */
   private def commitAppend(newFiles: Seq[String],
-                           newStats: Map[String, String]): Unit = {
+                           newStats: Map[String, String],
+                           newEq: Seq[(String, Long)] = Seq.empty): Unit = {
+    val upsertCols = upsertKeys.mkString(";")
     var attempt = 0
     while (true) {
       val manifest = CommitSink.parseManifest(dir)
@@ -2137,7 +2424,13 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
           tableId = CommitSink.carriedOrFreshTableId(manifest),
           payload = payload,
           // an append never touches existing rows: vectors carry verbatim
-          deletes = manifest.map(_.deletes).getOrElse(Map.empty))
+          deletes = manifest.map(_.deletes).getOrElse(Map.empty),
+          // new files join at THIS commit's sequence — what scopes any
+          // same-commit (or future) equality delete off them (o32)
+          fileSeq = manifest.map(_.fileSeq).getOrElse(Map.empty) ++
+            newFiles.map(_ -> (prev + 1)),
+          eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
+            newEq.map { case (n, k) => CommitSink.EqDelete(n, prev + 1, k, upsertCols) })
         return
       } catch { case e: CommitSink.ConcurrentCommitException =>
         attempt += 1
@@ -2157,10 +2450,81 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
 class CommitWriterFactory(path: String, ddl: String,
                           partCol: Option[String] = None,
                           nonce: String = "",
-                          payload: String = "json") extends DataWriterFactory {
+                          payload: String = "json",
+                          upsertKeys: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol,
-      stagingSub = nonce, payload = payload)
+    if (upsertKeys.isEmpty)
+      new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol,
+        stagingSub = nonce, payload = payload)
+    else new UpsertDataWriter(path, ddl, upsertKeys, partitionId, taskId,
+      -1L, nonce, partCol)
+}
+
+/** o32 UPSERT task writer: delegates data rows to the ordinary staged
+  * writer AND collects the batch's DISTINCT key tuples, staging them as
+  * one parquet key file per task at commit — the write that makes
+  * "replace these keys" a ZERO-READ operation (the commit records the
+  * key file as an equality delete scoped to strictly-older files; the
+  * task never opens a committed byte). The caller's batch is expected
+  * key-unique: two same-key rows in ONE batch both land (they share the
+  * commit's sequence, so neither covers the other) — dedup the batch
+  * first, exactly like a foreachBatch MERGE source. A NULL key never
+  * equality-matches anything: the row lands, no key is recorded. */
+class UpsertDataWriter(path: String, ddl: String, keys: Seq[String],
+                       partitionId: Int, taskId: Long, epochId: Long,
+                       nonce: String, partCol: Option[String])
+    extends DataWriter[InternalRow] {
+  private val delegate = new CommitDataWriter(path, ddl, partitionId, taskId,
+    epochId, partCol, nonce, "parquet")
+  private val schema = StructType.fromDDL(ddl)
+  private val keyIdx = keys.map(schema.fieldIndex).toArray
+  private val keySchema = StructType(keys.map(k => schema(schema.fieldIndex(k))))
+  private val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+  private var fieldOffset = -1
+
+  override def write(row: InternalRow): Unit = {
+    if (fieldOffset < 0) fieldOffset = row.numFields - schema.length
+    delegate.write(row)
+    var k = 0
+    var hasNull = false
+    val vals = new Array[Any](keyIdx.length)
+    while (k < keyIdx.length && !hasNull) {
+      val j = keyIdx(k) + fieldOffset
+      if (row.isNullAt(j)) hasNull = true
+      else vals(k) = schema(keyIdx(k)).dataType match {
+        // copy strings: the incoming row's buffer is reused per row
+        case StringType => row.getUTF8String(j).copy()
+        case LongType | TimestampType | TimestampNTZType => row.getLong(j)
+        case IntegerType | DateType => row.getInt(j)
+        case ShortType   => row.getShort(j)
+        case ByteType    => row.getByte(j)
+        case BooleanType => row.getBoolean(j)
+        case t => sys.error(s"unreachable: $t validated at build()")
+      }
+      k += 1
+    }
+    if (!hasNull) seen += vals.toSeq
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = delegate.commit()
+    if (seen.isEmpty) return UpsertTaskResult(dataMsg, "", 0L)
+    val name = s"attempt-eq-e$epochId-p$partitionId-t$taskId.parquet"
+    val file = CommitSink.stagingDir(Paths.get(path), nonce).resolve(name)
+    val msg = ParquetPayload.message(keySchema)
+    val factory =
+      new org.apache.parquet.example.data.simple.SimpleGroupFactory(msg)
+    val w = ParquetPayload.writer(file, msg)
+    try seen.foreach { vals =>
+      w.write(ParquetPayload.toGroup(factory, keySchema,
+        new GenericInternalRow(vals.toArray), 0))
+    } finally w.close()
+    UpsertTaskResult(dataMsg, name, seen.size.toLong)
+  }
+  // this attempt's staged key file is swept with the staging dir; the
+  // delegate removes its own data segments
+  override def abort(): Unit = delegate.abort()
+  override def close(): Unit = ()
 }
 
 /** Executor-side writer: streams rows to a task-private staging file as
@@ -2544,6 +2908,10 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
     val m = manifest.getOrElse(return false)
     if (!m.files.forall(m.stats.contains)) return false
     val funcs = aggregation.aggregateExpressions
+    // equality deletes (o32) decline wholesale: how many rows a key file
+    // matches is unknowable without scanning — there is no live-rows
+    // arithmetic for them (convertEqDeletes restores the metadata path)
+    if (m.eqDeletes.nonEmpty) return false
     // deletion vectors (o27): COUNT stays metadata-only — live rows =
     // physical rows minus recorded vector counts (Iceberg's live-rows
     // arithmetic). MIN/MAX decline: a deleted row may hold the extremum,
@@ -2819,6 +3187,16 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   private def dvOf(f: String): String =
     manifest.deletes.get(f).map(e => abs(e.dv)).getOrElse("")
 
+  /** Per-file APPLICABLE equality deletes (o32): only entries strictly
+    * newer than the file's add-sequence, with the key columns' types
+    * resolved from the table DDL (independent of the scan projection —
+    * the reader widens its decode to cover them). */
+  private def eqOf(f: String): Seq[EqRef] = manifest.eqFor(f).map { e =>
+    val full = StructType.fromDDL(manifest.ddl)
+    EqRef(abs(e.file),
+      StructType(e.colNames.map(c => full(full.fieldIndex(c)))).toDDL)
+  }
+
   /** Pruned projection when Spark asked for one: the reader materializes
     * exactly these fields (its per-line decoder skips keys it was not
     * asked for, so unrequested columns cost a scan over their chars,
@@ -2835,12 +3213,12 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         groups.map { case (k, fs) =>
           val keyVal: Any = if (dt == IntegerType) k.toInt else k
           CommitKeyedFilesPartition(fs.map(abs), keyVal,
-            fs.map(dvOf)): InputPartition
+            fs.map(dvOf), fs.map(eqOf)): InputPartition
         }.toArray[InputPartition]
       case None =>
         runtimeSurviving.map(f =>
           CommitFilesPartition(Seq(abs(f)),
-            Seq(dvOf(f))): InputPartition).toArray[InputPartition]
+            Seq(dvOf(f)), Seq(eqOf(f))): InputPartition).toArray[InputPartition]
     }
     // report the files this DML scan actually planned: exactly the set
     // the group-granular rewrite replaces (everything else is carried)
@@ -3028,11 +3406,25 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
     * which an incremental batch cannot express any more than a rewrite
     * can. A vector on a file ADDED within the range is fine: the
     * endpoint diff emits that file with its end-version vector, the net
-    * content. */
+    * content. An EQUALITY DELETE added in the range (o32, the upsert
+    * write) removes rows from older files by value — same refusal (its
+    * own new files are exempt by sequence, so they emit fine once the
+    * consumer restarts past the upsert). */
   private def pairAppendOnly(a: CommitSink.Manifest,
                              b: CommitSink.Manifest): Boolean =
     a.files.toSet.subsetOf(b.files.toSet) &&
-      a.files.forall(f => a.deletes.get(f) == b.deletes.get(f))
+      a.files.forall(f => a.deletes.get(f) == b.deletes.get(f)) &&
+      !eqRetracts(a, b)
+
+  /** Does `b` add an equality delete that COVERS a file `a` already
+    * listed? Those rows were (or could have been) emitted and are now
+    * retracted by value — inexpressible. A new delete covering only
+    * mid-range files is fine: their partitions carry the refs, so the
+    * dead rows are never emitted at all. */
+  private def eqRetracts(a: CommitSink.Manifest,
+                         b: CommitSink.Manifest): Boolean =
+    b.eqDeletes.exists(e => !a.eqDeletes.contains(e) &&
+      a.files.exists(f => b.seqOf(f) < e.seq))
 
   /** Is per-commit replay through these versions append-only? */
   private def chainAppendOnly(versions: Seq[Long]): Boolean =
@@ -3042,12 +3434,14 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
     }
 
   /** CHANGE-FEED expressibility of the same chain: vector changes are
-    * fine (they ARE the feed's 'delete' rows); only file removal — a
-    * rewrite — is inexpressible. */
+    * fine (they ARE the feed's 'delete' rows); file removal — a
+    * rewrite — is inexpressible, and so is a new EQUALITY delete (its
+    * matched rows are unknown without a scan). */
   private def chainExpressible(versions: Seq[Long]): Boolean =
     (Seq(-1L) ++ versions).sliding(2).forall {
       case Seq(a, b) =>
-        manifestAt(a).files.toSet.subsetOf(manifestAt(b).files.toSet)
+        val (ma, mb) = (manifestAt(a), manifestAt(b))
+        ma.files.toSet.subsetOf(mb.files.toSet) && ma.eqDeletes == mb.eqDeletes
       case _ => true
     }
 
@@ -3109,6 +3503,12 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
           s"graft-commit: the change feed's snapshot re-bootstrap found a " +
             s"'${m.payload}'-payload table at $path — restart the stream " +
             "from a fresh checkpoint")
+        // the CDF reader applies vectors but not equality deletes — a
+        // snapshot with live key files would re-insert deleted rows
+        require(m.eqDeletes.isEmpty,
+          s"graft-commit: the change feed's snapshot re-bootstrap found " +
+            s"live equality deletes at $path — run convertEqDeletes " +
+            "first (vectors are expressible; key files are not)")
         m.files.map { f =>
           CommitChangesPartition(Paths.get(path, f).toString,
             m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
@@ -3125,13 +3525,24 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
         if (snapshotOnRewrite) return bootstrap else throw e
       }
     }
-    // emitted files carry the END version's deletion vectors (o27): the
-    // net content of the range — and of the snapshot on a re-bootstrap
-    def part(m: CommitSink.Manifest, fs: Seq[String]) = fs
-      .map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString),
-        Seq(m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
-          .getOrElse(""))): InputPartition)
-      .toArray
+    // emitted files carry the END version's deletion vectors (o27) and
+    // applicable equality deletes (o32): the net content of the range —
+    // and of the snapshot on a re-bootstrap. Incremental batches only
+    // ever emit files ADDED in an eq-unchanged range, which no existing
+    // equality delete covers (their sequence is newer); the re-bootstrap
+    // emits the whole snapshot, where older files may be covered.
+    def part(m: CommitSink.Manifest, fs: Seq[String]) = {
+      lazy val full = StructType.fromDDL(m.ddl)
+      def eqOf(f: String): Seq[EqRef] = m.eqFor(f).map { e =>
+        EqRef(Paths.get(path, e.file).toString,
+          StructType(e.colNames.map(c => full(full.fieldIndex(c)))).toDDL)
+      }
+      fs.map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString),
+          Seq(m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
+            .getOrElse("")),
+          Seq(eqOf(f))): InputPartition)
+        .toArray
+    }
     // end-offset resolution: a checkpointed end of a DROPPED generation
     // (or an expired version) has no manifest — under snapshotOnRewrite
     // the current snapshot stands in (at-least-once above an idempotent
@@ -3174,17 +3585,20 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
     val removed = before -- endM.files.toSet
     // a merge-on-read DELETE changed a vector on a file the start
     // already had: rows were removed without removing files — as
-    // inexpressible incrementally as a rewrite (see pairAppendOnly)
+    // inexpressible incrementally as a rewrite (see pairAppendOnly).
+    // An upsert's EQUALITY delete (o32) removes rows by value: same.
     val dvChanged = beforeM.files.filter(f =>
       beforeM.deletes.get(f) != endM.deletes.get(f))
-    if (removed.nonEmpty || dvChanged.nonEmpty) {
+    val eqChanged = eqRetracts(beforeM, endM)
+    if (removed.nonEmpty || dvChanged.nonEmpty || eqChanged) {
       // a rewrite landed inside the range: refuse (default) or, under
       // snapshotOnRewrite, re-bootstrap — emit the END snapshot whole;
       // later ranges resume incremental tailing from `to`
       if (snapshotOnRewrite) return part(checkPayload(endM), endM.files)
       sys.error(s"graft-commit: commits ${from + 1}..$to of $path removed " +
         s"${removed.size} file(s) / changed ${dvChanged.size} deletion " +
-        "vector(s) (truncate/DML/compaction/merge-on-read delete) — a " +
+        s"vector(s)${if (eqChanged) " / changed equality deletes" else ""} " +
+        "(truncate/DML/compaction/merge-on-read delete/upsert) — a " +
         "changelog stream requires append-only commits; restart the " +
         "stream from a fresh checkpoint to re-read the rewritten table " +
         "(or opt in to snapshotOnRewrite above an idempotent consumer)")
@@ -3201,9 +3615,18 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   override def stop(): Unit = ()
 }
 
+/** One applicable equality-delete file for a data file (o32): absolute
+  * key-file path plus the key columns' DDL (names AND types — the reader
+  * decodes the key file and the data rows' key values with no other
+  * context). */
+case class EqRef(path: String, colsDdl: String)
+
 /** `dvs` (o27): per-file deletion-vector ABSOLUTE path, parallel to
-  * `files` ("" = no vector) — the reader skips the vector's positions. */
-case class CommitFilesPartition(files: Seq[String], dvs: Seq[String] = Seq.empty)
+  * `files` ("" = no vector) — the reader skips the vector's positions.
+  * `eqs` (o32): per-file APPLICABLE equality deletes, parallel to
+  * `files` — the reader drops rows whose key tuple appears in any. */
+case class CommitFilesPartition(files: Seq[String], dvs: Seq[String] = Seq.empty,
+                                eqs: Seq[Seq[EqRef]] = Seq.empty)
     extends InputPartition
 
 /** One change-feed unit (o29): ONE data file's contribution to ONE
@@ -3308,7 +3731,8 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
   * key, exposing the key through [[HasPartitionKey]] so Spark can align
   * co-partitioned scans for a storage-partitioned join. */
 case class CommitKeyedFilesPartition(files: Seq[String], key: Any,
-                                     dvs: Seq[String] = Seq.empty)
+                                     dvs: Seq[String] = Seq.empty,
+                                     eqs: Seq[Seq[EqRef]] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -3323,13 +3747,21 @@ class CommitReaderFactory(ddl: String, stampFile: Boolean = false,
   // ships an EMPTY schema, which fromDDL refuses to parse
   private def schema: StructType =
     if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
-  private def reader(fs: Seq[String], dvs: Seq[String]): PartitionReader[InternalRow] =
-    if (payload == "parquet") new ParquetFilesReader(fs, schema, stampFile, stampPos, dvs)
-    else new CommitFilesReader(fs, schema, stampFile, stampPos, dvs)
+  private def reader(fs: Seq[String], dvs: Seq[String],
+                     eqs: Seq[Seq[EqRef]]): PartitionReader[InternalRow] =
+    if (payload == "parquet")
+      new ParquetFilesReader(fs, schema, stampFile, stampPos, dvs, eqs)
+    else {
+      // equality deletes require the parquet payload (the upsert write
+      // refuses json tables) — a json partition carrying refs is a bug
+      require(eqs.forall(_.isEmpty),
+        "graft-commit: equality deletes on a json-payload partition")
+      new CommitFilesReader(fs, schema, stampFile, stampPos, dvs)
+    }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case CommitFilesPartition(fs, dvs)         => reader(fs, dvs)
-      case CommitKeyedFilesPartition(fs, _, dvs) => reader(fs, dvs)
+      case CommitFilesPartition(fs, dvs, eqs)         => reader(fs, dvs, eqs)
+      case CommitKeyedFilesPartition(fs, _, dvs, eqs) => reader(fs, dvs, eqs)
       case other => sys.error(s"graft-commit: unexpected partition $other")
     }
 }
@@ -3348,7 +3780,13 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
                            * `files` ("" = none): the vector's positions
                            * are skipped during the sequential read
                            * (o27). Empty seq = no vectors at all. */
-                         dvs: Seq[String] = Seq.empty)
+                         dvs: Seq[String] = Seq.empty,
+                         /** Per-file APPLICABLE equality deletes (o32),
+                           * parallel to `files`: each ref's key set is
+                           * loaded once per file, the decode widens to
+                           * cover key columns the projection dropped,
+                           * and matching rows are skipped. */
+                         eqs: Seq[Seq[EqRef]] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private val queue = files.zipWithIndex.iterator
   private val fileIdx: Int =
@@ -3375,11 +3813,59 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
     * whole vector in O(rows + deletes). */
   private var dv: Array[Long] = Array.emptyLongArray
   private var dvPtr = 0
+  /** Equality-delete matchers of the current file, one per distinct key
+    * signature: (decode-field indices, key types, key-tuple set). */
+  private var eqMatchers: Seq[(Array[Int], Array[DataType],
+    scala.collection.Set[Seq[Any]])] = Nil
   private var row: InternalRow = _
 
   private def deleted(p: Long): Boolean = {
     while (dvPtr < dv.length && dv(dvPtr) < p) dvPtr += 1
     dvPtr < dv.length && dv(dvPtr) == p
+  }
+
+  /** Does this decoded row's key tuple appear in any applicable key
+    * set? A NULL key (including a key column the file predates) never
+    * matches — SQL equality. */
+  private def eqDeleted(g: org.apache.parquet.example.data.Group): Boolean =
+    eqMatchers.nonEmpty && eqMatchers.exists { case (idxs, types, set) =>
+      val vals = new Array[Any](idxs.length)
+      var i = 0
+      var hasNull = false
+      while (i < idxs.length && !hasNull) {
+        val fi = cur.fieldIndex(idxs(i))
+        if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+          vals(i) = ParquetPayload.value(g, fi, types(i))
+        else hasNull = true
+        i += 1
+      }
+      !hasNull && set.contains(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(vals))
+    }
+
+  /** Load one key file's distinct tuples (null-free by construction —
+    * the writer records none — but filtered defensively). */
+  private def loadKeys(ref: EqRef, ks: StructType,
+                       into: scala.collection.mutable.HashSet[Seq[Any]]): Unit = {
+    val fg = new ParquetPayload.FileGroups(Paths.get(ref.path), ks)
+    try if (fg.hasColumns) {
+      var g = fg.next()
+      while (g != null) {
+        val vals = new Array[Any](ks.length)
+        var i = 0
+        var hasNull = false
+        while (i < ks.length && !hasNull) {
+          val fi = fg.fieldIndex(i)
+          if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+            vals(i) = ParquetPayload.value(g, fi, ks(i).dataType)
+          else hasNull = true
+          i += 1
+        }
+        if (!hasNull)
+          into += scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)
+        g = fg.next()
+      }
+    } finally fg.close()
   }
 
   @scala.annotation.tailrec
@@ -3389,8 +3875,24 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
       val (name, idx) = queue.next()
       val f = Paths.get(name)
       curFile = UTF8String.fromString(f.getFileName.toString)
-      cur = new ParquetPayload.FileGroups(f, dataSchema)
+      // widen the decode to cover key columns the projection dropped:
+      // fields appended AFTER dataSchema, so output-field decode indices
+      // are unchanged. A key column absent from the FILE (added by a
+      // later ALTER) decodes null → never matches.
+      val refs = eqs.lift(idx).getOrElse(Seq.empty)
+      val extra = refs.flatMap(r => StructType.fromDDL(r.colsDdl).fields)
+        .filterNot(kf => dataSchema.fieldNames.contains(kf.name))
+        .groupBy(_.name).map(_._2.head).toSeq
+      val wanted = StructType(dataSchema.fields ++ extra)
+      cur = new ParquetPayload.FileGroups(f, wanted)
       if (!cur.hasColumns) countOnly = cur.rowCount
+      eqMatchers = refs.groupBy(_.colsDdl).toSeq.map { case (ddl, grp) =>
+        val ks = StructType.fromDDL(ddl)
+        val idxs = ks.fields.map(kf => wanted.fieldIndex(kf.name))
+        val set = scala.collection.mutable.HashSet.empty[Seq[Any]]
+        grp.foreach(loadKeys(_, ks, set))
+        (idxs, ks.fields.map(_.dataType), set: scala.collection.Set[Seq[Any]])
+      }
       pos = 0L
       dvPtr = 0
       dv = dvs.lift(idx).filter(_.nonEmpty)
@@ -3400,7 +3902,9 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
     if (!cur.hasColumns) {
       // zero decoded columns (pure COUNT / metadata-only projection):
       // emit footer-counted rows without touching any page — skipping
-      // the deletion vector's positions by count alone
+      // the deletion vector's positions by count alone. Reachable with
+      // eq matchers only when every key column predates the file (all
+      // keys null → nothing matches), so counting stays sound.
       if (countOnly > 0) {
         countOnly -= 1
         val p = pos; pos += 1
@@ -3413,7 +3917,7 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
       if (g == null) { cur.close(); cur = null; advance() }
       else {
         val p = pos; pos += 1
-        if (deleted(p)) advance()
+        if (deleted(p) || eqDeleted(g)) advance()
         else { row = emit(g, p); true }
       }
     }

@@ -1040,6 +1040,62 @@ object Sources {
       .withColumn("n_v0_cols", lit(v0Cols))
   }
 
+  /** o32: EQUALITY DELETES — Iceberg v2's second delete form, the true
+    * zero-read CDC apply: `option("upsertKeys", "event_id")` on an
+    * append makes the commit also record the batch's distinct keys as a
+    * key file scoped (by per-file add-sequence) to strictly-older data
+    * files — "replace these keys" lands without opening a single
+    * committed byte, where o28's position-delta MERGE must scan for
+    * (file, pos) every statement. The entry then runs the maintenance
+    * half, `convertEqDeletes` (key files → ordinary deletion vectors,
+    * restoring metadata-only COUNT and the change feed), and reads back
+    * AFTER conversion — so the oracle checks both the upsert semantics
+    * and the conversion's exactness in one hash. Proof columns:
+    * `n_eq_keys` (the key file recorded exactly the batch's keys — a
+    * scan-based path would have nothing to record) and
+    * `n_vector_positions` (conversion found exactly the old rows those
+    * keys cover). The zero-rewrite/zero-scan claims are require()'d on
+    * the manifests: every base file carried byte-identical, no vectors
+    * before conversion. */
+  def o32EqualityDeletes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dirName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"/tmp/graft_o32/$dirName/ev"
+    graft.Tables.deleteRecursively(s"/tmp/graft_o32/$dirName")
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    val before = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    // the upsert batch: re-keyed rows for a quarter of the ids (all of
+    // which exist in the base — they replace) — key-unique by fixture
+    ev.filter(col("event_id") % 4 === 2)
+      .select(col("event_id"), lit("upserted").as("event_type"),
+        (col("value") + 1000.0).as("value"))
+      .coalesce(1)
+      .write.format(CommitSink.NAME).option("path", path)
+      .option("upsertKeys", "event_id").mode("append").save()
+    val mid = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    require(before.files.forall(mid.files.contains) && mid.deletes.isEmpty,
+      "o32: the upsert write must carry every base file and record no vectors")
+    val eqKeys = mid.eqDeletes.map(_.nkeys).sum
+    require(eqKeys > 0, "o32: the upsert commit must record its key file")
+    // maintenance: equality -> positional, retiring every key file
+    CommitSink.convertEqDeletes(spark, path)
+    val after = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    require(after.eqDeletes.isEmpty, "o32: conversion must retire key files")
+    val positions = after.files.flatMap(after.deletes.get).map(_.ndel).sum
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("n_eq_keys", lit(eqKeys))
+      .withColumn("n_vector_positions", lit(positions))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1448,6 +1504,7 @@ object Sources {
     "o29_change_data_feed" -> o29ChangeDataFeed _,
     "o30_vector_maintenance" -> o30VectorMaintenance _,
     "o31_schema_evolution" -> o31SchemaEvolution _,
+    "o32_equality_deletes" -> o32EqualityDeletes _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1463,6 +1520,26 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // equality deletes: the upsert replaces every %4==2 row (all present
+    // in the even-id base) by KEY; both proof counts equal the batch's
+    // key count — n_eq_keys from the recorded key file, and
+    // n_vector_positions from conversion finding exactly those old rows
+    "o32_equality_deletes" ->
+      s"""WITH t AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 2 = 0 AND event_id % 4 <> 2
+            UNION ALL
+            SELECT event_id, 'upserted' AS event_type, value + 1000 AS value
+            FROM events WHERE event_id % 4 = 2)
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                  WHERE event_id % 4 = 2) AS n_eq_keys,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                  WHERE event_id % 4 = 2) AS n_vector_positions
+          FROM t GROUP BY 1""",
     // schema evolution: generation 0 (pre-ALTER) reads the added column
     // as NULL, generation 1 carries real values; the version-0 read is
     // the unchanged 3-column table (n_v0_cols)

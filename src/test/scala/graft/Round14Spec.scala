@@ -30,6 +30,10 @@ class Round14Spec extends AnyFunSuite {
   private def freshDir(tag: String): String = {
     val d = s"/tmp/graft_r14_spec/$tag"
     Tables.deleteRecursively(d)
+    // sibling checkpoint dirs too: a stale checkpoint against a fresh
+    // table generation fails the generation check, not the test's claim
+    Tables.deleteRecursively(s"$d-ck")
+    Tables.deleteRecursively(s"$d-ck2")
     d
   }
 
@@ -91,6 +95,208 @@ class Round14Spec extends AnyFunSuite {
     // keyed file-group reads (the SPJ path) agree
     val dsv2 = spark.read.format("graft-commit").option("path", path).load()
     assert(dsv2.groupBy($"k").count().collect().map(_.getLong(1)).sum == 402L)
+  }
+
+  // --- equality deletes (o32) ------------------------------------------------
+
+  test("upsert write: zero reads, keys replace older rows, both read paths agree") {
+    val dir = freshDir("eq_basic")
+    spark.range(100L).select($"id", ($"id" * 1.0).as("v"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val before = manifest(dir)
+    // 10 replacements + 5 brand-new keys, one key-unique batch
+    spark.range(10L, 20L).select($"id", lit(-1.0).as("v"))
+      .unionByName(spark.range(100L, 105L).select($"id", lit(7.0).as("v")))
+      .coalesce(1)
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    val after = manifest(dir)
+    // the upsert touched NO committed byte: every old file carried, no
+    // vectors, one equality delete of exactly the batch's 15 keys
+    assert(before.files.toSet.subsetOf(after.files.toSet))
+    assert(after.deletes.isEmpty)
+    assert(after.eqDeletes.map(_.nkeys).sum == 15L)
+    assert(after.eqDeletes.forall(_.cols == "id"))
+    // new files carry the commit's sequence; old files stay below it
+    val newFiles = after.files.filterNot(before.files.toSet)
+    assert(newFiles.forall(f => after.seqOf(f) == after.commit))
+    assert(before.files.forall(f => after.seqOf(f) < after.commit))
+    // both read paths agree on the replaced state
+    val expected = (0L until 100L).filterNot(i => i >= 10 && i < 20).map(i => (i, i * 1.0)) ++
+      (10L until 20L).map(i => (i, -1.0)) ++ (100L until 105L).map(i => (i, 7.0))
+    val native = sources.CommitSink.readCommitted(spark, dir)
+      .as[(Long, Double)].collect().toSet
+    val dsv2 = spark.read.format("graft-commit").option("path", dir).load()
+      .as[(Long, Double)].collect().toSet
+    assert(native == expected.toSet)
+    assert(dsv2 == expected.toSet)
+    // metadata-only aggregation DECLINES under live equality deletes —
+    // the count must come from a real scan and still be right
+    val cnt = spark.read.format("graft-commit").option("path", dir).load().count()
+    assert(cnt == 105L)
+  }
+
+  test("upsert layering: a second upsert wins on overlap; time travel sees each stage") {
+    val dir = freshDir("eq_layers")
+    spark.range(50L).select($"id", lit("base").as("s"))
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    spark.range(10L, 30L).select($"id", lit("u1").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    spark.range(20L, 40L).select($"id", lit("u2").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    def states(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.as[(Long, String)].collect().toMap
+    val now = states(sources.CommitSink.readCommitted(spark, dir))
+    assert(now.size == 50)
+    assert((0L until 10L).forall(now(_) == "base"))
+    assert((10L until 20L).forall(now(_) == "u1"))
+    assert((20L until 40L).forall(now(_) == "u2"))
+    assert((40L until 50L).forall(now(_) == "base"))
+    // time travel: v1 = after the first upsert only
+    val v1 = states(sources.CommitSink.readCommittedVersion(spark, dir, 1L))
+    assert((10L until 30L).forall(v1(_) == "u1") && v1(5L) == "base")
+    // layering proof: two delete generations live side by side (one per
+    // upsert commit — each task staged its own key file, so count by
+    // SEQUENCE, not by entry), the second covering both earlier ones
+    val m = manifest(dir)
+    assert(m.eqDeletes.map(_.seq).distinct.sorted == Seq(1L, 2L))
+    assert(m.eqDeletes.groupBy(_.seq).view.mapValues(_.map(_.nkeys).sum).toMap ==
+      Map(1L -> 20L, 2L -> 20L))
+  }
+
+  test("convertEqDeletes: equality -> positional, answers identical, metadata COUNT restored") {
+    val dir = freshDir("eq_convert")
+    spark.range(200L).select($"id", ($"id" % 10).as("g"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    spark.range(50L, 80L).select($"id", lit(-1L).as("g"))
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    val beforeRows = sources.CommitSink.readCommitted(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    val affected = sources.CommitSink.convertEqDeletes(spark, dir)
+    assert(affected.nonEmpty)
+    val m = manifest(dir)
+    assert(m.eqDeletes.isEmpty, "conversion retires every key file")
+    // the 30 replaced rows are now vector positions
+    assert(m.files.flatMap(m.deletes.get).map(_.ndel).sum == 30L)
+    val afterRows = sources.CommitSink.readCommitted(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(afterRows == beforeRows, "conversion must not change the answer")
+    // a second convert is a no-op
+    assert(sources.CommitSink.convertEqDeletes(spark, dir).isEmpty)
+    // metadata-only COUNT works again (vectors have live-rows arithmetic)
+    val scan = spark.read.format("graft-commit").option("path", dir).load()
+    assert(scan.count() == 200L)
+  }
+
+  test("equality deletes: changelog and change feed refuse an upsert commit loudly") {
+    val dir = freshDir("eq_stream_refuse")
+    spark.range(20L).select($"id", ($"id" * 1.0).as("v"))
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    // a consumer is already tailing the table when the upsert lands
+    val ck = s"$dir-ck"
+    val q1 = spark.readStream.format("graft-commit").option("path", dir).load()
+      .writeStream.format("noop").option("checkpointLocation", ck).start()
+    try q1.processAllAvailable() finally q1.stop()
+    spark.range(5L, 10L).select($"id", lit(0.0).as("v"))
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    // batch CDF over the range refuses with the eq-specific message
+    val e1 = intercept[Exception] {
+      spark.read.format("graft-commit").option("path", dir)
+        .option("readChangeFeed", true).option("startingVersion", 0).load()
+        .collect()
+    }
+    assert(e1.getMessage.contains("equality deletes"), e1.getMessage)
+    // the tailing consumer's next range straddles the upsert: refuse
+    // (rows were removed by value — inexpressible incrementally)
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft-commit").option("path", dir).load()
+        .writeStream.format("noop").option("checkpointLocation", ck).start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(e2.getCause.getMessage.contains("append-only"), e2.getCause.getMessage)
+    // a FRESH checkpoint bootstraps the NET content in one batch — with
+    // the equality deletes applied (20 rows, not 25)
+    val sink = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val q3 = spark.readStream.format("graft-commit").option("path", dir).load()
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.set(b.count()); ()
+      }.option("checkpointLocation", s"$dir-ck2").start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(sink.get() == 20L,
+      "the genesis bootstrap must apply equality deletes")
+  }
+
+  test("streaming upsert: per-trigger key replacement with zero scans (the w16 shape)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = freshDir("eq_stream_upsert")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    // value = generation * 1000 + key: each trigger's rows carry their
+    // generation, so last-writer-wins is value-checkable per key
+    val q = in.toDF().select(($"value" % 1000).as("id"),
+        expr("value div 1000").as("gen"))
+      .writeStream.format("graft-commit")
+      .option("path", dir).option("upsertKeys", "id")
+      .option("checkpointLocation", s"$dir-ck")
+      .start()
+    try {
+      in.addData((0L until 10L).map(_ + 1000L): _*); q.processAllAvailable()
+      in.addData((5L until 15L).map(_ + 2000L): _*); q.processAllAvailable()
+      in.addData((0L until 3L).map(_ + 3000L): _*); q.processAllAvailable()
+    } finally q.stop()
+    val m = manifest(dir)
+    // three epoch commits; no file was ever rewritten (append-only file
+    // history) and no scan ran. Only TWO equality deletes survive: the
+    // first trigger's keys had nothing older to cover (empty table), so
+    // its entry was retired as dead-on-arrival by the central filter
+    assert(m.epochs.size == 3)
+    assert(m.eqDeletes.size == 2 && m.deletes.isEmpty)
+    val back = sources.CommitSink.readCommitted(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(back.size == 15)
+    assert((0L until 3L).forall(back(_) == 3L))   // third trigger wins
+    assert((3L until 5L).forall(back(_) == 1L))   // first trigger, never replaced
+    assert((5L until 15L).forall(back(_) == 2L))  // second trigger wins
+  }
+
+  test("upsert refusals: json payload, overwrite mode, unknown/bad-typed keys") {
+    val dir = freshDir("eq_refuse")
+    spark.range(10L).select($"id", ($"id" * 1.0).as("v"))
+      .write.format("graft-commit").option("path", dir)
+      .option("payload", "json").mode("overwrite").save()
+    def refused(frag: String)(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    refused("parquet") {
+      spark.range(5L).select($"id", lit(0.0).as("v"))
+        .write.format("graft-commit").option("path", dir)
+        .option("upsertKeys", "id").mode("append").save()
+    }
+    val pdir = freshDir("eq_refuse_pq")
+    spark.range(10L).select($"id", ($"id" * 1.0).as("v"))
+      .write.format("graft-commit").option("path", pdir).mode("overwrite").save()
+    refused("APPEND-mode") {
+      spark.range(5L).select($"id", lit(0.0).as("v"))
+        .write.format("graft-commit").option("path", pdir)
+        .option("upsertKeys", "id").mode("overwrite").save()
+    }
+    refused("not in the written schema") {
+      spark.range(5L).select($"id", lit(0.0).as("v"))
+        .write.format("graft-commit").option("path", pdir)
+        .option("upsertKeys", "nope").mode("append").save()
+    }
+    refused("non-keyable") {
+      spark.range(5L).select($"id", lit(0.0).as("v"))
+        .write.format("graft-commit").option("path", pdir)
+        .option("upsertKeys", "v").mode("append").save()
+    }
   }
 
   // --- lakehouse schema evolution (o31) -------------------------------------
