@@ -280,12 +280,16 @@ object CommitSink {
         s"graft-commit: the change feed requires the parquet payload " +
           s"($path is '${cur.payload}')")
       val removed = prev.files.toSet -- cur.files.toSet
-      require(removed.isEmpty,
-        s"graft-commit: commit $v of $path removed ${removed.size} file(s) " +
-          "(truncate/copy-on-write DML/compaction, or a fully-deleting " +
-          "vector commit) — a change feed can only express appends and " +
-          "deletion-vector commits; restart from a fresh checkpoint past " +
-          "the rewrite")
+      // a removed file WITH a tombstone vector entry is a fully-covering
+      // MOR delete (o33) — expressible: the data file still exists (the
+      // previous version references it; the feed's retention rule keeps
+      // that version), and the tombstone names every newly-dead position
+      val trulyRemoved = removed.filterNot(cur.deletes.contains)
+      require(trulyRemoved.isEmpty,
+        s"graft-commit: commit $v of $path removed ${trulyRemoved.size} " +
+          "file(s) (truncate/copy-on-write DML/compaction) — a change " +
+          "feed can only express appends and deletion-vector commits; " +
+          "restart from a fresh checkpoint past the rewrite")
       require(prev.eqDeletes == cur.eqDeletes,
         s"graft-commit: commit $v of $path changed its equality deletes " +
           "(an upsert-by-key write) — the rows such a delete matches are " +
@@ -307,6 +311,78 @@ object CommitSink {
       prev = cur
     }
     parts.toArray
+  }
+
+  /** CHANGE FEED WITH REWRITE FALLBACK (o33) — closes the feed's last
+    * gap: per commit, an expressible pair replays through the ordinary
+    * CDF scan (cheap: vectors/appends read only their own diff), while a
+    * commit the scan must refuse — a COW DML / compaction / full
+    * truncate (files removed) or an upsert (equality delete added) —
+    * falls back to a GROUP-GRANULAR SNAPSHOT DIFF: the pre-image of the
+    * files the commit touched EXCEPT ALL their post-image is the
+    * commit's 'delete' rows, the reverse its 'insert' rows (how Delta
+    * replays a non-CDF rewrite). "Touched" is removed ∪ added ∪
+    * vector-changed ∪ newly-equality-covered — at 100 TB a one-group COW
+    * UPDATE diffs ONE group, never the table. Retention rule unchanged:
+    * every version in [startingVersion-1, endingVersion] must still
+    * exist. Both views read through [[readManifestFiles]], so vectors
+    * and equality deletes are applied exactly as each version saw them. */
+  def changeFeedWithRewrites(spark: SparkSession, dir: String,
+                             startingVersion: Long,
+                             endingVersion: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val d = Paths.get(dir)
+    val curM = parseManifest(d).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    val to = endingVersion.getOrElse(curM.commit)
+    val from = math.max(startingVersion, 0L)
+    val have = listVersions(d).toSet
+    require(have.nonEmpty && to <= have.max,
+      s"graft-commit: change feed endingVersion $to of $dir does not exist " +
+        s"yet (newest commit: ${if (have.isEmpty) -1L else have.max})")
+    val missing = (from to to).filterNot(have)
+    require(missing.isEmpty,
+      s"graft-commit: change feed needs every version in [$from, $to] of " +
+        s"$dir, but ${missing.mkString(",")} expired (the retention rule)")
+    def at(v: Long): Manifest =
+      if (v < 0) Manifest(-1L, curM.ddl, Seq.empty, Seq.empty)
+      else parseManifestVersion(d, v)
+    val frames = (from to to).map { v =>
+      val (prev, cur) = (at(v - 1), at(v))
+      val removed = prev.files.toSet -- cur.files.toSet
+      val expressible = removed.forall(cur.deletes.contains) &&
+        prev.eqDeletes == cur.eqDeletes
+      if (expressible)
+        spark.read.format(NAME).option("path", dir)
+          .option("readChangeFeed", true)
+          .option("startingVersion", v).option("endingVersion", v).load()
+      else {
+        require(sameColumns(prev.ddl, cur.ddl) && prev.payload == cur.payload,
+          s"graft-commit: commit $v of $dir rewrote the table under a new " +
+            "schema or payload — no diff is expressible; restart past it")
+        val added = cur.files.filterNot(prev.files.toSet)
+        val dvChanged = prev.files.filter(f =>
+          cur.files.contains(f) && prev.deletes.get(f) != cur.deletes.get(f))
+        val eqCovered = cur.eqDeletes.filterNot(prev.eqDeletes.contains)
+          .flatMap(e => prev.files.filter(f => cur.seqOf(f) < e.seq))
+        val oldSide = (removed.toSeq ++ dvChanged ++ eqCovered).distinct
+        val newSide = (added ++ dvChanged ++ eqCovered).distinct
+        val oldView = readManifestFiles(spark, dir,
+          prev.copy(files = prev.files.filter(oldSide.contains)))
+        val newView = readManifestFiles(spark, dir,
+          cur.copy(files = cur.files.filter(newSide.contains)))
+        oldView.exceptAll(newView)
+          .withColumn(CHANGE_TYPE_COL, lit("delete"))
+          .withColumn(COMMIT_VERSION_COL, lit(v))
+          .unionByName(newView.exceptAll(oldView)
+            .withColumn(CHANGE_TYPE_COL, lit("insert"))
+            .withColumn(COMMIT_VERSION_COL, lit(v)))
+      }
+    }
+    // allowMissingColumns: an ALTER inside the range widens later
+    // commits' rows; earlier ones read the added column as NULL
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   // --- deletion-vector file format -------------------------------------
@@ -653,13 +729,21 @@ object CommitSink {
     val files = planning.files.filterNot(dead)
     val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, DvEntry)]
     try {
-      staged.toSeq.sortBy(_._1).filterNot(e => dead(e._1)).zipWithIndex
+      // dead (fully-covered) files' vectors promote too: they become the
+      // commit's TOMBSTONES (o33) — the change feed reads them against
+      // the previous version's data file
+      staged.toSeq.sortBy(_._1).zipWithIndex
         .foreach { case ((f, (name, n)), i) =>
           val fin = f"part-dv-c$commitId%05d-$nonce-$i%05d.bin"
           Files.move(staging.resolve(name), dir.resolve(fin),
             StandardCopyOption.ATOMIC_MOVE)
           promoted += (f -> DvEntry(fin, n))
         }
+      // a dead (fully-covered) file's vector lands as a TOMBSTONE: the
+      // file leaves the list, the vector entry stays so the change feed
+      // can emit the drop as delete rows (o33) — it dies at the next
+      // commit, which never carries it
+      val dvMap = (planning.deletes ++ promoted).toMap
       writeManifest(dir, planning.ddl, files, commitId,
         planning.epochs, // content lineage continues: the ledger carries
         expectedPrev = planning.commit,
@@ -667,10 +751,10 @@ object CommitSink {
         stats = planning.stats.view.filterKeys(files.toSet).toMap,
         tableId = carriedOrFreshTableId(Some(planning)),
         payload = planning.payload,
-        deletes = (planning.deletes ++ promoted).view
-          .filterKeys(files.toSet).toMap,
+        deletes = dvMap.view.filterKeys(files.toSet).toMap,
         fileSeq = planning.fileSeq,
-        eqDeletes = if (dropEq) Seq.empty else planning.eqDeletes)
+        eqDeletes = if (dropEq) Seq.empty else planning.eqDeletes,
+        tombstones = dvMap.view.filterKeys(dead).toMap)
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
       promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._2.dv)))
@@ -796,7 +880,10 @@ object CommitSink {
     * DV under a live version would silently RESURRECT its deleted
     * rows). */
   private[graft] def manifestRefs(m: Manifest): Seq[String] =
-    m.files ++ m.files.flatMap(f => m.deletes.get(f).map(_.dv)) ++
+    // ALL vector entries, including full-cover tombstones whose data
+    // file was dropped (the change feed reads them against the PREVIOUS
+    // version's data file — alive exactly as long as both versions are)
+    m.files ++ m.deletes.values.map(_.dv).toSeq ++
       m.eqDeletes.map(_.file) // key files are as live as the vectors (o32)
 
   /** Committed-style data files (`part-*`, deletion vectors included —
@@ -1003,7 +1090,20 @@ object CommitSink {
                                      payload: String = "json",
                                      deletes: Map[String, DvEntry] = Map.empty,
                                      fileSeq: Map[String, Long] = Map.empty,
-                                     eqDeletes: Seq[EqDelete] = Seq.empty): Unit =
+                                     eqDeletes: Seq[EqDelete] = Seq.empty,
+                                     /** Full-cover TOMBSTONES (o33): a
+                                       * vector that covers EVERY row of
+                                       * its file drops the file, and the
+                                       * vector entry lands here instead
+                                       * — listed under deletevectors
+                                       * without its file, so the change
+                                       * feed can emit the drop as
+                                       * delete rows instead of refusing.
+                                       * Invisible to every reader (they
+                                       * look vectors up BY listed file)
+                                       * and dies at the next commit
+                                       * (callers never carry it). */
+                                     tombstones: Map[String, DvEntry] = Map.empty): Unit =
     lockFor(dir).synchronized {
       // check + swap under the per-path lock: two same-JVM writers can
       // never both pass the check (the object-store analog is a
@@ -1018,9 +1118,13 @@ object CommitSink {
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
       // only vectors for files this manifest actually lists — a dropped
-      // (fully-deleted or rewritten) file's vector must not survive it
+      // (fully-deleted or rewritten) file's vector must not survive it —
+      // plus the explicitly-passed full-cover tombstones (o33)
       val dvBody = files.sorted.flatMap(f =>
-        deletes.get(f).map(e => s""""$f|${e.dv}|${e.ndel}""""))
+        deletes.get(f).map(e => s""""$f|${e.dv}|${e.ndel}"""")) ++
+        tombstones.toSeq.sortBy(_._1)
+          .filterNot(t => files.contains(t._1))
+          .map { case (f, e) => s""""$f|${e.dv}|${e.ndel}"""" }
       // sequence entries for listed files only, and only non-zero ones
       val seqBody = files.sorted.flatMap(f =>
         fileSeq.get(f).filter(_ != 0L).map(s => s""""$f|$s""""))
@@ -1974,11 +2078,14 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
           promoted += fin
           f -> CommitSink.DvEntry(fin, n)
         }
-      // a vector covering every physical row drops its file outright
+      // a vector covering every physical row drops its file outright —
+      // the vector stays as a TOMBSTONE so the change feed can emit the
+      // drop as delete rows (o33; it dies at the next commit)
       val dead = newDvs.collect {
         case (f, e) if rowsOf.get(f).contains(e.ndel) => f
       }.toSet
       val files = planning.files.filterNot(dead) ++ newFiles
+      val dvMap = (planning.deletes ++ newDvs).toMap
       CommitSink.writeManifest(dir, planning.ddl, files, commitId,
         planning.epochs, // content lineage continues: the ledger carries
         expectedPrev = planning.commit,
@@ -1986,14 +2093,10 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
         stats = planning.stats.view.filterKeys(files.toSet).toMap ++ newStats,
         tableId = CommitSink.carriedOrFreshTableId(Some(planning)),
         payload = planning.payload,
-        deletes = (planning.deletes ++ newDvs).view
-          .filterKeys(files.toSet).toMap,
+        deletes = dvMap.view.filterKeys(files.toSet).toMap,
         fileSeq = planning.fileSeq ++ newFiles.map(_ -> commitId),
-        eqDeletes = planning.eqDeletes)
-      // a dead file's just-promoted vector is referenced by nothing:
-      // remove it now rather than leaving it to the orphan sweep
-      newDvs.collect { case (f, e) if dead(f) => e.dv }
-        .foreach(n => Files.deleteIfExists(dir.resolve(n)))
+        eqDeletes = planning.eqDeletes,
+        tombstones = dvMap.view.filterKeys(dead).toMap)
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
       promoted.foreach(n => Files.deleteIfExists(dir.resolve(n)))
@@ -3434,14 +3537,16 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
     }
 
   /** CHANGE-FEED expressibility of the same chain: vector changes are
-    * fine (they ARE the feed's 'delete' rows); file removal — a
-    * rewrite — is inexpressible, and so is a new EQUALITY delete (its
-    * matched rows are unknown without a scan). */
+    * fine (they ARE the feed's 'delete' rows), and so is a file drop
+    * with a full-cover TOMBSTONE (o33 — the drop reads as delete rows);
+    * true removal (a rewrite) is inexpressible, and so is a new
+    * EQUALITY delete (its matched rows are unknown without a scan). */
   private def chainExpressible(versions: Seq[Long]): Boolean =
     (Seq(-1L) ++ versions).sliding(2).forall {
       case Seq(a, b) =>
         val (ma, mb) = (manifestAt(a), manifestAt(b))
-        ma.files.toSet.subsetOf(mb.files.toSet) && ma.eqDeletes == mb.eqDeletes
+        (ma.files.toSet -- mb.files.toSet).forall(mb.deletes.contains) &&
+          ma.eqDeletes == mb.eqDeletes
       case _ => true
     }
 

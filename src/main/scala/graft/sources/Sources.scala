@@ -1096,6 +1096,43 @@ object Sources {
       .withColumn("n_vector_positions", lit(positions))
   }
 
+  /** o33: CHANGE FEED OVER A COPY-ON-WRITE REWRITE —
+    * [[graft.sources.CommitSink.changeFeedWithRewrites]], the snapshot-
+    * diff fallback that closes o29's "MERGE under default COW produces
+    * no feed" gap: expressible commits (appends, vector deletes) replay
+    * through the ordinary CDF scan, and the COW UPDATE commit — whose
+    * removed files the scan must refuse — is replayed as a GROUP-
+    * GRANULAR diff (pre-image of the touched files EXCEPT ALL their
+    * post-image = 'delete' rows; the reverse = 'insert' rows). The
+    * UPDATE's modulo predicate makes the expected delta purely
+    * value-defined (every %5 row's old and new versions, unchanged rows
+    * cancel in the multiset diff), so the oracle replays all three
+    * commits from the raw table with no layout dependence. */
+  def o33CowChangeFeed(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dml = dmlSession(spark)
+    val (cat, root) = scopedCatalog(dml, "o33", dir)
+    val path = s"$root/default/ev"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 1)
+      .repartitionByRange(4, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path).mode("overwrite").save()
+    ev.filter(col("event_id") % 2 === 0)
+      .write.format(CommitSink.NAME).option("path", path).mode("append").save()
+    // the rewrite: a copy-on-write UPDATE (default rowLevelMode)
+    dml.sql(s"UPDATE $cat.`default`.ev SET value = value + 100.0D " +
+      "WHERE event_id % 5 = 0")
+    CommitSink.changeFeedWithRewrites(spark, path, 0L)
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1505,6 +1542,7 @@ object Sources {
     "o30_vector_maintenance" -> o30VectorMaintenance _,
     "o31_schema_evolution" -> o31SchemaEvolution _,
     "o32_equality_deletes" -> o32EqualityDeletes _,
+    "o33_cow_change_feed" -> o33CowChangeFeed _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1520,6 +1558,28 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // COW change feed: v0 odd-id inserts, v1 even-id inserts, v2 the
+    // UPDATE's delta — pre-images as deletes, post-images as inserts
+    // (unchanged rows of the rewritten groups cancel in the diff)
+    "o33_cow_change_feed" ->
+      s"""WITH ch AS (
+            SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+                   event_id, event_type, value
+            FROM events WHERE event_id % 2 = 1
+            UNION ALL
+            SELECT 'insert', 1, event_id, event_type, value
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT 'delete', 2, event_id, event_type, value
+            FROM events WHERE event_id % 5 = 0
+            UNION ALL
+            SELECT 'insert', 2, event_id, event_type, value + 100
+            FROM events WHERE event_id % 5 = 0)
+          SELECT change_type, commit_version, event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id
+          FROM ch GROUP BY 1, 2, 3""",
     // equality deletes: the upsert replaces every %4==2 row (all present
     // in the even-id base) by KEY; both proof counts equal the batch's
     // key count — n_eq_keys from the recorded key file, and

@@ -426,7 +426,12 @@ class Round13Spec extends AnyFunSuite {
     val after = manifest(path)
     assert(after.files.size == before.files.size - 1,
       "a vector covering every physical row drops its file outright")
-    assert(after.deletes.isEmpty, "no vector survives for a dropped file")
+    // r14: the dropped file's vector survives ONE version as a TOMBSTONE
+    // (keyed by the dropped file, so no reader ever consults it) — the
+    // change-feed device that lets the drop read as delete rows
+    assert(after.deletes.keySet.forall(f => !after.files.contains(f)),
+      "only the tombstone survives, never a listed-file vector")
+    assert(after.deletes.size == 1)
     assert(sources.CommitSink.readCommitted(spark, path).count() == 750L)
     // the dropped file's bytes remain for the PREVIOUS version (time travel)
     assert(sources.CommitSink.readCommittedVersion(spark, path, before.commit)

@@ -299,6 +299,79 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // --- full-cover tombstones + the rewrite change feed (o33) ---------------
+
+  test("cdf: a fully-covering vector delete emits its drop as delete rows (tombstone)") {
+    val (cat, root) = withCatalog("tombstone_cdf")
+    val path = s"$root/default/t"
+    // two disjoint zones of 50 rows each
+    spark.range(100L).select($"id", ($"id" * 1.0).as("v"))
+      .repartitionByRange(2, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    withConf("spark.graft.commit.deleteMode", "merge-on-read") {
+      // kills one zone file ENTIRELY -> the file drops with a tombstone
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE id < 50")
+    }
+    val m = manifest(path)
+    assert(m.files.size == 1, "the fully-covered file is dropped")
+    assert(m.deletes.size == 1 && !m.files.contains(m.deletes.head._1),
+      "its vector survives as a tombstone (listed without its file)")
+    // the batch CDF no longer refuses: the drop reads as 50 delete rows
+    val feed = spark.read.format("graft-commit").option("path", path)
+      .option("readChangeFeed", true).option("startingVersion", 1).load()
+    val dels = feed.filter($"_change_type" === "delete")
+      .select($"id").as[Long].collect().sorted
+    assert(dels.toSeq == (0L until 50L))
+    // a follow-up append retires the tombstone (next commit never carries it)
+    spark.range(200L, 210L).select($"id", lit(0.0).as("v"))
+      .write.format("graft-commit").option("path", path).mode("append").save()
+    val m2 = manifest(path)
+    assert(m2.deletes.isEmpty, "tombstones die at the next commit")
+  }
+
+  test("changeFeedWithRewrites: COW update diffs only its groups; compaction diffs to nothing") {
+    val (cat, root) = withCatalog("rewrite_feed")
+    val path = s"$root/default/t"
+    spark.range(400L).select($"id", ($"id" * 1.0).as("v"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    val m0 = manifest(path)
+    // v1: a zone-prunable COW UPDATE — rewrites ONE group of four
+    spark.sql(s"UPDATE $cat.`default`.t SET v = -1.0 WHERE id >= 100 AND id < 120")
+    val m1 = manifest(path)
+    assert(m0.files.count(m1.files.contains) == 3,
+      "the COW update carries the three unmatched zone files")
+    // v2: compaction — a rewrite whose diff must be EMPTY
+    sources.CommitSink.compact(spark, path, 2)
+    val feed = sources.CommitSink.changeFeedWithRewrites(spark, path, 0L)
+      .select($"id", $"v", $"_change_type", $"_commit_version")
+      .as[(Long, Double, String, Long)].collect()
+    val v0 = feed.filter(_._4 == 0L)
+    assert(v0.length == 400 && v0.forall(_._3 == "insert"))
+    val v1 = feed.filter(_._4 == 1L)
+    assert(v1.filter(_._3 == "delete").map(_._1).sorted.toSeq == (100L until 120L),
+      "pre-images of exactly the updated rows")
+    assert(v1.filter(_._3 == "insert").forall(r => r._2 == -1.0 &&
+      r._1 >= 100 && r._1 < 120), "post-images of exactly the updated rows")
+    assert(feed.count(_._4 == 2L) == 0,
+      "a value-preserving compaction diffs to ZERO change rows")
+  }
+
+  test("changeFeedWithRewrites: an upsert commit diffs to its key replacements") {
+    val dir = freshDir("eq_feed")
+    spark.range(60L).select($"id", lit("base").as("s"))
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    spark.range(20L, 30L).select($"id", lit("u1").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    val feed = sources.CommitSink.changeFeedWithRewrites(spark, dir, 1L)
+      .select($"id", $"s", $"_change_type").as[(Long, String, String)].collect()
+    assert(feed.filter(_._3 == "delete").map(_._1).sorted.toSeq == (20L until 30L))
+    assert(feed.filter(_._3 == "delete").forall(_._2 == "base"))
+    assert(feed.filter(_._3 == "insert").map(_._1).sorted.toSeq == (20L until 30L))
+    assert(feed.filter(_._3 == "insert").forall(_._2 == "u1"))
+  }
+
   // --- lakehouse schema evolution (o31) -------------------------------------
 
   test("alter add column: metadata-only commit, null-fill reads, old version keeps old schema") {
