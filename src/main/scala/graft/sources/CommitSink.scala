@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Path, Paths}
 import java.util
 
 import scala.jdk.CollectionConverters._
@@ -79,6 +79,12 @@ object CommitSink {
   val NAME = "graft-commit"
   private val MANIFEST = "_MANIFEST.json"
   private val STAGING = "_staging"
+
+  /** The storage binding (r14 IO seam): every staged-file, vector,
+    * key-file and manifest byte goes through this — see [[CommitIO]].
+    * Local NIO is the only binding; swap it here to target an object
+    * store or Hadoop FileSystem. */
+  private[graft] val io: CommitIO = NioCommitIO
 
   /** Thrown by the manifest CAS when another writer's commit landed
     * between this writer's planning read and its swap. Subclasses
@@ -405,7 +411,7 @@ object CommitSink {
 
   private[graft] def writeDv(file: Path, positions: Array[Long]): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-      Files.newOutputStream(file)))
+      CommitSink.io.newOutputStream(file)))
     try {
       // word count as a Long: a position at or above 2^37 would wrap the
       // Int form ((p >>> 6).toInt + 1) into a negative/garbage count and
@@ -432,7 +438,7 @@ object CommitSink {
 
   private[graft] def readDv(file: Path): Array[Long] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
-      Files.newInputStream(file)))
+      CommitSink.io.newInputStream(file)))
     try in.readInt() match {
       case DV_MAGIC =>
         val n = in.readInt()
@@ -668,7 +674,7 @@ object CommitSink {
     val dir = Paths.get(path)
     val nonce = writeNonce()
     val staging = stagingDir(dir, nonce)
-    Files.createDirectories(staging)
+    CommitSink.io.createDirectories(staging)
     try {
       // the DSv2 scan: applies existing vectors, stamps PHYSICAL
       // positions, zone-prunes the pushed condition. PINNED to the
@@ -735,8 +741,7 @@ object CommitSink {
       staged.toSeq.sortBy(_._1).zipWithIndex
         .foreach { case ((f, (name, n)), i) =>
           val fin = f"part-dv-c$commitId%05d-$nonce-$i%05d.bin"
-          Files.move(staging.resolve(name), dir.resolve(fin),
-            StandardCopyOption.ATOMIC_MOVE)
+          CommitSink.io.promote(staging.resolve(name), dir.resolve(fin))
           promoted += (f -> DvEntry(fin, n))
         }
       // a dead (fully-covered) file's vector lands as a TOMBSTONE: the
@@ -757,7 +762,7 @@ object CommitSink {
         tombstones = dvMap.view.filterKeys(dead).toMap)
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
-      promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._2.dv)))
+      promoted.foreach(p => CommitSink.io.deleteIfExists(dir.resolve(p._2.dv)))
       throw e
     }
   }
@@ -809,7 +814,7 @@ object CommitSink {
     }.reduce(_ unionByName _).distinct()
     val nonce = writeNonce()
     val staging = stagingDir(Paths.get(dir), nonce)
-    Files.createDirectories(staging)
+    CommitSink.io.createDirectories(staging)
     try commitPositionsAsVectors(spark, dir, m, matched, nonce, staging,
       dropEq = true)
     finally sweepStaging(Paths.get(dir), nonce)
@@ -846,9 +851,9 @@ object CommitSink {
     // manifests — the manifest is the only record of what they held
     val droppedReferenced =
       drop.flatMap(v => manifestRefs(parseManifestVersion(d, v))).toSet
-    drop.foreach(v => Files.deleteIfExists(d.resolve(versionFile(v))))
+    drop.foreach(v => CommitSink.io.deleteIfExists(d.resolve(versionFile(v))))
     val removed = droppedReferenced.filterNot(live.contains).toSeq.sorted
-    removed.foreach(n => Files.deleteIfExists(d.resolve(n)))
+    removed.foreach(n => CommitSink.io.deleteIfExists(d.resolve(n)))
     (drop, removed)
   }
 
@@ -869,9 +874,9 @@ object CommitSink {
     val cutoff = System.currentTimeMillis() - graceMs
     val removed = listDataFiles(d)
       .filterNot(live.contains)
-      .filter(n => Files.getLastModifiedTime(d.resolve(n)).toMillis < cutoff)
+      .filter(n => CommitSink.io.lastModifiedMs(d.resolve(n)) < cutoff)
       .sorted
-    removed.foreach(n => Files.deleteIfExists(d.resolve(n)))
+    removed.foreach(n => CommitSink.io.deleteIfExists(d.resolve(n)))
     removed
   }
 
@@ -890,12 +895,8 @@ object CommitSink {
     * their names share the prefix) currently on disk — shared by the
     * truncate sweep and snapshot expiry, the two places that decide
     * deletions (one lister, two liveness rules kept explicitly local). */
-  private[sources] def listDataFiles(dir: Path): Seq[String] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.map(_.getFileName.toString)
-      .filter(_.startsWith("part-")).toSeq
-    finally s.close()
-  }
+  private[sources] def listDataFiles(dir: Path): Seq[String] =
+    io.list(dir).filter(_.startsWith("part-"))
 
   /** Time-travel read (o17): the table as of commit `version`, from its
     * immutable version manifest. */
@@ -1016,30 +1017,26 @@ object CommitSink {
 
   private[graft] def parseManifest(dir: Path): Option[Manifest] = {
     val mf = dir.resolve(MANIFEST)
-    if (!Files.exists(mf)) None
-    else Some(parseManifestText(Files.readString(mf), mf.toString))
+    if (!CommitSink.io.exists(mf)) None
+    else Some(parseManifestText(CommitSink.io.readString(mf), mf.toString))
   }
 
   /** The immutable manifest of a PAST version (time travel, o17). Fails
     * loudly on a version that never committed. */
   private[graft] def parseManifestVersion(dir: Path, version: Long): Manifest = {
     val mf = dir.resolve(versionFile(version))
-    require(Files.exists(mf),
+    require(CommitSink.io.exists(mf),
       s"graft-commit: no version $version at $dir (have: " +
         listVersions(dir).mkString(", ") + ")")
-    parseManifestText(Files.readString(mf), mf.toString)
+    parseManifestText(CommitSink.io.readString(mf), mf.toString)
   }
 
   private[graft] def listVersions(dir: Path): Seq[Long] =
-    if (!Files.isDirectory(dir)) Seq.empty
-    else {
-      val s = Files.list(dir)
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .flatMap(n => "_MANIFEST-v(-?[0-9]+)\\.json".r
-          .findFirstMatchIn(n).map(_.group(1).toLong))
-        .toSeq.sorted
-      finally s.close()
-    }
+    if (!io.isDirectory(dir)) Seq.empty
+    else io.list(dir)
+      .flatMap(n => "_MANIFEST-v(-?[0-9]+)\\.json".r
+        .findFirstMatchIn(n).map(_.group(1).toLong))
+      .sorted
 
   /** Column-wise schema equivalence for the append guard: names + types,
     * ignoring nullability and metadata — a nullable `id BIGINT` appends
@@ -1055,7 +1052,7 @@ object CommitSink {
   /** (schema DDL, relative file names) of a manifest. Hand-rolled parse
     * of our own hand-rolled format — both sides live in this file. */
   private[graft] def readManifest(mf: Path): (String, Seq[String]) = {
-    val txt = Files.readString(mf)
+    val txt = CommitSink.io.readString(mf)
     val ddl = "\"schema\":\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(txt)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
       .getOrElse(sys.error(s"graft-commit: manifest missing schema: $mf"))
@@ -1150,31 +1147,30 @@ object CommitSink {
       // the immutable per-version copy lands BEFORE the swap: any manifest a
       // reader can see as current always has its time-travel twin (a crash
       // between the two writes loses only the never-visible new version)
-      Files.writeString(dir.resolve(versionFile(commitId)), body)
+      io.writeString(dir.resolve(versionFile(commitId)), body)
       try {
         val tmp = dir.resolve(MANIFEST + ".tmp")
-        Files.writeString(tmp, body)
+        io.writeString(tmp, body)
         // the atomic swap IS the commit: readers either see the old manifest
         // or the new one, never a torn state
-        Files.move(tmp, dir.resolve(MANIFEST), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        io.atomicReplace(tmp, dir.resolve(MANIFEST))
       } catch { case e: Throwable =>
         // a failed swap must not leave a PHANTOM version: the commit never
         // became current, its data files will be deleted by the caller's
         // failure handler, and listVersions/time travel must not expose a
         // version whose files are gone. Safe to delete: the CAS above
         // proves no successful commit ever used this id.
-        Files.deleteIfExists(dir.resolve(versionFile(commitId)))
+        io.deleteIfExists(dir.resolve(versionFile(commitId)))
         throw e
       }
     }
 
   private[sources] def currentCommit(dir: Path): Long = {
     val mf = dir.resolve(MANIFEST)
-    if (!Files.exists(mf))
+    if (!CommitSink.io.exists(mf))
       -1L
     else
-      "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(Files.readString(mf))
+      "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(CommitSink.io.readString(mf))
         .map(_.group(1).toLong).getOrElse(-1L)
   }
 
@@ -1182,8 +1178,8 @@ object CommitSink {
     * ledger a re-delivered micro-batch commit is checked against. */
   private[graft] def committedEpochs(dir: Path): Seq[Long] = {
     val mf = dir.resolve(MANIFEST)
-    if (!Files.exists(mf)) Seq.empty
-    else "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(Files.readString(mf))
+    if (!CommitSink.io.exists(mf)) Seq.empty
+    else "\"epochs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(CommitSink.io.readString(mf))
       .map(_.group(1)).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq
   }
@@ -1204,18 +1200,13 @@ object CommitSink {
 
   private[sources] def sweepStaging(dir: Path, sub: String): Unit = {
     val st = stagingDir(dir, sub)
-    if (Files.exists(st)) {
-      // Files.list holds a directory fd until the stream is closed — a
-      // long-lived driver (the bench runs every sink query twice per
-      // session) would leak one per sweep without the explicit close
-      val s = Files.list(st)
-      try s.iterator().asScala.foreach(Files.deleteIfExists(_))
-      finally s.close()
-      Files.deleteIfExists(st)
+    if (io.exists(st)) {
+      io.list(st).foreach(n => io.deleteIfExists(st.resolve(n)))
+      io.deleteIfExists(st)
     }
     // drop the shared parent too once the LAST writer's sweep empties it
     // (non-empty = another write is in flight: leave it, ignore the race)
-    try Files.deleteIfExists(dir.resolve(STAGING))
+    try io.deleteIfExists(dir.resolve(STAGING))
     catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 }
@@ -2028,7 +2019,7 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
   private val nonce = CommitSink.writeNonce()
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
-    Files.createDirectories(CommitSink.stagingDir(dir, nonce))
+    CommitSink.io.createDirectories(CommitSink.stagingDir(dir, nonce))
     new CommitDeltaWriterFactory(path, planning.ddl, nonce,
       planning.deletes.map { case (f, e) => f -> Paths.get(path, e.dv).toString },
       planning.partCol)
@@ -2055,8 +2046,7 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
       val newStats = scala.collection.mutable.Map.empty[String, String]
       val newFiles = staged.zipWithIndex.map { case (s, i) =>
         val fin = f"part-c$commitId%05d-$nonce-$i%05d.parquet"
-        Files.move(staging.resolve(s.name), dir.resolve(fin),
-          StandardCopyOption.ATOMIC_MOVE)
+        CommitSink.io.promote(staging.resolve(s.name), dir.resolve(fin))
         promoted += fin
         if (s.stats.nonEmpty) newStats += (fin -> s.stats)
         fin
@@ -2066,8 +2056,7 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
           val fin = f"part-dv-c$commitId%05d-$nonce-$i%05d.bin"
           val n =
             if (parts.size == 1) {
-              Files.move(staging.resolve(parts.head._1), dir.resolve(fin),
-                StandardCopyOption.ATOMIC_MOVE)
+              CommitSink.io.promote(staging.resolve(parts.head._1), dir.resolve(fin))
               parts.head._2
             } else {
               val merged = parts.flatMap(p =>
@@ -2099,7 +2088,7 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
         tombstones = dvMap.view.filterKeys(dead).toMap)
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
-      promoted.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      promoted.foreach(n => CommitSink.io.deleteIfExists(dir.resolve(n)))
       CommitSink.sweepStaging(dir, nonce)
       throw e
     }
@@ -2206,7 +2195,7 @@ class CommitStreamingWrite(path: String, schema: StructType,
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory = {
-    Files.createDirectories(CommitSink.stagingDir(dir, nonce))
+    CommitSink.io.createDirectories(CommitSink.stagingDir(dir, nonce))
     // Initialize an EMPTY manifest for a never-written target so that a
     // stream committing zero epochs (empty source) still leaves a
     // readable table — readCommitted sees commit 0 with no files and
@@ -2214,7 +2203,7 @@ class CommitStreamingWrite(path: String, schema: StructType,
     // yet" (expectedPrev = -1): if a concurrent writer commits in the
     // window after our exists-check, the swap must NOT clobber its
     // files — the CAS failure is caught and the existing manifest wins.
-    if (!Files.exists(dir.resolve("_MANIFEST.json")))
+    if (!CommitSink.io.exists(dir.resolve("_MANIFEST.json")))
       try CommitSink.writeManifest(dir, schema.toDDL, Seq.empty, 0L,
         expectedPrev = -1L, tableId = CommitSink.carriedOrFreshTableId(None),
         payload = payload)
@@ -2239,7 +2228,7 @@ class CommitStreamingWrite(path: String, schema: StructType,
       // promoting it would double-write rows AND re-apply the epoch's
       // equality delete the manifest already has
       (staged.map(_.name) ++ eqStaged.map(_._1)).foreach(n =>
-        Files.deleteIfExists(CommitSink.stagingDir(dir, nonce).resolve(n)))
+        CommitSink.io.deleteIfExists(CommitSink.stagingDir(dir, nonce).resolve(n)))
     } else {
       val prev = manifest.map(_.commit).getOrElse(-1L)
       val carriedDdl = manifest.map(_.ddl).getOrElse(schema.toDDL)
@@ -2274,14 +2263,12 @@ class CommitStreamingWrite(path: String, schema: StructType,
       try {
         staged.zipWithIndex.foreach { case (s, i) =>
           val fin = f"part-e$epochId%05d-$nonce-$i%05d.$payload%s"
-          Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
-            StandardCopyOption.ATOMIC_MOVE)
+          CommitSink.io.promote(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin))
           promoted += (fin -> s.stats)
         }
         eqStaged.zipWithIndex.foreach { case ((n, k), i) =>
           val fin = f"part-eq-e$epochId%05d-$nonce-$i%05d.parquet"
-          Files.move(CommitSink.stagingDir(dir, nonce).resolve(n), dir.resolve(fin),
-            StandardCopyOption.ATOMIC_MOVE)
+          CommitSink.io.promote(CommitSink.stagingDir(dir, nonce).resolve(n), dir.resolve(fin))
           promotedEq += (fin -> k)
         }
         val stats = manifest.map(_.stats).getOrElse(Map.empty) ++
@@ -2304,8 +2291,8 @@ class CommitStreamingWrite(path: String, schema: StructType,
       } catch { case e: Throwable =>
         // a refused epoch commit (e.g. a batch DML raced this trigger)
         // must leave no trace — same contract as the batch commit
-        promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
-        promotedEq.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
+        promoted.foreach(p => CommitSink.io.deleteIfExists(dir.resolve(p._1)))
+        promotedEq.foreach(p => CommitSink.io.deleteIfExists(dir.resolve(p._1)))
         CommitSink.sweepStaging(dir, nonce)
         throw e
       }
@@ -2342,7 +2329,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
   private val nonce = CommitSink.writeNonce()
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    Files.createDirectories(CommitSink.stagingDir(dir, nonce))
+    CommitSink.io.createDirectories(CommitSink.stagingDir(dir, nonce))
     // ship the schema as DDL text — StructType itself is serializable,
     // but the DDL is also exactly what the manifest records
     new CommitWriterFactory(path, schema.toDDL, partCol, nonce, payload,
@@ -2389,8 +2376,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     try {
       staged.zipWithIndex.foreach { case (s, i) =>
         val fin = f"part-c$plannedId%05d-$nonce-$i%05d.$payload%s"
-        Files.move(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin),
-          StandardCopyOption.ATOMIC_MOVE)
+        CommitSink.io.promote(CommitSink.stagingDir(dir, nonce).resolve(s.name), dir.resolve(fin))
         promoted += (fin -> s.stats)
       }
       val newStats = promoted.filter(_._2.nonEmpty).toMap
@@ -2398,8 +2384,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
       // a refused swap deletes them via promotedEq below)
       val newEq = eqStaged.zipWithIndex.map { case ((n, k), i) =>
         val fin = f"part-eq-c$plannedId%05d-$nonce-$i%05d.parquet"
-        Files.move(CommitSink.stagingDir(dir, nonce).resolve(n), dir.resolve(fin),
-          StandardCopyOption.ATOMIC_MOVE)
+        CommitSink.io.promote(CommitSink.stagingDir(dir, nonce).resolve(n), dir.resolve(fin))
         promotedEq += fin
         (fin, k)
       }
@@ -2412,8 +2397,8 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
       // a refused/failed commit must leave no trace: the manifest was
       // never swapped, so the promoted files are invisible garbage —
       // remove them so the target is byte-identical to before the write
-      promoted.foreach(p => Files.deleteIfExists(dir.resolve(p._1)))
-      promotedEq.foreach(n => Files.deleteIfExists(dir.resolve(n)))
+      promoted.foreach(p => CommitSink.io.deleteIfExists(dir.resolve(p._1)))
+      promotedEq.foreach(n => CommitSink.io.deleteIfExists(dir.resolve(n)))
       CommitSink.sweepStaging(dir, nonce)
       throw e
     }
@@ -2747,7 +2732,7 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     segOrdinal += 1
     file = staging.resolve(name)
     if (parquet) pw = ParquetPayload.writer(file, msgType)
-    else out = Files.newBufferedWriter(file)
+    else out = CommitSink.io.newBufferedWriter(file)
     rows = 0L
     resetStats()
   }
@@ -2755,7 +2740,7 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   private def closeSegment(): Unit = {
     if (parquet) { pw.close(); pw = null } else { out.close(); out = null }
     done ::= StagedFile(name, rows,
-      encodeStats(Files.size(file), if (partIdx < 0) None else Some(curKey)))
+      encodeStats(CommitSink.io.size(file), if (partIdx < 0) None else Some(curKey)))
   }
 
   // unpartitioned tasks stage ONE file, opened eagerly so an empty task
@@ -2865,9 +2850,9 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   override def abort(): Unit = {
     if (segActive) {
       if (parquet) pw.close() else out.close()
-      Files.deleteIfExists(file)
+      CommitSink.io.deleteIfExists(file)
     }
-    done.foreach(s => Files.deleteIfExists(staging.resolve(s.name)))
+    done.foreach(s => CommitSink.io.deleteIfExists(staging.resolve(s.name)))
   }
   override def close(): Unit = ()
 }
@@ -4114,7 +4099,7 @@ class CommitFilesReader(files: Seq[String], schema: StructType,
       val (name, idx) = queue.next()
       val f = Paths.get(name)
       curFile = UTF8String.fromString(f.getFileName.toString)
-      lines = Files.newBufferedReader(f)
+      lines = CommitSink.io.newBufferedReader(f)
       pos = 0L
       dvPtr = 0
       dv = dvs.lift(idx).filter(_.nonEmpty)

@@ -8,7 +8,7 @@ import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
 import org.apache.parquet.hadoop.example.ExampleParquetWriter
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
-import org.apache.parquet.io.{ColumnIOFactory, LocalInputFile, LocalOutputFile}
+import org.apache.parquet.io.ColumnIOFactory
 import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -86,7 +86,7 @@ private[graft] object ParquetPayload {
     new MessageType("graft", schema.fields.map(toParquetField).toSeq: _*)
 
   def writer(file: NioPath, msg: MessageType): ParquetWriter[Group] =
-    ExampleParquetWriter.builder(new LocalOutputFile(file))
+    ExampleParquetWriter.builder(CommitSink.io.outputFile(file))
       .withType(msg)
       // snappy: the 100 TB default trade (cheap CPU, ~2-4x smaller IO);
       // available in the Spark runtime everywhere this sink runs
@@ -161,7 +161,7 @@ private[graft] object ParquetPayload {
     * JSON payload could only approximate by skipping chars). Fields in
     * `wanted` absent from the file decode as null. */
   final class FileGroups(file: NioPath, wanted: StructType) {
-    private val reader = ParquetFileReader.open(new LocalInputFile(file))
+    private val reader = ParquetFileReader.open(CommitSink.io.inputFile(file))
     private val fileSchema = reader.getFooter.getFileMetaData.getSchema
     private val present = wanted.fields.filter(f => fileSchema.containsField(f.name))
     /** requested-schema index per wanted field (-1 = absent → null). */
