@@ -265,6 +265,63 @@ class Round14Spec extends AnyFunSuite {
     assert((5L until 15L).forall(back(_) == 2L))  // second trigger wins
   }
 
+  test("upsert on a PARTITIONED table: per-key roll + key file in one commit; compaction retires entries") {
+    val dir = freshDir("eq_partitioned")
+    spark.range(120L).select($"id", ($"id" % 3).as("k"), lit("base").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val before = manifest(dir)
+    spark.range(30L, 45L).select($"id", ($"id" % 3).as("k"), lit("up").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").option("upsertKeys", "id").mode("append").save()
+    val mid = manifest(dir)
+    assert(before.files.forall(mid.files.contains) && mid.eqDeletes.nonEmpty)
+    // new files keep the one-key-per-file layout (pk recorded)
+    val newFiles = mid.files.filterNot(before.files.toSet)
+    assert(newFiles.forall(f =>
+      sources.CommitSink.FileStat.decode(mid.stats(f)).pk.isDefined))
+    val back = sources.CommitSink.readCommitted(spark, dir)
+      .as[(Long, Long, String)].collect()
+    assert(back.length == 120)
+    assert(back.count(_._3 == "up") == 15)
+    // keyed DSv2 reads apply the key sets inside the key-group partitions
+    val dsv2 = spark.read.format("graft-commit").option("path", dir).load()
+    assert(dsv2.filter($"s" === "up").count() == 15L)
+    assert(dsv2.groupBy($"k").count().collect().map(_.getLong(1)).sum == 120L)
+    // a compaction's scan applies the key sets and its commit retires
+    // every no-longer-covering entry centrally
+    sources.CommitSink.compact(spark, dir, 2)
+    val after = manifest(dir)
+    assert(after.eqDeletes.isEmpty, "rewritten files are above every delete's sequence")
+    assert(sources.CommitSink.readCommitted(spark, dir)
+      .filter($"s" === "up").count() == 15L)
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 120L)
+  }
+
+  test("equality deletes + schema evolution: an ALTER carries key files and sequences") {
+    val (cat, root) = withCatalog("eq_evolve")
+    val path = s"$root/default/t"
+    spark.range(40L).select($"id", lit("base").as("s"))
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    spark.range(10L, 20L).select($"id", lit("up").as("s"))
+      .write.format("graft-commit").option("path", path)
+      .option("upsertKeys", "id").mode("append").save()
+    spark.sql(s"ALTER TABLE $cat.`default`.t ADD COLUMNS (tag STRING)")
+    val m = manifest(path)
+    assert(m.eqDeletes.nonEmpty, "the ALTER carries equality deletes verbatim")
+    val back = sources.CommitSink.readCommitted(spark, path)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "s", "tag"))
+    assert(back.count() == 40L && back.filter($"s" === "up").count() == 10L)
+    // and the widened schema upserts fine on top
+    spark.range(15L, 25L).select($"id", lit("u2").as("s"), lit("t2").as("tag"))
+      .write.format("graft-commit").option("path", path)
+      .option("upsertKeys", "id").mode("append").save()
+    val back2 = sources.CommitSink.readCommitted(spark, path)
+    assert(back2.count() == 40L)
+    assert(back2.filter($"tag" === "t2").count() == 10L)
+    assert(back2.filter($"s" === "up").count() == 5L) // 10..14 survive as up
+  }
+
   test("upsert refusals: json payload, overwrite mode, unknown/bad-typed keys") {
     val dir = freshDir("eq_refuse")
     spark.range(10L).select($"id", ($"id" * 1.0).as("v"))
