@@ -354,37 +354,57 @@ object CommitSink {
     def at(v: Long): Manifest =
       if (v < 0) Manifest(-1L, curM.ddl, Seq.empty, Seq.empty)
       else parseManifestVersion(d, v)
-    val frames = (from to to).map { v =>
+    def isExpressible(v: Long): Boolean = {
       val (prev, cur) = (at(v - 1), at(v))
       val removed = prev.files.toSet -- cur.files.toSet
-      val expressible = removed.forall(cur.deletes.contains) &&
-        prev.eqDeletes == cur.eqDeletes
-      if (expressible)
-        spark.read.format(NAME).option("path", dir)
-          .option("readChangeFeed", true)
-          .option("startingVersion", v).option("endingVersion", v).load()
-      else {
-        require(sameColumns(prev.ddl, cur.ddl) && prev.payload == cur.payload,
-          s"graft-commit: commit $v of $dir rewrote the table under a new " +
-            "schema or payload — no diff is expressible; restart past it")
-        val added = cur.files.filterNot(prev.files.toSet)
-        val dvChanged = prev.files.filter(f =>
-          cur.files.contains(f) && prev.deletes.get(f) != cur.deletes.get(f))
-        val eqCovered = cur.eqDeletes.filterNot(prev.eqDeletes.contains)
-          .flatMap(e => prev.files.filter(f => cur.seqOf(f) < e.seq))
-        val oldSide = (removed.toSeq ++ dvChanged ++ eqCovered).distinct
-        val newSide = (added ++ dvChanged ++ eqCovered).distinct
-        val oldView = readManifestFiles(spark, dir,
-          prev.copy(files = prev.files.filter(oldSide.contains)))
-        val newView = readManifestFiles(spark, dir,
-          cur.copy(files = cur.files.filter(newSide.contains)))
-        oldView.exceptAll(newView)
-          .withColumn(CHANGE_TYPE_COL, lit("delete"))
-          .withColumn(COMMIT_VERSION_COL, lit(v))
-          .unionByName(newView.exceptAll(oldView)
-            .withColumn(CHANGE_TYPE_COL, lit("insert"))
-            .withColumn(COMMIT_VERSION_COL, lit(v)))
+      removed.forall(cur.deletes.contains) && prev.eqDeletes == cur.eqDeletes
+    }
+    /** One inexpressible commit's delta as a group-granular snapshot
+      * diff: pre-image of exactly the touched files EXCEPT ALL their
+      * post-image = 'delete' rows, the reverse = 'insert' rows. */
+    def diffOf(v: Long): org.apache.spark.sql.DataFrame = {
+      val (prev, cur) = (at(v - 1), at(v))
+      require(sameColumns(prev.ddl, cur.ddl) && prev.payload == cur.payload,
+        s"graft-commit: commit $v of $dir rewrote the table under a new " +
+          "schema or payload — no diff is expressible; restart past it")
+      val removed = prev.files.toSet -- cur.files.toSet
+      val added = cur.files.filterNot(prev.files.toSet)
+      val dvChanged = prev.files.filter(f =>
+        cur.files.contains(f) && prev.deletes.get(f) != cur.deletes.get(f))
+      val eqCovered = cur.eqDeletes.filterNot(prev.eqDeletes.contains)
+        .flatMap(e => prev.files.filter(f => cur.seqOf(f) < e.seq))
+      val oldSide = (removed.toSeq ++ dvChanged ++ eqCovered).distinct
+      val newSide = (added ++ dvChanged ++ eqCovered).distinct
+      val oldView = readManifestFiles(spark, dir,
+        prev.copy(files = prev.files.filter(oldSide.contains)))
+      val newView = readManifestFiles(spark, dir,
+        cur.copy(files = cur.files.filter(newSide.contains)))
+      oldView.exceptAll(newView)
+        .withColumn(CHANGE_TYPE_COL, lit("delete"))
+        .withColumn(COMMIT_VERSION_COL, lit(v))
+        .unionByName(newView.exceptAll(oldView)
+          .withColumn(CHANGE_TYPE_COL, lit("insert"))
+          .withColumn(COMMIT_VERSION_COL, lit(v)))
+    }
+    // group CONSECUTIVE expressible commits into one ranged CDF scan —
+    // the per-commit partitions come out identical (the scan's planner
+    // is per-commit anyway), but a 1000-commit history plans a handful
+    // of scans instead of a thousand
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    (from to to).foreach { v =>
+      val ok = isExpressible(v)
+      runs.lastOption match {
+        case Some((s, e, true)) if ok && e == v - 1 =>
+          runs(runs.length - 1) = (s, v, true)
+        case _ => runs += ((v, v, ok))
       }
+    }
+    val frames = runs.toSeq.flatMap { case (s, e, ok) =>
+      if (ok)
+        Seq(spark.read.format(NAME).option("path", dir)
+          .option("readChangeFeed", true)
+          .option("startingVersion", s).option("endingVersion", e).load())
+      else (s to e).map(diffOf)
     }
     // allowMissingColumns: an ALTER inside the range widens later
     // commits' rows; earlier ones read the added column as NULL
