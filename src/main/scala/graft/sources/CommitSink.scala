@@ -3613,17 +3613,19 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
           s"graft-commit: the change feed's snapshot re-bootstrap found a " +
             s"'${m.payload}'-payload table at $path — restart the stream " +
             "from a fresh checkpoint")
-        // the CDF reader applies vectors but not equality deletes — a
-        // snapshot with live key files would re-insert deleted rows
-        require(m.eqDeletes.isEmpty,
-          s"graft-commit: the change feed's snapshot re-bootstrap found " +
-            s"live equality deletes at $path — run convertEqDeletes " +
-            "first (vectors are expressible; key files are not)")
+        // the snapshot's live rows = files minus vectors minus equality
+        // deletes — ship the applicable key files per partition so the
+        // re-bootstrap never re-inserts a replaced row
+        lazy val full = StructType.fromDDL(m.ddl)
         m.files.map { f =>
           CommitChangesPartition(Paths.get(path, f).toString,
             m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
               .getOrElse(""),
-            "", insert = true, commitVersion = m.commit): InputPartition
+            "", insert = true, commitVersion = m.commit,
+            eqs = m.eqFor(f).map(e =>
+              EqRef(Paths.get(path, e.file).toString,
+                StructType(e.colNames.map(c => full(full.fieldIndex(c))))
+                  .toDDL))): InputPartition
         }.toArray
       }
       if (snapshotOnRewrite && !genMatches(sp)) return bootstrap
@@ -3731,6 +3733,68 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
   * context). */
 case class EqRef(path: String, colsDdl: String)
 
+/** Executor-side equality-delete evaluation (o32), shared by the row
+  * reader and the change-feed reader: load each applicable key file's
+  * distinct tuples once per data file, then answer "is this decoded
+  * row's key deleted" per row. A NULL key (including a key column the
+  * file predates) never matches — SQL equality. */
+private[sources] object EqMatch {
+  /** (decode-field indices into the reader's wanted schema, key types,
+    * key-tuple set) — one per distinct key signature. */
+  type Matcher = (Array[Int], Array[DataType], scala.collection.Set[Seq[Any]])
+
+  def load(refs: Seq[EqRef], wanted: StructType): Seq[Matcher] =
+    refs.groupBy(_.colsDdl).toSeq.map { case (ddl, grp) =>
+      val ks = StructType.fromDDL(ddl)
+      val idxs = ks.fields.map(kf => wanted.fieldIndex(kf.name))
+      val set = scala.collection.mutable.HashSet.empty[Seq[Any]]
+      grp.foreach(loadKeys(_, ks, set))
+      (idxs, ks.fields.map(_.dataType), set: scala.collection.Set[Seq[Any]])
+    }
+
+  private def loadKeys(ref: EqRef, ks: StructType,
+                       into: scala.collection.mutable.HashSet[Seq[Any]]): Unit = {
+    val fg = new ParquetPayload.FileGroups(Paths.get(ref.path), ks)
+    try if (fg.hasColumns) {
+      var g = fg.next()
+      while (g != null) {
+        val vals = new Array[Any](ks.length)
+        var i = 0
+        var hasNull = false
+        while (i < ks.length && !hasNull) {
+          val fi = fg.fieldIndex(i)
+          if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+            vals(i) = ParquetPayload.value(g, fi, ks(i).dataType)
+          else hasNull = true
+          i += 1
+        }
+        if (!hasNull)
+          into += scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)
+        g = fg.next()
+      }
+    } finally fg.close()
+  }
+
+  /** Does `g`'s key tuple (decoded through `fg`'s requested-field map)
+    * appear in any matcher's set? */
+  def deleted(matchers: Seq[Matcher], fg: ParquetPayload.FileGroups,
+              g: org.apache.parquet.example.data.Group): Boolean =
+    matchers.nonEmpty && matchers.exists { case (idxs, types, set) =>
+      val vals = new Array[Any](idxs.length)
+      var i = 0
+      var hasNull = false
+      while (i < idxs.length && !hasNull) {
+        val fi = fg.fieldIndex(idxs(i))
+        if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
+          vals(i) = ParquetPayload.value(g, fi, types(i))
+        else hasNull = true
+        i += 1
+      }
+      !hasNull && set.contains(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(vals))
+    }
+}
+
 /** `dvs` (o27): per-file deletion-vector ABSOLUTE path, parallel to
   * `files` ("" = no vector) — the reader skips the vector's positions.
   * `eqs` (o32): per-file APPLICABLE equality deletes, parallel to
@@ -3741,13 +3805,14 @@ case class CommitFilesPartition(files: Seq[String], dvs: Seq[String] = Seq.empty
 
 /** One change-feed unit (o29): ONE data file's contribution to ONE
   * commit. `insert = true` → the file was added at [[commitVersion]]:
-  * emit its live rows ('insert'), skipping `dv` (non-empty only on a
-  * snapshot re-bootstrap). `insert = false` → the file's vector changed
-  * at [[commitVersion]]: emit exactly the positions of `dv` minus
-  * `prevDv` ('delete') — the rows that commit deleted. Paths absolute;
-  * "" = none. */
+  * emit its live rows ('insert'), skipping `dv` and the `eqs` key sets
+  * (both non-empty only on a snapshot re-bootstrap). `insert = false` →
+  * the file's vector changed at [[commitVersion]]: emit exactly the
+  * positions of `dv` minus `prevDv` ('delete') — the rows that commit
+  * deleted. Paths absolute; "" = none. */
 case class CommitChangesPartition(file: String, dv: String, prevDv: String,
-                                  insert: Boolean, commitVersion: Long)
+                                  insert: Boolean, commitVersion: Long,
+                                  eqs: Seq[EqRef] = Seq.empty)
     extends InputPartition
 
 class CommitChangesReaderFactory(ddl: String) extends PartitionReaderFactory {
@@ -3773,6 +3838,10 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
     new ParquetPayload.FileGroups(Paths.get(p.file), dataSchema)
   private val changeType =
     UTF8String.fromString(if (p.insert) "insert" else "delete")
+  /** Applicable equality deletes (re-bootstrap only): key columns are
+    * data columns, so the full-width CDF decode already covers them. */
+  private val eqMatchers: Seq[EqMatch.Matcher] =
+    EqMatch.load(p.eqs, dataSchema)
   /** keep=false: emit rows NOT in `positions` (insert mode, vector as a
     * skip list). keep=true: emit ONLY `positions` (delete mode, the
     * vector diff). */
@@ -3815,7 +3884,8 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
       val at = pos; pos += 1
       while (ptr < positions.length && positions(ptr) < at) ptr += 1
       val hit = ptr < positions.length && positions(ptr) == at
-      if (hit != keep) advance()
+      if (hit != keep ||
+          (p.insert && EqMatch.deleted(eqMatchers, groups, g))) advance()
       else {
         val vals = new Array[Any](schema.length)
         var i = 0
@@ -3923,59 +3993,13 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
     * whole vector in O(rows + deletes). */
   private var dv: Array[Long] = Array.emptyLongArray
   private var dvPtr = 0
-  /** Equality-delete matchers of the current file, one per distinct key
-    * signature: (decode-field indices, key types, key-tuple set). */
-  private var eqMatchers: Seq[(Array[Int], Array[DataType],
-    scala.collection.Set[Seq[Any]])] = Nil
+  /** Equality-delete matchers of the current file (see [[EqMatch]]). */
+  private var eqMatchers: Seq[EqMatch.Matcher] = Nil
   private var row: InternalRow = _
 
   private def deleted(p: Long): Boolean = {
     while (dvPtr < dv.length && dv(dvPtr) < p) dvPtr += 1
     dvPtr < dv.length && dv(dvPtr) == p
-  }
-
-  /** Does this decoded row's key tuple appear in any applicable key
-    * set? A NULL key (including a key column the file predates) never
-    * matches — SQL equality. */
-  private def eqDeleted(g: org.apache.parquet.example.data.Group): Boolean =
-    eqMatchers.nonEmpty && eqMatchers.exists { case (idxs, types, set) =>
-      val vals = new Array[Any](idxs.length)
-      var i = 0
-      var hasNull = false
-      while (i < idxs.length && !hasNull) {
-        val fi = cur.fieldIndex(idxs(i))
-        if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
-          vals(i) = ParquetPayload.value(g, fi, types(i))
-        else hasNull = true
-        i += 1
-      }
-      !hasNull && set.contains(scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(vals))
-    }
-
-  /** Load one key file's distinct tuples (null-free by construction —
-    * the writer records none — but filtered defensively). */
-  private def loadKeys(ref: EqRef, ks: StructType,
-                       into: scala.collection.mutable.HashSet[Seq[Any]]): Unit = {
-    val fg = new ParquetPayload.FileGroups(Paths.get(ref.path), ks)
-    try if (fg.hasColumns) {
-      var g = fg.next()
-      while (g != null) {
-        val vals = new Array[Any](ks.length)
-        var i = 0
-        var hasNull = false
-        while (i < ks.length && !hasNull) {
-          val fi = fg.fieldIndex(i)
-          if (fi >= 0 && g.getFieldRepetitionCount(fi) > 0)
-            vals(i) = ParquetPayload.value(g, fi, ks(i).dataType)
-          else hasNull = true
-          i += 1
-        }
-        if (!hasNull)
-          into += scala.collection.immutable.ArraySeq.unsafeWrapArray(vals)
-        g = fg.next()
-      }
-    } finally fg.close()
   }
 
   @scala.annotation.tailrec
@@ -3996,13 +4020,7 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
       val wanted = StructType(dataSchema.fields ++ extra)
       cur = new ParquetPayload.FileGroups(f, wanted)
       if (!cur.hasColumns) countOnly = cur.rowCount
-      eqMatchers = refs.groupBy(_.colsDdl).toSeq.map { case (ddl, grp) =>
-        val ks = StructType.fromDDL(ddl)
-        val idxs = ks.fields.map(kf => wanted.fieldIndex(kf.name))
-        val set = scala.collection.mutable.HashSet.empty[Seq[Any]]
-        grp.foreach(loadKeys(_, ks, set))
-        (idxs, ks.fields.map(_.dataType), set: scala.collection.Set[Seq[Any]])
-      }
+      eqMatchers = EqMatch.load(refs, wanted)
       pos = 0L
       dvPtr = 0
       dv = dvs.lift(idx).filter(_.nonEmpty)
@@ -4027,7 +4045,7 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
       if (g == null) { cur.close(); cur = null; advance() }
       else {
         val p = pos; pos += 1
-        if (deleted(p) || eqDeleted(g)) advance()
+        if (deleted(p) || EqMatch.deleted(eqMatchers, cur, g)) advance()
         else { row = emit(g, p); true }
       }
     }

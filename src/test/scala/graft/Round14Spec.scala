@@ -429,6 +429,37 @@ class Round14Spec extends AnyFunSuite {
     assert(feed.filter(_._3 == "insert").forall(_._2 == "u1"))
   }
 
+  test("cdf bootstrap over live equality deletes emits the NET content (keys applied)") {
+    val dir = freshDir("eq_cdf_bootstrap")
+    spark.range(30L).select($"id", lit("base").as("s"))
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    spark.range(10L, 20L).select($"id", lit("up").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    // default: a CDF range straddling the upsert still refuses
+    val e = intercept[Exception] {
+      spark.read.format("graft-commit").option("path", dir)
+        .option("readChangeFeed", true).option("startingVersion", 0).load()
+        .collect()
+    }
+    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+    // snapshotOnRewrite: the CDF STREAM re-bootstraps the snapshot with
+    // the key sets applied — 30 live rows, the 10 replaced ones only in
+    // their 'up' version, everything stamped 'insert'
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = spark.readStream.format("graft-commit").option("path", dir)
+      .option("readChangeFeed", true).option("snapshotOnRewrite", true).load()
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rows ++= b.select($"id", $"s", $"_change_type")
+          .as[(Long, String, String)].collect(); ()
+      }.option("checkpointLocation", s"$dir-ck").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rows.size == 30 && rows.forall(_._3 == "insert"))
+    assert(rows.count(_._2 == "up") == 10)
+    assert(rows.filter(r => r._1 >= 10 && r._1 < 20).forall(_._2 == "up"),
+      "replaced keys must surface only in their post-upsert version")
+  }
+
   // --- lakehouse schema evolution (o31) -------------------------------------
 
   test("alter add column: metadata-only commit, null-fill reads, old version keeps old schema") {
