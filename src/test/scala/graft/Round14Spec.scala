@@ -22,6 +22,22 @@ import org.scalatest.funsuite.AnyFunSuite
   *    on every path, appends must carry the widened schema, time travel
   *    keeps each version's own shape, COW rewrites and MOR vectors
   *    survive the ALTER, and non-ADD changes refuse loudly.
+  *  - '''Equality deletes (o32)''': `option("upsertKeys", k)` appends
+  *    record the batch's distinct keys as a key file scoped by per-file
+  *    add-sequences to strictly-older files — replace-by-key with zero
+  *    reads, batch and per-trigger streaming; upserts layer (newest seq
+  *    wins), both read paths and the keyed (SPJ) partitions apply the
+  *    key sets, `convertEqDeletes` turns key files into ordinary
+  *    vectors without changing the answer, compaction retires
+  *    out-sequenced entries, and the changelog/feed refuse a delete
+  *    covering already-emitted files while a FRESH checkpoint (and the
+  *    CDF snapshotOnRewrite re-bootstrap) emits the net content.
+  *  - '''Rewrite change feed (o33)''': a fully-covering vector delete
+  *    leaves a one-version TOMBSTONE, so the feed emits the drop as
+  *    delete rows; `changeFeedWithRewrites` replays COW DML /
+  *    compaction / upserts as a group-granular snapshot diff — one
+  *    group per one-group UPDATE, zero rows for a value-preserving
+  *    compaction.
   */
 class Round14Spec extends AnyFunSuite {
   import TestSpark._
