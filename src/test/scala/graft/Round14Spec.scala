@@ -209,6 +209,25 @@ class Round14Spec extends AnyFunSuite {
     assert(scan.count() == 200L)
   }
 
+  test("convertEqDeletes on a PARTITIONED table: vectors land per keyed file, layout intact") {
+    val dir = freshDir("eq_convert_part")
+    spark.range(90L).select($"id", ($"id" % 3).as("k"), lit("base").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    spark.range(30L, 60L).select($"id", ($"id" % 3).as("k"), lit("up").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").option("upsertKeys", "id").mode("append").save()
+    val affected = sources.CommitSink.convertEqDeletes(spark, dir)
+    assert(affected.nonEmpty)
+    val m = manifest(dir)
+    assert(m.eqDeletes.isEmpty && m.partCol.contains("k"))
+    assert(m.files.flatMap(m.deletes.get).map(_.ndel).sum == 30L)
+    // the keyed (SPJ) read path applies the converted vectors per group
+    val dsv2 = spark.read.format("graft-commit").option("path", dir).load()
+    assert(dsv2.count() == 90L && dsv2.filter($"s" === "up").count() == 30L)
+    assert(dsv2.groupBy($"k").count().collect().map(_.getLong(1)).toSet == Set(30L))
+  }
+
   test("equality deletes: changelog and change feed refuse an upsert commit loudly") {
     val dir = freshDir("eq_stream_refuse")
     spark.range(20L).select($"id", ($"id" * 1.0).as("v"))
