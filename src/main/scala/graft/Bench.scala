@@ -25,10 +25,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // RocksDB uniformly: multi-column-family state (w14/w15) requires
-      // it, and one provider across both passes keeps timings comparable
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // testdata tables are single-row-group files → 1-partition scans; fan
@@ -56,6 +52,11 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     def onePass(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+      // provider choice is per query (see Verify): multi-column-family
+      // entries opt into RocksDB at build time; the rest run the default
+      // HDFS-backed provider, and no entry's choice leaks into the next
+      // (or into pass 2 — the reset keeps both passes on equal footing)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

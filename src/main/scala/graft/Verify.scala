@@ -16,10 +16,6 @@ object Verify {
       // read of our output agrees with DuckDB's own timestamp semantics
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.adaptive.enabled", "true")
-      // RocksDB uniformly: multi-column-family state (w14/w15) requires
-      // it, and one provider for every stateful entry keeps runs uniform
-      .config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -32,6 +28,14 @@ object Verify {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>
+      // state-store provider is PER QUERY, not per session: only the
+      // multi-column-family entries (o26/w09/w14/w15) need RocksDB and
+      // they set it themselves at build time; everything else gets the
+      // default HDFS-backed provider, which is the right store for
+      // single-family bounded state (the r14 o23 finding: the global
+      // RocksDB default taxed every small stateful entry). Unsetting
+      // here also stops one entry's choice leaking into the next.
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
       // drop any stale result first: a query that errors must not leave a
       // previous run's parquet behind to be graded as if it were current
       Tables.deleteRecursively(s"$outDir/$name")

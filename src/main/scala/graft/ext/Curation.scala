@@ -54,14 +54,26 @@ object Curation {
       .select($"doc_id", $"text", $"n_tokens", $"quality", $"lang")
   }
 
-  /** p01: the chunk manifest of the curated corpus. */
+  /** p01: the chunk manifest of the curated corpus. The memoized value
+    * is the MATERIALIZED manifest (eager localCheckpoint), not a plan:
+    * the manifest is chunk-cardinality (corpus tokens / 512 rows — tiny
+    * relative to the corpus at every scale), so pinning its rows makes
+    * every later call O(manifest) regardless of what the session's
+    * storage-eviction pressure did to the pipeline caches in between —
+    * the r14 bench regression was exactly that: pass 2 re-ran the whole
+    * curation because the LRU had evicted the intermediate caches by
+    * the time the second pass got back here. The pipeline caches are
+    * RELEASED after the checkpoint lands (they exist only to keep the
+    * one materialization from computing the dedup twice), so p01 leaves
+    * no storage pinned for the rest of the battery. */
   def p01CurateCorpus(spark: SparkSession, dir: String): DataFrame =
       Dedup.memoDf(spark, dir, "p01:curate") {
     import spark.implicits._
     // consumed twice (chunk assignment + lang join): cache, or the whole
     // dedup pipeline behind curatedDocs runs twice
     val docs = curatedDocs(spark, dir).cache()
-    TextAnalysis.assignChunks(docs.select($"doc_id", $"n_tokens"), ChunkBudget)
+    val manifest = TextAnalysis
+      .assignChunks(docs.select($"doc_id", $"n_tokens"), ChunkBudget)
       .join(docs.select($"doc_id", $"lang"), "doc_id")
       .groupBy($"chunk_id")
       .agg(count(lit(1)).as("n_docs"),
@@ -69,6 +81,9 @@ object Curation {
            min($"doc_id").as("first_doc"),
            max($"doc_id").as("last_doc"),
            array_join(array_sort(collect_set($"lang")), ",").as("langs"))
+      .localCheckpoint(true)
+    docs.unpersist()
+    manifest
   }
 
   /** p11: temperature-scaled mixture weights — the multilingual sampling

@@ -292,10 +292,12 @@ object Streaming {
 
   /** Multi-column-family state (MapState/ListState — w14/w15) requires
     * the RocksDB state store; the default HDFS-backed provider throws
-    * STATE_STORE_MULTIPLE_COLUMN_FAMILIES. Set session-wide and left
-    * set: RocksDB is the production provider and is semantics-neutral
-    * for every other streaming entry (Verify/Bench also set it at
-    * session build so all passes run one provider uniformly). */
+    * STATE_STORE_MULTIPLE_COLUMN_FAMILIES. The choice is PER QUERY (the
+    * r14 o23 finding: a session-global RocksDB default taxed every
+    * single-family entry with its per-(trigger × partition) open/commit
+    * cost): entries that need it call this at build time, and
+    * Verify/Bench unset the provider key before each entry so the
+    * opt-in never leaks into the next query or the next pass. */
   private def requireRocksDb(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -360,4 +360,37 @@ class StreamingSpec extends AnyFunSuite {
       .select($"id", element_at($"after", "salary").as("salary"))
     assert(canon(got) == canon(expect))
   }
+
+  test("state-store provider choice is per query: RocksDB is an opt-in, not a session pin") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    try {
+      // baseline: the runners (Verify/Bench) unset the key before every
+      // entry — model that here
+      spark.conf.unset(key)
+      // a single-family entry runs green on the DEFAULT provider and
+      // does not opt into anything (the r14 o23 cost finding)
+      val snap = sources.Sources.o23StateIntrospection(spark, sf0001)
+      assert(snap.count() == 97L)
+      // getOption surfaces the conf DEFAULT (HDFS-backed) — the point is
+      // the entry did not opt into RocksDB behind the session's back
+      assert(spark.conf.get(key).contains("HDFSBackedStateStoreProvider"),
+        "a single-family entry must run on (and leave) the default provider")
+      // a multi-column-family entry opts into RocksDB at build time —
+      // the conf must be set by the time the plan executes
+      ops.Streaming.w14MapStateLeaderboard(spark, sf0001).write
+        .format("noop").mode("overwrite").save()
+      assert(spark.conf.get(key).contains("RocksDBStateStoreProvider"),
+        "MapState requires the RocksDB opt-in at build time")
+      // w17 pins the HDFS-backed store for its own run and RESTORES the
+      // caller's provider afterwards (here: the RocksDB left by w14)
+      sources.Sources.w17DedupWithinWatermark(spark, sf0001).write
+        .format("noop").mode("overwrite").save()
+      assert(spark.conf.get(key).contains("RocksDBStateStoreProvider"),
+        "w17 must restore the provider it found")
+    } finally saved match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
 }
