@@ -43,3 +43,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")}",
   "-Xlog:gc:file=/tmp/graft_gc.log:time,uptime",
 )
+// storage-binding passthrough: `sbt -Dgraft.commit.io=hadoop test` runs
+// the whole battery through the Hadoop FileSystem CommitIO binding
+javaOptions ++= sys.props.get("graft.commit.io")
+  .map(v => s"-Dgraft.commit.io=$v").toSeq

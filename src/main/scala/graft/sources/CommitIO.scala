@@ -81,6 +81,12 @@ private[graft] object NioCommitIO extends CommitIO {
     ()
   }
   override def promote(src: Path, dst: Path): Unit = {
+    // explicit no-clobber: POSIX rename(2) — what ATOMIC_MOVE maps to —
+    // silently REPLACES an existing target, but a promote collision
+    // means a nonce/logic error and must surface (the r15 contract spec
+    // pins this for both bindings)
+    if (Files.exists(dst))
+      throw new java.nio.file.FileAlreadyExistsException(dst.toString)
     Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); ()
   }
   override def exists(p: Path): Boolean = Files.exists(p)
@@ -99,4 +105,117 @@ private[graft] object NioCommitIO extends CommitIO {
   override def size(p: Path): Long = Files.size(p)
   override def lastModifiedMs(p: Path): Long =
     Files.getLastModifiedTime(p).toMillis
+}
+
+/** The Hadoop `FileSystem` binding (r15) — the seam's SECOND
+  * implementation, proving "one new implementation, not a rewrite":
+  * every operation goes through the real `org.apache.hadoop.fs` API
+  * (the exact surface S3A/ABFS/GCS connectors implement), and parquet
+  * handles are `HadoopInputFile`/`HadoopOutputFile` — the same classes
+  * Iceberg/Delta hand parquet-java on an object store. In this sandbox
+  * the FileSystem resolves `file://` to [[org.apache.hadoop.fs
+  * .RawLocalFileSystem]] (raw, not the checksummed LocalFileSystem —
+  * `.crc` sidecars would pollute prefix listings the manifest GC
+  * reasons over); on a cluster the same code binds to `s3a://`/
+  * `hdfs://` purely by URI scheme and `fs.*.impl` conf.
+  *
+  * Contract notes (CommitIOContractSpec property-tests both bindings):
+  *  - `atomicReplace` first tries a direct rename (POSIX rename
+  *    replaces atomically; HDFS rename-with-overwrite is atomic
+  *    server-side). Only if the FileSystem refuses an existing target
+  *    does it fall back to delete+rename — the transient window shows
+  *    a MISSING manifest (an error surface readers already handle),
+  *    never a torn one. On a real object store this op is the
+  *    conditional PUT paired with [[CommitSink.writeManifest]]'s CAS.
+  *  - `promote` is rename-no-clobber: final names are nonce-unique, so
+  *    an existing destination means a logic error, and the binding
+  *    refuses it the way NIO's ATOMIC_MOVE does.
+  *
+  * Stateless and Serializable: the Configuration and FileSystem are
+  * `@transient lazy`, rebuilt after deserialization in task closures. */
+private[graft] class HadoopCommitIO extends CommitIO {
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  @transient private lazy val conf: Configuration = {
+    val c = new Configuration()
+    // raw local: no .crc sidecars (they'd show up in list() and confuse
+    // the GC's name-prefix liveness rules); private instance so the
+    // impl override can't leak into Spark's own cached local FS
+    c.set("fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    c.setBoolean("fs.file.impl.disable.cache", true)
+    c
+  }
+  @transient private lazy val fs: FileSystem =
+    FileSystem.get(java.net.URI.create("file:///"), conf)
+
+  private def hp(p: Path): HPath =
+    new HPath(p.toAbsolutePath.normalize.toUri)
+
+  override def inputFile(p: Path): org.apache.parquet.io.InputFile =
+    org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp(p), conf)
+  override def outputFile(p: Path): org.apache.parquet.io.OutputFile =
+    org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(hp(p), conf)
+  override def newInputStream(p: Path): java.io.InputStream = fs.open(hp(p))
+  override def newOutputStream(p: Path): java.io.OutputStream =
+    fs.create(hp(p), true)
+  override def newBufferedReader(p: Path): java.io.BufferedReader =
+    new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(hp(p)), java.nio.charset.StandardCharsets.UTF_8))
+  override def newBufferedWriter(p: Path): java.io.BufferedWriter =
+    new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(hp(p), true), java.nio.charset.StandardCharsets.UTF_8))
+  override def readString(p: Path): String = {
+    val in = fs.open(hp(p))
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+  override def writeString(p: Path, s: String): Unit = {
+    val out = fs.create(hp(p), true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+  override def atomicReplace(tmp: Path, target: Path): Unit = {
+    val (s, d) = (hp(tmp), hp(target))
+    if (!fs.rename(s, d)) {
+      // the FileSystem refused (e.g. an impl that won't replace): fall
+      // back to delete+rename — see the class doc for the visibility
+      // contract of this window
+      fs.delete(d, false)
+      require(fs.rename(s, d), s"hadoop-io: rename $s -> $d failed")
+    }
+  }
+  override def promote(src: Path, dst: Path): Unit = {
+    val (s, d) = (hp(src), hp(dst))
+    if (fs.exists(d))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+        s"hadoop-io: promote target $d already exists")
+    require(fs.rename(s, d), s"hadoop-io: rename $s -> $d failed")
+  }
+  override def exists(p: Path): Boolean = fs.exists(hp(p))
+  override def isDirectory(p: Path): Boolean =
+    try fs.getFileStatus(hp(p)).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  override def deleteIfExists(p: Path): Boolean =
+    try fs.delete(hp(p), false)
+    catch {
+      // contract parity with NIO: a non-recursive delete of a non-empty
+      // directory surfaces as DirectoryNotEmptyException — callers (the
+      // staging sweep's shared-parent race) catch exactly that type
+      case e: java.io.IOException
+          if (try fs.getFileStatus(hp(p)).isDirectory
+              catch { case _: java.io.FileNotFoundException => false }) &&
+            fs.listStatus(hp(p)).nonEmpty =>
+        val d = new java.nio.file.DirectoryNotEmptyException(p.toString)
+        d.initCause(e)
+        throw d
+    }
+  override def createDirectories(p: Path): Unit = {
+    fs.mkdirs(hp(p)); ()
+  }
+  override def list(p: Path): Seq[String] =
+    fs.listStatus(hp(p)).toSeq.map(_.getPath.getName)
+  override def size(p: Path): Long = fs.getFileStatus(hp(p)).getLen
+  override def lastModifiedMs(p: Path): Long =
+    fs.getFileStatus(hp(p)).getModificationTime
 }

@@ -625,8 +625,11 @@ object Sources {
     * and gets debugged at 3am), and this is its SELECT: find the hot
     * keys, audit a suspect aggregate, size the shards — none of which
     * the running query exposes. The entry runs a 2-trigger grouped
-    * aggregation to completion, then reads the RocksDB state files
-    * directly; the oracle replays the aggregation in DuckDB, so the
+    * aggregation to completion, then reads its checkpointed state files
+    * directly — under the session default HDFS-backed provider: one
+    * small single-family aggregation buffer is exactly its workload,
+    * and r14 measured a globally-pinned RocksDB provider at 2.6× this
+    * entry's cost; the oracle replays the aggregation in DuckDB, so the
     * STATE CONTENT itself (count + sum buffer per key) is hash-checked
     * against what the stream must have accumulated. */
   def o23StateIntrospection(spark: SparkSession, dir: String): DataFrame = {
@@ -1133,6 +1136,58 @@ object Sources {
         max(col("event_id")).as("max_event_id"))
   }
 
+  /** o34: the LAKEHOUSE THROUGH THE HADOOP `FileSystem` BINDING — the
+    * r15 proof that [[CommitIO]] is a real seam, not a wrapper around
+    * one filesystem: the whole table lifecycle below (range-partitioned
+    * overwrite, equality-delete upsert, key→vector conversion, a
+    * compaction rewrite, the read-back) runs with [[HadoopCommitIO]]
+    * selected — every staged file, deletion vector, key file and
+    * manifest byte through `org.apache.hadoop.fs` handles and
+    * parquet-java's Hadoop{Input,Output}File, the exact classes an
+    * S3A/HDFS deployment binds. Proof columns: `n_files` pins the
+    * compacted layout (2), `n_live_eq` that compaction retired the key
+    * file (0), `n_positions_converted` that the conversion vectored
+    * exactly the upsert's key matches (layout-independent: the count of
+    * %4==2 rows, whatever files they lived in). The oracle replays the
+    * upsert relationally, so the binding must produce hash-identical
+    * CONTENT, not merely run. The same binding also carries the entire
+    * test battery via `sbt -Dgraft.commit.io=hadoop test`. */
+  def o34HadoopIo(spark: SparkSession, dir: String): DataFrame =
+    CommitSink.withIo(new HadoopCommitIO) {
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      val out = s"/tmp/graft_o34/${new java.io.File(dir).getName}"
+      graft.Tables.deleteRecursively(out)
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(col("event_id") % 2 === 0)
+        .repartitionByRange(4, col("event_id"))
+        .write.format(CommitSink.NAME).option("path", out)
+        .mode("overwrite").save()
+      ev.filter(col("event_id") % 4 === 2)
+        .withColumn("event_type", lit("hup"))
+        .withColumn("value", col("value") + lit(500.0d))
+        .write.format(CommitSink.NAME).option("path", out)
+        .option("upsertKeys", "event_id").mode("append").save()
+      CommitSink.convertEqDeletes(spark, out)
+      val converted = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+      val nPositions = converted.files
+        .flatMap(converted.deletes.get).map(_.ndel).sum
+      CommitSink.compact(spark, out, 2)
+      val m = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+      val res = CommitSink.readCommitted(spark, out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .withColumn("n_files", lit(m.files.size.toLong))
+        .withColumn("n_live_eq", lit(m.eqDeletes.size.toLong))
+        .withColumn("n_positions_converted", lit(nPositions))
+      // materialize INSIDE the binding scope — a lazy return would scan
+      // under the restored NIO binding (the withIo contract)
+      graft.Tables.materialize(res)
+    }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1421,12 +1476,14 @@ object Sources {
     val ck = s"/tmp/graft_w17/${new java.io.File(dir).getName}"
     graft.Tables.deleteRecursively(ck)
     spark.catalog.dropTempView("w17_dedup")
-    // Store choice is per-workload, like a real deployment: the session
-    // default is RocksDB (w14/w15 need its multi-column-family support),
-    // but this query keeps one tiny bounded-state family — the
-    // HDFS-backed in-memory provider is the right store for it, and the
-    // RocksDB open/commit tax per (trigger x state partition) was most
-    // of w17's r11 cost. Saved/restored around the run (the provider is
+    // Store choice is per-workload, like a real deployment: this query
+    // keeps one tiny bounded-state family — the HDFS-backed in-memory
+    // provider is the right store for it, and the RocksDB open/commit
+    // tax per (trigger x state partition) was most of w17's r11 cost.
+    // Since r15 the runners leave the provider unset per entry (RocksDB
+    // is an opt-in for the multi-family entries), but the explicit pin
+    // stays: the entry must choose its store no matter what a caller's
+    // session carries. Saved/restored around the run (the provider is
     // read at query start; the fresh checkpoint pins it per run).
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val savedProvider = spark.conf.getOption(providerKey)
@@ -1543,6 +1600,7 @@ object Sources {
     "o31_schema_evolution" -> o31SchemaEvolution _,
     "o32_equality_deletes" -> o32EqualityDeletes _,
     "o33_cow_change_feed" -> o33CowChangeFeed _,
+    "o34_hadoop_io" -> o34HadoopIo _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1558,6 +1616,27 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // Hadoop-binding lifecycle: even-id base with the %4==2 rows
+    // replaced BY KEY by the upsert (value+500 under type 'hup'); the
+    // proof columns are constants of the maintenance contract (2
+    // compacted files, 0 live key files) plus the layout-independent
+    // converted-position count (= the upsert's key count)
+    "o34_hadoop_io" ->
+      s"""WITH t AS (
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 2 = 0 AND event_id % 4 <> 2
+            UNION ALL
+            SELECT event_id, 'hup' AS event_type, value + 500 AS value
+            FROM events WHERE event_id % 4 = 2)
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(2 AS BIGINT) AS n_files,
+                 CAST(0 AS BIGINT) AS n_live_eq,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+                  WHERE event_id % 4 = 2) AS n_positions_converted
+          FROM t GROUP BY 1""",
     // COW change feed: v0 odd-id inserts, v1 even-id inserts, v2 the
     // UPDATE's delta — pre-images as deletes, post-images as inserts
     // (unchanged rows of the rewritten groups cancel in the diff)
