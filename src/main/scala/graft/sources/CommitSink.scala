@@ -687,6 +687,141 @@ object CommitSink {
     picked
   }
 
+  /** CLUSTERING rewrite — Iceberg's `rewriteDataFiles` with a sort
+    * order / `ALTER TABLE ... WRITE ORDERED BY` (o35), and with
+    * `zOrder = true` the multi-dimensional variant (o36, Delta's
+    * `OPTIMIZE ... ZORDER BY`): rewrite the selected files so each new
+    * file covers a NARROW, pairwise-disjoint slice of the clustering
+    * key space, turning the manifest's zone maps from decorative
+    * (hash-scattered layout: every file's range spans everything, no
+    * range predicate ever prunes) into the second 100× after partition
+    * pruning — a selective range scan plans files proportional to
+    * selectivity (the o14 contract), and the disjoint layout is also
+    * exactly what arms the DML matching-groups subquery (see
+    * hasPrunableLayout).
+    *
+    *  - Lexicographic (`zOrder = false`): range-repartition on `cols`
+    *    and sort within files — one clustering shuffle, the sorted-
+    *    write shape q68 derives keys for.
+    *  - Z-order (`zOrder = true`, 2-4 numeric dims): each dim is
+    *    normalized to a 16-bit coordinate by its (min, max) — one agg
+    *    pass — and the coordinates' bits INTERLEAVE into a single
+    *    LONG z-value the range-repartition clusters on. Every file
+    *    then covers a bounded box in EVERY dimension (a 2ᵏ-file
+    *    layout halves each dim's per-file span per bit), so
+    *    multi-dimensional box predicates prune without favoring the
+    *    leading column the way a lexicographic sort does. The z-value
+    *    is a static expression tree of shift/and/or — whole-stage
+    *    codegen, no UDF — and is DROPPED before the write (a helper
+    *    column must not land in the table).
+    *
+    * `only` targets a subset (Iceberg's file-filter): selected files
+    * rewrite, every other file — vectors included — is CARRIED
+    * verbatim under the group-granular rewrite contract, CAS'd on the
+    * planning manifest. The scan applies the selected files' deletion
+    * vectors and equality deletes, so clustering doubles as MOR
+    * materialization for exactly the touched files (the compact
+    * precedent). Unpartitioned tables only: an identity-partitioned
+    * layout already clusters one key per file; ordering WITHIN
+    * partitions is the partition-evolution follow-on. Values are
+    * untouched — the old version stays time-travel readable until
+    * [[expireVersions]]. Returns the rewritten file names. */
+  def compactAndCluster(spark: SparkSession, dir: String, numFiles: Int,
+                        cols: Seq[String], zOrder: Boolean = false,
+                        only: Option[Set[String]] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, floor, greatest, least, lit,
+      max, min, shiftleft, shiftright}
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    require(cols.nonEmpty, "compactAndCluster needs at least one column")
+    val m = parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    require(m.partCol.isEmpty,
+      s"graft-commit: compactAndCluster targets unpartitioned layouts; " +
+        s"$dir is identity-partitioned on ${m.partCol.get} (one key per " +
+        "file already) — per-partition sort-order rewrite is not supported")
+    only.foreach(s => require(s.subsetOf(m.files.toSet),
+      s"graft-commit: unknown files selected: ${(s -- m.files).mkString(",")}"))
+    val picked = only.fold(m.files)(s => m.files.filter(s)) match {
+      case Seq() => return Seq.empty // nothing selected: no-op, no version
+      case fs => fs
+    }
+    val df = readManifestFiles(spark, dir, m.copy(files = picked))
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"graft-commit: clustering column(s) ${missing.mkString(",")} not in " +
+        s"table schema [${df.columns.mkString(",")}]")
+    val shaped =
+      if (!zOrder)
+        df.repartitionByRange(numFiles, cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+      else {
+        require(cols.size >= 2 && cols.size <= 4,
+          s"z-order interleaves 2-4 dimensions, got ${cols.size}")
+        val k = cols.size
+        // bits per dim capped so k*bits stays under the sign bit — a
+        // negative z-value would invert the range ordering at k = 4
+        val bits = math.min(16, 62 / k)
+        val buckets = (1L << bits) - 1
+        // one pass for the normalization bounds
+        val aggCols = cols.flatMap(c =>
+          Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+        val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+        // bounds layout: (min, max) pairs in column order
+        def coord(i: Int): org.apache.spark.sql.Column = {
+          val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+          val span = mx - mn
+          if (span <= 0) lit(0L) // constant column: one bucket
+          else least(greatest(
+            floor((col(cols(i)).cast("double") - lit(mn)) / lit(span)
+              * (buckets + 1).toDouble).cast("long"), lit(0L)), lit(buckets))
+        }
+        val zv = (0 until bits).flatMap(b => (0 until k).map(d =>
+            shiftleft(shiftright(coord(d), b).bitwiseAND(lit(1L)), b * k + d)))
+          .reduce(_.bitwiseOR(_))
+        // EXACT z-cells, not z-range quantiles: range-partitioning the
+        // z-value (or even a snapped bin id) samples its boundaries,
+        // and a boundary that slips even one sliver past a z-CELL edge
+        // widens the file's zone to the FULL span of the dimension
+        // that bit split — min/max zone maps are poisoned by ANY
+        // straddle, and bins adjacent in z are NOT adjacent in space
+        // (a {(y0,x1),(y1,x0)} merge spans both dims). So the bin id
+        // slices z-space linearly into numFiles equal cells — a
+        // deterministic expression — and each bin routes to ITS OWN
+        // task through hash partitioning on a per-bin PREIMAGE value
+        // solved on the driver (pmod(murmur3(v_b), n) == b), giving
+        // exactly one z-cell per file with no sampling anywhere. The
+        // trade is Delta/Iceberg's: cells are equal Z-VOLUME, not
+        // equal rows (skewed data skews file sizes; the lexicographic
+        // mode is the equal-rows clustering).
+        val cell = math.max(1L, (1L << (bits * k)) / numFiles)
+        val preimage: Map[Long, Long] = (0 until numFiles).map { b =>
+          var v = 0L
+          while ((((org.apache.spark.unsafe.hash.Murmur3_x86_32
+              .hashLong(v, 42) % numFiles) + numFiles) % numFiles) != b)
+            v += 1
+          b.toLong -> v
+        }.toMap
+        val route = org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.map(preimage.toSeq.sortBy(_._1)
+            .flatMap { case (b, v) => Seq(lit(b), lit(v)) }: _*),
+          // bins past the last cell (rounding) fold into the top file;
+          // `div`, not `/`: Column./ is double division and a k=4
+          // z-value exceeds the double mantissa
+          least(org.apache.spark.sql.functions.expr(
+            s"_graft_zvalue div $cell"), lit(numFiles - 1L)))
+        val zc = "_graft_zvalue"
+        df.withColumn(zc, zv)
+          .repartition(numFiles, route)
+          .sortWithinPartitions(col(zc))
+          .drop(zc) // projection only: the partitioning stays
+      }
+    val token = registerRewrite(DmlRewrite(m, () => picked.toSet))
+    try shaped.write.format(NAME).option("path", dir)
+      .option("rewriteToken", token).mode("overwrite").save()
+    finally dropRewrite(token)
+    picked
+  }
+
   /** Merge-on-read DELETE (o27) — the Iceberg v2 position-delete /
     * Delta deletion-vector write mode, the flip side of the
     * group-granular copy-on-write rewrite: instead of rewriting every

@@ -1188,6 +1188,133 @@ object Sources {
       graft.Tables.materialize(res)
     }
 
+  /** Planned (post zone-map prune) file count of a single-commit-scan
+    * DataFrame — plan introspection only (BatchScanExec.inputPartitions
+    * runs the scan's planning, never its execution). Shared by the
+    * clustering entries' prune-proof columns; a filter+scan plan has no
+    * exchange, so AQE never wraps it and the collect is total. */
+  private def plannedFiles(df: DataFrame): Long =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length.toLong
+    }.getOrElse(sys.error("no BatchScanExec in plan"))
+
+  /** Per-file [min, max] of a LONG column from the manifest's zone maps
+    * (the stats the write recorded — no file is opened). */
+  private def longRanges(m: CommitSink.Manifest, c: String): Seq[(Long, Long)] =
+    m.files.flatMap(f => m.stats.get(f)).map(CommitSink.FileStat.decode)
+      .flatMap(_.cols.get(c).map(r => (r.min.toLong, r.max.toLong)))
+
+  /** o35: CLUSTERING REWRITE — [[CommitSink.compactAndCluster]],
+    * Iceberg's rewriteDataFiles-with-sort-order / `WRITE ORDERED BY`:
+    * the events table lands HASH-scattered (8 files, every file's
+    * event_id range spans the whole id space — the zone maps prune
+    * nothing), then one clustering rewrite re-lands it as 4
+    * range-disjoint files. Proof columns, all layout-derived:
+    * `planned_before`/`planned_after` are the PLANNER's file counts for
+    * the same narrow range predicate on each layout (8 → 1: the range
+    * sits strictly inside one clustered file's recorded zone, so the
+    * prune is exact, not probabilistic), `n_files` the compacted
+    * count, `disjoint` that the clustered zone maps are pairwise
+    * non-overlapping — the property that makes every future range scan
+    * selectivity-proportional and arms the DML group-prune subquery.
+    * Content is untouched: the aggregate equals the oracle's replay
+    * over raw events. At 100 TB this rewrite is what turns a
+    * stream-ingested (arrival-ordered) table into a range-scannable
+    * one — the second 100× after partition pruning. */
+  def o35ClusterRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o35/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(8)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    val rewritten = CommitSink.compactAndCluster(spark, out, 4, Seq("event_id"))
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    // the probe range: strictly inside ONE clustered file's zone — the
+    // prune counts are then exact layout constants, not samples
+    val ranges = longRanges(m, "event_id").sortBy(_._1)
+    val (fLo, fHi) = ranges(1)
+    val (lo, hi) = (fLo + (fHi - fLo) / 4, fLo + (fHi - fLo) / 2)
+    def probe(version: Option[Long]): Long = {
+      val r = spark.read.format(CommitSink.NAME).option("path", out)
+      plannedFiles(version.fold(r)(v => r.option("versionAsOf", v)).load()
+        .filter(col("event_id") >= lo && col("event_id") < hi))
+    }
+    val disjoint = ranges.sliding(2).forall {
+      case Seq((_, aHi), (bLo, _)) => aHi < bLo
+      case _ => true
+    }
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("n_files", lit(m.files.size.toLong))
+      .withColumn("n_rewritten", lit(rewritten.size.toLong))
+      .withColumn("disjoint", lit(if (disjoint) 1L else 0L))
+      .withColumn("planned_before", lit(probe(Some(0L))))
+      .withColumn("planned_after", lit(probe(None)))
+  }
+
+  /** o36: Z-ORDER REWRITE — the multi-dimensional clustering variant
+    * (Delta's `OPTIMIZE ... ZORDER BY`): (event_id, user_id) normalize
+    * to 16-bit coordinates whose bits interleave into one z-value the
+    * rewrite clusters on, so EVERY file covers a bounded box in BOTH
+    * dimensions — the property a lexicographic sort cannot give the
+    * trailing column. Unlike a sampled z-range binning (where a
+    * boundary sliver straddling a z-cell poisons the file's min/max
+    * zone to the full dimension), the rewrite routes each
+    * deterministic z-CELL to its own file (see compactAndCluster), so
+    * the bound holds for every file, not just on average. Proof
+    * columns: `bounded_both_dims` asserts every file's zone covers
+    * < 3/4 of each dimension's span (8 z-files = 3 interleaved bits:
+    * user quarters × event halves here), and `box_pruned` that a
+    * quarter×quarter box predicate plans strictly fewer files than
+    * the layout holds — the multi-dim prune the rewrite exists for.
+    * Exact per-fixture pins (planned counts, subset targeting, carry,
+    * quadrant-exact spans) live in Round15Spec; the oracle checks the
+    * full CONTENT and these layout booleans. */
+  def o36ZorderRewrite(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o36/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(8)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    CommitSink.compactAndCluster(spark, out, 8, Seq("event_id", "user_id"),
+      zOrder = true)
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    val bounded = Seq("event_id", "user_id").forall { c =>
+      val rs = longRanges(m, c)
+      val (lo, hi) = (rs.map(_._1).min, rs.map(_._2).max)
+      val span = (hi - lo).max(1L)
+      // every file: the exact z-cell routing leaves no straddle slack
+      rs.forall { case (a, b) => (b - a).toDouble / span < 0.75 }
+    }
+    val idRs = longRanges(m, "event_id")
+    val uidRs = longRanges(m, "user_id")
+    val (idLo, idHi) = (idRs.map(_._1).min, idRs.map(_._2).max)
+    val (uLo, uHi) = (uidRs.map(_._1).min, uidRs.map(_._2).max)
+    val boxPlanned = plannedFiles(
+      spark.read.format(CommitSink.NAME).option("path", out).load()
+        .filter(col("event_id") < idLo + (idHi - idLo) / 4 &&
+          col("user_id") < uLo + (uHi - uLo) / 4))
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("user_id")).as("max_user_id"))
+      .withColumn("n_files", lit(m.files.size.toLong))
+      .withColumn("bounded_both_dims", lit(if (bounded) 1L else 0L))
+      .withColumn("box_pruned",
+        lit(if (boxPlanned < m.files.size) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1601,6 +1728,8 @@ object Sources {
     "o32_equality_deletes" -> o32EqualityDeletes _,
     "o33_cow_change_feed" -> o33CowChangeFeed _,
     "o34_hadoop_io" -> o34HadoopIo _,
+    "o35_cluster_rewrite" -> o35ClusterRewrite _,
+    "o36_zorder_rewrite" -> o36ZorderRewrite _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1616,6 +1745,33 @@ object Sources {
   )
 
   val oracles: Map[String, String] = Map(
+    // clustering rewrite: content untouched (full-table replay); the
+    // layout proofs are exact constants of the rewrite contract — the
+    // narrow probe range sits strictly inside one clustered file's
+    // recorded zone, so 8 hash files plan before and exactly 1 after
+    "o35_cluster_rewrite" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(4 AS BIGINT) AS n_files,
+                 CAST(8 AS BIGINT) AS n_rewritten,
+                 CAST(1 AS BIGINT) AS disjoint,
+                 CAST(8 AS BIGINT) AS planned_before,
+                 CAST(1 AS BIGINT) AS planned_after
+          FROM events GROUP BY 1""",
+    // z-order rewrite: content untouched; the layout booleans pin the
+    // multi-dimensional locality contract (per-file zones bounded in
+    // BOTH dims, a 2-D box predicate prunes)
+    "o36_zorder_rewrite" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(user_id) AS max_user_id,
+                 CAST(8 AS BIGINT) AS n_files,
+                 CAST(1 AS BIGINT) AS bounded_both_dims,
+                 CAST(1 AS BIGINT) AS box_pruned
+          FROM events GROUP BY 1""",
     // Hadoop-binding lifecycle: even-id base with the %4==2 rows
     // replaced BY KEY by the upsert (value+500 under type 'hup'); the
     // proof columns are constants of the maintenance contract (2

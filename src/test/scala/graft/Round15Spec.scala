@@ -5,8 +5,9 @@ import java.nio.file.Paths
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Round-15 wave, first slice: the r14-advice hardening of the rewrite
-  * change feed and the eq-delete conversion.
+/** Round-15 wave: the r14-advice hardening of the rewrite change feed
+  * and the eq-delete conversion, the o32 concurrency pin, and the
+  * clustering rewrite (o35/o36).
   *
   *  - '''Caught-up poller''': `changeFeedWithRewrites(dir, newest+1)` is
   *    a valid no-change question (a poller passing lastSeen+1), answered
@@ -23,6 +24,20 @@ import org.scalatest.funsuite.AnyFunSuite
   *    covered — callers feed it to targeted maintenance (compaction of
   *    exactly the vectored files), so over-reporting would rewrite
   *    untouched data.
+  *  - '''Concurrent eq-delete upserts''': two racing `upsertKeys`
+  *    appends with overlapping keys both land (loser CAS-retries), the
+  *    retried key file's add-sequence re-derives ABOVE the winner's
+  *    files, and the final snapshot equals the serial replay in commit
+  *    order — on both read paths, and preserved by conversion.
+  *  - '''Clustering rewrite (o35/o36)''': `compactAndCluster` turns a
+  *    hash-scattered layout into range-disjoint files (narrow-range
+  *    prune 8 files → 1, exact, time travel keeps the old layout),
+  *    targets subsets with the rest carried verbatim, materializes the
+  *    selected files' deletion vectors, refuses partitioned tables and
+  *    unknown columns/files; the z-order mode routes each deterministic
+  *    z-CELL to its own file (no sampled boundaries — a straddle sliver
+  *    would poison min/max zones to the full dimension), so a dense
+  *    grid lands as exact quadrants and 2-D box predicates prune.
   */
 class Round15Spec extends AnyFunSuite {
   import TestSpark._
@@ -36,6 +51,19 @@ class Round15Spec extends AnyFunSuite {
 
   private def manifest(path: String) =
     sources.CommitSink.parseManifest(Paths.get(path)).get
+
+  private def withConf[A](key: String, v: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, v)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.getOrElse(fail("no BatchScanExec in plan"))
 
   test("changeFeedWithRewrites: caught-up poller (from = newest+1) gets an empty CDF frame") {
     val dir = freshDir("feed_caught_up")
@@ -133,6 +161,139 @@ class Round15Spec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(after == got, "equality->positional conversion must not change the answer")
     assert(manifest(dir).eqDeletes.isEmpty)
+  }
+
+  // --- clustering rewrite (o35/o36) ------------------------------------------
+
+  private def idRanges(path: String, c: String): Seq[(Long, Long)] = {
+    val m = manifest(path)
+    m.files.flatMap(f => m.stats.get(f)).map(sources.CommitSink.FileStat.decode)
+      .flatMap(_.cols.get(c).map(r => (r.min.toLong, r.max.toLong)))
+  }
+
+  test("compactAndCluster: hash-scattered to range-disjoint, prune counts exact, time travel intact") {
+    val dir = freshDir("cluster_basic")
+    spark.range(1000L).select($"id", ($"id" % 7).as("g"), ($"id" * 0.5).as("v"))
+      .repartition(8) // hash: every file's id range spans ~everything
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val narrow = $"id" >= 300L && $"id" < 340L
+    def read() = spark.read.format("graft-commit").option("path", dir).load()
+    assert(plannedFiles(read().filter(narrow)) == 8,
+      "hash layout: zone maps prune nothing")
+    val rewritten = sources.CommitSink.compactAndCluster(spark, dir, 4, Seq("id"))
+    assert(rewritten.size == 8, "full-table cluster rewrites every file")
+    val m = manifest(dir)
+    assert(m.files.size == 4 && m.commit == 1L)
+    val ranges = idRanges(dir, "id").sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, aHi), (bLo, _)) => aHi < bLo
+      case _ => true
+    }, s"clustered zones must be pairwise disjoint: $ranges")
+    assert(plannedFiles(read().filter(narrow)) == 1,
+      "the same narrow range now plans exactly one file")
+    // content untouched, old layout time-travel readable
+    assert(read().count() == 1000L &&
+      read().agg(sum($"id")).head().getLong(0) == 999L * 1000L / 2)
+    val v0 = spark.read.format("graft-commit").option("path", dir)
+      .option("versionAsOf", 0).load()
+    assert(v0.count() == 1000L && plannedFiles(v0.filter(narrow)) == 8,
+      "version 0 keeps the pre-cluster layout")
+    // refusals: unknown column, unknown selected file, partitioned table
+    intercept[IllegalArgumentException] {
+      sources.CommitSink.compactAndCluster(spark, dir, 2, Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      sources.CommitSink.compactAndCluster(spark, dir, 2, Seq("id"),
+        only = Some(Set("ghost.parquet")))
+    }
+    val pdir = freshDir("cluster_part_refuse")
+    spark.range(90L).select($"id", ($"id" % 3).as("k"))
+      .write.format("graft-commit").option("path", pdir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val e = intercept[IllegalArgumentException] {
+      sources.CommitSink.compactAndCluster(spark, pdir, 2, Seq("id"))
+    }
+    assert(e.getMessage.contains("identity-partitioned"), e.getMessage)
+  }
+
+  test("compactAndCluster targets a subset: selected files rewrite, the rest carry verbatim") {
+    val dir = freshDir("cluster_subset")
+    spark.range(800L).select($"id", ($"id" * 2).as("v"))
+      .repartition(8)
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    val m0 = manifest(dir)
+    val picked = m0.files.sorted.take(3).toSet
+    val rewritten = sources.CommitSink
+      .compactAndCluster(spark, dir, 2, Seq("id"), only = Some(picked))
+    assert(rewritten.toSet == picked)
+    val m1 = manifest(dir)
+    // 5 carried + 2 new clustered files
+    assert(m1.files.size == 7)
+    assert((m0.files.toSet -- picked).subsetOf(m1.files.toSet),
+      "unselected files carry under their own names")
+    assert(m1.files.toSet.intersect(picked).isEmpty, "selected files replaced")
+    // content exact: the rewrite only moved rows between files
+    val got = sources.CommitSink.readCommitted(spark, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got == (0L until 800L).map(i => (i, i * 2)).toSet)
+    // no-op select: no new version
+    assert(sources.CommitSink
+      .compactAndCluster(spark, dir, 2, Seq("id"), only = Some(Set.empty)).isEmpty)
+    assert(manifest(dir).commit == m1.commit)
+  }
+
+  test("compactAndCluster materializes the selected files' deletion vectors") {
+    val dir = freshDir("cluster_mor")
+    val (catName, root) = {
+      val r = s"/tmp/graft_r15_spec/cluster_mor_cat"
+      Tables.deleteRecursively(r)
+      val c = "graft_r15_cluster_mor"
+      spark.conf.set(s"spark.sql.catalog.$c", "graft.sources.CommitCatalog")
+      spark.conf.set(s"spark.sql.catalog.$c.root", r)
+      (c, r)
+    }
+    val path = s"$root/default/t"
+    spark.range(400L).select($"id", ($"id" * 1.0).as("v"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-commit").option("path", path).mode("overwrite").save()
+    withConf("spark.graft.commit.deleteMode", "merge-on-read") {
+      spark.sql(s"DELETE FROM $catName.`default`.t WHERE id >= 50 AND id < 150")
+    }
+    val mv = manifest(path)
+    assert(mv.deletes.nonEmpty, "the MOR delete left vectors")
+    sources.CommitSink.compactAndCluster(spark, path, 2, Seq("id"))
+    val m = manifest(path)
+    assert(m.deletes.isEmpty && m.eqDeletes.isEmpty,
+      "the rewrite's scan applied the vectors; none survive it")
+    assert(sources.CommitSink.readCommitted(spark, path).count() == 300L)
+  }
+
+  test("z-order cluster: both dims bounded on a dense grid, box query prunes") {
+    val dir = freshDir("cluster_zorder")
+    // 64x64 dense grid — quantile boundaries land on exact z-cells
+    spark.range(4096L)
+      .select(($"id" % 64).as("x"), expr("id div 64").as("y"), $"id".as("payload"))
+      .repartition(8)
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    sources.CommitSink.compactAndCluster(spark, dir, 4,
+      Seq("x", "y"), zOrder = true)
+    val m = manifest(dir)
+    assert(m.files.size == 4)
+    // 4 z-files = 2 interleaved bits = EXACTLY the four quadrants (the
+    // preimage routing is deterministic — no sampling, no straddle):
+    // every file's box covers one half of EACH dimension
+    Seq("x", "y").foreach { c =>
+      val rs = idRanges(dir, c)
+      assert(rs.forall { case (a, b) => b - a <= 32 },
+        s"$c spans must be quadrant-bounded, got $rs")
+    }
+    def read() = spark.read.format("graft-commit").option("path", dir).load()
+    val box = read().filter($"x" < 16L && $"y" < 16L)
+    assert(plannedFiles(box) < 4, "a quarter box must prune z-files")
+    assert(box.count() == 256L)
+    assert(read().agg(sum($"payload")).head().getLong(0) == 4095L * 4096L / 2)
+    // helper z-value column never lands in the table
+    assert(read().columns.toSeq == Seq("x", "y", "payload"))
   }
 
   test("convertEqDeletes returns exactly the files that received positions") {
