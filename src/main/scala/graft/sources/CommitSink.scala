@@ -822,6 +822,66 @@ object CommitSink {
     picked
   }
 
+  /** PARTITION EVOLUTION (o37) — Iceberg's partition-spec evolution,
+    * the metadata half the clustering rewrite composes with: change the
+    * table's identity-partition column (or add one to an unpartitioned
+    * table, or drop it) WITHOUT touching a single data file. One
+    * metadata-only commit: every file, zone range, deletion vector,
+    * key file, sequence and epoch carries verbatim; only `partcol`
+    * changes, and every carried file's recorded PARTITION KEY is
+    * STRIPPED — the old keys are values of the OLD column, and a stale
+    * key under the new column would group files WRONGLY (the one
+    * correctness hazard of evolution; everything else degrades, this
+    * would lie). The degradation contract after the commit:
+    *
+    *  - reads stay correct on every path (per-file planning; zone maps
+    *    never depended on the layout);
+    *  - storage-partitioned-join reporting turns OFF — the scan's
+    *    KeyGroupedPartitioning requires every surviving file to know
+    *    its key, which is now false by construction — and turns back
+    *    ON once maintenance migrates the files;
+    *  - appends must use the NEW layout (the ordinary layout-mismatch
+    *    refusal, now judging against the evolved column), so the table
+    *    converges file by file;
+    *  - [[compact]] IS the migration op: it rewrites the current
+    *    version under the manifest's (new) partition column — one key
+    *    per file, keys recorded — restoring SPJ and per-key pruning in
+    *    one maintenance pass (exactly Iceberg's rewriteDataFiles-after-
+    *    spec-change story);
+    *  - time travel keeps each version's own layout (version manifests
+    *    are immutable).
+    *
+    * At 100 TB this is the operational answer to "we partitioned on
+    * the wrong key": queries keep running during the (possibly long)
+    * migration window instead of a stop-the-world re-land. */
+  def evolvePartitioning(spark: SparkSession, dir: String,
+                         newCol: Option[String]): Unit = {
+    val m = parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    require(newCol != m.partCol,
+      s"graft-commit: table $dir is already partitioned as " +
+        s"${m.partCol.fold("(unpartitioned)")(c => s"'$c'")} — evolution " +
+        "must change the layout")
+    newCol.foreach { c =>
+      val schema = StructType.fromDDL(m.ddl)
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"graft-commit: partition column '$c' is not in the " +
+          s"table schema [${schema.fieldNames.mkString(",")}]"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"graft-commit: partition column '$c' must be BIGINT or INT, " +
+          s"got ${f.dataType.simpleString} (the identity-partition key rule)")
+    }
+    // strip stale partition keys; rows/bytes/ranges carry verbatim
+    val stats = m.stats.map { case (f, e) =>
+      f -> FileStat.decode(e).copy(pk = None).encode
+    }
+    writeManifest(Paths.get(dir), m.ddl, m.files, m.commit + 1,
+      m.epochs, expectedPrev = m.commit, partCol = newCol,
+      stats = stats, tableId = carriedOrFreshTableId(Some(m)),
+      payload = m.payload, deletes = m.deletes,
+      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes)
+  }
+
   /** Merge-on-read DELETE (o27) — the Iceberg v2 position-delete /
     * Delta deletion-vector write mode, the flip side of the
     * group-granular copy-on-write rewrite: instead of rewriting every

@@ -1315,6 +1315,62 @@ object Sources {
         lit(if (boxPlanned < m.files.size) 1L else 0L))
   }
 
+  /** o37: PARTITION EVOLUTION — [[CommitSink.evolvePartitioning]],
+    * Iceberg's partition-spec evolution: the unpartitioned events
+    * table evolves to identity-partitioning on a bucket column in one
+    * METADATA-ONLY commit (files carried byte-identical, stale
+    * partition keys stripped — the correctness core: an old key under
+    * the new column would group files wrongly), appends immediately
+    * land under the NEW layout (mixed-layout table reads stay correct
+    * on per-file planning), and one [[CommitSink.compact]] pass
+    * migrates every file — one key per file, SPJ and per-key pruning
+    * restored. Proof columns: `v1_metadata_only` (the evolution commit
+    * lists exactly v0's files), `v2_mixed_layout` (carried files have
+    * no key, appended files do), `n_files_migrated` (one per bucket),
+    * `planned_one_bucket` (a bucket predicate plans exactly one file
+    * post-migration). The 100 TB story: "we partitioned on the wrong
+    * key" becomes a metadata flip + incremental migration instead of a
+    * stop-the-world re-land — queries keep running throughout. */
+  def o37PartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o37/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 8).as("bucket"),
+        col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .repartitionByRange(4, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    val m0 = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    CommitSink.evolvePartitioning(spark, out, Some("bucket"))
+    val m1 = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    def pkOf(m: CommitSink.Manifest): Seq[Boolean] =
+      m.files.flatMap(f => m.stats.get(f))
+        .map(e => CommitSink.FileStat.decode(e).pk.isDefined)
+    ev.filter(col("event_id") % 2 === 1)
+      .write.format(CommitSink.NAME).option("path", out)
+      .option("partitionBy", "bucket").mode("append").save()
+    val m2 = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    CommitSink.compact(spark, out, 1)
+    val m3 = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    val planned = plannedFiles(
+      spark.read.format(CommitSink.NAME).option("path", out).load()
+        .filter(col("bucket") === 3L))
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("v1_metadata_only",
+        lit(if (m1.files == m0.files && m1.partCol.contains("bucket") &&
+          pkOf(m1).forall(!_)) 1L else 0L))
+      .withColumn("v2_mixed_layout",
+        lit(if (pkOf(m2).exists(identity) && pkOf(m2).exists(!_)) 1L else 0L))
+      .withColumn("n_files_migrated", lit(m3.files.size.toLong))
+      .withColumn("planned_one_bucket", lit(planned))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1730,6 +1786,7 @@ object Sources {
     "o34_hadoop_io" -> o34HadoopIo _,
     "o35_cluster_rewrite" -> o35ClusterRewrite _,
     "o36_zorder_rewrite" -> o36ZorderRewrite _,
+    "o37_partition_evolution" -> o37PartitionEvolution _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1759,6 +1816,20 @@ object Sources {
                  CAST(1 AS BIGINT) AS disjoint,
                  CAST(8 AS BIGINT) AS planned_before,
                  CAST(1 AS BIGINT) AS planned_after
+          FROM events GROUP BY 1""",
+    // partition evolution: content = even-id base + odd-id append (the
+    // full table, bucket = user_id % 8); layout proofs are constants of
+    // the evolution contract — metadata-only flip, mixed interim
+    // layout, 8 one-key files after migration, exact one-file prune
+    "o37_partition_evolution" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS v1_metadata_only,
+                 CAST(1 AS BIGINT) AS v2_mixed_layout,
+                 CAST(8 AS BIGINT) AS n_files_migrated,
+                 CAST(1 AS BIGINT) AS planned_one_bucket
           FROM events GROUP BY 1""",
     // z-order rewrite: content untouched; the layout booleans pin the
     // multi-dimensional locality contract (per-file zones bounded in
