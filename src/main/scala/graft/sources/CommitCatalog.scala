@@ -194,7 +194,7 @@ class CommitCatalog extends TableCatalog {
       m.epochs, expectedPrev = m.commit, partCol = m.partCol,
       stats = m.stats, tableId = CommitSink.carriedOrFreshTableId(Some(m)),
       payload = m.payload, deletes = m.deletes,
-      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes)
+      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms)
     new CommitSinkTable(p.toString, acceptAnySchema = false)
   }
 

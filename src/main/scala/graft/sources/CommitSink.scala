@@ -879,7 +879,127 @@ object CommitSink {
       m.epochs, expectedPrev = m.commit, partCol = newCol,
       stats = stats, tableId = carriedOrFreshTableId(Some(m)),
       payload = m.payload, deletes = m.deletes,
-      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes)
+      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms)
+  }
+
+  /** BLOOM FILE INDEX (o38) — Delta's bloom-filter-index / Iceberg-
+    * parquet-footer-bloom shape as a maintenance op: one distributed
+    * pass over the committed files builds a per-(file, column) bloom
+    * sidecar, recorded in a METADATA-ONLY commit. The index answers the
+    * predicate zone maps structurally cannot: EQUALITY/IN on a
+    * hash-scattered, high-cardinality column (every file's [min, max]
+    * spans everything, so a point lookup otherwise opens all of them).
+    * At 100 TB this is the "find one document id without clustering on
+    * it" path: ~KBs of sidecar per file per column, loaded at PLANNING
+    * only for files that already survived zone pruning and only when a
+    * pushed filter names an indexed column.
+    *
+    * Contracts: over-approximation only (a false positive costs one
+    * file's IO; pruning is advisory because every filter stays
+    * residual); blooms are built over PHYSICAL rows (deleted rows
+    * included — never a wrong skip); new files appended after the build
+    * are un-indexed and never prune (re-run the build to cover them —
+    * entries merge per (file, column)); a rewritten file's blooms die
+    * with it (writeManifest filters to listed files); sidecars are
+    * GC-protected exactly like deletion vectors (manifestRefs). Parquet
+    * payload only — the one scan is Spark's native vectorized read.
+    * `expectedItemsPerFile` sizes the sidecars (~ -n·ln(fpp)/ln²2 bits);
+    * the fpp degrades gracefully past it, it never breaks. Returns the
+    * indexed file names. */
+  def buildBloomIndex(spark: SparkSession, dir: String, cols: Seq[String],
+                      fpp: Double = 0.01,
+                      expectedItemsPerFile: Long = 1000000L): Seq[String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    require(cols.nonEmpty, "buildBloomIndex needs at least one column")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    require(expectedItemsPerFile >= 1, "expectedItemsPerFile must be >= 1")
+    val m = parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    require(m.payload == "parquet",
+      "graft-commit: the bloom index scans staged parquet natively; " +
+        s"table $dir has the '${m.payload}' payload")
+    val schema = StructType.fromDDL(m.ddl)
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"graft-commit: bloom column '$c' is not in the table " +
+          s"schema [${schema.fieldNames.mkString(",")}]"))
+      val ok = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType => true
+        case _ => false // float/double/decimal point-equality: footguns
+      }
+      require(ok, s"graft-commit: bloom column '$c' has non-indexable " +
+        s"type ${f.dataType.simpleString} (integral and string only)")
+    }
+    if (m.files.isEmpty) return Seq.empty
+    val read = StructType(cols.map(c => schema(schema.fieldIndex(c))))
+    val nFields = cols.size
+    val (xfpp, xexp) = (fpp, expectedItemsPerFile)
+    // one distributed pass, all columns at once: per-file blooms merge
+    // associatively, so the shape is a plain aggregateByKey — no
+    // collect of row data, only (files × cols) sketches come back
+    val built: Map[String, Array[Array[Byte]]] = spark.read.schema(read)
+      .parquet(m.files.map(f => Paths.get(dir, f).toString): _*)
+      .select(org.apache.spark.sql.functions.col("_metadata.file_name") +:
+        cols.map(org.apache.spark.sql.functions.col): _*)
+      .rdd.map(r => r.getString(0) -> r)
+      .aggregateByKey(null: Array[BloomFilter])(
+        (acc0, r) => {
+          val acc = if (acc0 != null) acc0
+            else Array.fill(nFields)(BloomFilter.create(xexp, xfpp))
+          var i = 0
+          while (i < nFields) {
+            r.get(i + 1) match {
+              case null      => ()
+              case l: Long   => acc(i).putLong(l)
+              case x: Int    => acc(i).putLong(x.toLong)
+              case x: Short  => acc(i).putLong(x.toLong)
+              case x: Byte   => acc(i).putLong(x.toLong)
+              case s: String => acc(i).putString(s)
+              case other => sys.error(s"unexpected bloom value type: $other")
+            }
+            i += 1
+          }
+          acc
+        },
+        (a, b) =>
+          if (a == null) b else if (b == null) a
+          else { a.indices.foreach(i => a(i).mergeInPlace(b(i))); a })
+      .mapValues(_.map { bf =>
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        out.toByteArray
+      }).collect().toMap
+    val commitId = m.commit + 1
+    val nonce = java.util.UUID.randomUUID().toString.takeRight(12)
+    val promoted = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    try {
+      var i = 0
+      built.toSeq.sortBy(_._1).foreach { case (f, perCol) =>
+        cols.zip(perCol).foreach { case (c, bytes) =>
+          val fin = f"part-bloom-c$commitId%05d-$nonce-$i%05d.bin"
+          i += 1
+          val out = io.newOutputStream(Paths.get(dir, fin))
+          try out.write(bytes) finally out.close()
+          promoted += ((f, c, fin))
+        }
+      }
+      // merge per (file, column): a rebuild replaces that pair's entry
+      val merged = (m.blooms.toSeq.flatMap { case (f, cm) =>
+        cm.toSeq.map { case (c, b) => (f, c, b) }
+      } ++ promoted).groupBy(_._1).map { case (f, es) =>
+        f -> es.map(e => e._2 -> e._3).toMap
+      }
+      writeManifest(Paths.get(dir), m.ddl, m.files, commitId,
+        m.epochs, expectedPrev = m.commit, partCol = m.partCol,
+        stats = m.stats, tableId = carriedOrFreshTableId(Some(m)),
+        payload = m.payload, deletes = m.deletes,
+        fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = merged)
+    } catch { case e: Throwable =>
+      // refused CAS / failed write: leave no trace (the rewrite rule)
+      promoted.foreach(p => io.deleteIfExists(Paths.get(dir, p._3)))
+      throw e
+    }
+    built.keys.toSeq.sorted
   }
 
   /** Merge-on-read DELETE (o27) — the Iceberg v2 position-delete /
@@ -1007,7 +1127,8 @@ object CommitSink {
         deletes = dvMap.view.filterKeys(files.toSet).toMap,
         fileSeq = planning.fileSeq,
         eqDeletes = if (dropEq) Seq.empty else planning.eqDeletes,
-        tombstones = dvMap.view.filterKeys(dead).toMap)
+        tombstones = dvMap.view.filterKeys(dead).toMap,
+        blooms = planning.blooms) // writeManifest drops dead files' entries
       staged.keys.toSeq.sorted
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
@@ -1139,7 +1260,8 @@ object CommitSink {
     // file was dropped (the change feed reads them against the PREVIOUS
     // version's data file — alive exactly as long as both versions are)
     m.files ++ m.deletes.values.map(_.dv).toSeq ++
-      m.eqDeletes.map(_.file) // key files are as live as the vectors (o32)
+      m.eqDeletes.map(_.file) ++ // key files are as live as the vectors (o32)
+      m.blooms.values.flatMap(_.values) // bloom sidecars too (o38)
 
   /** Committed-style data files (`part-*`, deletion vectors included —
     * their names share the prefix) currently on disk — shared by the
@@ -1209,7 +1331,22 @@ object CommitSink {
                                          * last. Dropped automatically
                                          * when no listed file is still
                                          * covered (see writeManifest). */
-                                       eqDeletes: Seq[EqDelete] = Seq.empty) {
+                                       eqDeletes: Seq[EqDelete] = Seq.empty,
+                                       /** Bloom file index (o38): data
+                                         * file → column → bloom sidecar
+                                         * name. Built by
+                                         * [[buildBloomIndex]]; lets an
+                                         * equality/IN predicate prune
+                                         * files zone ranges cannot (a
+                                         * hash-scattered high-cardinality
+                                         * column). Over-approximating by
+                                         * construction — a missing entry
+                                         * or un-indexed file never
+                                         * prunes. Dies with its file on
+                                         * rewrite (writeManifest filters
+                                         * to listed files). */
+                                       blooms: Map[String, Map[String, String]] =
+                                         Map.empty) {
     /** The recorded add-sequence of a listed file (0 = legacy/unknown). */
     def seqOf(f: String): Long = fileSeq.getOrElse(f, 0L)
     /** Equality deletes covering file `f`: strictly newer than its add. */
@@ -1261,8 +1398,17 @@ object CommitSink {
         val p = e.split("\\|")
         EqDelete(p(0), p(1).toLong, p(2).toLong, p(3))
       }.toSeq
+    val blooms = "\"blooms\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val p = e.split("\\|")
+        (p(0), p(1), p(2))
+      }.groupBy(_._1).map { case (f, es) =>
+        f -> es.map(e => e._2 -> e._3).toMap
+      }
     Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload,
-      deletes, fileSeq, eqDeletes)
+      deletes, fileSeq, eqDeletes, blooms)
   }
 
   private[graft] def parseManifest(dir: Path): Option[Manifest] = {
@@ -1350,7 +1496,14 @@ object CommitSink {
                                        * look vectors up BY listed file)
                                        * and dies at the next commit
                                        * (callers never carry it). */
-                                     tombstones: Map[String, DvEntry] = Map.empty): Unit =
+                                     tombstones: Map[String, DvEntry] = Map.empty,
+                                     /** Bloom file index (o38): carried
+                                       * by content-preserving commits,
+                                       * auto-filtered to listed files so
+                                       * a rewritten file's blooms die
+                                       * with it. */
+                                     blooms: Map[String, Map[String, String]] =
+                                       Map.empty): Unit =
     lockFor(dir).synchronized {
       // check + swap under the per-path lock: two same-JVM writers can
       // never both pass the check (the object-store analog is a
@@ -1384,6 +1537,9 @@ object CommitSink {
         files.exists(f => fileSeq.getOrElse(f, 0L) < e.seq))
       val eqBody = liveEq.sortBy(e => (e.seq, e.file))
         .map(e => s""""${e.file}|${e.seq}|${e.nkeys}|${e.cols}"""")
+      val bloomBody = files.sorted.flatMap(f =>
+        blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map { case (c, b) =>
+          s""""$f|$c|$b"""" }))
       val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
         s""""payload":"$payload",""" +
         (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
@@ -1391,6 +1547,7 @@ object CommitSink {
         (if (dvBody.nonEmpty) s""""deletevectors":[${dvBody.mkString(",")}],""" else "") +
         (if (seqBody.nonEmpty) s""""fileseq":[${seqBody.mkString(",")}],""" else "") +
         (if (eqBody.nonEmpty) s""""eqdeletes":[${eqBody.mkString(",")}],""" else "") +
+        (if (bloomBody.nonEmpty) s""""blooms":[${bloomBody.mkString(",")}],""" else "") +
         s""""schema":"${esc(ddl)}",""" +
         s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""filestats":[${statsBody.mkString(",")}]}"""
@@ -1501,14 +1658,19 @@ private[graft] object CommitSkip {
     case _ => None
   }
 
-  /** Can this filter shape contribute to file skipping at all? */
+  /** Can this filter shape contribute to file skipping at all? String
+    * equality/IN is usable since o38 — zone maps pass it through
+    * (mayMatch's range check matches numeric kinds only), but the bloom
+    * index prunes on it. */
+  private def pointable(v: Any): Boolean =
+    num(v).isDefined || v.isInstanceOf[String]
   def usable(f: Filter): Boolean = f match {
-    case EqualTo(_, v)            => num(v).isDefined
+    case EqualTo(_, v)            => pointable(v)
     case GreaterThan(_, v)        => num(v).isDefined
     case GreaterThanOrEqual(_, v) => num(v).isDefined
     case LessThan(_, v)           => num(v).isDefined
     case LessThanOrEqual(_, v)    => num(v).isDefined
-    case In(_, vs)                => vs.nonEmpty && vs.forall(num(_).isDefined)
+    case In(_, vs)                => vs.nonEmpty && vs.forall(pointable)
     case And(l, r)                => usable(l) && usable(r)
     case Or(l, r)                 => usable(l) && usable(r)
     case _ => false
@@ -1537,6 +1699,35 @@ private[graft] object CommitSkip {
         check(a, v)((mn, mx, x) => mn <= x && x <= mx)((mn, mx, x) => mn <= x && x <= mx))
       case _ => true
     }
+  }
+
+  /** Bloom refinement of [[mayMatch]] (o38): the same conservative
+    * recursion, but EQUALITY/IN tests go to the per-file bloom via
+    * `lookup` instead of a range check. Only the two point-predicate
+    * shapes consult the bloom — range predicates are the zone maps'
+    * job, and everything else never prunes. */
+  def mayMatchBloom(f: Filter, lookup: (String, Any) => Boolean): Boolean =
+    f match {
+      case And(l, r)     => mayMatchBloom(l, lookup) && mayMatchBloom(r, lookup)
+      case Or(l, r)      => mayMatchBloom(l, lookup) || mayMatchBloom(r, lookup)
+      case EqualTo(a, v) => lookup(a, v)
+      case In(a, vs)     => vs.isEmpty || vs.exists(lookup(a, _))
+      case _             => true
+    }
+
+  /** Membership test matching [[CommitSink.buildBloomIndex]]'s put side
+    * exactly: integral values widen to putLong/mightContainLong, strings
+    * hash as UTF-8; anything else never prunes. */
+  def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter,
+                        v: Any): Boolean = v match {
+    case l: Long   => bf.mightContainLong(l)
+    case i: Int    => bf.mightContainLong(i.toLong)
+    case s: Short  => bf.mightContainLong(s.toLong)
+    case b: Byte   => bf.mightContainLong(b.toLong)
+    case s: String => bf.mightContainString(s)
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      bf.mightContainString(u.toString)
+    case _ => true
   }
 }
 
@@ -2338,7 +2529,8 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
         deletes = dvMap.view.filterKeys(files.toSet).toMap,
         fileSeq = planning.fileSeq ++ newFiles.map(_ -> commitId),
         eqDeletes = planning.eqDeletes,
-        tombstones = dvMap.view.filterKeys(dead).toMap)
+        tombstones = dvMap.view.filterKeys(dead).toMap,
+        blooms = planning.blooms) // existing files untouched: index carries
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
       promoted.foreach(n => CommitSink.io.deleteIfExists(dir.resolve(n)))
@@ -2540,7 +2732,8 @@ class CommitStreamingWrite(path: String, schema: StructType,
             promoted.map(_._1 -> (prev + 1)),
           eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
             promotedEq.map { case (n, k) =>
-              CommitSink.EqDelete(n, prev + 1, k, upsertKeys.mkString(";")) })
+              CommitSink.EqDelete(n, prev + 1, k, upsertKeys.mkString(";")) },
+          blooms = manifest.map(_.blooms).getOrElse(Map.empty))
       } catch { case e: Throwable =>
         // a refused epoch commit (e.g. a batch DML raced this trigger)
         // must leave no trace — same contract as the batch commit
@@ -2689,7 +2882,10 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
       // sequence (the scan applied those deletes too); entries no
       // carried file is still covered by retire centrally (o32)
       fileSeq = planning.fileSeq ++ newFiles.map(_ -> (planning.commit + 1)),
-      eqDeletes = planning.eqDeletes)
+      eqDeletes = planning.eqDeletes,
+      // carried files keep their blooms; a replaced file's index dies
+      // with it (the new files are un-indexed until the next build)
+      blooms = planning.blooms)
     // replaced files are NOT swept: the planning version's immutable
     // manifest references every one of them (time travel); snapshot
     // expiry GC's them when their last referencing version is dropped
@@ -2771,7 +2967,8 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
           fileSeq = manifest.map(_.fileSeq).getOrElse(Map.empty) ++
             newFiles.map(_ -> (prev + 1)),
           eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
-            newEq.map { case (n, k) => CommitSink.EqDelete(n, prev + 1, k, upsertCols) })
+            newEq.map { case (n, k) => CommitSink.EqDelete(n, prev + 1, k, upsertCols) },
+          blooms = manifest.map(_.blooms).getOrElse(Map.empty))
         return
       } catch { case e: CommitSink.ConcurrentCommitException =>
         attempt += 1
@@ -3437,8 +3634,31 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
 
   /** Files the pushed filters cannot rule out (all of them when no
     * filter was pushed or no stats were recorded). */
+  // --- BLOOM file skipping (o38): after zone maps, equality/IN
+  // predicates also test the per-(file, column) bloom sidecars the
+  // maintenance op recorded. Lazy + cached per scan: sidecars load from
+  // storage ONLY for files that survived zone pruning AND only when a
+  // pushed filter names an indexed column — a scan with no equality
+  // predicate (or a table with no index) never opens one. Pruning stays
+  // advisory: every filter is residual, a false positive only costs IO.
+  private val bloomCache =
+    scala.collection.mutable.HashMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
+  private def bloomLookup(f: String)(c: String, v: Any): Boolean =
+    manifest.blooms.get(f).flatMap(_.get(c)) match {
+      case None => true // un-indexed (file, column): never prune
+      case Some(sidecar) =>
+        val bf = bloomCache.getOrElseUpdate(sidecar, {
+          val in = CommitSink.io.newInputStream(Paths.get(path, sidecar))
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        })
+        CommitSkip.bloomMightContain(bf, v)
+    }
+
   private[sources] val surviving: Seq[String] = manifest.files.filter { f =>
-    fileStats.get(f).forall(st => skip.forall(CommitSkip.mayMatch(_, st)))
+    fileStats.get(f).forall(st => skip.forall(CommitSkip.mayMatch(_, st))) &&
+      (manifest.blooms.isEmpty ||
+        skip.forall(CommitSkip.mayMatchBloom(_, bloomLookup(f))))
   }
 
   // --- RUNTIME file skipping (the DPP contract, o08's device on the

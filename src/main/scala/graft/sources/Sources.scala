@@ -1371,6 +1371,51 @@ object Sources {
       .withColumn("planned_one_bucket", lit(planned))
   }
 
+  /** o38: BLOOM FILE INDEX — [[CommitSink.buildBloomIndex]], Delta's
+    * bloom-filter index as a maintenance op: the events table lands
+    * HASH-scattered on purpose (8 files, user_id everywhere — zone maps
+    * cannot prune a point lookup), one distributed pass records a
+    * per-file bloom sidecar for user_id, and the planner then answers
+    * `user_id = ?` by opening only the files whose bloom might contain
+    * the key. Proof columns: `bloom_prunes_absent` (a key that exists
+    * nowhere plans ≤ 2 of 8 files — ≤, not =, because a bloom's false
+    * positives are part of its contract; 0 is the common case),
+    * `present_planned` (a real key still plans somewhere), and
+    * `n_absent_rows` (the residual filter keeps correctness whatever
+    * the prune did). At 100 TB this is the "find one document by id
+    * without clustering on id" path — KBs of sidecar per file, loaded
+    * at planning only for zone-surviving files under an equality
+    * predicate on an indexed column. */
+  def o38BloomIndex(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o38/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.repartition(8)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    val indexed = CommitSink.buildBloomIndex(spark, out, Seq("user_id"),
+      fpp = 0.01, expectedItemsPerFile = 100000L)
+    require(indexed.size == 8, s"all 8 files indexed, got ${indexed.size}")
+    val r = ev.agg(min(col("user_id")), max(col("user_id"))).head()
+    val (present, absent) = (r.getLong(0), r.getLong(1) + 12345L)
+    def read() = spark.read.format(CommitSink.NAME).option("path", out).load()
+    val plannedAbsent = plannedFiles(read().filter(col("user_id") === absent))
+    val plannedPresent = plannedFiles(read().filter(col("user_id") === present))
+    val absentRows = read().filter(col("user_id") === absent).count()
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("n_absent_rows", lit(absentRows))
+      .withColumn("bloom_prunes_absent",
+        lit(if (plannedAbsent <= 2L) 1L else 0L))
+      .withColumn("present_planned",
+        lit(if (plannedPresent >= 1L) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1787,6 +1832,7 @@ object Sources {
     "o35_cluster_rewrite" -> o35ClusterRewrite _,
     "o36_zorder_rewrite" -> o36ZorderRewrite _,
     "o37_partition_evolution" -> o37PartitionEvolution _,
+    "o38_bloom_index" -> o38BloomIndex _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1816,6 +1862,20 @@ object Sources {
                  CAST(1 AS BIGINT) AS disjoint,
                  CAST(8 AS BIGINT) AS planned_before,
                  CAST(1 AS BIGINT) AS planned_after
+          FROM events GROUP BY 1""",
+    // bloom file index: content untouched (full-table replay); the
+    // layout booleans pin the point-lookup prune contract — an absent
+    // key plans almost nothing (<= 2 of 8 allows the bloom's documented
+    // false positives), a present key still plans, and the residual
+    // filter returns zero rows for the absent key regardless
+    "o38_bloom_index" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(0 AS BIGINT) AS n_absent_rows,
+                 CAST(1 AS BIGINT) AS bloom_prunes_absent,
+                 CAST(1 AS BIGINT) AS present_planned
           FROM events GROUP BY 1""",
     // partition evolution: content = even-id base + odd-id append (the
     // full table, bucket = user_id % 8); layout proofs are constants of

@@ -414,6 +414,95 @@ class Round15Spec extends AnyFunSuite {
       java.nio.file.Paths.get(path), mEvolve - 1).partCol.contains("k"))
   }
 
+  // --- bloom file index (o38) --------------------------------------------------
+
+  test("bloom index: point lookups prune hash-scattered files; appends degrade safely") {
+    val dir = freshDir("bloom_basic")
+    // EVEN values only: absent keys (odds) sit INSIDE every file's zone
+    // range, so zone maps provably cannot prune them — only blooms can
+    spark.range(1000L)
+      .select(($"id" * 2).as("id"),
+        concat(lit("name-"), $"id" * 2).as("s"), ($"id" % 9).as("g"))
+      .repartition(8) // hash: every file's id range spans ~everything
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    def read() = spark.read.format("graft-commit").option("path", dir).load()
+    // without the index: an in-range point predicate opens every file
+    assert(plannedFiles(read().filter($"id" === 246L)) == 8)
+    assert(plannedFiles(read().filter($"id" === 555L)) == 8,
+      "an absent-but-in-range key is invisible to zone maps")
+    val indexed = sources.CommitSink
+      .buildBloomIndex(spark, dir, Seq("id", "s"), fpp = 0.01,
+        expectedItemsPerFile = 10000L)
+    assert(indexed.size == 8)
+    val m = manifest(dir)
+    assert(m.blooms.size == 8 && m.blooms.values.forall(_.keySet == Set("id", "s")))
+    // present key: planned somewhere, row found (long and string columns)
+    assert(plannedFiles(read().filter($"id" === 246L)) >= 1)
+    assert(read().filter($"id" === 246L).count() == 1L)
+    assert(read().filter($"s" === "name-1554").count() == 1L)
+    // absent in-range key: nearly everything prunes (<= 2 allows the
+    // documented false positives)
+    assert(plannedFiles(read().filter($"id" === 555L)) <= 2)
+    assert(read().filter($"id" === 555L).count() == 0L)
+    assert(plannedFiles(read().filter($"s" === "name-555")) <= 2)
+    // IN with only absent keys prunes; mixed keeps the present key's file
+    assert(plannedFiles(read().filter($"id".isin(555L, 777L))) <= 3)
+    assert(read().filter($"id".isin(246L, 555L)).count() == 1L)
+    // a range predicate never consults the bloom (zone maps' job)
+    assert(read().filter($"id" >= 200L && $"id" < 240L).count() == 20L)
+    // an appended (un-indexed) file NEVER prunes: an absent key inside
+    // ONLY its zone plans exactly that file, and the residual keeps the
+    // answer right
+    assert(plannedFiles(read().filter($"id" === 3001L)) == 0) // outside all zones
+    spark.range(1500L, 1550L)
+      .select(($"id" * 2).as("id"),
+        concat(lit("name-"), $"id" * 2).as("s"), ($"id" % 9).as("g"))
+      .coalesce(1)
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    assert(plannedFiles(read().filter($"id" === 3001L)) == 1,
+      "the un-indexed appended file must not bloom-prune")
+    assert(read().filter($"id" === 3001L).count() == 0L)
+    assert(read().filter($"id" === 3000L).count() == 1L)
+    // a REBUILD covers the appended file too (entries merge per file/col)
+    sources.CommitSink.buildBloomIndex(spark, dir, Seq("id"),
+      fpp = 0.01, expectedItemsPerFile = 10000L)
+    assert(plannedFiles(read().filter($"id" === 3001L)) <= 1)
+    assert(plannedFiles(read().filter($"id" === 555L)) <= 2)
+  }
+
+  test("bloom index: sidecars are GC-protected, die on rewrite, refusal matrix") {
+    val dir = freshDir("bloom_gc")
+    // even values: odd keys are in-range but absent (zone-invisible)
+    spark.range(400L).select(($"id" * 2).as("id"), ($"id" * 0.5).as("v"))
+      .repartition(4)
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    sources.CommitSink.buildBloomIndex(spark, dir, Seq("id"),
+      expectedItemsPerFile = 10000L)
+    val sidecars = manifest(dir).blooms.values.flatMap(_.values).toSet
+    assert(sidecars.size == 4)
+    // GC: the sidecars are live references — neither expiry nor the
+    // orphan sweep may touch them
+    sources.CommitSink.expireVersions(dir, keepLast = 1)
+    sources.CommitSink.removeOrphanFiles(dir, graceMs = 0L)
+    def read() = spark.read.format("graft-commit").option("path", dir).load()
+    assert(plannedFiles(read().filter($"id" === 399L)) <= 1,
+      "blooms still load (sidecars survived the GC pair)")
+    assert(read().count() == 400L)
+    // a full rewrite retires the index with the files it described
+    sources.CommitSink.compact(spark, dir, 2)
+    assert(manifest(dir).blooms.isEmpty,
+      "a rewritten file's bloom dies with it")
+    assert(plannedFiles(read().filter($"id" === 399L)) == 2,
+      "un-indexed files never prune on equality")
+    // refusals: unknown column, non-indexable (double) type
+    intercept[RuntimeException] {
+      sources.CommitSink.buildBloomIndex(spark, dir, Seq("ghost"))
+    }
+    intercept[IllegalArgumentException] {
+      sources.CommitSink.buildBloomIndex(spark, dir, Seq("v"))
+    }
+  }
+
   test("convertEqDeletes returns exactly the files that received positions") {
     val dir = freshDir("eq_convert_targets")
     // four range-clustered files: ids [0,50) [50,100) [100,150) [150,200)
