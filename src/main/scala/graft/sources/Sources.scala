@@ -636,6 +636,14 @@ object Sources {
     import org.apache.spark.sql.functions.{count, lit, sum}
     val ck = s"/tmp/graft_o23/${new java.io.File(dir).getName}"
     graft.Tables.deleteRecursively(ck)
+    // state-partition sizing is per-stream (the w17 device): 97 keys of
+    // bounded state don't need the session's 32 shards — per-trigger
+    // cost is (partitions × operators) store commits, and 8 is the
+    // right size for the volume; read back below at the same count
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
     val q = spark.readStream.format("graft-sensors")
       .option("rows", 20000).option("slices", 8)
       .option("streamBatchRows", 10000).load()
@@ -660,6 +668,8 @@ object Sources {
     val out = graft.Tables.materialize(snap)
     graft.Tables.deleteRecursively(ck)
     out
+    } finally savedShuffle.fold(spark.conf.unset(shuffleKey))(
+      spark.conf.set(shuffleKey, _))
   }
 
   /** o24: the FULL TYPE SURFACE committed through graft-commit — the
