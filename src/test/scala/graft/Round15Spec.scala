@@ -38,6 +38,18 @@ import org.scalatest.funsuite.AnyFunSuite
   *    z-CELL to its own file (no sampled boundaries — a straddle sliver
   *    would poison min/max zones to the full dimension), so a dense
   *    grid lands as exact quadrants and 2-D box predicates prune.
+  *  - '''Partition evolution (o37)''': a metadata-only partition-spec
+  *    flip with stale partition keys STRIPPED (an old-column key under
+  *    the new column would group files wrongly); SPJ reporting turns
+  *    off exactly while any file lacks its key and back on once
+  *    `compact` migrates, appends converge on the new layout, vectors
+  *    carry through de-partitioning, each version keeps its layout.
+  *  - '''Bloom file index (o38)''': per-(file, column) bloom sidecars
+  *    answer equality/IN where zone maps structurally cannot — fixtures
+  *    hold EVEN values only so absent odd keys are zone-invisible, and
+  *    the prune counts pin the blooms alone; un-indexed appends never
+  *    prune until a rebuild merges them, sidecars survive the GC pair
+  *    and die with rewritten files.
   */
 class Round15Spec extends AnyFunSuite {
   import TestSpark._
