@@ -721,9 +721,16 @@ object CommitSink {
     * planning manifest. The scan applies the selected files' deletion
     * vectors and equality deletes, so clustering doubles as MOR
     * materialization for exactly the touched files (the compact
-    * precedent). Unpartitioned tables only: an identity-partitioned
-    * layout already clusters one key per file; ordering WITHIN
-    * partitions is the partition-evolution follow-on. Values are
+    * precedent).
+    *
+    * On an identity-PARTITIONED table (o39, r15 — Iceberg's
+    * `ALTER ... WRITE ORDERED BY` within the partition spec): `cols`
+    * are the SECONDARY sort columns, and the rewrite range-partitions
+    * on (key, cols) with the write told the shuffle already happened
+    * (the `preShaped` internal option) — a large key splits into
+    * several files, each one key (SPJ grouping intact) with a TIGHT
+    * zone slice of the sort columns, so range scans prune WITHIN a
+    * partition. Z-order stays unpartitioned-only. Values are
     * untouched — the old version stays time-travel readable until
     * [[expireVersions]]. Returns the rewritten file names. */
   def compactAndCluster(spark: SparkSession, dir: String, numFiles: Int,
@@ -735,10 +742,13 @@ object CommitSink {
     require(cols.nonEmpty, "compactAndCluster needs at least one column")
     val m = parseManifest(Paths.get(dir)).getOrElse(
       sys.error(s"graft-commit: no committed manifest at $dir"))
-    require(m.partCol.isEmpty,
-      s"graft-commit: compactAndCluster targets unpartitioned layouts; " +
-        s"$dir is identity-partitioned on ${m.partCol.get} (one key per " +
-        "file already) — per-partition sort-order rewrite is not supported")
+    require(m.partCol.isEmpty || !zOrder,
+      s"graft-commit: z-order within an identity-partitioned layout is " +
+        s"not supported; cluster ${m.partCol.get}-partitioned $dir with " +
+        "sort columns instead")
+    m.partCol.foreach(pc => require(!cols.contains(pc),
+      s"graft-commit: '$pc' is the partition column — every file already " +
+        "holds one key; name the SECONDARY sort column(s)"))
     only.foreach(s => require(s.subsetOf(m.files.toSet),
       s"graft-commit: unknown files selected: ${(s -- m.files).mkString(",")}"))
     val picked = only.fold(m.files)(s => m.files.filter(s)) match {
@@ -751,7 +761,18 @@ object CommitSink {
       s"graft-commit: clustering column(s) ${missing.mkString(",")} not in " +
         s"table schema [${df.columns.mkString(",")}]")
     val shaped =
-      if (!zOrder)
+      if (m.partCol.isDefined)
+        // per-partition SORT-ORDER rewrite (o39 — Iceberg's
+        // `ALTER ... WRITE ORDERED BY` within the partition spec): range
+        // on (key, sortCols) splits a big key into several files, each
+        // covering a TIGHT slice of the sort columns, while every key
+        // stays contiguous within its task — the rolling writer still
+        // lands one key per file, so the SPJ grouping survives and the
+        // secondary zone ranges become prunable within each partition.
+        // The write is told the shuffle already happened (preShaped).
+        df.repartitionByRange(numFiles, (m.partCol.get +: cols).map(col): _*)
+          .sortWithinPartitions((m.partCol.get +: cols).map(col): _*)
+      else if (!zOrder)
         df.repartitionByRange(numFiles, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
       else {
@@ -816,9 +837,13 @@ object CommitSink {
           .drop(zc) // projection only: the partitioning stays
       }
     val token = registerRewrite(DmlRewrite(m, () => picked.toSet))
-    try shaped.write.format(NAME).option("path", dir)
-      .option("rewriteToken", token).mode("overwrite").save()
-    finally dropRewrite(token)
+    try {
+      val w = shaped.write.format(NAME).option("path", dir)
+        .option("rewriteToken", token)
+      m.partCol.fold(w)(pc =>
+          w.option("partitionBy", pc).option("preShaped", "true"))
+        .mode("overwrite").save()
+    } finally dropRewrite(token)
     picked
   }
 
@@ -2149,6 +2174,17 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** PRE-SHAPED partitioned rewrite (o39, maintenance-internal): the
+    * caller already planned the clustering shuffle (e.g. range on
+    * (partCol, sortCols) for a per-partition sort-order rewrite), so
+    * the write must NOT declare its own clustered-by-key distribution —
+    * Spark would re-shuffle and destroy the secondary split. Safe
+    * because the range layout still groups each key contiguously within
+    * a task (the rolling writer's one-key-per-file invariant holds);
+    * gated on a rewrite token so ordinary writers can never reach it. */
+  private lazy val preShaped: Boolean =
+    Option(info.options.get("preShaped")).exists(_.toBoolean)
+
   override def build(): Write = {
     val schema = info.schema()
     val ok: DataType => Boolean =
@@ -2197,13 +2233,19 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     val rw = effectiveRewrite
     val pay = payload
     val upsert = upsertKeys
+    require(!preShaped || (effectiveRewrite.isDefined && partCol.isDefined),
+      "graft-commit: preShaped is the internal device of partitioned " +
+        "cluster rewrites — it requires a rewrite token and partitionBy")
+    val shapedByCaller = preShaped
     new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
-        partCol.map(c => Distributions.clustered(
+        partCol.filterNot(_ => shapedByCaller)
+          .map(c => Distributions.clustered(
             Array(Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)))
           .getOrElse(Distributions.unspecified())
       override def requiredOrdering(): Array[CSortOrder] =
-        partCol.map(c => Array(
+        partCol.filterNot(_ => shapedByCaller)
+          .map(c => Array(
             Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =

@@ -1426,6 +1426,63 @@ object Sources {
         lit(if (plannedPresent >= 1L) 1L else 0L))
   }
 
+  /** o39: PARTITIONED SORT-ORDER REWRITE — [[CommitSink
+    * .compactAndCluster]] on an identity-partitioned table (Iceberg's
+    * `ALTER ... WRITE ORDERED BY` within the partition spec): the
+    * events table lands one-file-per-bucket, so an event_id range scan
+    * within a bucket must read the bucket's whole file; the rewrite
+    * range-splits each key into event_id-disjoint sub-files (the
+    * `preShaped` write skips the partitioned writer's own shuffle —
+    * Spark re-clustering would destroy the secondary split) while
+    * every file still holds exactly ONE key, so the SPJ grouping and
+    * per-key pruning survive. Proof columns: `single_key_files` (the
+    * layout invariant), `disjoint_within_key` (each bucket's sub-files
+    * carve disjoint event_id slices), `split_keys` (the rewrite
+    * actually multiplied files), `planned_point` (a (bucket, narrow
+    * range) probe plans exactly ONE file — derived from the rewritten
+    * manifest's own zones, so the count is exact). At 100 TB: a date
+    * range inside one tenant's partition reads slices, not the tenant's
+    * terabytes. */
+  def o39PartitionedCluster(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o39/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), (col("user_id") % 4).as("bucket"),
+        col("event_type"), col("value"))
+      .write.format(CommitSink.NAME).option("path", out)
+      .option("partitionBy", "bucket").mode("overwrite").save()
+    CommitSink.compactAndCluster(spark, out, 8, Seq("event_id"))
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    val stats = m.files.map(f => CommitSink.FileStat.decode(m.stats(f)))
+    val singleKey = stats.forall(_.pk.isDefined)
+    val perKey = stats.groupBy(_.pk.getOrElse(-1L)).view.mapValues(
+      _.flatMap(_.cols.get("event_id"))
+        .map(r => (r.min.toLong, r.max.toLong)).sortBy(_._1)).toMap
+    val disjoint = perKey.values.forall(rs => rs.sliding(2).forall {
+      case Seq((_, aHi), (bLo, _)) => aHi < bLo
+      case _ => true
+    })
+    // a probe strictly inside ONE sub-file's zone for bucket 1
+    val (fLo, fHi) = perKey(1L).head
+    val (lo, hi) = (fLo + (fHi - fLo) / 4, fLo + (fHi - fLo) / 2)
+    val planned = plannedFiles(
+      spark.read.format(CommitSink.NAME).option("path", out).load()
+        .filter(col("bucket") === 1L &&
+          col("event_id") >= lo && col("event_id") < hi))
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("single_key_files", lit(if (singleKey) 1L else 0L))
+      .withColumn("disjoint_within_key", lit(if (disjoint) 1L else 0L))
+      .withColumn("split_keys",
+        lit(if (m.files.size > 4) 1L else 0L))
+      .withColumn("planned_point", lit(planned))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1843,6 +1900,7 @@ object Sources {
     "o36_zorder_rewrite" -> o36ZorderRewrite _,
     "o37_partition_evolution" -> o37PartitionEvolution _,
     "o38_bloom_index" -> o38BloomIndex _,
+    "o39_partitioned_cluster" -> o39PartitionedCluster _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1872,6 +1930,20 @@ object Sources {
                  CAST(1 AS BIGINT) AS disjoint,
                  CAST(8 AS BIGINT) AS planned_before,
                  CAST(1 AS BIGINT) AS planned_after
+          FROM events GROUP BY 1""",
+    // partitioned sort-order rewrite: content untouched (full-table
+    // replay); the layout proofs are constants of the rewrite contract
+    // (one key per file, disjoint secondary slices per key, keys split,
+    // exact one-file probe)
+    "o39_partitioned_cluster" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS single_key_files,
+                 CAST(1 AS BIGINT) AS disjoint_within_key,
+                 CAST(1 AS BIGINT) AS split_keys,
+                 CAST(1 AS BIGINT) AS planned_point
           FROM events GROUP BY 1""",
     // bloom file index: content untouched (full-table replay); the
     // layout booleans pin the point-lookup prune contract — an absent

@@ -218,14 +218,17 @@ class Round15Spec extends AnyFunSuite {
       sources.CommitSink.compactAndCluster(spark, dir, 2, Seq("id"),
         only = Some(Set("ghost.parquet")))
     }
+    // a partitioned table clusters on SECONDARY columns (the o39 test);
+    // z-order within a partitioned layout stays refused
     val pdir = freshDir("cluster_part_refuse")
-    spark.range(90L).select($"id", ($"id" % 3).as("k"))
+    spark.range(90L).select($"id", ($"id" % 3).as("k"), ($"id" * 7 % 90).as("t"))
       .write.format("graft-commit").option("path", pdir)
       .option("partitionBy", "k").mode("overwrite").save()
     val e = intercept[IllegalArgumentException] {
-      sources.CommitSink.compactAndCluster(spark, pdir, 2, Seq("id"))
+      sources.CommitSink.compactAndCluster(spark, pdir, 2, Seq("id", "t"),
+        zOrder = true)
     }
-    assert(e.getMessage.contains("identity-partitioned"), e.getMessage)
+    assert(e.getMessage.contains("z-order"), e.getMessage)
   }
 
   test("compactAndCluster targets a subset: selected files rewrite, the rest carry verbatim") {
@@ -306,6 +309,87 @@ class Round15Spec extends AnyFunSuite {
     assert(read().agg(sum($"payload")).head().getLong(0) == 4095L * 4096L / 2)
     // helper z-value column never lands in the table
     assert(read().columns.toSeq == Seq("x", "y", "payload"))
+  }
+
+  test("partitioned sort-order rewrite: big keys split into range-disjoint files, SPJ intact") {
+    val dir = freshDir("cluster_partitioned")
+    val dim = freshDir("cluster_partitioned_dim")
+    // 4 keys × 400 rows; t is hash-scattered within every key file
+    spark.range(1600L)
+      .select($"id", ($"id" % 4).as("k"), (($"id" * 997L) % 1600L).as("t"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val m0 = manifest(dir)
+    assert(m0.files.size == 4, "one file per key before the rewrite")
+    def read() = spark.read.format("graft-commit").option("path", dir).load()
+    // within a key, a narrow t-range predicate cannot prune anything
+    assert(plannedFiles(read().filter($"k" === 2L && $"t" >= 100L && $"t" < 140L)) == 1)
+    val rewritten = sources.CommitSink
+      .compactAndCluster(spark, dir, 8, Seq("t"))
+    assert(rewritten.size == 4)
+    val m = manifest(dir)
+    assert(m.partCol.contains("k"), "the rewrite preserves the layout")
+    // every file still holds exactly one key (the SPJ invariant)…
+    val stats = m.files.map(f =>
+      sources.CommitSink.FileStat.decode(m.stats(f)))
+    assert(stats.forall(_.pk.isDefined))
+    // …and keys with multiple files hold DISJOINT t slices
+    stats.groupBy(_.pk.get).foreach { case (k, ss) =>
+      val rs = ss.flatMap(_.cols.get("t"))
+        .map(r => (r.min.toLong, r.max.toLong)).sortBy(_._1)
+      assert(rs.sliding(2).forall {
+        case Seq((_, aHi), (bLo, _)) => aHi < bLo
+        case _ => true
+      }, s"key $k t-slices must be disjoint: $rs")
+    }
+    assert(m.files.size > 4, "large keys split into several files")
+    // the same narrow (key, range) probe now plans exactly one file
+    val keyed = stats.filter(_.pk.contains(2L))
+      .flatMap(_.cols.get("t")).map(r => (r.min.toLong, r.max.toLong))
+      .sortBy(_._1).head
+    val (lo, hi) = (keyed._1 + (keyed._2 - keyed._1) / 4,
+      keyed._1 + (keyed._2 - keyed._1) / 2)
+    assert(plannedFiles(read().filter($"k" === 2L && $"t" >= lo && $"t" < hi)) == 1)
+    // content exact, storage-partitioned join still exchange-free
+    assert(read().count() == 1600L &&
+      read().agg(sum($"t")).head().getLong(0) ==
+        (0L until 1600L).map(i => (i * 997L) % 1600L).sum)
+    spark.range(1600L).select(($"id" % 4).as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("kn"))
+      .write.format("graft-commit").option("path", dim)
+      .option("partitionBy", "k").mode("overwrite").save()
+    val conf = spark.conf
+    val prevBucketing = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevBcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = read().join(
+        spark.read.format("graft-commit").option("path", dim).load(), "k")
+      assert(!joined.queryExecution.executedPlan.toString.contains("Exchange"),
+        "multi-file-per-key grouping must keep the SPJ exchange-free")
+      assert(joined.count() == 1600L)
+    } finally {
+      prevBucketing.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevBcast.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+    // refusals: the partition column as a sort column, z-order, and the
+    // preShaped option without its rewrite context
+    intercept[IllegalArgumentException] {
+      sources.CommitSink.compactAndCluster(spark, dir, 4, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      sources.CommitSink.compactAndCluster(spark, dir, 4, Seq("t", "id"),
+        zOrder = true)
+    }
+    intercept[Exception] {
+      spark.range(10L).select($"id", ($"id" % 4).as("k"), $"id".as("t"))
+        .write.format("graft-commit").option("path", dir)
+        .option("partitionBy", "k").option("preShaped", "true")
+        .mode("append").save()
+    }
   }
 
   // --- partition evolution (o37) ----------------------------------------------
