@@ -33,7 +33,8 @@ import org.scalatest.funsuite.AnyFunSuite
   *    hash-scattered layout into range-disjoint files (narrow-range
   *    prune 8 files → 1, exact, time travel keeps the old layout),
   *    targets subsets with the rest carried verbatim, materializes the
-  *    selected files' deletion vectors, refuses partitioned tables and
+  *    selected files' deletion vectors, splits partitioned keys into
+  *    secondary-disjoint sub-files with SPJ intact (o39), refuses
   *    unknown columns/files; the z-order mode routes each deterministic
   *    z-CELL to its own file (no sampled boundaries — a straddle sliver
   *    would poison min/max zones to the full dimension), so a dense
