@@ -77,21 +77,33 @@ object Bench {
       val storageMb = spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum / (1 << 20)
       (heapMb, storageMb)
     }
+    // host 1-minute load average (whole machine, co-tenants included):
+    // the one number that makes a "this pass ran under contention" claim
+    // decidable from the artifact — the r15 verdict had to trust prose
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
     // two passes, min per query: this host exhibits bursty CPU steal
     // (multi-second freezes at random points — /proc/stat steal grows in
     // windows); the minimum of two independent passes is a far better
     // estimate of the engine's actual cost than any single pass
     val gc0 = gcMs()
+    val load0 = loadAvg()
     val pass1 = onePass().toMap
     val gc1 = gcMs()
     val (heap1, stor1) = snapshot()
+    val load1 = loadAvg()
     val pass2 = onePass()
     val gc2 = gcMs()
     val (heap2, stor2) = snapshot()
+    val load2 = loadAvg()
+    def fl(d: Double): String = f"$d%.2f"
     val telemetry =
       s""""telemetry":{"pass1":{"gc_ms":${gc1 - gc0},"heap_mb":$heap1,""" +
-        s""""storage_mb":$stor1},"pass2":{"gc_ms":${gc2 - gc1},""" +
-        s""""heap_mb":$heap2,"storage_mb":$stor2}}"""
+        s""""storage_mb":$stor1,"loadavg":[${fl(load0)},${fl(load1)}]},""" +
+        s""""pass2":{"gc_ms":${gc2 - gc1},""" +
+        s""""heap_mb":$heap2,"storage_mb":$stor2,""" +
+        s""""loadavg":[${fl(load1)},${fl(load2)}]}}"""
     val twoPass = pass2.map { case (name, t2) =>
       name -> math.min(pass1(name), t2)
     }

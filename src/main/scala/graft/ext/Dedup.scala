@@ -114,7 +114,12 @@ object Dedup {
     * ids — the oracle-portable hashing; see class note). Returns
     * (id1 < id2, inter, n1, n2) for every pair with true jaccard ≥ 0.5.
     * d02 runs it over the planted corpus; d12 over index ∪ incoming. */
-  def minHashPairsDict(corpus: DataFrame): DataFrame = {
+  def minHashPairsDict(corpus: DataFrame): DataFrame =
+    minHashPairsDictStaged(corpus)._1
+
+  /** [[minHashPairsDict]] exposing its pipeline caches, for callers that
+    * materialize the pair set ([[memoMaterialized]]) and release them. */
+  private def minHashPairsDictStaged(corpus: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import corpus.sparkSession.implicits._
     val sh = shingles(corpus)
     // cache AFTER the dictionary join: sig, both verify sides, and sizes
@@ -136,19 +141,22 @@ object Dedup {
       .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
       .filter($"s1" === $"s2")
       .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
-    inter
+    val pairs = inter
       .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
       .select($"id1", $"id2", $"inter", $"n1", $"n2")
+    (pairs, Seq(ids, sig, sizes))
   }
 
   def d02MinHashLsh(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d02:pairs") {
+      memoMaterialized(spark, dir, "d02:pairs") {
     import spark.implicits._
-    minHashPairsDict(corpusWithCopies(Tables.documents(spark, dir)))
-      .select($"id1", $"id2", $"inter", $"n1", $"n2",
-        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct"))
+    val (pairs, caches) =
+      minHashPairsDictStaged(corpusWithCopies(Tables.documents(spark, dir)))
+    (pairs.select($"id1", $"id2", $"inter", $"n1", $"n2",
+        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct")),
+      caches)
   }
 
   /** Scale-path MinHash+LSH: identical pipeline shape to [[d02MinHashLsh]]
@@ -158,13 +166,12 @@ object Dedup {
     * (No oracle by construction — xxhash64 is Spark-specific; the spec
     * asserts it finds the same planted duplicates as d02.) */
   def minHashLshScale(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d06:pairs") {
+      memoMaterialized(spark, dir, "d06:pairs") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val ids = shingles(corpus)
       .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid")).cache()
-    // cached for the same 8× band-self-join reuse as in d02; also lets
-    // dedupCorpus' second pass over the pipeline plan-match it
+    // cached for the same 8× band-self-join reuse as in d02
     val sig = signatures(ids).cache()
     val bands = explodeBands(sig, Seq($"doc_id"), (0 until K / 2).map(b =>
       concat_ws(":", col(s"min_${2 * b}"), col(s"min_${2 * b + 1}"))))
@@ -177,15 +184,12 @@ object Dedup {
       .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
       .filter($"s1" === $"s2")
       .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
-    // final pair set is tiny; caching it makes dedupCorpus (which consumes
-    // exactly this result) plan-match it instead of re-running the
-    // band-join + verify shuffles
-    inter
+    val pairs = inter
       .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
       .select($"id1", $"id2", $"inter", $"n1", $"n2")
-      .cache()
+    (pairs, Seq(ids, sig, sizes))
   }
 
   /** Shingle ARRAYS (no explode): the whole 3-gram set stays one row per
@@ -214,8 +218,8 @@ object Dedup {
     * signatures vs the exploded build and exact pair parity with the
     * oracle-checked dictionary form (d02). */
   def d18MinHashMapSide(spark: SparkSession, dir: String): DataFrame =
-    memoDf(spark, dir, "d18:pairs") {
-      minHashPairsMapSide(corpusWithCopies(Tables.documents(spark, dir)))
+    memoMaterialized(spark, dir, "d18:pairs") {
+      minHashPairsMapSideStaged(corpusWithCopies(Tables.documents(spark, dir)))
     }
 
   /** The zero-explode pair pipeline of [[d18MinHashMapSide]] over an
@@ -228,7 +232,14 @@ object Dedup {
     * the no-shingle-Generate guarantee on the uncached plan, which caching would
     * hide inside InMemoryRelation). */
   private[graft] def minHashPairsMapSide(corpus: DataFrame,
-                                         doCache: Boolean = true): DataFrame = {
+                                         doCache: Boolean = true): DataFrame =
+    minHashPairsMapSideStaged(corpus, doCache)._1
+
+  /** [[minHashPairsMapSide]] exposing its pipeline caches, for callers
+    * that materialize the pair set ([[memoMaterialized]]) and release
+    * them afterwards. */
+  private[graft] def minHashPairsMapSideStaged(
+      corpus: DataFrame, doCache: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     import corpus.sparkSession.implicits._
     def maybeCache(df: DataFrame): DataFrame = if (doCache) df.cache() else df
     // cached: the band build reads it once, the verify join twice
@@ -244,17 +255,15 @@ object Dedup {
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
-    // result cached: d07/d10/d20 consume exactly this pair set —
-    // whichever runs first pays, the others plan-match (same device as
-    // minHashLshScale's result cache)
-    maybeCache(cand
+    val pairs = cand
       .join(sharr.select($"doc_id".as("id1"), $"shingles".as("sh1")), "id1")
       .join(sharr.select($"doc_id".as("id2"), $"shingles".as("sh2")), "id2")
       .select($"id1", $"id2",
         size(array_intersect($"sh1", $"sh2")).cast("long").as("inter"),
         size($"sh1").cast("long").as("n1"),
         size($"sh2").cast("long").as("n2"))
-      .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter")))
+      .filter($"inter" * 2 >= ($"n1" + $"n2" - $"inter"))
+    (pairs, if (doCache) Seq(sharr, sig) else Nil)
   }
 
   /** Corpus-level dedup API: the operational form ("give me the cleaned
@@ -333,7 +342,7 @@ object Dedup {
       .select(col("canon").as("id1"), col("doc_id").as("id2"))
   }
 
-  private def clustersOver(corpus: DataFrame, nearPairs: DataFrame): DataFrame = {
+  private def clustersOver(corpus: DataFrame, nearPairs: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val pairs = nearPairs.unionByName(exactPairs(corpus))
     // cache: every propagation round joins `edges`; uncached, each round
     // would re-run the whole LSH candidate/verify pipeline behind it
@@ -342,13 +351,11 @@ object Dedup {
       .distinct().cache()
     val labels = clusterLabels(corpus.select(col("doc_id")).distinct(), edges)
     val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
-    // result cached: d19 (keep-policy) consumes exactly this labeling —
-    // when the propagation converges in the same number of rounds the
-    // plans canonicalize equal and the second call plan-matches instead
-    // of re-running the LSH + propagation
-    labels.join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .cache()
+    // the memo materializes this labeling (label-cardinality) and then
+    // releases `edges` — d19/d20 (keep-policy) read the pinned rows
+    (labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size")),
+      Seq(edges))
   }
 
   /** Session-scoped labeling memo. The propagation in [[clusterLabels]]
@@ -385,6 +392,28 @@ object Dedup {
     dfMemo.getOrElseUpdate((spark, dir, key), compute)
   }
 
+  /** [[memoDf]] with p01's materialization contract (Curation.scala): the
+    * memoized value is the MATERIALIZED result (eager `localCheckpoint`),
+    * never a plan over pipeline `.cache()`s, and those caches are RELEASED
+    * once the checkpoint lands. A memoized PLAN is only fast while the
+    * LRU keeps its pipeline caches alive — across a 280-entry battery the
+    * storage churn evicts them and every repeat action silently re-runs
+    * the band joins (the r14 p01 regression, generalized: r15's
+    * d21/d22/d24/d26 were the same disease). Every value memoized this
+    * way is pair/cell/label/report-cardinality — tiny relative to the
+    * corpus at any scale — so pinning its ROWS is O(result) forever while
+    * pinning nothing of the pipeline. `compute` returns the result plan
+    * plus the pipeline caches that existed only to keep the ONE
+    * materialization from recomputing shared stages. */
+  private[ext] def memoMaterialized(spark: SparkSession, dir: String, key: String)(
+      compute: => (DataFrame, Seq[DataFrame])): DataFrame =
+    memoDf(spark, dir, key) {
+      val (result, pipelineCaches) = compute
+      val out = result.localCheckpoint(true)
+      pipelineCaches.foreach(_.unpersist())
+      out
+    }
+
   /** One (band, bkey) row per input row per band as a SINGLE projection
     * (`posexplode` over the per-band key array) instead of a
     * branch-per-band union: an N-way union of the same (often cached)
@@ -401,7 +430,7 @@ object Dedup {
     * near-dup edges), plus the component size. Oracle replays the
     * propagation as a recursive reachability walk. */
   def d09DedupClusters(spark: SparkSession, dir: String): DataFrame =
-    memoDf(spark, dir, "labels:dict") {
+    memoMaterialized(spark, dir, "labels:dict") {
       import spark.implicits._
       val corpus = corpusWithCopies(Tables.documents(spark, dir))
       clustersOver(corpus, d02MinHashLsh(spark, dir).select($"id1", $"id2"))
@@ -418,7 +447,7 @@ object Dedup {
     * reachability walk); ExtSpec additionally asserts cluster parity
     * with d09. */
   def dedupClustersScale(spark: SparkSession, dir: String): DataFrame =
-    memoDf(spark, dir, "labels:scale") {
+    memoMaterialized(spark, dir, "labels:scale") {
       import spark.implicits._
       val corpus = corpusWithCopies(Tables.documents(spark, dir))
       clustersOver(corpus, d18MinHashMapSide(spark, dir).select($"id1", $"id2"))
@@ -432,7 +461,7 @@ object Dedup {
     * doubling, O(log diameter) rounds); each cluster is labeled by its
     * min vec_id, which is also the kept representative. */
   def d13SemanticClusters(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d13:clusters") {
+      memoMaterialized(spark, dir, "d13:clusters") {
     import spark.implicits._
     val ids = Tables.embeddings(spark, dir).select($"vec_id")
     val nodes = ids
@@ -447,9 +476,10 @@ object Dedup {
       .distinct().cache()
     val labels = clusterLabels(nodes, edges)
     val sizes = labels.groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
+    (labels.join(sizes, "cluster_id")
       .select($"doc_id".as("vec_id"), $"cluster_id", $"cluster_size",
-        ($"doc_id" === $"cluster_id").as("is_representative"))
+        ($"doc_id" === $"cluster_id").as("is_representative")),
+      Seq(edges))
   }
 
   /** d19: keep-BEST canonical selection — the dedup keep-policy knob.
@@ -632,24 +662,35 @@ object Dedup {
     * Round7Spec pins the planted structure and the brute-force
     * hamming≤3 completeness. */
   def d26SimHashNearDupScale(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d26:pairs") {
-    import spark.implicits._
-    val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    val sims = shingleArrays(corpus).filter(size($"shingles") > 0)
+      memoMaterialized(spark, dir, "d26:pairs") {
+    simHashPairsWideStaged(corpusWithCopies(Tables.documents(spark, dir)))
+  }
+
+  /** The zero-explode wide-fingerprint pair pipeline of
+    * [[d26SimHashNearDupScale]], exposing its pipeline caches for the
+    * materializing memo. `doCache=false` exists only for plan-shape tests
+    * (Round7Spec asserts the posexplode-only Generate guarantee on the
+    * uncached plan, which caching — let alone the memo's checkpoint —
+    * would hide). */
+  private[graft] def simHashPairsWideStaged(
+      corpus: DataFrame, doCache: Boolean = true): (DataFrame, Seq[DataFrame]) = {
+    import corpus.sparkSession.implicits._
+    def maybeCache(df: DataFrame): DataFrame = if (doCache) df.cache() else df
+    val sims = maybeCache(shingleArrays(corpus).filter(size($"shingles") > 0)
       .select($"doc_id",
-        graft.functions.SimHash.simhashSig($"shingles", SimPairBitsWide, P).as("simhash"))
-      .cache()
+        graft.functions.SimHash.simhashSig($"shingles", SimPairBitsWide, P).as("simhash")))
     val bands = explodeBands(sims, Seq($"doc_id"), (0 until 4).map(b =>
       shiftright($"simhash", 16 * b).bitwiseAND(lit(65535L))))
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
-    cand
+    val pairs = cand
       .join(sims.select($"doc_id".as("id1"), $"simhash".as("s1")), "id1")
       .join(sims.select($"doc_id".as("id2"), $"simhash".as("s2")), "id2")
       .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
       .filter($"hamming" <= 3)
       .select($"id1", $"id2", $"s1", $"s2", $"hamming")
+    (pairs, if (doCache) Seq(sims) else Nil)
   }
 
   // --- d04: n-gram Jaccard on planted pairs ----------------------------
@@ -657,7 +698,7 @@ object Dedup {
   /** Jaccard over 3-gram shingles for constructed pair lists: exact pairs,
     * near pairs, and unrelated control pairs. */
   def d04NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d04:pairs") {
+      memoMaterialized(spark, dir, "d04:pairs") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sh = shingles(corpus)
@@ -674,13 +715,14 @@ object Dedup {
       .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
       .filter($"s1" === $"s2")
       .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
-    pairs
+    (pairs
       .join(inter, Seq("id1", "id2"), "left")
       .na.fill(0L, Seq("inter"))
       .join(sizes.select($"doc_id".as("id1"), $"n".as("n1")), "id1")
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .select($"kind", $"id1", $"id2", $"inter", $"n1", $"n2",
-        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct"))
+        (($"inter" * 100.0) / ($"n1" + $"n2" - $"inter")).as("jacc_pct")),
+      Seq(ids, sizes))
   }
 
   // --- d05: embedding-cosine near-dup ----------------------------------
@@ -729,7 +771,14 @@ object Dedup {
     * duplicates are deliberately missed (the known SemDeDup
     * approximation; more/raised probes are the recall knob). */
   def d24SemDedup(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d24:cells") {
+      memoMaterialized(spark, dir, "d24:cells") {
+    semDedupStaged(spark, dir)
+  }
+
+  /** [[d24SemDedup]]'s pipeline, exposing the cached IVF assignment for
+    * the materializing memo (PlanSpec asserts the within-cell equi-join
+    * shape on this plan — the memo's checkpoint would hide it). */
+  private[graft] def semDedupStaged(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val aug = e
@@ -746,9 +795,10 @@ object Dedup {
         Similarity.cosine($"a.embedding", $"b.embedding") >= SemTau)
       .groupBy($"b.vec_id".as("vec_id"))
       .agg(min($"a.vec_id").as("blocker_id"))
-    assigned.select($"vec_id", $"cid")
+    (assigned.select($"vec_id", $"cid")
       .join(blockers, Seq("vec_id"), "left")
-      .select($"vec_id", $"cid", $"blocker_id".isNull.as("is_kept"), $"blocker_id")
+      .select($"vec_id", $"cid", $"blocker_id".isNull.as("is_kept"), $"blocker_id"),
+      Seq(assigned))
   }
 
   // --- d11: benchmark contamination --------------------------------------
@@ -851,7 +901,7 @@ object Dedup {
     * band self-join + candidate-only verification (never all pairs);
     * the report is a union of 1-row aggregates. */
   def d17LshTuning(spark: SparkSession, dir: String): DataFrame =
-    memoDf(spark, dir, "sweep:dict") {
+    memoMaterialized(spark, dir, "sweep:dict") {
       import spark.implicits._
       val corpus = corpusWithCopies(Tables.documents(spark, dir))
       val sh = shingles(corpus)
@@ -882,7 +932,7 @@ object Dedup {
     * exercising exactly that family. Round7Spec pins the sweep's
     * structure against d17's dictionary sweep. */
   def d21LshTuningScale(spark: SparkSession, dir: String): DataFrame =
-    memoDf(spark, dir, "sweep:scale") {
+    memoMaterialized(spark, dir, "sweep:scale") {
       import spark.implicits._
       val corpus = corpusWithCopies(Tables.documents(spark, dir))
       lshTuningOver(spark, dir,
@@ -893,10 +943,11 @@ object Dedup {
     * d21 (portable md5-prefix ids): per config, band self-join candidates, sid-join
     * verification, and precision/recall over the planted pairs. */
   private def lshTuningOver(spark: SparkSession, dir: String,
-                            rawIds: DataFrame): DataFrame = {
+                            rawIds: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val ids = rawIds.cache()
     val sig = signatures(ids).cache()
+    val cands = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val sizes = ids.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val base = Tables.documents(spark, dir).select($"doc_id")
     val planted = base.filter($"doc_id" % 10 === 0)
@@ -909,6 +960,7 @@ object Dedup {
       // planted-recall semi-join): uncached, the band self-join would run
       // 3x per config — 6x per sweep. Candidate sets are pair-id-sized.
       val cand = lshCandidates(sig, b, r).cache()
+      cands += cand
       val verified = cand
         .join(ids.select($"doc_id".as("id1"), $"sid".as("s1")), "id1")
         .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
@@ -928,9 +980,9 @@ object Dedup {
           $"n_planted", $"n_planted_found",
           ($"n_planted_found".cast("double") / $"n_planted").as("recall"))
     }.reduce(_ unionByName _)
-    // 2 rows; cached so the memoized repeat call (and the bench's second
-    // pass) reads the report instead of re-running both configs
-    report.cache()
+    // 2 rows; the memo materializes the report and releases every
+    // pipeline cache (ids, sig, the per-config candidate sets)
+    (report, Seq(ids, sig) ++ cands)
   }
 
   // --- d16: normalization-aware exact dedup --------------------------------
@@ -1040,7 +1092,7 @@ object Dedup {
     * one groupBy over (doc, shingle-id); the eval joins only the planted
     * pair list — never all pairs. */
   def d15MinhashEstimate(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d15:estimate") {
+      memoMaterialized(spark, dir, "d15:estimate") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sh = shingles(corpus)
@@ -1066,7 +1118,7 @@ object Dedup {
       .join(ids.select($"doc_id".as("id2"), $"sid".as("s2")), "id2")
       .filter($"s1" === $"s2")
       .groupBy($"id1", $"id2").agg(count(lit(1)).as("inter"))
-    pairs
+    (pairs
       .join(s1, "id1").join(s2, "id2")
       .withColumn("est_pct", agree * lit(100.0) / K)
       .join(inter, Seq("id1", "id2"), "left").na.fill(0L, Seq("inter"))
@@ -1074,7 +1126,8 @@ object Dedup {
       .join(sizes.select($"doc_id".as("id2"), $"n".as("n2")), "id2")
       .withColumn("jacc_pct", $"inter" * 100.0 / ($"n1" + $"n2" - $"inter"))
       .select($"kind", $"id1", $"id2", $"est_pct", $"jacc_pct",
-        ($"est_pct" - $"jacc_pct").as("err_pct"))
+        ($"est_pct" - $"jacc_pct").as("err_pct")),
+      Seq(ids))
   }
 
   // --- d14: passage-level (sub-document) dedup ----------------------------
@@ -1141,7 +1194,7 @@ object Dedup {
     * of exact-substring semantics — a winnowed (Schleimer 2003) anchor
     * subset is the approximate fallback if even that shuffle is too big. */
   def d27RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d27:spans") {
+      memoMaterialized(spark, dir, "d27:spans") {
     import spark.implicits._
     val K = RepSpanK
     val toks = TextAnalysis.tokens($"text")
@@ -1157,7 +1210,7 @@ object Dedup {
       .agg(count(lit(1)).as("cnt")).filter($"cnt" > 1).select($"h")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")
-    wins.join(repeated, "h")
+    (wins.join(repeated, "h")
       .withColumn("gap",
         when($"p" - lag($"p", 1).over(w) > K, 1L).otherwise(0L))
       .withColumn("island", sum($"gap").over(w))
@@ -1166,7 +1219,8 @@ object Dedup {
       .groupBy($"doc_id", $"n_tokens")
       .agg(count(lit(1)).as("n_spans"), sum($"span_len").as("rep_tokens"))
       .select($"doc_id", $"n_spans", $"rep_tokens", $"n_tokens",
-        ($"rep_tokens".cast("double") / $"n_tokens").as("rep_frac"))
+        ($"rep_tokens".cast("double") / $"n_tokens").as("rep_frac")),
+      Nil)
   }
 
   // --- d29: winnowed fingerprint anchors ----------------------------------
@@ -1210,7 +1264,7 @@ object Dedup {
     * report) and d30 (cross-doc containment pairing); memoized per
     * (session, dir) so both consumers read ONE cached table. */
   private[graft] def winnowAnchors(spark: SparkSession, dir: String): DataFrame =
-    memoDf(spark, dir, "winnowAnchors") {
+    memoMaterialized(spark, dir, "winnowAnchors") {
       import spark.implicits._
       val K = WinnowK; val W = WinnowW
       val base = corpusWithCopies(Tables.documents(spark, dir))
@@ -1241,9 +1295,9 @@ object Dedup {
         .distinct()
       // re-attach the anchor gram's full hash (the content identity for the
       // cross-doc share check; the 20-bit h20 exists only for the packed min)
-      anchors.join(
-        grams.select($"doc_id", $"p".as("apos"), $"h"), Seq("doc_id", "apos"))
-        .cache()
+      (anchors.join(
+        grams.select($"doc_id", $"p".as("apos"), $"h"), Seq("doc_id", "apos")),
+        Seq(grams))
     }
 
   def d29WinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
@@ -1288,7 +1342,7 @@ object Dedup {
     * Every step is exact integer arithmetic + one IEEE division, so the
     * oracle replays it verbatim over the d29 CTE chain. */
   def d30ContainmentDedup(spark: SparkSession, dir: String): DataFrame =
-      memoDf(spark, dir, "d30:contain") {
+      memoMaterialized(spark, dir, "d30:contain") {
     import spark.implicits._
     val anc = winnowAnchors(spark, dir)
     val hFreq = anc.groupBy($"h").agg(countDistinct($"doc_id").as("nd"))
@@ -1301,12 +1355,13 @@ object Dedup {
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
       .agg(count(lit(1)).as("n_shared"))
-    shared
+    (shared
       .join(perDoc.select($"doc_id".as("id1"), $"na".as("n1")), "id1")
       .join(perDoc.select($"doc_id".as("id2"), $"na".as("n2")), "id2")
       .filter($"n_shared" * 2 >= least($"n1", $"n2"))
       .select($"id1", $"id2", $"n_shared", $"n1", $"n2",
-        ($"n_shared" * 100.0 / least($"n1", $"n2")).as("containment_pct"))
+        ($"n_shared" * 100.0 / least($"n1", $"n2")).as("containment_pct")),
+      Seq(docH))
   }
 
   // --- d12: incremental (batch-vs-index) dedup ----------------------------
@@ -1382,10 +1437,11 @@ object Dedup {
     * via the exact all-pairs true-jaccard device restricted to
     * index-side partners ([[exactNearCtesFor]]); Round7Spec additionally
     * pins the planted admit/reject structure and parity with d12. */
-  def d22IncrementalScale(spark: SparkSession, dir: String): DataFrame = {
+  def d22IncrementalScale(spark: SparkSession, dir: String): DataFrame =
+      memoMaterialized(spark, dir, "d22:admit") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    incrementalDecision(docs.select($"doc_id", $"text"), incomingBatch(docs))
+    incrementalDecisionStaged(docs.select($"doc_id", $"text"), incomingBatch(docs))
   }
 
   /** The admit decision shared by d22 (one-shot) and d32 (streaming):
@@ -1398,23 +1454,30 @@ object Dedup {
     * (the property d32's oracle relies on — d32 probes a PREPARED index
     * with per-batch band joins, provably the same pair set). */
   private[graft] def incrementalDecision(index: DataFrame, batch: DataFrame,
-                                         cachePairs: Boolean = true): DataFrame = {
+                                         cachePairs: Boolean = true): DataFrame =
+    incrementalDecisionStaged(index, batch, cachePairs)._1
+
+  private def incrementalDecisionStaged(index: DataFrame, batch: DataFrame,
+                                        cachePairs: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     import index.sparkSession.implicits._
     val idxHash = index.select(md5($"text".cast("binary")).as("h"), $"doc_id".as("idx_id"))
     val exactHits = batch.select($"doc_id", md5($"text".cast("binary")).as("h"))
       .join(idxHash, "h")
       .groupBy($"doc_id").agg(min($"idx_id").as("exact_match"))
-    val nearHits = minHashPairsMapSide(index.unionByName(batch), doCache = cachePairs)
+    val (pairs, pairCaches) =
+      minHashPairsMapSideStaged(index.unionByName(batch), doCache = cachePairs)
+    val nearHits = pairs
       .filter($"id1" < 1000000L && $"id2" >= 1000000L)
       .groupBy($"id2".as("doc_id")).agg(min($"id1").as("near_match"))
-    batch.select($"doc_id")
+    (batch.select($"doc_id")
       .join(exactHits, Seq("doc_id"), "left")
       .join(nearHits, Seq("doc_id"), "left")
       .select($"doc_id",
         $"exact_match".isNotNull.as("is_exact_dup"),
         $"near_match".isNotNull.as("is_near_dup"),
         coalesce($"exact_match", $"near_match").as("matched_id"),
-        ($"exact_match".isNull && $"near_match".isNull).as("admit"))
+        ($"exact_match".isNull && $"near_match".isNull).as("admit")),
+      pairCaches)
   }
 
   /** d32: [[d22IncrementalScale]]'s admit decision running CONTINUOUSLY

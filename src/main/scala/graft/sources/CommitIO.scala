@@ -81,13 +81,16 @@ private[graft] object NioCommitIO extends CommitIO {
     ()
   }
   override def promote(src: Path, dst: Path): Unit = {
-    // explicit no-clobber: POSIX rename(2) — what ATOMIC_MOVE maps to —
-    // silently REPLACES an existing target, but a promote collision
-    // means a nonce/logic error and must surface (the r15 contract spec
-    // pins this for both bindings)
-    if (Files.exists(dst))
-      throw new java.nio.file.FileAlreadyExistsException(dst.toString)
-    Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); ()
+    // no-clobber must hold even under a race: POSIX rename(2) — what
+    // ATOMIC_MOVE maps to — silently REPLACES an existing target, and
+    // an exists-then-move check is TOCTOU. link(2) is atomic
+    // fail-if-exists, so createLink(dst, src) + delete(src) IS an
+    // atomic no-clobber rename (same filesystem by construction —
+    // staging lives under the table directory; promotes are always
+    // plain files). A collision means a nonce/logic error and must
+    // surface (the r15 contract spec pins this for both bindings).
+    Files.createLink(dst, src)
+    Files.deleteIfExists(src); ()
   }
   override def exists(p: Path): Boolean = Files.exists(p)
   override def isDirectory(p: Path): Boolean = Files.isDirectory(p)
@@ -187,6 +190,13 @@ private[graft] class HadoopCommitIO extends CommitIO {
   }
   override def promote(src: Path, dst: Path): Unit = {
     val (s, d) = (hp(src), hp(dst))
+    // On HDFS this whole op is atomic no-clobber (rename fails
+    // server-side on an existing target). On RawLocalFileSystem the
+    // underlying rename(2) replaces, so the exists check is BEST-EFFORT
+    // (TOCTOU under a same-destination race) — a diagnostic, not the
+    // safety: final names are nonce-unique, so two writers never race
+    // one destination in the first place (NioCommitIO holds the strict
+    // contract via link(2); see its promote note).
     if (fs.exists(d))
       throw new org.apache.hadoop.fs.FileAlreadyExistsException(
         s"hadoop-io: promote target $d already exists")

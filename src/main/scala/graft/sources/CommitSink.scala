@@ -778,6 +778,18 @@ object CommitSink {
       else {
         require(cols.size >= 2 && cols.size <= 4,
           s"z-order interleaves 2-4 dimensions, got ${cols.size}")
+        // refuse non-numeric dimensions up front (mirroring
+        // buildBloomIndex's type check): a string/boolean dimension
+        // would otherwise surface as an opaque cast/NPE failure at the
+        // bounds aggregation below
+        cols.foreach { c =>
+          val dt = df.schema(df.schema.fieldIndex(c)).dataType
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"graft-commit: z-order dimension '$c' has non-numeric type " +
+              s"${dt.simpleString} — z-values interleave normalized " +
+              "numeric coordinates (use the lexicographic mode for " +
+              "string/boolean clustering)")
+        }
         val k = cols.size
         // bits per dim capped so k*bits stays under the sign bit — a
         // negative z-value would invert the range ordering at k = 4
@@ -787,6 +799,11 @@ object CommitSink {
         val aggCols = cols.flatMap(c =>
           Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
         val bounds = df.agg(aggCols.head, aggCols.tail: _*).head()
+        // an all-NULL dimension has no bounds to normalize — refuse
+        // clearly instead of NPE-ing on getDouble
+        cols.indices.foreach(i => require(!bounds.isNullAt(2 * i),
+          s"graft-commit: z-order dimension '${cols(i)}' is all-NULL — " +
+            "no bounds to normalize"))
         // bounds layout: (min, max) pairs in column order
         def coord(i: Int): org.apache.spark.sql.Column = {
           val (mn, mx) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
@@ -954,6 +971,12 @@ object CommitSink {
       }
       require(ok, s"graft-commit: bloom column '$c' has non-indexable " +
         s"type ${f.dataType.simpleString} (integral and string only)")
+      // the manifest encodes bloom entries as "file|column|sidecar" —
+      // restrict names to the same separator-safe alphabet the zone-map
+      // stats recording enforces, so a backticked name containing '|'
+      // or '"' can never mis-split on parse
+      require(c.matches("[A-Za-z0-9_]+"),
+        s"graft-commit: bloom column name '$c' must match [A-Za-z0-9_]+")
     }
     if (m.files.isEmpty) return Seq.empty
     val read = StructType(cols.map(c => schema(schema.fieldIndex(c))))

@@ -1387,8 +1387,13 @@ object Sources {
     * cannot prune a point lookup), one distributed pass records a
     * per-file bloom sidecar for user_id, and the planner then answers
     * `user_id = ?` by opening only the files whose bloom might contain
-    * the key. Proof columns: `bloom_prunes_absent` (a key that exists
-    * nowhere plans ≤ 2 of 8 files — ≤, not =, because a bloom's false
+    * the key. The committed content is the EVEN-user_id subset so the
+    * absent probe (an odd key between min and max) sits inside every
+    * file's zone range — the prune can only come from the blooms, never
+    * from zone maps (r15 ADVICE: the old max+12345 probe was out of
+    * range, so zone maps answered and the entry never exercised the
+    * bloom path). Proof columns: `bloom_prunes_absent` (the absent key
+    * plans ≤ 2 of 8 files — ≤, not =, because a bloom's false
     * positives are part of its contract; 0 is the common case),
     * `present_planned` (a real key still plans somewhere), and
     * `n_absent_rows` (the residual filter keeps correctness whatever
@@ -1400,15 +1405,22 @@ object Sources {
     import org.apache.spark.sql.functions.{count, lit, max, min}
     val out = s"/tmp/graft_o38/${new java.io.File(dir).getName}"
     graft.Tables.deleteRecursively(out)
+    // EVEN user_ids only: the absent probe is then an ODD key sitting
+    // INSIDE every file's zone range, so zone maps alone cannot plan it
+    // away and the prune proof exercises the BLOOM (the Round15Spec
+    // device — an out-of-range probe would let zone maps answer and
+    // never touch the sidecars)
     val ev = graft.Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .filter(col("user_id") % 2 === 0)
     ev.repartition(8)
       .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
     val indexed = CommitSink.buildBloomIndex(spark, out, Seq("user_id"),
       fpp = 0.01, expectedItemsPerFile = 100000L)
     require(indexed.size == 8, s"all 8 files indexed, got ${indexed.size}")
     val r = ev.agg(min(col("user_id")), max(col("user_id"))).head()
-    val (present, absent) = (r.getLong(0), r.getLong(1) + 12345L)
+    require(r.getLong(1) >= r.getLong(0) + 2, "fixture needs an in-range odd gap")
+    val (present, absent) = (r.getLong(0), r.getLong(0) + 1L)
     def read() = spark.read.format(CommitSink.NAME).option("path", out).load()
     val plannedAbsent = plannedFiles(read().filter(col("user_id") === absent))
     val plannedPresent = plannedFiles(read().filter(col("user_id") === present))
@@ -1945,11 +1957,13 @@ object Sources {
                  CAST(1 AS BIGINT) AS split_keys,
                  CAST(1 AS BIGINT) AS planned_point
           FROM events GROUP BY 1""",
-    // bloom file index: content untouched (full-table replay); the
-    // layout booleans pin the point-lookup prune contract — an absent
-    // key plans almost nothing (<= 2 of 8 allows the bloom's documented
-    // false positives), a present key still plans, and the residual
-    // filter returns zero rows for the absent key regardless
+    // bloom file index: content = the even-user_id subset (the absent
+    // probe is an in-range ODD key, so zone maps can't answer and the
+    // prune proof exercises the bloom sidecars); the layout booleans pin
+    // the point-lookup contract — the absent key plans almost nothing
+    // (<= 2 of 8 allows the bloom's documented false positives), a
+    // present key still plans, and the residual filter returns zero
+    // rows for the absent key regardless
     "o38_bloom_index" ->
       s"""SELECT event_type, COUNT(*) AS n,
                  ${graft.Tables.sqlDsum("value")} AS total_value,
@@ -1958,7 +1972,7 @@ object Sources {
                  CAST(0 AS BIGINT) AS n_absent_rows,
                  CAST(1 AS BIGINT) AS bloom_prunes_absent,
                  CAST(1 AS BIGINT) AS present_planned
-          FROM events GROUP BY 1""",
+          FROM events WHERE user_id % 2 = 0 GROUP BY 1""",
     // partition evolution: content = even-id base + odd-id append (the
     // full table, bucket = user_id % 8); layout proofs are constants of
     // the evolution contract — metadata-only flip, mixed interim

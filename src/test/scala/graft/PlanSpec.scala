@@ -225,8 +225,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("s14/d24: within-cell pairing stays an equi-join on the cell id — no pair blowup") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // d24 via its staged pipeline: the registry entry memoizes the
+    // MATERIALIZED result (localCheckpoint), which would hide the join
+    val (d24df, d24caches) = ext.Dedup.semDedupStaged(spark, sf0001)
     Seq(ext.Similarity.s14KnnGraph(spark, sf0001),
-        ext.Dedup.d24SemDedup(spark, sf0001)).foreach { df =>
+        d24df).foreach { df =>
       // typed collect: does NOT descend into InMemoryRelation, so the
       // 16-row centroid nested-loop inside the CACHED assignment build
       // is invisible — exactly the runtime view (the cache is scanned,
@@ -239,6 +242,7 @@ class PlanSpec extends AnyFunSuite {
       assert("Join \\[cid#".r.findFirstIn(p).isDefined,
         s"pairing must be an equi-join keyed on the cell id:\n$p")
     }
+    d24caches.foreach(_.unpersist())
   }
 
   test("d20 keep-best on scale labels: no dictionary global sort, policy window is cluster-keyed") {

@@ -260,8 +260,11 @@ class Round7Spec extends AnyFunSuite {
     // zero-explode claim = zero SHINGLE explosion (the corpus x
     // shingle-count blowup); the band projection is a constant-4
     // posexplode since r12 (Dedup.explodeBands) — forbid any OTHER
-    // Generate shape
-    val plan = Dedup.d26SimHashNearDupScale(spark, sf0001)
+    // Generate shape. Guarded on the UNCACHED staged pipeline: the
+    // registry entry memoizes the MATERIALIZED pair set (localCheckpoint),
+    // whose LogicalRDD plan would make this check vacuous (the PlanSpec
+    // d18 device).
+    val plan = Dedup.simHashPairsWideStaged(corpus, doCache = false)._1
       .queryExecution.executedPlan.toString
     val gens = "Generate ([a-z_]+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
     assert(gens.subsetOf(Set("posexplode")),
