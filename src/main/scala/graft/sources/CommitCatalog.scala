@@ -32,7 +32,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[alterTable]]); RENAME and every other ALTER stay a
   * truncate-rewrite, the copy-on-write discipline o12's DELETE follows.
   */
-class CommitCatalog extends TableCatalog {
+class CommitCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -100,10 +100,53 @@ class CommitCatalog extends TableCatalog {
       version = Some(v))
   }
 
+  /** The partition spec string a CREATE TABLE transform list encodes —
+    * the two transforms [[CommitSink.PartSpec]] supports:
+    * `PARTITIONED BY (col)` (identity, o16) and
+    * `PARTITIONED BY (bucket(n, col))` (Iceberg's bucket transform,
+    * o40 — resolved at write/scan time through this catalog's
+    * [[FunctionCatalog]] face). */
+  private def partSpecOf(partitions: Array[Transform]): Option[String] = {
+    require(partitions.length <= 1,
+      "graft-commit tables support at most ONE partition transform")
+    partitions.headOption.map { t =>
+      def oneRef(args: Seq[org.apache.spark.sql.connector.expressions.Expression]): String = {
+        val refs = args.collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference => r
+        }
+        require(refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"graft-commit: partition transform must reference one top-level column, got $t")
+        refs.head.fieldNames.head
+      }
+      t.name() match {
+        case "identity" => CommitSink.IdentitySpec(oneRef(t.arguments.toSeq)).encode
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+                if lit.value().isInstanceOf[Int] => lit.value().asInstanceOf[Int]
+          }.getOrElse(sys.error(
+            s"graft-commit: bucket transform needs an int bucket count, got $t"))
+          CommitSink.PartSpec.parse(
+            CommitSink.BucketSpec(n, oneRef(t.arguments.toSeq)).encode).encode
+        case other => sys.error(
+          s"graft-commit: unsupported partition transform '$other' — " +
+            "identity and bucket(n, col) only")
+      }
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-commit tables do not support partition transforms")
+    val partCol = partSpecOf(partitions)
+    partCol.map(CommitSink.PartSpec.parse).foreach { spec =>
+      val f = schema.fields.find(_.name == spec.sourceCol).getOrElse(
+        sys.error(s"graft-commit: partition column '${spec.sourceCol}' is " +
+          "not in the table schema"))
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType,
+        s"graft-commit: partition column '${spec.sourceCol}' must be " +
+          s"BIGINT or INT, got ${f.dataType.simpleString}")
+    }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // payload format per table (TBLPROPERTIES ('payload'='json')); the
     // default is the at-scale parquet encoder — validate the declared
@@ -123,6 +166,7 @@ class CommitCatalog extends TableCatalog {
     // commit 0 with no files, CAS'd on "no manifest yet" so a racing
     // writer's commit is never clobbered; a fresh generation id is minted
     try CommitSink.writeManifest(p, schema.toDDL, Seq.empty, 0L, expectedPrev = -1L,
+      partCol = partCol,
       tableId = java.util.UUID.randomUUID().toString, payload = payload)
     catch { case _: IllegalArgumentException =>
       throw new TableAlreadyExistsException(ident)
@@ -197,6 +241,21 @@ class CommitCatalog extends TableCatalog {
       fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms)
     new CommitSinkTable(p.toString, acceptAnySchema = false)
   }
+
+  // --- FunctionCatalog (o40) -----------------------------------------
+  // One function: the canonical `bucket` transform ([[BucketFunction]]).
+  // This is the piece that lets Spark resolve a bucket-partitioned
+  // write's clustered distribution and translate a bucketed scan's
+  // KeyGroupedPartitioning into the TransformExpression the
+  // storage-partitioned join aligns on — the same FunctionCatalog wiring
+  // Iceberg's Spark integration ships. Served under every namespace:
+  // Spark looks transforms up with an empty namespace.
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) BucketFunction.unbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false

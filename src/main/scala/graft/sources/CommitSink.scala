@@ -158,6 +158,36 @@ object CommitSink {
   private[graft] def dropRewrite(token: String): Unit =
     pendingRewrites.remove(token)
 
+  /** True when `e` (or anything in its cause chain — Spark wraps writer
+    * commit failures) is the manifest CAS refusing a concurrent commit. */
+  private def isConcurrentCommit(e: Throwable): Boolean =
+    e != null &&
+      (e.isInstanceOf[ConcurrentCommitException] || isConcurrentCommit(e.getCause))
+
+  /** MAINTENANCE retry loop (r16): a compaction/clustering rewrite that
+    * loses its manifest CAS to a concurrent append/upsert RE-PLANS
+    * against the NEW manifest and runs again — the loser must never
+    * drop the concurrent commit's files from the rewrite (it cannot:
+    * the CAS hard-fails the stale swap; this loop just turns that
+    * failure into the retry a maintenance daemon would do by hand).
+    * Appends already retry inside commitAppend; DML rewrites
+    * deliberately do NOT retry (a racing commit may have changed the
+    * rows the WHERE clause matches — re-running user DML is the
+    * caller's decision, not the sink's; Iceberg's position there too).
+    * Bounded: maintenance under a hot write stream should back off, not
+    * spin. */
+  private def retryMaintenance[A](what: String, attempts: Int = 5)(body: => A): A = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if isConcurrentCommit(e) && i < attempts - 1 =>
+          i += 1 // re-plan from the new manifest on the next pass
+      }
+    }
+    sys.error(s"graft-commit: $what retry loop exited impossibly")
+  }
+
   /** Attempt-unique fragment for PROMOTED data-file names. Promotion
     * happens before the manifest CAS, and two racing writers compute the
     * same next commit id — with deterministic names the loser's
@@ -209,6 +239,52 @@ object CommitSink {
         p(0) -> ColRange(p(1).charAt(0), p(2), p(3))
       }.toMap
       FileStat(head(0).toLong, head(1).toLong, pk, cols)
+    }
+  }
+
+  /** The table's partition SPEC — the manifest's `partcol` string,
+    * parsed. Two transforms (the Iceberg pair this format supports):
+    *
+    *  - `col` — IDENTITY (o16): one file per key value; `pk` records
+    *    the key itself.
+    *  - `bucket(N,col)` — BUCKET (o40, [[BucketFunction]]): one file
+    *    per bucket id per task; `pk` records the BUCKET id (0..N-1).
+    *    The scale-correct layout for high-cardinality keys — the file
+    *    count is bounded by N, and two `bucket(N, k)` tables still
+    *    join exchange-free through the storage-partitioned join.
+    *
+    * Everything downstream branches through this one parse: the
+    * writer's declared distribution/ordering, the per-row recorded key,
+    * the scan's KeyGroupedPartitioning report, evolution validation,
+    * and the maintenance rewrites' pre-shaping. */
+  private[graft] sealed trait PartSpec {
+    /** The real schema column the transform reads. */
+    def sourceCol: String
+    /** The manifest encoding (also the `partitionBy` option grammar). */
+    def encode: String
+    /** The recorded per-row partition key. */
+    def keyOf(v: Long): Long
+  }
+  private[graft] final case class IdentitySpec(sourceCol: String) extends PartSpec {
+    def encode: String = sourceCol
+    def keyOf(v: Long): Long = v
+  }
+  private[graft] final case class BucketSpec(n: Int, sourceCol: String) extends PartSpec {
+    def encode: String = s"bucket($n,$sourceCol)"
+    def keyOf(v: Long): Long = BucketFunction.bucketId(n, v).toLong
+  }
+  private[graft] object PartSpec {
+    private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+    def parse(s: String): PartSpec = s.trim match {
+      case BucketRe(n, c) =>
+        require(n.toLong >= 1 && n.toLong <= 1000000,
+          s"graft-commit: bucket(n, col) needs 1 <= n <= 1e6, got $n")
+        BucketSpec(n.toInt, c)
+      case c =>
+        require(c.matches("[A-Za-z0-9_]+"),
+          s"graft-commit: partition spec '$c' is neither a plain column " +
+            "name nor bucket(n, col)")
+        IdentitySpec(c)
     }
   }
 
@@ -628,24 +704,41 @@ object CommitSink {
     * task"). Small-file compaction is THE steady-state maintenance of a
     * streaming-ingested table: epoch commits land one file per task per
     * trigger, and a day of 1-minute triggers is 1440× too many files. */
-  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit = {
+  def compact(spark: SparkSession, dir: String, numFiles: Int): Unit =
+      retryMaintenance(s"compact($dir)") {
     // pin ONE manifest: the rows read below and the commit CAS both bind
     // to it, so a commit landing while the compaction job runs hard-fails
-    // the swap instead of having its rows silently truncated away
+    // the swap instead of having its rows silently truncated away —
+    // and retryMaintenance re-plans from the NEW manifest (the
+    // concurrent writer's files join the next compaction pass)
     val m = parseManifest(Paths.get(dir)).getOrElse(
       sys.error(s"graft-commit: no committed manifest at $dir"))
     val df = readManifestFiles(spark, dir, m)
-    // a partitioned table is NOT pre-repartitioned: the partitionBy write
-    // already declares (and plans) its own clustered+sorted shuffle, and
-    // one file per key per task is the compacted form of that layout
-    val shaped = if (m.partCol.isEmpty) df.repartition(numFiles) else df
+    // an identity-partitioned table is NOT pre-repartitioned: the
+    // partitionBy write already declares (and plans) its own
+    // clustered+sorted shuffle, and one file per key per task is the
+    // compacted form of that layout. A BUCKET layout pre-shapes here
+    // instead (repartition on the bucket id + contiguous sort, the o39
+    // preShaped device): path-based maintenance writes have no
+    // FunctionCatalog to resolve the bucket transform through, and the
+    // pre-shape is the same shuffle the catalog write would plan.
+    val spec = m.partCol.map(PartSpec.parse)
+    val shaped = spec match {
+      case None => df.repartition(numFiles)
+      case Some(BucketSpec(n, c)) =>
+        val b = BucketFunction.bucketCol(n, org.apache.spark.sql.functions.col(c))
+        df.repartition(numFiles, b).sortWithinPartitions(b)
+      case Some(_: IdentitySpec) => df
+    }
     // compaction "scans" every pinned file — the rewrite replaces all of
     // them, carrying none, exactly the old truncate shape but CAS'd
     // against the PLANNING commit rather than a commit-time re-read
     val token = registerRewrite(DmlRewrite(m, () => m.files.toSet))
     try {
-      val w = shaped.write.format(NAME).option("path", dir)
+      val w0 = shaped.write.format(NAME).option("path", dir)
         .option("rewriteToken", token)
+      val w = if (spec.exists(_.isInstanceOf[BucketSpec]))
+        w0.option("preShaped", "true") else w0
       m.partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
     } finally dropRewrite(token) // no-op on success; reclaims on early failure
   }
@@ -665,7 +758,8 @@ object CommitSink {
     * the CDC-upsert stream, and only the files where dead rows
     * actually dominate pay a rewrite. */
   def compactDeletes(spark: SparkSession, dir: String,
-                     minDeleteRatio: Double): Seq[String] = {
+                     minDeleteRatio: Double): Seq[String] =
+      retryMaintenance(s"compactDeletes($dir)") {
     require(minDeleteRatio > 0 && minDeleteRatio <= 1,
       s"minDeleteRatio must be in (0, 1], got $minDeleteRatio")
     val m = parseManifest(Paths.get(dir)).getOrElse(
@@ -680,8 +774,18 @@ object CommitSink {
     try {
       // the read applies the picked files' vectors, so the rewritten
       // files hold exactly the live rows
-      val w = readManifestFiles(spark, dir, m.copy(files = picked))
-        .write.format(NAME).option("path", dir).option("rewriteToken", token)
+      val live = readManifestFiles(spark, dir, m.copy(files = picked))
+      // bucket layouts pre-shape (see compact): no FunctionCatalog on a
+      // path-based maintenance write
+      val (shaped, pre) = m.partCol.map(PartSpec.parse) match {
+        case Some(BucketSpec(n, c)) =>
+          val b = BucketFunction.bucketCol(n, org.apache.spark.sql.functions.col(c))
+          (live.repartition(math.max(1, picked.size), b).sortWithinPartitions(b), true)
+        case _ => (live, false)
+      }
+      val w0 = shaped.write.format(NAME).option("path", dir)
+        .option("rewriteToken", token)
+      val w = if (pre) w0.option("preShaped", "true") else w0
       m.partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
     } finally dropRewrite(token)
     picked
@@ -735,7 +839,8 @@ object CommitSink {
     * [[expireVersions]]. Returns the rewritten file names. */
   def compactAndCluster(spark: SparkSession, dir: String, numFiles: Int,
                         cols: Seq[String], zOrder: Boolean = false,
-                        only: Option[Set[String]] = None): Seq[String] = {
+                        only: Option[Set[String]] = None): Seq[String] =
+      retryMaintenance(s"compactAndCluster($dir)") {
     import org.apache.spark.sql.functions.{col, floor, greatest, least, lit,
       max, min, shiftleft, shiftright}
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
@@ -743,12 +848,19 @@ object CommitSink {
     val m = parseManifest(Paths.get(dir)).getOrElse(
       sys.error(s"graft-commit: no committed manifest at $dir"))
     require(m.partCol.isEmpty || !zOrder,
-      s"graft-commit: z-order within an identity-partitioned layout is " +
+      s"graft-commit: z-order within a partitioned layout is " +
         s"not supported; cluster ${m.partCol.get}-partitioned $dir with " +
         "sort columns instead")
-    m.partCol.foreach(pc => require(!cols.contains(pc),
-      s"graft-commit: '$pc' is the partition column — every file already " +
-        "holds one key; name the SECONDARY sort column(s)"))
+    // identity: the key is constant within a file, so sorting on it is a
+    // spec error. Bucket: the SOURCE column is a legitimate sort key —
+    // a bucket holds many key values in hash order, and ordering by the
+    // key within each bucket is exactly what makes key ranges prunable.
+    m.partCol.map(PartSpec.parse).foreach {
+      case IdentitySpec(pc) => require(!cols.contains(pc),
+        s"graft-commit: '$pc' is the partition column — every file already " +
+          "holds one key; name the SECONDARY sort column(s)")
+      case _: BucketSpec => ()
+    }
     only.foreach(s => require(s.subsetOf(m.files.toSet),
       s"graft-commit: unknown files selected: ${(s -- m.files).mkString(",")}"))
     val picked = only.fold(m.files)(s => m.files.filter(s)) match {
@@ -761,7 +873,7 @@ object CommitSink {
       s"graft-commit: clustering column(s) ${missing.mkString(",")} not in " +
         s"table schema [${df.columns.mkString(",")}]")
     val shaped =
-      if (m.partCol.isDefined)
+      if (m.partCol.isDefined) {
         // per-partition SORT-ORDER rewrite (o39 — Iceberg's
         // `ALTER ... WRITE ORDERED BY` within the partition spec): range
         // on (key, sortCols) splits a big key into several files, each
@@ -770,9 +882,16 @@ object CommitSink {
         // lands one key per file, so the SPJ grouping survives and the
         // secondary zone ranges become prunable within each partition.
         // The write is told the shuffle already happened (preShaped).
-        df.repartitionByRange(numFiles, (m.partCol.get +: cols).map(col): _*)
-          .sortWithinPartitions((m.partCol.get +: cols).map(col): _*)
-      else if (!zOrder)
+        // For a bucket layout the leading range/sort key is the BUCKET
+        // ID expression (the manifest's partcol is a transform, not a
+        // column) — same contiguity guarantee, per bucket id.
+        val pcExpr = PartSpec.parse(m.partCol.get) match {
+          case IdentitySpec(c) => col(c)
+          case BucketSpec(n, c) => BucketFunction.bucketCol(n, col(c))
+        }
+        df.repartitionByRange(numFiles, pcExpr +: cols.map(col): _*)
+          .sortWithinPartitions(pcExpr +: cols.map(col): _*)
+      } else if (!zOrder)
         df.repartitionByRange(numFiles, cols.map(col): _*)
           .sortWithinPartitions(cols.map(col): _*)
       else {
@@ -866,8 +985,10 @@ object CommitSink {
 
   /** PARTITION EVOLUTION (o37) — Iceberg's partition-spec evolution,
     * the metadata half the clustering rewrite composes with: change the
-    * table's identity-partition column (or add one to an unpartitioned
-    * table, or drop it) WITHOUT touching a single data file. One
+    * table's partition spec — an identity column or, since o40, a
+    * `bucket(n,col)` transform ([[PartSpec]]) — or add one to an
+    * unpartitioned table, or drop it, WITHOUT touching a single data
+    * file. One
     * metadata-only commit: every file, zone range, deletion vector,
     * key file, sequence and epoch carries verbatim; only `partcol`
     * changes, and every carried file's recorded PARTITION KEY is
@@ -904,21 +1025,23 @@ object CommitSink {
       s"graft-commit: table $dir is already partitioned as " +
         s"${m.partCol.fold("(unpartitioned)")(c => s"'$c'")} — evolution " +
         "must change the layout")
-    newCol.foreach { c =>
+    newCol.map(PartSpec.parse).foreach { spec =>
+      val c = spec.sourceCol
       val schema = StructType.fromDDL(m.ddl)
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"graft-commit: partition column '$c' is not in the " +
           s"table schema [${schema.fieldNames.mkString(",")}]"))
       require(f.dataType == LongType || f.dataType == IntegerType,
         s"graft-commit: partition column '$c' must be BIGINT or INT, " +
-          s"got ${f.dataType.simpleString} (the identity-partition key rule)")
+          s"got ${f.dataType.simpleString} (the partition key rule)")
     }
     // strip stale partition keys; rows/bytes/ranges carry verbatim
     val stats = m.stats.map { case (f, e) =>
       f -> FileStat.decode(e).copy(pk = None).encode
     }
     writeManifest(Paths.get(dir), m.ddl, m.files, m.commit + 1,
-      m.epochs, expectedPrev = m.commit, partCol = newCol,
+      m.epochs, expectedPrev = m.commit,
+      partCol = newCol.map(s => PartSpec.parse(s).encode),
       stats = stats, tableId = carriedOrFreshTableId(Some(m)),
       payload = m.payload, deletes = m.deletes,
       fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms)
@@ -1921,6 +2044,20 @@ class CommitSinkTable(path: String,
     if (changeFeed) CommitSink.cdfSchema(base) else base
   }
 
+  /** The recorded partition spec as V2 transforms (identity or bucket —
+    * [[CommitSink.PartSpec]]), so catalog consumers (DESCRIBE, SHOW
+    * CREATE) see the layout. The SPJ contract itself rides on the
+    * SCAN's reported KeyGroupedPartitioning, not on this. */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    if (changeFeed) Array.empty
+    else CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol).map(s =>
+      CommitSink.PartSpec.parse(s) match {
+        case CommitSink.IdentitySpec(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+        case CommitSink.BucketSpec(n, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      }).toArray
+
   override def capabilities(): util.Set[TableCapability] = {
     if (changeFeed) {
       require(version.isEmpty,
@@ -1942,7 +2079,11 @@ class CommitSinkTable(path: String,
       s"graft-commit: version-pinned table ${name()} is read-only")
     require(!changeFeed,
       s"graft-commit: a change-feed read of ${name()} is read-only")
-    new CommitWriteBuilder(path, info)
+    // a CATALOG table's partition spec is part of its identity: INSERT
+    // INTO (which carries no options) appends under the recorded layout.
+    // PATH writes keep the explicit-option contract (an un-optioned
+    // append to a partitioned table is refused, LakeSpec o16).
+    new CommitWriteBuilder(path, info, inheritLayout = !acceptAnySchema)
   }
 
   /** The READ half: one input partition per committed file — or per
@@ -2013,7 +2154,13 @@ class CommitSinkTable(path: String,
             val names = StructType.fromDDL(m.ddl).fieldNames
             !names.contains(CommitSink.FILE_COL) &&
               !names.contains(CommitSink.POS_COL)
-          }
+          } &&
+            // bucket layouts fall back to group copy-on-write: the delta
+            // write clusters INSERTED rows via identity(partCol), which a
+            // transform spec cannot express on this path — the mode is a
+            // cost knob, the result is identical (see the fallback note)
+            m.partCol.map(CommitSink.PartSpec.parse)
+              .forall(_.isInstanceOf[CommitSink.IdentitySpec])
         }
       if (eligible) new CommitDeltaRowLevelOperation(path, info.command())
       else new CommitRowLevelOperation(path, info.command())
@@ -2122,7 +2269,12 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
                            * option): replace exactly the scanned files,
                            * carry the rest, CAS against the planning
                            * commit. */
-                         rewrite: Option[CommitSink.DmlRewrite] = None)
+                         rewrite: Option[CommitSink.DmlRewrite] = None,
+                         /** Catalog-loaded tables append under the
+                           * manifest's recorded partition spec when the
+                           * write carries no partitionBy option (SQL
+                           * INSERT INTO has no way to pass one). */
+                         inheritLayout: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => CSortOrder}
@@ -2153,6 +2305,20 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
   private lazy val partCol: Option[String] =
     Option(info.options.get("partitionBy")).map(_.trim).filter(_.nonEmpty)
       .orElse(effectiveRewrite.flatMap(_.planning.partCol))
+      // a catalog INSERT INTO carries no options — an APPEND inherits
+      // the table's recorded layout (and with it the declared
+      // clustering+sort), or the first insert into a CREATE TABLE
+      // PARTITIONED BY table would land unpartitioned files and wipe
+      // the spec. Path writes and truncates keep the old rule: the
+      // option decides (LakeSpec o16 pins the un-optioned-append
+      // refusal on the path surface).
+      .orElse(if (inheritLayout && !doTruncateFlag)
+                CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
+              else None)
+      // canonical encoding: layout compatibility is a string compare
+      // (commitAppend's mismatch refusal), so "bucket( 8 , k )" and
+      // "bucket(8,k)" must not read as different layouts
+      .map(s => CommitSink.PartSpec.parse(s).encode)
 
   /** This write's staged-file payload format. Resolution order mirrors
     * the partition-layout rules: a REWRITE must keep its planning
@@ -2220,7 +2386,8 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
           "timestamp/timestamp_ntz/decimal(<=38) "
        else "long/int/double/string/boolean ") +
       s"columns; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
-    partCol.foreach { c =>
+    partCol.map(CommitSink.PartSpec.parse).foreach { spec =>
+      val c = spec.sourceCol
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"graft-commit: partitionBy column '$c' is not in the written schema"))
       require(f.dataType == LongType || f.dataType == IntegerType,
@@ -2260,16 +2427,27 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       "graft-commit: preShaped is the internal device of partitioned " +
         "cluster rewrites — it requires a rewrite token and partitionBy")
     val shapedByCaller = preShaped
+    // the transform the write clusters + sorts on: the key itself for
+    // identity, bucket(n, col) for the bucket layout (resolved through
+    // the catalog's FunctionCatalog — bucket tables are catalog tables,
+    // exactly Iceberg's arrangement; maintenance rewrites on a PATH
+    // handle bucket layouts by pre-shaping, see compact)
+    def partTransform(spec: CommitSink.PartSpec): org.apache.spark.sql.connector.expressions.Expression =
+      spec match {
+        case CommitSink.IdentitySpec(c) => Expressions.identity(c)
+        case CommitSink.BucketSpec(n, c) => Expressions.bucket(n, c)
+      }
     new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
         partCol.filterNot(_ => shapedByCaller)
           .map(c => Distributions.clustered(
-            Array(Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression)))
+            Array(partTransform(CommitSink.PartSpec.parse(c)))))
           .getOrElse(Distributions.unspecified())
       override def requiredOrdering(): Array[CSortOrder] =
         partCol.filterNot(_ => shapedByCaller)
           .map(c => Array(
-            Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
+            Expressions.sort(partTransform(CommitSink.PartSpec.parse(c)),
+              SortDirection.ASCENDING)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
         new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert)
@@ -3228,7 +3406,10 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       }.toMap).encode
 
   // --- staged segments -----------------------------------------------------
-  private val partIdx: Int = partCol.map(schema.fieldIndex).getOrElse(-1)
+  private val partSpec: Option[CommitSink.PartSpec] =
+    partCol.map(CommitSink.PartSpec.parse)
+  private val partIdx: Int =
+    partSpec.map(s => schema.fieldIndex(s.sourceCol)).getOrElse(-1)
   private var segOrdinal = 0
   private var name: String = _
   private var file: Path = _
@@ -3306,12 +3487,16 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     if (partIdx >= 0) {
       val pi = partIdx + fieldOffset
       require(!row.isNullAt(pi),
-        s"graft-commit: NULL partition key in column '${partCol.get}' — " +
-          "identity partitioning requires non-null keys")
-      val k = schema(partIdx).dataType match {
+        s"graft-commit: NULL partition key in column " +
+          s"'${partSpec.get.sourceCol}' — partitioning requires non-null keys")
+      val raw = schema(partIdx).dataType match {
         case LongType => row.getLong(pi)
         case _        => row.getInt(pi).toLong
       }
+      // identity records the key itself; bucket records the bucket id
+      // (what the write's declared bucket-transform clustering + sort
+      // grouped the input by)
+      val k = partSpec.get.keyOf(raw)
       // input is clustered AND sorted by the key — a key change is a
       // segment boundary, and a key can never reappear later
       if (!segActive || k != curKey) {
@@ -3720,8 +3905,40 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         CommitSkip.bloomMightContain(bf, v)
     }
 
+  // --- PARTITION-TRANSFORM pruning (o40): Iceberg's predicate
+  // projection onto the partition spec. Zone maps cannot prune a point
+  // lookup on a BUCKET layout (each file's key range spans everything —
+  // the hash scatters on purpose), but an equality/IN predicate on the
+  // bucket SOURCE column projects exactly onto the file's recorded
+  // bucket id: keep only files whose pk == bucket(n, v). Range
+  // predicates never project (the hash destroys order) and unknown
+  // shapes keep the file — over-approximation only, like every other
+  // skip here (the filter stays residual).
+  private val partSpecOpt: Option[CommitSink.PartSpec] =
+    manifest.partCol.map(CommitSink.PartSpec.parse)
+  private def partMayMatch(f: String, flt: org.apache.spark.sql.sources.Filter): Boolean =
+    (partSpecOpt, fileStats.get(f).flatMap(_.pk)) match {
+      case (Some(spec: CommitSink.BucketSpec), Some(pk)) =>
+        def asLong(v: Any): Option[Long] = v match {
+          case l: Long => Some(l)
+          case i: Int => Some(i.toLong)
+          case s: Short => Some(s.toLong)
+          case b: Byte => Some(b.toLong)
+          case _ => None
+        }
+        flt match {
+          case org.apache.spark.sql.sources.EqualTo(c, v) if c == spec.sourceCol =>
+            asLong(v).forall(l => spec.keyOf(l) == pk)
+          case org.apache.spark.sql.sources.In(c, vs) if c == spec.sourceCol =>
+            vs.isEmpty || vs.exists(v => asLong(v).forall(l => spec.keyOf(l) == pk))
+          case _ => true
+        }
+      case _ => true // identity layouts prune through zone maps already
+    }
+
   private[sources] val surviving: Seq[String] = manifest.files.filter { f =>
     fileStats.get(f).forall(st => skip.forall(CommitSkip.mayMatch(_, st))) &&
+      skip.forall(partMayMatch(f, _)) &&
       (manifest.blooms.isEmpty ||
         skip.forall(CommitSkip.mayMatchBloom(_, bloomLookup(f))))
   }
@@ -3838,10 +4055,16 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = partGroups match {
       case Some(groups) =>
-        val pc = manifest.partCol.get
-        val dt = StructType.fromDDL(manifest.ddl).apply(pc).dataType
+        val spec = CommitSink.PartSpec.parse(manifest.partCol.get)
+        val dt = StructType.fromDDL(manifest.ddl).apply(spec.sourceCol).dataType
         groups.map { case (k, fs) =>
-          val keyVal: Any = if (dt == IntegerType) k.toInt else k
+          // the HasPartitionKey value must be typed as the REPORTED
+          // partitioning expression: the column's own type for identity,
+          // the bucket transform's INT result for bucket
+          val keyVal: Any = spec match {
+            case _: CommitSink.BucketSpec => k.toInt
+            case _ => if (dt == IntegerType) k.toInt else k
+          }
           CommitKeyedFilesPartition(fs.map(abs), keyVal,
             fs.map(dvOf), fs.map(eqOf)): InputPartition
         }.toArray[InputPartition]
@@ -3860,11 +4083,15 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   }
 
   override def outputPartitioning(): Partitioning = partGroups match {
-    // the identity transform references the partition column by name —
-    // report the grouping only while the column survives projection
-    case Some(groups) if readSchema().fieldNames.contains(manifest.partCol.get) =>
-      new KeyGroupedPartitioning(
-        Array(Expressions.identity(manifest.partCol.get)), groups.size)
+    // the transform references the source column by name — report the
+    // grouping only while the column survives projection
+    case Some(groups) if readSchema().fieldNames.contains(
+        CommitSink.PartSpec.parse(manifest.partCol.get).sourceCol) =>
+      val expr = CommitSink.PartSpec.parse(manifest.partCol.get) match {
+        case CommitSink.IdentitySpec(c) => Expressions.identity(c)
+        case CommitSink.BucketSpec(n, c) => Expressions.bucket(n, c)
+      }
+      new KeyGroupedPartitioning(Array(expr), groups.size)
     case Some(groups) => new UnknownPartitioning(groups.size)
     case None => new UnknownPartitioning(surviving.size)
   }

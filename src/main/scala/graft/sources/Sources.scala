@@ -1495,6 +1495,96 @@ object Sources {
       .withColumn("planned_point", lit(planned))
   }
 
+  /** o40: BUCKET-TRANSFORM PARTITIONING — Iceberg's `bucket(N, col)`
+    * ([[BucketFunction]], the published murmur3 transform), the
+    * scale-correct form of o16/o37: identity partitioning on a
+    * HIGH-CARDINALITY key lands one file per key (absurd at 10⁹ user
+    * ids), while `PARTITIONED BY (bucket(8, user_id))` bounds the file
+    * count at 8 per write with every file holding exactly ONE bucket id.
+    * Both tables here are CATALOG tables (Iceberg's arrangement): the
+    * catalog's FunctionCatalog face serves the canonical `bucket`
+    * function, which is what lets Spark plan the INSERT's clustered
+    * distribution and align the two scans' KeyGroupedPartitionings into
+    * a storage-partitioned join — the fact⋈dim equi-join on user_id
+    * runs with ZERO exchange on either side (`spj_zero_exchange`).
+    * Equality predicates on the key project onto the bucket id
+    * (Iceberg's partition-predicate projection), so a point lookup
+    * plans exactly one bucket group (`planned_point`) where zone maps
+    * are structurally blind (every bucket file's key range spans
+    * everything — the hash scatters on purpose). At 100 TB: the join
+    * shuffle for every fact⋈fact / fact⋈dim on the bucketed key is
+    * paid ONCE at write time, and re-bucketing arrives via o37
+    * evolution + compact migration, not a stop-the-world re-land. */
+  def o40BucketPartitioning(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum}
+    val dirName = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val root = s"/tmp/graft_o40/$dirName"
+    graft.Tables.deleteRecursively(root)
+    val cat = s"graft_o40_$dirName"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.`default`.fact (event_id BIGINT, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    spark.sql(s"CREATE TABLE $cat.`default`.dim (user_id BIGINT, " +
+      "segment BIGINT) PARTITIONED BY (bucket(8, user_id))")
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .createOrReplaceTempView("o40_events_src")
+    spark.sql(s"INSERT INTO $cat.`default`.fact " +
+      "SELECT event_id, user_id, event_type, value FROM o40_events_src")
+    spark.sql(s"INSERT INTO $cat.`default`.dim " +
+      "SELECT DISTINCT user_id, user_id % 10 AS segment FROM o40_events_src")
+    // layout proof: bounded file count, one bucket id per file, and the
+    // recorded id is the Iceberg transform of the file's rows
+    def layoutOk(tbl: String): Boolean = {
+      val m = CommitSink.parseManifest(java.nio.file.Paths.get(s"$root/default/$tbl")).get
+      m.partCol.contains("bucket(8,user_id)") &&
+        m.files.nonEmpty && m.files.size <= 8 &&
+        m.files.forall(f => CommitSink.FileStat.decode(m.stats(f)).pk
+          .exists(k => k >= 0 && k < 8))
+    }
+    val bounded = layoutOk("fact") && layoutOk("dim")
+    // the SPJ proof runs under the join-shaping confs, restored after
+    val conf = spark.conf
+    val prevB = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val (zeroExchange, joined) =
+      try {
+        conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val j = spark.sql(
+          s"SELECT f.event_type, f.value, d.segment FROM $cat.`default`.fact f " +
+            s"JOIN $cat.`default`.dim d ON f.user_id = d.user_id")
+        val noExchange = !j.queryExecution.executedPlan.toString.contains("Exchange")
+        // materialize the readout UNDER the SPJ plan, then restore confs
+        val out = j.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            graft.Tables.dsum(col("value")).as("total_value"),
+            sum(col("segment")).as("seg_sum"))
+          .collect()
+        (noExchange, out)
+      } finally {
+        prevB.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+          conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+        prevT.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      }
+    // point prune: an equality on the bucket source column plans ONE
+    // bucket group (the predicate projects onto the recorded bucket id)
+    val probeKey = spark.table(s"$cat.`default`.fact")
+      .agg(org.apache.spark.sql.functions.min(col("user_id"))).head().getLong(0)
+    val planned = plannedFiles(
+      spark.table(s"$cat.`default`.fact").filter(col("user_id") === probeKey))
+    import spark.implicits._
+    spark.createDataset(joined.toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toDF("event_type", "n", "total_value", "seg_sum")
+      .withColumn("files_bounded", lit(if (bounded) 1L else 0L))
+      .withColumn("spj_zero_exchange", lit(if (zeroExchange) 1L else 0L))
+      .withColumn("planned_point", lit(planned))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -1913,6 +2003,7 @@ object Sources {
     "o37_partition_evolution" -> o37PartitionEvolution _,
     "o38_bloom_index" -> o38BloomIndex _,
     "o39_partitioned_cluster" -> o39PartitionedCluster _,
+    "o40_bucket_partitioning" -> o40BucketPartitioning _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -1973,6 +2064,21 @@ object Sources {
                  CAST(1 AS BIGINT) AS bloom_prunes_absent,
                  CAST(1 AS BIGINT) AS present_planned
           FROM events WHERE user_id % 2 = 0 GROUP BY 1""",
+    // bucket partitioning: content = the fact⋈dim join aggregate (the
+    // dim is DISTINCT user_id with a derived segment, so the join is a
+    // key-preserving enrichment — row count equals the fact's); layout
+    // booleans pin the bucket contract (bounded files, one bucket id
+    // per file, SPJ zero-exchange, one-group point prune)
+    "o40_bucket_partitioning" ->
+      s"""WITH d AS (SELECT DISTINCT user_id, user_id % 10 AS segment FROM events)
+          SELECT f.event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("f.value")} AS total_value,
+                 CAST(SUM(d.segment) AS BIGINT) AS seg_sum,
+                 CAST(1 AS BIGINT) AS files_bounded,
+                 CAST(1 AS BIGINT) AS spj_zero_exchange,
+                 CAST(1 AS BIGINT) AS planned_point
+          FROM events f JOIN d ON f.user_id = d.user_id
+          GROUP BY 1""",
     // partition evolution: content = even-id base + odd-id append (the
     // full table, bucket = user_id % 8); layout proofs are constants of
     // the evolution contract — metadata-only flip, mixed interim
