@@ -1432,7 +1432,8 @@ object CommitSink {
     // version's data file — alive exactly as long as both versions are)
     m.files ++ m.deletes.values.map(_.dv).toSeq ++
       m.eqDeletes.map(_.file) ++ // key files are as live as the vectors (o32)
-      m.blooms.values.flatMap(_.values) // bloom sidecars too (o38)
+      m.blooms.values.flatMap(_.values) ++ // bloom sidecars too (o38)
+      m.groups.map(_.name) // group manifests live exactly as long as their version (r16)
 
   /** Committed-style data files (`part-*`, deletion vectors included —
     * their names share the prefix) currently on disk — shared by the
@@ -1517,12 +1518,38 @@ object CommitSink {
                                          * rewrite (writeManifest filters
                                          * to listed files). */
                                        blooms: Map[String, Map[String, String]] =
-                                         Map.empty) {
+                                         Map.empty,
+                                       /** TWO-LEVEL manifest (r16,
+                                         * Iceberg's manifest-list): when
+                                         * a version lists more files
+                                         * than the group size, per-file
+                                         * entries live in per-GROUP
+                                         * manifest files and the root
+                                         * carries only these refs, each
+                                         * with a zone-range SUMMARY —
+                                         * planning prunes whole groups
+                                         * before parsing one per-file
+                                         * entry. Non-empty `groups`
+                                         * with EMPTY `files` = an
+                                         * unresolved root (resolve via
+                                         * [[resolveGroups]]); resolved
+                                         * manifests keep the refs for
+                                         * GC liveness. */
+                                       groups: Seq[GroupRef] = Seq.empty) {
     /** The recorded add-sequence of a listed file (0 = legacy/unknown). */
     def seqOf(f: String): Long = fileSeq.getOrElse(f, 0L)
     /** Equality deletes covering file `f`: strictly newer than its add. */
     def eqFor(f: String): Seq[EqDelete] = eqDeletes.filter(_.seq > seqOf(f))
+    /** True for a two-level root whose per-file entries are not loaded. */
+    def unresolvedRoot: Boolean = groups.nonEmpty && files.isEmpty
   }
+
+  /** One group-manifest reference in a two-level root: the group file's
+    * name, its file count, and a [[FileStat]]-encoded SUMMARY (summed
+    * rows/bytes; per-column UNION ranges recorded only when EVERY file
+    * in the group records the column — the same "no range ⇒ never
+    * prune" conservatism as file-level skipping, lifted a level). */
+  private[graft] case class GroupRef(name: String, nFiles: Int, stat: String)
 
   private[sources] def parseManifestText(txt: String, where: String): Manifest = {
     val commit = "\"commit\":(-?[0-9]+)".r.findFirstMatchIn(txt)
@@ -1578,15 +1605,76 @@ object CommitSink {
       }.groupBy(_._1).map { case (f, es) =>
         f -> es.map(e => e._2 -> e._3).toMap
       }
+    val groups = "\"groups\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val a = e.indexOf('|'); val b = e.indexOf('|', a + 1)
+        GroupRef(e.substring(0, a), e.substring(a + 1, b).toInt, e.substring(b + 1))
+      }.toSeq
     Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload,
-      deletes, fileSeq, eqDeletes, blooms)
+      deletes, fileSeq, eqDeletes, blooms, groups)
   }
 
-  private[graft] def parseManifest(dir: Path): Option[Manifest] = {
+  /** Resolve a two-level root's per-file entries — all groups, or the
+    * subset `keep` admits (the manifest-list PRUNE: a group whose
+    * summary ranges provably cannot match the pushed conjunction is
+    * never even PARSED — planning work scales with matching groups,
+    * not total files). A resolved (or single-level) manifest passes
+    * through untouched. */
+  private[graft] def resolveGroups(dir: Path, root: Manifest,
+      keep: GroupRef => Boolean = _ => true): Manifest = {
+    if (!root.unresolvedRoot) return root
+    val kept = root.groups.filter(keep)
+    val files = Vector.newBuilder[String]
+    val stats = Map.newBuilder[String, String]
+    val deletes = Map.newBuilder[String, DvEntry]
+    val fileSeq = Map.newBuilder[String, Long]
+    val blooms = scala.collection.mutable.Map.empty[String, Map[String, String]]
+    kept.foreach { g =>
+      val txt = io.readString(dir.resolve(g.name))
+      def arr(key: String): Seq[String] =
+        (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(txt)
+          .map(_.group(1)).getOrElse("")
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+      files ++= arr("files")
+      stats ++= arr("filestats").map { e =>
+        val bar = e.indexOf('|')
+        e.substring(0, bar) -> e.substring(bar + 1)
+      }
+      deletes ++= arr("deletevectors").map { e =>
+        val p = e.split("\\|"); p(0) -> DvEntry(p(1), p(2).toLong)
+      }
+      fileSeq ++= arr("fileseq").map { e =>
+        val bar = e.lastIndexOf('|')
+        e.substring(0, bar) -> e.substring(bar + 1).toLong
+      }
+      arr("blooms").map { e =>
+        val p = e.split("\\|"); (p(0), p(1), p(2))
+      }.groupBy(_._1).foreach { case (f, es) =>
+        blooms(f) = blooms.getOrElse(f, Map.empty) ++
+          es.map(e => e._2 -> e._3).toMap
+      }
+    }
+    root.copy(files = files.result(), stats = stats.result(),
+      // root-level tombstone vectors (files long dropped) stay alongside
+      // the groups' per-file entries
+      deletes = root.deletes ++ deletes.result(),
+      fileSeq = fileSeq.result(), blooms = blooms.toMap)
+  }
+
+  /** Root-only parse: for a two-level manifest, header fields + group
+    * refs without loading one per-file entry (the planner's entry
+    * point); identical to [[parseManifest]] on single-level tables. */
+  private[sources] def parseManifestRoot(dir: Path): Option[Manifest] = {
     val mf = dir.resolve(MANIFEST)
     if (!CommitSink.io.exists(mf)) None
     else Some(parseManifestText(CommitSink.io.readString(mf), mf.toString))
   }
+
+  private[graft] def parseManifest(dir: Path): Option[Manifest] =
+    parseManifestRoot(dir).map(resolveGroups(dir, _))
 
   /** The immutable manifest of a PAST version (time travel, o17). Fails
     * loudly on a version that never committed. */
@@ -1595,7 +1683,8 @@ object CommitSink {
     require(CommitSink.io.exists(mf),
       s"graft-commit: no version $version at $dir (have: " +
         listVersions(dir).mkString(", ") + ")")
-    parseManifestText(CommitSink.io.readString(mf), mf.toString)
+    resolveGroups(dir,
+      parseManifestText(CommitSink.io.readString(mf), mf.toString))
   }
 
   private[graft] def listVersions(dir: Path): Seq[Long] =
@@ -1687,46 +1776,106 @@ object CommitSink {
             s"$expectedPrev; aborting instead of silently dropping its files")
       }
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      val statsBody = files.sorted.flatMap(f => stats.get(f).map(e => s""""$f|$e""""))
-      // only vectors for files this manifest actually lists — a dropped
-      // (fully-deleted or rewritten) file's vector must not survive it —
-      // plus the explicitly-passed full-cover tombstones (o33)
-      val dvBody = files.sorted.flatMap(f =>
-        deletes.get(f).map(e => s""""$f|${e.dv}|${e.ndel}"""")) ++
-        tombstones.toSeq.sortBy(_._1)
-          .filterNot(t => files.contains(t._1))
-          .map { case (f, e) => s""""$f|${e.dv}|${e.ndel}"""" }
-      // sequence entries for listed files only, and only non-zero ones
-      val seqBody = files.sorted.flatMap(f =>
-        fileSeq.get(f).filter(_ != 0L).map(s => s""""$f|$s""""))
+      // the four per-file entry arrays over one file slice: stats,
+      // vectors (listed files only — a dropped/rewritten file's vector
+      // must not survive it), non-zero add-sequences, bloom refs
+      def entriesOf(fs: Seq[String]): (Seq[String], Seq[String], Seq[String], Seq[String]) = (
+        fs.flatMap(f => stats.get(f).map(e => s""""$f|$e"""")),
+        fs.flatMap(f => deletes.get(f).map(e => s""""$f|${e.dv}|${e.ndel}"""")),
+        fs.flatMap(f => fileSeq.get(f).filter(_ != 0L).map(s => s""""$f|$s"""")),
+        fs.flatMap(f => blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1)
+          .map { case (c, b) => s""""$f|$c|$b"""" })))
+      val sortedFiles = files.sorted
+      // full-cover tombstones (o33) always live at the ROOT (their data
+      // files are not listed anywhere)
+      val tombBody = tombstones.toSeq.sortBy(_._1)
+        .filterNot(t => files.contains(t._1))
+        .map { case (f, e) => s""""$f|${e.dv}|${e.ndel}"""" }
       // an equality delete survives only while it still COVERS some
       // listed file (seq(f) < its seq) — a rewrite/compaction that
       // replaced every covered file (its scan applied the delete)
       // retires the entry here, centrally, so no caller can leak a
-      // dead key file into eternity
+      // dead key file into eternity. Table-level: root, both layouts.
       val liveEq = eqDeletes.filter(e =>
         files.exists(f => fileSeq.getOrElse(f, 0L) < e.seq))
       val eqBody = liveEq.sortBy(e => (e.seq, e.file))
         .map(e => s""""${e.file}|${e.seq}|${e.nkeys}|${e.cols}"""")
-      val bloomBody = files.sorted.flatMap(f =>
-        blooms.get(f).toSeq.flatMap(_.toSeq.sortBy(_._1).map { case (c, b) =>
-          s""""$f|$c|$b"""" }))
-      val body = s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
-        s""""payload":"$payload",""" +
-        (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
-        partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("") +
-        (if (dvBody.nonEmpty) s""""deletevectors":[${dvBody.mkString(",")}],""" else "") +
-        (if (seqBody.nonEmpty) s""""fileseq":[${seqBody.mkString(",")}],""" else "") +
-        (if (eqBody.nonEmpty) s""""eqdeletes":[${eqBody.mkString(",")}],""" else "") +
-        (if (bloomBody.nonEmpty) s""""blooms":[${bloomBody.mkString(",")}],""" else "") +
-        s""""schema":"${esc(ddl)}",""" +
-        s""""files":[${files.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""filestats":[${statsBody.mkString(",")}]}"""
+      def header: String =
+        s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
+          s""""payload":"$payload",""" +
+          (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
+          partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("")
+      val groupSize = Integer.getInteger("graft.manifest.group.size", 4096).intValue
+      require(groupSize >= 1, s"graft.manifest.group.size must be >= 1, got $groupSize")
+      val writtenGroups = scala.collection.mutable.ArrayBuffer.empty[String]
+      val body = if (sortedFiles.size <= groupSize) {
+        // SINGLE-LEVEL: per-file entries inline (small tables — the
+        // overwhelmingly common case, byte-identical to the r15 format)
+        val (statsBody, dvFiles, seqBody, bloomBody) = entriesOf(sortedFiles)
+        val dvBody = dvFiles ++ tombBody
+        header +
+          (if (dvBody.nonEmpty) s""""deletevectors":[${dvBody.mkString(",")}],""" else "") +
+          (if (seqBody.nonEmpty) s""""fileseq":[${seqBody.mkString(",")}],""" else "") +
+          (if (eqBody.nonEmpty) s""""eqdeletes":[${eqBody.mkString(",")}],""" else "") +
+          (if (bloomBody.nonEmpty) s""""blooms":[${bloomBody.mkString(",")}],""" else "") +
+          s""""schema":"${esc(ddl)}",""" +
+          s""""files":[${sortedFiles.map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""filestats":[${statsBody.mkString(",")}]}"""
+      } else {
+        // TWO-LEVEL (r16, Iceberg's manifest-list): per-file entries land
+        // in per-group manifest files; the root lists each group ONCE
+        // with a zone-range summary, so a selective scan's planning
+        // parses only the groups its predicate cannot rule out. Group
+        // files are immutable and commit-scoped (name carries the commit
+        // id + a write nonce) — they live and die with their version.
+        val nonce = writeNonce()
+        val refs = sortedFiles.grouped(groupSize).zipWithIndex.map { case (gf, i) =>
+          val name = f"_MANIFEST-g$commitId%05d-$nonce-$i%05d.json"
+          val (sB, dB, qB, bB) = entriesOf(gf)
+          io.writeString(dir.resolve(name),
+            s"""{"files":[${gf.map("\"" + _ + "\"").mkString(",")}],""" +
+              s""""filestats":[${sB.mkString(",")}],""" +
+              s""""deletevectors":[${dB.mkString(",")}],""" +
+              s""""fileseq":[${qB.mkString(",")}],""" +
+              s""""blooms":[${bB.mkString(",")}]}""")
+          writtenGroups += name
+          // summary stat: summed rows/bytes, per-column UNION ranges only
+          // for columns EVERY file in the group records (else the column
+          // is omitted and the group never prunes on it)
+          val decoded = gf.map(f => stats.get(f).map(FileStat.decode))
+          val gStat =
+            if (decoded.exists(_.isEmpty)) FileStat(0L, 0L, None, Map.empty)
+            else {
+              val ds = decoded.flatten
+              val common = ds.map(_.cols.keySet).reduce(_ intersect _)
+              val cols = common.flatMap { c =>
+                val rs = ds.map(_.cols(c))
+                rs.map(_.kind).distinct match {
+                  case Seq('l') => Some(c -> ColRange('l',
+                    rs.map(_.min.toLong).min.toString,
+                    rs.map(_.max.toLong).max.toString))
+                  case Seq('d') => Some(c -> ColRange('d',
+                    rs.map(_.min.toDouble).min.toString,
+                    rs.map(_.max.toDouble).max.toString))
+                  case _ => None
+                }
+              }.toMap
+              FileStat(ds.map(_.rows).sum, ds.map(_.bytes).sum, None, cols)
+            }
+          s""""$name|${gf.size}|${gStat.encode}""""
+        }.toSeq
+        header +
+          (if (tombBody.nonEmpty) s""""deletevectors":[${tombBody.mkString(",")}],""" else "") +
+          (if (eqBody.nonEmpty) s""""eqdeletes":[${eqBody.mkString(",")}],""" else "") +
+          s""""groups":[${refs.mkString(",")}],""" +
+          s""""schema":"${esc(ddl)}",""" +
+          s""""files":[],"filestats":[]}"""
+      }
       // the immutable per-version copy lands BEFORE the swap: any manifest a
       // reader can see as current always has its time-travel twin (a crash
       // between the two writes loses only the never-visible new version)
-      io.writeString(dir.resolve(versionFile(commitId)), body)
       try {
+        io.writeString(dir.resolve(versionFile(commitId)), body)
         val tmp = dir.resolve(MANIFEST + ".tmp")
         io.writeString(tmp, body)
         // the atomic swap IS the commit: readers either see the old manifest
@@ -1737,8 +1886,10 @@ object CommitSink {
         // became current, its data files will be deleted by the caller's
         // failure handler, and listVersions/time travel must not expose a
         // version whose files are gone. Safe to delete: the CAS above
-        // proves no successful commit ever used this id.
+        // proves no successful commit ever used this id. Group manifests
+        // written for this never-visible version go with it.
         io.deleteIfExists(dir.resolve(versionFile(commitId)))
+        writtenGroups.foreach(n => io.deleteIfExists(dir.resolve(n)))
         throw e
       }
     }
@@ -3616,16 +3767,28 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 
-  private val manifest =
-    // a DML scan binds to the operation's pinned manifest — the same
-    // snapshot the rewrite/vector commit CAS's against (never a fresh
-    // read, which could bind the scan to a concurrently-swapped version)
+  /** ROOT view (r16): header + group refs, no per-file entries loaded —
+    * what every pre-build decision (schema, pushdown eligibility) needs.
+    * On a single-level table this IS the full manifest; DML/pinned scans
+    * arrive already resolved. The read happens once, here: the builder's
+    * decisions and the scan must bind to ONE snapshot. */
+  private val root =
     dmlOp.map(_.planning).orElse(pinned).orElse(version match {
-      case Some(v) => Some(CommitSink.parseManifestVersion(Paths.get(path), v))
-      case None => CommitSink.parseManifest(Paths.get(path))
+      case Some(v) =>
+        val mf = Paths.get(path).resolve(CommitSink.versionFile(v))
+        require(CommitSink.io.exists(mf),
+          s"graft-commit: no version $v at $path (have: " +
+            CommitSink.listVersions(Paths.get(path)).mkString(", ") + ")")
+        Some(CommitSink.parseManifestText(CommitSink.io.readString(mf), mf.toString))
+      case None => CommitSink.parseManifestRoot(Paths.get(path))
     })
+  /** The fully-resolved manifest — forced only by paths that genuinely
+    * need every per-file entry (metadata aggregation, unfiltered scans,
+    * the change feed). */
+  private lazy val manifest =
+    root.map(CommitSink.resolveGroups(Paths.get(path), _))
   private def fullSchema: StructType =
-    manifest.map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
+    root.map(m => StructType.fromDDL(m.ddl)).getOrElse(new StructType())
 
   private var skip: Array[Filter] = Array.empty
   private var required: Option[StructType] = None
@@ -3722,13 +3885,26 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
           sys.error(s"graft-commit: no committed manifest at $path")),
         startingVersion, endingVersion, maxCommitsPerTrigger, snapshotOnRewrite)
     else if (aggs.nonEmpty) new CommitMetaAggScan(path, manifest.get, aggs)
-    else new CommitScan(path,
+    else {
+      // MANIFEST-LIST prune (r16): a filtered plain read of a two-level
+      // table resolves ONLY the groups whose summary ranges may match —
+      // planning work scales with matching groups, not total files. DML
+      // scans resolve fully (the group-granular rewrite must CARRY every
+      // unscanned file, so its planning manifest has to list them all);
+      // so do unfiltered scans (they plan everything anyway).
+      val m = root match {
+        case Some(r) if dmlOp.isEmpty && r.unresolvedRoot && skip.nonEmpty =>
+          CommitSink.resolveGroups(Paths.get(path), r, g =>
+            skip.forall(CommitSkip.mayMatch(_, CommitSink.FileStat.decode(g.stat))))
+        case _ => manifest.getOrElse(
+          sys.error(s"graft-commit: no committed manifest at $path"))
+      }
       // hand the scan the manifest THIS builder's pushdown decisions were
       // made against — a second disk read here could bind the scan to a
       // concurrently-swapped snapshot with a different schema
-      manifest.getOrElse(
-        sys.error(s"graft-commit: no committed manifest at $path")),
-      version, skip, required, dmlOp, maxCommitsPerTrigger, snapshotOnRewrite)
+      new CommitScan(path, m,
+        version, skip, required, dmlOp, maxCommitsPerTrigger, snapshotOnRewrite)
+    }
 }
 
 /** The CHANGE DATA FEED scan (o29) — `option("readChangeFeed", true)`:

@@ -297,6 +297,130 @@ class Round16Spec extends AnyFunSuite {
     assert(manifest(dir).commit == 2L, "base + upsert + compaction")
   }
 
+  // --- two-level manifest (the manifest-list, r16) -----------------------
+
+  /** A CommitIO that counts group-manifest reads — the sublinearity
+    * instrument: planning a selective scan must parse only the groups
+    * its predicate cannot rule out. */
+  private class CountingIo extends sources.CommitIO {
+    val groupReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val d = sources.NioCommitIO
+    override def inputFile(p: java.nio.file.Path) = d.inputFile(p)
+    override def outputFile(p: java.nio.file.Path) = d.outputFile(p)
+    override def newInputStream(p: java.nio.file.Path) = d.newInputStream(p)
+    override def newOutputStream(p: java.nio.file.Path) = d.newOutputStream(p)
+    override def newBufferedReader(p: java.nio.file.Path) = d.newBufferedReader(p)
+    override def newBufferedWriter(p: java.nio.file.Path) = d.newBufferedWriter(p)
+    override def readString(p: java.nio.file.Path): String = {
+      if (p.getFileName.toString.startsWith("_MANIFEST-g")) groupReads.incrementAndGet()
+      d.readString(p)
+    }
+    override def writeString(p: java.nio.file.Path, s: String): Unit = d.writeString(p, s)
+    override def atomicReplace(t: java.nio.file.Path, g: java.nio.file.Path): Unit = d.atomicReplace(t, g)
+    override def promote(s: java.nio.file.Path, t: java.nio.file.Path): Unit = d.promote(s, t)
+    override def exists(p: java.nio.file.Path): Boolean = d.exists(p)
+    override def isDirectory(p: java.nio.file.Path): Boolean = d.isDirectory(p)
+    override def deleteIfExists(p: java.nio.file.Path): Boolean = d.deleteIfExists(p)
+    override def createDirectories(p: java.nio.file.Path): Unit = d.createDirectories(p)
+    override def list(p: java.nio.file.Path): Seq[String] = d.list(p)
+    override def size(p: java.nio.file.Path): Long = d.size(p)
+    override def lastModifiedMs(p: java.nio.file.Path): Long = d.lastModifiedMs(p)
+  }
+
+  test("manifest list: 120k files — small root, selective planning parses ONE group") {
+    val dir = freshDir("manifest_list_120k")
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    val n = 120000
+    // sorted names (zero-padded) so the grouped slices align with the
+    // id ranges: file i holds ids [10i, 10i+9]
+    val files = (0 until n).map(i => f"part-c00001-deadbeef-$i%06d.parquet")
+    val stats = files.zipWithIndex.map { case (f, i) =>
+      f -> sources.CommitSink.FileStat(10L, 1000L, None,
+        Map("id" -> sources.CommitSink.ColRange('l',
+          (i * 10L).toString, (i * 10L + 9).toString))).encode
+    }.toMap
+    sources.CommitSink.writeManifest(Paths.get(dir), "id BIGINT", files, 1L,
+      stats = stats, payload = "parquet")
+    // the root lists ~30 group refs, not 120k file entries
+    val rootBytes = java.nio.file.Files.size(Paths.get(dir, "_MANIFEST.json"))
+    assert(rootBytes < 64 * 1024,
+      s"two-level root must be group-count-sized, got $rootBytes bytes")
+    val groupFiles = java.nio.file.Files.list(Paths.get(dir)).iterator()
+    val nGroups = {
+      var c = 0
+      while (groupFiles.hasNext) {
+        if (groupFiles.next().getFileName.toString.startsWith("_MANIFEST-g")) c += 1
+      }
+      c
+    }
+    assert(nGroups == (n + 4095) / 4096, s"expected ceil(n/4096) groups, got $nGroups")
+    // full resolution still yields every entry (writers/DML/GC view)
+    val m = manifest(dir)
+    assert(m.files.size == n && m.groups.size == nGroups)
+    // THE SUBLINEARITY PIN: a point predicate plans through ONE group
+    val counting = new CountingIo
+    val planned = sources.CommitSink.withIo(counting) {
+      val b = new sources.CommitScanBuilder(dir)
+      b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("id", 42L)))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    assert(counting.groupReads.get() == 1,
+      s"selective planning must parse 1 of $nGroups groups, read ${counting.groupReads.get()}")
+    assert(planned == 1, s"id=42 lives in exactly one file, planned $planned")
+    // the metadata-only aggregate still answers from the manifest alone
+    // (zero data files exist on disk)
+    val agg = spark.read.format("graft-commit").option("path", dir).load()
+      .agg(count(lit(1)), min($"id"), max($"id")).head()
+    assert(agg.getLong(0) == n * 10L && agg.getLong(1) == 0L &&
+      agg.getLong(2) == n * 10L - 1)
+  }
+
+  test("manifest list: invisible to every operator contract at a forced low threshold") {
+    val prev = System.getProperty("graft.manifest.group.size")
+    System.setProperty("graft.manifest.group.size", "3")
+    try {
+      val dir = freshDir("manifest_list_e2e")
+      spark.range(800L).select($"id", ($"id" % 7).as("v"))
+        .repartition(8)
+        .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+      val m0 = manifest(dir)
+      assert(m0.groups.size == 3 && m0.files.size == 8,
+        s"8 files at group size 3 = 3 groups, got ${m0.groups.size}/${m0.files.size}")
+      def read() = spark.read.format("graft-commit").option("path", dir).load()
+      assert(read().count() == 800L &&
+        read().agg(sum($"id")).head().getLong(0) == (0L until 800L).sum)
+      // UPDATE through the catalog-free path: group-granular rewrite must
+      // carry every unscanned file across the two-level planning manifest
+      val (cat, root) = scopedCat("mlist")
+      spark.range(100L).select($"id", ($"id" % 7).as("v")).repartition(4)
+        .write.format("graft-commit").option("path", s"$root/default/t")
+        .mode("overwrite").save()
+      // make it a catalog table path (manifest already there)
+      spark.sql(s"UPDATE $cat.`default`.t SET v = 99 WHERE id = 5")
+      val t = spark.table(s"$cat.`default`.t")
+      assert(t.filter($"v" === 99L).count() == 1L && t.count() == 100L)
+      // time travel + expiry: old group files die with their version,
+      // the current version's survive the GC pair
+      spark.range(800L, 900L).select($"id", ($"id" % 7).as("v"))
+        .write.format("graft-commit").option("path", dir).mode("append").save()
+      assert(sources.CommitSink.readCommittedVersion(spark, dir, 0L).count() == 800L)
+      val (dropped, removed) = sources.CommitSink.expireVersions(dir, keepLast = 1)
+      assert(dropped.contains(0L))
+      assert(removed.exists(_.startsWith("_MANIFEST-g")),
+        s"the expired version's group manifests must go with it: $removed")
+      val liveGroups = manifest(dir).groups.map(_.name)
+      assert(liveGroups.nonEmpty &&
+        liveGroups.forall(g => java.nio.file.Files.exists(Paths.get(dir, g))),
+        "the current version's group manifests must survive expiry")
+      sources.CommitSink.removeOrphanFiles(dir, graceMs = 0L)
+      assert(read().count() == 900L, "GC must not touch the live two-level version")
+    } finally {
+      if (prev == null) System.clearProperty("graft.manifest.group.size")
+      else System.setProperty("graft.manifest.group.size", prev)
+    }
+  }
+
   test("r16 hardening: z-order refuses string and all-NULL dims; bloom refuses unsafe names") {
     val dir = freshDir("zorder_refuse")
     // "a-b" is a legal schema name but outside the manifest encoding's
