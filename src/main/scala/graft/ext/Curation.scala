@@ -379,7 +379,8 @@ object Curation {
     * division each — engine-exact); the funnel itself is ONE global
     * 5-counter aggregate, so the whole operator is a single scan with a
     * scalar reduce, at any corpus size. */
-  def p05FilterFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def p05FilterFunnel(spark: SparkSession, dir: String): DataFrame =
+      Dedup.memoMaterialized(spark, dir, "p05:funnel") {
     import spark.implicits._
     val toks = TextAnalysis.tokens($"text")
     val fstop = array(lit("a"), lit("the"), lit("value"))
@@ -411,7 +412,7 @@ object Curation {
              3, 'distinct_ratio', s2, s3,
              4, 'stopwords',      s3, s4,
              5, 'repetition',     s4, s5) AS (stage, rule, n_in, n_out)"""))
-      .withColumn("n_rejected", $"n_in" - $"n_out")
+      .withColumn("n_rejected", $"n_in" - $"n_out") -> Nil
   }
 
   /** p06: the one-row dataset card — corpus-level totals a data release

@@ -564,22 +564,28 @@ object Dedup {
     bitSums.select(col("doc_id"), simhash.as("simhash"))
   }
 
-  def d03SimHash(spark: SparkSession, dir: String): DataFrame = {
+  def d03SimHash(spark: SparkSession, dir: String): DataFrame =
+      memoMaterialized(spark, dir, "d03:fp") {
     import spark.implicits._
+    // memoized MATERIALIZED (r16): d03's repeat cost used to ride d02's
+    // ids cache via CacheManager plan-matching; with that cache released
+    // by d02's materializing memo, d03 pins its own (doc-cardinality)
+    // fingerprint rows instead of re-running the dictionary sort
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
     val sh = shingles(corpus)
-    simHashFrom(sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid"))
+    (simHashFrom(sh.join(shingleDict(sh), "shingle").select($"doc_id", $"sid")), Nil)
   }
 
   /** Scale-path SimHash: identical bit-vote pipeline to [[d03SimHash]] but
     * shingle ids from `xxhash64` — no dictionary, no global sort. Pure
     * map + one groupBy at any corpus size. (No oracle — xxhash64 is
     * Spark-specific; ExtSpec asserts it finds the planted structure.) */
-  def simHashScale(spark: SparkSession, dir: String): DataFrame = {
+  def simHashScale(spark: SparkSession, dir: String): DataFrame =
+      memoMaterialized(spark, dir, "d08:fp") {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    simHashFrom(shingles(corpus)
-      .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid")))
+    (simHashFrom(shingles(corpus)
+      .select($"doc_id", pmod(xxhash64($"shingle"), lit(P)).as("sid"))), Nil)
   }
 
   /** d25: zero-explode SimHash — the plan [[simHashScale]] should become
@@ -590,12 +596,16 @@ object Dedup {
     * and the fingerprint pass has NO exchange at all (PlanSpec-guarded).
     * SimHashExprSpec pins bit-identical fingerprints vs the exploded
     * xxhash64 build. Rows-only (xxhash64 has no DuckDB twin). */
-  def d25SimHashMapSide(spark: SparkSession, dir: String): DataFrame = {
+  def d25SimHashMapSide(spark: SparkSession, dir: String): DataFrame =
+      memoMaterialized(spark, dir, "d25:fp") {
     import spark.implicits._
+    // memoized MATERIALIZED (r16): d25's repeat cost used to plan-match
+    // d18's shingle-array cache — released since the memo generalization
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    shingleArrays(corpus).filter(size($"shingles") > 0)
+    (shingleArrays(corpus).filter(size($"shingles") > 0)
       .select($"doc_id",
-        graft.functions.SimHash.simhashSig($"shingles", SimBits, P).as("simhash"))
+        graft.functions.SimHash.simhashSig($"shingles", SimBits, P).as("simhash")),
+      Nil)
   }
 
   // --- d23: SimHash hamming near-dup (banded pairing) -------------------
