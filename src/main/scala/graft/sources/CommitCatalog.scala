@@ -91,10 +91,11 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
     * column in the manifest; deliberately out of scope). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // a commit number, or (o41) a TAG name resolving to its pinned
+    // version — `SELECT ... VERSION AS OF 'audit-2026'`
     val v = try version.trim.toLong catch {
       case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"graft-commit: VERSION AS OF takes a commit number, got '$version'")
+        CommitSink.tagVersion(pathFor(ident), version.trim)
     }
     new CommitSinkTable(pathFor(ident).toString, acceptAnySchema = false,
       version = Some(v))

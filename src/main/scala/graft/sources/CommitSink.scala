@@ -1383,8 +1383,12 @@ object CommitSink {
     val current = currentCommit(d)
     // never expire the current version, whatever keepLast says (guarded
     // on existence: a pre-versioning current manifest has no version
-    // file, but its files are still protected via the union below)
-    val keep = (versions.takeRight(keepLast) ++ versions.filter(_ == current)).distinct
+    // file, but its files are still protected via the union below) —
+    // nor any TAGGED version (o41: tags are retention roots, Iceberg's
+    // ref-aware expiry)
+    val tagged = listTags(d).values.toSet
+    val keep = (versions.takeRight(keepLast) ++ versions.filter(_ == current)
+      ++ versions.filter(tagged.contains)).distinct
     val drop = versions.filterNot(keep.contains)
     val live: Set[String] =
       keep.flatMap(v => manifestRefs(parseManifestVersion(d, v))).toSet ++
@@ -1397,6 +1401,144 @@ object CommitSink {
     val removed = droppedReferenced.filterNot(live.contains).toSeq.sorted
     removed.foreach(n => CommitSink.io.deleteIfExists(d.resolve(n)))
     (drop, removed)
+  }
+
+  // --- refs + write-audit-publish (o41) --------------------------------
+
+  private val REFS = "_REFS.json"
+
+  /** Named TAGS over the version ledger (Iceberg refs): `name → commit`.
+    * A tag is an immutable, human-named pin on a version — and a
+    * RETENTION ROOT: [[expireVersions]] never drops a tagged version,
+    * however old (Iceberg's ref-aware snapshot expiry). Stored in one
+    * `_REFS.json` swapped atomically under the table's commit lock. */
+  private[graft] def listTags(dir: Path): Map[String, Long] = {
+    val rf = dir.resolve(REFS)
+    if (!io.exists(rf)) Map.empty
+    else "\"tags\":\\[([^\\]]*)\\]".r.findFirstMatchIn(io.readString(rf))
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val bar = e.lastIndexOf('|')
+        e.substring(0, bar) -> e.substring(bar + 1).toLong
+      }.toMap
+  }
+
+  /** Versions currently STAGED (written, never published): what makes an
+    * open stage visible to ordinary writers — an append planning the
+    * same commit id must refuse instead of clobbering the audit copy. */
+  private[graft] def listStaged(dir: Path): Set[Long] = {
+    val rf = dir.resolve(REFS)
+    if (!io.exists(rf)) Set.empty
+    else "\"staged\":\\[([^\\]]*)\\]".r.findFirstMatchIn(io.readString(rf))
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def writeRefs(dir: Path, tags: Map[String, Long],
+                        staged: Set[Long]): Unit = {
+    val body = s"""{"tags":[${tags.toSeq.sortBy(_._1)
+      .map { case (n, v) => s""""$n|$v"""" }.mkString(",")}],""" +
+      s""""staged":[${staged.toSeq.sorted.mkString(",")}]}"""
+    val tmp = dir.resolve(REFS + ".tmp")
+    io.writeString(tmp, body)
+    io.atomicReplace(tmp, dir.resolve(REFS))
+  }
+
+  private def writeTags(dir: Path, tags: Map[String, Long]): Unit =
+    writeRefs(dir, tags, listStaged(dir))
+
+  /** Register/unregister a staged version — callers hold the commit lock. */
+  private def setStaged(dir: Path, v: Long, on: Boolean): Unit = {
+    val cur = listStaged(dir)
+    writeRefs(dir, listTags(dir), if (on) cur + v else cur - v)
+  }
+
+  /** Create tag `name` → `version`. The version must exist (committed or
+    * staged); duplicate names refuse — a tag never silently moves. */
+  def createTag(dir: String, name: String, version: Long): Unit = {
+    val d = Paths.get(dir)
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"graft-commit: tag name '$name' must match [A-Za-z0-9_.-]+")
+    require(io.exists(d.resolve(versionFile(version))),
+      s"graft-commit: cannot tag version $version at $dir — no such version " +
+        s"(have: ${listVersions(d).mkString(", ")})")
+    lockFor(d).synchronized {
+      val tags = listTags(d)
+      require(!tags.contains(name),
+        s"graft-commit: tag '$name' already exists (→ ${tags(name)}); " +
+          "drop it first — tags never silently move")
+      writeTags(d, tags + (name -> version))
+    }
+  }
+
+  /** Drop tag `name` (its version becomes expirable again). */
+  def dropTag(dir: String, name: String): Boolean = {
+    val d = Paths.get(dir)
+    lockFor(d).synchronized {
+      val tags = listTags(d)
+      if (!tags.contains(name)) false
+      else { writeTags(d, tags - name); true }
+    }
+  }
+
+  /** Resolve a tag to its version; loud on an unknown name. */
+  private[graft] def tagVersion(dir: Path, name: String): Long =
+    listTags(dir).getOrElse(name, sys.error(
+      s"graft-commit: no tag '$name' at $dir (have: " +
+        s"${listTags(dir).keys.toSeq.sorted.mkString(", ")})"))
+
+  /** PUBLISH a staged version (o41, Iceberg's write-audit-publish
+    * fast-forward): a write landed with `option("stageOnly", true)` is
+    * a full immutable version manifest that main never pointed at —
+    * auditors read it via `versionAsOf` (or a tag), and this swap makes
+    * it current. Fast-forward ONLY: the staged commit was planned on
+    * top of `version - 1`, so main must still be there — if another
+    * commit landed meanwhile the publish refuses (re-stage on the new
+    * main; cherry-picking a stale audit would silently drop the
+    * concurrent commit's files, the exact truncate bug the CAS
+    * architecture exists to prevent). */
+  def publishStaged(dir: String, version: Long): Unit = {
+    val d = Paths.get(dir)
+    lockFor(d).synchronized {
+      require(io.exists(d.resolve(versionFile(version))),
+        s"graft-commit: no staged version $version at $dir (have: " +
+          s"${listVersions(d).mkString(", ")})")
+      val cur = currentCommit(d)
+      require(cur < version,
+        s"graft-commit: version $version is already published at $dir (current: $cur)")
+      if (cur != version - 1) throw new ConcurrentCommitException(
+        s"graft-commit: cannot fast-forward $dir to staged version $version — " +
+          s"main is at $cur, not ${version - 1}; a commit landed after the " +
+          "stage. Re-stage against the new main (audited content may be stale)")
+      val body = io.readString(d.resolve(versionFile(version)))
+      val tmp = d.resolve(MANIFEST + ".tmp")
+      io.writeString(tmp, body)
+      io.atomicReplace(tmp, d.resolve(MANIFEST))
+      setStaged(d, version, on = false) // the stage is now ordinary history
+    }
+  }
+
+  /** Abandon a staged (never-published) version: delete its manifest and
+    * every file ONLY it references — the audit-failed cleanup. */
+  def dropStagedVersion(dir: String, version: Long): Seq[String] = {
+    val d = Paths.get(dir)
+    lockFor(d).synchronized {
+      require(version > currentCommit(d),
+        s"graft-commit: version $version at $dir is published — use " +
+          "expireVersions for committed history")
+      require(io.exists(d.resolve(versionFile(version))),
+        s"graft-commit: no staged version $version at $dir")
+      val dead = manifestRefs(parseManifestVersion(d, version)).toSet
+      io.deleteIfExists(d.resolve(versionFile(version)))
+      val live = listVersions(d).flatMap(v =>
+        manifestRefs(parseManifestVersion(d, v))).toSet ++
+        parseManifest(d).toSeq.flatMap(manifestRefs)
+      val removed = dead.filterNot(live.contains).toSeq.sorted
+      removed.foreach(n => io.deleteIfExists(d.resolve(n)))
+      setStaged(d, version, on = false)
+      removed
+    }
   }
 
   /** Orphan-file cleanup — the second half of the GC pair (Iceberg's
@@ -1763,7 +1905,17 @@ object CommitSink {
                                        * a rewritten file's blooms die
                                        * with it. */
                                      blooms: Map[String, Map[String, String]] =
-                                       Map.empty): Unit =
+                                       Map.empty,
+                                     /** WRITE-AUDIT-PUBLISH staging
+                                       * (o41, Iceberg's WAP): land the
+                                       * immutable version manifest but
+                                       * do NOT swap `_MANIFEST.json` —
+                                       * main readers are unaffected
+                                       * until [[publishStaged]]
+                                       * fast-forwards to it. The staged
+                                       * version is auditable via the
+                                       * ordinary versionAsOf read. */
+                                     stageOnly: Boolean = false): Unit =
     lockFor(dir).synchronized {
       // check + swap under the per-path lock: two same-JVM writers can
       // never both pass the check (the object-store analog is a
@@ -1775,6 +1927,22 @@ object CommitSink {
             s"commit $cur but this writer planned commit $commitId on top of " +
             s"$expectedPrev; aborting instead of silently dropping its files")
       }
+      // two staged writers compute the same next id and neither swaps —
+      // the version-file existence check is their CAS
+      if (stageOnly && io.exists(dir.resolve(versionFile(commitId))))
+        throw new ConcurrentCommitException(
+          s"graft-commit: staged version $commitId already exists at $dir — " +
+            "a concurrent writer staged it first")
+      // an OPEN STAGE holds its version id: an ordinary commit planning
+      // the same id must refuse (publish or drop the stage first) —
+      // silently overwriting the audit copy would be the truncate bug
+      // in ref clothing. Registered staged ids only: unregistered
+      // version-file debris from a crashed swap stays self-healing.
+      if (!stageOnly && expectedPrev != SKIP_CAS &&
+          listStaged(dir).contains(commitId))
+        throw new ConcurrentCommitException(
+          s"graft-commit: version $commitId at $dir is an OPEN STAGE " +
+            "(write-audit-publish) — publish or drop it before committing")
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       // the four per-file entry arrays over one file slice: stats,
       // vectors (listed files only — a dropped/rewritten file's vector
@@ -1876,11 +2044,16 @@ object CommitSink {
       // between the two writes loses only the never-visible new version)
       try {
         io.writeString(dir.resolve(versionFile(commitId)), body)
-        val tmp = dir.resolve(MANIFEST + ".tmp")
-        io.writeString(tmp, body)
-        // the atomic swap IS the commit: readers either see the old manifest
-        // or the new one, never a torn state
-        io.atomicReplace(tmp, dir.resolve(MANIFEST))
+        // staged (o41): the version is auditable but not current — no
+        // swap; register the open stage so ordinary writers refuse its id
+        if (stageOnly) setStaged(dir, commitId, on = true)
+        if (!stageOnly) {
+          val tmp = dir.resolve(MANIFEST + ".tmp")
+          io.writeString(tmp, body)
+          // the atomic swap IS the commit: readers either see the old
+          // manifest or the new one, never a torn state
+          io.atomicReplace(tmp, dir.resolve(MANIFEST))
+        }
       } catch { case e: Throwable =>
         // a failed swap must not leave a PHANTOM version: the commit never
         // became current, its data files will be deleted by the caller's
@@ -2081,7 +2254,15 @@ class CommitSinkProvider extends TableProvider
   private def versionOf(options: util.Map[String, String]): Option[Long] =
     options.asScala.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.trim.toLong
-    }
+    }.orElse(options.asScala.collectFirst {
+      // o41: a TAG resolves to its pinned version — same read-only
+      // semantics as versionAsOf, by name
+      case (k, v) if k.equalsIgnoreCase("tagAsOf") =>
+        val p = Option(options.asScala.collectFirst {
+          case (pk, pv) if pk.equalsIgnoreCase("path") => pv }.orNull)
+          .getOrElse(sys.error("graft-commit: tagAsOf needs a path"))
+        CommitSink.tagVersion(Paths.get(p), v.trim)
+    })
   private def cdfOf(options: util.Map[String, String]): Boolean =
     options.asScala.exists {
       case (k, v) => k.equalsIgnoreCase("readChangeFeed") && v.trim.toBoolean
@@ -2525,6 +2706,13 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
   private lazy val preShaped: Boolean =
     Option(info.options.get("preShaped")).exists(_.toBoolean)
 
+  /** WRITE-AUDIT-PUBLISH staging (o41): `option("stageOnly", true)`
+    * lands this write as an auditable version manifest WITHOUT moving
+    * main — [[CommitSink.publishStaged]] fast-forwards to it after the
+    * audit passes. Append and truncate shapes only. */
+  private lazy val stageOnly: Boolean =
+    Option(info.options.get("stageOnly")).exists(_.toBoolean)
+
   override def build(): Write = {
     val schema = info.schema()
     val ok: DataType => Boolean =
@@ -2577,7 +2765,14 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     require(!preShaped || (effectiveRewrite.isDefined && partCol.isDefined),
       "graft-commit: preShaped is the internal device of partitioned " +
         "cluster rewrites — it requires a rewrite token and partitionBy")
+    require(!stageOnly || effectiveRewrite.isEmpty,
+      "graft-commit: stageOnly stages an APPEND or TRUNCATE for audit; " +
+        "rewrites/DML commit against their planning snapshot directly")
+    require(!stageOnly || upsertKeys.isEmpty,
+      "graft-commit: stageOnly with upsertKeys is unsupported — an " +
+        "equality delete's visibility must match its data files'")
     val shapedByCaller = preShaped
+    val staged = stageOnly
     // the transform the write clusters + sorts on: the key itself for
     // identity, bucket(n, col) for the bucket layout (resolved through
     // the catalog's FunctionCatalog — bucket tables are catalog tables,
@@ -2601,7 +2796,8 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
               SortDirection.ASCENDING)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
-        new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert)
+        new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert,
+          stage = staged)
       override def toStreaming: streaming.StreamingWrite = {
         require(partCol.isEmpty,
           "graft-commit: partitionBy is a batch-write layout decision; " +
@@ -3161,7 +3357,10 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
                        partCol: Option[String] = None,
                        rewrite: Option[CommitSink.DmlRewrite] = None,
                        payload: String = "json",
-                       upsertKeys: Seq[String] = Seq.empty)
+                       upsertKeys: Seq[String] = Seq.empty,
+                       /** WAP staging (o41): land the version manifest,
+                         * skip the swap — see CommitSink.publishStaged. */
+                       stage: Boolean = false)
     extends BatchWrite {
   private val dir = Paths.get(path)
   /** This write's identity: names its private staging subdirectory AND
@@ -3306,7 +3505,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     CommitSink.writeManifest(dir, schema.toDDL, newFiles, prev + 1,
       Seq.empty, expectedPrev = prev, partCol = partCol, stats = newStats,
       tableId = CommitSink.carriedOrFreshTableId(manifest), payload = payload,
-      fileSeq = newFiles.map(_ -> (prev + 1)).toMap)
+      fileSeq = newFiles.map(_ -> (prev + 1)).toMap, stageOnly = stage)
   }
 
   /** Append: carried ∪ promoted under a CAS on the read manifest — and
@@ -3362,7 +3561,8 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
             newFiles.map(_ -> (prev + 1)),
           eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
             newEq.map { case (n, k) => CommitSink.EqDelete(n, prev + 1, k, upsertCols) },
-          blooms = manifest.map(_.blooms).getOrElse(Map.empty))
+          blooms = manifest.map(_.blooms).getOrElse(Map.empty),
+          stageOnly = stage)
         return
       } catch { case e: CommitSink.ConcurrentCommitException =>
         attempt += 1

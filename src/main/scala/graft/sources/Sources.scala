@@ -1585,6 +1585,63 @@ object Sources {
       .withColumn("planned_point", lit(planned))
   }
 
+  /** o41: WRITE-AUDIT-PUBLISH + TAGS — Iceberg's refs workflow over the
+    * version ledger: a write with `option("stageOnly", true)` lands its
+    * full immutable version manifest WITHOUT moving main (readers are
+    * unaffected — the staged data is invisible), auditors read exactly
+    * that version via `versionAsOf`/a named TAG, and
+    * [[CommitSink.publishStaged]] fast-forwards main to it atomically
+    * once the audit passes (refusing if another commit landed meanwhile
+    * — re-stage, never cherry-pick stale content). Tags are named
+    * version pins AND retention roots: [[CommitSink.expireVersions]]
+    * never drops a tagged version, so `VERSION AS OF 'pre-wap'` stays
+    * answerable after aggressive expiry. At 100 TB this is how a
+    * training-data pipeline gates ingest: land the candidate corpus,
+    * run the contamination/dedup audits against the staged version,
+    * publish on green — main never serves unaudited rows. Proof
+    * columns: `pre_publish_rows` (main's count while staged),
+    * `staged_invisible` (main did not move on stage),
+    * `audit_saw_all` (the staged version read the full candidate set),
+    * `tag_protects` (the pre-WAP tag survives keepLast=1 expiry). */
+  def o41WriteAuditPublish(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o41/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    val preRows = CommitSink.readCommitted(spark, out).count()
+    // pre-WAP tag: a retention root on version 0
+    CommitSink.createTag(out, "pre-wap", 0L)
+    // stage the odd half: version 1 exists, main stays at 0
+    ev.filter(col("event_id") % 2 === 1)
+      .write.format(CommitSink.NAME).option("path", out)
+      .option("stageOnly", "true").mode("append").save()
+    val mainWhileStaged = CommitSink.readCommitted(spark, out).count()
+    val auditRows = spark.read.format(CommitSink.NAME).option("path", out)
+      .option("versionAsOf", 1).load().count()
+    val total = ev.count()
+    // audit green → publish (fast-forward main to the staged version)
+    CommitSink.publishStaged(out, 1L)
+    // aggressive expiry: keepLast=1 would drop version 0, but the tag
+    // pins it — the pre-WAP snapshot stays time-travel readable
+    CommitSink.expireVersions(out, keepLast = 1)
+    val taggedRows = spark.read.format(CommitSink.NAME).option("path", out)
+      .option("tagAsOf", "pre-wap").load().count()
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("pre_publish_rows", lit(preRows))
+      .withColumn("staged_invisible",
+        lit(if (mainWhileStaged == preRows) 1L else 0L))
+      .withColumn("audit_saw_all", lit(if (auditRows == total) 1L else 0L))
+      .withColumn("tag_protects", lit(if (taggedRows == preRows) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -2004,6 +2061,7 @@ object Sources {
     "o38_bloom_index" -> o38BloomIndex _,
     "o39_partitioned_cluster" -> o39PartitionedCluster _,
     "o40_bucket_partitioning" -> o40BucketPartitioning _,
+    "o41_write_audit_publish" -> o41WriteAuditPublish _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -2079,6 +2137,20 @@ object Sources {
                  CAST(1 AS BIGINT) AS planned_point
           FROM events f JOIN d ON f.user_id = d.user_id
           GROUP BY 1""",
+    // write-audit-publish: content = the full table after the staged odd
+    // half publishes; the workflow booleans pin staging invisibility,
+    // audit completeness, and tag-rooted retention
+    "o41_write_audit_publish" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST((SELECT COUNT(*) FROM events WHERE event_id % 2 = 0)
+                   AS BIGINT) AS pre_publish_rows,
+                 CAST(1 AS BIGINT) AS staged_invisible,
+                 CAST(1 AS BIGINT) AS audit_saw_all,
+                 CAST(1 AS BIGINT) AS tag_protects
+          FROM events GROUP BY 1""",
     // partition evolution: content = even-id base + odd-id append (the
     // full table, bucket = user_id % 8); layout proofs are constants of
     // the evolution contract — metadata-only flip, mixed interim

@@ -297,6 +297,107 @@ class Round16Spec extends AnyFunSuite {
     assert(manifest(dir).commit == 2L, "base + upsert + compaction")
   }
 
+  // --- write-audit-publish + tags (o41) -----------------------------------
+
+  test("o41: stage is invisible, audit reads the staged version, publish fast-forwards") {
+    val dir = freshDir("wap")
+    spark.range(100L).select($"id", lit("base").as("s"))
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    spark.range(100L, 150L).select($"id", lit("staged").as("s"))
+      .write.format("graft-commit").option("path", dir)
+      .option("stageOnly", "true").mode("append").save()
+    // main never moved; the staged version is a complete readable fact
+    assert(manifest(dir).commit == 0L)
+    def read() = spark.read.format("graft-commit").option("path", dir).load()
+    assert(read().count() == 100L, "staged rows must be invisible on main")
+    assert(spark.read.format("graft-commit").option("path", dir)
+      .option("versionAsOf", 1).load().count() == 150L,
+      "the audit read sees base + staged")
+    sources.CommitSink.publishStaged(dir, 1L)
+    assert(manifest(dir).commit == 1L && read().count() == 150L)
+    // double publish refuses (already current)
+    val e = intercept[IllegalArgumentException] {
+      sources.CommitSink.publishStaged(dir, 1L)
+    }
+    assert(e.getMessage.contains("already published"), e.getMessage)
+  }
+
+  test("o41: publish is fast-forward ONLY — a commit landing mid-audit refuses it") {
+    val dir = freshDir("wap_race")
+    spark.range(100L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    spark.range(100L, 150L).select($"id")
+      .write.format("graft-commit").option("path", dir)
+      .option("stageOnly", "true").mode("append").save()
+    // a normal append lands while the audit runs — it wins commit 1's
+    // slot? No: the staged version HOLDS version 1, so the append CAS
+    // sees current=0, plans 1, collides on the version file and retries
+    // ... the design: the append must NOT clobber the staged manifest.
+    val e0 = intercept[Exception] {
+      spark.range(500L, 510L).select($"id")
+        .write.format("graft-commit").option("path", dir).mode("append").save()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e0).exists(_.contains("OPEN STAGE")),
+      s"an append during an open stage must refuse, not clobber: ${chain(e0)}")
+    // the stage is intact and publishes
+    sources.CommitSink.publishStaged(dir, 1L)
+    assert(spark.read.format("graft-commit").option("path", dir).load()
+      .count() == 150L)
+    // abandon-path: stage another, then drop it — its unique files go,
+    // carried files stay
+    spark.range(900L, 910L).select($"id")
+      .write.format("graft-commit").option("path", dir)
+      .option("stageOnly", "true").mode("append").save()
+    assert(sources.CommitSink.listVersions(Paths.get(dir)).contains(2L))
+    val removed = sources.CommitSink.dropStagedVersion(dir, 2L)
+    assert(removed.nonEmpty && removed.forall(_.startsWith("part-")))
+    assert(!sources.CommitSink.listVersions(Paths.get(dir)).contains(2L))
+    assert(spark.read.format("graft-commit").option("path", dir).load()
+      .count() == 150L, "dropping the stage must not touch published files")
+  }
+
+  test("o41: tags pin versions by name and root retention through expiry") {
+    val dir = freshDir("tags")
+    spark.range(80L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("overwrite").save()
+    sources.CommitSink.createTag(dir, "v0-audit", 0L)
+    // duplicate and unknown-version refusals
+    val e1 = intercept[IllegalArgumentException] {
+      sources.CommitSink.createTag(dir, "v0-audit", 0L)
+    }
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      sources.CommitSink.createTag(dir, "ghost", 7L)
+    }
+    assert(e2.getMessage.contains("no such version"), e2.getMessage)
+    spark.range(80L, 200L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    spark.range(200L, 300L).select($"id")
+      .write.format("graft-commit").option("path", dir).mode("append").save()
+    // keepLast=1 would drop versions 0 and 1; the tag pins 0
+    val (dropped, _) = sources.CommitSink.expireVersions(dir, keepLast = 1)
+    assert(dropped == Seq(1L), s"tagged version 0 must survive, dropped $dropped")
+    assert(spark.read.format("graft-commit").option("path", dir)
+      .option("tagAsOf", "v0-audit").load().count() == 80L)
+    // SQL VERSION AS OF '<tag>' through the catalog
+    val (cat, root) = scopedCat("tags")
+    spark.range(10L).select($"id")
+      .write.format("graft-commit").option("path", s"$root/default/t")
+      .mode("overwrite").save()
+    sources.CommitSink.createTag(s"$root/default/t", "genesis", 0L)
+    spark.range(10L, 30L).select($"id")
+      .write.format("graft-commit").option("path", s"$root/default/t")
+      .mode("append").save()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t VERSION AS OF 'genesis'")
+      .head().getLong(0) == 10L)
+    // drop the tag: the version becomes expirable again
+    assert(sources.CommitSink.dropTag(dir, "v0-audit"))
+    val (dropped2, _) = sources.CommitSink.expireVersions(dir, keepLast = 1)
+    assert(dropped2 == Seq(0L))
+  }
+
   // --- two-level manifest (the manifest-list, r16) -----------------------
 
   /** A CommitIO that counts group-manifest reads — the sublinearity
