@@ -119,19 +119,28 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
           s"graft-commit: partition transform must reference one top-level column, got $t")
         refs.head.fieldNames.head
       }
+      def intLit: Option[Long] = t.arguments.collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.value().isInstanceOf[Int] || lit.value().isInstanceOf[Long] =>
+          lit.value() match { case i: Int => i.toLong; case l: Long => l }
+      }
       t.name() match {
         case "identity" => CommitSink.IdentitySpec(oneRef(t.arguments.toSeq)).encode
         case "bucket" =>
-          val n = t.arguments.collectFirst {
-            case lit: org.apache.spark.sql.connector.expressions.Literal[_]
-                if lit.value().isInstanceOf[Int] => lit.value().asInstanceOf[Int]
-          }.getOrElse(sys.error(
+          val n = intLit.getOrElse(sys.error(
             s"graft-commit: bucket transform needs an int bucket count, got $t"))
           CommitSink.PartSpec.parse(
-            CommitSink.BucketSpec(n, oneRef(t.arguments.toSeq)).encode).encode
+            CommitSink.BucketSpec(n.toInt, oneRef(t.arguments.toSeq)).encode).encode
+        case "truncate" =>
+          val w = intLit.getOrElse(sys.error(
+            s"graft-commit: truncate transform needs an int width, got $t"))
+          CommitSink.PartSpec.parse(
+            CommitSink.TruncateSpec(w, oneRef(t.arguments.toSeq)).encode).encode
+        case "days" =>
+          CommitSink.DaysSpec(oneRef(t.arguments.toSeq)).encode
         case other => sys.error(
           s"graft-commit: unsupported partition transform '$other' — " +
-            "identity and bucket(n, col) only")
+            "identity, bucket(n, col), truncate(w, col) and days(col) only")
       }
     }
   }
@@ -143,10 +152,9 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
       val f = schema.fields.find(_.name == spec.sourceCol).getOrElse(
         sys.error(s"graft-commit: partition column '${spec.sourceCol}' is " +
           "not in the table schema"))
-      require(f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType,
+      require(spec.sourceOk(f.dataType),
         s"graft-commit: partition column '${spec.sourceCol}' must be " +
-          s"BIGINT or INT, got ${f.dataType.simpleString}")
+          s"${spec.sourceRule}, got ${f.dataType.simpleString}")
     }
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     // payload format per table (TBLPROPERTIES ('payload'='json')); the

@@ -262,28 +262,61 @@ object CommitSink {
     def sourceCol: String
     /** The manifest encoding (also the `partitionBy` option grammar). */
     def encode: String
-    /** The recorded per-row partition key. */
-    def keyOf(v: Long): Long
+    /** The recorded per-row partition key, from the column's RAW
+      * physical long (int/long value; micros for timestamps; days for
+      * dates — `dt` disambiguates the time encodings). */
+    def keyOf(raw: Long, dt: DataType): Long
+    /** Legal source column types (validated at create/evolve/write). */
+    def sourceOk(dt: DataType): Boolean =
+      dt == LongType || dt == IntegerType
+    def sourceRule: String = "BIGINT or INT"
   }
   private[graft] final case class IdentitySpec(sourceCol: String) extends PartSpec {
     def encode: String = sourceCol
-    def keyOf(v: Long): Long = v
+    def keyOf(raw: Long, dt: DataType): Long = raw
   }
   private[graft] final case class BucketSpec(n: Int, sourceCol: String) extends PartSpec {
     def encode: String = s"bucket($n,$sourceCol)"
-    def keyOf(v: Long): Long = BucketFunction.bucketId(n, v).toLong
+    def keyOf(raw: Long, dt: DataType): Long = BucketFunction.bucketId(n, raw).toLong
+  }
+  /** Iceberg's width truncation: key = floor(v / w) · w — files hold
+    * CONTIGUOUS value bands, so zone maps keep doing the range/point
+    * pruning (unlike bucket, the transform preserves order). */
+  private[graft] final case class TruncateSpec(w: Long, sourceCol: String) extends PartSpec {
+    def encode: String = s"truncate($w,$sourceCol)"
+    def keyOf(raw: Long, dt: DataType): Long = Math.floorDiv(raw, w) * w
+  }
+  /** Iceberg's days transform: key = epoch day of a DATE/TIMESTAMP
+    * column — the time-series layout (one key per day, files contiguous
+    * in time, a date-range scan plans day groups). */
+  private[graft] final case class DaysSpec(sourceCol: String) extends PartSpec {
+    def encode: String = s"days($sourceCol)"
+    def keyOf(raw: Long, dt: DataType): Long = dt match {
+      case DateType => raw // already epoch days
+      case _ => Math.floorDiv(raw, 86400000000L) // micros → epoch days
+    }
+    override def sourceOk(dt: DataType): Boolean =
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType
+    override def sourceRule: String = "DATE or TIMESTAMP"
   }
   private[graft] object PartSpec {
     private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+    private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
+    private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
     def parse(s: String): PartSpec = s.trim match {
       case BucketRe(n, c) =>
         require(n.toLong >= 1 && n.toLong <= 1000000,
           s"graft-commit: bucket(n, col) needs 1 <= n <= 1e6, got $n")
         BucketSpec(n.toInt, c)
+      case TruncRe(w, c) =>
+        require(w.toLong >= 1,
+          s"graft-commit: truncate(w, col) needs w >= 1, got $w")
+        TruncateSpec(w.toLong, c)
+      case DaysRe(c) => DaysSpec(c)
       case c =>
         require(c.matches("[A-Za-z0-9_]+"),
           s"graft-commit: partition spec '$c' is neither a plain column " +
-            "name nor bucket(n, col)")
+            "name nor bucket(n, col) / truncate(w, col) / days(col)")
         IdentitySpec(c)
     }
   }
@@ -728,7 +761,9 @@ object CommitSink {
       case Some(BucketSpec(n, c)) =>
         val b = BucketFunction.bucketCol(n, org.apache.spark.sql.functions.col(c))
         df.repartition(numFiles, b).sortWithinPartitions(b)
-      case Some(_: IdentitySpec) => df
+      // identity/truncate/days: the partitionBy write plans its own
+      // identity clustering (monotone transforms keep keys contiguous)
+      case Some(_) => df
     }
     // compaction "scans" every pinned file — the rewrite replaces all of
     // them, carrying none, exactly the old truncate shape but CAS'd
@@ -888,6 +923,10 @@ object CommitSink {
         val pcExpr = PartSpec.parse(m.partCol.get) match {
           case IdentitySpec(c) => col(c)
           case BucketSpec(n, c) => BucketFunction.bucketCol(n, col(c))
+          // monotone transforms: range/sort on the SOURCE column keeps
+          // every transformed key contiguous (and sub-sorted)
+          case TruncateSpec(_, c) => col(c)
+          case DaysSpec(c) => col(c)
         }
         df.repartitionByRange(numFiles, pcExpr +: cols.map(col): _*)
           .sortWithinPartitions(pcExpr +: cols.map(col): _*)
@@ -1031,8 +1070,8 @@ object CommitSink {
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"graft-commit: partition column '$c' is not in the " +
           s"table schema [${schema.fieldNames.mkString(",")}]"))
-      require(f.dataType == LongType || f.dataType == IntegerType,
-        s"graft-commit: partition column '$c' must be BIGINT or INT, " +
+      require(spec.sourceOk(f.dataType),
+        s"graft-commit: partition column '$c' must be ${spec.sourceRule}, " +
           s"got ${f.dataType.simpleString} (the partition key rule)")
     }
     // strip stale partition keys; rows/bytes/ranges carry verbatim
@@ -2388,6 +2427,12 @@ class CommitSinkTable(path: String,
           org.apache.spark.sql.connector.expressions.Expressions.identity(c)
         case CommitSink.BucketSpec(n, c) =>
           org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+        case CommitSink.TruncateSpec(w, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.apply("truncate",
+            org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+            org.apache.spark.sql.connector.expressions.Expressions.column(c))
+        case CommitSink.DaysSpec(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.days(c)
       }).toArray
 
   override def capabilities(): util.Set[TableCapability] = {
@@ -2729,8 +2774,9 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       val c = spec.sourceCol
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"graft-commit: partitionBy column '$c' is not in the written schema"))
-      require(f.dataType == LongType || f.dataType == IntegerType,
-        s"graft-commit: partitionBy column '$c' must be BIGINT or INT, got ${f.dataType.simpleString}")
+      require(spec.sourceOk(f.dataType),
+        s"graft-commit: partitionBy column '$c' must be ${spec.sourceRule}, " +
+          s"got ${f.dataType.simpleString}")
     }
     if (upsertKeys.nonEmpty) {
       require(!doTruncateFlag && effectiveRewrite.isEmpty,
@@ -2773,27 +2819,51 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
         "equality delete's visibility must match its data files'")
     val shapedByCaller = preShaped
     val staged = stageOnly
-    // the transform the write clusters + sorts on: the key itself for
-    // identity, bucket(n, col) for the bucket layout (resolved through
-    // the catalog's FunctionCatalog — bucket tables are catalog tables,
-    // exactly Iceberg's arrangement; maintenance rewrites on a PATH
-    // handle bucket layouts by pre-shaping, see compact)
-    def partTransform(spec: CommitSink.PartSpec): org.apache.spark.sql.connector.expressions.Expression =
-      spec match {
-        case CommitSink.IdentitySpec(c) => Expressions.identity(c)
-        case CommitSink.BucketSpec(n, c) => Expressions.bucket(n, c)
-      }
+    // what the write clusters + sorts on, per spec:
+    //  - identity: clustered + sorted on the key itself (o16);
+    //  - bucket: clustered + sorted on bucket(n, col), resolved through
+    //    the catalog's FunctionCatalog — bucket tables are catalog
+    //    tables, exactly Iceberg's arrangement; maintenance rewrites on
+    //    a PATH pre-shape instead (see compact);
+    //  - truncate/days: RANGE-distributed + sorted on IDENTITY of the
+    //    source column. Both transforms are MONOTONE, so value-ordered
+    //    tasks keep every transformed key contiguous (the rolling
+    //    writer's one-key-per-file invariant holds with no function
+    //    resolution anywhere), and the ORDERED distribution keeps a
+    //    key's rows in one task (± a sampled range boundary — a band
+    //    may land as two files, which the grouped scan handles), where
+    //    hash-clustering on the raw value would scatter one day across
+    //    every task and explode the file count.
+    def partDistribution(spec: CommitSink.PartSpec): Distribution = spec match {
+      case CommitSink.IdentitySpec(c) =>
+        Distributions.clustered(Array(Expressions.identity(c)))
+      case CommitSink.BucketSpec(n, c) =>
+        Distributions.clustered(Array(Expressions.bucket(n, c)))
+      case CommitSink.TruncateSpec(_, c) =>
+        Distributions.ordered(Array(
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
+      case CommitSink.DaysSpec(c) =>
+        Distributions.ordered(Array(
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
+    }
+    def partOrdering(spec: CommitSink.PartSpec): Array[CSortOrder] = spec match {
+      case CommitSink.IdentitySpec(c) =>
+        Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      case CommitSink.BucketSpec(n, c) =>
+        Array(Expressions.sort(Expressions.bucket(n, c), SortDirection.ASCENDING))
+      case CommitSink.TruncateSpec(_, c) =>
+        Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      case CommitSink.DaysSpec(c) =>
+        Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+    }
     new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
         partCol.filterNot(_ => shapedByCaller)
-          .map(c => Distributions.clustered(
-            Array(partTransform(CommitSink.PartSpec.parse(c)))))
+          .map(c => partDistribution(CommitSink.PartSpec.parse(c)))
           .getOrElse(Distributions.unspecified())
       override def requiredOrdering(): Array[CSortOrder] =
         partCol.filterNot(_ => shapedByCaller)
-          .map(c => Array(
-            Expressions.sort(partTransform(CommitSink.PartSpec.parse(c)),
-              SortDirection.ASCENDING)))
+          .map(c => partOrdering(CommitSink.PartSpec.parse(c)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
         new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert,
@@ -3841,13 +3911,14 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
         s"graft-commit: NULL partition key in column " +
           s"'${partSpec.get.sourceCol}' — partitioning requires non-null keys")
       val raw = schema(partIdx).dataType match {
-        case LongType => row.getLong(pi)
-        case _        => row.getInt(pi).toLong
+        // timestamps are physically micros longs; dates are day ints
+        case LongType | TimestampType | TimestampNTZType => row.getLong(pi)
+        case _ => row.getInt(pi).toLong
       }
-      // identity records the key itself; bucket records the bucket id
-      // (what the write's declared bucket-transform clustering + sort
-      // grouped the input by)
-      val k = partSpec.get.keyOf(raw)
+      // identity records the key itself; transforms record the
+      // TRANSFORMED key (bucket id / truncated band / epoch day) —
+      // what the write's declared clustering + sort grouped the input by
+      val k = partSpec.get.keyOf(raw, schema(partIdx).dataType)
       // input is clustered AND sorted by the key — a key change is a
       // segment boundary, and a key can never reappear later
       if (!segActive || k != curKey) {
@@ -4304,9 +4375,10 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         }
         flt match {
           case org.apache.spark.sql.sources.EqualTo(c, v) if c == spec.sourceCol =>
-            asLong(v).forall(l => spec.keyOf(l) == pk)
+            asLong(v).forall(l => spec.keyOf(l, LongType) == pk)
           case org.apache.spark.sql.sources.In(c, vs) if c == spec.sourceCol =>
-            vs.isEmpty || vs.exists(v => asLong(v).forall(l => spec.keyOf(l) == pk))
+            vs.isEmpty || vs.exists(v =>
+              asLong(v).forall(l => spec.keyOf(l, LongType) == pk))
           case _ => true
         }
       case _ => true // identity layouts prune through zone maps already
@@ -4463,11 +4535,18 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     // grouping only while the column survives projection
     case Some(groups) if readSchema().fieldNames.contains(
         CommitSink.PartSpec.parse(manifest.partCol.get).sourceCol) =>
-      val expr = CommitSink.PartSpec.parse(manifest.partCol.get) match {
-        case CommitSink.IdentitySpec(c) => Expressions.identity(c)
-        case CommitSink.BucketSpec(n, c) => Expressions.bucket(n, c)
+      CommitSink.PartSpec.parse(manifest.partCol.get) match {
+        case CommitSink.IdentitySpec(c) =>
+          new KeyGroupedPartitioning(Array(Expressions.identity(c)), groups.size)
+        case CommitSink.BucketSpec(n, c) =>
+          new KeyGroupedPartitioning(Array(Expressions.bucket(n, c)), groups.size)
+        // truncate/days: grouped PLANNING (one partition per key group,
+        // zone-prunable — the transforms preserve order so the source
+        // column's ranges already prune), but no SPJ report: aligning
+        // joins on a width/day derivation is not a join shape worth the
+        // function-resolution surface (Iceberg's SPJ is bucket-first too)
+        case _ => new UnknownPartitioning(groups.size)
       }
-      new KeyGroupedPartitioning(Array(expr), groups.size)
     case Some(groups) => new UnknownPartitioning(groups.size)
     case None => new UnknownPartitioning(surviving.size)
   }

@@ -1642,6 +1642,73 @@ object Sources {
       .withColumn("tag_protects", lit(if (taggedRows == preRows) 1L else 0L))
   }
 
+  /** o42: TRUNCATE/DAYS PARTITION TRANSFORMS — the rest of the Iceberg
+    * transform family ([[CommitSink.PartSpec]]): `days(ts)` lands the
+    * events table one FILE GROUP PER DAY (the time-series layout: a
+    * date-range scan plans day groups, not the corpus), and
+    * `truncate(w, event_id)` lands contiguous w-wide id bands. Both
+    * transforms are MONOTONE, so the write plans an ORDERED (range)
+    * distribution on the raw column — value-sorted tasks keep every
+    * transformed key contiguous for the rolling writer, no function
+    * resolution anywhere, and zone maps keep doing range/point pruning
+    * (unlike bucket, order survives the transform). Proof columns:
+    * `one_day_per_file` (every file's recorded pk is its rows' epoch
+    * day), `planned_day` (a one-day time filter plans only that day's
+    * group), `band_planned` (a point probe on the truncate table plans
+    * one band). At 100 TB this is ingest-by-date partitioning — the
+    * first 100× of every time-scoped query — without one-file-per-
+    * timestamp, plus o37 evolution to re-derive either layout. */
+  def o42TemporalTransforms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min, to_date}
+    val out = s"/tmp/graft_o42/${new java.io.File(dir).getName}"
+    val outT = s"$out-trunc"
+    graft.Tables.deleteRecursively(out)
+    graft.Tables.deleteRecursively(outT)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    ev.write.format(CommitSink.NAME).option("path", out)
+      .option("partitionBy", "days(ts)").mode("overwrite").save()
+    ev.select(col("event_id"), col("value"))
+      .write.format(CommitSink.NAME).option("path", outT)
+      .option("partitionBy", "truncate(1000, event_id)").mode("overwrite").save()
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    // every file records its day; the day is the file's ts range's day
+    val oneDayPerFile = m.files.forall { f =>
+      val st = CommitSink.FileStat.decode(m.stats(f))
+      st.pk.isDefined && st.cols.get("ts").forall { r =>
+        Math.floorDiv(r.min.toLong, 86400000000L) == st.pk.get &&
+          Math.floorDiv(r.max.toLong, 86400000000L) == st.pk.get
+      }
+    }
+    def read() = spark.read.format(CommitSink.NAME).option("path", out).load()
+    // the middle day: [min+2d, min+3d) — a one-day scan plans its group
+    // (NTZ columns surface as LocalDateTime on the driver)
+    val lo = ev.agg(min(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+    val dayLo = lo.toLocalDate.plusDays(2).atStartOfDay()
+    val dayHi = dayLo.plusDays(1)
+    val planned = plannedFiles(read().filter(
+      col("ts") >= lit(dayLo) && col("ts") < lit(dayHi)))
+    val dayGroup = m.files.count { f =>
+      CommitSink.FileStat.decode(m.stats(f)).pk
+        .contains(dayLo.toLocalDate.toEpochDay)
+    }
+    // point probe on the truncated table: one 1000-wide band
+    val bandPlanned = plannedFiles(
+      spark.read.format(CommitSink.NAME).option("path", outT).load()
+        .filter(col("event_id") === 4242L))
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("one_day_per_file", lit(if (oneDayPerFile) 1L else 0L))
+      .withColumn("planned_day",
+        lit(if (planned == dayGroup && planned >= 1) 1L else 0L))
+      .withColumn("band_planned", lit(if (bandPlanned == 1L) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -2062,6 +2129,7 @@ object Sources {
     "o39_partitioned_cluster" -> o39PartitionedCluster _,
     "o40_bucket_partitioning" -> o40BucketPartitioning _,
     "o41_write_audit_publish" -> o41WriteAuditPublish _,
+    "o42_temporal_transforms" -> o42TemporalTransforms _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -2137,6 +2205,19 @@ object Sources {
                  CAST(1 AS BIGINT) AS planned_point
           FROM events f JOIN d ON f.user_id = d.user_id
           GROUP BY 1""",
+    // temporal transforms: content = the days(ts)-partitioned events
+    // replay (n_days is the real distinct-day count); the layout
+    // booleans pin one-day-per-file, the one-day plan, and the band probe
+    "o42_temporal_transforms" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS one_day_per_file,
+                 CAST(1 AS BIGINT) AS planned_day,
+                 CAST(1 AS BIGINT) AS band_planned
+          FROM events GROUP BY 1""",
     // write-audit-publish: content = the full table after the staged odd
     // half publishes; the workflow booleans pin staging invisibility,
     // audit completeness, and tag-rooted retention

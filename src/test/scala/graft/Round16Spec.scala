@@ -191,10 +191,10 @@ class Round16Spec extends AnyFunSuite {
         "PARTITIONED BY (bucket(4, s))")
     }
     assert(e1.getMessage.contains("BIGINT or INT"), e1.getMessage)
-    // unsupported transform
+    // unsupported transform (days/truncate joined the family in r16)
     val e2 = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.`default`.bad2 (ts TIMESTAMP, v BIGINT) " +
-        "PARTITIONED BY (days(ts))")
+        "PARTITIONED BY (years(ts))")
     }
     assert(e2.getMessage.contains("unsupported partition transform"), e2.getMessage)
     // zero buckets
@@ -205,9 +205,9 @@ class Round16Spec extends AnyFunSuite {
       sources.CommitSink.evolvePartitioning(spark, dir, Some("bucket(0, v)"))
     }
     assert(e3.getMessage.contains("1 <= n"), e3.getMessage)
-    // a malformed spec is neither a column nor bucket(n, col)
+    // a malformed spec is neither a column nor a supported transform
     val e4 = intercept[Exception] {
-      sources.CommitSink.evolvePartitioning(spark, dir, Some("truncate(4, v)"))
+      sources.CommitSink.evolvePartitioning(spark, dir, Some("years(v)"))
     }
     assert(e4.getMessage.contains("neither a plain column"), e4.getMessage)
   }
@@ -295,6 +295,54 @@ class Round16Spec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(dsv2 == got)
     assert(manifest(dir).commit == 2L, "base + upsert + compaction")
+  }
+
+  test("o42: truncate/days transforms — monotone layouts, one key per file, zone pruning") {
+    // truncate(100, v) through the path option: ordered distribution,
+    // every file holds one 100-wide band, zone maps prune points/ranges
+    val dir = freshDir("truncate_tbl")
+    spark.range(1000L).select($"id".as("v"), ($"id" % 7).as("x"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "truncate(100, v)").mode("overwrite").save()
+    val m = manifest(dir)
+    assert(m.partCol.contains("truncate(100,v)"))
+    m.files.foreach { f =>
+      val st = fileStat(dir, f)
+      assert(st.pk.isDefined && st.pk.get % 100 == 0, s"$f pk=${st.pk}")
+      val r = st.cols("v")
+      assert(r.min.toLong >= st.pk.get && r.max.toLong < st.pk.get + 100,
+        s"$f rows outside its band: [${r.min}, ${r.max}] vs pk ${st.pk.get}")
+    }
+    def read() = spark.read.format("graft-commit").option("path", dir).load()
+    assert(plannedFiles(read().filter($"v" === 555L)) == 1)
+    assert(read().agg(sum($"v")).head().getLong(0) == (0L until 1000L).sum)
+    // days(ts) through the catalog: each file one epoch day
+    val (cat, root) = scopedCat("days")
+    spark.sql(s"CREATE TABLE $cat.`default`.ev (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    spark.range(600L).select(
+        expr("cast(date_add(date'2026-01-01', cast(id % 6 as int)) as timestamp_ntz)").as("ts"),
+        $"id".as("v"))
+      .createOrReplaceTempView("r16_days_src")
+    spark.sql(s"INSERT INTO $cat.`default`.ev SELECT * FROM r16_days_src")
+    val md = manifest(s"$root/default/ev")
+    assert(md.partCol.contains("days(ts)"))
+    val epochDay0 = java.time.LocalDate.parse("2026-01-01").toEpochDay
+    val pks = md.files.map(f => fileStat(s"$root/default/ev", f).pk.get)
+    assert(pks.toSet == (epochDay0 until epochDay0 + 6).toSet,
+      s"one bucketed day per file group, got $pks")
+    // a one-day time filter plans only that day's file(s)
+    val oneDay = spark.table(s"$cat.`default`.ev")
+      .filter($"ts" >= expr("timestamp_ntz'2026-01-03 00:00:00'") &&
+        $"ts" < expr("timestamp_ntz'2026-01-04 00:00:00'"))
+    assert(plannedFiles(oneDay) == md.files.count(f =>
+      fileStat(s"$root/default/ev", f).pk.contains(epochDay0 + 2)))
+    assert(oneDay.count() == 100L)
+    // refusal: days on a non-temporal column
+    val e = intercept[Exception] {
+      sources.CommitSink.evolvePartitioning(spark, dir, Some("days(v)"))
+    }
+    assert(e.getMessage.contains("DATE or TIMESTAMP"), e.getMessage)
   }
 
   // --- write-audit-publish + tags (o41) -----------------------------------
