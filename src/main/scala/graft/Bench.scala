@@ -83,6 +83,36 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // quiet-window gate: the r16 official artifact read 1.53× best purely
+    // from co-tenant load (loadavg 4.9→16.8 across the passes, LOW gc —
+    // the contention signature the telemetry exists to prove). An official
+    // number taken under that load measures the neighbors, not the engine,
+    // so wait (bounded — never deadlock the driver) for the 1-minute load
+    // to drop below SPARK_GRAFT_LOAD_MAX before the timed passes start.
+    // If the window never arrives within SPARK_GRAFT_LOAD_WAIT_SEC the run
+    // proceeds anyway and the recorded per-pass loadavg tells the reader.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX")
+      .map(_.toDouble).getOrElse(2.0)
+    val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC")
+      .map(_.toLong).getOrElse(900L)
+    val gateT0 = System.nanoTime()
+    while (loadAvg() > loadMax &&
+           (System.nanoTime() - gateT0) / 1e9 < loadWaitSec) {
+      System.err.println(
+        f"[bench] loadavg ${loadAvg()}%.2f > $loadMax%.1f — waiting for a quiet window")
+      Thread.sleep(15000)
+    }
+    val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
+    // one UNTIMED warmup entry before pass 1: the alphabetically-first
+    // registry entry (c01) absorbed session/JIT/codegen-compiler warmup in
+    // every official run (1.89 s in BOTH r16 passes vs 0.28 best) — the
+    // range/from_json warmers above don't touch the streaming/commit-sink
+    // classloading a real entry does. Pay it once, outside timing.
+    ordered.headOption.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    }
     // two passes, min per query: this host exhibits bursty CPU steal
     // (multi-second freezes at random points — /proc/stat steal grows in
     // windows); the minimum of two independent passes is a far better
@@ -99,7 +129,8 @@ object Bench {
     val load2 = loadAvg()
     def fl(d: Double): String = f"$d%.2f"
     val telemetry =
-      s""""telemetry":{"pass1":{"gc_ms":${gc1 - gc0},"heap_mb":$heap1,""" +
+      s""""telemetry":{"gate_wait_sec":${fl(gateWaitSec)},""" +
+        s""""pass1":{"gc_ms":${gc1 - gc0},"heap_mb":$heap1,""" +
         s""""storage_mb":$stor1,"loadavg":[${fl(load0)},${fl(load1)}]},""" +
         s""""pass2":{"gc_ms":${gc2 - gc1},""" +
         s""""heap_mb":$heap2,"storage_mb":$stor2,""" +

@@ -273,16 +273,34 @@ object Dedup {
   def dedupCorpus(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val corpus = corpusWithCopies(Tables.documents(spark, dir))
-    // near pairs via the zero-explode map-side LSH (d18): MinHashSpec pins
-    // its survivor pair set equal to the exploded minHashLshScale path, so
-    // the drops are identical — with no corpus-token-scale shuffle
-    val nearDrops = d18MinHashMapSide(spark, dir).select($"id2".as("drop_id")).distinct()
-    val exactCanon = corpus
-      .groupBy(md5($"text".cast("binary")).as("h"))
-      .agg(min($"doc_id").as("keep_id"))
-    corpus
-      .join(exactCanon, md5($"text".cast("binary")) === $"h" && $"doc_id" === $"keep_id")
-      .join(nearDrops, $"doc_id" === $"drop_id", "left_anti")
+    // The memoized value is the id-cardinality KEEP set (exact-canon
+    // min-ids minus verified near-dup drops) — never the cleaned corpus
+    // itself, which is corpus-sized and would violate the memo contract.
+    // Before r17 every call re-ran the md5 group-by + both joins even
+    // though d18's pair memo was materialized (9.2× best in the r16
+    // bench, both passes); now repeat calls pay one semi-join against
+    // the checkpointed keep ids.
+    val keepIds = memoMaterialized(spark, dir, "d07:keepIds") {
+      // near pairs via the zero-explode map-side LSH (d18): MinHashSpec
+      // pins its survivor pair set equal to the exploded minHashLshScale
+      // path, so the drops are identical — with no corpus-token-scale
+      // shuffle
+      val nearDrops = d18MinHashMapSide(spark, dir)
+        .select($"id2".as("doc_id")).distinct()
+      val exactKeeps = corpus
+        .groupBy(md5($"text".cast("binary")).as("h"))
+        .agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
+      (exactKeeps.join(nearDrops, Seq("doc_id"), "left_anti"), Nil)
+    }
+    // final join stays LAZY over the corpus — the cleaned corpus is
+    // never pinned; doc_id is unique in corpusWithCopies, so the keep-id
+    // semi-join selects exactly the rows the canonical-row join did. No
+    // broadcast hint: keep ids are O(N) rows (8-byte ids, tiny to PIN
+    // but not guaranteed executor-memory-sized at 100 TB) — AQE
+    // broadcasts the checkpointed set when its stats allow and shuffles
+    // on doc_id otherwise.
+    corpus.join(keepIds, Seq("doc_id"), "left_semi")
       .select($"doc_id", $"text")
   }
 

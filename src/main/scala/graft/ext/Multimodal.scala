@@ -303,7 +303,7 @@ object Multimodal {
     * bits since 4×16 tiles the long exactly). Still all integer
     * arithmetic — oracle-exact, not rows-only. */
   def m08PhashNearDupWide(spark: SparkSession, dir: String): DataFrame =
-      Dedup.memoDf(spark, dir, "m08:phash") {
+      Dedup.memoMaterialized(spark, dir, "m08:phash") {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = base
@@ -329,12 +329,14 @@ object Multimodal {
     val cand = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id1"), $"y.doc_id".as("id2")).distinct()
-    cand
+    (cand
       .join(packed.select($"doc_id".as("id1"), $"phash".as("h1")), "id1")
       .join(packed.select($"doc_id".as("id2"), $"phash".as("h2")), "id2")
       .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
       .filter($"hamming" <= 3)
-      .select($"id1", $"id2", $"h1", $"h2", $"hamming")
+      .select($"id1", $"id2", $"h1", $"h2", $"hamming"),
+      // pair-sized result materializes; the fingerprint cache is released
+      Seq(packed))
   }
 
   /** Per-frame perceptual fingerprints over fixed 256-byte frames: the
@@ -377,7 +379,7 @@ object Multimodal {
     * unrelated payloads never clear the vote. All integer until the one
     * final division — oracle-exact. */
   def m09VideoNearDup(spark: SparkSession, dir: String): DataFrame =
-      Dedup.memoDf(spark, dir, "m09:frames") {
+      Dedup.memoMaterialized(spark, dir, "m09:frames") {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select($"doc_id", $"text")
     val corpus = base
@@ -394,7 +396,7 @@ object Multimodal {
         col("x.f") === col("y.f") && col("x.band") === col("y.band") &&
           col("x.bkey") === col("y.bkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2")).distinct()
-    cand
+    (cand
       .join(frames.select($"doc_id".as("id1"), $"f", $"fhash".as("h1")), Seq("id1"))
       .join(frames.select($"doc_id".as("id2"), $"f", $"fhash".as("h2")), Seq("id2", "f"))
       .groupBy($"id1", $"id2")
@@ -404,7 +406,9 @@ object Multimodal {
       .withColumn("match_frac",
         $"n_matched".cast("double") / greatest($"nf1", $"nf2"))
       .filter($"match_frac" >= 0.5)
-      .select($"id1", $"id2", $"nf1", $"nf2", $"n_matched", $"match_frac")
+      .select($"id1", $"id2", $"nf1", $"nf2", $"n_matched", $"match_frac"),
+      // pair-sized vote report materializes; the frame cache is released
+      Seq(frames))
   }
 
   /** Band keys present in more than this many distinct docs are dropped
@@ -435,8 +439,10 @@ object Multimodal {
     * both invisible to m09's positional vote. All integer until the
     * final division — oracle-exact. */
   def m10AudioOffsetMatch(spark: SparkSession, dir: String): DataFrame =
-      Dedup.memoDf(spark, dir, "m10:frames") {
-    m10OffsetMatch(frameHashes(m10Corpus(spark, dir)).cache())
+      Dedup.memoMaterialized(spark, dir, "m10:frames") {
+    val frames = frameHashes(m10Corpus(spark, dir)).cache()
+    // pair/delta-sized match report materializes; frame cache released
+    (m10OffsetMatch(frames), Seq(frames))
   }
 
   /** The m10 fixture corpus: documents plus planted exact copies (every

@@ -452,7 +452,7 @@ object Similarity {
     * executor. Fixed iteration count = fixed plan depth — the loop
     * lives in the driver as plan composition, like s16's Lloyd rounds. */
   def s18PcaPower(spark: SparkSession, dir: String): DataFrame =
-      Dedup.memoDf(spark, dir, "s18:pca") {
+      Dedup.memoMaterialized(spark, dir, "s18:pca") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val moments = dimMoments(e)
@@ -487,12 +487,15 @@ object Similarity {
         aggregate(transform(array_sort(collect_list(struct($"b", $"t1"))),
           p => p.getField("t1")), lit(0.0), (a, x) => a + x).as("ss"))
       .select(($"ss" / $"n").as("lambda"))
-    v3.select(posexplode($"v").as(Seq("pos", "pc1")))
+    (v3.select(posexplode($"v").as(Seq("pos", "pc1")))
       .join(means.select($"pos", $"m".as("mean_comp")), "pos")
       .crossJoin(broadcast(lam))
       .crossJoin(broadcast(trace))
       .select($"pos", $"mean_comp", $"pc1", $"lambda",
-        ($"lambda" / $"tr").as("explained_share"))
+        ($"lambda" / $"tr").as("explained_share")),
+      // 64-row result; the dim-sized pipeline caches are released once
+      // it materializes (memoMaterialized contract)
+      Seq(means, mu))
   }
 
   /** s20: IVF tuning sweep — recall@5 AND candidate cost per `nprobe` ∈
@@ -506,7 +509,7 @@ object Similarity {
     * configs (the per-config work is a filter on the probe rank — no
     * index rebuild per config); ground truth is the s01 contract. */
   def s20IvfTuning(spark: SparkSession, dir: String): DataFrame =
-      Dedup.memoDf(spark, dir, "s20:ivfTuning") {
+      Dedup.memoMaterialized(spark, dir, "s20:ivfTuning") {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     // cached: all three configs read the same assignment, probe ranking,
@@ -514,14 +517,24 @@ object Similarity {
     // scale the assignment is the stored index payload; s20Sweep is a
     // pure function of it, so swapping the cache for a parquet write +
     // re-read changes nothing downstream (Round11Spec executes that).
-    s20Sweep(spark, dir, ivfAssigned(e).cache())
+    // The memoized value is the 15-row sweep report; assignment + sweep
+    // caches are released once it materializes.
+    val assigned = ivfAssigned(e).cache()
+    val (report, sweepCaches) = s20SweepStaged(spark, dir, assigned)
+    (report, assigned +: sweepCaches)
   }
 
   /** The s20 sweep as a pure function of the (vec_id, embedding, cid)
     * assignment table — the spill-path seam, like Dedup.d29Report and
     * Multimodal.m10OffsetMatch. */
   private[graft] def s20Sweep(spark: SparkSession, dir: String,
-                              assigned: DataFrame): DataFrame = {
+                              assigned: DataFrame): DataFrame =
+    s20SweepStaged(spark, dir, assigned)._1
+
+  /** [[s20Sweep]] exposing its internal caches so the memoizing caller
+    * can release them after materialization. */
+  private[graft] def s20SweepStaged(spark: SparkSession, dir: String,
+                                    assigned: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val wAssign = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"cid")
@@ -531,7 +544,7 @@ object Similarity {
       .cache()
     val exact = s01KnnBruteForce(spark, dir).filter($"rank" <= 5)
       .select($"qid", $"nid").cache()
-    Seq(1, 2, 4).map { np =>
+    val report = Seq(1, 2, 4).map { np =>
       val probes = probeRanked.filter($"rn" <= np).select($"qid", $"qe", $"cid")
       val cand = assigned.join(probes, Seq("cid")).filter($"vec_id" =!= $"qid")
         .select($"qid", $"vec_id".as("nid"), cosine($"qe", $"embedding").as("cos_sim"))
@@ -546,6 +559,7 @@ object Similarity {
           coalesce($"n_candidates", lit(0L)).as("n_candidates"),
           $"n_hit", ($"n_hit".cast("double") / lit(5.0)).as("recall_at_5"))
     }.reduce(_ unionByName _)
+    (report, Seq(probeRanked, exact))
   }
 
   /** s21: PageRank centrality over the corpus kNN graph (s14's top-3
@@ -579,13 +593,25 @@ object Similarity {
     * literals to DOUBLE — DuckDB's bare 0.85 is DECIMAL), and the
     * oracle replays both two-level folds add-for-add. */
   def s21PagerankKnn(spark: SparkSession, dir: String): DataFrame =
-      Dedup.memoDf(spark, dir, "s21:pagerank") {
+      Dedup.memoMaterialized(spark, dir, "s21:pagerank") {
+    s21PagerankKnnStaged(spark, dir)
+  }
+
+  /** [[s21PagerankKnn]]'s pipeline, exposing its per-iteration rank
+    * caches for the materializing memo (Round11Spec asserts the
+    * bucket-bounded fold shapes on this plan — the memo's checkpoint
+    * would hide them). The memoized value is node-sized (one rank row
+    * per vector); every cache below is edge- or node-sized and released
+    * once it lands. */
+  private[graft] def s21PagerankKnnStaged(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
+    val caches = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     // cached: the top-3 window over the memoized s14 assignment would
     // otherwise re-run once per iteration (each iteration's contrib
     // joins the edge list); edge-sized (≤ 3N rows)
     val edges = s14KnnGraph(spark, dir).select($"vid", $"nid").cache()
+    caches += edges
     val nodes = e.select($"vec_id")
     val degrees = nodes.join(
         edges.groupBy($"vid").agg(count(lit(1)).as("deg"))
@@ -601,6 +627,7 @@ object Similarity {
     var r = degrees.crossJoin(broadcast(nRow))
       .select($"vec_id", $"deg", (lit(1.0) / $"n").as("pr"))
       .cache()
+    caches += r
     for (_ <- 1 to 3) {
       val shares = r.filter($"deg" > 0)
         .select($"vec_id".as("u"), ($"pr" / $"deg".cast("double")).as("share"))
@@ -630,8 +657,10 @@ object Similarity {
           (lit(0.15) / $"n" +
             lit(0.85) * (coalesce($"insum", lit(0.0)) + $"dm" / $"n")).as("pr"))
         .cache()
+      caches += r
     }
-    r.select($"vec_id", $"deg".as("out_deg"), $"pr".as("pagerank"))
+    (r.select($"vec_id", $"deg".as("out_deg"), $"pr".as("pagerank")),
+      caches.toSeq)
   }
 
   /** s19: clustering-quality readout — the SIMPLIFIED silhouette
@@ -960,9 +989,21 @@ object Similarity {
     * graph build makes (edges across cell boundaries are missed; raising
     * NProbe on the probe side is the recall knob, cf. s07's readout).
     * Emits one row per (vector, rank) with the neighbor and its cosine —
-    * exact-fold cosine, so oracle-exact. */
+    * exact-fold cosine, so oracle-exact. The memoized value is the
+    * MATERIALIZED edge list (≤ 3N small rows — graph-sized, never
+    * corpus-sized), and the assignment cache is released once it lands:
+    * a memoized PLAN over the cache re-ran the Σ|cell|² join whenever
+    * the 280-entry battery's LRU churn evicted it (the r16 bench showed
+    * s14 5.6× best in both passes from exactly that). */
   def s14KnnGraph(spark: SparkSession, dir: String): DataFrame =
-      Dedup.memoDf(spark, dir, "s14:knnGraph") {
+      Dedup.memoMaterialized(spark, dir, "s14:knnGraph") {
+    s14KnnGraphStaged(spark, dir)
+  }
+
+  /** [[s14KnnGraph]]'s pipeline, exposing the cached IVF assignment for
+    * the materializing memo (PlanSpec asserts the within-cell equi-join
+    * shape on this plan — the memo's checkpoint would hide it). */
+  private[graft] def s14KnnGraphStaged(spark: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     // cache: both self-join sides read the assignment
@@ -972,8 +1013,9 @@ object Similarity {
       .select($"a.vec_id".as("vid"), $"b.vec_id".as("nid"),
         cosine($"a.embedding", $"b.embedding").as("cos_sim"))
     val w = Window.partitionBy($"vid").orderBy($"cos_sim".desc, $"nid")
-    cand.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
-      .select($"vid", $"rank", $"nid", $"cos_sim")
+    (cand.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select($"vid", $"rank", $"nid", $"cos_sim"),
+      Seq(assigned))
   }
 
   val queries: Map[String, Q] = Map(

@@ -228,8 +228,10 @@ class PlanSpec extends AnyFunSuite {
     // d24 via its staged pipeline: the registry entry memoizes the
     // MATERIALIZED result (localCheckpoint), which would hide the join
     val (d24df, d24caches) = ext.Dedup.semDedupStaged(spark, sf0001)
-    Seq(ext.Similarity.s14KnnGraph(spark, sf0001),
-        d24df).foreach { df =>
+    // s14 via its staged pipeline too — since r17 the registry entry
+    // memoizes the materialized edge list, which would hide the join
+    val (s14df, s14caches) = ext.Similarity.s14KnnGraphStaged(spark, sf0001)
+    Seq(s14df, d24df).foreach { df =>
       // typed collect: does NOT descend into InMemoryRelation, so the
       // 16-row centroid nested-loop inside the CACHED assignment build
       // is invisible — exactly the runtime view (the cache is scanned,
@@ -242,7 +244,7 @@ class PlanSpec extends AnyFunSuite {
       assert("Join \\[cid#".r.findFirstIn(p).isDefined,
         s"pairing must be an equi-join keyed on the cell id:\n$p")
     }
-    d24caches.foreach(_.unpersist())
+    (d24caches ++ s14caches).foreach(_.unpersist())
   }
 
   test("d20 keep-best on scale labels: no dictionary global sort, policy window is cluster-keyed") {

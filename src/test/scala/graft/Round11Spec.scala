@@ -290,7 +290,9 @@ class Round11Spec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val df = ext.Similarity.s21PagerankKnn(spark, sf0001)
+    // staged pipeline — since r17 the registry entry memoizes the
+    // materialized ranks, whose checkpoint would hide the folds
+    val (df, s21caches) = ext.Similarity.s21PagerankKnnStaged(spark, sf0001)
     val folds = df.queryExecution.analyzed.collect { case a: Aggregate =>
       val collects = a.aggregateExpressions.flatMap(_.collect { case c: CollectList => c })
         // only the PageRank folds: shares/ranks (level 1) or partials (level 2)
@@ -328,5 +330,6 @@ class Round11Spec extends AnyFunSuite {
     // and the result still conserves mass (sanity after the port)
     val mass = df.agg(sum($"pagerank")).as[Double].collect().head
     assert(math.abs(mass - 1.0) < 1e-9)
+    s21caches.foreach(_.unpersist())
   }
 }
