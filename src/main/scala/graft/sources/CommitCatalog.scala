@@ -77,6 +77,19 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // o43: Iceberg's metadata-table suffix — ``SELECT * FROM
+    // cat.ns.`t$files` `` (also $history / $manifests; backquoted, `$`
+    // is not a plain-identifier character). The suffix resolves the
+    // BASE table's path and serves the manifest-granular inventory.
+    val dollar = ident.name().lastIndexOf('$')
+    if (dollar > 0 &&
+        CommitMeta.Kinds.contains(ident.name().substring(dollar + 1))) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().substring(0, dollar))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new CommitMetaTable(pathFor(base).toString,
+        ident.name().substring(dollar + 1))
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     // catalog tables pin the manifest schema (no ACCEPT_ANY_SCHEMA):
     // required for UPDATE/MERGE assignment alignment — see the
@@ -91,11 +104,15 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
     * column in the manifest; deliberately out of scope). */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    // a commit number, or (o41) a TAG name resolving to its pinned
-    // version — `SELECT ... VERSION AS OF 'audit-2026'`
+    // a commit number, (o41) a TAG name resolving to its pinned version
+    // — `SELECT ... VERSION AS OF 'audit-2026'` — or (o44) a BRANCH
+    // name resolving to its current head (read-only here; writable
+    // branch access is the path surface's option("branch", ...))
     val v = try version.trim.toLong catch {
       case _: NumberFormatException =>
-        CommitSink.tagVersion(pathFor(ident), version.trim)
+        val p = pathFor(ident)
+        CommitSink.listBranches(p).get(version.trim).map(_._1)
+          .getOrElse(CommitSink.tagVersion(p, version.trim))
     }
     new CommitSinkTable(pathFor(ident).toString, acceptAnySchema = false,
       version = Some(v))
@@ -138,6 +155,10 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
             CommitSink.TruncateSpec(w, oneRef(t.arguments.toSeq)).encode).encode
         case "days" =>
           CommitSink.DaysSpec(oneRef(t.arguments.toSeq)).encode
+        case "months" =>
+          CommitSink.MonthsSpec(oneRef(t.arguments.toSeq)).encode
+        case "years" =>
+          CommitSink.YearsSpec(oneRef(t.arguments.toSeq)).encode
         case other => sys.error(
           s"graft-commit: unsupported partition transform '$other' — " +
             "identity, bucket(n, col), truncate(w, col) and days(col) only")

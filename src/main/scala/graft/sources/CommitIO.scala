@@ -89,8 +89,24 @@ private[graft] object NioCommitIO extends CommitIO {
     // staging lives under the table directory; promotes are always
     // plain files). A collision means a nonce/logic error and must
     // surface (the r15 contract spec pins this for both bindings).
-    Files.createLink(dst, src)
-    Files.deleteIfExists(src); ()
+    // A crash BETWEEN the link and the delete leaves src behind in
+    // staging with dst already live; that is abort/orphan territory —
+    // sweepStaging reclaims it by nonce, and a re-promote of the same
+    // name surfaces as FileAlreadyExistsException (correct: the promote
+    // already happened).
+    try {
+      Files.createLink(dst, src)
+      Files.deleteIfExists(src); ()
+    } catch { case _: UnsupportedOperationException =>
+      // filesystems without hard links (some overlay/NFS/bind mounts):
+      // fall back to exists-check + ATOMIC_MOVE — the residual TOCTOU is
+      // benign because staged names carry a per-write nonce, so no two
+      // writers ever promote the same name (the Hadoop binding makes the
+      // identical argument for its rename contract)
+      if (Files.exists(dst))
+        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE); ()
+    }
   }
   override def exists(p: Path): Boolean = Files.exists(p)
   override def isDirectory(p: Path): Boolean = Files.isDirectory(p)

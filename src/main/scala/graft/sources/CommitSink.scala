@@ -77,7 +77,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CommitSink {
   val NAME = "graft-commit"
-  private val MANIFEST = "_MANIFEST.json"
+  private[sources] val MANIFEST = "_MANIFEST.json"
   private val STAGING = "_staging"
 
   /** The storage binding (r14 IO seam): every staged-file, vector,
@@ -299,10 +299,43 @@ object CommitSink {
       dt == DateType || dt == TimestampType || dt == TimestampNTZType
     override def sourceRule: String = "DATE or TIMESTAMP"
   }
+  /** Iceberg's months transform (o45): key = months since 1970-01
+    * (`(year-1970)*12 + month-1` — the spec's ordinal, so hash parity
+    * with Iceberg's partition values holds). Monotone, like days. */
+  private[graft] final case class MonthsSpec(sourceCol: String) extends PartSpec {
+    def encode: String = s"months($sourceCol)"
+    def keyOf(raw: Long, dt: DataType): Long = {
+      val epochDay = dt match {
+        case DateType => raw
+        case _ => Math.floorDiv(raw, 86400000000L)
+      }
+      val d = java.time.LocalDate.ofEpochDay(epochDay)
+      (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+    }
+    override def sourceOk(dt: DataType): Boolean =
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType
+    override def sourceRule: String = "DATE or TIMESTAMP"
+  }
+  /** Iceberg's years transform (o45): key = years since 1970. */
+  private[graft] final case class YearsSpec(sourceCol: String) extends PartSpec {
+    def encode: String = s"years($sourceCol)"
+    def keyOf(raw: Long, dt: DataType): Long = {
+      val epochDay = dt match {
+        case DateType => raw
+        case _ => Math.floorDiv(raw, 86400000000L)
+      }
+      (java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970).toLong
+    }
+    override def sourceOk(dt: DataType): Boolean =
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType
+    override def sourceRule: String = "DATE or TIMESTAMP"
+  }
   private[graft] object PartSpec {
     private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
     private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
     private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+    private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
+    private val YearsRe = """years\(\s*([A-Za-z0-9_]+)\s*\)""".r
     def parse(s: String): PartSpec = s.trim match {
       case BucketRe(n, c) =>
         require(n.toLong >= 1 && n.toLong <= 1000000,
@@ -313,11 +346,80 @@ object CommitSink {
           s"graft-commit: truncate(w, col) needs w >= 1, got $w")
         TruncateSpec(w.toLong, c)
       case DaysRe(c) => DaysSpec(c)
+      case MonthsRe(c) => MonthsSpec(c)
+      case YearsRe(c) => YearsSpec(c)
       case c =>
         require(c.matches("[A-Za-z0-9_]+"),
           s"graft-commit: partition spec '$c' is neither a plain column " +
-            "name nor bucket(n, col) / truncate(w, col) / days(col)")
+            "name nor bucket(n, col) / truncate(w, col) / days(col) / " +
+            "months(col) / years(col)")
         IdentitySpec(c)
+    }
+  }
+
+  /** Synthetic column name carrying a GROUP manifest's partition-key
+    * range in its summary stat (o45): `min(pk)..max(pk)` over the
+    * group's files, recorded only when every file has a key. What lets
+    * a temporal/range predicate prune whole group manifests by KEY
+    * PROJECTION alone — no zone-map column needed in the summary. */
+  private[graft] val GROUP_PK = "_graft_pk"
+
+  /** o45: PREDICATE PROJECTION onto the partition spec — translate a
+    * pushed filter on the transform's SOURCE column into a conservative
+    * closed key interval `[lo, hi]` (Iceberg's Projections.inclusive).
+    * Monotone transforms (identity / truncate / days / months / years)
+    * project point AND range shapes: `keyOf` is non-decreasing, so
+    * `v > x ⇒ key(v) >= key(x)` and `v < x ⇒ key(v) <= key(x)`. Bucket
+    * projects equality/IN only — as the id interval here (conservative;
+    * [[CommitScan]] keeps its exact per-value test), never ranges (the
+    * hash destroys order). None = no projection: the filter never
+    * prunes on the key, the residual evaluation still applies it. */
+  private[graft] def keyIntervalOf(spec: PartSpec,
+      flt: org.apache.spark.sql.sources.Filter): Option[(Long, Long)] = {
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    def raw(v: Any): Option[(Long, DataType)] = v match {
+      case l: Long => Some((l, LongType))
+      case i: Int => Some((i.toLong, IntegerType))
+      case s: Short => Some((s.toLong, IntegerType))
+      case b: Byte => Some((b.toLong, IntegerType))
+      case d: java.sql.Date => Some((d.toLocalDate.toEpochDay, DateType))
+      case d: java.time.LocalDate => Some((d.toEpochDay, DateType))
+      case t: java.sql.Timestamp =>
+        Some((DateTimeUtils.fromJavaTimestamp(t), TimestampType))
+      case i: java.time.Instant =>
+        Some((DateTimeUtils.instantToMicros(i), TimestampType))
+      case l: java.time.LocalDateTime =>
+        Some((DateTimeUtils.localDateTimeToMicros(l), TimestampNTZType))
+      case _ => None
+    }
+    def key(v: Any): Option[Long] = raw(v).map { case (r, dt) => spec.keyOf(r, dt) }
+    val monotone = spec match {
+      case _: BucketSpec => false
+      case _ => true
+    }
+    flt match {
+      case EqualTo(c, v) if c == spec.sourceCol => key(v).map(k => (k, k))
+      case In(c, vs) if c == spec.sourceCol && vs.nonEmpty =>
+        val ks = vs.toSeq.map(key)
+        if (ks.exists(_.isEmpty)) None
+        else Some((ks.flatten.min, ks.flatten.max))
+      case GreaterThan(c, v) if monotone && c == spec.sourceCol =>
+        key(v).map(k => (k, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) if monotone && c == spec.sourceCol =>
+        key(v).map(k => (k, Long.MaxValue))
+      case LessThan(c, v) if monotone && c == spec.sourceCol =>
+        key(v).map(k => (Long.MinValue, k))
+      case LessThanOrEqual(c, v) if monotone && c == spec.sourceCol =>
+        key(v).map(k => (Long.MinValue, k))
+      case And(a, b) =>
+        (keyIntervalOf(spec, a), keyIntervalOf(spec, b)) match {
+          case (Some((l1, h1)), Some((l2, h2))) =>
+            Some((math.max(l1, l2), math.min(h1, h2)))
+          case (x, None) => x
+          case (None, y) => y
+        }
+      case _ => None
     }
   }
 
@@ -887,14 +989,17 @@ object CommitSink {
         s"not supported; cluster ${m.partCol.get}-partitioned $dir with " +
         "sort columns instead")
     // identity: the key is constant within a file, so sorting on it is a
-    // spec error. Bucket: the SOURCE column is a legitimate sort key —
-    // a bucket holds many key values in hash order, and ordering by the
-    // key within each bucket is exactly what makes key ranges prunable.
+    // spec error. Bucket/truncate/days: the SOURCE column is a
+    // legitimate sort key — a bucket holds many key values in hash
+    // order, a band/day holds its whole raw-value range, and ordering
+    // by the key within each group is exactly what makes key ranges
+    // prunable (pre-r17 this match was Identity/Bucket-only and a
+    // truncate/days layout hit a MatchError instead of compacting).
     m.partCol.map(PartSpec.parse).foreach {
       case IdentitySpec(pc) => require(!cols.contains(pc),
         s"graft-commit: '$pc' is the partition column — every file already " +
           "holds one key; name the SECONDARY sort column(s)")
-      case _: BucketSpec => ()
+      case _ => ()
     }
     only.foreach(s => require(s.subsetOf(m.files.toSet),
       s"graft-commit: unknown files selected: ${(s -- m.files).mkString(",")}"))
@@ -927,6 +1032,8 @@ object CommitSink {
           // every transformed key contiguous (and sub-sorted)
           case TruncateSpec(_, c) => col(c)
           case DaysSpec(c) => col(c)
+          case MonthsSpec(c) => col(c)
+          case YearsSpec(c) => col(c)
         }
         df.repartitionByRange(numFiles, pcExpr +: cols.map(col): _*)
           .sortWithinPartitions(pcExpr +: cols.map(col): _*)
@@ -1424,10 +1531,17 @@ object CommitSink {
     // on existence: a pre-versioning current manifest has no version
     // file, but its files are still protected via the union below) —
     // nor any TAGGED version (o41: tags are retention roots, Iceberg's
-    // ref-aware expiry)
-    val tagged = listTags(d).values.toSet
-    val keep = (versions.takeRight(keepLast) ++ versions.filter(_ == current)
-      ++ versions.filter(tagged.contains)).distinct
+    // ref-aware expiry), nor a BRANCH HEAD (o44: a branch is a live
+    // writable lineage — its head must stay readable until the branch
+    // is published or dropped), nor an OPEN STAGE (o41: the audit copy)
+    val refRoots = listTags(d).values.toSet ++
+      listBranches(d).values.map(_._1) ++ listStaged(d)
+    // keepLast counts MAIN history: branch versions (the high range) are
+    // protected only while a ref points at them — a pile of abandoned
+    // branch versions must not shield main's tail from expiry
+    val mainVersions = versions.filter(_ < BRANCH_BASE)
+    val keep = (mainVersions.takeRight(keepLast) ++ versions.filter(_ == current)
+      ++ versions.filter(refRoots.contains)).distinct
     val drop = versions.filterNot(keep.contains)
     val live: Set[String] =
       keep.flatMap(v => manifestRefs(parseManifestVersion(d, v))).toSet ++
@@ -1474,23 +1588,151 @@ object CommitSink {
       .split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
   }
 
+  /** Named BRANCHES over the version ledger (o44, Iceberg's writable
+    * refs): `name → (head version, base version)`. A branch is a
+    * WRITABLE pointer — commits with `option("branch", name)` advance
+    * the head (main's `_MANIFEST.json` untouched) — plus a RETENTION
+    * ROOT like a tag. `base` is main's commit at creation (or at the
+    * last fast-forward publish): the divergence witness — publish
+    * fast-forwards main to the head iff main still sits at base. */
+  private[graft] def listBranches(dir: Path): Map[String, (Long, Long)] = {
+    val rf = dir.resolve(REFS)
+    if (!io.exists(rf)) Map.empty
+    else "\"branches\":\\[([^\\]]*)\\]".r.findFirstMatchIn(io.readString(rf))
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map { e =>
+        val p = e.split("\\|")
+        p(0) -> (p(1).toLong, p(2).toLong)
+      }.toMap
+  }
+
   private def writeRefs(dir: Path, tags: Map[String, Long],
-                        staged: Set[Long]): Unit = {
+                        staged: Set[Long],
+                        branches: Map[String, (Long, Long)]): Unit = {
     val body = s"""{"tags":[${tags.toSeq.sortBy(_._1)
       .map { case (n, v) => s""""$n|$v"""" }.mkString(",")}],""" +
-      s""""staged":[${staged.toSeq.sorted.mkString(",")}]}"""
+      s""""staged":[${staged.toSeq.sorted.mkString(",")}],""" +
+      s""""branches":[${branches.toSeq.sortBy(_._1)
+        .map { case (n, (h, b)) => s""""$n|$h|$b"""" }.mkString(",")}]}"""
     val tmp = dir.resolve(REFS + ".tmp")
     io.writeString(tmp, body)
     io.atomicReplace(tmp, dir.resolve(REFS))
   }
 
   private def writeTags(dir: Path, tags: Map[String, Long]): Unit =
-    writeRefs(dir, tags, listStaged(dir))
+    writeRefs(dir, tags, listStaged(dir), listBranches(dir))
 
   /** Register/unregister a staged version — callers hold the commit lock. */
   private def setStaged(dir: Path, v: Long, on: Boolean): Unit = {
     val cur = listStaged(dir)
-    writeRefs(dir, listTags(dir), if (on) cur + v else cur - v)
+    writeRefs(dir, listTags(dir), if (on) cur + v else cur - v,
+      listBranches(dir))
+  }
+
+  /** Create branch `name` forking from `fromVersion` (which must exist;
+    * main's current commit is the usual fork point). The branch head
+    * starts at the fork, and `base` records it as the divergence
+    * witness for [[publishBranch]]. Names share the tag grammar and
+    * must not collide with tags (one `FOR VERSION AS OF`-style
+    * namespace, like Iceberg refs). */
+  def createBranch(dir: String, name: String, fromVersion: Long): Unit = {
+    val d = Paths.get(dir)
+    require(name.matches("[A-Za-z0-9_.-]+"),
+      s"graft-commit: branch name '$name' must match [A-Za-z0-9_.-]+")
+    require(io.exists(d.resolve(versionFile(fromVersion))),
+      s"graft-commit: cannot branch from version $fromVersion at $dir — no " +
+        s"such version (have: ${listVersions(d).mkString(", ")})")
+    lockFor(d).synchronized {
+      val branches = listBranches(d)
+      require(!branches.contains(name) && !listTags(d).contains(name),
+        s"graft-commit: ref '$name' already exists at $dir — branch and " +
+          "tag names share one namespace and never silently move")
+      writeRefs(d, listTags(d), listStaged(d),
+        branches + (name -> (fromVersion, fromVersion)))
+    }
+  }
+
+  /** The branch's current head version; loud on an unknown name. */
+  private[graft] def branchHead(dir: Path, name: String): Long =
+    listBranches(dir).getOrElse(name, sys.error(
+      s"graft-commit: no branch '$name' at $dir (have: " +
+        s"${listBranches(dir).keys.toSeq.sorted.mkString(", ")})"))._1
+
+  /** Advance branch `name` head `from → to` — the branch commit's CAS,
+    * called by [[writeManifest]] under the commit lock after the new
+    * version file landed. */
+  private def advanceBranch(dir: Path, name: String, from: Long, to: Long): Unit = {
+    val branches = listBranches(dir)
+    val (head, base) = branches.getOrElse(name, sys.error(
+      s"graft-commit: no branch '$name' at $dir"))
+    if (head != from) throw new ConcurrentCommitException(
+      s"graft-commit: concurrent writer on branch '$name' at $dir — head is " +
+        s"$head but this writer planned on top of $from")
+    writeRefs(dir, listTags(dir), listStaged(dir),
+      branches + (name -> (to, base)))
+  }
+
+  /** Drop branch `name`: its head stops being a retention root (versions
+    * only it pinned become expirable — the data files stay until
+    * [[expireVersions]] reclaims them). */
+  def dropBranch(dir: String, name: String): Boolean = {
+    val d = Paths.get(dir)
+    lockFor(d).synchronized {
+      val branches = listBranches(d)
+      if (!branches.contains(name)) false
+      else {
+        writeRefs(d, listTags(d), listStaged(d), branches - name)
+        true
+      }
+    }
+  }
+
+  /** PUBLISH a branch: re-land the branch head's CONTENT as main's next
+    * contiguous commit. Fast-forward ONLY: refuses when main moved past
+    * the branch's base — a commit landed on main after the fork, so the
+    * branch's content was planned against a stale snapshot and a forced
+    * publish would silently drop the concurrent commit's files (the
+    * truncate bug in ref clothing). Recovery is re-branching from the
+    * new main and replaying, never a force.
+    *
+    * The publish is a real [[writeManifest]] commit (not a raw swap):
+    * main's ledger stays contiguous from 0 — the change feed's
+    * per-commit walk and the changelog's `v <= current` admission never
+    * meet a high-range branch id — and the branch-landed files' add
+    * sequences are rewritten to the PUBLISH commit (they join main's
+    * eq-delete ordering here; their branch-range seqs would otherwise
+    * sit above every future upsert and never be covered). The branch
+    * stays, re-based at the published main commit; its old high-range
+    * versions become ordinary expirable history. */
+  def publishBranch(dir: String, name: String): Unit = {
+    val d = Paths.get(dir)
+    lockFor(d).synchronized {
+      val branches = listBranches(d)
+      val (head, base) = branches.getOrElse(name, sys.error(
+        s"graft-commit: no branch '$name' at $dir (have: " +
+          s"${branches.keys.toSeq.sorted.mkString(", ")})"))
+      val cur = currentCommit(d)
+      if (cur != base) throw new ConcurrentCommitException(
+        s"graft-commit: cannot fast-forward $dir to branch '$name' (head " +
+          s"$head) — main is at $cur but the branch forked from $base; a " +
+          "commit landed on main after the fork. Re-branch from the new " +
+          "main and replay (a forced publish would drop main's commit)")
+      val published =
+        if (head == base) head // an unadvanced branch publishes as a no-op
+        else {
+          val bm = parseManifestVersion(d, head)
+          writeManifest(d, bm.ddl, bm.files, cur + 1, bm.epochs,
+            expectedPrev = cur, partCol = bm.partCol, stats = bm.stats,
+            tableId = bm.tableId, payload = bm.payload, deletes = bm.deletes,
+            fileSeq = bm.fileSeq.map { case (f, s) =>
+              f -> (if (s >= BRANCH_BASE) cur + 1 else s) },
+            eqDeletes = bm.eqDeletes, blooms = bm.blooms)
+          cur + 1
+        }
+      writeRefs(d, listTags(d), listStaged(d),
+        listBranches(d) + (name -> (published, published)))
+    }
   }
 
   /** Create tag `name` → `version`. The version must exist (committed or
@@ -1507,6 +1749,11 @@ object CommitSink {
       require(!tags.contains(name),
         s"graft-commit: tag '$name' already exists (→ ${tags(name)}); " +
           "drop it first — tags never silently move")
+      // tags and branches share one namespace (o44): VERSION AS OF
+      // resolves either by name, so a collision would be ambiguous
+      require(!listBranches(d).contains(name),
+        s"graft-commit: '$name' is a BRANCH at $dir — tag and branch " +
+          "names share one namespace")
       writeTags(d, tags + (name -> version))
     }
   }
@@ -1848,7 +2095,7 @@ object CommitSink {
   /** Root-only parse: for a two-level manifest, header fields + group
     * refs without loading one per-file entry (the planner's entry
     * point); identical to [[parseManifest]] on single-level tables. */
-  private[sources] def parseManifestRoot(dir: Path): Option[Manifest] = {
+  private[graft] def parseManifestRoot(dir: Path): Option[Manifest] = {
     val mf = dir.resolve(MANIFEST)
     if (!CommitSink.io.exists(mf)) None
     else Some(parseManifestText(CommitSink.io.readString(mf), mf.toString))
@@ -1874,6 +2121,21 @@ object CommitSink {
       .flatMap(n => "_MANIFEST-v(-?[0-9]+)\\.json".r
         .findFirstMatchIn(n).map(_.group(1).toLong))
       .sorted
+
+  /** Branch commits live in a DISJOINT id range (o44): main's lineage
+    * stays contiguous from 0 (what the change feed's per-commit walk,
+    * the changelog's admission filter `v <= current`, and
+    * [[publishStaged]]'s `version - 1` fast-forward all rely on), while
+    * branch versions take ids ≥ 1e9 — main's `prev + 1` can never
+    * collide with a branch's version file. Publish re-lands the branch
+    * head AS a main commit (see [[publishBranch]]), so the main ledger
+    * never contains a high-range id. */
+  private[graft] val BRANCH_BASE = 1000000000L
+
+  /** The next unused id in the branch range. */
+  private[sources] def nextBranchVersionId(dir: Path): Long =
+    ((listVersions(dir).filter(_ >= BRANCH_BASE) :+ (BRANCH_BASE - 1)) ++
+      listBranches(dir).values.map(_._1).filter(_ >= BRANCH_BASE)).max + 1
 
   /** Column-wise schema equivalence for the append guard: names + types,
     * ignoring nullability and metadata — a nullable `id BIGINT` appends
@@ -1954,17 +2216,42 @@ object CommitSink {
                                        * fast-forwards to it. The staged
                                        * version is auditable via the
                                        * ordinary versionAsOf read. */
-                                     stageOnly: Boolean = false): Unit =
+                                     stageOnly: Boolean = false,
+                                     /** BRANCH commit (o44): CAS against
+                                       * the branch head instead of main,
+                                       * land the version file, advance
+                                       * the branch pointer — main's
+                                       * `_MANIFEST.json` is untouched. */
+                                     branch: Option[String] = None): Unit =
     lockFor(dir).synchronized {
+      require(branch.isEmpty || !stageOnly,
+        "graft-commit: a write cannot target a branch AND stage (WAP " +
+          "stages are main-lineage audit copies; branches have their own)")
       // check + swap under the per-path lock: two same-JVM writers can
       // never both pass the check (the object-store analog is a
       // conditional put on the manifest key)
-      if (expectedPrev != SKIP_CAS) {
+      if (expectedPrev != SKIP_CAS && branch.isEmpty) {
         val cur = currentCommit(dir)
         if (cur != expectedPrev) throw new ConcurrentCommitException(
           s"graft-commit: concurrent writer detected at $dir — manifest is at " +
             s"commit $cur but this writer planned commit $commitId on top of " +
             s"$expectedPrev; aborting instead of silently dropping its files")
+      }
+      branch.foreach { b =>
+        // branch CAS half 1: the head must still be the planning head
+        // (advanceBranch re-checks before the pointer moves — half 2)
+        val head = branchHead(dir, b)
+        if (expectedPrev != SKIP_CAS && head != expectedPrev)
+          throw new ConcurrentCommitException(
+            s"graft-commit: concurrent writer on branch '$b' at $dir — head " +
+              s"is $head but this writer planned commit $commitId on top of " +
+              s"$expectedPrev")
+        // version ids are GLOBAL across main/stages/branches: the
+        // version-file existence check is the id CAS (same as stageOnly)
+        if (io.exists(dir.resolve(versionFile(commitId))))
+          throw new ConcurrentCommitException(
+            s"graft-commit: version $commitId already exists at $dir — a " +
+              s"concurrent writer landed it first (branch '$b' commit)")
       }
       // two staged writers compute the same next id and neither swaps —
       // the version-file existence check is their CAS
@@ -1981,7 +2268,12 @@ object CommitSink {
           listStaged(dir).contains(commitId))
         throw new ConcurrentCommitException(
           s"graft-commit: version $commitId at $dir is an OPEN STAGE " +
-            "(write-audit-publish) — publish or drop it before committing")
+            "(write-audit-publish) — ordinary commits are held until the " +
+            "audit pipeline decides. Recovery: publish it with " +
+            s"CommitSink.publishStaged(\"$dir\", $commitId) or discard it " +
+            s"with CommitSink.dropStagedVersion(\"$dir\", $commitId); a " +
+            "crashed/forgotten audit run is the usual cause of seeing this " +
+            "repeatedly")
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
       // the four per-file entry arrays over one file slice: stats,
       // vectors (listed files only — a dropped/rewritten file's vector
@@ -2015,7 +2307,12 @@ object CommitSink {
       val groupSize = Integer.getInteger("graft.manifest.group.size", 4096).intValue
       require(groupSize >= 1, s"graft.manifest.group.size must be >= 1, got $groupSize")
       val writtenGroups = scala.collection.mutable.ArrayBuffer.empty[String]
-      val body = if (sortedFiles.size <= groupSize) {
+      // group files are written DURING body construction (the refs map),
+      // so an I/O failure midway (disk full, permission flip) must sweep
+      // the ones already landed here, in the same scope — they are named
+      // _MANIFEST-g* (removeOrphanFiles only sweeps part-*) and no
+      // version references them, so nothing else would ever reclaim them
+      val body = try { if (sortedFiles.size <= groupSize) {
         // SINGLE-LEVEL: per-file entries inline (small tables — the
         // overwhelmingly common case, byte-identical to the r15 format)
         val (statsBody, dvFiles, seqBody, bloomBody) = entriesOf(sortedFiles)
@@ -2067,7 +2364,14 @@ object CommitSink {
                   case _ => None
                 }
               }.toMap
-              FileStat(ds.map(_.rows).sum, ds.map(_.bytes).sum, None, cols)
+              // o45: the group's partition-key span (when every file has
+              // one) — what key-projected predicates prune groups by
+              val pks = ds.flatMap(_.pk)
+              val colsPk = if (pks.size == ds.size && pks.nonEmpty)
+                cols + (GROUP_PK -> ColRange('l',
+                  pks.min.toString, pks.max.toString))
+              else cols
+              FileStat(ds.map(_.rows).sum, ds.map(_.bytes).sum, None, colsPk)
             }
           s""""$name|${gf.size}|${gStat.encode}""""
         }.toSeq
@@ -2077,6 +2381,9 @@ object CommitSink {
           s""""groups":[${refs.mkString(",")}],""" +
           s""""schema":"${esc(ddl)}",""" +
           s""""files":[],"filestats":[]}"""
+      } } catch { case e: Throwable =>
+        writtenGroups.foreach(n => io.deleteIfExists(dir.resolve(n)))
+        throw e
       }
       // the immutable per-version copy lands BEFORE the swap: any manifest a
       // reader can see as current always has its time-travel twin (a crash
@@ -2086,7 +2393,12 @@ object CommitSink {
         // staged (o41): the version is auditable but not current — no
         // swap; register the open stage so ordinary writers refuse its id
         if (stageOnly) setStaged(dir, commitId, on = true)
-        if (!stageOnly) {
+        // branch (o44): the version file IS the content; the commit is
+        // the branch-pointer advance (its own CAS) — main never moves
+        branch.foreach(b => advanceBranch(dir, b,
+          if (expectedPrev == SKIP_CAS) branchHead(dir, b) else expectedPrev,
+          commitId))
+        if (!stageOnly && branch.isEmpty) {
           val tmp = dir.resolve(MANIFEST + ".tmp")
           io.writeString(tmp, body)
           // the atomic swap IS the commit: readers either see the old
@@ -2306,15 +2618,34 @@ class CommitSinkProvider extends TableProvider
     options.asScala.exists {
       case (k, v) => k.equalsIgnoreCase("readChangeFeed") && v.trim.toBoolean
     }
+  // o43: metadata inspection tables — option("metaTable", "files" |
+  // "history" | "manifests") turns the read into the manifest-granular
+  // inventory surface (composes with versionAsOf/tagAsOf above)
+  private def metaOf(options: util.Map[String, String]): Option[String] =
+    options.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("metaTable") => v.trim.toLowerCase
+    }
+  // o44: branch binding — reads follow the head, batch writes advance it
+  private def branchOf(options: util.Map[String, String]): Option[String] =
+    options.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("branch") => v.trim
+    }.filter(_.nonEmpty)
   // reads resolve against the committed manifest's schema (also what
   // `spark.read.format("graft-commit")` binds to); a never-written
   // target is empty — the write path accepts the incoming query's
   // schema regardless (ACCEPT_ANY_SCHEMA) and records it in the manifest
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    metaOf(options) match {
+      case Some(kind) => CommitMeta.schemaOf(kind)
+      case None => inferDataSchema(options)
+    }
+  private def inferDataSchema(options: CaseInsensitiveStringMap): StructType = {
     val base = Option(options.get("path"))
       .flatMap { p =>
-        versionOf(options).map(v =>
-            Some(CommitSink.parseManifestVersion(Paths.get(p), v)))
+        versionOf(options)
+          .orElse(branchOf(options).map(b =>
+            CommitSink.branchHead(Paths.get(p), b)))
+          .map(v => Some(CommitSink.parseManifestVersion(Paths.get(p), v)))
           .getOrElse(CommitSink.parseManifest(Paths.get(p)))
       }
       .map(m => StructType.fromDDL(m.ddl))
@@ -2323,11 +2654,25 @@ class CommitSinkProvider extends TableProvider
   }
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new CommitSinkTable(Option(properties.get("path"))
-      .getOrElse(sys.error("graft-commit: option 'path' is required")),
-      version = versionOf(properties),
-      changeFeed = cdfOf(properties))
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path"))
+      .getOrElse(sys.error("graft-commit: option 'path' is required"))
+    metaOf(properties) match {
+      case Some(kind) =>
+        // metaTable composes with versionAsOf/tagAsOf AND branch: the
+        // inventory of a past version or of a branch head
+        new CommitMetaTable(path, kind, version = versionOf(properties)
+          .orElse(branchOf(properties).map(b =>
+            CommitSink.branchHead(Paths.get(path), b))))
+      case None =>
+        val branch = branchOf(properties)
+        require(branch.isEmpty || versionOf(properties).isEmpty,
+          "graft-commit: branch and versionAsOf/tagAsOf are mutually " +
+            "exclusive — a branch read already follows the branch head")
+        new CommitSinkTable(path, version = versionOf(properties),
+          changeFeed = cdfOf(properties), branch = branch)
+    }
+  }
 }
 
 class CommitSinkTable(path: String,
@@ -2351,7 +2696,14 @@ class CommitSinkTable(path: String,
                         * reads as its change rows (+ _change_type /
                         * _commit_version), batch and streaming; every
                         * write/DML surface is withdrawn. */
-                      changeFeed: Boolean = false) extends Table
+                      changeFeed: Boolean = false,
+                      /** BRANCH binding (o44, `option("branch", n)`):
+                        * reads resolve the branch HEAD (fresh per scan
+                        * build — a branch is a live lineage, unlike a
+                        * version pin) and batch writes advance it; DML,
+                        * streaming, and the change feed stay
+                        * main-lineage. */
+                      branch: Option[String] = None) extends Table
     with SupportsWrite
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -2404,8 +2756,13 @@ class CommitSinkTable(path: String,
     * row-level-operation path needs real columns to resolve against);
     * empty for a never-written target (the write-only provider path —
     * ACCEPT_ANY_SCHEMA makes the incoming query's schema bind). */
+  /** The branch head resolved NOW — a branch read binds to the head as
+    * of plan/scan time, never a stale pin. */
+  private def branchVersion: Option[Long] =
+    branch.map(b => CommitSink.branchHead(Paths.get(path), b))
+
   override def schema(): StructType = {
-    val base = version match {
+    val base = version.orElse(branchVersion) match {
       case Some(v) =>
         StructType.fromDDL(CommitSink.parseManifestVersion(Paths.get(path), v).ddl)
       case None =>
@@ -2433,6 +2790,10 @@ class CommitSinkTable(path: String,
             org.apache.spark.sql.connector.expressions.Expressions.column(c))
         case CommitSink.DaysSpec(c) =>
           org.apache.spark.sql.connector.expressions.Expressions.days(c)
+        case CommitSink.MonthsSpec(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.months(c)
+        case CommitSink.YearsSpec(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.years(c)
       }).toArray
 
   override def capabilities(): util.Set[TableCapability] = {
@@ -2444,6 +2805,15 @@ class CommitSinkTable(path: String,
         TableCapability.MICRO_BATCH_READ)
     }
     if (version.isDefined) return util.EnumSet.of(TableCapability.BATCH_READ)
+    if (branch.isDefined) {
+      // a branch is read-write but BATCH-only: streams and the change
+      // feed follow main's lineage (CommitWriteBuilder enforces the
+      // write shapes)
+      val caps = util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+      return caps
+    }
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
@@ -2478,7 +2848,7 @@ class CommitSinkTable(path: String,
             s"graft-commit: option $key must be a version number, got '$v'")
         }
       }
-    new CommitScanBuilder(path, version,
+    new CommitScanBuilder(path, version.orElse(branchVersion),
       maxCommitsPerTrigger =
         Option(options.get("maxCommitsPerTrigger")).map { v =>
           val n = try v.trim.toInt catch {
@@ -2505,6 +2875,10 @@ class CommitSinkTable(path: String,
       s"graft-commit: version-pinned table ${name()} is read-only")
     require(!changeFeed,
       s"graft-commit: a change-feed read of ${name()} is read-only")
+    require(branch.isEmpty,
+      s"graft-commit: row-level DML on a branch binding of ${name()} is " +
+        "unsupported — it would plan against main; append/truncate the " +
+        "branch, or publish it first")
     () => {
       // o28: `spark.graft.commit.rowLevelMode=merge-on-read` selects the
       // DELTA-based operation (deletion vectors + appended files) for
@@ -2581,7 +2955,7 @@ class CommitSinkTable(path: String,
   }
 
   override def canDeleteWhere(filters: Array[sf.Filter]): Boolean =
-    version.isEmpty && !changeFeed &&
+    version.isEmpty && !changeFeed && branch.isEmpty &&
       filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sf.Filter]): Unit = {
@@ -2686,11 +3060,17 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       // the table's recorded layout (and with it the declared
       // clustering+sort), or the first insert into a CREATE TABLE
       // PARTITIONED BY table would land unpartitioned files and wipe
-      // the spec. Path writes and truncates keep the old rule: the
-      // option decides (LakeSpec o16 pins the un-optioned-append
-      // refusal on the path surface).
-      .orElse(if (inheritLayout && !doTruncateFlag)
-                CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
+      // the spec. TRUNCATES inherit too (r17): a catalog table's
+      // partition spec is table METADATA, not a per-write choice —
+      // Iceberg keeps the spec across INSERT OVERWRITE — so an
+      // un-optioned SQL overwrite of a PARTITIONED BY table must not
+      // silently commit partCol=None and wipe SPJ/point-prune
+      // guarantees for every later insert; changing the layout goes
+      // through an explicit DataFrame `option("partitionBy", ...)`
+      // overwrite (which wins above) or a table re-create. Path writes
+      // keep the old rule: the option decides (LakeSpec o16 pins the
+      // un-optioned-append refusal on the path surface).
+      .orElse(if (inheritLayout) planningManifest.flatMap(_.partCol)
               else None)
       // canonical encoding: layout compatibility is a string compare
       // (commitAppend's mismatch refusal), so "bucket( 8 , k )" and
@@ -2716,7 +3096,7 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     opt.foreach(p => require(p == "json" || p == "parquet",
       s"graft-commit: option payload must be 'json' or 'parquet', got '$p'"))
     effectiveRewrite.map(_.planning.payload).getOrElse {
-      CommitSink.parseManifest(Paths.get(path)) match {
+      planningManifest match {
         case Some(m) =>
           if (doTruncateFlag) opt.getOrElse(m.payload) // truncate MAY switch
           else {
@@ -2757,6 +3137,21 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     * audit passes. Append and truncate shapes only. */
   private lazy val stageOnly: Boolean =
     Option(info.options.get("stageOnly")).exists(_.toBoolean)
+
+  /** BRANCH write (o44): `option("branch", name)` plans against and
+    * commits onto the named branch's head — main's manifest never
+    * moves. Append and truncate shapes only (DML/upsert/streaming stay
+    * main-lineage; a branch workflow replays them after publish). */
+  private lazy val branch: Option[String] =
+    Option(info.options.get("branch")).map(_.trim).filter(_.nonEmpty)
+
+  /** The manifest this write plans against: the branch head when the
+    * write targets a branch, else main's current manifest. */
+  private def planningManifest: Option[CommitSink.Manifest] = branch match {
+    case Some(b) => Some(CommitSink.parseManifestVersion(Paths.get(path),
+      CommitSink.branchHead(Paths.get(path), b)))
+    case None => CommitSink.parseManifest(Paths.get(path))
+  }
 
   override def build(): Write = {
     val schema = info.schema()
@@ -2817,8 +3212,18 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     require(!stageOnly || upsertKeys.isEmpty,
       "graft-commit: stageOnly with upsertKeys is unsupported — an " +
         "equality delete's visibility must match its data files'")
+    require(branch.isEmpty || effectiveRewrite.isEmpty,
+      "graft-commit: branch writes take APPEND or TRUNCATE shapes; " +
+        "DML rewrites commit against main's planning snapshot")
+    require(branch.isEmpty || !stageOnly,
+      "graft-commit: branch and stageOnly are mutually exclusive — a " +
+        "branch IS the audit lineage (publish fast-forwards main)")
+    require(branch.isEmpty || upsertKeys.isEmpty,
+      "graft-commit: upsertKeys on a branch is unsupported — replay the " +
+        "upsert after publish (equality-delete sequencing is main-lineage)")
     val shapedByCaller = preShaped
     val staged = stageOnly
+    val branchTarget = branch
     // what the write clusters + sorts on, per spec:
     //  - identity: clustered + sorted on the key itself (o16);
     //  - bucket: clustered + sorted on bucket(n, col), resolved through
@@ -2845,6 +3250,12 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       case CommitSink.DaysSpec(c) =>
         Distributions.ordered(Array(
           Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
+      case CommitSink.MonthsSpec(c) =>
+        Distributions.ordered(Array(
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
+      case CommitSink.YearsSpec(c) =>
+        Distributions.ordered(Array(
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
     }
     def partOrdering(spec: CommitSink.PartSpec): Array[CSortOrder] = spec match {
       case CommitSink.IdentitySpec(c) =>
@@ -2854,6 +3265,10 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       case CommitSink.TruncateSpec(_, c) =>
         Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
       case CommitSink.DaysSpec(c) =>
+        Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      case CommitSink.MonthsSpec(c) =>
+        Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      case CommitSink.YearsSpec(c) =>
         Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
     }
     new Write with RequiresDistributionAndOrdering {
@@ -2867,11 +3282,14 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
         new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert,
-          stage = staged)
+          stage = staged, branch = branchTarget)
       override def toStreaming: streaming.StreamingWrite = {
         require(partCol.isEmpty,
           "graft-commit: partitionBy is a batch-write layout decision; " +
             "the streaming sink does not support it")
+        require(branchTarget.isEmpty,
+          "graft-commit: the streaming sink writes main — branch a batch " +
+            "workflow, or publish and point the stream at main")
         new CommitStreamingWrite(path, schema, pay, upsert)
       }
     }
@@ -3430,9 +3848,20 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
                        upsertKeys: Seq[String] = Seq.empty,
                        /** WAP staging (o41): land the version manifest,
                          * skip the swap — see CommitSink.publishStaged. */
-                       stage: Boolean = false)
+                       stage: Boolean = false,
+                       /** Branch commit (o44): plan against and advance
+                         * the named branch head — main never moves. */
+                       branch: Option[String] = None)
     extends BatchWrite {
   private val dir = Paths.get(path)
+
+  /** The manifest this commit composes with: the branch head for branch
+    * commits, else main's current manifest. */
+  private def planningManifest: Option[CommitSink.Manifest] = branch match {
+    case Some(b) => Some(CommitSink.parseManifestVersion(dir,
+      CommitSink.branchHead(dir, b)))
+    case None => CommitSink.parseManifest(dir)
+  }
   /** This write's identity: names its private staging subdirectory AND
     * makes its promoted file names attempt-unique. */
   private val nonce = CommitSink.writeNonce()
@@ -3568,14 +3997,18 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     * whose coordination contract is documented. */
   private def commitTruncate(newFiles: Seq[String],
                              newStats: Map[String, String]): Unit = {
-    val manifest = CommitSink.parseManifest(dir)
+    val manifest = planningManifest
     val prev = manifest.map(_.commit).getOrElse(-1L)
+    // branch commits allocate in the disjoint high range — main's
+    // prev+1 can never collide with a branch version file
+    val next = branch.fold(prev + 1)(_ => CommitSink.nextBranchVersionId(dir))
     // a truncate is a fresh content lineage: sequences restart and any
     // equality deletes die with the content they scoped (o32 default)
-    CommitSink.writeManifest(dir, schema.toDDL, newFiles, prev + 1,
+    CommitSink.writeManifest(dir, schema.toDDL, newFiles, next,
       Seq.empty, expectedPrev = prev, partCol = partCol, stats = newStats,
       tableId = CommitSink.carriedOrFreshTableId(manifest), payload = payload,
-      fileSeq = newFiles.map(_ -> (prev + 1)).toMap, stageOnly = stage)
+      fileSeq = newFiles.map(_ -> next).toMap, stageOnly = stage,
+      branch = branch)
   }
 
   /** Append: carried ∪ promoted under a CAS on the read manifest — and
@@ -3590,8 +4023,11 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     val upsertCols = upsertKeys.mkString(";")
     var attempt = 0
     while (true) {
-      val manifest = CommitSink.parseManifest(dir)
+      val manifest = planningManifest
       val prev = manifest.map(_.commit).getOrElse(-1L)
+      // branch commits allocate in the disjoint high range (the CAS
+      // stays against the branch head); main keeps contiguous prev+1
+      val next = branch.fold(prev + 1)(_ => CommitSink.nextBranchVersionId(dir))
       val carriedDdl = manifest.map(_.ddl).getOrElse(schema.toDDL)
       val carried = manifest.map(_.files).getOrElse(Seq.empty)
       // Appending under a DIFFERENT column set would re-read carried files
@@ -3619,7 +4055,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
       val stats = manifest.map(_.stats).getOrElse(Map.empty) ++ newStats
       try {
         CommitSink.writeManifest(dir, schema.toDDL, carried ++ newFiles,
-          prev + 1, manifest.map(_.epochs).getOrElse(Seq.empty),
+          next, manifest.map(_.epochs).getOrElse(Seq.empty),
           expectedPrev = prev, partCol = partCol, stats = stats,
           tableId = CommitSink.carriedOrFreshTableId(manifest),
           payload = payload,
@@ -3628,11 +4064,11 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
           // new files join at THIS commit's sequence — what scopes any
           // same-commit (or future) equality delete off them (o32)
           fileSeq = manifest.map(_.fileSeq).getOrElse(Map.empty) ++
-            newFiles.map(_ -> (prev + 1)),
+            newFiles.map(_ -> next),
           eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
-            newEq.map { case (n, k) => CommitSink.EqDelete(n, prev + 1, k, upsertCols) },
+            newEq.map { case (n, k) => CommitSink.EqDelete(n, next, k, upsertCols) },
           blooms = manifest.map(_.blooms).getOrElse(Map.empty),
-          stageOnly = stage)
+          stageOnly = stage, branch = branch)
         return
       } catch { case e: CommitSink.ConcurrentCommitException =>
         attempt += 1
@@ -4165,8 +4601,20 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
       // so do unfiltered scans (they plan everything anyway).
       val m = root match {
         case Some(r) if dmlOp.isEmpty && r.unresolvedRoot && skip.nonEmpty =>
-          CommitSink.resolveGroups(Paths.get(path), r, g =>
-            skip.forall(CommitSkip.mayMatch(_, CommitSink.FileStat.decode(g.stat))))
+          // groups prune by zone summary AND (o45) by key projection:
+          // a temporal/range predicate on the partition source column
+          // maps to a key interval tested against the group's recorded
+          // pk span — no per-column zone entry needed in the summary
+          val spec = r.partCol.map(CommitSink.PartSpec.parse)
+          CommitSink.resolveGroups(Paths.get(path), r, { g =>
+            val st = CommitSink.FileStat.decode(g.stat)
+            skip.forall(CommitSkip.mayMatch(_, st)) &&
+              spec.forall(sp => st.cols.get(CommitSink.GROUP_PK).forall { pr =>
+                skip.forall(f => CommitSink.keyIntervalOf(sp, f).forall {
+                  case (lo, hi) => pr.max.toLong >= lo && pr.min.toLong <= hi
+                })
+              })
+          })
         case _ => manifest.getOrElse(
           sys.error(s"graft-commit: no committed manifest at $path"))
       }
@@ -4381,7 +4829,13 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
               asLong(v).forall(l => spec.keyOf(l, LongType) == pk))
           case _ => true
         }
-      case _ => true // identity layouts prune through zone maps already
+      case (Some(spec), Some(pk)) =>
+        // o45: monotone transforms (identity/truncate/days/months/years)
+        // project point AND range predicates onto the recorded key —
+        // prunes without a zone-map entry for the source column
+        CommitSink.keyIntervalOf(spec, flt)
+          .forall { case (lo, hi) => pk >= lo && pk <= hi }
+      case _ => true
     }
 
   private[sources] val surviving: Seq[String] = manifest.files.filter { f =>

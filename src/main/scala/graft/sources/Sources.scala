@@ -1709,6 +1709,226 @@ object Sources {
       .withColumn("band_planned", lit(if (bandPlanned == 1L) 1L else 0L))
   }
 
+  /** o43: METADATA INSPECTION TABLES ([[CommitMeta]]) — Iceberg's
+    * `table$files`/`$history`/`$manifests` surface: the version ledger,
+    * per-file stats, and delete inventory as queryable DataFrames. The
+    * fixture lands events identity-partitioned by `k = event_id % 4`
+    * (4 one-key files), appends the `event_id % 3 = 0` subset (4 more —
+    * multiples of 3 cover every residue mod 4), with the two-level
+    * manifest forced (group size 3 → the 8-file version roots 3 group
+    * manifests). Output grain: one row per partition key from the
+    * `$files` meta — file count and summed meta rows are replayed by
+    * the oracle from raw data; the booleans pin the inventory contract
+    * (positive byte counts, add-sequences {0,1} per key, clean dv/eq
+    * inventory, a 2-version history whose totals match the data, and a
+    * root+3-group manifest fan-out). At 100 TB this surface is the
+    * daily ops read — "how many files, which versions, is compaction
+    * due" — answered from manifest-granular rows, never a data scan. */
+  def o43MetadataTables(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min, sum}
+    val out = s"/tmp/graft_o43/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), (col("event_id") % 4).as("k"),
+        col("event_type"), col("value"))
+    // force the two-level root so $manifests shows real group fan-out
+    // (scoped: property read per writeManifest call, restored in finally)
+    val prevGroup = System.getProperty("graft.manifest.group.size")
+    try {
+      System.setProperty("graft.manifest.group.size", "3")
+      ev.write.format(CommitSink.NAME).option("path", out)
+        .option("partitionBy", "k").mode("overwrite").save()
+      ev.filter(col("event_id") % 3 === 0)
+        .write.format(CommitSink.NAME).option("path", out)
+        .option("partitionBy", "k").mode("append").save()
+    } finally {
+      if (prevGroup == null) System.clearProperty("graft.manifest.group.size")
+      else System.setProperty("graft.manifest.group.size", prevGroup)
+    }
+    def meta(kind: String) = spark.read.format(CommitSink.NAME)
+      .option("path", out).option("metaTable", kind).load()
+    // ground truth for the history proof (events is cached in bench)
+    val baseRows = ev.count()
+    val subRows = ev.filter(col("event_id") % 3 === 0).count()
+    val hist = meta("history")
+      .select("version", "n_files", "total_rows", "is_staged", "is_current")
+      .collect().sortBy(_.getLong(0))
+    val historyOk = hist.length == 2 &&
+      hist(0).getLong(1) == 4 && hist(0).getLong(2) == baseRows &&
+      !hist(0).getBoolean(3) && !hist(0).getBoolean(4) &&
+      hist(1).getLong(1) == 8 && hist(1).getLong(2) == baseRows + subRows &&
+      !hist(1).getBoolean(3) && hist(1).getBoolean(4)
+    val mans = meta("manifests").collect()
+    val roots = mans.filter(_.getString(1) == "root")
+    val groups = mans.filter(_.getString(1) == "group")
+    val manifestsOk = roots.length == 1 && groups.length == 3 &&
+      roots(0).getLong(2) == 8 && groups.map(_.getLong(2)).sum == 8 &&
+      groups.map(_.getLong(3)).sum == roots(0).getLong(3) &&
+      roots(0).getLong(3) == baseRows + subRows
+    meta("files")
+      .groupBy(col("part_key"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("rows")).as("meta_rows"),
+        (min(col("bytes")) > 0).cast("long").as("bytes_positive"),
+        (countDistinct(col("seq")) === 2 &&
+          min(col("seq")) === 0 && max(col("seq")) === 1)
+          .cast("long").as("seq_ok"),
+        (max(col("dv_deleted")) === 0 && max(col("n_eq_deletes")) === 0 &&
+          max(col("n_bloom_cols")) === 0)
+          .cast("long").as("clean_inventory"))
+      .withColumn("n_versions", lit(hist.length.toLong))
+      .withColumn("history_ok", lit(if (historyOk) 1L else 0L))
+      .withColumn("manifests_ok", lit(if (manifestsOk) 1L else 0L))
+  }
+
+  /** o44: WRITABLE BRANCHES over the refs ledger ([[CommitSink
+    * .createBranch]]/[[CommitSink.publishBranch]], Iceberg's branch
+    * refs): `option("branch", name)` reads the branch HEAD and commits
+    * onto it — main's manifest never moves — and publish fast-forwards
+    * main to the head, refusing when main diverged past the fork base
+    * (a forced publish would silently drop main's commit — the same
+    * CAS argument as o41's staged publish, which this re-uses). The
+    * fixture: the even half lands on main (v0); branch `exp` forks v0
+    * and takes the odd half (v1) — main still reads the even half
+    * (isolation), the branch reads everything; publish fast-forwards
+    * main to v1; then branch `exp2` forks v1, main moves (the %3
+    * append, v2), the branch takes the %5 subset (v3), and its publish
+    * REFUSES. At 100 TB this is the experimentation workflow: land a
+    * risky backfill on a branch, validate it with the same queries
+    * (and o43's metadata tables), publish atomically or drop it — no
+    * table copy, no main downtime. */
+  def o44Branches(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val out = s"/tmp/graft_o44/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.format(CommitSink.NAME).option("path", out).mode("overwrite").save()
+    val mainRows = CommitSink.readCommitted(spark, out).count()
+    CommitSink.createBranch(out, "exp", 0L)
+    ev.filter(col("event_id") % 2 === 1)
+      .write.format(CommitSink.NAME).option("path", out)
+      .option("branch", "exp").mode("append").save()
+    val total = ev.count()
+    val mainWhileBranched = CommitSink.readCommitted(spark, out).count()
+    val branchRows = spark.read.format(CommitSink.NAME).option("path", out)
+      .option("branch", "exp").load().count()
+    // audit green: fast-forward main to the branch head
+    CommitSink.publishBranch(out, "exp")
+    val mainAfterPublish = CommitSink.readCommitted(spark, out).count()
+    // divergence: exp2 forks v1, main moves first, publish must refuse
+    CommitSink.createBranch(out, "exp2", 1L)
+    ev.filter(col("event_id") % 3 === 0)
+      .write.format(CommitSink.NAME).option("path", out).mode("append").save()
+    ev.filter(col("event_id") % 5 === 0)
+      .write.format(CommitSink.NAME).option("path", out)
+      .option("branch", "exp2").mode("append").save()
+    val refused =
+      try { CommitSink.publishBranch(out, "exp2"); false }
+      catch { case _: CommitSink.ConcurrentCommitException => true }
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("branch_isolated",
+        lit(if (mainWhileBranched == mainRows) 1L else 0L))
+      .withColumn("branch_saw_all", lit(if (branchRows == total) 1L else 0L))
+      .withColumn("publish_ff", lit(if (mainAfterPublish == total) 1L else 0L))
+      .withColumn("divergent_refused", lit(if (refused) 1L else 0L))
+  }
+
+  /** o45: YEARS/MONTHS TRANSFORMS + TEMPORAL PREDICATE PROJECTION —
+    * the rest of the Iceberg temporal family over [[CommitSink
+    * .PartSpec]] (o42 landed truncate/days): `months(o_orderdate)` and
+    * `years(o_orderdate)` lay orders out one file group per month/year
+    * (ordered distribution — both transforms are monotone), and pushed
+    * point/RANGE predicates on the source timestamp now PROJECT onto
+    * the recorded partition keys ([[CommitSink.keyIntervalOf]],
+    * Iceberg's inclusive projection) the way o40 projects equality
+    * onto bucket ids. The key-only proof is strict: a second manifest
+    * version is committed with every `o_orderdate` zone entry STRIPPED
+    * (rows/bytes/pk kept), and a one-month BETWEEN still plans exactly
+    * the month's files — pruning that can only have come from the key
+    * projection, zone maps had nothing to read. Group manifests carry
+    * a `_graft_pk` key-span summary, so at 100 TB a `ts BETWEEN` plans
+    * month GROUPS from the root alone — partition pruning before any
+    * per-file metadata is touched, the first 100× of every time-scoped
+    * query. */
+  def o45TemporalProjection(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min, month, year}
+    val out = s"/tmp/graft_o45/${new java.io.File(dir).getName}"
+    val outY = s"$out-years"
+    graft.Tables.deleteRecursively(out)
+    graft.Tables.deleteRecursively(outY)
+    val od = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderpriority"))
+    od.write.format(CommitSink.NAME).option("path", out)
+      .option("partitionBy", "months(o_orderdate)").mode("overwrite").save()
+    od.write.format(CommitSink.NAME).option("path", outY)
+      .option("partitionBy", "years(o_orderdate)").mode("overwrite").save()
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    def monthOrd(micros: Long): Long = {
+      val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(micros, 86400000000L))
+      (d.getYear - 1970).toLong * 12 + (d.getMonthValue - 1)
+    }
+    // every file records its month, and its date range sits inside it
+    val oneMonthPerFile = m.files.nonEmpty && m.files.forall { f =>
+      val st = CommitSink.FileStat.decode(m.stats(f))
+      st.pk.isDefined && st.cols.get("o_orderdate").forall { r =>
+        monthOrd(r.min.toLong) == st.pk.get && monthOrd(r.max.toLong) == st.pk.get
+      }
+    }
+    val march97 = 27L * 12 + 2 // months(1997-03) — Iceberg's ordinal
+    val marchFiles = m.files.count(f =>
+      CommitSink.FileStat.decode(m.stats(f)).pk.contains(march97))
+    val lo = java.time.LocalDateTime.of(1997, 3, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 3, 31, 23, 59, 59)
+    def probe(path: String) = plannedFiles(
+      spark.read.format(CommitSink.NAME).option("path", path).load()
+        .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi)))
+    val monthPlanned = probe(out) == marchFiles && marchFiles >= 1
+    // the STRICT proof: strip every o_orderdate zone entry (keep
+    // rows/bytes/pk) and commit it as the next version — the re-probe
+    // can only prune through the key projection
+    val stripped = m.stats.map { case (f, e) =>
+      val st = CommitSink.FileStat.decode(e)
+      f -> st.copy(cols = st.cols - "o_orderdate").encode
+    }
+    CommitSink.writeManifest(java.nio.file.Paths.get(out), m.ddl, m.files,
+      m.commit + 1, m.epochs, expectedPrev = m.commit, partCol = m.partCol,
+      stats = stripped, tableId = m.tableId, payload = m.payload,
+      fileSeq = m.fileSeq)
+    val keyOnlyPlanned = probe(out) == marchFiles
+    // years table: a point predicate projects to one year's files
+    val mY = CommitSink.parseManifest(java.nio.file.Paths.get(outY)).get
+    val y1999Files = mY.files.count(f =>
+      CommitSink.FileStat.decode(mY.stats(f)).pk.contains(29L))
+    val yearPlanned = plannedFiles(
+      spark.read.format(CommitSink.NAME).option("path", outY).load()
+        .filter(col("o_orderdate") >=
+            lit(java.time.LocalDateTime.of(1999, 1, 1, 0, 0)) &&
+          col("o_orderdate") <
+            lit(java.time.LocalDateTime.of(1999, 12, 31, 23, 59, 59)))
+      ) == y1999Files && y1999Files >= 1
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("o_totalprice")).as("total_price"),
+        countDistinct(year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("n_months"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"))
+      .withColumn("march_key", lit(march97))
+      .withColumn("one_month_per_file", lit(if (oneMonthPerFile) 1L else 0L))
+      .withColumn("month_planned", lit(if (monthPlanned) 1L else 0L))
+      .withColumn("key_only_planned", lit(if (keyOnlyPlanned) 1L else 0L))
+      .withColumn("year_planned", lit(if (yearPlanned) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -2130,6 +2350,9 @@ object Sources {
     "o40_bucket_partitioning" -> o40BucketPartitioning _,
     "o41_write_audit_publish" -> o41WriteAuditPublish _,
     "o42_temporal_transforms" -> o42TemporalTransforms _,
+    "o43_metadata_tables" -> o43MetadataTables _,
+    "o44_branches" -> o44Branches _,
+    "o45_temporal_projection" -> o45TemporalProjection _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -2218,6 +2441,61 @@ object Sources {
                  CAST(1 AS BIGINT) AS planned_day,
                  CAST(1 AS BIGINT) AS band_planned
           FROM events GROUP BY 1""",
+    // metadata inspection tables: content = the $files inventory grouped
+    // by partition key, replayed from raw data (2 one-key files per
+    // residue, meta row sums = base + the %3 append); the booleans pin
+    // the inventory contract (positive bytes, {0,1} add-sequences,
+    // clean dv/eq/bloom inventory, matching 2-version history, root+3-
+    // group manifest fan-out)
+    "o43_metadata_tables" ->
+      """SELECT CAST(event_id % 4 AS BIGINT) AS part_key,
+                CAST(2 AS BIGINT) AS n_files,
+                CAST(COUNT(*) + COUNT(CASE WHEN event_id % 3 = 0 THEN 1 END)
+                  AS BIGINT) AS meta_rows,
+                CAST(1 AS BIGINT) AS bytes_positive,
+                CAST(1 AS BIGINT) AS seq_ok,
+                CAST(1 AS BIGINT) AS clean_inventory,
+                CAST(2 AS BIGINT) AS n_versions,
+                CAST(1 AS BIGINT) AS history_ok,
+                CAST(1 AS BIGINT) AS manifests_ok
+         FROM events GROUP BY 1""",
+    // temporal projection: content = the months(o_orderdate)-partitioned
+    // orders replay (n_months is the real distinct-month count); the
+    // layout booleans pin one-month-per-file, the month plan, the
+    // zone-stripped KEY-ONLY plan, and the years point plan; march_key
+    // pins Iceberg's month ordinal ((1997-1970)*12 + 2)
+    "o45_temporal_projection" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("o_totalprice")} AS total_price,
+                 CAST(COUNT(DISTINCT year(o_orderdate) * 12 +
+                   month(o_orderdate)) AS BIGINT) AS n_months,
+                 MIN(o_orderkey) AS min_orderkey,
+                 MAX(o_orderkey) AS max_orderkey,
+                 CAST(326 AS BIGINT) AS march_key,
+                 CAST(1 AS BIGINT) AS one_month_per_file,
+                 CAST(1 AS BIGINT) AS month_planned,
+                 CAST(1 AS BIGINT) AS key_only_planned,
+                 CAST(1 AS BIGINT) AS year_planned
+          FROM orders GROUP BY 1""",
+    // writable branches: content = main after the branch publish plus
+    // main's own %3 append (the divergence fixture); the workflow
+    // booleans pin branch isolation, branch completeness, the
+    // fast-forward publish, and the divergent-publish refusal
+    "o44_branches" ->
+      s"""WITH t AS (
+            SELECT event_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 3 = 0)
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS branch_isolated,
+                 CAST(1 AS BIGINT) AS branch_saw_all,
+                 CAST(1 AS BIGINT) AS publish_ff,
+                 CAST(1 AS BIGINT) AS divergent_refused
+          FROM t GROUP BY 1""",
     // write-audit-publish: content = the full table after the staged odd
     // half publishes; the workflow booleans pin staging invisibility,
     // audit completeness, and tag-rooted retention

@@ -191,10 +191,12 @@ class Round16Spec extends AnyFunSuite {
         "PARTITIONED BY (bucket(4, s))")
     }
     assert(e1.getMessage.contains("BIGINT or INT"), e1.getMessage)
-    // unsupported transform (days/truncate joined the family in r16)
+    // unsupported transform (days/truncate joined the family in r16,
+    // years/months in r17 — hours stays out: one key per hour is the
+    // file-explosion layout days exists to avoid)
     val e2 = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.`default`.bad2 (ts TIMESTAMP, v BIGINT) " +
-        "PARTITIONED BY (years(ts))")
+        "PARTITIONED BY (hours(ts))")
     }
     assert(e2.getMessage.contains("unsupported partition transform"), e2.getMessage)
     // zero buckets
@@ -205,11 +207,16 @@ class Round16Spec extends AnyFunSuite {
       sources.CommitSink.evolvePartitioning(spark, dir, Some("bucket(0, v)"))
     }
     assert(e3.getMessage.contains("1 <= n"), e3.getMessage)
-    // a malformed spec is neither a column nor a supported transform
+    // years parses since r17, but a BIGINT source refuses the type rule
     val e4 = intercept[Exception] {
       sources.CommitSink.evolvePartitioning(spark, dir, Some("years(v)"))
     }
-    assert(e4.getMessage.contains("neither a plain column"), e4.getMessage)
+    assert(e4.getMessage.contains("DATE or TIMESTAMP"), e4.getMessage)
+    // a malformed spec is neither a column nor a supported transform
+    val e5 = intercept[Exception] {
+      sources.CommitSink.evolvePartitioning(spark, dir, Some("hours(v)"))
+    }
+    assert(e5.getMessage.contains("neither a plain column"), e5.getMessage)
   }
 
   test("rewrite-vs-append: a stale rewrite CAS refuses — it can never drop the append's files") {

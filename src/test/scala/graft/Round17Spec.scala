@@ -1,0 +1,522 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 wave: metadata inspection tables (o43), writable branches
+  * (o44), years/months transforms + temporal predicate projection
+  * (o45), the streaming-upsert-into-buckets composition, and the
+  * round's hardening fixes (truncate preserves a catalog table's
+  * partition spec; a failed group-manifest write leaks nothing;
+  * compactAndCluster works on truncate/days layouts).
+  *
+  *  - '''o43''': `option("metaTable", files|history|manifests)` and the
+  *    catalog's `` `t$files` `` suffix serve the version ledger,
+  *    per-file stats, and delete inventory as DataFrames — reconciled
+  *    here against the manifest itself, on a TWO-LEVEL table, and after
+  *    DML (deletion vectors, equality deletes) so the inventory shows
+  *    real maintenance state.
+  *  - '''o44''': a branch commit advances only the branch head (main
+  *    isolated), publish fast-forwards main and re-bases the branch,
+  *    a diverged publish refuses, a branch head is a retention root
+  *    for expireVersions, and `VERSION AS OF 'branch'` reads the head
+  *    through the catalog.
+  *  - '''o45''': months/years ordinals match Iceberg's spec values;
+  *    point AND range predicates project onto recorded partition keys
+  *    ([[graft.sources.CommitSink.keyIntervalOf]]) — proven with NO
+  *    zone entries anywhere, at file level and at GROUP-manifest level
+  *    (read-counted through a delegating CommitIO, never timed).
+  */
+class Round17Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def freshDir(tag: String): String = {
+    val d = s"/tmp/graft_r17_spec/$tag"
+    Tables.deleteRecursively(d)
+    d
+  }
+
+  private def manifest(path: String) =
+    sources.CommitSink.parseManifest(Paths.get(path)).get
+
+  private def scopedCat(tag: String): (String, String) = {
+    val root = s"/tmp/graft_r17_spec/cat_$tag"
+    Tables.deleteRecursively(root)
+    val cat = s"graft_r17_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.CommitCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    (cat, root)
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.length
+    }.getOrElse(fail("no BatchScanExec in plan"))
+
+  private def meta(path: String, kind: String) =
+    spark.read.format("graft-commit").option("path", path)
+      .option("metaTable", kind).load()
+
+  private def withGroupSize[A](n: Int)(body: => A): A = {
+    val prev = System.getProperty("graft.manifest.group.size")
+    System.setProperty("graft.manifest.group.size", n.toString)
+    try body
+    finally {
+      if (prev == null) System.clearProperty("graft.manifest.group.size")
+      else System.setProperty("graft.manifest.group.size", prev)
+    }
+  }
+
+  // --- o43: metadata inspection tables ----------------------------------
+
+  test("o43: files/history/manifests reconcile with the manifest on a two-level table") {
+    val dir = freshDir("o43_meta")
+    withGroupSize(3) {
+      spark.range(100).select(($"id" % 4).as("k"), $"id".as("v"))
+        .write.format("graft-commit").option("path", dir)
+        .option("partitionBy", "k").mode("overwrite").save()
+      spark.range(100, 150).select(($"id" % 4).as("k"), $"id".as("v"))
+        .write.format("graft-commit").option("path", dir)
+        .option("partitionBy", "k").mode("append").save()
+    }
+    val m = manifest(dir)
+    // $files: one row per listed file, stats verbatim
+    val files = meta(dir, "files").collect()
+    assert(files.map(_.getString(0)).sorted.toSeq == m.files.sorted)
+    files.foreach { r =>
+      val st = sources.CommitSink.FileStat.decode(m.stats(r.getString(0)))
+      assert(st.pk.contains(r.getLong(1)), "part_key mirrors the recorded pk")
+      assert(st.rows == r.getLong(2) && st.bytes == r.getLong(3))
+      assert(m.seqOf(r.getString(0)) == r.getLong(4))
+    }
+    assert(files.map(_.getLong(2)).sum == 150)
+    // $history: v0 (4 files, 100 rows) then v1 current (8 files, 150)
+    val hist = meta(dir, "history").collect().sortBy(_.getLong(0))
+    assert(hist.length == 2)
+    assert(hist(0).getLong(1) == 4 && hist(0).getLong(2) == 100 &&
+      !hist(0).getBoolean(6))
+    assert(hist(1).getLong(1) == 8 && hist(1).getLong(2) == 150 &&
+      hist(1).getBoolean(6), "v1 is current")
+    // $manifests: a root row + ceil(8/3)=3 groups, never resolved rows
+    val mans = meta(dir, "manifests").collect()
+    val root = mans.filter(_.getString(1) == "root")
+    val groups = mans.filter(_.getString(1) == "group")
+    assert(root.length == 1 && groups.length == 3)
+    assert(root(0).getLong(2) == 8 && groups.map(_.getLong(2)).sum == 8)
+    assert(groups.map(_.getLong(3)).sum == 150 &&
+      root(0).getLong(3) == 150)
+    // versionAsOf composes: the PAST version's inventory
+    val v0files = spark.read.format("graft-commit").option("path", dir)
+      .option("metaTable", "files").option("versionAsOf", m.commit - 1)
+      .load().collect()
+    assert(v0files.length == 4 && v0files.map(_.getLong(2)).sum == 100)
+    // unknown kind refuses loudly
+    val e = intercept[Exception](meta(dir, "bogus").collect())
+    assert(e.getMessage.contains("metaTable"))
+  }
+
+  test("o43: post-DML inventory — deletion vectors and equality deletes surface") {
+    val (cat, root) = scopedCat("dml")
+    val dir = s"$root/default/t"
+    spark.range(100).select($"id", ($"id" % 10).as("k"))
+      .write.format("graft-commit").option("path", dir)
+      .option("payload", "parquet").mode("overwrite").save()
+    // MOR delete: vectors recorded, files kept
+    val key = "spark.graft.commit.deleteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "merge-on-read")
+    try spark.sql(s"DELETE FROM $cat.`default`.t WHERE id < 10")
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    val afterDv = meta(dir, "files").collect()
+    assert(afterDv.map(_.getLong(5)).sum == 10,
+      s"dv_deleted must total the 10 deleted rows")
+    // upsert append: the eq delete shows in history and per-file coverage
+    spark.range(5).select($"id", lit(99L).as("k"))
+      .write.format("graft-commit").option("path", dir)
+      .option("upsertKeys", "id").mode("append").save()
+    val hist = meta(dir, "history").collect().sortBy(_.getLong(0))
+    assert(hist.last.getLong(4) >= 1, "history records live equality deletes")
+    val covered = meta(dir, "files").collect()
+      .filter(r => r.getLong(6) > 0)
+    assert(covered.nonEmpty, "older files show the eq deletes covering them")
+  }
+
+  test("o43: the catalog serves the $files/$history suffix tables") {
+    val (cat, root) = scopedCat("meta")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (id BIGINT) USING `graft-commit`")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT id FROM range(40)")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT id FROM range(40, 50)")
+    val viaSql = spark.sql(s"SELECT * FROM $cat.`default`.`t$$files`").collect()
+    assert(viaSql.map(_.getLong(2)).sum == 50)
+    // CREATE TABLE writes the empty v0 manifest, then the two inserts
+    val hist = spark.sql(s"SELECT * FROM $cat.`default`.`t$$history`").collect()
+    assert(hist.length == 3)
+    // an unknown base still reports the clean missing-table error
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.`default`.`nope$$files`").collect())
+  }
+
+  // --- o44: writable branches -------------------------------------------
+
+  test("o44: branch commits isolate from main; publish fast-forwards and re-bases") {
+    val dir = freshDir("o44_basic")
+    spark.range(50).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    sources.CommitSink.createBranch(dir, "exp", 0L)
+    spark.range(50, 80).select($"id").write.format("graft-commit")
+      .option("path", dir).option("branch", "exp").mode("append").save()
+    // main untouched; the branch sees its own lineage
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 50)
+    val branchRead = spark.read.format("graft-commit").option("path", dir)
+      .option("branch", "exp").load()
+    assert(branchRead.count() == 80)
+    // refs: the head advanced into the disjoint branch id range (main's
+    // contiguous lineage can never collide), base still at the fork
+    val B = sources.CommitSink.BRANCH_BASE
+    val (head, base) = sources.CommitSink.listBranches(Paths.get(dir))("exp")
+    assert(head == B && base == 0L)
+    // a second branch commit advances again
+    spark.range(80, 90).select($"id").write.format("graft-commit")
+      .option("path", dir).option("branch", "exp").mode("append").save()
+    assert(sources.CommitSink.listBranches(Paths.get(dir))("exp")._1 == B + 1)
+    sources.CommitSink.publishBranch(dir, "exp")
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 90)
+    // the publish re-landed the content as main's next CONTIGUOUS commit
+    assert(manifest(dir).commit == 1L,
+      "publish must keep main's ledger contiguous (no high-range id)")
+    val (h2, b2) = sources.CommitSink.listBranches(Paths.get(dir))("exp")
+    assert(h2 == 1L && b2 == 1L, "publish re-bases the branch at the published commit")
+    // a published branch keeps working: the next commit forks from main
+    spark.range(90, 95).select($"id").write.format("graft-commit")
+      .option("path", dir).option("branch", "exp").mode("append").save()
+    sources.CommitSink.publishBranch(dir, "exp")
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 95)
+  }
+
+  test("o44: a diverged publish refuses; dropBranch forgets the lineage") {
+    val dir = freshDir("o44_diverge")
+    spark.range(10).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    sources.CommitSink.createBranch(dir, "exp", 0L)
+    spark.range(10, 20).select($"id").write.format("graft-commit")
+      .option("path", dir).option("branch", "exp").mode("append").save()
+    // main moves past the fork
+    spark.range(20, 25).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("append").save()
+    val e = intercept[Exception](sources.CommitSink.publishBranch(dir, "exp"))
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("cannot fast-forward")),
+      s"diverged publish must refuse: ${chain(e)}")
+    // main unaffected by the refusal
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 15)
+    assert(sources.CommitSink.dropBranch(dir, "exp"))
+    assert(!sources.CommitSink.listBranches(Paths.get(dir)).contains("exp"))
+    intercept[Exception](
+      spark.read.format("graft-commit").option("path", dir)
+        .option("branch", "exp").load().collect())
+  }
+
+  test("o44: a branch head is a retention root for expireVersions") {
+    val dir = freshDir("o44_gc")
+    spark.range(10).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    sources.CommitSink.createBranch(dir, "keepme", 0L)
+    spark.range(10, 20).select($"id").write.format("graft-commit")
+      .option("path", dir).option("branch", "keepme").mode("append").save()
+    // main advances twice so keepLast=1 would drop everything older
+    spark.range(20, 30).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("append").save()
+    spark.range(30, 40).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("append").save()
+    val B = sources.CommitSink.BRANCH_BASE
+    val (dropped, _) = sources.CommitSink.expireVersions(dir, keepLast = 1)
+    // the branch head must survive and stay readable
+    assert(!dropped.contains(B), s"branch head expired: $dropped")
+    assert(spark.read.format("graft-commit").option("path", dir)
+      .option("branch", "keepme").load().count() == 20)
+    // dropping the branch releases the root; the next expiry reclaims
+    sources.CommitSink.dropBranch(dir, "keepme")
+    val (dropped2, _) = sources.CommitSink.expireVersions(dir, keepLast = 1)
+    assert(dropped2.contains(B), "dropped branch head becomes expirable")
+  }
+
+  test("o44: VERSION AS OF resolves a branch name through the catalog") {
+    val (cat, root) = scopedCat("branch")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (id BIGINT) USING `graft-commit`")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT id FROM range(10)")
+    val path = s"$root/default/t"
+    sources.CommitSink.createBranch(path, "exp", manifest(path).commit)
+    spark.range(10, 30).select($"id").write.format("graft-commit")
+      .option("path", path).option("branch", "exp").mode("append").save()
+    val viaSql = spark.sql(
+      s"SELECT count(*) FROM $cat.`default`.t VERSION AS OF 'exp'").head().getLong(0)
+    assert(viaSql == 30)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t").head().getLong(0) == 10)
+  }
+
+  test("o44: branch refuses DML, streaming, stage composition, and name collisions") {
+    val dir = freshDir("o44_refuse")
+    spark.range(10).select($"id").write.format("graft-commit")
+      .option("path", dir).mode("overwrite").save()
+    sources.CommitSink.createTag(dir, "taken", 0L)
+    // tag/branch share one namespace
+    intercept[IllegalArgumentException](
+      sources.CommitSink.createBranch(dir, "taken", 0L))
+    sources.CommitSink.createBranch(dir, "exp", 0L)
+    intercept[IllegalArgumentException](sources.CommitSink.createTag(dir, "exp", 0L)
+      ) // createTag's duplicate check is name-based; branch name stays distinct
+    // stageOnly + branch refuse together
+    val e = intercept[Exception](
+      spark.range(5).select($"id").write.format("graft-commit")
+        .option("path", dir).option("branch", "exp")
+        .option("stageOnly", "true").mode("append").save())
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")))
+  }
+
+  // --- o45: years/months + temporal predicate projection ----------------
+
+  test("o45: months/years ordinals match Iceberg's spec values") {
+    import sources.CommitSink.{MonthsSpec, YearsSpec, DaysSpec}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    // Iceberg spec examples: months('1997-03-01') = 326, years = 27
+    val d19970301 = java.time.LocalDate.of(1997, 3, 1).toEpochDay
+    assert(MonthsSpec("c").keyOf(d19970301, DateType) == 326L)
+    assert(YearsSpec("c").keyOf(d19970301, DateType) == 27L)
+    // micros input routes through epoch days (mid-month, mid-day)
+    val micros = java.time.LocalDateTime.of(1997, 3, 15, 13, 45)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    assert(MonthsSpec("c").keyOf(micros, TimestampNTZType) == 326L)
+    assert(YearsSpec("c").keyOf(micros, TimestampNTZType) == 27L)
+    // pre-1970 dates take negative ordinals (floorDiv semantics)
+    val d1969 = java.time.LocalDate.of(1969, 12, 31).toEpochDay
+    assert(MonthsSpec("c").keyOf(d1969, DateType) == -1L)
+    assert(YearsSpec("c").keyOf(d1969, DateType) == -1L)
+    assert(DaysSpec("c").keyOf(-1L, DateType) == -1L)
+  }
+
+  test("o45: keyIntervalOf projects point and range shapes, conservatively") {
+    import sources.CommitSink.{keyIntervalOf, MonthsSpec, BucketSpec, TruncateSpec}
+    import org.apache.spark.sql.sources._
+    val m = MonthsSpec("ts")
+    val mar1 = java.time.LocalDateTime.of(1997, 3, 1, 0, 0)
+    val mar31 = java.time.LocalDateTime.of(1997, 3, 31, 23, 59)
+    assert(keyIntervalOf(m, EqualTo("ts", mar1)) == Some((326L, 326L)))
+    assert(keyIntervalOf(m, GreaterThanOrEqual("ts", mar1)) ==
+      Some((326L, Long.MaxValue)))
+    assert(keyIntervalOf(m, LessThanOrEqual("ts", mar31)) ==
+      Some((Long.MinValue, 326L)))
+    assert(keyIntervalOf(m,
+      And(GreaterThanOrEqual("ts", mar1), LessThanOrEqual("ts", mar31))) ==
+      Some((326L, 326L)))
+    // other columns never project
+    assert(keyIntervalOf(m, EqualTo("other", mar1)).isEmpty)
+    // bucket: equality projects to the id, ranges never do
+    val b = BucketSpec(8, "k")
+    val k34 = sources.BucketFunction.bucketId(8, 34L).toLong
+    assert(keyIntervalOf(b, EqualTo("k", 34L)) == Some((k34, k34)))
+    assert(keyIntervalOf(b, GreaterThan("k", 34L)).isEmpty)
+    // truncate: a band point
+    assert(keyIntervalOf(TruncateSpec(1000, "id"), EqualTo("id", 4242L)) ==
+      Some((4000L, 4000L)))
+  }
+
+  test("o45: key projection prunes files AND group manifests with NO zone entries") {
+    // hand-written manifest (the r16 120k device): month-keyed files with
+    // pk but ZERO per-column ranges — only the o45 key projection can
+    // prune; forced group size 4 so the root carries real group refs
+    val dir = freshDir("o45_groups")
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    val n = 24 // months 300..323, one file each, groups of 4
+    val files = (0 until n).map(i => f"part-c00001-cafe-$i%06d.parquet")
+    val stats = files.zipWithIndex.map { case (f, i) =>
+      f -> sources.CommitSink.FileStat(10L, 1000L, Some(300L + i), Map.empty).encode
+    }.toMap
+    withGroupSize(4) {
+      sources.CommitSink.writeManifest(Paths.get(dir), "ts TIMESTAMP_NTZ",
+        files, 1L, stats = stats, partCol = Some("months(ts)"),
+        payload = "parquet")
+    }
+    assert(sources.CommitSink.parseManifestRoot(Paths.get(dir)).get.groups.size == 6)
+    // BETWEEN over months 308..309 (= 1995-09/1995-10): 2 files, 1 group
+    val lo = java.time.LocalDateTime.of(1995, 9, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1995, 10, 31, 23, 59)
+    val counting = new CountingIo
+    val planned = sources.CommitSink.withIo(counting) {
+      val b = new sources.CommitScanBuilder(dir)
+      b.pushFilters(Array(
+        org.apache.spark.sql.sources.GreaterThanOrEqual("ts", lo),
+        org.apache.spark.sql.sources.LessThanOrEqual("ts", hi)))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    assert(planned == 2, s"two month files in range, planned $planned")
+    assert(counting.groupReads.get() == 1,
+      s"the range touches ONE group's key span, read ${counting.groupReads.get()}")
+  }
+
+  /** Group-manifest read counter (the r16 sublinearity instrument). */
+  private class CountingIo extends sources.CommitIO {
+    val groupReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    private val d = sources.NioCommitIO
+    override def inputFile(p: java.nio.file.Path) = d.inputFile(p)
+    override def outputFile(p: java.nio.file.Path) = d.outputFile(p)
+    override def newInputStream(p: java.nio.file.Path) = d.newInputStream(p)
+    override def newOutputStream(p: java.nio.file.Path) = d.newOutputStream(p)
+    override def newBufferedReader(p: java.nio.file.Path) = d.newBufferedReader(p)
+    override def newBufferedWriter(p: java.nio.file.Path) = d.newBufferedWriter(p)
+    override def readString(p: java.nio.file.Path): String = {
+      if (p.getFileName.toString.startsWith("_MANIFEST-g")) groupReads.incrementAndGet()
+      d.readString(p)
+    }
+    override def writeString(p: java.nio.file.Path, s: String): Unit = d.writeString(p, s)
+    override def atomicReplace(t: java.nio.file.Path, g: java.nio.file.Path): Unit = d.atomicReplace(t, g)
+    override def promote(s: java.nio.file.Path, t: java.nio.file.Path): Unit = d.promote(s, t)
+    override def exists(p: java.nio.file.Path): Boolean = d.exists(p)
+    override def isDirectory(p: java.nio.file.Path): Boolean = d.isDirectory(p)
+    override def deleteIfExists(p: java.nio.file.Path): Boolean = d.deleteIfExists(p)
+    override def createDirectories(p: java.nio.file.Path): Unit = d.createDirectories(p)
+    override def list(p: java.nio.file.Path): Seq[String] = d.list(p)
+    override def size(p: java.nio.file.Path): Long = d.size(p)
+    override def lastModifiedMs(p: java.nio.file.Path): Long = d.lastModifiedMs(p)
+  }
+
+  /** An IO binding that fails the Nth group-manifest write — the
+    * disk-full fault for the r17 cleanup pin. */
+  private class FailingGroupWriteIo(failAt: Int) extends sources.CommitIO {
+    private val d = sources.NioCommitIO
+    private val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    override def inputFile(p: java.nio.file.Path) = d.inputFile(p)
+    override def outputFile(p: java.nio.file.Path) = d.outputFile(p)
+    override def newInputStream(p: java.nio.file.Path) = d.newInputStream(p)
+    override def newOutputStream(p: java.nio.file.Path) = d.newOutputStream(p)
+    override def newBufferedReader(p: java.nio.file.Path) = d.newBufferedReader(p)
+    override def newBufferedWriter(p: java.nio.file.Path) = d.newBufferedWriter(p)
+    override def readString(p: java.nio.file.Path): String = d.readString(p)
+    override def writeString(p: java.nio.file.Path, s: String): Unit = {
+      if (p.getFileName.toString.startsWith("_MANIFEST-g") &&
+          seen.incrementAndGet() == failAt)
+        throw new java.io.IOException("planted disk-full")
+      d.writeString(p, s)
+    }
+    override def atomicReplace(t: java.nio.file.Path, g: java.nio.file.Path): Unit = d.atomicReplace(t, g)
+    override def promote(s: java.nio.file.Path, t: java.nio.file.Path): Unit = d.promote(s, t)
+    override def exists(p: java.nio.file.Path): Boolean = d.exists(p)
+    override def isDirectory(p: java.nio.file.Path): Boolean = d.isDirectory(p)
+    override def deleteIfExists(p: java.nio.file.Path): Boolean = d.deleteIfExists(p)
+    override def createDirectories(p: java.nio.file.Path): Unit = d.createDirectories(p)
+    override def list(p: java.nio.file.Path): Seq[String] = d.list(p)
+    override def size(p: java.nio.file.Path): Long = d.size(p)
+    override def lastModifiedMs(p: java.nio.file.Path): Long = d.lastModifiedMs(p)
+  }
+
+  test("r17 fix: a failed group-manifest write sweeps the groups already landed") {
+    val dir = freshDir("o45_groupfail")
+    java.nio.file.Files.createDirectories(Paths.get(dir))
+    val files = (0 until 12).map(i => f"part-c00001-feed-$i%06d.parquet")
+    val stats = files.map(f =>
+      f -> sources.CommitSink.FileStat(1L, 10L, None, Map.empty).encode).toMap
+    withGroupSize(4) {
+      intercept[java.io.IOException] {
+        sources.CommitSink.withIo(new FailingGroupWriteIo(failAt = 2)) {
+          sources.CommitSink.writeManifest(Paths.get(dir), "id BIGINT",
+            files, 1L, stats = stats, payload = "parquet")
+        }
+      }
+    }
+    val leaked = java.nio.file.Files.list(Paths.get(dir)).iterator()
+    var bad = List.empty[String]
+    while (leaked.hasNext) {
+      val nme = leaked.next().getFileName.toString
+      if (nme.startsWith("_MANIFEST")) bad ::= nme
+    }
+    assert(bad.isEmpty, s"a failed commit must leave no manifest debris: $bad")
+  }
+
+  test("r17 fix: compactAndCluster works on truncate and days layouts") {
+    val dir = freshDir("o45_compact")
+    spark.range(4000).select($"id", ($"id" % 17).as("v"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "truncate(1000, id)").mode("overwrite").save()
+    // pre-r17 this threw a MatchError; now the source column is a
+    // legitimate secondary sort key within each band
+    val rewritten = sources.CommitSink.compactAndCluster(spark, dir, 4, Seq("id"))
+    assert(rewritten.nonEmpty)
+    assert(sources.CommitSink.readCommitted(spark, dir).count() == 4000)
+    val m = manifest(dir)
+    assert(m.files.forall(f =>
+      sources.CommitSink.FileStat.decode(m.stats(f)).pk.isDefined),
+      "the band layout survives the rewrite")
+  }
+
+  test("advice fix: INSERT OVERWRITE preserves a catalog table's partition spec") {
+    val (cat, root) = scopedCat("ow")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (k BIGINT, v BIGINT) " +
+      "USING `graft-commit` PARTITIONED BY (bucket(4, k))")
+    val path = s"$root/default/t"
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT id % 50, id FROM range(400)")
+    assert(manifest(path).partCol.contains("bucket(4,k)"))
+    // the overwrite must keep the spec (Iceberg: spec is table metadata)
+    spark.sql(s"INSERT OVERWRITE $cat.`default`.t SELECT id % 50, id FROM range(200)")
+    assert(manifest(path).partCol.contains("bucket(4,k)"),
+      "un-optioned INSERT OVERWRITE silently wiped the partition spec")
+    // and the layout contract holds for the overwrite's own files + appends
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT id % 50, id FROM range(200, 300)")
+    val m = manifest(path)
+    assert(m.files.nonEmpty && m.files.forall(f =>
+      sources.CommitSink.FileStat.decode(m.stats(f)).pk.isDefined),
+      "every file written under the preserved spec records its bucket id")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t").head().getLong(0) == 300)
+  }
+
+  // --- streaming upsert into a bucket-partitioned table ------------------
+
+  test("streaming upserts into bucket(8, sensor) keep one-bucket files and grouped planning") {
+    val (cat, root) = scopedCat("stream_bucket")
+    spark.sql(s"CREATE TABLE $cat.`default`.state (sensor BIGINT, n BIGINT, s BIGINT) " +
+      "USING `graft-commit` PARTITIONED BY (bucket(8, sensor))")
+    val path = s"$root/default/state"
+    val ck = s"$root/ck"
+    val q = spark.readStream.format("graft-sensors")
+      .option("rows", 8000).option("slices", 4)
+      .option("streamBatchRows", 2000).load()
+      .select($"id", $"sensor".cast("bigint").as("sensor"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // key-unique per batch (the upsert contract), then the o32
+        // upsert-append through the CATALOG so the bucket transform
+        // resolves and the write shuffles into buckets
+        batch.groupBy(col("sensor"))
+          .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+          .writeTo(s"$cat.`default`.state")
+          .option("upsertKeys", "sensor")
+          .append()
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val m = manifest(path)
+    // multiple triggers landed files; every file holds exactly one bucket
+    val dataFiles = m.files
+    assert(dataFiles.size > 8, s"expected several triggers' files, got ${dataFiles.size}")
+    assert(dataFiles.forall { f =>
+      sources.CommitSink.FileStat.decode(m.stats(f)).pk.exists(pk => pk >= 0 && pk < 8)
+    }, "every upsert file records one bucket id in [0,8)")
+    // the equality deletes made it an upsert: one live row per sensor
+    val snap = spark.sql(s"SELECT sensor, count(*) c FROM $cat.`default`.state " +
+      "GROUP BY sensor HAVING count(*) > 1").collect()
+    assert(snap.isEmpty, s"upsert must keep one row per key: ${snap.mkString(",")}")
+    // grouped planning survives: the scan plans bucket GROUPS, not files
+    val planned = plannedFiles(spark.sql(s"SELECT * FROM $cat.`default`.state"))
+    assert(planned <= 8,
+      s"bucket table must plan at most 8 key groups, planned $planned")
+  }
+}
