@@ -125,9 +125,11 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
     * o40 — resolved at write/scan time through this catalog's
     * [[FunctionCatalog]] face). */
   private def partSpecOf(partitions: Array[Transform]): Option[String] = {
-    require(partitions.length <= 1,
-      "graft-commit tables support at most ONE partition transform")
-    partitions.headOption.map { t =>
+    // MULTI-transform specs since r17 (o46): `PARTITIONED BY (days(ts),
+    // bucket(8, user_id))` — the standard time x key fact layout; the
+    // components join into one canonical comma-separated spec string
+    if (partitions.isEmpty) return None
+    val encoded = partitions.toSeq.map { t =>
       def oneRef(args: Seq[org.apache.spark.sql.connector.expressions.Expression]): String = {
         val refs = args.collect {
           case r: org.apache.spark.sql.connector.expressions.NamedReference => r
@@ -161,15 +163,18 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
           CommitSink.YearsSpec(oneRef(t.arguments.toSeq)).encode
         case other => sys.error(
           s"graft-commit: unsupported partition transform '$other' — " +
-            "identity, bucket(n, col), truncate(w, col) and days(col) only")
+            "identity, bucket(n, col), truncate(w, col), days(col), " +
+            "months(col) and years(col) only")
       }
     }
+    // parseSpecs re-validates (distinct source columns) and canonicalizes
+    Some(CommitSink.PartSpec.encodeSpecs(encoded.mkString(",")))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val partCol = partSpecOf(partitions)
-    partCol.map(CommitSink.PartSpec.parse).foreach { spec =>
+    partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs).foreach { spec =>
       val f = schema.fields.find(_.name == spec.sourceCol).getOrElse(
         sys.error(s"graft-commit: partition column '${spec.sourceCol}' is " +
           "not in the table schema"))
@@ -280,12 +285,24 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
   // storage-partitioned join aligns on — the same FunctionCatalog wiring
   // Iceberg's Spark integration ships. Served under every namespace:
   // Spark looks transforms up with an empty namespace.
+  // r17 widens the served set to the temporal transforms + truncate
+  // ([[TransformFunctions]]): single-transform temporal layouts resolve
+  // nothing (ordered distribution on the raw column), but a
+  // MULTI-transform spec's clustered distribution resolves every
+  // component here — Iceberg's SparkFunctions arrangement.
+  private val functions: Map[String,
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction] = Map(
+    "bucket" -> BucketFunction.unbound,
+    "days" -> TransformFunctions.days,
+    "months" -> TransformFunctions.months,
+    "years" -> TransformFunctions.years,
+    "truncate" -> TransformFunctions.truncate)
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    functions.keys.toArray.sorted.map(Identifier.of(namespace, _))
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket")) BucketFunction.unbound
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    functions.getOrElse(ident.name().toLowerCase,
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def dropTable(ident: Identifier): Boolean =
     if (!tableExists(ident)) false

@@ -210,7 +210,10 @@ class CommitScanBuilder(path: String, version: Option[Long] = None,
           // a temporal/range predicate on the partition source column
           // maps to a key interval tested against the group's recorded
           // pk span — no per-column zone entry needed in the summary
-          val spec = r.partCol.map(CommitSink.PartSpec.parse)
+          // leading transform only: _graft_pk records the LEADING key
+          // span (multi specs project their first dimension here)
+          val spec = r.partCol.map(c =>
+            CommitSink.PartSpec.parseSpecs(c).head)
           CommitSink.resolveGroups(Paths.get(path), r, { g =>
             val st = CommitSink.FileStat.decode(g.stat)
             skip.forall(CommitSkip.mayMatch(_, st)) &&
@@ -414,8 +417,11 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   // predicates never project (the hash destroys order) and unknown
   // shapes keep the file — over-approximation only, like every other
   // skip here (the filter stays residual).
+  // possibly MULTI-transform (o46): each dimension prunes independently
+  private val partSpecs: Seq[CommitSink.PartSpec] =
+    manifest.partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs)
   private val partSpecOpt: Option[CommitSink.PartSpec] =
-    manifest.partCol.map(CommitSink.PartSpec.parse)
+    if (partSpecs.size == 1) partSpecs.headOption else None
   private def partMayMatch(f: String, flt: org.apache.spark.sql.sources.Filter): Boolean =
     (partSpecOpt, fileStats.get(f).flatMap(_.pk)) match {
       case (Some(spec: CommitSink.BucketSpec), Some(pk)) =>
@@ -440,6 +446,28 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         // prunes without a zone-map entry for the source column
         CommitSink.keyIntervalOf(spec, flt)
           .forall { case (lo, hi) => pk >= lo && pk <= hi }
+      case _ if partSpecs.size > 1 =>
+        // o46 multi spec: every dimension whose key the file records
+        // projects independently — a (days, bucket) layout prunes a
+        // date range on dim 0 AND a user point lookup on dim 1
+        val ks = fileStats.get(f).map(_.pks).getOrElse(Nil)
+        partSpecs.size != ks.size || partSpecs.zip(ks).forall { case (sp, k) =>
+          sp match {
+            case b: CommitSink.BucketSpec =>
+              flt match {
+                case org.apache.spark.sql.sources.EqualTo(c, v) if c == b.sourceCol =>
+                  CommitSink.keyIntervalOf(b, flt)
+                    .forall { case (lo, hi) => k >= lo && k <= hi }
+                case org.apache.spark.sql.sources.In(c, _) if c == b.sourceCol =>
+                  CommitSink.keyIntervalOf(b, flt)
+                    .forall { case (lo, hi) => k >= lo && k <= hi }
+                case _ => true
+              }
+            case mono =>
+              CommitSink.keyIntervalOf(mono, flt)
+                .forall { case (lo, hi) => k >= lo && k <= hi }
+          }
+        }
       case _ => true
     }
 
@@ -521,12 +549,27 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     * identity-partitioned AND every surviving file knows its key;
     * None falls back to per-file planning. */
   private val partGroups: Option[Seq[(Long, Seq[String])]] =
-    manifest.partCol.flatMap { _ =>
+    partSpecOpt.flatMap { _ =>
       val pks = surviving.map(f => fileStats.get(f).flatMap(_.pk))
       if (surviving.nonEmpty && pks.forall(_.isDefined))
         Some(surviving.zip(pks.map(_.get))
           .groupBy(_._2).toSeq.sortBy(_._1)
           .map { case (k, fs) => (k, fs.map(_._1)) })
+      else None
+    }
+
+  /** o46 multi-transform grouping: one planned partition per COMPOSITE
+    * key when every surviving file records its full key vector —
+    * per-group planning granularity without an SPJ report (the grouped
+    * scan under UnknownPartitioning). None → per-file planning. */
+  private val multiGroups: Option[Seq[Seq[String]]] =
+    if (partSpecs.size <= 1) None
+    else {
+      val ks = surviving.map(f => fileStats.get(f).map(_.pks).getOrElse(Nil))
+      if (surviving.nonEmpty && ks.forall(_.size == partSpecs.size))
+        Some(surviving.zip(ks).groupBy(_._2).toSeq
+          .sortBy(_._1.mkString("."))
+          .map(_._2.map(_._1)))
       else None
     }
 
@@ -562,7 +605,7 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = partGroups match {
       case Some(groups) =>
-        val spec = CommitSink.PartSpec.parse(manifest.partCol.get)
+        val spec = partSpecOpt.get
         val dt = StructType.fromDDL(manifest.ddl).apply(spec.sourceCol).dataType
         groups.map { case (k, fs) =>
           // the HasPartitionKey value must be typed as the REPORTED
@@ -575,26 +618,35 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
           CommitKeyedFilesPartition(fs.map(abs), keyVal,
             fs.map(dvOf), fs.map(eqOf)): InputPartition
         }.toArray[InputPartition]
-      case None =>
-        runtimeSurviving.map(f =>
-          CommitFilesPartition(Seq(abs(f)),
-            Seq(dvOf(f)), Seq(eqOf(f))): InputPartition).toArray[InputPartition]
+      case None => multiGroups match {
+        case Some(groups) =>
+          groups.map(fs =>
+            CommitFilesPartition(fs.map(abs),
+              fs.map(dvOf), fs.map(eqOf)): InputPartition).toArray[InputPartition]
+        case None =>
+          runtimeSurviving.map(f =>
+            CommitFilesPartition(Seq(abs(f)),
+              Seq(dvOf(f)), Seq(eqOf(f))): InputPartition).toArray[InputPartition]
+      }
     }
     // report the files this DML scan actually planned: exactly the set
     // the group-granular rewrite replaces (everything else is carried)
     dmlOp.foreach(_.scanned.set(partGroups match {
       case Some(groups) => groups.flatMap(_._2).toSet
-      case None => runtimeSurviving.toSet
+      case None => multiGroups.map(_.flatten.toSet)
+        .getOrElse(runtimeSurviving.toSet)
     }))
     parts
   }
 
   override def outputPartitioning(): Partitioning = partGroups match {
     // the transform references the source column by name — report the
-    // grouping only while the column survives projection
+    // grouping only while the column survives projection (multi specs
+    // never reach here: partGroups gates on a SINGLE spec, and the
+    // multi grouping plans under UnknownPartitioning below)
     case Some(groups) if readSchema().fieldNames.contains(
-        CommitSink.PartSpec.parse(manifest.partCol.get).sourceCol) =>
-      CommitSink.PartSpec.parse(manifest.partCol.get) match {
+        partSpecOpt.get.sourceCol) =>
+      partSpecOpt.get match {
         case CommitSink.IdentitySpec(c) =>
           new KeyGroupedPartitioning(Array(Expressions.identity(c)), groups.size)
         case CommitSink.BucketSpec(n, c) =>
@@ -607,7 +659,8 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         case _ => new UnknownPartitioning(groups.size)
       }
     case Some(groups) => new UnknownPartitioning(groups.size)
-    case None => new UnknownPartitioning(surviving.size)
+    case None =>
+      new UnknownPartitioning(multiGroups.map(_.size).getOrElse(surviving.size))
   }
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =

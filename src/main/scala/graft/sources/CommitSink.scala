@@ -221,9 +221,19 @@ object CommitSink {
     * exactly one key by construction. */
   private[graft] case class FileStat(rows: Long, bytes: Long,
                                        pk: Option[Long],
-                                       cols: Map[String, ColRange]) {
+                                       cols: Map[String, ColRange],
+                                       /** Partition keys of the NON-
+                                         * leading transforms in a multi
+                                         * spec (o46), in spec order —
+                                         * empty for single-transform
+                                         * layouts, so the r16 format is
+                                         * byte-identical there. */
+                                       pkRest: Seq[Long] = Nil) {
+    /** Every recorded key, leading first ([[pks]].size == spec arity). */
+    def pks: Seq[Long] = pk.toSeq ++ pkRest
     def encode: String = {
-      val head = s"$rows:$bytes" + pk.map(v => s":pk=$v").getOrElse("")
+      val head = s"$rows:$bytes" + pk.map(v => s":pk=$v").getOrElse("") +
+        (if (pkRest.nonEmpty) s":pkr=${pkRest.mkString(".")}" else "")
       (head +: cols.toSeq.sortBy(_._1).map { case (c, r) =>
         s"$c:${r.kind}:${r.min}:${r.max}" }).mkString(";")
     }
@@ -234,11 +244,13 @@ object CommitSink {
       val segs = s.split(";")
       val head = segs(0).split(":")
       val pk = head.lift(2).filter(_.startsWith("pk=")).map(_.drop(3).toLong)
+      val pkRest = head.find(_.startsWith("pkr="))
+        .map(_.drop(4).split("\\.").map(_.toLong).toSeq).getOrElse(Nil)
       val cols = segs.iterator.drop(1).map { e =>
         val p = e.split(":")
         p(0) -> ColRange(p(1).charAt(0), p(2), p(3))
       }.toMap
-      FileStat(head(0).toLong, head(1).toLong, pk, cols)
+      FileStat(head(0).toLong, head(1).toLong, pk, cols, pkRest)
     }
   }
 
@@ -355,6 +367,34 @@ object CommitSink {
             "months(col) / years(col)")
         IdentitySpec(c)
     }
+
+    /** MULTI-transform spec (o46): comma-separated single transforms,
+      * e.g. `days(ts),bucket(8,user_id)` — the standard time × key
+      * fact-table layout. Top-level commas split components (commas
+      * inside `bucket(8,k)` parens don't); components must name
+      * DISTINCT source columns (one column under two transforms would
+      * make the per-dimension predicate projection ambiguous). */
+    def parseSpecs(s: String): Seq[PartSpec] = {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; cur.append('(')
+        case ')' => depth -= 1; cur.append(')')
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      parts += cur.toString
+      val specs = parts.toSeq.map(_.trim).filter(_.nonEmpty).map(parse)
+      require(specs.nonEmpty, s"graft-commit: empty partition spec '$s'")
+      require(specs.map(_.sourceCol).distinct.size == specs.size,
+        s"graft-commit: multi-transform spec '$s' names a source column twice")
+      specs
+    }
+
+    /** Canonical encoding of a (possibly multi) spec string. */
+    def encodeSpecs(s: String): String =
+      parseSpecs(s).map(_.encode).mkString(",")
   }
 
   /** Synthetic column name carrying a GROUP manifest's partition-key
@@ -857,6 +897,11 @@ object CommitSink {
     // preShaped device): path-based maintenance writes have no
     // FunctionCatalog to resolve the bucket transform through, and the
     // pre-shape is the same shuffle the catalog write would plan.
+    require(m.partCol.forall(c => PartSpec.parseSpecs(c).size == 1),
+      s"graft-commit: compact on a MULTI-transform layout " +
+        s"('${m.partCol.getOrElse("")}') is not supported yet — the " +
+        "path-based rewrite cannot resolve the composite clustering; " +
+        "rewrite through a catalog INSERT OVERWRITE instead")
     val spec = m.partCol.map(PartSpec.parse)
     val shaped = spec match {
       case None => df.repartition(numFiles)
@@ -995,6 +1040,9 @@ object CommitSink {
     // by the key within each group is exactly what makes key ranges
     // prunable (pre-r17 this match was Identity/Bucket-only and a
     // truncate/days layout hit a MatchError instead of compacting).
+    require(m.partCol.forall(c => PartSpec.parseSpecs(c).size == 1),
+      s"graft-commit: compactAndCluster on a MULTI-transform layout " +
+        s"('${m.partCol.getOrElse("")}') is not supported yet")
     m.partCol.map(PartSpec.parse).foreach {
       case IdentitySpec(pc) => require(!cols.contains(pc),
         s"graft-commit: '$pc' is the partition column — every file already " +
@@ -1171,7 +1219,7 @@ object CommitSink {
       s"graft-commit: table $dir is already partitioned as " +
         s"${m.partCol.fold("(unpartitioned)")(c => s"'$c'")} — evolution " +
         "must change the layout")
-    newCol.map(PartSpec.parse).foreach { spec =>
+    newCol.toSeq.flatMap(PartSpec.parseSpecs).foreach { spec =>
       val c = spec.sourceCol
       val schema = StructType.fromDDL(m.ddl)
       val f = schema.fields.find(_.name == c).getOrElse(
@@ -1183,11 +1231,11 @@ object CommitSink {
     }
     // strip stale partition keys; rows/bytes/ranges carry verbatim
     val stats = m.stats.map { case (f, e) =>
-      f -> FileStat.decode(e).copy(pk = None).encode
+      f -> FileStat.decode(e).copy(pk = None, pkRest = Nil).encode
     }
     writeManifest(Paths.get(dir), m.ddl, m.files, m.commit + 1,
       m.epochs, expectedPrev = m.commit,
-      partCol = newCol.map(s => PartSpec.parse(s).encode),
+      partCol = newCol.map(PartSpec.encodeSpecs),
       stats = stats, tableId = carriedOrFreshTableId(Some(m)),
       payload = m.payload, deletes = m.deletes,
       fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms)

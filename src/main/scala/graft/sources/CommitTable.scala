@@ -205,8 +205,9 @@ class CommitSinkTable(path: String,
     * SCAN's reported KeyGroupedPartitioning, not on this. */
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     if (changeFeed) Array.empty
-    else CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol).map(s =>
-      CommitSink.PartSpec.parse(s) match {
+    else CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol).toSeq
+      .flatMap(CommitSink.PartSpec.parseSpecs).map(spec =>
+      spec match {
         case CommitSink.IdentitySpec(c) =>
           org.apache.spark.sql.connector.expressions.Expressions.identity(c)
         case CommitSink.BucketSpec(n, c) =>
@@ -306,6 +307,10 @@ class CommitSinkTable(path: String,
       s"graft-commit: row-level DML on a branch binding of ${name()} is " +
         "unsupported — it would plan against main; append/truncate the " +
         "branch, or publish it first")
+    require(CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
+        .forall(c => CommitSink.PartSpec.parseSpecs(c).size == 1),
+      s"graft-commit: row-level DML on a MULTI-transform layout is not " +
+        "supported yet — rewrite through INSERT OVERWRITE")
     () => {
       // o28: `spark.graft.commit.rowLevelMode=merge-on-read` selects the
       // DELTA-based operation (deletion vectors + appended files) for
@@ -383,6 +388,8 @@ class CommitSinkTable(path: String,
 
   override def canDeleteWhere(filters: Array[sf.Filter]): Boolean =
     version.isEmpty && !changeFeed && branch.isEmpty &&
+      CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
+        .forall(c => CommitSink.PartSpec.parseSpecs(c).size == 1) &&
       filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sf.Filter]): Unit = {

@@ -84,7 +84,7 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       // canonical encoding: layout compatibility is a string compare
       // (commitAppend's mismatch refusal), so "bucket( 8 , k )" and
       // "bucket(8,k)" must not read as different layouts
-      .map(s => CommitSink.PartSpec.parse(s).encode)
+      .map(CommitSink.PartSpec.encodeSpecs)
 
   /** This write's staged-file payload format. Resolution order mirrors
     * the partition-layout rules: a REWRITE must keep its planning
@@ -174,7 +174,7 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
           "timestamp/timestamp_ntz/decimal(<=38) "
        else "long/int/double/string/boolean ") +
       s"columns; unsupported: ${bad.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
-    partCol.map(CommitSink.PartSpec.parse).foreach { spec =>
+    partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs).foreach { spec =>
       val c = spec.sourceCol
       val f = schema.fields.find(_.name == c).getOrElse(
         sys.error(s"graft-commit: partitionBy column '$c' is not in the written schema"))
@@ -280,14 +280,41 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       case CommitSink.YearsSpec(c) =>
         Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
     }
+    //  - MULTI-transform specs (o46, e.g. days(ts),bucket(8,u)): a
+    //    CLUSTERED distribution over every component's transform
+    //    expression plus an in-task sort on all of them — each component
+    //    resolves through the catalog's FunctionCatalog
+    //    ([[TransformFunctions]]), so multi layouts are catalog-table
+    //    territory exactly like single bucket. An ordered distribution
+    //    cannot serve here: range-partitioning leads on the RAW first
+    //    column (near-unique timestamps), which would interleave the
+    //    second transform's keys within each task and explode the
+    //    rolling writer's file count.
+    def transformExpr(spec: CommitSink.PartSpec)
+        : org.apache.spark.sql.connector.expressions.Expression = spec match {
+      case CommitSink.IdentitySpec(c) => Expressions.identity(c)
+      case CommitSink.BucketSpec(n, c) => Expressions.bucket(n, c)
+      case CommitSink.TruncateSpec(w, c) =>
+        Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+      case CommitSink.DaysSpec(c) => Expressions.days(c)
+      case CommitSink.MonthsSpec(c) => Expressions.months(c)
+      case CommitSink.YearsSpec(c) => Expressions.years(c)
+    }
+    def multiDistribution(specs: Seq[CommitSink.PartSpec]): Distribution =
+      if (specs.size == 1) partDistribution(specs.head)
+      else Distributions.clustered(specs.map(transformExpr).toArray)
+    def multiOrdering(specs: Seq[CommitSink.PartSpec]): Array[CSortOrder] =
+      if (specs.size == 1) partOrdering(specs.head)
+      else specs.map(sp =>
+        Expressions.sort(transformExpr(sp), SortDirection.ASCENDING)).toArray
     new Write with RequiresDistributionAndOrdering {
       override def requiredDistribution(): Distribution =
         partCol.filterNot(_ => shapedByCaller)
-          .map(c => partDistribution(CommitSink.PartSpec.parse(c)))
+          .map(c => multiDistribution(CommitSink.PartSpec.parseSpecs(c)))
           .getOrElse(Distributions.unspecified())
       override def requiredOrdering(): Array[CSortOrder] =
         partCol.filterNot(_ => shapedByCaller)
-          .map(c => partOrdering(CommitSink.PartSpec.parse(c)))
+          .map(c => multiOrdering(CommitSink.PartSpec.parseSpecs(c)))
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
         new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert,
@@ -869,20 +896,25 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     }
   }
 
-  private def encodeStats(bytes: Long, pk: Option[Long]): String =
+  private def encodeStats(bytes: Long, pk: Option[Long],
+                          pkRest: Seq[Long] = Nil): String =
     CommitSink.FileStat(rows, bytes, pk,
       schema.fields.iterator.zipWithIndex.collect {
         case (f, i) if seen(i) && statKind(i) == 'l' =>
           f.name -> CommitSink.ColRange('l', minL(i).toString, maxL(i).toString)
         case (f, i) if seen(i) && !nanPoisoned(i) && statKind(i) == 'd' =>
           f.name -> CommitSink.ColRange('d', minD(i).toString, maxD(i).toString)
-      }.toMap).encode
+      }.toMap, pkRest).encode
 
   // --- staged segments -----------------------------------------------------
-  private val partSpec: Option[CommitSink.PartSpec] =
-    partCol.map(CommitSink.PartSpec.parse)
-  private val partIdx: Int =
-    partSpec.map(s => schema.fieldIndex(s.sourceCol)).getOrElse(-1)
+  // possibly MULTI-transform (o46): the rolling key is the composite of
+  // every component's keyOf; single specs keep the r16 behavior exactly
+  private val partSpecs: Seq[CommitSink.PartSpec] =
+    partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs)
+  private val partSpec: Option[CommitSink.PartSpec] = partSpecs.headOption
+  private val partIdxs: Array[Int] =
+    partSpecs.map(sp => schema.fieldIndex(sp.sourceCol)).toArray
+  private val partIdx: Int = if (partIdxs.isEmpty) -1 else partIdxs(0)
   private var segOrdinal = 0
   private var name: String = _
   private var file: Path = _
@@ -890,7 +922,8 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   private var pw: org.apache.parquet.hadoop.ParquetWriter[
     org.apache.parquet.example.data.Group] = _
   private var rows = 0L
-  private var curKey = 0L
+  private var curKeys: Array[Long] = null
+  private def curKey: Long = curKeys(0)
   private var done = List.empty[StagedFile]
 
   private def segActive: Boolean = if (parquet) pw != null else out != null
@@ -909,7 +942,9 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   private def closeSegment(): Unit = {
     if (parquet) { pw.close(); pw = null } else { out.close(); out = null }
     done ::= StagedFile(name, rows,
-      encodeStats(CommitSink.io.size(file), if (partIdx < 0) None else Some(curKey)))
+      encodeStats(CommitSink.io.size(file),
+        if (partIdx < 0) None else Some(curKey),
+        if (partIdx < 0) Nil else curKeys.toSeq.drop(1)))
   }
 
   // unpartitioned tasks stage ONE file, opened eagerly so an empty task
@@ -958,24 +993,31 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       }
     }
     if (partIdx >= 0) {
-      val pi = partIdx + fieldOffset
-      require(!row.isNullAt(pi),
-        s"graft-commit: NULL partition key in column " +
-          s"'${partSpec.get.sourceCol}' — partitioning requires non-null keys")
-      val raw = schema(partIdx).dataType match {
-        // timestamps are physically micros longs; dates are day ints
-        case LongType | TimestampType | TimestampNTZType => row.getLong(pi)
-        case _ => row.getInt(pi).toLong
-      }
       // identity records the key itself; transforms record the
-      // TRANSFORMED key (bucket id / truncated band / epoch day) —
-      // what the write's declared clustering + sort grouped the input by
-      val k = partSpec.get.keyOf(raw, schema(partIdx).dataType)
-      // input is clustered AND sorted by the key — a key change is a
-      // segment boundary, and a key can never reappear later
-      if (!segActive || k != curKey) {
+      // TRANSFORMED key (bucket id / band / day / month ordinal) — what
+      // the write's declared clustering + sort grouped the input by.
+      // Multi specs (o46) roll on the COMPOSITE: any component change
+      // is a segment boundary (the in-task sort covers every component,
+      // so a composite key can never reappear later in the task).
+      val ks = new Array[Long](partSpecs.size)
+      var d = 0
+      while (d < partSpecs.size) {
+        val pi = partIdxs(d) + fieldOffset
+        require(!row.isNullAt(pi),
+          s"graft-commit: NULL partition key in column " +
+            s"'${partSpecs(d).sourceCol}' — partitioning requires non-null keys")
+        val dt = schema(partIdxs(d)).dataType
+        val raw = dt match {
+          // timestamps are physically micros longs; dates are day ints
+          case LongType | TimestampType | TimestampNTZType => row.getLong(pi)
+          case _ => row.getInt(pi).toLong
+        }
+        ks(d) = partSpecs(d).keyOf(raw, dt)
+        d += 1
+      }
+      if (!segActive || !java.util.Arrays.equals(ks, curKeys)) {
         if (segActive) closeSegment()
-        curKey = k
+        curKeys = ks
         openSegment()
       }
     }

@@ -1929,6 +1929,88 @@ object Sources {
       .withColumn("year_planned", lit(if (yearPlanned) 1L else 0L))
   }
 
+  /** o46: MULTI-TRANSFORM PARTITION SPECS — `PARTITIONED BY (days(ts),
+    * bucket(4, user_id))`, THE standard 100 TB fact-table layout (time
+    * for retention/range scans × key for point lookups and bounded file
+    * counts). The catalog's FunctionCatalog now serves days/months/
+    * years/truncate beside bucket ([[TransformFunctions]], Iceberg's
+    * SparkFunctions arrangement), which is what lets Spark resolve the
+    * INSERT's CLUSTERED distribution over every component; the rolling
+    * writer rolls per COMPOSITE key and records the full key vector
+    * (leading key + `pkr` rest) in each file's stats; scans plan one
+    * partition per composite group and prune each dimension
+    * INDEPENDENTLY through the o45 key projection — a one-day range
+    * plans that day's ≤4 bucket files, adding a user point predicate
+    * plans exactly the (day, bucket) file, with zero zone-map
+    * involvement on the hash dimension. Maintenance (compact/cluster)
+    * and row-level DML refuse multi layouts with named errors for now
+    * (rewrite through INSERT OVERWRITE); single-transform behavior is
+    * byte-identical. Proof columns: every file carries a 2-key vector
+    * whose day matches its ts range and whose bucket is in [0,4);
+    * file count ≤ days×4; the day plan and the (day, user) point plan
+    * match the manifest's own composite inventory. */
+  def o46MultiTransform(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min, to_date}
+    val (cat, root) = scopedCatalog(spark, "o46", dir)
+    val path = s"$root/default/ev"
+    spark.sql(s"CREATE TABLE $cat.`default`.ev (event_id BIGINT, " +
+      "ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE) " +
+      "USING `graft-commit` PARTITIONED BY (days(ts), bucket(4, user_id))")
+    graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .createOrReplaceTempView("o46_src")
+    spark.sql(s"INSERT INTO $cat.`default`.ev SELECT * FROM o46_src")
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    def stat(f: String) = CommitSink.FileStat.decode(m.stats(f))
+    // every file: a full 2-key vector, day == its ts range's day,
+    // bucket id in range
+    val composite = m.files.nonEmpty && m.files.forall { f =>
+      val st = stat(f)
+      st.pks.size == 2 &&
+        st.cols.get("ts").forall { r =>
+          Math.floorDiv(r.min.toLong, 86400000000L) == st.pks.head &&
+            Math.floorDiv(r.max.toLong, 86400000000L) == st.pks.head
+        } && st.pks(1) >= 0 && st.pks(1) < 4
+    }
+    val nDays = m.files.map(f => stat(f).pks.head).distinct.size
+    val bounded = m.files.size <= nDays * 4
+    // the middle day + a user present in it
+    val ev = graft.Tables.events(spark, dir)
+    val lo0 = ev.agg(min(col("ts"))).head().getAs[java.time.LocalDateTime](0)
+    val dayLo = lo0.toLocalDate.plusDays(2).atStartOfDay()
+    val dayHi = dayLo.plusDays(1)
+    val dayKey = dayLo.toLocalDate.toEpochDay
+    val u = ev.filter(col("ts") >= lit(dayLo) && col("ts") < lit(dayHi))
+      .agg(min(col("user_id"))).head().getLong(0)
+    val dayFiles = m.files.count(f => stat(f).pks.head == dayKey)
+    val pointFiles = m.files.count { f =>
+      val st = stat(f)
+      st.pks.head == dayKey &&
+        st.pks(1) == BucketFunction.bucketId(4, u).toLong
+    }
+    def read() = spark.read.format(CommitSink.NAME).option("path", path).load()
+    val dayPlanned = plannedFiles(read()
+      .filter(col("ts") >= lit(dayLo) && col("ts") < lit(dayHi)))
+    val pointPlanned = plannedFiles(read()
+      .filter(col("ts") >= lit(dayLo) && col("ts") < lit(dayHi) &&
+        col("user_id") === u))
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        countDistinct(to_date(col("ts"))).as("n_days"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("composite_keys", lit(if (composite) 1L else 0L))
+      .withColumn("files_bounded", lit(if (bounded) 1L else 0L))
+      .withColumn("planned_day",
+        lit(if (dayPlanned == dayFiles && dayFiles >= 1) 1L else 0L))
+      .withColumn("planned_point",
+        lit(if (pointPlanned == pointFiles && pointFiles >= 1 &&
+          pointFiles <= dayFiles) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -2353,6 +2435,7 @@ object Sources {
     "o43_metadata_tables" -> o43MetadataTables _,
     "o44_branches" -> o44Branches _,
     "o45_temporal_projection" -> o45TemporalProjection _,
+    "o46_multi_transform" -> o46MultiTransform _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -2459,6 +2542,21 @@ object Sources {
                 CAST(1 AS BIGINT) AS history_ok,
                 CAST(1 AS BIGINT) AS manifests_ok
          FROM events GROUP BY 1""",
+    // multi-transform spec: content = the (days(ts), bucket(4, user_id))-
+    // partitioned events replay; the booleans pin the composite key
+    // vectors, the days*4 file bound, and the two-dimensional pruning
+    // (a one-day plan, then the (day, user) point plan)
+    "o46_multi_transform" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS composite_keys,
+                 CAST(1 AS BIGINT) AS files_bounded,
+                 CAST(1 AS BIGINT) AS planned_day,
+                 CAST(1 AS BIGINT) AS planned_point
+          FROM events GROUP BY 1""",
     // temporal projection: content = the months(o_orderdate)-partitioned
     // orders replay (n_months is the real distinct-month count); the
     // layout booleans pin one-month-per-file, the month plan, the

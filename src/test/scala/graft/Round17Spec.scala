@@ -475,6 +475,97 @@ class Round17Spec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t").head().getLong(0) == 300)
   }
 
+  // --- o46: multi-transform partition specs -------------------------------
+
+  test("o46: days x bucket layout — composite keys, per-group planning, 2-D key-only pruning") {
+    val (cat, root) = scopedCat("multi")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (ts TIMESTAMP_NTZ, k BIGINT, v BIGINT) " +
+      "USING `graft-commit` PARTITIONED BY (days(ts), bucket(2, k))")
+    val path = s"$root/default/t"
+    // 4 days x keys hashing to both buckets
+    spark.range(4000).select(
+        (lit(java.time.LocalDateTime.of(2001, 1, 1, 0, 0)) +
+          expr("make_interval(0, 0, 0, 0, 0, 0, id * 80)")).as("ts"),
+        ($"id" % 10).as("k"), $"id".as("v"))
+      .createOrReplaceTempView("r17_multi_src")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT * FROM r17_multi_src")
+    val m = manifest(path)
+    val stats = m.files.map(f => sources.CommitSink.FileStat.decode(m.stats(f)))
+    // every file records (day, bucket) and holds ONE composite key
+    assert(stats.nonEmpty && stats.forall(_.pks.size == 2))
+    assert(stats.forall(st => st.pks(1) >= 0 && st.pks(1) < 2))
+    val composites = stats.map(_.pks).distinct
+    assert(m.files.size == composites.size,
+      "the rolling writer lands one file per composite key here (one insert)")
+    val nDays = stats.map(_.pks.head).distinct.size
+    assert(nDays >= 4 && m.files.size <= nDays * 2)
+    // planning granularity: one partition per composite group
+    def read() = spark.read.format("graft-commit").option("path", path).load()
+    assert(plannedFiles(read()) == composites.size)
+    // STRIP every zone entry — both dimensions must prune by key alone
+    val stripped = m.stats.map { case (f, e) =>
+      val st = sources.CommitSink.FileStat.decode(e)
+      f -> st.copy(cols = Map.empty).encode
+    }
+    sources.CommitSink.writeManifest(Paths.get(path), m.ddl, m.files,
+      m.commit + 1, m.epochs, expectedPrev = m.commit, partCol = m.partCol,
+      stats = stripped, tableId = m.tableId, payload = m.payload,
+      fileSeq = m.fileSeq)
+    // INCLUSIVE in-day bounds: `< day3 00:00` would conservatively
+    // project onto day3's key too (the interval projection keeps
+    // key <= days(day3)) — the o45 months proof makes the same choice
+    val day2 = java.time.LocalDateTime.of(2001, 1, 2, 0, 0)
+    val day2End = java.time.LocalDateTime.of(2001, 1, 2, 23, 59, 59)
+    val day2Key = day2.toLocalDate.toEpochDay
+    val day2Files = stats.count(_.pks.head == day2Key)
+    assert(plannedFiles(read().filter($"ts" >= lit(day2) && $"ts" <= lit(day2End)))
+      == day2Files, "a one-day range plans that day's bucket files by KEY alone")
+    val b7 = sources.BucketFunction.bucketId(2, 7L).toLong
+    val pointFiles = stats.count(st => st.pks.head == day2Key && st.pks(1) == b7)
+    assert(plannedFiles(read().filter($"ts" >= lit(day2) && $"ts" <= lit(day2End) &&
+        $"k" === 7L)) == pointFiles && pointFiles == 1,
+      "day range + key point plans exactly the (day, bucket) file")
+    // content intact through the composite layout
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.`default`.t").head().getLong(0)
+      == (0L until 4000L).sum)
+  }
+
+  test("o46: refusal matrix — maintenance/DML refuse multi; duplicate columns refuse") {
+    val (cat, root) = scopedCat("multi_refuse")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (ts TIMESTAMP_NTZ, k BIGINT, v BIGINT) " +
+      "USING `graft-commit` PARTITIONED BY (days(ts), bucket(2, k))")
+    val path = s"$root/default/t"
+    spark.range(100).select(
+        lit(java.time.LocalDateTime.of(2001, 1, 1, 0, 0)).as("ts"),
+        ($"id" % 5).as("k"), $"id".as("v"))
+      .createOrReplaceTempView("r17_multi_refuse_src")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT * FROM r17_multi_refuse_src")
+    def msgChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception](
+      sources.CommitSink.compact(spark, path, 2))
+    assert(msgChain(e1).contains("MULTI-transform"), msgChain(e1))
+    val e2 = intercept[Exception](
+      sources.CommitSink.compactAndCluster(spark, path, 2, Seq("v")))
+    assert(msgChain(e2).contains("MULTI-transform"), msgChain(e2))
+    val e3 = intercept[Exception](
+      spark.sql(s"UPDATE $cat.`default`.t SET v = 0 WHERE k = 1"))
+    assert(msgChain(e3).contains("MULTI-transform"), msgChain(e3))
+    val e4 = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.`default`.t WHERE k = 1"))
+    assert(msgChain(e4).contains("MULTI-transform"), msgChain(e4))
+    // one source column under two transforms is ambiguous
+    val e5 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.`default`.bad (ts TIMESTAMP_NTZ, v BIGINT) " +
+        "USING `graft-commit` PARTITIONED BY (days(ts), months(ts))"))
+    assert(msgChain(e5).contains("twice"), msgChain(e5))
+    // FileStat multi-key roundtrip (the pkr segment)
+    val st = sources.CommitSink.FileStat(10L, 100L, Some(5L),
+      Map("a" -> sources.CommitSink.ColRange('l', "1", "9")), Seq(-3L, 7L))
+    assert(sources.CommitSink.FileStat.decode(st.encode) == st)
+  }
+
   // --- streaming upsert into a bucket-partitioned table ------------------
 
   test("streaming upserts into bucket(8, sensor) keep one-bucket files and grouped planning") {
