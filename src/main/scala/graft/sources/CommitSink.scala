@@ -879,6 +879,26 @@ object CommitSink {
     * task"). Small-file compaction is THE steady-state maintenance of a
     * streaming-ingested table: epoch commits land one file per task per
     * trigger, and a day of 1-minute triggers is 1440× too many files. */
+  /** Catalyst (codegen'd) form of a transform's keyOf — the pre-shaping
+    * device for path-based maintenance on transformed layouts (no
+    * FunctionCatalog there). Must agree with [[PartSpec.keyOf]]:
+    * to_date/year/month floor exactly like the floorDiv/LocalDate
+    * forms for every pre- and post-1970 value. */
+  private[sources] def keyColOf(spec: PartSpec): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, datediff, expr, lit, month, year}
+    spec match {
+      case IdentitySpec(c) => col(c)
+      case BucketSpec(n, c) => BucketFunction.bucketCol(n, col(c))
+      case TruncateSpec(w, c) =>
+        expr(s"CAST(FLOOR($c / $w) AS BIGINT) * $w")
+      case DaysSpec(c) =>
+        datediff(org.apache.spark.sql.functions.to_date(col(c)),
+          lit(java.sql.Date.valueOf("1970-01-01")))
+      case MonthsSpec(c) => (year(col(c)) - 1970) * 12 + month(col(c)) - 1
+      case YearsSpec(c) => year(col(c)) - 1970
+    }
+  }
+
   def compact(spark: SparkSession, dir: String, numFiles: Int): Unit =
       retryMaintenance(s"compact($dir)") {
     // pin ONE manifest: the rows read below and the commit CAS both bind
@@ -897,21 +917,27 @@ object CommitSink {
     // preShaped device): path-based maintenance writes have no
     // FunctionCatalog to resolve the bucket transform through, and the
     // pre-shape is the same shuffle the catalog write would plan.
-    require(m.partCol.forall(c => PartSpec.parseSpecs(c).size == 1),
-      s"graft-commit: compact on a MULTI-transform layout " +
-        s"('${m.partCol.getOrElse("")}') is not supported yet — the " +
-        "path-based rewrite cannot resolve the composite clustering; " +
-        "rewrite through a catalog INSERT OVERWRITE instead")
-    val spec = m.partCol.map(PartSpec.parse)
-    val shaped = spec match {
-      case None => df.repartition(numFiles)
-      case Some(BucketSpec(n, c)) =>
+    val specs = m.partCol.toSeq.flatMap(PartSpec.parseSpecs)
+    val shaped = specs match {
+      case Seq() => df.repartition(numFiles)
+      case Seq(BucketSpec(n, c)) =>
         val b = BucketFunction.bucketCol(n, org.apache.spark.sql.functions.col(c))
         df.repartition(numFiles, b).sortWithinPartitions(b)
-      // identity/truncate/days: the partitionBy write plans its own
-      // identity clustering (monotone transforms keep keys contiguous)
-      case Some(_) => df
+      // single identity/truncate/days: the partitionBy write plans its
+      // own clustering (monotone transforms keep keys contiguous)
+      case Seq(_) => df
+      case multi =>
+        // MULTI spec (o46): pre-shape the composite shuffle in catalyst
+        // form — the path-based rewrite has no FunctionCatalog to
+        // resolve the clustered distribution through (the same reason
+        // single bucket pre-shapes); hash on all key columns + in-task
+        // sort keeps every composite key contiguous for the rolling
+        // writer, so the compacted table holds one file per LIVE
+        // composite key
+        val ks = multi.map(keyColOf)
+        df.repartition(numFiles, ks: _*).sortWithinPartitions(ks: _*)
     }
+    val spec = if (specs.size == 1) specs.headOption else None
     // compaction "scans" every pinned file — the rewrite replaces all of
     // them, carrying none, exactly the old truncate shape but CAS'd
     // against the PLANNING commit rather than a commit-time re-read
@@ -919,7 +945,7 @@ object CommitSink {
     try {
       val w0 = shaped.write.format(NAME).option("path", dir)
         .option("rewriteToken", token)
-      val w = if (spec.exists(_.isInstanceOf[BucketSpec]))
+      val w = if (spec.exists(_.isInstanceOf[BucketSpec]) || specs.size > 1)
         w0.option("preShaped", "true") else w0
       m.partCol.fold(w)(c => w.option("partitionBy", c)).mode("overwrite").save()
     } finally dropRewrite(token) // no-op on success; reclaims on early failure

@@ -307,10 +307,7 @@ class CommitSinkTable(path: String,
       s"graft-commit: row-level DML on a branch binding of ${name()} is " +
         "unsupported — it would plan against main; append/truncate the " +
         "branch, or publish it first")
-    require(CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
-        .forall(c => CommitSink.PartSpec.parseSpecs(c).size == 1),
-      s"graft-commit: row-level DML on a MULTI-transform layout is not " +
-        "supported yet — rewrite through INSERT OVERWRITE")
+
     () => {
       // o28: `spark.graft.commit.rowLevelMode=merge-on-read` selects the
       // DELTA-based operation (deletion vectors + appended files) for
@@ -388,8 +385,6 @@ class CommitSinkTable(path: String,
 
   override def canDeleteWhere(filters: Array[sf.Filter]): Boolean =
     version.isEmpty && !changeFeed && branch.isEmpty &&
-      CommitSink.parseManifest(Paths.get(path)).flatMap(_.partCol)
-        .forall(c => CommitSink.PartSpec.parseSpecs(c).size == 1) &&
       filters.forall(filterToColumn(_).isDefined)
 
   override def deleteWhere(filters: Array[sf.Filter]): Unit = {
@@ -434,13 +429,23 @@ class CommitSinkTable(path: String,
     val token = CommitSink.registerRewrite(
       CommitSink.DmlRewrite(m, () => scanned.toSet))
     try {
-      val w = CommitSink.readManifestFiles(spark, path, m.copy(files = scanned))
+      val survivors = CommitSink.readManifestFiles(spark, path, m.copy(files = scanned))
         // DELETE removes rows where the condition is TRUE; a NULL
         // condition keeps the row
         .filter(not(fnCoalesce(cond, lit(false))))
-        .write.format(CommitSink.NAME).option("path", path)
+      // DML preserves the table's partition layout. MULTI-transform
+      // layouts (o46) pre-shape the composite shuffle here — this is a
+      // PATH write with no FunctionCatalog to resolve the clustered
+      // distribution through (the compact device)
+      val specs = m.partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs)
+      val (shaped, pre) =
+        if (specs.size > 1) {
+          val ks = specs.map(CommitSink.keyColOf)
+          (survivors.repartition(ks: _*).sortWithinPartitions(ks: _*), true)
+        } else (survivors, false)
+      val w0 = shaped.write.format(CommitSink.NAME).option("path", path)
         .option("rewriteToken", token)
-      // DML preserves the table's partition layout
+      val w = if (pre) w0.option("preShaped", "true") else w0
       m.partCol.fold(w)(c => w.option("partitionBy", c))
         .mode("overwrite").save()
     } finally CommitSink.dropRewrite(token) // reclaim on pre-build failure

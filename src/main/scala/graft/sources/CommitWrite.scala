@@ -290,15 +290,24 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
     //    column (near-unique timestamps), which would interleave the
     //    second transform's keys within each task and explode the
     //    rolling writer's file count.
+    // the GENERIC apply(...) form, not Expressions.days/months/years:
+    // those build the dedicated DaysTransform/... classes, which
+    // V2ExpressionUtils.toCatalyst does NOT resolve ("days(ts) is not
+    // currently supported") — only identity/bucket/generic ApplyTransform
+    // route through the FunctionCatalog, so the temporal components ride
+    // the generic form and bind to [[TransformFunctions]]
     def transformExpr(spec: CommitSink.PartSpec)
         : org.apache.spark.sql.connector.expressions.Expression = spec match {
       case CommitSink.IdentitySpec(c) => Expressions.identity(c)
       case CommitSink.BucketSpec(n, c) => Expressions.bucket(n, c)
       case CommitSink.TruncateSpec(w, c) =>
         Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
-      case CommitSink.DaysSpec(c) => Expressions.days(c)
-      case CommitSink.MonthsSpec(c) => Expressions.months(c)
-      case CommitSink.YearsSpec(c) => Expressions.years(c)
+      case CommitSink.DaysSpec(c) =>
+        Expressions.apply("days", Expressions.column(c))
+      case CommitSink.MonthsSpec(c) =>
+        Expressions.apply("months", Expressions.column(c))
+      case CommitSink.YearsSpec(c) =>
+        Expressions.apply("years", Expressions.column(c))
     }
     def multiDistribution(specs: Seq[CommitSink.PartSpec]): Distribution =
       if (specs.size == 1) partDistribution(specs.head)

@@ -530,7 +530,47 @@ class Round17Spec extends AnyFunSuite {
       == (0L until 4000L).sum)
   }
 
-  test("o46: refusal matrix — maintenance/DML refuse multi; duplicate columns refuse") {
+  test("o46: DML and compact work on multi-transform layouts") {
+    val (cat, root) = scopedCat("multi_dml")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (ts TIMESTAMP_NTZ, k BIGINT, v BIGINT) " +
+      "USING `graft-commit` PARTITIONED BY (days(ts), bucket(2, k))")
+    val path = s"$root/default/t"
+    spark.range(2000).select(
+        (lit(java.time.LocalDateTime.of(2001, 1, 1, 0, 0)) +
+          expr("make_interval(0, 0, 0, 0, 0, 0, id * 80)")).as("ts"),
+        ($"id" % 10).as("k"), $"id".as("v"))
+      .createOrReplaceTempView("r17_multi_dml_src")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT * FROM r17_multi_dml_src")
+    // UPDATE (group copy-on-write through the catalog — the composite
+    // clustered distribution resolves via the FunctionCatalog)
+    spark.sql(s"UPDATE $cat.`default`.t SET v = v + 1000000 WHERE k = 3")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t WHERE v >= 1000000")
+      .head().getLong(0) == 200)
+    // the rewrite preserved the composite layout
+    val m1 = manifest(path)
+    assert(m1.files.forall(f =>
+      sources.CommitSink.FileStat.decode(m1.stats(f)).pks.size == 2),
+      "DML rewrite must land files under the composite spec")
+    // metadata DELETE (translatable predicate) keeps the layout too
+    spark.sql(s"DELETE FROM $cat.`default`.t WHERE k = 7")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t WHERE k = 7")
+      .head().getLong(0) == 0)
+    val m2 = manifest(path)
+    assert(m2.files.forall(f =>
+      sources.CommitSink.FileStat.decode(m2.stats(f)).pks.size == 2))
+    // compact: one file per live composite key, content intact
+    sources.CommitSink.compact(spark, path, 4)
+    val m3 = manifest(path)
+    val composites = m3.files
+      .map(f => sources.CommitSink.FileStat.decode(m3.stats(f)).pks)
+    assert(composites.forall(_.size == 2) &&
+      composites.distinct.size == composites.size,
+      "compacted multi layout holds one file per live composite key")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t").head()
+      .getLong(0) == 1800) // 2000 - the 200 deleted k=7 rows
+  }
+
+  test("o46: refusal matrix — cluster rewrites refuse multi; duplicate columns refuse") {
     val (cat, root) = scopedCat("multi_refuse")
     spark.sql(s"CREATE TABLE $cat.`default`.t (ts TIMESTAMP_NTZ, k BIGINT, v BIGINT) " +
       "USING `graft-commit` PARTITIONED BY (days(ts), bucket(2, k))")
@@ -543,18 +583,9 @@ class Round17Spec extends AnyFunSuite {
     def msgChain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-    val e1 = intercept[Exception](
-      sources.CommitSink.compact(spark, path, 2))
-    assert(msgChain(e1).contains("MULTI-transform"), msgChain(e1))
     val e2 = intercept[Exception](
       sources.CommitSink.compactAndCluster(spark, path, 2, Seq("v")))
     assert(msgChain(e2).contains("MULTI-transform"), msgChain(e2))
-    val e3 = intercept[Exception](
-      spark.sql(s"UPDATE $cat.`default`.t SET v = 0 WHERE k = 1"))
-    assert(msgChain(e3).contains("MULTI-transform"), msgChain(e3))
-    val e4 = intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.`default`.t WHERE k = 1"))
-    assert(msgChain(e4).contains("MULTI-transform"), msgChain(e4))
     // one source column under two transforms is ambiguous
     val e5 = intercept[Exception](
       spark.sql(s"CREATE TABLE $cat.`default`.bad (ts TIMESTAMP_NTZ, v BIGINT) " +
