@@ -562,16 +562,49 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     * key when every surviving file records its full key vector —
     * per-group planning granularity without an SPJ report (the grouped
     * scan under UnknownPartitioning). None → per-file planning. */
-  private val multiGroups: Option[Seq[Seq[String]]] =
+  private val multiGroups: Option[Seq[(Seq[Long], Seq[String])]] =
     if (partSpecs.size <= 1) None
     else {
       val ks = surviving.map(f => fileStats.get(f).map(_.pks).getOrElse(Nil))
       if (surviving.nonEmpty && ks.forall(_.size == partSpecs.size))
         Some(surviving.zip(ks).groupBy(_._2).toSeq
           .sortBy(_._1.mkString("."))
-          .map(_._2.map(_._1)))
+          .map { case (k, fs) => (k, fs.map(_._1)) })
       else None
     }
+
+  /** The V2 transform expression each spec reports (o46 SPJ face —
+    * the write side's twin; temporal transforms ride the GENERIC
+    * ApplyTransform so both sides translate through the catalog's
+    * FunctionCatalog). */
+  private def reportExpr(spec: CommitSink.PartSpec)
+      : org.apache.spark.sql.connector.expressions.Expression = spec match {
+    case CommitSink.IdentitySpec(c) => Expressions.identity(c)
+    case CommitSink.BucketSpec(n, c) => Expressions.bucket(n, c)
+    case CommitSink.TruncateSpec(w, c) =>
+      Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
+    case CommitSink.DaysSpec(c) => Expressions.apply("days", Expressions.column(c))
+    case CommitSink.MonthsSpec(c) => Expressions.apply("months", Expressions.column(c))
+    case CommitSink.YearsSpec(c) => Expressions.apply("years", Expressions.column(c))
+  }
+
+  /** A recorded key typed as ITS transform's result (the HasPartitionKey
+    * contract): bucket and the temporal ordinals are Int, truncate is
+    * Long, identity follows the column type. */
+  private def typedKey(spec: CommitSink.PartSpec, k: Long): Any = spec match {
+    case CommitSink.IdentitySpec(c) =>
+      if (StructType.fromDDL(manifest.ddl).apply(c).dataType == IntegerType)
+        k.toInt else k
+    case _: CommitSink.BucketSpec => k.toInt
+    case _: CommitSink.TruncateSpec => k
+    case _ => k.toInt // days/months/years ordinals (TransformFunctions)
+  }
+
+  /** Multi-transform SPJ eligibility: every source column must survive
+    * the projection for the reported transforms to resolve. */
+  private def multiSpjOk: Boolean =
+    multiGroups.isDefined &&
+      partSpecs.forall(sp => readSchema().fieldNames.contains(sp.sourceCol))
 
   private def abs(f: String): String = Paths.get(path, f).toString
 
@@ -619,10 +652,16 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
             fs.map(dvOf), fs.map(eqOf)): InputPartition
         }.toArray[InputPartition]
       case None => multiGroups match {
+        case Some(groups) if multiSpjOk =>
+          groups.map { case (ks, fs) =>
+            val typed = partSpecs.zip(ks).map { case (sp, k) => typedKey(sp, k) }
+            CommitKeyedFilesPartition(fs.map(abs), typed.head,
+              fs.map(dvOf), fs.map(eqOf), typed.tail): InputPartition
+          }.toArray[InputPartition]
         case Some(groups) =>
-          groups.map(fs =>
+          groups.map { case (_, fs) =>
             CommitFilesPartition(fs.map(abs),
-              fs.map(dvOf), fs.map(eqOf)): InputPartition).toArray[InputPartition]
+              fs.map(dvOf), fs.map(eqOf)): InputPartition }.toArray[InputPartition]
         case None =>
           runtimeSurviving.map(f =>
             CommitFilesPartition(Seq(abs(f)),
@@ -633,7 +672,7 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     // the group-granular rewrite replaces (everything else is carried)
     dmlOp.foreach(_.scanned.set(partGroups match {
       case Some(groups) => groups.flatMap(_._2).toSet
-      case None => multiGroups.map(_.flatten.toSet)
+      case None => multiGroups.map(_.flatMap(_._2).toSet)
         .getOrElse(runtimeSurviving.toSet)
     }))
     parts
@@ -659,6 +698,12 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
         case _ => new UnknownPartitioning(groups.size)
       }
     case Some(groups) => new UnknownPartitioning(groups.size)
+    case None if multiSpjOk =>
+      // o46: the composite layout reports KeyGroupedPartitioning over
+      // every component's transform expression — two (days, bucket)
+      // tables align group-for-group and join exchange-free
+      new KeyGroupedPartitioning(partSpecs.map(reportExpr).toArray,
+        multiGroups.get.size)
     case None =>
       new UnknownPartitioning(multiGroups.map(_.size).getOrElse(surviving.size))
   }
@@ -1228,11 +1273,17 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
   * co-partitioned scans for a storage-partitioned join. */
 case class CommitKeyedFilesPartition(files: Seq[String], key: Any,
                                      dvs: Seq[String] = Seq.empty,
-                                     eqs: Seq[Seq[EqRef]] = Seq.empty)
+                                     eqs: Seq[Seq[EqRef]] = Seq.empty,
+                                     /** Non-leading key values of a
+                                       * MULTI-transform layout (o46) —
+                                       * the composite partition key is
+                                       * (key +: moreKeys), each typed
+                                       * as its transform's RESULT. */
+                                     moreKeys: Seq[Any] = Nil)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](key))
+    new GenericInternalRow((key +: moreKeys).toArray[Any])
 }
 
 class CommitReaderFactory(ddl: String, stampFile: Boolean = false,
@@ -1257,7 +1308,7 @@ class CommitReaderFactory(ddl: String, stampFile: Boolean = false,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case CommitFilesPartition(fs, dvs, eqs)         => reader(fs, dvs, eqs)
-      case CommitKeyedFilesPartition(fs, _, dvs, eqs) => reader(fs, dvs, eqs)
+      case CommitKeyedFilesPartition(fs, _, dvs, eqs, _) => reader(fs, dvs, eqs)
       case other => sys.error(s"graft-commit: unexpected partition $other")
     }
 }

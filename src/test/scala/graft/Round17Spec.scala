@@ -597,6 +597,51 @@ class Round17Spec extends AnyFunSuite {
     assert(sources.CommitSink.FileStat.decode(st.encode) == st)
   }
 
+  private def withSpj[A](body: => A): A = {
+    val conf = spark.conf
+    val prevB = conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val prevT = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try body
+    finally {
+      prevB.fold(conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      prevT.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
+  test("o46: two (days, bucket) tables join exchange-free (composite SPJ)") {
+    val (cat, root) = scopedCat("multi_spj")
+    Seq("fact", "dim").foreach { t =>
+      spark.sql(s"CREATE TABLE $cat.`default`.$t (ts TIMESTAMP_NTZ, k BIGINT, " +
+        s"v BIGINT) USING `graft-commit` PARTITIONED BY (days(ts), bucket(2, k))")
+    }
+    spark.range(3000).select(
+        (lit(java.time.LocalDateTime.of(2002, 5, 1, 0, 0)) +
+          expr("make_interval(0, 0, 0, 0, 0, 0, id * 100)")).as("ts"),
+        ($"id" % 7).as("k"), $"id".as("v"))
+      .createOrReplaceTempView("r17_spj_src")
+    spark.sql(s"INSERT INTO $cat.`default`.fact SELECT * FROM r17_spj_src")
+    spark.sql(s"INSERT INTO $cat.`default`.dim SELECT ts, k, v * 2 FROM r17_spj_src")
+    withSpj {
+      val joined = spark.sql(
+        s"SELECT f.ts, f.k, f.v, d.v AS dv FROM $cat.`default`.fact f " +
+          s"JOIN $cat.`default`.dim d ON f.ts = d.ts AND f.k = d.k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"(days(ts), bucket(2,k)) on both sides must storage-partition the join:\n$plan")
+      assert(joined.count() == 3000L)
+      // value parity with the shuffled join
+      val shuffled = spark.sql(
+        s"SELECT sum(f.v + d.v) FROM $cat.`default`.fact f " +
+          s"JOIN $cat.`default`.dim d " +
+          "ON f.ts = d.ts AND f.k = d.k").head().getLong(0)
+      assert(shuffled == (0L until 3000L).map(i => i * 3).sum)
+    }
+  }
+
   // --- streaming upsert into a bucket-partitioned table ------------------
 
   test("streaming upserts into bucket(8, sensor) keep one-bucket files and grouped planning") {
