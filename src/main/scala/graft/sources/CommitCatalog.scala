@@ -263,9 +263,41 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
           s"graft-commit (${m.payload} payload): unsupported ALTER column " +
             s"type ${add.dataType().simpleString} for '$name'")
         sch.add(org.apache.spark.sql.types.StructField(name, add.dataType()))
+      case del: TableChange.DeleteColumn =>
+        // DROP COLUMN (r17): metadata-only, like ADD — the DDL narrows
+        // and every reader projects BY NAME against the current schema,
+        // so committed files simply stop being asked for the field
+        // (parquet chunk projection skips it; the JSON decoder never
+        // parses it). Files, stats, vectors, epochs carry verbatim;
+        // leftover zone/bloom entries for the dropped name are
+        // unreachable (no post-ALTER filter can name the column) and
+        // die with their files on rewrite. Time travel keeps each
+        // version's own shape — `VERSION AS OF` a pre-DROP commit still
+        // reads the column. Refused when the column is load-bearing:
+        // the partition spec's source, or a live equality delete's key
+        // (its apply anti-join must decode the column from every
+        // covered file).
+        require(del.fieldNames().length == 1,
+          "graft-commit: ALTER DROP COLUMN supports top-level columns only, " +
+            s"got ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames()(0)
+        require(sch.fieldNames.contains(name),
+          s"graft-commit: no column '$name' in ${ident.name()} to drop")
+        require(sch.length > 1,
+          s"graft-commit: cannot drop '$name' — it is the table's only column")
+        m.partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs).foreach(sp =>
+          require(sp.sourceCol != name,
+            s"graft-commit: cannot drop '$name' — it is the partition " +
+              s"spec's source column (${sp.encode}); evolve the " +
+              "partitioning first"))
+        m.eqDeletes.foreach(e =>
+          require(!e.colNames.contains(name),
+            s"graft-commit: cannot drop '$name' — live equality deletes " +
+              "key on it; convertEqDeletes first"))
+        StructType(sch.fields.filterNot(_.name == name))
       case other => throw new UnsupportedOperationException(
-        s"graft-commit: unsupported ALTER ($other) — only ADD COLUMN; " +
-          "renames/drops/retypes are a truncate-rewrite on this sink")
+        s"graft-commit: unsupported ALTER ($other) — only ADD COLUMN and " +
+          "DROP COLUMN; renames/retypes are a truncate-rewrite on this sink")
     }}
     // one metadata-only commit, CAS'd on the manifest this ALTER read —
     // a concurrent writer landing mid-ALTER fails the swap loudly

@@ -36,12 +36,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * .listStaged]] (_REFS.json), and the group refs' zone summaries —
   * nothing is recomputed from data files. */
 private[graft] object CommitMeta {
-  val Kinds: Set[String] = Set("files", "history", "manifests")
+  val Kinds: Set[String] = Set("files", "history", "manifests", "partitions")
 
   def schemaOf(kind: String): StructType = kind match {
     case "files" => StructType.fromDDL(
       "file STRING, part_key BIGINT, rows BIGINT, bytes BIGINT, " +
         "seq BIGINT, dv_deleted BIGINT, n_eq_deletes BIGINT, n_bloom_cols BIGINT")
+    case "partitions" => StructType.fromDDL(
+      // Iceberg's partitions metadata table: one row per partition-key
+      // vector (multi-transform composites render as 'k1.k2'), the
+      // skew/compaction-planning readout
+      "partition STRING, n_files BIGINT, rows BIGINT, bytes BIGINT, " +
+        "dv_deleted BIGINT")
     case "history" => StructType.fromDDL(
       "version BIGINT, n_files BIGINT, total_rows BIGINT, total_bytes BIGINT, " +
         "n_eq_deletes BIGINT, is_staged BOOLEAN, is_current BOOLEAN, tags STRING")
@@ -73,6 +79,18 @@ private[graft] object CommitMeta {
               Long.box(m.deletes.get(f).map(_.ndel).getOrElse(0L)),
               Long.box(m.eqFor(f).size.toLong),
               Long.box(m.blooms.get(f).map(_.size.toLong).getOrElse(0L)))
+          }.toArray
+        }.getOrElse(Array.empty)
+      case "partitions" =>
+        resolved.map { m =>
+          m.files.flatMap { f =>
+            m.stats.get(f).map(CommitSink.FileStat.decode).map(st =>
+              (st.pks.mkString("."), st.rows, st.bytes,
+                m.deletes.get(f).map(_.ndel).getOrElse(0L)))
+          }.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, fs) =>
+            Array[Any](if (k.isEmpty) "(unpartitioned)" else k,
+              Long.box(fs.size.toLong), Long.box(fs.map(_._2).sum),
+              Long.box(fs.map(_._3).sum), Long.box(fs.map(_._4).sum))
           }.toArray
         }.getOrElse(Array.empty)
       case "history" =>

@@ -2011,6 +2011,52 @@ object Sources {
           pointFiles <= dayFiles) 1L else 0L))
   }
 
+  /** o47: ALTER TABLE DROP COLUMNS — the second half of metadata-only
+    * schema evolution (o31 landed ADD): the manifest DDL narrows in ONE
+    * commit, every file/stat/vector/epoch carries verbatim, and readers
+    * simply stop asking committed files for the field (both payload
+    * decoders project BY NAME). Time travel keeps each version's own
+    * shape — `VERSION AS OF` a pre-DROP commit still reads the column —
+    * and appends must carry the narrowed schema. Load-bearing columns
+    * refuse: the partition spec's source and live equality-delete keys
+    * (Round17Spec pins the matrix). The fixture drops events' `props`
+    * payload column, appends a narrowed subset (every 4th event), and
+    * replays the mixed pre/post-DROP content; proofs pin the dropped
+    * column's absence, the metadata-only commit (files carried
+    * verbatim), and time travel's pre-DROP shape. At 100 TB this is
+    * "stop paying for a dead column" without rewriting a byte. */
+  def o47DropColumn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o47", dir)
+    val path = s"$root/default/ev"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    ev.write.format(CommitSink.NAME).option("path", path)
+      .option("payload", "parquet").mode("overwrite").save()
+    val m0 = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    spark.sql(s"ALTER TABLE $cat.`default`.ev DROP COLUMN props")
+    val m1 = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    val metadataOnly = m1.files == m0.files && m1.commit == m0.commit + 1
+    val narrowed = !spark.table(s"$cat.`default`.ev").columns.contains("props")
+    // time travel keeps the pre-DROP shape (and its rows still decode)
+    val oldShape = spark.read.format(CommitSink.NAME).option("path", path)
+      .option("versionAsOf", m0.commit).load()
+    val travelKeeps = oldShape.columns.contains("props") &&
+      oldShape.filter(col("props").isNotNull).count() > 0
+    ev.filter(col("event_id") % 4 === 0).drop("props")
+      .write.format(CommitSink.NAME).option("path", path).mode("append").save()
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("dropped_gone", lit(if (narrowed) 1L else 0L))
+      .withColumn("metadata_only", lit(if (metadataOnly) 1L else 0L))
+      .withColumn("travel_keeps", lit(if (travelKeeps) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -2436,6 +2482,7 @@ object Sources {
     "o44_branches" -> o44Branches _,
     "o45_temporal_projection" -> o45TemporalProjection _,
     "o46_multi_transform" -> o46MultiTransform _,
+    "o47_drop_column" -> o47DropColumn _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -2542,6 +2589,24 @@ object Sources {
                 CAST(1 AS BIGINT) AS history_ok,
                 CAST(1 AS BIGINT) AS manifests_ok
          FROM events GROUP BY 1""",
+    // drop column: content = the full events table plus the narrowed
+    // %4 append, read under the post-DROP schema; the booleans pin the
+    // dropped column's absence, the metadata-only commit, and time
+    // travel's pre-DROP shape
+    "o47_drop_column" ->
+      s"""WITH t AS (
+            SELECT event_id, user_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, user_id, event_type, value FROM events
+            WHERE event_id % 4 = 0)
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS dropped_gone,
+                 CAST(1 AS BIGINT) AS metadata_only,
+                 CAST(1 AS BIGINT) AS travel_keeps
+          FROM t GROUP BY 1""",
     // multi-transform spec: content = the (days(ts), bucket(4, user_id))-
     // partitioned events replay; the booleans pin the composite key
     // vectors, the days*4 file bound, and the two-dimensional pruning

@@ -160,6 +160,108 @@ class Round17Spec extends AnyFunSuite {
       spark.sql(s"SELECT * FROM $cat.`default`.`nope$$files`").collect())
   }
 
+  test("o43: the $partitions table rolls files up per partition-key vector") {
+    val dir = freshDir("o43_partitions")
+    spark.range(120).select(($"id" % 3).as("k"), $"id".as("v"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("overwrite").save()
+    spark.range(120, 150).select(($"id" % 3).as("k"), $"id".as("v"))
+      .write.format("graft-commit").option("path", dir)
+      .option("partitionBy", "k").mode("append").save()
+    val parts = meta(dir, "partitions").collect().sortBy(_.getString(0))
+    assert(parts.length == 3, "one row per partition key")
+    assert(parts.forall(_.getLong(1) == 2), "base + append file per key")
+    assert(parts.map(_.getLong(2)).sum == 150)
+    // an unpartitioned table rolls into the one '(unpartitioned)' row
+    val dir2 = freshDir("o43_partitions_flat")
+    spark.range(10).select($"id")
+      .write.format("graft-commit").option("path", dir2).mode("overwrite").save()
+    val flat = meta(dir2, "partitions").collect()
+    assert(flat.length == 1 && flat(0).getString(0) == "(unpartitioned)" &&
+      flat(0).getLong(2) == 10)
+    // multi-transform composites render as dotted key vectors
+    val (cat, root) = scopedCat("partitions_multi")
+    spark.sql(s"CREATE TABLE $cat.`default`.t (ts TIMESTAMP_NTZ, k BIGINT, v BIGINT) " +
+      "USING `graft-commit` PARTITIONED BY (days(ts), bucket(2, k))")
+    spark.range(100).select(
+        lit(java.time.LocalDateTime.of(2001, 1, 1, 0, 0)).as("ts"),
+        ($"id" % 4).as("k"), $"id".as("v"))
+      .createOrReplaceTempView("r17_parts_src")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT * FROM r17_parts_src")
+    val multi = spark.sql(s"SELECT * FROM $cat.`default`.`t$$partitions`").collect()
+    val day = java.time.LocalDate.of(2001, 1, 1).toEpochDay
+    assert(multi.forall(_.getString(0).startsWith(s"$day.")))
+    assert(multi.map(_.getLong(2)).sum == 100)
+  }
+
+  // --- o47: ALTER TABLE DROP COLUMNS --------------------------------------
+
+  test("o47: DROP COLUMN is metadata-only — old files stop being asked for the field") {
+    val (cat, root) = scopedCat("drop")
+    val path = s"$root/default/t"
+    spark.range(100).select($"id", ($"id" % 5).as("k"),
+        concat(lit("s"), $"id").as("s"))
+      .write.format("graft-commit").option("path", path)
+      .option("payload", "parquet").mode("overwrite").save()
+    val v0 = manifest(path).commit
+    spark.sql(s"ALTER TABLE $cat.`default`.t DROP COLUMN s")
+    val m = manifest(path)
+    // metadata-only: files carried verbatim, schema narrowed
+    assert(m.files == manifest(path).files && m.commit == v0 + 1)
+    assert(!spark.table(s"$cat.`default`.t").columns.contains("s"))
+    assert(spark.table(s"$cat.`default`.t").count() == 100)
+    // time travel keeps the pre-DROP shape
+    val old = spark.sql(s"SELECT * FROM $cat.`default`.t VERSION AS OF $v0")
+    assert(old.columns.contains("s") && old.filter($"s" === "s7").count() == 1)
+    // appends carry the narrowed schema; the old-widths append refuses
+    spark.range(100, 120).select($"id", ($"id" % 5).as("k"))
+      .write.format("graft-commit").option("path", path).mode("append").save()
+    assert(spark.table(s"$cat.`default`.t").count() == 120)
+    val e = intercept[Exception](
+      spark.range(200, 210).select($"id", ($"id" % 5).as("k"), lit("x").as("s"))
+        .write.format("graft-commit").option("path", path).mode("append").save())
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse("")).mkString("|")
+    assert(chain(e).contains("schema mismatch"), chain(e))
+    // DML over the mixed pre/post-DROP files works on the narrowed shape
+    spark.sql(s"UPDATE $cat.`default`.t SET k = 99 WHERE id < 10")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.`default`.t WHERE k = 99")
+      .head().getLong(0) == 10)
+  }
+
+  test("o47: DROP COLUMN refusal matrix — partition source, eq-delete key, last column") {
+    val (cat, root) = scopedCat("drop_refuse")
+    val path = s"$root/default/t"
+    spark.sql(s"CREATE TABLE $cat.`default`.t (id BIGINT, k BIGINT) " +
+      "USING `graft-commit` PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.`default`.t SELECT id, id % 9 FROM range(50)")
+    def refused(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(frag), s"$sql -> ${e.getMessage}")
+    }
+    refused(s"ALTER TABLE $cat.`default`.t DROP COLUMN k",
+      "partition spec's source column")
+    refused(s"ALTER TABLE $cat.`default`.t DROP COLUMN nope",
+      "UNRESOLVED_COLUMN") // the analyzer refuses before the catalog sees it
+    // live equality delete keyed on the column blocks the drop
+    val (cat2, root2) = scopedCat("drop_refuse_eq")
+    val path2 = s"$root2/default/t"
+    spark.range(50).select($"id", ($"id" % 5).as("k"))
+      .write.format("graft-commit").option("path", path2)
+      .option("payload", "parquet").mode("overwrite").save()
+    spark.range(3).select($"id", lit(7L).as("k"))
+      .write.format("graft-commit").option("path", path2)
+      .option("upsertKeys", "id").mode("append").save()
+    refused(s"ALTER TABLE $cat2.`default`.t DROP COLUMN id",
+      "live equality deletes")
+    // the only column can never drop
+    val (cat3, root3) = scopedCat("drop_refuse_last")
+    spark.range(5).select($"id")
+      .write.format("graft-commit").option("path", s"$root3/default/t")
+      .mode("overwrite").save()
+    refused(s"ALTER TABLE $cat3.`default`.t DROP COLUMN id", "only column")
+  }
+
   // --- o44: writable branches -------------------------------------------
 
   test("o44: branch commits isolate from main; publish fast-forwards and re-bases") {
