@@ -95,14 +95,18 @@ object Bench {
       .map(_.toDouble).getOrElse(2.0)
     val loadWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT_SEC")
       .map(_.toLong).getOrElse(900L)
-    val gateT0 = System.nanoTime()
-    while (loadAvg() > loadMax &&
-           (System.nanoTime() - gateT0) / 1e9 < loadWaitSec) {
-      System.err.println(
-        f"[bench] loadavg ${loadAvg()}%.2f > $loadMax%.1f — waiting for a quiet window")
-      Thread.sleep(15000)
+    var gateWaitSec = 0.0
+    def waitQuiet(): Unit = {
+      val gateT0 = System.nanoTime()
+      while (loadAvg() > loadMax &&
+             (System.nanoTime() - gateT0) / 1e9 < loadWaitSec) {
+        System.err.println(
+          f"[bench] loadavg ${loadAvg()}%.2f > $loadMax%.1f — waiting for a quiet window")
+        Thread.sleep(15000)
+      }
+      gateWaitSec += (System.nanoTime() - gateT0) / 1e9
     }
-    val gateWaitSec = (System.nanoTime() - gateT0) / 1e9
+    waitQuiet()
     // one UNTIMED warmup entry before pass 1: the alphabetically-first
     // registry entry (c01) absorbed session/JIT/codegen-compiler warmup in
     // every official run (1.89 s in BOTH r16 passes vs 0.28 best) — the
@@ -116,25 +120,62 @@ object Bench {
     // two passes, min per query: this host exhibits bursty CPU steal
     // (multi-second freezes at random points — /proc/stat steal grows in
     // windows); the minimum of two independent passes is a far better
-    // estimate of the engine's actual cost than any single pass
-    val gc0 = gcMs()
-    val load0 = loadAvg()
-    val pass1 = onePass().toMap
-    val gc1 = gcMs()
-    val (heap1, stor1) = snapshot()
-    val load1 = loadAvg()
-    val pass2 = onePass()
-    val gc2 = gcMs()
-    val (heap2, stor2) = snapshot()
-    val load2 = loadAvg()
+    // estimate of the engine's actual cost than any single pass.
+    //
+    // END-OF-PASS load recheck + bounded retry (r17 verdict): the start
+    // gate cannot hold a 3-6 minute window on this host — r16 and r17
+    // both admitted at load < 2 and ended at 9-18 when co-tenants woke
+    // mid-run, staining the official artifact while the engine itself
+    // was fine. So each pass now re-checks the 1-minute load at its END:
+    // a pass that FINISHED contended re-gates and re-runs (at most
+    // SPARK_GRAFT_PASS_RETRIES extra attempts, default 2 — bounded so a
+    // permanently-busy host still produces a number, with the recorded
+    // per-attempt loadavg telling the reader it never got a window).
+    // Every attempt is a real measurement, so the pass keeps the
+    // per-query MIN across its attempts.
+    val passRetries = sys.env.get("SPARK_GRAFT_PASS_RETRIES")
+      .map(_.toInt).getOrElse(2)
     def fl(d: Double): String = f"$d%.2f"
+    def gatedPass(first: Boolean): (Map[String, Double], Seq[(Double, Double)], Long, Long, Long) = {
+      var attempts = Vector.empty[(Map[String, Double], (Double, Double))]
+      var gcTotal = 0L
+      var heap = 0L; var stor = 0L
+      var go = true
+      while (go) {
+        if (!first || attempts.nonEmpty) waitQuiet() // pass 1 attempt 1 already gated
+        val l0 = loadAvg()
+        val g0 = gcMs()
+        val r = onePass().toMap
+        gcTotal += gcMs() - g0
+        val (h, s) = snapshot(); heap = h; stor = s
+        val l1 = loadAvg()
+        attempts :+= ((r, (l0, l1)))
+        go = l1 > loadMax && attempts.size <= passRetries
+        if (go) System.err.println(
+          f"[bench] pass ended at loadavg $l1%.2f > $loadMax%.1f — contended; retrying")
+      }
+      val best = attempts.map(_._1).reduce((a, b) =>
+        a.map { case (k, v) => k -> math.min(v, b(k)) })
+      (best, attempts.map(_._2), gcTotal, heap, stor)
+    }
+    val (pass1, loads1, gc1, heap1, stor1) = gatedPass(first = true)
+    val (pass2m, loads2, gc2, heap2, stor2) = gatedPass(first = false)
+    val pass2 = pass2m.toSeq
+    def loadArr(ls: Seq[(Double, Double)]): String =
+      ls.map { case (a, b) => s"[${fl(a)},${fl(b)}]" }.mkString("[", ",", "]")
+    // quiet run = the LAST attempt of each pass started AND ended under
+    // the gate (an earlier contended attempt only ever lowers the min of
+    // a query that was then re-measured under a quiet window anyway)
+    val quiet = Seq(loads1, loads2).forall(ls =>
+      ls.last._1 <= loadMax && ls.last._2 <= loadMax)
     val telemetry =
       s""""telemetry":{"gate_wait_sec":${fl(gateWaitSec)},""" +
-        s""""pass1":{"gc_ms":${gc1 - gc0},"heap_mb":$heap1,""" +
-        s""""storage_mb":$stor1,"loadavg":[${fl(load0)},${fl(load1)}]},""" +
-        s""""pass2":{"gc_ms":${gc2 - gc1},""" +
+        s""""quiet":$quiet,""" +
+        s""""pass1":{"gc_ms":$gc1,"heap_mb":$heap1,""" +
+        s""""storage_mb":$stor1,"loadavg":${loadArr(loads1)}},""" +
+        s""""pass2":{"gc_ms":$gc2,""" +
         s""""heap_mb":$heap2,"storage_mb":$stor2,""" +
-        s""""loadavg":[${fl(load1)},${fl(load2)}]}}"""
+        s""""loadavg":${loadArr(loads2)}}}"""
     val twoPass = pass2.map { case (name, t2) =>
       name -> math.min(pass1(name), t2)
     }
@@ -193,11 +234,24 @@ object Bench {
     // min to "slow in pass 1" vs "slow in both" without re-running
     def qmap(rs: Seq[(String, Double)]): String = rs.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-    Files.writeString(Paths.get("bench_last.json"),
-      full.dropRight(1) +
-        s""","best":$bestQs,"pass_totals":[${f(p1Total)},${f(p2Total)}],""" +
-        s"""$telemetry,""" +
-        s""""pass1":${qmap(pass1.toSeq)},"pass2":${qmap(pass2)}}""" + "\n")
+    val record = full.dropRight(1) +
+      s""","best":$bestQs,"pass_totals":[${f(p1Total)},${f(p2Total)}],""" +
+      s"""$telemetry,""" +
+      s""""pass1":${qmap(pass1.toSeq)},"pass2":${qmap(pass2)}}""" + "\n"
+    Files.writeString(Paths.get("bench_last.json"), record)
+    // persist EVERY run (r17 verdict: bench_last.json is overwritten by
+    // each run, so the one quiet-window run that would have settled the
+    // perf question left no artifact): append the full record to a local
+    // history ledger, and whenever BOTH passes ran inside the quiet
+    // window, keep the record as bench_quiet_<sf>.json — a committable
+    // artifact proving an uncontended measurement of this code.
+    if (only.isEmpty) {
+      Files.writeString(Paths.get("bench_history.jsonl"), record,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      if (quiet)
+        Files.writeString(Paths.get(s"bench_quiet_$sfName0.json"), record)
+    }
     // roll the per-SF best forward (noise context only, never committed).
     // NOT on filtered runs: writing a partial map would drop every
     // unfiltered query's best (this clobbered the r12 history once)

@@ -118,6 +118,17 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
       version = Some(v))
   }
 
+  /** Time travel by TIMESTAMP (o49): `SELECT ... FROM cat.ns.t
+    * TIMESTAMP AS OF t` — Spark hands epoch MICROS; the newest main
+    * version committed at or before it resolves
+    * ([[CommitSink.versionAtTimestamp]]). Pre-table timestamps refuse. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val p = pathFor(ident)
+    new CommitSinkTable(p.toString, acceptAnySchema = false,
+      version = Some(CommitSink.versionAtTimestamp(p, timestamp)))
+  }
+
   /** The partition spec string a CREATE TABLE transform list encodes —
     * the two transforms [[CommitSink.PartSpec]] supports:
     * `PARTITIONED BY (col)` (identity, o16) and
@@ -157,6 +168,8 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
             CommitSink.TruncateSpec(w, oneRef(t.arguments.toSeq)).encode).encode
         case "days" =>
           CommitSink.DaysSpec(oneRef(t.arguments.toSeq)).encode
+        case "hours" =>
+          CommitSink.HoursSpec(oneRef(t.arguments.toSeq)).encode
         case "months" =>
           CommitSink.MonthsSpec(oneRef(t.arguments.toSeq)).encode
         case "years" =>
@@ -164,7 +177,7 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         case other => sys.error(
           s"graft-commit: unsupported partition transform '$other' — " +
             "identity, bucket(n, col), truncate(w, col), days(col), " +
-            "months(col) and years(col) only")
+            "hours(col), months(col) and years(col) only")
       }
     }
     // parseSpecs re-validates (distinct source columns) and canonicalizes
@@ -245,7 +258,24 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
     val ok: org.apache.spark.sql.types.DataType => Boolean =
       if (m.payload == "parquet") ParquetPayload.supported
       else CommitSink.supportedTypes.contains
-    val widened = changes.foldLeft(cur) { (sch, ch) => ch match {
+    // the commit this ALTER will land as — what seq-stamps its ledger
+    // entries (files with fileSeq < evoSeq predate the evolution)
+    val evoSeq = m.commit + 1
+    // NAMES COMMITTED BYTES MAY STILL CARRY, beyond the current schema:
+    // dropped columns' values, and renamed columns' OLD names (chain
+    // intermediates included — every live RenameEvt.oldName is a name
+    // some pre-rename file physically holds). ADD COLUMN reusing any of
+    // them would silently RESURRECT foreign values through by-name
+    // projection (r17 ADVICE) — Iceberg reads NULL there because a
+    // re-add mints a fresh field id; here the honest answer is refusal
+    // until the old files are rewritten (the ledger auto-retires then).
+    def carriedNames(log: Seq[CommitSink.SchemaEvt]): Set[String] =
+      log.collect {
+        case CommitSink.DropEvt(n, _) => n
+        case CommitSink.RenameEvt(o, _, _) => o
+      }.toSet
+    val (widened, newLog) = changes.foldLeft((cur, m.schemaLog)) {
+        case ((sch, log), ch) => ch match {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft-commit: ALTER ADD COLUMN supports top-level columns only, " +
@@ -253,6 +283,11 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         val name = add.fieldNames()(0)
         require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"graft-commit: column '$name' already exists in ${ident.name()}")
+        require(!carriedNames(log).exists(_.equalsIgnoreCase(name)),
+          s"graft-commit: cannot ADD COLUMN '$name' — committed files may " +
+            "still carry a dropped/renamed column of that name, and a " +
+            "by-name re-add would resurrect its old values; rewrite the " +
+            "old files first (compact), which retires the ledger entry")
         require(add.isNullable,
           s"graft-commit: ALTER ADD COLUMN '$name' must be nullable — " +
             "existing rows read the new column as NULL")
@@ -262,7 +297,7 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         require(ok(add.dataType()),
           s"graft-commit (${m.payload} payload): unsupported ALTER column " +
             s"type ${add.dataType().simpleString} for '$name'")
-        sch.add(org.apache.spark.sql.types.StructField(name, add.dataType()))
+        (sch.add(org.apache.spark.sql.types.StructField(name, add.dataType())), log)
       case del: TableChange.DeleteColumn =>
         // DROP COLUMN (r17): metadata-only, like ADD — the DDL narrows
         // and every reader projects BY NAME against the current schema,
@@ -276,7 +311,9 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         // reads the column. Refused when the column is load-bearing:
         // the partition spec's source, or a live equality delete's key
         // (its apply anti-join must decode the column from every
-        // covered file).
+        // covered file). r18: the drop lands a TOMBSTONE in the schema
+        // ledger, so a later ADD cannot silently reuse the name while
+        // committed files still carry the old values.
         require(del.fieldNames().length == 1,
           "graft-commit: ALTER DROP COLUMN supports top-level columns only, " +
             s"got ${del.fieldNames().mkString(".")}")
@@ -294,10 +331,51 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
           require(!e.colNames.contains(name),
             s"graft-commit: cannot drop '$name' — live equality deletes " +
               "key on it; convertEqDeletes first"))
-        StructType(sch.fields.filterNot(_.name == name))
+        (StructType(sch.fields.filterNot(_.name == name)),
+          log :+ CommitSink.DropEvt(name, evoSeq))
+      case ren: TableChange.RenameColumn =>
+        // RENAME COLUMN (o48, r18) — the third leg of metadata-only
+        // schema evolution: ONE manifest commit, zero byte rewrites.
+        // Committed files keep their old physical name; the ledger's
+        // RenameEvt (keyed on this commit's seq) tells every reader to
+        // ask a file with fileSeq < seq for the OLD name — the graft
+        // analog of Iceberg's field-id projection ([[CommitSink
+        // .physNamesFor]]; chains and name reuse resolve newest-first).
+        // Zone maps and bloom refs remap through the same ledger at
+        // scan planning, so pruning keeps working on renamed columns.
+        // Refusals: the partition spec's source (the spec string and
+        // every recorded key name it), a live equality delete's key
+        // (its key FILES are committed bytes naming the old column),
+        // and a target name the schema already holds.
+        require(ren.fieldNames().length == 1,
+          "graft-commit: ALTER RENAME COLUMN supports top-level columns " +
+            s"only, got ${ren.fieldNames().mkString(".")}")
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        require(sch.fieldNames.contains(from),
+          s"graft-commit: no column '$from' in ${ident.name()} to rename")
+        require(!sch.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft-commit: cannot rename '$from' to '$to' — the column " +
+            "already exists")
+        require(to.matches("[A-Za-z0-9_]+"),
+          s"graft-commit: renamed column '$to' must match [A-Za-z0-9_]+ " +
+            "(the manifest stats/ledger separator-safe alphabet)")
+        m.partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs).foreach(sp =>
+          require(sp.sourceCol != from,
+            s"graft-commit: cannot rename '$from' — it is the partition " +
+              s"spec's source column (${sp.encode}); evolve the " +
+              "partitioning first"))
+        m.eqDeletes.foreach(e =>
+          require(!e.colNames.contains(from),
+            s"graft-commit: cannot rename '$from' — live equality deletes " +
+              "key on it; convertEqDeletes first"))
+        (StructType(sch.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)),
+          log :+ CommitSink.RenameEvt(from, to, evoSeq))
       case other => throw new UnsupportedOperationException(
-        s"graft-commit: unsupported ALTER ($other) — only ADD COLUMN and " +
-          "DROP COLUMN; renames/retypes are a truncate-rewrite on this sink")
+        s"graft-commit: unsupported ALTER ($other) — only ADD COLUMN, " +
+          "DROP COLUMN and RENAME COLUMN; retypes are a truncate-rewrite " +
+          "on this sink")
     }}
     // one metadata-only commit, CAS'd on the manifest this ALTER read —
     // a concurrent writer landing mid-ALTER fails the swap loudly
@@ -305,7 +383,8 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
       m.epochs, expectedPrev = m.commit, partCol = m.partCol,
       stats = m.stats, tableId = CommitSink.carriedOrFreshTableId(Some(m)),
       payload = m.payload, deletes = m.deletes,
-      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms)
+      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms,
+      schemaLog = newLog)
     new CommitSinkTable(p.toString, acceptAnySchema = false)
   }
 
@@ -326,6 +405,7 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction] = Map(
     "bucket" -> BucketFunction.unbound,
     "days" -> TransformFunctions.days,
+    "hours" -> TransformFunctions.hours,
     "months" -> TransformFunctions.months,
     "years" -> TransformFunctions.years,
     "truncate" -> TransformFunctions.truncate)

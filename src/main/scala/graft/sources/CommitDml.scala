@@ -332,7 +332,8 @@ class CommitDeltaBatchWrite(path: String, planning: CommitSink.Manifest)
         fileSeq = planning.fileSeq ++ newFiles.map(_ -> commitId),
         eqDeletes = planning.eqDeletes,
         tombstones = dvMap.view.filterKeys(dead).toMap,
-        blooms = planning.blooms) // existing files untouched: index carries
+        blooms = planning.blooms, // existing files untouched: index carries
+        schemaLog = planning.schemaLog)
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
       promoted.foreach(n => CommitSink.io.deleteIfExists(dir.resolve(n)))

@@ -83,14 +83,22 @@ private[graft] object CommitMeta {
         }.getOrElse(Array.empty)
       case "partitions" =>
         resolved.map { m =>
-          m.files.flatMap { f =>
-            m.stats.get(f).map(CommitSink.FileStat.decode).map(st =>
-              (st.pks.mkString("."), st.rows, st.bytes,
-                m.deletes.get(f).map(_.ndel).getOrElse(0L)))
+          // a file with NO recorded stats still exists and must not
+          // silently vanish from the inventory (it would undercount
+          // n_files vs $files and the true manifest): it lands under an
+          // explicit '(unknown)' partition with null rows/bytes —
+          // unknown, not zero
+          m.files.map { f =>
+            val st = m.stats.get(f).map(CommitSink.FileStat.decode)
+            (st.map(_.pks.mkString(".")).getOrElse("(unknown)"),
+              st.map(_.rows), st.map(_.bytes),
+              m.deletes.get(f).map(_.ndel).getOrElse(0L))
           }.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, fs) =>
+            def sumOpt(vs: Seq[Option[Long]]): Any =
+              if (vs.forall(_.isDefined)) Long.box(vs.flatten.sum) else null
             Array[Any](if (k.isEmpty) "(unpartitioned)" else k,
-              Long.box(fs.size.toLong), Long.box(fs.map(_._2).sum),
-              Long.box(fs.map(_._3).sum), Long.box(fs.map(_._4).sum))
+              Long.box(fs.size.toLong), sumOpt(fs.map(_._2)),
+              sumOpt(fs.map(_._3)), Long.box(fs.map(_._4).sum))
           }.toArray
         }.getOrElse(Array.empty)
       case "history" =>

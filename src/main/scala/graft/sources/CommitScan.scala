@@ -382,8 +382,32 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 
+  // o48 renames: a pre-rename file's zone-map entries (and bloom refs)
+  // are keyed on its PHYSICAL names. Pruning must see CURRENT names, so
+  // each file's stats are PULLED per current column through the ledger's
+  // per-file map — a dead physical name (dropped column) is never asked
+  // for, so it can never shadow a live one. Identity (no ledger) is the
+  // common case and decodes exactly as before.
+  private val currentCols: Seq[String] =
+    StructType.fromDDL(manifest.ddl).fieldNames.toSeq
+  private val fwCache = scala.collection.mutable.HashMap.empty[String, Map[String, String]]
+  private def fwOf(f: String): Map[String, String] =
+    if (manifest.schemaLog.isEmpty) Map.empty
+    else fwCache.getOrElseUpdate(f, manifest.physNames(f, currentCols))
+  /** Per-file rename maps for a partition's file list (empty = none). */
+  private def rnOf(fs: Seq[String]): Seq[Seq[(String, String)]] =
+    if (manifest.schemaLog.isEmpty) Seq.empty else fs.map(f => fwOf(f).toSeq)
   private val fileStats: Map[String, CommitSink.FileStat] =
-    manifest.stats.map { case (f, e) => f -> CommitSink.FileStat.decode(e) }
+    manifest.stats.map { case (f, e) =>
+      val st = CommitSink.FileStat.decode(e)
+      val fw = fwOf(f)
+      f -> (if (fw.isEmpty) st
+            else st.copy(
+              cols = currentCols.flatMap(c =>
+                st.cols.get(fw.getOrElse(c, c)).map(c -> _)).toMap,
+              ndv = currentCols.flatMap(c =>
+                st.ndv.get(fw.getOrElse(c, c)).map(c -> _)).toMap))
+    }
 
   /** Files the pushed filters cannot rule out (all of them when no
     * filter was pushed or no stats were recorded). */
@@ -397,7 +421,7 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
   private val bloomCache =
     scala.collection.mutable.HashMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
   private def bloomLookup(f: String)(c: String, v: Any): Boolean =
-    manifest.blooms.get(f).flatMap(_.get(c)) match {
+    manifest.blooms.get(f).flatMap(_.get(fwOf(f).getOrElse(c, c))) match {
       case None => true // un-indexed (file, column): never prune
       case Some(sidecar) =>
         val bf = bloomCache.getOrElseUpdate(sidecar, {
@@ -584,6 +608,7 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
     case CommitSink.TruncateSpec(w, c) =>
       Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
     case CommitSink.DaysSpec(c) => Expressions.apply("days", Expressions.column(c))
+    case CommitSink.HoursSpec(c) => Expressions.apply("hours", Expressions.column(c))
     case CommitSink.MonthsSpec(c) => Expressions.apply("months", Expressions.column(c))
     case CommitSink.YearsSpec(c) => Expressions.apply("years", Expressions.column(c))
   }
@@ -649,23 +674,23 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
             case _ => if (dt == IntegerType) k.toInt else k
           }
           CommitKeyedFilesPartition(fs.map(abs), keyVal,
-            fs.map(dvOf), fs.map(eqOf)): InputPartition
+            fs.map(dvOf), fs.map(eqOf), renames = rnOf(fs)): InputPartition
         }.toArray[InputPartition]
       case None => multiGroups match {
         case Some(groups) if multiSpjOk =>
           groups.map { case (ks, fs) =>
             val typed = partSpecs.zip(ks).map { case (sp, k) => typedKey(sp, k) }
             CommitKeyedFilesPartition(fs.map(abs), typed.head,
-              fs.map(dvOf), fs.map(eqOf), typed.tail): InputPartition
+              fs.map(dvOf), fs.map(eqOf), typed.tail, rnOf(fs)): InputPartition
           }.toArray[InputPartition]
         case Some(groups) =>
           groups.map { case (_, fs) =>
             CommitFilesPartition(fs.map(abs),
-              fs.map(dvOf), fs.map(eqOf)): InputPartition }.toArray[InputPartition]
+              fs.map(dvOf), fs.map(eqOf), rnOf(fs)): InputPartition }.toArray[InputPartition]
         case None =>
           runtimeSurviving.map(f =>
             CommitFilesPartition(Seq(abs(f)),
-              Seq(dvOf(f)), Seq(eqOf(f))): InputPartition).toArray[InputPartition]
+              Seq(dvOf(f)), Seq(eqOf(f)), rnOf(Seq(f))): InputPartition).toArray[InputPartition]
       }
     }
     // report the files this DML scan actually planned: exactly the set
@@ -722,6 +747,39 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
       override def numRows(): java.util.OptionalLong =
         if (known) java.util.OptionalLong.of(sts.flatten.map(_.rows).sum - ndel)
         else java.util.OptionalLong.empty()
+      /** o50: per-column distinctCount from the manifest's mergeable
+        * HLL sketches — reported ONLY when EVERY surviving file
+        * sketches the column (a partially-covered column would
+        * UNDERestimate, which can flip a CBO decision the wrong way;
+        * no estimate is the sound default). Spark's
+        * DataSourceV2Relation.transformV2Stats turns these into
+        * catalyst attribute stats, so `spark.sql.cbo.enabled` join
+        * estimation/reordering sees real cardinalities from the scan. */
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        if (known && surviving.nonEmpty) {
+          val decoded = sts.flatten
+          currentCols.foreach { c =>
+            if (decoded.forall(_.ndv.contains(c))) {
+              val u = new org.apache.datasketches.hll.Union(21)
+              decoded.foreach(st => u.update(
+                org.apache.datasketches.hll.HllSketch.heapify(
+                  java.util.Base64.getDecoder.decode(st.ndv(c)))))
+              val est = Math.max(0L, Math.round(u.getResult.getEstimate))
+              out.put(Expressions.column(c),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(est)
+                })
+            }
+          }
+        }
+        out
+      }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1013,7 +1071,11 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
       fs.map(f => CommitFilesPartition(Seq(Paths.get(path, f).toString),
           Seq(m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
             .getOrElse("")),
-          Seq(eqOf(f))): InputPartition)
+          Seq(eqOf(f)),
+          // o48: a stream reading pre-rename files under the current
+          // schema maps each file's own names, like the batch scan
+          if (m.schemaLog.isEmpty) Seq.empty
+          else Seq(m.physNames(f, full.fieldNames.toSeq).toSeq)): InputPartition)
         .toArray
     }
     // end-offset resolution: a checkpointed end of a DROPPED generation
@@ -1161,7 +1223,15 @@ private[sources] object EqMatch {
   * `eqs` (o32): per-file APPLICABLE equality deletes, parallel to
   * `files` — the reader drops rows whose key tuple appears in any. */
 case class CommitFilesPartition(files: Seq[String], dvs: Seq[String] = Seq.empty,
-                                eqs: Seq[Seq[EqRef]] = Seq.empty)
+                                eqs: Seq[Seq[EqRef]] = Seq.empty,
+                                /** Per-file current→PHYSICAL column-name
+                                  * pairs (o48 renames): committed files
+                                  * older than a rename carry the old
+                                  * name — the reader asks each file for
+                                  * its own names and emits rows in
+                                  * current-schema positions. Empty =
+                                  * identity (the common case). */
+                                renames: Seq[Seq[(String, String)]] = Seq.empty)
     extends InputPartition
 
 /** One change-feed unit (o29): ONE data file's contribution to ONE
@@ -1173,7 +1243,11 @@ case class CommitFilesPartition(files: Seq[String], dvs: Seq[String] = Seq.empty
   * deleted. Paths absolute; "" = none. */
 case class CommitChangesPartition(file: String, dv: String, prevDv: String,
                                   insert: Boolean, commitVersion: Long,
-                                  eqs: Seq[EqRef] = Seq.empty)
+                                  eqs: Seq[EqRef] = Seq.empty,
+                                  /** current→physical name pairs of this
+                                    * file (o48) — see
+                                    * [[CommitFilesPartition]]. */
+                                  renames: Seq[(String, String)] = Nil)
     extends InputPartition
 
 class CommitChangesReaderFactory(ddl: String) extends PartitionReaderFactory {
@@ -1195,8 +1269,13 @@ class CommitChangesReader(p: CommitChangesPartition, schema: StructType)
   private val dataSchema = StructType(schema.fields.dropRight(2))
   private val toUnsafe =
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
+  // o48: a pre-rename file is asked for ITS names — positions unchanged
+  private val fw = p.renames.toMap
   private val groups =
-    new ParquetPayload.FileGroups(Paths.get(p.file), dataSchema)
+    new ParquetPayload.FileGroups(Paths.get(p.file),
+      if (fw.isEmpty) dataSchema
+      else StructType(dataSchema.fields.map(df =>
+        fw.get(df.name).map(n => df.copy(name = n)).getOrElse(df))))
   private val changeType =
     UTF8String.fromString(if (p.insert) "insert" else "delete")
   /** Applicable equality deletes (re-bootstrap only): key columns are
@@ -1279,7 +1358,10 @@ case class CommitKeyedFilesPartition(files: Seq[String], key: Any,
                                        * the composite partition key is
                                        * (key +: moreKeys), each typed
                                        * as its transform's RESULT. */
-                                     moreKeys: Seq[Any] = Nil)
+                                     moreKeys: Seq[Any] = Nil,
+                                     /** Per-file rename maps (o48) — see
+                                       * [[CommitFilesPartition]]. */
+                                     renames: Seq[Seq[(String, String)]] = Seq.empty)
     extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1295,20 +1377,21 @@ class CommitReaderFactory(ddl: String, stampFile: Boolean = false,
   private def schema: StructType =
     if (ddl.trim.isEmpty) new StructType() else StructType.fromDDL(ddl)
   private def reader(fs: Seq[String], dvs: Seq[String],
-                     eqs: Seq[Seq[EqRef]]): PartitionReader[InternalRow] =
+                     eqs: Seq[Seq[EqRef]],
+                     renames: Seq[Seq[(String, String)]]): PartitionReader[InternalRow] =
     if (payload == "parquet")
-      new ParquetFilesReader(fs, schema, stampFile, stampPos, dvs, eqs)
+      new ParquetFilesReader(fs, schema, stampFile, stampPos, dvs, eqs, renames)
     else {
       // equality deletes require the parquet payload (the upsert write
       // refuses json tables) — a json partition carrying refs is a bug
       require(eqs.forall(_.isEmpty),
         "graft-commit: equality deletes on a json-payload partition")
-      new CommitFilesReader(fs, schema, stampFile, stampPos, dvs)
+      new CommitFilesReader(fs, schema, stampFile, stampPos, dvs, renames)
     }
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
-      case CommitFilesPartition(fs, dvs, eqs)         => reader(fs, dvs, eqs)
-      case CommitKeyedFilesPartition(fs, _, dvs, eqs, _) => reader(fs, dvs, eqs)
+      case CommitFilesPartition(fs, dvs, eqs, rn)         => reader(fs, dvs, eqs, rn)
+      case CommitKeyedFilesPartition(fs, _, dvs, eqs, _, rn) => reader(fs, dvs, eqs, rn)
       case other => sys.error(s"graft-commit: unexpected partition $other")
     }
 }
@@ -1333,7 +1416,15 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
                            * loaded once per file, the decode widens to
                            * cover key columns the projection dropped,
                            * and matching rows are skipped. */
-                         eqs: Seq[Seq[EqRef]] = Seq.empty)
+                         eqs: Seq[Seq[EqRef]] = Seq.empty,
+                         /** Per-file current→physical name pairs (o48):
+                           * the requested fields are RENAMED to the
+                           * file's own names before projection — order
+                           * (and so the emitted row layout) unchanged.
+                           * Eq-delete key columns never rename (ALTER
+                           * refuses live keys), so only the data
+                           * projection remaps. */
+                         renames: Seq[Seq[(String, String)]] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private val queue = files.zipWithIndex.iterator
   private val fileIdx: Int =
@@ -1384,10 +1475,25 @@ class ParquetFilesReader(files: Seq[String], schema: StructType,
       val extra = refs.flatMap(r => StructType.fromDDL(r.colsDdl).fields)
         .filterNot(kf => dataSchema.fieldNames.contains(kf.name))
         .groupBy(_.name).map(_._2.head).toSeq
-      val wanted = StructType(dataSchema.fields ++ extra)
+      // o48: ask THIS file for its own (pre-rename) names — a pure
+      // rename of the requested fields, so positions (and the emitted
+      // row layout) are untouched; files at the current shape get an
+      // empty map and the identity projection. The widened eq-key
+      // fields remap too: a post-rename equality delete may key on a
+      // renamed column and cover pre-rename files.
+      val fw = renames.lift(idx).getOrElse(Nil).toMap
+      def remap(fields: Array[StructField]): Array[StructField] =
+        if (fw.isEmpty) fields
+        else fields.map(df =>
+          fw.get(df.name).map(n => df.copy(name = n)).getOrElse(df))
+      val wanted = StructType(remap(dataSchema.fields) ++ remap(extra.toArray))
       cur = new ParquetPayload.FileGroups(f, wanted)
       if (!cur.hasColumns) countOnly = cur.rowCount
-      eqMatchers = EqMatch.load(refs, wanted)
+      // matchers resolve key columns by CURRENT name; the remap is a
+      // pure per-position rename, so indices into the logical schema
+      // (current names) are indices into `wanted`
+      eqMatchers = EqMatch.load(refs,
+        StructType(dataSchema.fields ++ extra))
       pos = 0L
       dvPtr = 0
       dv = dvs.lift(idx).filter(_.nonEmpty)
@@ -1470,11 +1576,16 @@ class CommitFilesReader(files: Seq[String], schema: StructType,
                           * `files`, "" = none). Always empty in practice
                           * — merge-on-read requires the parquet payload
                           * — but the skip is generic. */
-                        dvs: Seq[String] = Seq.empty)
+                        dvs: Seq[String] = Seq.empty,
+                        /** Per-file current→physical name pairs (o48):
+                          * old files' JSON keys carry the pre-rename
+                          * name — the key→field map rebinds per file. */
+                        renames: Seq[Seq[(String, String)]] = Seq.empty)
     extends PartitionReader[InternalRow] {
   private val queue = files.zipWithIndex.iterator
   private var lines: java.io.BufferedReader = _
-  private val fieldIndex = schema.fieldNames.zipWithIndex.toMap
+  private val baseFieldIndex = schema.fieldNames.zipWithIndex.toMap
+  private var fieldIndex: Map[String, Int] = baseFieldIndex
   private val fileIdx: Int =
     if (stampFile) schema.fieldNames.indexOf(CommitSink.FILE_COL) else -1
   private val posIdx: Int =
@@ -1510,6 +1621,12 @@ class CommitFilesReader(files: Seq[String], schema: StructType,
       dv = dvs.lift(idx).filter(_.nonEmpty)
         .map(p => CommitSink.readDv(Paths.get(p)))
         .getOrElse(Array.emptyLongArray)
+      // o48: old files' JSON keys carry the pre-rename name — look the
+      // file's own key names up into the current schema's positions
+      val fw = renames.lift(idx).getOrElse(Nil).toMap
+      fieldIndex =
+        if (fw.isEmpty) baseFieldIndex
+        else baseFieldIndex.map { case (n, j) => fw.getOrElse(n, n) -> j }
     }
     val l = lines.readLine()
     if (l != null) l

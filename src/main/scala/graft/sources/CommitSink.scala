@@ -198,6 +198,21 @@ object CommitSink {
     java.lang.Long.toHexString(
       java.util.concurrent.ThreadLocalRandom.current().nextLong() >>> 16)
 
+  /** Wall clock stamping each commit's `committs` (o49, TIMESTAMP AS OF).
+    * Swappable so tests and oracle entries inject deterministic commit
+    * times — wall-time nondeterminism must never reach an oracle-checked
+    * readout. Restore after use: `withClock` scopes it safely. */
+  @volatile private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
+  /** Run `body` under a fixed-sequence test clock, restoring the real
+    * clock after. The clock is GLOBAL (manifest writes are already
+    * serialized per path under lockFor) — scope one fixture at a time. */
+  private[graft] def withClock[A](times: () => Long)(body: => A): A = {
+    val prev = clock
+    clock = times
+    try body finally clock = prev
+  }
+
   /** Immutable per-version manifest copy (`_MANIFEST-v<commit>.json`),
     * written by every successful commit next to the mutable current
     * pointer — the time-travel device (o17): `VERSION AS OF n` reads the
@@ -228,14 +243,32 @@ object CommitSink {
                                          * empty for single-transform
                                          * layouts, so the r16 format is
                                          * byte-identical there. */
-                                       pkRest: Seq[Long] = Nil) {
+                                       pkRest: Seq[Long] = Nil,
+                                       /** Per-column NDV sketches (o50):
+                                         * column → base64 compact
+                                         * DataSketches HLL, mergeable
+                                         * across files — what feeds
+                                         * Spark's CBO distinctCount
+                                         * ([[CommitScan]] columnStats).
+                                         * Recorded by the `ndvColumns`
+                                         * write option or the
+                                         * [[CommitSink.analyzeNdv]]
+                                         * maintenance pass; empty (the
+                                         * default) keeps the r17
+                                         * encoding byte-identical. */
+                                       ndv: Map[String, String] = Map.empty) {
     /** Every recorded key, leading first ([[pks]].size == spec arity). */
     def pks: Seq[Long] = pk.toSeq ++ pkRest
     def encode: String = {
       val head = s"$rows:$bytes" + pk.map(v => s":pk=$v").getOrElse("") +
         (if (pkRest.nonEmpty) s":pkr=${pkRest.mkString(".")}" else "")
-      (head +: cols.toSeq.sortBy(_._1).map { case (c, r) =>
-        s"$c:${r.kind}:${r.min}:${r.max}" }).mkString(";")
+      (head +: (cols.toSeq.sortBy(_._1).map { case (c, r) =>
+        s"$c:${r.kind}:${r.min}:${r.max}" } ++
+        // 'h' marks an HLL sketch entry (base64 never contains the
+        // ':'/';'/'|' separators); column names share the zone-map
+        // alphabet rule
+        ndv.toSeq.sortBy(_._1).map { case (c, b) => s"$c:h:$b" }))
+        .mkString(";")
     }
   }
 
@@ -246,11 +279,14 @@ object CommitSink {
       val pk = head.lift(2).filter(_.startsWith("pk=")).map(_.drop(3).toLong)
       val pkRest = head.find(_.startsWith("pkr="))
         .map(_.drop(4).split("\\.").map(_.toLong).toSeq).getOrElse(Nil)
-      val cols = segs.iterator.drop(1).map { e =>
-        val p = e.split(":")
-        p(0) -> ColRange(p(1).charAt(0), p(2), p(3))
+      val entries = segs.iterator.drop(1).map(_.split(":")).toSeq
+      val cols = entries.collect {
+        case p if p(1) != "h" => p(0) -> ColRange(p(1).charAt(0), p(2), p(3))
       }.toMap
-      FileStat(head(0).toLong, head(1).toLong, pk, cols, pkRest)
+      val ndv = entries.collect {
+        case p if p(1) == "h" => p(0) -> p(2)
+      }.toMap
+      FileStat(head(0).toLong, head(1).toLong, pk, cols, pkRest, ndv)
     }
   }
 
@@ -328,6 +364,21 @@ object CommitSink {
       dt == DateType || dt == TimestampType || dt == TimestampNTZType
     override def sourceRule: String = "DATE or TIMESTAMP"
   }
+  /** Iceberg's hours transform (o51, r18 — the last member of the
+    * temporal family): key = hours since epoch, `floorDiv(micros, 3600s)`.
+    * Monotone like days, so predicate projection and the ordered write
+    * distribution come for free; TIMESTAMP-only (an hour of a DATE is
+    * meaningless — Iceberg's rule too). The high-frequency-ingest
+    * layout: a day of events is 24 keys instead of one, so a
+    * minutes-wide dashboard scan plans one file instead of a day's. */
+  private[graft] final case class HoursSpec(sourceCol: String) extends PartSpec {
+    def encode: String = s"hours($sourceCol)"
+    def keyOf(raw: Long, dt: DataType): Long =
+      Math.floorDiv(raw, 3600000000L) // micros → epoch hours
+    override def sourceOk(dt: DataType): Boolean =
+      dt == TimestampType || dt == TimestampNTZType
+    override def sourceRule: String = "TIMESTAMP"
+  }
   /** Iceberg's years transform (o45): key = years since 1970. */
   private[graft] final case class YearsSpec(sourceCol: String) extends PartSpec {
     def encode: String = s"years($sourceCol)"
@@ -346,6 +397,7 @@ object CommitSink {
     private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
     private val TruncRe = """truncate\(\s*(\d+)\s*,\s*([A-Za-z0-9_]+)\s*\)""".r
     private val DaysRe = """days\(\s*([A-Za-z0-9_]+)\s*\)""".r
+    private val HoursRe = """hours\(\s*([A-Za-z0-9_]+)\s*\)""".r
     private val MonthsRe = """months\(\s*([A-Za-z0-9_]+)\s*\)""".r
     private val YearsRe = """years\(\s*([A-Za-z0-9_]+)\s*\)""".r
     def parse(s: String): PartSpec = s.trim match {
@@ -358,13 +410,14 @@ object CommitSink {
           s"graft-commit: truncate(w, col) needs w >= 1, got $w")
         TruncateSpec(w.toLong, c)
       case DaysRe(c) => DaysSpec(c)
+      case HoursRe(c) => HoursSpec(c)
       case MonthsRe(c) => MonthsSpec(c)
       case YearsRe(c) => YearsSpec(c)
       case c =>
         require(c.matches("[A-Za-z0-9_]+"),
           s"graft-commit: partition spec '$c' is neither a plain column " +
             "name nor bucket(n, col) / truncate(w, col) / days(col) / " +
-            "months(col) / years(col)")
+            "hours(col) / months(col) / years(col)")
         IdentitySpec(c)
     }
 
@@ -503,6 +556,64 @@ object CommitSink {
     def colNames: Seq[String] = cols.split(";").toSeq
   }
 
+  /** One SCHEMA-EVOLUTION ledger entry (r18) — the manifest's record of
+    * a metadata-only DROP or RENAME at commit `seq`. The ledger is what
+    * keeps by-name projection honest across evolution, the graft analog
+    * of Iceberg's field ids:
+    *
+    *  - [[RenameEvt]]: files committed BEFORE the rename (fileSeq <
+    *    seq) physically carry the OLD name — every reader maps the
+    *    current name back through the ledger per file
+    *    ([[physNamesFor]]), so a rename is one manifest commit and
+    *    zero byte rewrites.
+    *  - [[DropEvt]]: files committed before the drop still carry the
+    *    column's VALUES; ALTER ADD COLUMN refuses to reuse the name
+    *    while any such file is listed (r17 ADVICE: a by-name re-add
+    *    would silently resurrect the old values — Iceberg reads NULL
+    *    there because a re-add mints a fresh field id).
+    *
+    * Entries RETIRE centrally in [[writeManifest]] (like equality
+    * deletes) once no listed file predates them — a fully-rewritten or
+    * truncated table carries no ledger. Version manifests are
+    * immutable, so time travel sees each version's own ledger. */
+  private[graft] sealed trait SchemaEvt {
+    def seq: Long
+    def encode: String
+  }
+  private[graft] case class DropEvt(name: String, seq: Long) extends SchemaEvt {
+    def encode: String = s"drop|$name|$seq"
+  }
+  private[graft] case class RenameEvt(oldName: String, newName: String,
+                                      seq: Long) extends SchemaEvt {
+    def encode: String = s"rename|$oldName|$newName|$seq"
+  }
+  private[graft] object SchemaEvt {
+    def decode(s: String): SchemaEvt = s.split("\\|") match {
+      case Array("drop", n, q) => DropEvt(n, q.toLong)
+      case Array("rename", o, n, q) => RenameEvt(o, n, q.toLong)
+      case _ => sys.error(s"graft-commit: bad schemalog entry '$s'")
+    }
+  }
+
+  /** The per-file name mapping a rename ledger implies: current name →
+    * PHYSICAL (in-file) name for a file added at `fileSeq`. Renames
+    * strictly newer than the file are walked newest-first — a chain
+    * a→b→c maps current c back to a for a file that predates both.
+    * Names untouched by the ledger map to themselves (identity — the
+    * overwhelmingly common case returns an empty map). */
+  private[graft] def physNamesFor(log: Seq[SchemaEvt], fileSeq: Long,
+                                  current: Seq[String]): Map[String, String] = {
+    val renames = log.collect {
+      case r: RenameEvt if r.seq > fileSeq => r
+    }.sortBy(-_.seq)
+    if (renames.isEmpty) Map.empty
+    else current.flatMap { c =>
+      var n = c
+      renames.foreach(r => if (r.newName == n) n = r.oldName)
+      if (n == c) None else Some(c -> n)
+    }.toMap
+  }
+
   // --- CHANGE DATA FEED (o29) ------------------------------------------
   // `option("readChangeFeed", true)`: rows + Delta's CDF columns. What
   // makes it possible here is the deletion-vector representation — a
@@ -546,11 +657,29 @@ object CommitSink {
         s"[$first, $to] of $path, but ${missing.mkString(",")} " +
         "expired — per-commit change attribution requires retaining at " +
         "least as many versions as the feed lags (the changelog retention rule)")
-    def at(v: Long): Manifest =
-      if (v < 0) Manifest(-1L, ddl, Seq.empty, Seq.empty)
-      else parseManifestVersion(dir, v)
+    // parse each in-range version ONCE (the loop needs prev/cur pairs,
+    // and the rename ledger below needs the whole range up front)
+    val manifests: Map[Long, Manifest] =
+      ((fromExclusive max -1L) to to).map { v =>
+        v -> (if (v < 0) Manifest(-1L, ddl, Seq.empty, Seq.empty)
+              else parseManifestVersion(dir, v))
+      }.toMap
+    def at(v: Long): Manifest = manifests(v max -1L)
     var prev = at(fromExclusive)
     val parts = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    // o48: the UNION of every in-range version's schema ledger — a file
+    // emitted for commit v may predate a rename that landed anywhere in
+    // the range, and the feed decodes with the BINDING schema's current
+    // names; the per-file map bridges both. LinkedHashSet: dedupe while
+    // keeping ledger order.
+    val ledger = scala.collection.mutable.LinkedHashSet.empty[SchemaEvt]
+    manifests.toSeq.sortBy(_._1).foreach { case (_, m) => ledger ++= m.schemaLog }
+    // the binding DATA schema's column names (the `ddl` param is the
+    // data ddl — the reader appends the two feed columns itself)
+    val dataCols = StructType.fromDDL(ddl).fieldNames.toSeq
+    def rnOf(m: Manifest, f: String): Seq[(String, String)] =
+      if (ledger.isEmpty) Nil
+      else physNamesFor(ledger.toSeq, m.seqOf(f), dataCols).toSeq
     ((fromExclusive + 1) max 0L to to).foreach { v =>
       val cur = at(v)
       require(cur.payload == "parquet" || cur.files.isEmpty,
@@ -576,14 +705,14 @@ object CommitSink {
       cur.files.filterNot(prev.files.contains).foreach { f =>
         parts += CommitChangesPartition(abs(f),
           cur.deletes.get(f).map(e => abs(e.dv)).getOrElse(""), "",
-          insert = true, commitVersion = v)
+          insert = true, commitVersion = v, renames = rnOf(cur, f))
       }
       prev.files.filter(f => prev.deletes.get(f) != cur.deletes.get(f))
         .foreach { f =>
           parts += CommitChangesPartition(abs(f),
             cur.deletes.get(f).map(e => abs(e.dv)).getOrElse(""),
             prev.deletes.get(f).map(e => abs(e.dv)).getOrElse(""),
-            insert = false, commitVersion = v)
+            insert = false, commitVersion = v, renames = rnOf(prev, f))
         }
       prev = cur
     }
@@ -797,26 +926,49 @@ object CommitSink {
     else {
       import spark.implicits._
       import org.apache.spark.sql.functions.{broadcast, col}
-      val paths = m.files.map(f => Paths.get(dir, f).toString)
-      val r = spark.read.schema(schema)
-      val base = if (m.payload == "parquet") r.parquet(paths: _*) else r.json(paths: _*)
       val dvs = m.files.flatMap(f => m.deletes.get(f).map(f -> _))
-      if (dvs.isEmpty && m.eqDeletes.isEmpty) base
+      val needsMeta = dvs.nonEmpty || m.eqDeletes.nonEmpty
+      // helper names must not collide with data columns: withColumn
+      // would silently REPLACE (and then drop) a data column named
+      // `_graft_src_file`/`_graft_src_pos` — uniquify instead, the same
+      // rule the scan applies by withdrawing _file/_pos on collision.
+      // Both filters need the native scan's `_metadata` device, which
+      // only resolves on the BASE relation — stamp per base read,
+      // before any rename projection or join.
+      def fresh(b: String): String =
+        Iterator.from(0).map(i => if (i == 0) b else s"$b$i")
+          .find(n => !schema.fieldNames.contains(n)).get
+      val srcFile = fresh("_graft_src_file")
+      val srcPos = fresh("_graft_src_pos")
+      // o48 renames: files group by their current→physical name map —
+      // each group reads under ITS physical schema and projects back to
+      // current names (metadata stamped first, on the base relation).
+      // No ledger (the common case) = one group with the identity map,
+      // exactly the old single read.
+      val groups: Seq[(Map[String, String], Seq[String])] =
+        if (m.schemaLog.isEmpty) Seq(Map.empty[String, String] -> m.files)
+        else m.files.groupBy(f => m.physNames(f, schema.fieldNames.toSeq))
+          .toSeq.sortBy(_._2.headOption.getOrElse(""))
+      def readGroup(fw: Map[String, String], fs: Seq[String]): DataFrame = {
+        val paths = fs.map(f => Paths.get(dir, f).toString)
+        val phys = StructType(schema.fields.map(f =>
+          fw.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+        val r = spark.read.schema(phys)
+        val b = if (m.payload == "parquet") r.parquet(paths: _*) else r.json(paths: _*)
+        val stamped =
+          if (!needsMeta) b
+          else b.withColumn(srcFile, col("_metadata.file_name"))
+            .withColumn(srcPos, col("_metadata.row_index"))
+        if (fw.isEmpty) stamped
+        else stamped.select(schema.fieldNames.toSeq.map(n =>
+          col(fw.getOrElse(n, n)).as(n)) ++
+          (if (needsMeta) Seq(col(srcFile), col(srcPos)) else Nil): _*)
+      }
+      val base = groups.map { case (fw, fs) => readGroup(fw, fs) }
+        .reduce(_ union _)
+      if (!needsMeta) base
       else {
-        // helper names must not collide with data columns: withColumn
-        // would silently REPLACE (and then drop) a data column named
-        // `_graft_src_file`/`_graft_src_pos` — uniquify instead, the same
-        // rule the scan applies by withdrawing _file/_pos on collision.
-        // Both filters need the native scan's `_metadata` device, which
-        // only resolves on the BASE relation — stamp once, before any join.
-        def fresh(b: String): String =
-          Iterator.from(0).map(i => if (i == 0) b else s"$b$i")
-            .find(n => !schema.fieldNames.contains(n)).get
-        val srcFile = fresh("_graft_src_file")
-        val srcPos = fresh("_graft_src_pos")
         var out = base
-          .withColumn(srcFile, col("_metadata.file_name"))
-          .withColumn(srcPos, col("_metadata.row_index"))
         // merge-on-read vectors (o27): anti-join away the deleted
         // (file, position) pairs. The vectors are read on EXECUTORS (the
         // pair list shipped is file-count-sized, the positions dataset is
@@ -881,21 +1033,49 @@ object CommitSink {
     * trigger, and a day of 1-minute triggers is 1440× too many files. */
   /** Catalyst (codegen'd) form of a transform's keyOf — the pre-shaping
     * device for path-based maintenance on transformed layouts (no
-    * FunctionCatalog there). Must agree with [[PartSpec.keyOf]]:
-    * to_date/year/month floor exactly like the floorDiv/LocalDate
-    * forms for every pre- and post-1970 value. */
-  private[sources] def keyColOf(spec: PartSpec): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, datediff, expr, lit, month, year}
+    * FunctionCatalog there). Must agree with [[PartSpec.keyOf]]
+    * BIT-EXACTLY, or compact/deleteWhere pre-shaping groups rows on
+    * different keys than the writer rolls on and keys scatter across
+    * file segments near period boundaries (r17 ADVICE). keyOf floors
+    * the stored micros in UTC, so the catalyst form must too:
+    *  - TIMESTAMP (LTZ) stores UTC-instant micros — `unix_micros` reads
+    *    them back exactly; session-timezone functions (to_date / year /
+    *    month) would shift near boundaries under a non-UTC session.
+    *    Calendar transforms view the instant through
+    *    `convert_timezone('UTC', c)` (LTZ → UTC wall clock, NTZ out).
+    *  - TIMESTAMP_NTZ and DATE are timezone-free: wall-clock
+    *    year/month/hour and the NTZ→DATE cast are already exact.
+    *  - Integer division is exact floorDiv (CASE-adjusted `DIV`, the
+    *    Math.floorDiv twin), never `FLOOR(x / w)` — double division
+    *    loses exactness past 2^53. */
+  private[graft] def keyColOf(spec: PartSpec,
+      schema: StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, expr}
+    def dtOf(c: String): DataType =
+      schema.fields.find(_.name == c).map(_.dataType).getOrElse(LongType)
+    // exact integer floorDiv over a SQL expression producing a long
+    def fdiv(x: String, d: Long): String =
+      s"CAST((($x) DIV $d) - (CASE WHEN ($x) % $d < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    // tz-free wall-clock view: NTZ/DATE pass through, LTZ converts to
+    // its UTC wall clock (what the stored micros mean)
+    def wall(c: String): String =
+      if (dtOf(c) == TimestampType) s"convert_timezone('UTC', $c)" else c
+    def epochDays(c: String): String = dtOf(c) match {
+      case DateType => s"datediff($c, DATE'1970-01-01')"
+      case TimestampType => fdiv(s"unix_micros($c)", 86400000000L)
+      case _ => s"datediff(CAST($c AS DATE), DATE'1970-01-01')" // NTZ: wall date
+    }
     spec match {
       case IdentitySpec(c) => col(c)
       case BucketSpec(n, c) => BucketFunction.bucketCol(n, col(c))
-      case TruncateSpec(w, c) =>
-        expr(s"CAST(FLOOR($c / $w) AS BIGINT) * $w")
-      case DaysSpec(c) =>
-        datediff(org.apache.spark.sql.functions.to_date(col(c)),
-          lit(java.sql.Date.valueOf("1970-01-01")))
-      case MonthsSpec(c) => (year(col(c)) - 1970) * 12 + month(col(c)) - 1
-      case YearsSpec(c) => year(col(c)) - 1970
+      case TruncateSpec(w, c) => expr(s"${fdiv(c, w)} * $w")
+      case DaysSpec(c) => expr(epochDays(c))
+      case HoursSpec(c) =>
+        if (dtOf(c) == TimestampType) expr(fdiv(s"unix_micros($c)", 3600000000L))
+        else expr(s"${epochDays(c)} * 24 + hour($c)") // NTZ wall clock
+      case MonthsSpec(c) =>
+        expr(s"(year(${wall(c)}) - 1970) * 12 + month(${wall(c)}) - 1")
+      case YearsSpec(c) => expr(s"year(${wall(c)}) - 1970")
     }
   }
 
@@ -934,7 +1114,7 @@ object CommitSink {
         // sort keeps every composite key contiguous for the rolling
         // writer, so the compacted table holds one file per LIVE
         // composite key
-        val ks = multi.map(keyColOf)
+        val ks = multi.map(keyColOf(_, StructType.fromDDL(m.ddl)))
         df.repartition(numFiles, ks: _*).sortWithinPartitions(ks: _*)
     }
     val spec = if (specs.size == 1) specs.headOption else None
@@ -983,12 +1163,20 @@ object CommitSink {
       // the read applies the picked files' vectors, so the rewritten
       // files hold exactly the live rows
       val live = readManifestFiles(spark, dir, m.copy(files = picked))
-      // bucket layouts pre-shape (see compact): no FunctionCatalog on a
-      // path-based maintenance write
-      val (shaped, pre) = m.partCol.map(PartSpec.parse) match {
-        case Some(BucketSpec(n, c)) =>
+      // bucket AND multi-transform layouts pre-shape (see compact): no
+      // FunctionCatalog on a path-based maintenance write. r17 ADVICE:
+      // this used single-spec PartSpec.parse, which THREW on a
+      // multi-transform spec string — vector-dense multi layouts could
+      // not run their steady-state MOR maintenance at all.
+      val specs = m.partCol.toSeq.flatMap(PartSpec.parseSpecs)
+      val (shaped, pre) = specs match {
+        case Seq(BucketSpec(n, c)) =>
           val b = BucketFunction.bucketCol(n, org.apache.spark.sql.functions.col(c))
           (live.repartition(math.max(1, picked.size), b).sortWithinPartitions(b), true)
+        case multi if multi.size > 1 =>
+          val ks = multi.map(keyColOf(_, StructType.fromDDL(m.ddl)))
+          (live.repartition(math.max(1, picked.size), ks: _*)
+            .sortWithinPartitions(ks: _*), true)
         case _ => (live, false)
       }
       val w0 = shaped.write.format(NAME).option("path", dir)
@@ -1066,10 +1254,8 @@ object CommitSink {
     // by the key within each group is exactly what makes key ranges
     // prunable (pre-r17 this match was Identity/Bucket-only and a
     // truncate/days layout hit a MatchError instead of compacting).
-    require(m.partCol.forall(c => PartSpec.parseSpecs(c).size == 1),
-      s"graft-commit: compactAndCluster on a MULTI-transform layout " +
-        s"('${m.partCol.getOrElse("")}') is not supported yet")
-    m.partCol.map(PartSpec.parse).foreach {
+    val clusterSpecs = m.partCol.toSeq.flatMap(PartSpec.parseSpecs)
+    clusterSpecs.foreach {
       case IdentitySpec(pc) => require(!cols.contains(pc),
         s"graft-commit: '$pc' is the partition column — every file already " +
           "holds one key; name the SECONDARY sort column(s)")
@@ -1087,7 +1273,21 @@ object CommitSink {
       s"graft-commit: clustering column(s) ${missing.mkString(",")} not in " +
         s"table schema [${df.columns.mkString(",")}]")
     val shaped =
-      if (m.partCol.isDefined) {
+      if (clusterSpecs.size > 1) {
+        // MULTI-transform SORT-ORDER rewrite (r18, the one o46 refusal
+        // left): range-partition on the composite TRANSFORMED keys
+        // (keyColOf — the exact catalyst twins of keyOf) followed by the
+        // secondary sort columns. Leading on the keys, not the raw
+        // sources, is load-bearing: a raw near-unique timestamp as the
+        // first range key would interleave the second transform's keys
+        // within each task and explode the rolling writer's file count.
+        // Each composite key stays contiguous (one key per file — the
+        // SPJ grouping survives) and each file covers a tight,
+        // per-key-disjoint slice of the sort columns.
+        val ks = clusterSpecs.map(keyColOf(_, StructType.fromDDL(m.ddl)))
+        val all = ks ++ cols.map(col)
+        df.repartitionByRange(numFiles, all: _*).sortWithinPartitions(all: _*)
+      } else if (m.partCol.isDefined) {
         // per-partition SORT-ORDER rewrite (o39 — Iceberg's
         // `ALTER ... WRITE ORDERED BY` within the partition spec): range
         // on (key, sortCols) splits a big key into several files, each
@@ -1106,6 +1306,7 @@ object CommitSink {
           // every transformed key contiguous (and sub-sorted)
           case TruncateSpec(_, c) => col(c)
           case DaysSpec(c) => col(c)
+          case HoursSpec(c) => col(c)
           case MonthsSpec(c) => col(c)
           case YearsSpec(c) => col(c)
         }
@@ -1264,7 +1465,8 @@ object CommitSink {
       partCol = newCol.map(PartSpec.encodeSpecs),
       stats = stats, tableId = carriedOrFreshTableId(Some(m)),
       payload = m.payload, deletes = m.deletes,
-      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms)
+      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms,
+      schemaLog = m.schemaLog)
   }
 
   /** BLOOM FILE INDEX (o38) — Delta's bloom-filter-index / Iceberg-
@@ -1384,13 +1586,101 @@ object CommitSink {
         m.epochs, expectedPrev = m.commit, partCol = m.partCol,
         stats = m.stats, tableId = carriedOrFreshTableId(Some(m)),
         payload = m.payload, deletes = m.deletes,
-        fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = merged)
+        fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = merged,
+        schemaLog = m.schemaLog)
     } catch { case e: Throwable =>
       // refused CAS / failed write: leave no trace (the rewrite rule)
       promoted.foreach(p => io.deleteIfExists(Paths.get(dir, p._3)))
       throw e
     }
     built.keys.toSeq.sorted
+  }
+
+  /** NDV ANALYZE (o50) — the maintenance twin of the `ndvColumns` write
+    * option (Iceberg's compute_table_stats / ANALYZE TABLE shape): one
+    * DISTRIBUTED pass over the committed files builds a per-(file,
+    * column) HLL sketch — grouped by Spark's `_metadata.file_name`, so
+    * the pass is a single scan regardless of file count — recorded into
+    * the per-file stats by a METADATA-ONLY commit. Sketches are
+    * DataSketches HLL (mergeable): [[CommitScan]] unions the SURVIVING
+    * files' sketches at planning and reports per-column distinctCount
+    * through `SupportsReportStatistics.columnStats`, which is what lets
+    * Spark's CBO reorder a multi-table join at 100 TB where size alone
+    * misleads (a huge low-cardinality dimension vs a small
+    * high-cardinality one). Sketches cover PHYSICAL rows (deleted rows
+    * included, like blooms) — an over-approximation a cost model
+    * tolerates by construction. New files appended later are
+    * un-sketched and suppress the column's report until re-analyzed
+    * (never a wrong estimate). Returns the analyzed file names. */
+  def analyzeNdv(spark: SparkSession, dir: String, cols: Seq[String],
+                 lgK: Int = 12): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg}
+    require(cols.nonEmpty, "analyzeNdv needs at least one column")
+    require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
+    val m = parseManifest(Paths.get(dir)).getOrElse(
+      sys.error(s"graft-commit: no committed manifest at $dir"))
+    require(m.payload == "parquet",
+      "graft-commit: analyzeNdv scans staged parquet natively; " +
+        s"table $dir has the '${m.payload}' payload")
+    val schema = StructType.fromDDL(m.ddl)
+    cols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        sys.error(s"graft-commit: analyzeNdv column '$c' is not in the " +
+          s"table schema [${schema.fieldNames.mkString(",")}]"))
+      val ok = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | DateType |
+             TimestampType | TimestampNTZType | StringType => true
+        case _ => false
+      }
+      require(ok, s"graft-commit: analyzeNdv column '$c' has " +
+        s"non-sketchable type ${f.dataType.simpleString}")
+      require(c.matches("[A-Za-z0-9_]+"),
+        s"graft-commit: analyzeNdv column '$c' must match [A-Za-z0-9_]+")
+    }
+    // files with recorded stats only (the manifest entry the sketches
+    // merge into); renamed old files read under their physical names,
+    // grouped like readManifestFiles
+    val targets = m.files.filter(m.stats.contains)
+    if (targets.isEmpty) return Seq.empty
+    val groups: Seq[(Map[String, String], Seq[String])] =
+      if (m.schemaLog.isEmpty) Seq(Map.empty[String, String] -> targets)
+      else targets.groupBy(f => m.physNames(f, schema.fieldNames.toSeq)).toSeq
+    val perGroup = groups.map { case (fw, fs) =>
+      val phys = StructType(schema.fields.map(f =>
+        fw.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
+      spark.read.schema(phys)
+        .parquet(fs.map(f => Paths.get(dir, f).toString): _*)
+        .groupBy(col("_metadata.file_name").as("_graft_f"))
+        .agg(hll_sketch_agg(col(fw.getOrElse(cols.head, cols.head)), lgK)
+            .as(cols.head),
+          cols.tail.map(c =>
+            hll_sketch_agg(col(fw.getOrElse(c, c)), lgK).as(c)): _*)
+    }
+    // one row per file (file-count-sized; sketches are ≤ KBs each)
+    val sketched: Map[String, Seq[(String, String)]] =
+      perGroup.reduce(_ union _).collect().map { r =>
+        val f = r.getString(0)
+        f -> cols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(i + 1)).map(b => c ->
+            java.util.Base64.getEncoder.encodeToString(b.asInstanceOf[Array[Byte]]))
+        }
+      }.toMap
+    val merged = m.stats.map { case (f, e) =>
+      sketched.get(f).filter(_ => targets.contains(f)) match {
+        case Some(entries) =>
+          val st = FileStat.decode(e)
+          f -> st.copy(ndv = st.ndv ++ entries).encode
+        case None => f -> e
+      }
+    }
+    // metadata-only commit, CAS'd on the manifest the pass planned over
+    writeManifest(Paths.get(dir), m.ddl, m.files, m.commit + 1,
+      m.epochs, expectedPrev = m.commit, partCol = m.partCol,
+      stats = merged, tableId = carriedOrFreshTableId(Some(m)),
+      payload = m.payload, deletes = m.deletes,
+      fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms,
+      schemaLog = m.schemaLog)
+    targets.sorted
   }
 
   /** Merge-on-read DELETE (o27) — the Iceberg v2 position-delete /
@@ -1519,7 +1809,8 @@ object CommitSink {
         fileSeq = planning.fileSeq,
         eqDeletes = if (dropEq) Seq.empty else planning.eqDeletes,
         tombstones = dvMap.view.filterKeys(dead).toMap,
-        blooms = planning.blooms) // writeManifest drops dead files' entries
+        blooms = planning.blooms, // writeManifest drops dead files' entries
+        schemaLog = planning.schemaLog)
       staged.keys.toSeq.sorted
     } catch { case e: Throwable =>
       // refused CAS / failed promote: leave no trace (the rewrite rule)
@@ -1801,7 +2092,8 @@ object CommitSink {
             tableId = bm.tableId, payload = bm.payload, deletes = bm.deletes,
             fileSeq = bm.fileSeq.map { case (f, s) =>
               f -> (if (s >= BRANCH_BASE) cur + 1 else s) },
-            eqDeletes = bm.eqDeletes, blooms = bm.blooms)
+            eqDeletes = bm.eqDeletes, blooms = bm.blooms,
+            schemaLog = bm.schemaLog)
           cur + 1
         }
       writeRefs(d, listTags(d), listStaged(d),
@@ -2037,13 +2329,35 @@ object CommitSink {
                                          * [[resolveGroups]]); resolved
                                          * manifests keep the refs for
                                          * GC liveness. */
-                                       groups: Seq[GroupRef] = Seq.empty) {
+                                       groups: Seq[GroupRef] = Seq.empty,
+                                       /** SCHEMA-EVOLUTION ledger (r18):
+                                         * drop tombstones + rename
+                                         * mappings, seq-stamped — see
+                                         * [[SchemaEvt]]. Auto-retired
+                                         * by writeManifest once no
+                                         * listed file predates an
+                                         * entry. */
+                                       schemaLog: Seq[SchemaEvt] = Seq.empty,
+                                       /** Commit WALL TIME, epoch millis
+                                         * (o49): what `TIMESTAMP AS OF`
+                                         * resolves against. -1 in
+                                         * pre-o49 manifests (those
+                                         * versions are unreachable by
+                                         * timestamp travel — refuse,
+                                         * never guess). Stamped from
+                                         * [[CommitSink.clock]] so tests
+                                         * and oracle entries can inject
+                                         * deterministic times. */
+                                       commitTs: Long = -1L) {
     /** The recorded add-sequence of a listed file (0 = legacy/unknown). */
     def seqOf(f: String): Long = fileSeq.getOrElse(f, 0L)
     /** Equality deletes covering file `f`: strictly newer than its add. */
     def eqFor(f: String): Seq[EqDelete] = eqDeletes.filter(_.seq > seqOf(f))
     /** True for a two-level root whose per-file entries are not loaded. */
     def unresolvedRoot: Boolean = groups.nonEmpty && files.isEmpty
+    /** Current-name → physical-name map of file `f` (empty = identity). */
+    def physNames(f: String, current: Seq[String]): Map[String, String] =
+      physNamesFor(schemaLog, seqOf(f), current)
   }
 
   /** One group-manifest reference in a two-level root: the group file's
@@ -2114,8 +2428,14 @@ object CommitSink {
         val a = e.indexOf('|'); val b = e.indexOf('|', a + 1)
         GroupRef(e.substring(0, a), e.substring(a + 1, b).toInt, e.substring(b + 1))
       }.toSeq
+    val schemaLog = "\"schemalog\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      .map(SchemaEvt.decode).toSeq
+    val commitTs = "\"committs\":(-?[0-9]+)".r.findFirstMatchIn(txt)
+      .map(_.group(1).toLong).getOrElse(-1L)
     Manifest(commit, ddl, files, epochs, partCol, stats, tableId, payload,
-      deletes, fileSeq, eqDeletes, blooms, groups)
+      deletes, fileSeq, eqDeletes, blooms, groups, schemaLog, commitTs)
   }
 
   /** Resolve a two-level root's per-file entries — all groups, or the
@@ -2187,6 +2507,65 @@ object CommitSink {
         listVersions(dir).mkString(", ") + ")")
     resolveGroups(dir,
       parseManifestText(CommitSink.io.readString(mf), mf.toString))
+  }
+
+  /** TIMESTAMP AS OF resolution (o49): the newest MAIN-lineage
+    * committed version whose recorded commit wall time (`committs`,
+    * epoch millis — see [[clock]]) is ≤ `tMicros` (epoch micros,
+    * Spark's TableCatalog time-travel unit). Iceberg's
+    * snapshot-at-timestamp rule exactly:
+    *
+    *  - staged (WAP) versions and branch-range ids are not main
+    *    history — excluded;
+    *  - a timestamp BEFORE the first commit refuses loudly (silently
+    *    reading v0 would misattribute data to a time it didn't exist);
+    *  - pre-o49 versions carry no committs and are unreachable by
+    *    timestamp — refuse rather than guess.
+    *
+    * Root-parse only (one regex per version file, never a group
+    * resolve): main's committs is monotone, so this is a scan of
+    * manifest headers, planning-cheap at any version count this side
+    * of expiry. */
+  private[graft] def versionAtTimestamp(dir: Path, tMicros: Long): Long = {
+    val staged = listStaged(dir).toSet
+    val candidates = listVersions(dir)
+      .filter(v => v < BRANCH_BASE && !staged.contains(v))
+    require(candidates.nonEmpty,
+      s"graft-commit: no committed versions at $dir to time-travel into")
+    val stamped = candidates.map { v =>
+      val txt = io.readString(dir.resolve(versionFile(v)))
+      v -> "\"committs\":(-?[0-9]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    }
+    val eligible = stamped.filter { case (_, ts) =>
+      ts >= 0 && ts * 1000L <= tMicros
+    }
+    require(eligible.nonEmpty, {
+      val earliest = stamped.collect { case (_, ts) if ts >= 0 => ts }
+        .minOption.map(java.time.Instant.ofEpochMilli(_).toString)
+        .getOrElse("(no version records a commit time)")
+      s"graft-commit: no version of $dir committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(Math.floorDiv(tMicros, 1000L))} — " +
+        s"earliest commit: $earliest"
+    })
+    eligible.maxBy(_._1)._1
+  }
+
+  /** `timestampAsOf` option value → epoch micros: a bare integer is
+    * epoch MILLIS; anything else parses as an ISO-8601 timestamp
+    * (offset-carrying, else UTC — commit times are wall-clock UTC). */
+  private[graft] def timestampAsOfMicros(s: String): Long = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    val t = s.trim
+    if (t.matches("-?[0-9]+")) t.toLong * 1000L
+    else {
+      val iso = t.replace(' ', 'T')
+      val instant =
+        try java.time.OffsetDateTime.parse(iso).toInstant
+        catch { case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(iso).toInstant(java.time.ZoneOffset.UTC) }
+      DateTimeUtils.instantToMicros(instant)
+    }
   }
 
   private[graft] def listVersions(dir: Path): Seq[Long] =
@@ -2296,7 +2675,16 @@ object CommitSink {
                                        * land the version file, advance
                                        * the branch pointer — main's
                                        * `_MANIFEST.json` is untouched. */
-                                     branch: Option[String] = None): Unit =
+                                     branch: Option[String] = None,
+                                     /** SCHEMA-EVOLUTION ledger (r18):
+                                       * carried verbatim by every
+                                       * content-preserving commit;
+                                       * entries retire here once no
+                                       * listed file predates them (the
+                                       * liveEq device) — a truncate or
+                                       * full rewrite clears the ledger
+                                       * automatically. */
+                                     schemaLog: Seq[SchemaEvt] = Seq.empty): Unit =
     lockFor(dir).synchronized {
       require(branch.isEmpty || !stageOnly,
         "graft-commit: a write cannot target a branch AND stage (WAP " +
@@ -2373,9 +2761,19 @@ object CommitSink {
         files.exists(f => fileSeq.getOrElse(f, 0L) < e.seq))
       val eqBody = liveEq.sortBy(e => (e.seq, e.file))
         .map(e => s""""${e.file}|${e.seq}|${e.nkeys}|${e.cols}"""")
+      // schema-evolution entries retire by the same rule: an entry only
+      // matters to files that PREDATE it (their bytes carry the old
+      // name / the dropped values) — once every such file is rewritten
+      // or truncated away, the ledger entry is dead weight and the
+      // drop-tombstone's ADD refusal must lift
+      val liveLog = schemaLog.filter(e =>
+        files.exists(f => fileSeq.getOrElse(f, 0L) < e.seq))
+      val logBody = liveLog.sortBy(_.seq).map(e => s""""${e.encode}"""")
       def header: String =
         s"""{"commit":$commitId,"epochs":[${epochs.sorted.mkString(",")}],""" +
+          s""""committs":${clock()},""" +
           s""""payload":"$payload",""" +
+          (if (logBody.nonEmpty) s""""schemalog":[${logBody.mkString(",")}],""" else "") +
           (if (tableId.nonEmpty) s""""tableid":"${esc(tableId)}",""" else "") +
           partCol.map(c => s""""partcol":"${esc(c)}",""").getOrElse("")
       val groupSize = Integer.getInteger("graft.manifest.group.size", 4096).intValue

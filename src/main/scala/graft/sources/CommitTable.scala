@@ -29,7 +29,15 @@ class CommitSinkProvider extends TableProvider
   // the two consistent (Spark options are conventionally case-insensitive;
   // a case-sensitive get would silently read the CURRENT version while
   // inferSchema pinned the old schema)
-  private def versionOf(options: util.Map[String, String]): Option[Long] =
+  private def versionOf(options: util.Map[String, String]): Option[Long] = {
+    // one pin per read: naming a version/tag AND a wall time would be
+    // ambiguous when they disagree — refuse instead of silently
+    // preferring one
+    require(!(options.asScala.exists(kv =>
+        kv._1.equalsIgnoreCase("versionAsOf") || kv._1.equalsIgnoreCase("tagAsOf")) &&
+      options.asScala.exists(_._1.equalsIgnoreCase("timestampAsOf"))),
+      "graft-commit: timestampAsOf and versionAsOf/tagAsOf are mutually " +
+        "exclusive — a read pins one point in history")
     options.asScala.collectFirst {
       case (k, v) if k.equalsIgnoreCase("versionAsOf") => v.trim.toLong
     }.orElse(options.asScala.collectFirst {
@@ -40,7 +48,17 @@ class CommitSinkProvider extends TableProvider
           case (pk, pv) if pk.equalsIgnoreCase("path") => pv }.orNull)
           .getOrElse(sys.error("graft-commit: tagAsOf needs a path"))
         CommitSink.tagVersion(Paths.get(p), v.trim)
+    }).orElse(options.asScala.collectFirst {
+      // o49: a WALL TIME resolves to the newest main version committed
+      // at or before it — ISO-8601 or epoch millis
+      case (k, v) if k.equalsIgnoreCase("timestampAsOf") =>
+        val p = Option(options.asScala.collectFirst {
+          case (pk, pv) if pk.equalsIgnoreCase("path") => pv }.orNull)
+          .getOrElse(sys.error("graft-commit: timestampAsOf needs a path"))
+        CommitSink.versionAtTimestamp(Paths.get(p),
+          CommitSink.timestampAsOfMicros(v))
     })
+  }
   private def cdfOf(options: util.Map[String, String]): Boolean =
     options.asScala.exists {
       case (k, v) => k.equalsIgnoreCase("readChangeFeed") && v.trim.toBoolean
@@ -218,6 +236,8 @@ class CommitSinkTable(path: String,
             org.apache.spark.sql.connector.expressions.Expressions.column(c))
         case CommitSink.DaysSpec(c) =>
           org.apache.spark.sql.connector.expressions.Expressions.days(c)
+        case CommitSink.HoursSpec(c) =>
+          org.apache.spark.sql.connector.expressions.Expressions.hours(c)
         case CommitSink.MonthsSpec(c) =>
           org.apache.spark.sql.connector.expressions.Expressions.months(c)
         case CommitSink.YearsSpec(c) =>
@@ -440,7 +460,7 @@ class CommitSinkTable(path: String,
       val specs = m.partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs)
       val (shaped, pre) =
         if (specs.size > 1) {
-          val ks = specs.map(CommitSink.keyColOf)
+          val ks = specs.map(CommitSink.keyColOf(_, StructType.fromDDL(m.ddl)))
           (survivors.repartition(ks: _*).sortWithinPartitions(ks: _*), true)
         } else (survivors, false)
       val w0 = shaped.write.format(CommitSink.NAME).option("path", path)

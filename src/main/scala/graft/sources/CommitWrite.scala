@@ -129,6 +129,17 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
 
+  /** NDV sketch collection (o50): `option("ndvColumns", "c1,c2")` makes
+    * each staged file also record a mergeable HLL sketch per named
+    * column — the column-stats feed for Spark's CBO
+    * ([[CommitScan]] columnStats). Opt-in: the default write pays zero
+    * per-row sketch work. [[CommitSink.analyzeNdv]] is the maintenance
+    * twin for already-committed files. */
+  private lazy val ndvColumns: Seq[String] =
+    Option(info.options.get("ndvColumns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
   /** PRE-SHAPED partitioned rewrite (o39, maintenance-internal): the
     * caller already planned the clustering shuffle (e.g. range on
     * (partCol, sortCols) for a per-partition sort-order rewrite), so
@@ -259,6 +270,9 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       case CommitSink.DaysSpec(c) =>
         Distributions.ordered(Array(
           Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
+      case CommitSink.HoursSpec(c) =>
+        Distributions.ordered(Array(
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
       case CommitSink.MonthsSpec(c) =>
         Distributions.ordered(Array(
           Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)))
@@ -274,6 +288,8 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
       case CommitSink.TruncateSpec(_, c) =>
         Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
       case CommitSink.DaysSpec(c) =>
+        Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
+      case CommitSink.HoursSpec(c) =>
         Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
       case CommitSink.MonthsSpec(c) =>
         Array(Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING))
@@ -304,6 +320,8 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
         Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
       case CommitSink.DaysSpec(c) =>
         Expressions.apply("days", Expressions.column(c))
+      case CommitSink.HoursSpec(c) =>
+        Expressions.apply("hours", Expressions.column(c))
       case CommitSink.MonthsSpec(c) =>
         Expressions.apply("months", Expressions.column(c))
       case CommitSink.YearsSpec(c) =>
@@ -327,7 +345,7 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
           .getOrElse(Array.empty[CSortOrder])
       override def toBatch: BatchWrite =
         new CommitBatchWrite(path, schema, doTruncate, partCol, rw, pay, upsert,
-          stage = staged, branch = branchTarget)
+          stage = staged, branch = branchTarget, ndvCols = ndvColumns)
       override def toStreaming: streaming.StreamingWrite = {
         require(partCol.isEmpty,
           "graft-commit: partitionBy is a batch-write layout decision; " +
@@ -463,7 +481,8 @@ class CommitStreamingWrite(path: String, schema: StructType,
           eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
             promotedEq.map { case (n, k) =>
               CommitSink.EqDelete(n, prev + 1, k, upsertKeys.mkString(";")) },
-          blooms = manifest.map(_.blooms).getOrElse(Map.empty))
+          blooms = manifest.map(_.blooms).getOrElse(Map.empty),
+          schemaLog = manifest.map(_.schemaLog).getOrElse(Seq.empty))
       } catch { case e: Throwable =>
         // a refused epoch commit (e.g. a batch DML raced this trigger)
         // must leave no trace — same contract as the batch commit
@@ -503,7 +522,10 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
                        stage: Boolean = false,
                        /** Branch commit (o44): plan against and advance
                          * the named branch head — main never moves. */
-                       branch: Option[String] = None)
+                       branch: Option[String] = None,
+                       /** Columns this write records NDV sketches for
+                         * (o50, `ndvColumns`). */
+                       ndvCols: Seq[String] = Seq.empty)
     extends BatchWrite {
   private val dir = Paths.get(path)
 
@@ -523,7 +545,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
     // ship the schema as DDL text — StructType itself is serializable,
     // but the DDL is also exactly what the manifest records
     new CommitWriterFactory(path, schema.toDDL, partCol, nonce, payload,
-      upsertKeys)
+      upsertKeys, ndvCols)
   }
 
   /** How many times an APPEND re-reads + re-swaps after losing the CAS
@@ -629,7 +651,10 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
       eqDeletes = planning.eqDeletes,
       // carried files keep their blooms; a replaced file's index dies
       // with it (the new files are un-indexed until the next build)
-      blooms = planning.blooms)
+      blooms = planning.blooms,
+      // carried files may predate renames/drops — the ledger rides with
+      // them (writeManifest retires it once the last old file is gone)
+      schemaLog = planning.schemaLog)
     // replaced files are NOT swept: the planning version's immutable
     // manifest references every one of them (time travel); snapshot
     // expiry GC's them when their last referencing version is dropped
@@ -720,6 +745,7 @@ class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
           eqDeletes = manifest.map(_.eqDeletes).getOrElse(Seq.empty) ++
             newEq.map { case (n, k) => CommitSink.EqDelete(n, next, k, upsertCols) },
           blooms = manifest.map(_.blooms).getOrElse(Map.empty),
+          schemaLog = manifest.map(_.schemaLog).getOrElse(Seq.empty),
           stageOnly = stage, branch = branch)
         return
       } catch { case e: CommitSink.ConcurrentCommitException =>
@@ -741,11 +767,12 @@ class CommitWriterFactory(path: String, ddl: String,
                           partCol: Option[String] = None,
                           nonce: String = "",
                           payload: String = "json",
-                          upsertKeys: Seq[String] = Seq.empty) extends DataWriterFactory {
+                          upsertKeys: Seq[String] = Seq.empty,
+                          ndvCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     if (upsertKeys.isEmpty)
       new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol,
-        stagingSub = nonce, payload = payload)
+        stagingSub = nonce, payload = payload, ndvCols = ndvCols)
     else new UpsertDataWriter(path, ddl, upsertKeys, partitionId, taskId,
       -1L, nonce, partCol)
 }
@@ -832,7 +859,11 @@ class UpsertDataWriter(path: String, ddl: String, keys: Seq[String],
   * holds one key, recorded as `pk` in its stats. */
 class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long,
                        epochId: Long = -1L, partCol: Option[String] = None,
-                       stagingSub: String = "", payload: String = "json")
+                       stagingSub: String = "", payload: String = "json",
+                       /** Columns to record per-file NDV sketches for
+                         * (o50, the `ndvColumns` write option) — empty
+                         * (default) adds zero per-row work. */
+                       ndvCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val schema = StructType.fromDDL(ddl)
   private val staging = CommitSink.stagingDir(Paths.get(path), stagingSub)
@@ -859,6 +890,49 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
     }
   }
   private val seen = new Array[Boolean](schema.length)
+  // --- NDV sketches (o50, opt-in): one DataSketches HLL per requested
+  // column per staged segment — mergeable across files (the manifest
+  // stores the compact form; CommitScan unions survivors at planning).
+  // lgK=12 matches Spark's hll_sketch_agg default (≈1.6% rel. error,
+  // ≤ ~2.5 KB compact), small enough for manifest residence and exact
+  // enough for CBO join-cardinality estimates.
+  private val NDV_LGK = 12
+  private val ndvIdx: Array[Int] = ndvCols.map { c =>
+    val i = schema.fieldIndex(c)
+    require(c.matches("[A-Za-z0-9_]+"),
+      s"graft-commit: ndvColumns name '$c' must match [A-Za-z0-9_]+")
+    val ok = schema(i).dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DateType |
+           TimestampType | TimestampNTZType | StringType => true
+      case _ => false
+    }
+    require(ok, s"graft-commit: ndvColumns '$c' has non-sketchable type " +
+      s"${schema(i).dataType.simpleString} (integral, temporal and string only)")
+    i
+  }.toArray
+  private val ndvSketch =
+    new Array[org.apache.datasketches.hll.HllSketch](schema.length)
+  private def noteNdv(row: InternalRow): Unit = {
+    var k = 0
+    while (k < ndvIdx.length) {
+      val i = ndvIdx(k)
+      val j = i + fieldOffset
+      if (!row.isNullAt(j)) {
+        if (ndvSketch(i) == null)
+          ndvSketch(i) = new org.apache.datasketches.hll.HllSketch(NDV_LGK)
+        schema(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType =>
+            ndvSketch(i).update(row.getLong(j))
+          case IntegerType | DateType => ndvSketch(i).update(row.getInt(j).toLong)
+          case ShortType => ndvSketch(i).update(row.getShort(j).toLong)
+          case ByteType => ndvSketch(i).update(row.getByte(j).toLong)
+          case StringType => ndvSketch(i).update(row.getUTF8String(j).toString)
+          case _ => ()
+        }
+      }
+      k += 1
+    }
+  }
   /** Columns whose segment saw a NaN: no range recorded (see noteD). */
   private val nanPoisoned = new Array[Boolean](schema.length)
   private val minL = new Array[Long](schema.length)
@@ -868,6 +942,7 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   private def resetStats(): Unit = {
     java.util.Arrays.fill(seen, false)
     java.util.Arrays.fill(nanPoisoned, false)
+    java.util.Arrays.fill(ndvSketch.asInstanceOf[Array[AnyRef]], null)
   }
   private def noteL(i: Int, v: Long): Unit =
     if (!seen(i)) { seen(i) = true; minL(i) = v; maxL(i) = v }
@@ -913,7 +988,12 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
           f.name -> CommitSink.ColRange('l', minL(i).toString, maxL(i).toString)
         case (f, i) if seen(i) && !nanPoisoned(i) && statKind(i) == 'd' =>
           f.name -> CommitSink.ColRange('d', minD(i).toString, maxD(i).toString)
-      }.toMap, pkRest).encode
+      }.toMap, pkRest,
+      ndv = schema.fields.iterator.zipWithIndex.collect {
+        case (f, i) if ndvSketch(i) != null =>
+          f.name -> java.util.Base64.getEncoder
+            .encodeToString(ndvSketch(i).toCompactByteArray)
+      }.toMap).encode
 
   // --- staged segments -----------------------------------------------------
   // possibly MULTI-transform (o46): the rolling key is the composite of
@@ -1030,6 +1110,7 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
         openSegment()
       }
     }
+    if (ndvIdx.nonEmpty) noteNdv(row)
     if (parquet) {
       pw.write(ParquetPayload.toGroup(groupFactory, schema, row, fieldOffset))
       noteRow(row)

@@ -2057,6 +2057,252 @@ object Sources {
       .withColumn("travel_keeps", lit(if (travelKeeps) 1L else 0L))
   }
 
+  /** o48: ALTER TABLE RENAME COLUMN — the third leg of metadata-only
+    * schema evolution (o31 ADD, o47 DROP): ONE manifest commit, zero
+    * byte rewrites. The manifest's schema ledger records the rename
+    * keyed on its commit — committed files KEEP their old physical
+    * name, and every reader maps the current name back per file by
+    * add-sequence (CommitSink.physNamesFor — the graft analog of
+    * Iceberg's field-id projection). Zone maps remap through the same
+    * ledger, so file skipping keeps pruning on the renamed column
+    * (proved here: the renamed range probe plans 1-2 of 8
+    * range-clustered files whose stats were recorded under the OLD
+    * name). Appends write current names; DML runs over the mixed
+    * shapes; time travel keeps each version's own name. The fixture
+    * renames events' `event_id` to `ev_id` over an 8-file
+    * range-clustered layout, appends a narrowed %4 slice post-rename,
+    * and DELETEs a %10 residue across both shapes. At 100 TB this is
+    * "fix the column name" without rewriting a byte. */
+  def o48RenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o48", dir)
+    val path = s"$root/default/ev"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.repartitionByRange(8, col("event_id"))
+      .write.format(CommitSink.NAME).option("path", path)
+      .option("payload", "parquet").mode("overwrite").save()
+    val m0 = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    spark.sql(s"ALTER TABLE $cat.`default`.ev RENAME COLUMN event_id TO ev_id")
+    val m1 = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    val metadataOnly = m1.files == m0.files && m1.commit == m0.commit + 1 &&
+      m1.schemaLog.exists {
+        case CommitSink.RenameEvt("event_id", "ev_id", s) => s == m1.commit
+        case _ => false
+      }
+    def read() = spark.read.format(CommitSink.NAME).option("path", path).load()
+    // old files' values surface under the NEW name (no silent nulls)
+    val renamedReads = read().filter(col("ev_id").isNull).count() == 0L &&
+      read().columns.contains("ev_id") && !read().columns.contains("event_id")
+    // zone maps remapped: a range probe on the CURRENT name prunes old
+    // files whose stats were recorded under the old one
+    val pruned = plannedFiles(
+      read().filter(col("ev_id") >= 100L && col("ev_id") < 2000L)) <= 2
+    // time travel keeps the pre-rename shape
+    val travelKeeps = spark.read.format(CommitSink.NAME).option("path", path)
+      .option("versionAsOf", m0.commit).load().columns.contains("event_id")
+    // append post-rename (current names) + DML across the mixed shapes
+    ev.filter(col("event_id") % 4 === 0).withColumnRenamed("event_id", "ev_id")
+      .write.format(CommitSink.NAME).option("path", path).mode("append").save()
+    spark.sql(s"DELETE FROM $cat.`default`.ev WHERE ev_id % 10 = 3")
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("ev_id")).as("min_ev_id"),
+        max(col("ev_id")).as("max_ev_id"))
+      .withColumn("metadata_only", lit(if (metadataOnly) 1L else 0L))
+      .withColumn("renamed_reads", lit(if (renamedReads) 1L else 0L))
+      .withColumn("prune_remapped", lit(if (pruned) 1L else 0L))
+      .withColumn("travel_keeps", lit(if (travelKeeps) 1L else 0L))
+  }
+
+  /** o49: TIMESTAMP AS OF time travel — the half users actually type
+    * (o17 landed `VERSION AS OF`): every commit stamps its wall time
+    * (`committs`) in the manifest header, and `TIMESTAMP AS OF t` /
+    * `option("timestampAsOf", t)` resolves to the newest main version
+    * committed at or before t (CommitSink.versionAtTimestamp — staged
+    * and branch versions excluded, pre-table timestamps refuse).
+    * Commit times here come from an injected test clock
+    * (CommitSink.withClock), so the oracle readout is deterministic —
+    * wall-clock nondeterminism never reaches a checked value. The
+    * fixture lands three slices at t=1000/2000/3000 ms and probes epoch
+    * millis, ISO, boundary-exact, SQL-surface and refusal shapes. */
+  def o49TimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val (cat, root) = scopedCatalog(spark, "o49", dir)
+    val path = s"$root/default/ev"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    def slice(r: Int) = ev.filter(col("event_id") % 3 === r)
+    CommitSink.withClock(() => 1000L) {
+      slice(0).write.format(CommitSink.NAME).option("path", path)
+        .option("payload", "parquet").mode("overwrite").save()
+    }
+    CommitSink.withClock(() => 2000L) {
+      slice(1).write.format(CommitSink.NAME).option("path", path).mode("append").save()
+    }
+    CommitSink.withClock(() => 3000L) {
+      slice(2).write.format(CommitSink.NAME).option("path", path).mode("append").save()
+    }
+    val n0 = slice(0).count(); val n1 = slice(1).count()
+    def at(t: String): Long = spark.read.format(CommitSink.NAME)
+      .option("path", path).option("timestampAsOf", t).load().count()
+    // epoch millis between commits → first slice; ISO + boundary-exact
+    // (≤) → first two; late timestamp → everything
+    val millisMid = at("1500") == n0
+    val isoExact = at("1970-01-01 00:00:02") == n0 + n1
+    val late = at("2099-01-01T00:00:00") == ev.count()
+    // SQL surface through the catalog (micros via Spark's analyzer)
+    val sqlRows = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.`default`.ev " +
+        "TIMESTAMP AS OF TIMESTAMP'1970-01-01 00:00:01.500'").head().getLong(0)
+    val sqlMid = sqlRows == n0
+    // a pre-table timestamp refuses loudly — never silently reads v0
+    val preRefuses =
+      try { at("500"); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("committed at or before") }
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("millis_mid", lit(if (millisMid) 1L else 0L))
+      .withColumn("iso_exact", lit(if (isoExact) 1L else 0L))
+      .withColumn("late_full", lit(if (late) 1L else 0L))
+      .withColumn("sql_mid", lit(if (sqlMid) 1L else 0L))
+      .withColumn("pre_refuses", lit(if (preRefuses) 1L else 0L))
+  }
+
+  /** o50: COLUMN NDV STATISTICS → CBO — per-file mergeable HLL sketches
+    * (DataSketches, lgK=12) recorded at write time
+    * (`option("ndvColumns", ...)`) or by the distributed
+    * [[CommitSink.analyzeNdv]] maintenance pass (one `_metadata
+    * .file_name`-grouped scan, never a per-file loop), surfaced to
+    * Spark as `SupportsReportStatistics.columnStats` — the scan unions
+    * the SURVIVING files' sketches at planning, so distinctCount
+    * composes with file pruning. Under `spark.sql.cbo.enabled` the
+    * optimizer's attribute stats carry these cardinalities into join
+    * estimation/reordering — the decision size alone gets wrong at
+    * 100 TB (a huge low-cardinality dim vs a small high-cardinality
+    * one). Proofs: write-time and analyze sketches agree, the CBO
+    * attribute stats surface both columns, the low-cardinality
+    * estimate is EXACT (HLL is exact below its coupon threshold) and
+    * the high-cardinality estimate lands within 5%. */
+  def o50NdvStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min}
+    val out = s"/tmp/graft_o50/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out)
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.repartition(4)
+      .write.format(CommitSink.NAME).option("path", out)
+      .option("payload", "parquet")
+      .option("ndvColumns", "user_id,event_type")
+      .mode("overwrite").save()
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(out)).get
+    val recorded = m.files.nonEmpty && m.files.forall { f =>
+      val nd = CommitSink.FileStat.decode(m.stats(f)).ndv
+      nd.contains("user_id") && nd.contains("event_type")
+    }
+    val trueUsers = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    val trueTypes = ev.agg(countDistinct(col("event_type"))).head().getLong(0)
+    // CBO surface: attribute stats of the optimized plan under cbo
+    val cboWas = spark.conf.get("spark.sql.cbo.enabled", "false")
+    val (estUsers, estTypes) =
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        val stats = spark.read.format(CommitSink.NAME).option("path", out)
+          .load().queryExecution.optimizedPlan.stats.attributeStats
+        def ndvOf(c: String): Long = stats.collectFirst {
+          case (a, s) if a.name == c && s.distinctCount.isDefined =>
+            s.distinctCount.get.toLong
+        }.getOrElse(-1L)
+        (ndvOf("user_id"), ndvOf("event_type"))
+      } finally spark.conf.set("spark.sql.cbo.enabled", cboWas)
+    val typesExact = estTypes == trueTypes // HLL exact at low cardinality
+    val usersClose = estUsers > 0 &&
+      math.abs(estUsers - trueUsers).toDouble / trueUsers < 0.05
+    // the maintenance pass lands the same sketches on an UN-sketched
+    // table (one distributed scan, metadata-only commit)
+    val out2 = s"/tmp/graft_o50b/${new java.io.File(dir).getName}"
+    graft.Tables.deleteRecursively(out2)
+    ev.repartition(4).write.format(CommitSink.NAME).option("path", out2)
+      .option("payload", "parquet").mode("overwrite").save()
+    CommitSink.analyzeNdv(spark, out2, Seq("user_id"))
+    val m2 = CommitSink.parseManifest(java.nio.file.Paths.get(out2)).get
+    val analyzed = m2.files.nonEmpty && m2.files.forall(f =>
+      CommitSink.FileStat.decode(m2.stats(f)).ndv.contains("user_id")) &&
+      m2.commit == 1L // metadata-only commit on top of the write
+    graft.Tables.deleteRecursively(out2)
+    CommitSink.readCommitted(spark, out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("ndv_recorded", lit(if (recorded) 1L else 0L))
+      .withColumn("types_exact", lit(if (typesExact) 1L else 0L))
+      .withColumn("users_close", lit(if (usersClose) 1L else 0L))
+      .withColumn("analyze_lands", lit(if (analyzed) 1L else 0L))
+  }
+
+  /** o51: the `hours(ts)` partition transform — the last member of the
+    * Iceberg temporal family (days o42, months/years o45): key =
+    * floorDiv(micros, 3600s), monotone, so the single-transform write
+    * plans the o42 ORDERED distribution on the raw column (no function
+    * resolution anywhere) and predicate projection prunes hour groups
+    * through the o45 key-interval algebra. TIMESTAMP-only (an hour of
+    * a DATE is meaningless — Iceberg's rule too). The fixture lands
+    * ONE day of events (24 hour keys — the file count a
+    * high-frequency layout is chosen to bound), probes a one-hour plan
+    * and a two-hour band, and pins the ordinal parity per file. */
+  def o51HoursTransform(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, hour, lit, max, min, to_date}
+    val (cat, root) = scopedCatalog(spark, "o51", dir)
+    val path = s"$root/default/ev"
+    spark.sql(s"CREATE TABLE $cat.`default`.ev (event_id BIGINT, " +
+      "ts TIMESTAMP_NTZ, event_type STRING, value DOUBLE) " +
+      "USING `graft-commit` PARTITIONED BY (hours(ts))")
+    val ev = graft.Tables.events(spark, dir)
+    val day0 = ev.agg(min(to_date(col("ts")))).head().getDate(0).toLocalDate
+    val dayLo = day0.atStartOfDay(); val dayHi = day0.plusDays(1).atStartOfDay()
+    ev.filter(col("ts") >= lit(dayLo) && col("ts") < lit(dayHi))
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .createOrReplaceTempView("o51_src")
+    spark.sql(s"INSERT INTO $cat.`default`.ev SELECT * FROM o51_src")
+    val m = CommitSink.parseManifest(java.nio.file.Paths.get(path)).get
+    // ordinal parity: each file's recorded key IS floorDiv(micros, 1h)
+    // of its whole ts range (one hour per file)
+    val oneHour = m.files.nonEmpty && m.files.forall { f =>
+      val st = CommitSink.FileStat.decode(m.stats(f))
+      st.pk.isDefined && st.cols.get("ts").forall { r =>
+        Math.floorDiv(r.min.toLong, 3600000000L) == st.pk.get &&
+          Math.floorDiv(r.max.toLong, 3600000000L) == st.pk.get
+      }
+    }
+    def read() = spark.read.format(CommitSink.NAME).option("path", path).load()
+    // hour 12 of the day: exactly one planned group; a 2-hour band: two
+    val h12 = dayLo.plusHours(12); val h13 = dayLo.plusHours(13)
+    val hourPlanned = plannedFiles(read()
+      .filter(col("ts") >= lit(h12) && col("ts") < lit(h13))) == 1L
+    val bandPlanned = plannedFiles(read()
+      .filter(col("ts") >= lit(h12) && col("ts") < lit(dayLo.plusHours(14)))) == 2L
+    CommitSink.readCommitted(spark, path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.Tables.dsum(col("value")).as("total_value"),
+        countDistinct(hour(col("ts"))).as("n_hours"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .withColumn("one_hour_per_file", lit(if (oneHour) 1L else 0L))
+      .withColumn("hour_planned", lit(if (hourPlanned) 1L else 0L))
+      .withColumn("band_planned", lit(if (bandPlanned) 1L else 0L))
+  }
+
   /** o14: zone-map FILE SKIPPING on the commit sink — the manifest
     * records each file's per-column ranges during the write (one pass,
     * the parquet-footer design), and a selective range predicate prunes
@@ -2483,6 +2729,10 @@ object Sources {
     "o45_temporal_projection" -> o45TemporalProjection _,
     "o46_multi_transform" -> o46MultiTransform _,
     "o47_drop_column" -> o47DropColumn _,
+    "o48_rename_column" -> o48RenameColumn _,
+    "o49_timestamp_travel" -> o49TimestampTravel _,
+    "o50_ndv_stats" -> o50NdvStats _,
+    "o51_hours_transform" -> o51HoursTransform _,
     "o12_dsv2_delete_where" -> o12Dsv2DeleteWhere _,
     "o11_dsv2_stream_sink" -> o11Dsv2StreamSink _,
     "o10_dsv2_stream_read" -> o10Dsv2StreamRead _,
@@ -2607,6 +2857,73 @@ object Sources {
                  CAST(1 AS BIGINT) AS metadata_only,
                  CAST(1 AS BIGINT) AS travel_keeps
           FROM t GROUP BY 1""",
+    // rename column: content = the base table plus the narrowed %4
+    // append, minus the %10=3 DELETE, read under the post-RENAME name;
+    // the booleans pin the metadata-only ledger commit, old-file reads
+    // under the new name, zone-map remapping (the renamed range probe
+    // still prunes), and time travel's pre-rename shape
+    "o48_rename_column" ->
+      s"""WITH t AS (
+            SELECT event_id, event_type, value FROM events
+            UNION ALL
+            SELECT event_id, event_type, value FROM events
+            WHERE event_id % 4 = 0)
+          SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_ev_id,
+                 MAX(event_id) AS max_ev_id,
+                 CAST(1 AS BIGINT) AS metadata_only,
+                 CAST(1 AS BIGINT) AS renamed_reads,
+                 CAST(1 AS BIGINT) AS prune_remapped,
+                 CAST(1 AS BIGINT) AS travel_keeps
+          FROM t WHERE event_id % 10 <> 3 GROUP BY 1""",
+    // timestamp travel: content = the full three-slice replay (main's
+    // head); the booleans pin epoch-millis/ISO/boundary/SQL resolution
+    // against the injected test clock and the pre-table refusal
+    "o49_timestamp_travel" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS millis_mid,
+                 CAST(1 AS BIGINT) AS iso_exact,
+                 CAST(1 AS BIGINT) AS late_full,
+                 CAST(1 AS BIGINT) AS sql_mid,
+                 CAST(1 AS BIGINT) AS pre_refuses
+          FROM events GROUP BY 1""",
+    // NDV column stats: content = the events replay with the real
+    // per-type user cardinality; the booleans pin write-time sketch
+    // recording, the CBO attribute-stats surface (low-cardinality
+    // exact, high-cardinality within 5%), and the distributed analyze
+    // pass landing sketches as a metadata-only commit
+    "o50_ndv_stats" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 COUNT(DISTINCT user_id) AS n_users,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS ndv_recorded,
+                 CAST(1 AS BIGINT) AS types_exact,
+                 CAST(1 AS BIGINT) AS users_close,
+                 CAST(1 AS BIGINT) AS analyze_lands
+          FROM events GROUP BY 1""",
+    // hours transform: content = one day of events under the hours(ts)
+    // layout (n_hours is the real distinct-hour count); the booleans
+    // pin one-hour-per-file ordinal parity, the one-hour plan, and the
+    // two-hour band plan
+    "o51_hours_transform" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+                 ${graft.Tables.sqlDsum("value")} AS total_value,
+                 CAST(COUNT(DISTINCT EXTRACT(hour FROM ts)) AS BIGINT) AS n_hours,
+                 MIN(event_id) AS min_event_id,
+                 MAX(event_id) AS max_event_id,
+                 CAST(1 AS BIGINT) AS one_hour_per_file,
+                 CAST(1 AS BIGINT) AS hour_planned,
+                 CAST(1 AS BIGINT) AS band_planned
+          FROM events
+          WHERE CAST(ts AS DATE) =
+            (SELECT MIN(CAST(ts AS DATE)) FROM events)
+          GROUP BY 1""",
     // multi-transform spec: content = the (days(ts), bucket(4, user_id))-
     // partitioned events replay; the booleans pin the composite key
     // vectors, the days*4 file bound, and the two-dimensional pruning

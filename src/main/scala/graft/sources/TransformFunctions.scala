@@ -74,6 +74,17 @@ private[graft] object TransformFunctions {
     "days(col): epoch day of a DATE/TIMESTAMP (Iceberg days transform)",
     (raw, dt) => epochDay(raw, dt).toInt)
 
+  /** hours is TIMESTAMP-only (its PartSpec refuses DATE at create), but
+    * the bound form shares the temporal scaffold — a DATE input can only
+    * reach it through a hand-built catalog call, where the epoch-day
+    * branch would still be wrong by a factor of 24, so refuse there. */
+  val hours: UnboundFunction = temporal("hours",
+    "hours(col): hours since epoch of a TIMESTAMP (Iceberg hours transform)",
+    (raw, dt) => {
+      require(dt != DateType, "graft-commit: hours(col) needs TIMESTAMP, got DATE")
+      Math.floorDiv(raw, 3600000000L).toInt
+    })
+
   val months: UnboundFunction = temporal("months",
     "months(col): months since 1970-01 (Iceberg months transform)",
     (raw, dt) => monthOrdinal(raw, dt))

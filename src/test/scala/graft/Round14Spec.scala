@@ -583,7 +583,10 @@ class Round14Spec extends AnyFunSuite {
       "already exists")
     refused(s"ALTER TABLE $cat.`default`.t ADD COLUMNS (c STRING FIRST)",
       "FIRST/AFTER is unsupported")
-    refused(s"ALTER TABLE $cat.`default`.t RENAME COLUMN id TO id2",
+    // r18: RENAME is supported (o48, Round18Spec); retypes Spark itself
+    // refuses upstream (NOT_SUPPORTED_CHANGE_COLUMN) — the catch-all
+    // pins on a change shape that DOES reach alterTable (a comment)
+    refused(s"ALTER TABLE $cat.`default`.t ALTER COLUMN id COMMENT 'x'",
       "only ADD COLUMN")
     refused(s"ALTER TABLE $cat.`default`.t ADD COLUMNS (m MAP<STRING,STRING>)",
       "unsupported ALTER column type")

@@ -192,11 +192,11 @@ class Round16Spec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("BIGINT or INT"), e1.getMessage)
     // unsupported transform (days/truncate joined the family in r16,
-    // years/months in r17 — hours stays out: one key per hour is the
-    // file-explosion layout days exists to avoid)
+    // years/months in r17, hours in r18 — `weeks` is not an Iceberg
+    // transform and stays out)
     val e2 = intercept[Exception] {
       spark.sql(s"CREATE TABLE $cat.`default`.bad2 (ts TIMESTAMP, v BIGINT) " +
-        "PARTITIONED BY (hours(ts))")
+        "PARTITIONED BY (weeks(ts))")
     }
     assert(e2.getMessage.contains("unsupported partition transform"), e2.getMessage)
     // zero buckets
@@ -213,8 +213,9 @@ class Round16Spec extends AnyFunSuite {
     }
     assert(e4.getMessage.contains("DATE or TIMESTAMP"), e4.getMessage)
     // a malformed spec is neither a column nor a supported transform
+    // (hours joined the family in r18 — weeks is the outsider now)
     val e5 = intercept[Exception] {
-      sources.CommitSink.evolvePartitioning(spark, dir, Some("hours(v)"))
+      sources.CommitSink.evolvePartitioning(spark, dir, Some("weeks(v)"))
     }
     assert(e5.getMessage.contains("neither a plain column"), e5.getMessage)
   }

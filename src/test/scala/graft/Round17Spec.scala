@@ -672,7 +672,7 @@ class Round17Spec extends AnyFunSuite {
       .getLong(0) == 1800) // 2000 - the 200 deleted k=7 rows
   }
 
-  test("o46: refusal matrix — cluster rewrites refuse multi; duplicate columns refuse") {
+  test("o46: refusal matrix — z-order refuses multi; duplicate columns refuse") {
     val (cat, root) = scopedCat("multi_refuse")
     spark.sql(s"CREATE TABLE $cat.`default`.t (ts TIMESTAMP_NTZ, k BIGINT, v BIGINT) " +
       "USING `graft-commit` PARTITIONED BY (days(ts), bucket(2, k))")
@@ -685,9 +685,12 @@ class Round17Spec extends AnyFunSuite {
     def msgChain(t: Throwable): String =
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // r18 lifted the lexicographic multi-layout refusal (Round18Spec
+    // pins the rewrite); z-order within ANY partitioned layout — multi
+    // included — still refuses (the interleave has no per-key form)
     val e2 = intercept[Exception](
-      sources.CommitSink.compactAndCluster(spark, path, 2, Seq("v")))
-    assert(msgChain(e2).contains("MULTI-transform"), msgChain(e2))
+      sources.CommitSink.compactAndCluster(spark, path, 2, Seq("v"), zOrder = true))
+    assert(msgChain(e2).contains("z-order"), msgChain(e2))
     // one source column under two transforms is ambiguous
     val e5 = intercept[Exception](
       spark.sql(s"CREATE TABLE $cat.`default`.bad (ts TIMESTAMP_NTZ, v BIGINT) " +
