@@ -122,37 +122,66 @@ object Bench {
     // windows); the minimum of two independent passes is a far better
     // estimate of the engine's actual cost than any single pass.
     //
-    // END-OF-PASS load recheck + bounded retry (r17 verdict): the start
-    // gate cannot hold a 3-6 minute window on this host — r16 and r17
-    // both admitted at load < 2 and ended at 9-18 when co-tenants woke
-    // mid-run, staining the official artifact while the engine itself
-    // was fine. So each pass now re-checks the 1-minute load at its END:
-    // a pass that FINISHED contended re-gates and re-runs (at most
-    // SPARK_GRAFT_PASS_RETRIES extra attempts, default 2 — bounded so a
-    // permanently-busy host still produces a number, with the recorded
-    // per-attempt loadavg telling the reader it never got a window).
+    // PER-PASS CONTENTION recheck + bounded retry (r17 verdict, refined
+    // in r18): the start gate cannot hold a 3-6 minute window on this
+    // host. The END-of-pass 1-minute loadavg is the WRONG recheck,
+    // though — local[32] under a full registry pass keeps it above any
+    // sane gate from the bench's OWN work (measured: load 23 mid-pass
+    // with 0.07% steal and our JVM the only consumer). The signal that
+    // actually identifies the neighbor problem — bursty multi-second
+    // freezes — is HYPERVISOR STEAL (/proc/stat cpu field 8): our own
+    // threads never generate it. So each pass measures its steal
+    // percentage; a pass that ran over SPARK_GRAFT_STEAL_MAX (percent,
+    // default 1.0) re-gates and re-runs, at most
+    // SPARK_GRAFT_PASS_RETRIES extra attempts (default 2 — bounded so
+    // a permanently-stolen host still produces a number, the recorded
+    // per-attempt telemetry telling the reader it never got a window).
     // Every attempt is a real measurement, so the pass keeps the
-    // per-query MIN across its attempts.
+    // per-query MIN across its attempts. Loadavg is still recorded per
+    // attempt as context (it catches same-kernel co-tenants at START,
+    // where self-load is near zero).
     val passRetries = sys.env.get("SPARK_GRAFT_PASS_RETRIES")
       .map(_.toInt).getOrElse(2)
+    val stealMax = sys.env.get("SPARK_GRAFT_STEAL_MAX")
+      .map(_.toDouble).getOrElse(1.0)
+    /** (steal, total) jiffies from /proc/stat; None off-Linux. */
+    def procStat(): Option[(Long, Long)] =
+      try {
+        val f = Files.readString(Paths.get("/proc/stat")).linesIterator
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        Some((f.lift(7).getOrElse(0L), f.sum))
+      } catch { case _: Exception => None }
     def fl(d: Double): String = f"$d%.2f"
-    def gatedPass(first: Boolean): (Map[String, Double], Seq[(Double, Double)], Long, Long, Long) = {
-      var attempts = Vector.empty[(Map[String, Double], (Double, Double))]
+    /** One attempt's record: timings, (load at start, load at end,
+      * steal percentage over the attempt; steal -1 = unreadable). */
+    def gatedPass(first: Boolean)
+        : (Map[String, Double], Seq[(Double, Double, Double)], Long, Long, Long) = {
+      var attempts = Vector.empty[(Map[String, Double], (Double, Double, Double))]
       var gcTotal = 0L
       var heap = 0L; var stor = 0L
       var go = true
       while (go) {
         if (!first || attempts.nonEmpty) waitQuiet() // pass 1 attempt 1 already gated
         val l0 = loadAvg()
+        val st0 = procStat()
         val g0 = gcMs()
         val r = onePass().toMap
         gcTotal += gcMs() - g0
         val (h, s) = snapshot(); heap = h; stor = s
         val l1 = loadAvg()
-        attempts :+= ((r, (l0, l1)))
-        go = l1 > loadMax && attempts.size <= passRetries
+        val stealPct = (procStat(), st0) match {
+          case (Some((s1, t1)), Some((s0, t0))) if t1 > t0 =>
+            (s1 - s0) * 100.0 / (t1 - t0)
+          case _ => -1.0
+        }
+        attempts :+= ((r, (l0, l1, stealPct)))
+        // retry on steal when measurable; fall back to the end loadavg
+        // only where /proc/stat is unreadable
+        val contended =
+          if (stealPct >= 0) stealPct > stealMax else l1 > loadMax
+        go = contended && attempts.size <= passRetries
         if (go) System.err.println(
-          f"[bench] pass ended at loadavg $l1%.2f > $loadMax%.1f — contended; retrying")
+          f"[bench] pass ran at steal $stealPct%.2f%% (load $l1%.2f) — contended; retrying")
       }
       val best = attempts.map(_._1).reduce((a, b) =>
         a.map { case (k, v) => k -> math.min(v, b(k)) })
@@ -161,21 +190,27 @@ object Bench {
     val (pass1, loads1, gc1, heap1, stor1) = gatedPass(first = true)
     val (pass2m, loads2, gc2, heap2, stor2) = gatedPass(first = false)
     val pass2 = pass2m.toSeq
-    def loadArr(ls: Seq[(Double, Double)]): String =
-      ls.map { case (a, b) => s"[${fl(a)},${fl(b)}]" }.mkString("[", ",", "]")
-    // quiet run = the LAST attempt of each pass started AND ended under
-    // the gate (an earlier contended attempt only ever lowers the min of
-    // a query that was then re-measured under a quiet window anyway)
-    val quiet = Seq(loads1, loads2).forall(ls =>
-      ls.last._1 <= loadMax && ls.last._2 <= loadMax)
+    def loadArr(ls: Seq[(Double, Double, Double)]): String =
+      ls.map { case (a, b, _) => s"[${fl(a)},${fl(b)}]" }.mkString("[", ",", "]")
+    def stealArr(ls: Seq[(Double, Double, Double)]): String =
+      ls.map(t => fl(t._3)).mkString("[", ",", "]")
+    // quiet run = the LAST attempt of each pass ran essentially
+    // steal-free (an earlier contended attempt only ever lowers the min
+    // of a query that was then re-measured under a quiet window anyway)
+    val quiet = Seq(loads1, loads2).forall { ls =>
+      val s = ls.last._3
+      if (s >= 0) s <= stealMax else ls.last._2 <= loadMax
+    }
     val telemetry =
       s""""telemetry":{"gate_wait_sec":${fl(gateWaitSec)},""" +
         s""""quiet":$quiet,""" +
         s""""pass1":{"gc_ms":$gc1,"heap_mb":$heap1,""" +
-        s""""storage_mb":$stor1,"loadavg":${loadArr(loads1)}},""" +
+        s""""storage_mb":$stor1,"loadavg":${loadArr(loads1)},""" +
+        s""""steal_pct":${stealArr(loads1)}},""" +
         s""""pass2":{"gc_ms":$gc2,""" +
         s""""heap_mb":$heap2,"storage_mb":$stor2,""" +
-        s""""loadavg":${loadArr(loads2)}}}"""
+        s""""loadavg":${loadArr(loads2)},""" +
+        s""""steal_pct":${stealArr(loads2)}}}"""
     val twoPass = pass2.map { case (name, t2) =>
       name -> math.min(pass1(name), t2)
     }

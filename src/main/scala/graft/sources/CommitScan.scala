@@ -747,35 +747,81 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
       override def numRows(): java.util.OptionalLong =
         if (known) java.util.OptionalLong.of(sts.flatten.map(_.rows).sum - ndel)
         else java.util.OptionalLong.empty()
-      /** o50: per-column distinctCount from the manifest's mergeable
-        * HLL sketches — reported ONLY when EVERY surviving file
-        * sketches the column (a partially-covered column would
-        * UNDERestimate, which can flip a CBO decision the wrong way;
-        * no estimate is the sound default). Spark's
-        * DataSourceV2Relation.transformV2Stats turns these into
-        * catalyst attribute stats, so `spark.sql.cbo.enabled` join
-        * estimation/reordering sees real cardinalities from the scan. */
+      /** o50: per-column statistics for the optimizer — distinctCount
+        * from the manifest's mergeable HLL sketches, min/max from the
+        * zone maps the write already recorded (free: the same ranges
+        * file skipping prunes by, unioned over the survivors). Each
+        * facet is reported ONLY when EVERY surviving file records it
+        * (a partially-covered column would UNDERestimate, which can
+        * flip a CBO decision the wrong way; no estimate is the sound
+        * default). Spark's DataSourceV2Relation.transformV2Stats turns
+        * these into catalyst attribute stats, so
+        * `spark.sql.cbo.enabled` join/filter estimation sees real
+        * cardinalities and ranges from the scan. */
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        import org.apache.spark.sql.types._
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         if (known && surviving.nonEmpty) {
           val decoded = sts.flatten
+          val schema = StructType.fromDDL(manifest.ddl)
+          // a zone value in the column's CATALYST representation —
+          // estimation code casts by the attribute's type, so an Int
+          // column must not receive a boxed Long
+          def typed(dt: DataType, kind: Char, v: String): Option[Any] =
+            (dt, kind) match {
+              case (LongType | TimestampType | TimestampNTZType, 'l') =>
+                Some(java.lang.Long.valueOf(v.toLong))
+              case (IntegerType | DateType, 'l') =>
+                Some(java.lang.Integer.valueOf(v.toInt))
+              case (ShortType, 'l') => Some(java.lang.Short.valueOf(v.toShort))
+              case (ByteType, 'l') => Some(java.lang.Byte.valueOf(v.toByte))
+              case (DoubleType, 'd') => Some(java.lang.Double.valueOf(v.toDouble))
+              case (FloatType, 'd') => Some(java.lang.Float.valueOf(v.toFloat))
+              case _ => None // kind/type mismatch: never report
+            }
           currentCols.foreach { c =>
-            if (decoded.forall(_.ndv.contains(c))) {
-              val u = new org.apache.datasketches.hll.Union(21)
-              decoded.foreach(st => u.update(
-                org.apache.datasketches.hll.HllSketch.heapify(
-                  java.util.Base64.getDecoder.decode(st.ndv(c)))))
-              val est = Math.max(0L, Math.round(u.getResult.getEstimate))
+            val ndvEst: Option[Long] =
+              if (decoded.forall(_.ndv.contains(c))) {
+                val u = new org.apache.datasketches.hll.Union(21)
+                decoded.foreach(st => u.update(
+                  org.apache.datasketches.hll.HllSketch.heapify(
+                    java.util.Base64.getDecoder.decode(st.ndv(c)))))
+                Some(Math.max(0L, Math.round(u.getResult.getEstimate)))
+              } else None
+            val range: Option[(Any, Any)] =
+              if (decoded.forall(_.cols.contains(c))) {
+                val rs = decoded.map(_.cols(c))
+                val dt = schema.fields.find(_.name == c).map(_.dataType)
+                  .getOrElse(NullType)
+                rs.map(_.kind).distinct match {
+                  case Seq('l') =>
+                    for (mn <- typed(dt, 'l', rs.map(_.min.toLong).min.toString);
+                         mx <- typed(dt, 'l', rs.map(_.max.toLong).max.toString))
+                      yield (mn, mx)
+                  case Seq('d') =>
+                    for (mn <- typed(dt, 'd', rs.map(_.min.toDouble).min.toString);
+                         mx <- typed(dt, 'd', rs.map(_.max.toDouble).max.toString))
+                      yield (mn, mx)
+                  case _ => None
+                }
+              } else None
+            if (ndvEst.isDefined || range.isDefined)
               out.put(Expressions.column(c),
                 new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                   override def distinctCount(): java.util.OptionalLong =
-                    java.util.OptionalLong.of(est)
+                    ndvEst.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def min(): java.util.Optional[Object] =
+                    range.map(r => java.util.Optional.of(r._1.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    range.map(r => java.util.Optional.of(r._2.asInstanceOf[Object]))
+                      .getOrElse(java.util.Optional.empty[Object]())
                 })
-            }
           }
         }
         out

@@ -1886,7 +1886,32 @@ object CommitSink {
     * modification-time grace window — exactly Iceberg's
     * expireSnapshots / removeOrphanFiles split. Returns (expired
     * versions, deleted data files). */
-  def expireVersions(dir: String, keepLast: Int): (Seq[Long], Seq[String]) = {
+  def expireVersions(dir: String, keepLast: Int): (Seq[Long], Seq[String]) =
+    expireCore(dir, keepLast, keepByAge = _ => false)
+
+  /** AGE-based snapshot expiry (r18, composing the o49 commit clock
+    * with GC — Iceberg's `expire_snapshots(older_than)`): drop main
+    * versions whose recorded commit wall time (`committs`) is strictly
+    * BEFORE `olderThanMillis`, keeping at least `keepLast` newest main
+    * versions regardless — and, as always, the current version, tagged
+    * versions, branch heads and open stages (the retention roots).
+    * Pre-o49 versions record no commit time and count as old (they
+    * predate the clock by construction). This is the operational
+    * retention policy a 100 TB deployment actually states ("keep 7
+    * days"), where a count says nothing about time under a bursty
+    * commit rate. */
+  def expireVersionsOlderThan(dir: String, olderThanMillis: Long,
+                              keepLast: Int = 1): (Seq[Long], Seq[String]) = {
+    val d = Paths.get(dir)
+    expireCore(dir, keepLast, keepByAge = v => {
+      val txt = io.readString(d.resolve(versionFile(v)))
+      "\"committs\":(-?[0-9]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L) >= olderThanMillis
+    })
+  }
+
+  private def expireCore(dir: String, keepLast: Int,
+                         keepByAge: Long => Boolean): (Seq[Long], Seq[String]) = {
     require(keepLast >= 1, "expiry must keep at least the current version")
     val d = Paths.get(dir)
     val versions = listVersions(d)
@@ -1906,7 +1931,8 @@ object CommitSink {
     // branch versions must not shield main's tail from expiry
     val mainVersions = versions.filter(_ < BRANCH_BASE)
     val keep = (mainVersions.takeRight(keepLast) ++ versions.filter(_ == current)
-      ++ versions.filter(refRoots.contains)).distinct
+      ++ versions.filter(refRoots.contains)
+      ++ mainVersions.filter(keepByAge)).distinct
     val drop = versions.filterNot(keep.contains)
     val live: Set[String] =
       keep.flatMap(v => manifestRefs(parseManifestVersion(d, v))).toSet ++

@@ -292,6 +292,64 @@ class Round18Spec extends AnyFunSuite {
     assert(metaRows == 5L)
   }
 
+  test("o49: age-based snapshot expiry drops stale main versions, honors roots") {
+    import sources.CommitSink
+    val path = freshDir("ts_expire")
+    CommitSink.withClock(() => 1000L) {
+      spark.range(10L).select($"id").write.format("graft-commit")
+        .option("path", path).option("payload", "parquet")
+        .mode("overwrite").save()
+    }
+    CommitSink.withClock(() => 2000L) {
+      spark.range(10L, 20L).select($"id").write.format("graft-commit")
+        .option("path", path).mode("append").save()
+    }
+    CommitSink.withClock(() => 3000L) {
+      spark.range(20L, 30L).select($"id").write.format("graft-commit")
+        .option("path", path).mode("append").save()
+    }
+    CommitSink.createTag(path, "audit", 0L) // a tag is a retention root
+    val (dropped, _) = CommitSink.expireVersionsOlderThan(path, 2500L)
+    // v0 tagged (kept despite age 1000), v1 stale (2000 < 2500) and
+    // unprotected -> dropped, v2 young (3000) kept
+    assert(dropped == Seq(1L), s"dropped: $dropped")
+    assert(CommitSink.listVersions(Paths.get(path)) == Seq(0L, 2L))
+    // the table still reads whole; the stale version is gone
+    assert(CommitSink.readCommitted(spark, path).count() == 30L)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-commit").option("path", path)
+        .option("versionAsOf", 1).load().count()
+    }
+    // keepLast floors the expiry: even "everything is stale" keeps the tail
+    val (dropped2, _) = CommitSink.expireVersionsOlderThan(path, 999999L, keepLast = 1)
+    assert(CommitSink.listVersions(Paths.get(path)).contains(2L), s"d2: $dropped2")
+  }
+
+  test("o50: zone-map min/max surface as attribute stats under full coverage") {
+    val path = freshDir("ndv_minmax")
+    spark.range(100L, 600L).select($"id", ($"id" % 7).as("k"),
+        ($"id" / 10.0).as("x"))
+      .write.format("graft-commit").option("path", path)
+      .option("payload", "parquet").option("ndvColumns", "k")
+      .mode("overwrite").save()
+    withConf("spark.sql.cbo.enabled", "true") {
+      val stats = spark.read.format("graft-commit").option("path", path).load()
+        .queryExecution.optimizedPlan.stats.attributeStats
+      def statOf(c: String) = stats.collectFirst {
+        case (a, s) if a.name == c => s
+      }.getOrElse(fail(s"no attribute stats for $c: $stats"))
+      // min/max come straight from the zone maps, typed as the column
+      val id = statOf("id")
+      assert(id.min.contains(100L) && id.max.contains(599L), id.toString)
+      assert(id.distinctCount.isEmpty, "id was not sketched: ndv must stay absent")
+      val k = statOf("k")
+      assert(k.min.contains(0L) && k.max.contains(6L) &&
+        k.distinctCount.exists(_.toLong == 7L), k.toString)
+      val x = statOf("x")
+      assert(x.min.contains(10.0) && x.max.contains(59.9), x.toString)
+    }
+  }
+
   // --- multi-transform cluster rewrite + compactDeletes ----------------------
 
   /** (days × bucket) fixture: 2 days × 4 raw keys (2 buckets), v dense. */
