@@ -2577,6 +2577,30 @@ object CommitSink {
     eligible.maxBy(_._1)._1
   }
 
+  /** The FIRST main version committed at or after `tMicros` — the
+    * change feed's `startingTimestamp` resolution (Delta's rule:
+    * "changes since t" begin at the first commit ≥ t; a timestamp past
+    * the newest commit refuses, there is nothing to stream). Same
+    * main-lineage/root-parse discipline as [[versionAtTimestamp]]. */
+  private[graft] def versionAtOrAfterTimestamp(dir: Path, tMicros: Long): Long = {
+    val staged = listStaged(dir).toSet
+    val candidates = listVersions(dir)
+      .filter(v => v < BRANCH_BASE && !staged.contains(v))
+    require(candidates.nonEmpty,
+      s"graft-commit: no committed versions at $dir to time-travel into")
+    val eligible = candidates.filter { v =>
+      val txt = io.readString(dir.resolve(versionFile(v)))
+      val ts = "\"committs\":(-?[0-9]+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      ts >= 0 && ts * 1000L >= tMicros
+    }
+    require(eligible.nonEmpty,
+      s"graft-commit: no version of $dir committed at or after " +
+        s"${java.time.Instant.ofEpochMilli(Math.floorDiv(tMicros, 1000L))} — " +
+        "nothing to stream from that starting timestamp")
+    eligible.min
+  }
+
   /** `timestampAsOf` option value → epoch micros: a bare integer is
     * epoch MILLIS; anything else parses as an ISO-8601 timestamp
     * (offset-carrying, else UTC — commit times are wall-clock UTC). */

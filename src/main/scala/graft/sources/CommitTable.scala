@@ -310,8 +310,28 @@ class CommitSinkTable(path: String,
         }.getOrElse(Int.MaxValue),
       snapshotOnRewrite = options.getBoolean("snapshotOnRewrite", false),
       changeFeed = changeFeed || options.getBoolean("readChangeFeed", false),
-      startingVersion = versionOpt("startingVersion"),
-      endingVersion = versionOpt("endingVersion"))
+      // r18: the feed's bounds also resolve by WALL TIME through the
+      // o49 commit clock (Delta's starting/endingTimestamp):
+      // startingTimestamp → first main version committed ≥ t (changes
+      // SINCE t), endingTimestamp → newest ≤ t. One form per bound.
+      startingVersion = {
+        val ts = Option(options.get("startingTimestamp"))
+        require(ts.isEmpty || options.get("startingVersion") == null,
+          "graft-commit: startingVersion and startingTimestamp are " +
+            "mutually exclusive — pick one form per bound")
+        versionOpt("startingVersion").orElse(ts.map(v =>
+          CommitSink.versionAtOrAfterTimestamp(Paths.get(path),
+            CommitSink.timestampAsOfMicros(v))))
+      },
+      endingVersion = {
+        val ts = Option(options.get("endingTimestamp"))
+        require(ts.isEmpty || options.get("endingVersion") == null,
+          "graft-commit: endingVersion and endingTimestamp are " +
+            "mutually exclusive — pick one form per bound")
+        versionOpt("endingVersion").orElse(ts.map(v =>
+          CommitSink.versionAtTimestamp(Paths.get(path),
+            CommitSink.timestampAsOfMicros(v))))
+      })
   }
 
   /** SQL UPDATE / MERGE INTO (o13) — and the fallback for DELETEs whose

@@ -292,6 +292,42 @@ class Round18Spec extends AnyFunSuite {
     assert(metaRows == 5L)
   }
 
+  test("o49: the change feed bounds by wall time (starting/endingTimestamp)") {
+    import sources.CommitSink
+    val path = freshDir("ts_cdf")
+    CommitSink.withClock(() => 1000L) {
+      spark.range(10L).select($"id").write.format("graft-commit")
+        .option("path", path).option("payload", "parquet")
+        .mode("overwrite").save()
+    }
+    CommitSink.withClock(() => 2000L) {
+      spark.range(10L, 30L).select($"id").write.format("graft-commit")
+        .option("path", path).mode("append").save()
+    }
+    CommitSink.withClock(() => 3000L) {
+      spark.range(30L, 60L).select($"id").write.format("graft-commit")
+        .option("path", path).mode("append").save()
+    }
+    def feed(opts: (String, String)*): org.apache.spark.sql.DataFrame = {
+      val r = spark.read.format("graft-commit").option("path", path)
+        .option("readChangeFeed", true)
+      opts.foldLeft(r)((b, kv) => b.option(kv._1, kv._2)).load()
+    }
+    // "changes since t=1500": first commit at-or-after = v1 -> 20+30 rows
+    assert(feed("startingTimestamp" -> "1500").count() == 50L)
+    // bounded both ends by time: exactly the middle commit
+    assert(feed("startingTimestamp" -> "1500",
+      "endingTimestamp" -> "2500").count() == 20L)
+    // a start past the newest commit refuses — nothing to stream
+    val e = intercept[IllegalArgumentException](
+      feed("startingTimestamp" -> "99999").count())
+    assert(e.getMessage.contains("at or after"))
+    // one form per bound
+    val e2 = intercept[IllegalArgumentException](
+      feed("startingVersion" -> "1", "startingTimestamp" -> "1500").count())
+    assert(e2.getMessage.contains("mutually exclusive"))
+  }
+
   test("o49: age-based snapshot expiry drops stale main versions, honors roots") {
     import sources.CommitSink
     val path = freshDir("ts_expire")
