@@ -355,11 +355,24 @@ object Streaming {
   def w15ListStateCep(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     requireRocksDb(spark)
-    risingValueAlerts(
-      Tables.events(spark, dir)
-        .select($"event_id", $"user_id", $"event_type", $"value")
-        .as[UserEvent])
-      .toDF()
+    // per-workload store sizing (w17/o23 device): RocksDB opens one
+    // instance PER STATE PARTITION — 150 users of 2-double state don't
+    // need the session's 32 shards, and instance open/commit dominates
+    // this entry's cost
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
+      val out = risingValueAlerts(
+        Tables.events(spark, dir)
+          .select($"event_id", $"user_id", $"event_type", $"value")
+          .as[UserEvent])
+        .toDF()
+      // materialize under the scoped conf: the partition count binds at
+      // EXECUTION, and this entry's caller may run the plan later
+      out.localCheckpoint(true)
+    } finally savedShuffle.fold(spark.conf.unset(shuffleKey))(
+      spark.conf.set(shuffleKey, _))
   }
 
   // --- transformWithState TIMERS (event-time state eviction) -------------

@@ -377,20 +377,30 @@ object Sources {
     graft.Tables.deleteRecursively(ckpt)
     // repeat runs in one session (bench pass 2) must re-register the sink
     spark.catalog.dropTempView("o10_sensor_stream")
-    val q = spark.readStream.format("graft-sensors")
-      .option("rows", 50000).option("slices", 8)
-      .option("streamBatchRows", 20000).load()
-      .filter(col("id") >= 5000L && col("id") < 45000L)
-      .groupBy(col("sensor"))
-      .agg(count(lit(1)).as("n"),
-        graft.Tables.dsum(col("reading")).as("total_reading"),
-        max(col("id")).as("max_id"))
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("o10_sensor_stream")
-      .option("checkpointLocation", ckpt)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // state-partition sizing is per-stream (the w17/o23 device): a
+    // handful of sensor keys don't need the session's 32 state shards —
+    // per-trigger cost is (partitions × operators) store commits, and
+    // this query pays it on every one of its 3 triggers
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
+      val q = spark.readStream.format("graft-sensors")
+        .option("rows", 50000).option("slices", 8)
+        .option("streamBatchRows", 20000).load()
+        .filter(col("id") >= 5000L && col("id") < 45000L)
+        .groupBy(col("sensor"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("reading")).as("total_reading"),
+          max(col("id")).as("max_id"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("o10_sensor_stream")
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally savedShuffle.fold(spark.conf.unset(shuffleKey))(
+      spark.conf.set(shuffleKey, _))
     spark.table("o10_sensor_stream")
   }
 
@@ -2675,19 +2685,27 @@ object Sources {
       .write.format(CommitSink.NAME).option("path", out).mode("append").save()
     ev.filter(col("event_id") % 3 === 2)
       .write.format(CommitSink.NAME).option("path", out).mode("append").save()
-    val q = spark.readStream.format(CommitSink.NAME)
-      .option("path", out).option("maxCommitsPerTrigger", "1").load()
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        graft.Tables.dsum(col("value")).as("total_value"),
-        min(col("event_id")).as("min_event_id"),
-        max(col("event_id")).as("max_event_id"))
-      .writeStream.outputMode("complete").format("memory")
-      .queryName("o20_table_stream")
-      .option("checkpointLocation", ck)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // per-stream state sizing (w17/o23 device): 5 event_type keys over
+    // 3 per-commit triggers — 8 state shards, not the session's 32
+    val shuffleKey = "spark.sql.shuffle.partitions"
+    val savedShuffle = spark.conf.getOption(shuffleKey)
+    spark.conf.set(shuffleKey, "8")
+    try {
+      val q = spark.readStream.format(CommitSink.NAME)
+        .option("path", out).option("maxCommitsPerTrigger", "1").load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          graft.Tables.dsum(col("value")).as("total_value"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("o20_table_stream")
+        .option("checkpointLocation", ck)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally savedShuffle.fold(spark.conf.unset(shuffleKey))(
+      spark.conf.set(shuffleKey, _))
     spark.table("o20_table_stream")
   }
 
