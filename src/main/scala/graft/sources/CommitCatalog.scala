@@ -274,8 +274,9 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         case CommitSink.DropEvt(n, _) => n
         case CommitSink.RenameEvt(o, _, _) => o
       }.toSet
-    val (widened, newLog) = changes.foldLeft((cur, m.schemaLog)) {
-        case ((sch, log), ch) => ch match {
+    val (widened, newLog, newPartCol) =
+      changes.foldLeft((cur, m.schemaLog, m.partCol)) {
+        case ((sch, log, pc), ch) => ch match {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft-commit: ALTER ADD COLUMN supports top-level columns only, " +
@@ -297,7 +298,8 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         require(ok(add.dataType()),
           s"graft-commit (${m.payload} payload): unsupported ALTER column " +
             s"type ${add.dataType().simpleString} for '$name'")
-        (sch.add(org.apache.spark.sql.types.StructField(name, add.dataType())), log)
+        (sch.add(org.apache.spark.sql.types.StructField(name, add.dataType())),
+          log, pc)
       case del: TableChange.DeleteColumn =>
         // DROP COLUMN (r17): metadata-only, like ADD — the DDL narrows
         // and every reader projects BY NAME against the current schema,
@@ -322,7 +324,7 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
           s"graft-commit: no column '$name' in ${ident.name()} to drop")
         require(sch.length > 1,
           s"graft-commit: cannot drop '$name' — it is the table's only column")
-        m.partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs).foreach(sp =>
+        pc.toSeq.flatMap(CommitSink.PartSpec.parseSpecs).foreach(sp =>
           require(sp.sourceCol != name,
             s"graft-commit: cannot drop '$name' — it is the partition " +
               s"spec's source column (${sp.encode}); evolve the " +
@@ -332,7 +334,7 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
             s"graft-commit: cannot drop '$name' — live equality deletes " +
               "key on it; convertEqDeletes first"))
         (StructType(sch.fields.filterNot(_.name == name)),
-          log :+ CommitSink.DropEvt(name, evoSeq))
+          log :+ CommitSink.DropEvt(name, evoSeq), pc)
       case ren: TableChange.RenameColumn =>
         // RENAME COLUMN (o48, r18) — the third leg of metadata-only
         // schema evolution: ONE manifest commit, zero byte rewrites.
@@ -343,10 +345,14 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         // .physNamesFor]]; chains and name reuse resolve newest-first).
         // Zone maps and bloom refs remap through the same ledger at
         // scan planning, so pruning keeps working on renamed columns.
-        // Refusals: the partition spec's source (the spec string and
-        // every recorded key name it), a live equality delete's key
-        // (its key FILES are committed bytes naming the old column),
-        // and a target name the schema already holds.
+        // A PARTITION SPEC SOURCE renames too (r19): the spec string
+        // rewrites its reference in the same commit — transform keys
+        // are computed VALUES (per-file pk/pkr entries carry no name),
+        // so pruning, grouped planning, SPJ and `$partitions` survive
+        // unchanged (Iceberg parity: specs bind field ids, so a rename
+        // never invalidates them). Refusals: a live equality delete's
+        // key (its key FILES are committed bytes naming the old
+        // column), and a target name the schema already holds.
         require(ren.fieldNames().length == 1,
           "graft-commit: ALTER RENAME COLUMN supports top-level columns " +
             s"only, got ${ren.fieldNames().mkString(".")}")
@@ -360,18 +366,17 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
         require(to.matches("[A-Za-z0-9_]+"),
           s"graft-commit: renamed column '$to' must match [A-Za-z0-9_]+ " +
             "(the manifest stats/ledger separator-safe alphabet)")
-        m.partCol.toSeq.flatMap(CommitSink.PartSpec.parseSpecs).foreach(sp =>
-          require(sp.sourceCol != from,
-            s"graft-commit: cannot rename '$from' — it is the partition " +
-              s"spec's source column (${sp.encode}); evolve the " +
-              "partitioning first"))
         m.eqDeletes.foreach(e =>
           require(!e.colNames.contains(from),
             s"graft-commit: cannot rename '$from' — live equality deletes " +
               "key on it; convertEqDeletes first"))
         (StructType(sch.fields.map(f =>
           if (f.name == from) f.copy(name = to) else f)),
-          log :+ CommitSink.RenameEvt(from, to, evoSeq))
+          log :+ CommitSink.RenameEvt(from, to, evoSeq),
+          pc.map(s => CommitSink.PartSpec.parseSpecs(s)
+            .map(sp => if (sp.sourceCol == from)
+              CommitSink.PartSpec.withSource(sp, to) else sp)
+            .map(_.encode).mkString(",")))
       case other => throw new UnsupportedOperationException(
         s"graft-commit: unsupported ALTER ($other) — only ADD COLUMN, " +
           "DROP COLUMN and RENAME COLUMN; retypes are a truncate-rewrite " +
@@ -380,7 +385,7 @@ class CommitCatalog extends TableCatalog with FunctionCatalog {
     // one metadata-only commit, CAS'd on the manifest this ALTER read —
     // a concurrent writer landing mid-ALTER fails the swap loudly
     CommitSink.writeManifest(p, widened.toDDL, m.files, m.commit + 1,
-      m.epochs, expectedPrev = m.commit, partCol = m.partCol,
+      m.epochs, expectedPrev = m.commit, partCol = newPartCol,
       stats = m.stats, tableId = CommitSink.carriedOrFreshTableId(Some(m)),
       payload = m.payload, deletes = m.deletes,
       fileSeq = m.fileSeq, eqDeletes = m.eqDeletes, blooms = m.blooms,

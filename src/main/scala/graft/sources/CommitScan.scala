@@ -267,7 +267,10 @@ class CommitChangesScan(path: String, manifest: CommitSink.Manifest,
   override def planInputPartitions(): Array[InputPartition] =
     CommitSink.changePartitions(dir, path,
       startingVersion.map(_ - 1).getOrElse(-1L),
-      endingVersion.getOrElse(manifest.commit), manifest.ddl)
+      endingVersion.getOrElse(manifest.commit), manifest.ddl,
+      // r19: the feed decodes with THIS manifest's names — its ledger
+      // carries renames newer than a bounded range's endingVersion
+      bindingCommit = manifest.commit, bindingLog = manifest.schemaLog)
   override def createReaderFactory(): PartitionReaderFactory =
     new CommitChangesReaderFactory(readSchema().toDDL)
   override def toMicroBatchStream(checkpointLocation: String)
@@ -406,7 +409,9 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
               cols = currentCols.flatMap(c =>
                 st.cols.get(fw.getOrElse(c, c)).map(c -> _)).toMap,
               ndv = currentCols.flatMap(c =>
-                st.ndv.get(fw.getOrElse(c, c)).map(c -> _)).toMap))
+                st.ndv.get(fw.getOrElse(c, c)).map(c -> _)).toMap,
+              wid = currentCols.flatMap(c =>
+                st.wid.get(fw.getOrElse(c, c)).map(c -> _)).toMap))
     }
 
   /** Files the pushed filters cannot rule out (all of them when no
@@ -809,7 +814,24 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
                   case _ => None
                 }
               } else None
-            if (ndvEst.isDefined || range.isDefined)
+            // r19 width facet: string avgLen/maxLen/nullCount from the
+            // per-file width facts — what stops CBO row-width re-pricing
+            // (every node above the scan re-estimates size as rows ×
+            // width) from costing a 300-byte document column at
+            // defaultSize 20. Same full-coverage rule; counts cover
+            // PHYSICAL rows (deleted rows included, like sketches) —
+            // an over-approximation the cost model tolerates.
+            val width: Option[(Long, Long, Long)] = // (nulls, avgLen, maxLen)
+              if (schema.fields.find(_.name == c).exists(_.dataType == StringType)
+                  && decoded.forall(_.wid.contains(c))) {
+                val ws = decoded.map(_.wid(c))
+                val nulls = ws.map(_.nulls).sum
+                val nonNull = Math.max(0L, decoded.map(_.rows).sum - nulls)
+                val avg = if (nonNull == 0L) 0L
+                          else (ws.map(_.sum).sum + nonNull - 1) / nonNull
+                Some((nulls, avg, ws.map(_.max).max))
+              } else None
+            if (ndvEst.isDefined || range.isDefined || width.isDefined)
               out.put(Expressions.column(c),
                 new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
                   override def distinctCount(): java.util.OptionalLong =
@@ -821,6 +843,15 @@ class CommitScan(path: String, manifest: CommitSink.Manifest,
                   override def max(): java.util.Optional[Object] =
                     range.map(r => java.util.Optional.of(r._2.asInstanceOf[Object]))
                       .getOrElse(java.util.Optional.empty[Object]())
+                  override def nullCount(): java.util.OptionalLong =
+                    width.map(w => java.util.OptionalLong.of(w._1))
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def avgLen(): java.util.OptionalLong =
+                    width.map(w => java.util.OptionalLong.of(w._2))
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def maxLen(): java.util.OptionalLong =
+                    width.map(w => java.util.OptionalLong.of(w._3))
+                      .getOrElse(java.util.OptionalLong.empty())
                 })
           }
         }
@@ -929,8 +960,14 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
     * the NEW generation's manifests against the old offset would skip
     * (lose) every new-generation commit up to it, so the mismatch is a
     * hard error (Delta's reservoir-id check). */
+  // ONE construction-time manifest read serves the generation id AND
+  // (r19) the CDF binding ledger — the stream's bound `ddl` came from
+  // this same snapshot, so its schema ledger is what maps a bounded
+  // batch's pre-rename files back to their physical names
+  private val bindingManifest: Option[CommitSink.Manifest] =
+    CommitSink.parseManifest(dir)
   private val generation: String =
-    CommitSink.parseManifest(dir).map(_.tableId).getOrElse("")
+    bindingManifest.map(_.tableId).getOrElse("")
 
   /** Commit id already consumed (-1 = genesis) + the generation that
     * assigned it. */
@@ -1082,6 +1119,12 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
         // deletes — ship the applicable key files per partition so the
         // re-bootstrap never re-inserts a replaced row
         lazy val full = StructType.fromDDL(m.ddl)
+        // r19 (ADVICE): the reader decodes with the STREAM-BOUND ddl —
+        // a table with an un-retired RENAME needs each pre-rename file's
+        // current→physical map here too, exactly like the incremental
+        // changePartitions and the non-CDF part() helper; without it the
+        // re-bootstrap reads the renamed column as silent NULL
+        lazy val boundNames = StructType.fromDDL(ddl).fieldNames.toSeq
         m.files.map { f =>
           CommitChangesPartition(Paths.get(path, f).toString,
             m.deletes.get(f).map(e => Paths.get(path, e.dv).toString)
@@ -1090,12 +1133,16 @@ class CommitTableMicroBatchStream(path: String, ddl: String,
             eqs = m.eqFor(f).map(e =>
               EqRef(Paths.get(path, e.file).toString,
                 StructType(e.colNames.map(c => full(full.fieldIndex(c))))
-                  .toDDL))): InputPartition
+                  .toDDL)),
+            renames = if (m.schemaLog.isEmpty) Nil
+                      else m.physNames(f, boundNames).toSeq): InputPartition
         }.toArray
       }
       if (snapshotOnRewrite && !genMatches(sp)) return bootstrap
       checkGeneration(sp)
-      try return CommitSink.changePartitions(dir, path, sp.commit, endCommit, ddl)
+      try return CommitSink.changePartitions(dir, path, sp.commit, endCommit, ddl,
+        bindingCommit = bindingManifest.map(_.commit).getOrElse(-1L),
+        bindingLog = bindingManifest.map(_.schemaLog).getOrElse(Seq.empty))
       catch { case e: IllegalArgumentException =>
         // a rewrite or expired version inside the range: refuse
         // (default) or re-bootstrap under the flag, like the changelog

@@ -256,7 +256,23 @@ object CommitSink {
                                          * maintenance pass; empty (the
                                          * default) keeps the r17
                                          * encoding byte-identical. */
-                                       ndv: Map[String, String] = Map.empty) {
+                                       ndv: Map[String, String] = Map.empty,
+                                       /** Per-STRING-column width facts
+                                         * (r19): null count, total UTF-8
+                                         * bytes, max length — mergeable
+                                         * like rows/bytes. Feeds CBO
+                                         * `avgLen`/`maxLen`/`nullCount`
+                                         * so row-width re-pricing stops
+                                         * costing every string at
+                                         * defaultSize 20 (which
+                                         * mis-sizes broadcast decisions
+                                         * on wide-text corpora — the
+                                         * `documents` shape). Collected
+                                         * unconditionally: one O(1) note
+                                         * per string cell, parquet-
+                                         * footer information the JSON
+                                         * payload lacks. */
+                                       wid: Map[String, ColWidth] = Map.empty) {
     /** Every recorded key, leading first ([[pks]].size == spec arity). */
     def pks: Seq[Long] = pk.toSeq ++ pkRest
     def encode: String = {
@@ -267,10 +283,17 @@ object CommitSink {
         // 'h' marks an HLL sketch entry (base64 never contains the
         // ':'/';'/'|' separators); column names share the zone-map
         // alphabet rule
-        ndv.toSeq.sortBy(_._1).map { case (c, b) => s"$c:h:$b" }))
+        ndv.toSeq.sortBy(_._1).map { case (c, b) => s"$c:h:$b" } ++
+        // 'w' marks a width entry; same alphabet rule
+        wid.toSeq.sortBy(_._1).map { case (c, w) =>
+          s"$c:w:${w.nulls}:${w.sum}:${w.max}" }))
         .mkString(";")
     }
   }
+
+  /** String-column width facts of one file (r19): `nulls` NULL cells,
+    * `sum` total UTF-8 bytes over non-null cells, `max` longest cell. */
+  private[graft] case class ColWidth(nulls: Long, sum: Long, max: Long)
 
   private[graft] object FileStat {
     def decode(s: String): FileStat = {
@@ -281,12 +304,17 @@ object CommitSink {
         .map(_.drop(4).split("\\.").map(_.toLong).toSeq).getOrElse(Nil)
       val entries = segs.iterator.drop(1).map(_.split(":")).toSeq
       val cols = entries.collect {
-        case p if p(1) != "h" => p(0) -> ColRange(p(1).charAt(0), p(2), p(3))
+        case p if p(1) != "h" && p(1) != "w" =>
+          p(0) -> ColRange(p(1).charAt(0), p(2), p(3))
       }.toMap
       val ndv = entries.collect {
         case p if p(1) == "h" => p(0) -> p(2)
       }.toMap
-      FileStat(head(0).toLong, head(1).toLong, pk, cols, pkRest, ndv)
+      val wid = entries.collect {
+        case p if p(1) == "w" =>
+          p(0) -> ColWidth(p(2).toLong, p(3).toLong, p(4).toLong)
+      }.toMap
+      FileStat(head(0).toLong, head(1).toLong, pk, cols, pkRest, ndv, wid)
     }
   }
 
@@ -448,6 +476,23 @@ object CommitSink {
     /** Canonical encoding of a (possibly multi) spec string. */
     def encodeSpecs(s: String): String =
       parseSpecs(s).map(_.encode).mkString(",")
+
+    /** The same transform reading a RENAMED source column (r19) — the
+      * partition-spec rewrite that makes RENAME of a spec source a
+      * legal metadata commit (Iceberg's behavior: specs reference
+      * field ids, so a rename never invalidates them; here the rename
+      * commit rewrites the reference in the same swap). Transform
+      * PARAMETERS (bucket count, truncate width) and every recorded
+      * per-file key are computed VALUES — only the name changes. */
+    def withSource(sp: PartSpec, c: String): PartSpec = sp match {
+      case IdentitySpec(_) => IdentitySpec(c)
+      case BucketSpec(n, _) => BucketSpec(n, c)
+      case TruncateSpec(w, _) => TruncateSpec(w, c)
+      case DaysSpec(_) => DaysSpec(c)
+      case HoursSpec(_) => HoursSpec(c)
+      case MonthsSpec(_) => MonthsSpec(c)
+      case YearsSpec(_) => YearsSpec(c)
+    }
   }
 
   /** Synthetic column name carrying a GROUP manifest's partition-key
@@ -641,7 +686,14 @@ object CommitSink {
     * net change is inexpressible) from a full-vector file drop. */
   private[graft] def changePartitions(dir: Path, path: String,
                                       fromExclusive: Long, to: Long,
-                                      ddl: String): Array[InputPartition] = {
+                                      ddl: String,
+                                      /** The BINDING manifest's commit +
+                                        * schema ledger (the manifest whose
+                                        * ddl the feed decodes with) — see
+                                        * the ledger note below. */
+                                      bindingCommit: Long = -1L,
+                                      bindingLog: Seq[SchemaEvt] = Seq.empty)
+      : Array[InputPartition] = {
     if (to <= fromExclusive) return Array.empty
     val first = if (fromExclusive < 0) 0L else fromExclusive
     val have = listVersions(dir).toSet
@@ -674,6 +726,31 @@ object CommitSink {
     // keeping ledger order.
     val ledger = scala.collection.mutable.LinkedHashSet.empty[SchemaEvt]
     manifests.toSeq.sortBy(_._1).foreach { case (_, m) => ledger ++= m.schemaLog }
+    // r19 (ADVICE): the feed decodes with the BINDING schema's names, so
+    // a rename committed AFTER `to` but at-or-before the binding commit
+    // must also be in the ledger — the range union alone misses it, and
+    // physNamesFor would return identity, reading the renamed column of
+    // every pre-rename file as silent NULL in a bounded historical read.
+    // Union the binding manifest's ledger, plus any still-existing
+    // intermediate versions in (to, binding): an entry RETIRES from the
+    // binding log once no listed file predates it, but the historical
+    // in-range files this read opens still do. Renames NEWER than the
+    // binding never apply (the binding ddl predates them, so their
+    // newName keys cannot match — and must not: a post-binding name
+    // reuse would mis-map the binding's own column).
+    if (bindingCommit > to) {
+      val staged = listStaged(dir)
+      listVersions(dir)
+        .filter(v => v > to && v < bindingCommit && v < BRANCH_BASE &&
+          !staged.contains(v))
+        .foreach { v =>
+          // best-effort: an intermediate version expiring mid-plan is
+          // not a range-retention violation
+          try ledger ++= parseManifestVersion(dir, v).schemaLog
+          catch { case _: IllegalArgumentException => () }
+        }
+    }
+    ledger ++= bindingLog
     // the binding DATA schema's column names (the `ddl` param is the
     // data ddl — the reader appends the two feed columns itself)
     val dataCols = StructType.fromDDL(ddl).fieldNames.toSeq
@@ -1488,8 +1565,9 @@ object CommitSink {
     * are un-indexed and never prune (re-run the build to cover them —
     * entries merge per (file, column)); a rewritten file's blooms die
     * with it (writeManifest filters to listed files); sidecars are
-    * GC-protected exactly like deletion vectors (manifestRefs). Parquet
-    * payload only — the one scan is Spark's native vectorized read.
+    * GC-protected exactly like deletion vectors (manifestRefs). The
+    * one scan is Spark's native read — vectorized parquet, or the json
+    * source under the declared schema for json-payload tables (r19).
     * `expectedItemsPerFile` sizes the sidecars (~ -n·ln(fpp)/ln²2 bits);
     * the fpp degrades gracefully past it, it never breaks. Returns the
     * indexed file names. */
@@ -1502,9 +1580,10 @@ object CommitSink {
     require(expectedItemsPerFile >= 1, "expectedItemsPerFile must be >= 1")
     val m = parseManifest(Paths.get(dir)).getOrElse(
       sys.error(s"graft-commit: no committed manifest at $dir"))
-    require(m.payload == "parquet",
-      "graft-commit: the bloom index scans staged parquet natively; " +
-        s"table $dir has the '${m.payload}' payload")
+    // r19: json payload indexes too (native json source, same grouped
+    // pass — the point-lookup shape doesn't care about the line format)
+    require(m.payload == "parquet" || m.payload == "json",
+      s"graft-commit: the bloom index cannot scan the '${m.payload}' payload")
     val schema = StructType.fromDDL(m.ddl)
     cols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
@@ -1524,16 +1603,35 @@ object CommitSink {
         s"graft-commit: bloom column name '$c' must match [A-Za-z0-9_]+")
     }
     if (m.files.isEmpty) return Seq.empty
-    val read = StructType(cols.map(c => schema(schema.fieldIndex(c))))
     val nFields = cols.size
     val (xfpp, xexp) = (fpp, expectedItemsPerFile)
+    // r19: pre-rename files read (and key their sidecars) under their
+    // PHYSICAL names — the same per-file grouping as analyzeNdv, and
+    // the key [[CommitScan]]'s bloomLookup resolves the current name
+    // back to. Without it a post-rename build would read old files'
+    // renamed column as all-NULL and record an empty (never-matching)
+    // bloom under a name the lookup can find — a useless sidecar at
+    // best, and keyed under the CURRENT name it would sit unreachable.
+    val bloomGroups: Seq[(Map[String, String], Seq[String])] =
+      if (m.schemaLog.isEmpty) Seq(Map.empty[String, String] -> m.files)
+      else m.files.groupBy(f => m.physNames(f, schema.fieldNames.toSeq)).toSeq
+    val fileFw: Map[String, Map[String, String]] =
+      bloomGroups.flatMap { case (fw, fs) => fs.map(_ -> fw) }.toMap
     // one distributed pass, all columns at once: per-file blooms merge
     // associatively, so the shape is a plain aggregateByKey — no
     // collect of row data, only (files × cols) sketches come back
-    val built: Map[String, Array[Array[Byte]]] = spark.read.schema(read)
-      .parquet(m.files.map(f => Paths.get(dir, f).toString): _*)
-      .select(org.apache.spark.sql.functions.col("_metadata.file_name") +:
-        cols.map(org.apache.spark.sql.functions.col): _*)
+    val built: Map[String, Array[Array[Byte]]] = bloomGroups.map { case (fw, fs) =>
+      val read = StructType(cols.map { c =>
+        val f = schema(schema.fieldIndex(c))
+        fw.get(c).map(n => f.copy(name = n)).getOrElse(f)
+      })
+      val paths = fs.map(f => Paths.get(dir, f).toString)
+      val rd = spark.read.schema(read)
+      (if (m.payload == "parquet") rd.parquet(paths: _*) else rd.json(paths: _*))
+        .select(org.apache.spark.sql.functions.col("_metadata.file_name") +:
+          cols.map(c => org.apache.spark.sql.functions.col(fw.getOrElse(c, c))): _*)
+        .toDF(("_graft_f" +: cols): _*)
+    }.reduce(_ union _)
       .rdd.map(r => r.getString(0) -> r)
       .aggregateByKey(null: Array[BloomFilter])(
         (acc0, r) => {
@@ -1568,12 +1666,15 @@ object CommitSink {
     try {
       var i = 0
       built.toSeq.sortBy(_._1).foreach { case (f, perCol) =>
+        val fw = fileFw.getOrElse(f, Map.empty)
         cols.zip(perCol).foreach { case (c, bytes) =>
           val fin = f"part-bloom-c$commitId%05d-$nonce-$i%05d.bin"
           i += 1
           val out = io.newOutputStream(Paths.get(dir, fin))
           try out.write(bytes) finally out.close()
-          promoted += ((f, c, fin))
+          // keyed under the file's PHYSICAL column name (r19) — what
+          // bloomLookup resolves the current name to per file
+          promoted += ((f, fw.getOrElse(c, c), fin))
         }
       }
       // merge per (file, column): a rebuild replaces that pair's entry
@@ -1614,14 +1715,17 @@ object CommitSink {
     * (never a wrong estimate). Returns the analyzed file names. */
   def analyzeNdv(spark: SparkSession, dir: String, cols: Seq[String],
                  lgK: Int = 12): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, hll_sketch_agg}
+    import org.apache.spark.sql.functions.{col, hll_sketch_agg, unix_date, unix_micros}
     require(cols.nonEmpty, "analyzeNdv needs at least one column")
     require(lgK >= 4 && lgK <= 21, s"lgK must be in [4, 21], got $lgK")
     val m = parseManifest(Paths.get(dir)).getOrElse(
       sys.error(s"graft-commit: no committed manifest at $dir"))
-    require(m.payload == "parquet",
-      "graft-commit: analyzeNdv scans staged parquet natively; " +
-        s"table $dir has the '${m.payload}' payload")
+    // r19: the json payload analyzes too — its line format is plain
+    // JSON, so Spark's native json source reads it under the declared
+    // schema (the portable type set json tables are restricted to);
+    // the grouped `_metadata.file_name` pass is format-agnostic
+    require(m.payload == "parquet" || m.payload == "json",
+      s"graft-commit: analyzeNdv cannot scan the '${m.payload}' payload")
     val schema = StructType.fromDDL(m.ddl)
     cols.foreach { c =>
       val f = schema.fields.find(_.name == c).getOrElse(
@@ -1645,31 +1749,68 @@ object CommitSink {
     val groups: Seq[(Map[String, String], Seq[String])] =
       if (m.schemaLog.isEmpty) Seq(Map.empty[String, String] -> targets)
       else targets.groupBy(f => m.physNames(f, schema.fieldNames.toSeq)).toSeq
+    // r19 (ADVICE): hll_sketch_agg accepts INT/BIGINT/STRING/BINARY only,
+    // and the write-path sketches feed raw physical longs (micros, epoch
+    // days, widened short/byte) — so each column is cast to EXACTLY the
+    // value the writer updates with, which both unblocks temporal columns
+    // and keeps the two sketch sources mergeable. TimestampNTZ relies on
+    // the UTC session scope below: cast(ntz AS timestamp) under UTC is
+    // the identity on the physical micros.
+    def sketchInput(logical: String, physical: String)
+        : org.apache.spark.sql.Column = {
+      val c = col(physical)
+      schema.fields.find(_.name == logical).get.dataType match {
+        case StringType => c
+        case TimestampType => unix_micros(c)
+        case TimestampNTZType => unix_micros(c.cast(TimestampType))
+        case DateType => unix_date(c).cast(LongType)
+        case LongType => c
+        case _ => c.cast(LongType) // int/short/byte, widened like the writer
+      }
+    }
     val perGroup = groups.map { case (fw, fs) =>
       val phys = StructType(schema.fields.map(f =>
         fw.get(f.name).map(n => f.copy(name = n)).getOrElse(f)))
-      spark.read.schema(phys)
-        .parquet(fs.map(f => Paths.get(dir, f).toString): _*)
+      val paths = fs.map(f => Paths.get(dir, f).toString)
+      val rd = spark.read.schema(phys)
+      (if (m.payload == "parquet") rd.parquet(paths: _*) else rd.json(paths: _*))
         .groupBy(col("_metadata.file_name").as("_graft_f"))
-        .agg(hll_sketch_agg(col(fw.getOrElse(cols.head, cols.head)), lgK)
+        .agg(hll_sketch_agg(sketchInput(cols.head, fw.getOrElse(cols.head, cols.head)), lgK)
             .as(cols.head),
           cols.tail.map(c =>
-            hll_sketch_agg(col(fw.getOrElse(c, c)), lgK).as(c)): _*)
+            hll_sketch_agg(sketchInput(c, fw.getOrElse(c, c)), lgK).as(c)): _*)
     }
-    // one row per file (file-count-sized; sketches are ≤ KBs each)
+    // r19: a pre-rename file's sketch must be recorded under its
+    // PHYSICAL column name — that is the key the scan's per-file remap
+    // ([[CommitScan]] fileStats) resolves the current name back to;
+    // keyed by the current name it would silently miss and suppress
+    // the column's report
+    val fileFw: Map[String, Map[String, String]] =
+      groups.flatMap { case (fw, fs) => fs.map(_ -> fw) }.toMap
+    // one row per file (file-count-sized; sketches are ≤ KBs each).
+    // UTC scope: the conf binds at EXECUTION, and the collect() happens
+    // inside the scope — restore in a finally like the w15 state-sizing
+    // override (Streaming.scala)
+    val TZ_KEY = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(TZ_KEY)
     val sketched: Map[String, Seq[(String, String)]] =
-      perGroup.reduce(_ union _).collect().map { r =>
-        val f = r.getString(0)
-        f -> cols.zipWithIndex.flatMap { case (c, i) =>
-          Option(r.get(i + 1)).map(b => c ->
-            java.util.Base64.getEncoder.encodeToString(b.asInstanceOf[Array[Byte]]))
-        }
-      }.toMap
+      try {
+        spark.conf.set(TZ_KEY, "UTC")
+        perGroup.reduce(_ union _).collect().map { r =>
+          val f = r.getString(0)
+          f -> cols.zipWithIndex.flatMap { case (c, i) =>
+            Option(r.get(i + 1)).map(b => c ->
+              java.util.Base64.getEncoder.encodeToString(b.asInstanceOf[Array[Byte]]))
+          }
+        }.toMap
+      } finally spark.conf.set(TZ_KEY, prevTz)
     val merged = m.stats.map { case (f, e) =>
       sketched.get(f).filter(_ => targets.contains(f)) match {
         case Some(entries) =>
           val st = FileStat.decode(e)
-          f -> st.copy(ndv = st.ndv ++ entries).encode
+          val fw = fileFw.getOrElse(f, Map.empty)
+          f -> st.copy(ndv = st.ndv ++ entries.map { case (c, b) =>
+            fw.getOrElse(c, c) -> b }).encode
         case None => f -> e
       }
     }
@@ -2602,8 +2743,11 @@ object CommitSink {
   }
 
   /** `timestampAsOf` option value → epoch micros: a bare integer is
-    * epoch MILLIS; anything else parses as an ISO-8601 timestamp
-    * (offset-carrying, else UTC — commit times are wall-clock UTC). */
+    * epoch MILLIS; a date-only string is midnight UTC (Delta accepts
+    * date strings — r19 ADVICE); anything else parses as an ISO-8601
+    * timestamp (offset-carrying, else UTC — commit times are wall-clock
+    * UTC). An unparseable value names the accepted forms instead of
+    * propagating a raw DateTimeParseException. */
   private[graft] def timestampAsOfMicros(s: String): Long = {
     import org.apache.spark.sql.catalyst.util.DateTimeUtils
     val t = s.trim
@@ -2613,7 +2757,16 @@ object CommitSink {
       val instant =
         try java.time.OffsetDateTime.parse(iso).toInstant
         catch { case _: java.time.format.DateTimeParseException =>
-          java.time.LocalDateTime.parse(iso).toInstant(java.time.ZoneOffset.UTC) }
+          try java.time.LocalDateTime.parse(iso).toInstant(java.time.ZoneOffset.UTC)
+          catch { case _: java.time.format.DateTimeParseException =>
+            try java.time.LocalDate.parse(t).atStartOfDay
+              .toInstant(java.time.ZoneOffset.UTC)
+            catch { case _: java.time.format.DateTimeParseException =>
+              throw new IllegalArgumentException(
+                s"graft-commit: cannot parse timestamp '$s' — accepted " +
+                  "forms: epoch millis (1755388800000), ISO-8601 date " +
+                  "(2026-08-16), ISO-8601 timestamp (2026-08-16 12:00:00 " +
+                  "or 2026-08-16T12:00:00+02:00)") } } }
       DateTimeUtils.instantToMicros(instant)
     }
   }

@@ -353,7 +353,7 @@ class CommitWriteBuilder(path: String, info: LogicalWriteInfo,
         require(branchTarget.isEmpty,
           "graft-commit: the streaming sink writes main — branch a batch " +
             "workflow, or publish and point the stream at main")
-        new CommitStreamingWrite(path, schema, pay, upsert)
+        new CommitStreamingWrite(path, schema, pay, upsert, ndvColumns)
       }
     }
   }
@@ -379,7 +379,11 @@ class CommitStreamingWrite(path: String, schema: StructType,
                              * strictly-older files: the TRUE zero-read
                              * CDC apply (the delta path must still scan
                              * for positions every trigger). */
-                           upsertKeys: Seq[String] = Seq.empty)
+                           upsertKeys: Seq[String] = Seq.empty,
+                           /** r19: `ndvColumns` applies per-epoch like
+                             * any append — each trigger's files carry
+                             * their own mergeable sketches. */
+                           ndvCols: Seq[String] = Seq.empty)
     extends streaming.StreamingWrite {
   private val dir = Paths.get(path)
   /** This query's identity: names its private staging subdirectory AND
@@ -402,7 +406,7 @@ class CommitStreamingWrite(path: String, schema: StructType,
         payload = payload)
       catch { case _: IllegalArgumentException => () }
     new CommitStreamingWriterFactory(path, schema.toDDL, nonce, payload,
-      upsertKeys)
+      upsertKeys, ndvCols)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -501,15 +505,16 @@ class CommitStreamingWrite(path: String, schema: StructType,
 
 class CommitStreamingWriterFactory(path: String, ddl: String, nonce: String,
                                    payload: String = "json",
-                                   upsertKeys: Seq[String] = Seq.empty)
+                                   upsertKeys: Seq[String] = Seq.empty,
+                                   ndvCols: Seq[String] = Seq.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     if (upsertKeys.isEmpty)
       new CommitDataWriter(path, ddl, partitionId, taskId, epochId,
-        stagingSub = nonce, payload = payload)
+        stagingSub = nonce, payload = payload, ndvCols = ndvCols)
     else new UpsertDataWriter(path, ddl, upsertKeys, partitionId, taskId,
-      epochId, nonce, None)
+      epochId, nonce, None, ndvCols)
 }
 
 class CommitBatchWrite(path: String, schema: StructType, truncate: Boolean,
@@ -774,7 +779,7 @@ class CommitWriterFactory(path: String, ddl: String,
       new CommitDataWriter(path, ddl, partitionId, taskId, partCol = partCol,
         stagingSub = nonce, payload = payload, ndvCols = ndvCols)
     else new UpsertDataWriter(path, ddl, upsertKeys, partitionId, taskId,
-      -1L, nonce, partCol)
+      -1L, nonce, partCol, ndvCols)
 }
 
 /** o32 UPSERT task writer: delegates data rows to the ordinary staged
@@ -789,10 +794,14 @@ class CommitWriterFactory(path: String, ddl: String,
   * equality-matches anything: the row lands, no key is recorded. */
 class UpsertDataWriter(path: String, ddl: String, keys: Seq[String],
                        partitionId: Int, taskId: Long, epochId: Long,
-                       nonce: String, partCol: Option[String])
+                       nonce: String, partCol: Option[String],
+                       /** r19 (ADVICE): `ndvColumns` reaches the upsert
+                         * write's data files too — previously silently
+                         * dropped on this path. */
+                       ndvCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val delegate = new CommitDataWriter(path, ddl, partitionId, taskId,
-    epochId, partCol, nonce, "parquet")
+    epochId, partCol, nonce, "parquet", ndvCols)
   private val schema = StructType.fromDDL(ddl)
   private val keyIdx = keys.map(schema.fieldIndex).toArray
   private val keySchema = StructType(keys.map(k => schema(schema.fieldIndex(k))))
@@ -886,6 +895,9 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       case LongType | IntegerType | ShortType | ByteType | DateType |
            TimestampType | TimestampNTZType => 'l'
       case DoubleType | FloatType => 'd'
+      // 's': width facts only (r19) — null count + UTF-8 byte lengths
+      // for CBO avgLen/maxLen/nullCount; strings record no range
+      case StringType => 's'
       case _ => ' '
     }
   }
@@ -939,10 +951,18 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
   private val maxL = new Array[Long](schema.length)
   private val minD = new Array[Double](schema.length)
   private val maxD = new Array[Double](schema.length)
+  // r19 string width facts ('s' columns): nulls / total UTF-8 bytes /
+  // longest cell per staged segment — see FileStat.wid
+  private val widNulls = new Array[Long](schema.length)
+  private val widSum = new Array[Long](schema.length)
+  private val widMax = new Array[Long](schema.length)
   private def resetStats(): Unit = {
     java.util.Arrays.fill(seen, false)
     java.util.Arrays.fill(nanPoisoned, false)
     java.util.Arrays.fill(ndvSketch.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(widNulls, 0L)
+    java.util.Arrays.fill(widSum, 0L)
+    java.util.Arrays.fill(widMax, 0L)
   }
   private def noteL(i: Int, v: Long): Unit =
     if (!seen(i)) { seen(i) = true; minL(i) = v; maxL(i) = v }
@@ -961,20 +981,28 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
       if (!seen(i)) { seen(i) = true; minD(i) = v; maxD(i) = v }
       else { if (v < minD(i)) minD(i) = v; if (v > maxD(i)) maxD(i) = v }
     }
+  private def noteS(i: Int, utf8bytes: Int): Unit = {
+    widSum(i) += utf8bytes
+    if (utf8bytes > widMax(i)) widMax(i) = utf8bytes
+  }
   /** Range notes for the parquet branch (the JSON encoder notes inline
     * while formatting) — one pass over the row's stat-eligible fields. */
   private def noteRow(row: InternalRow): Unit = {
     var i = 0
     while (i < schema.length) {
       val j = i + fieldOffset
-      if (statKind(i) != ' ' && !row.isNullAt(j)) schema(i).dataType match {
-        case LongType | TimestampType | TimestampNTZType => noteL(i, row.getLong(j))
-        case IntegerType | DateType => noteL(i, row.getInt(j).toLong)
-        case ShortType  => noteL(i, row.getShort(j).toLong)
-        case ByteType   => noteL(i, row.getByte(j).toLong)
-        case DoubleType => noteD(i, row.getDouble(j))
-        case FloatType  => noteD(i, row.getFloat(j).toDouble) // exact widening
-        case _ => ()
+      if (statKind(i) != ' ') {
+        if (row.isNullAt(j)) { if (statKind(i) == 's') widNulls(i) += 1 }
+        else schema(i).dataType match {
+          case LongType | TimestampType | TimestampNTZType => noteL(i, row.getLong(j))
+          case IntegerType | DateType => noteL(i, row.getInt(j).toLong)
+          case ShortType  => noteL(i, row.getShort(j).toLong)
+          case ByteType   => noteL(i, row.getByte(j).toLong)
+          case DoubleType => noteD(i, row.getDouble(j))
+          case FloatType  => noteD(i, row.getFloat(j).toDouble) // exact widening
+          case StringType => noteS(i, row.getUTF8String(j).numBytes)
+          case _ => ()
+        }
       }
       i += 1
     }
@@ -993,6 +1021,13 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
         case (f, i) if ndvSketch(i) != null =>
           f.name -> java.util.Base64.getEncoder
             .encodeToString(ndvSketch(i).toCompactByteArray)
+      }.toMap,
+      // width facts for every clean-named string column — recorded even
+      // for an all-null or empty segment (0/0/0 merges neutrally and
+      // keeps the scan's full-coverage rule satisfiable)
+      wid = schema.fields.iterator.zipWithIndex.collect {
+        case (f, i) if statKind(i) == 's' =>
+          f.name -> CommitSink.ColWidth(widNulls(i), widSum(i), widMax(i))
       }.toMap).encode
 
   // --- staged segments -----------------------------------------------------
@@ -1133,10 +1168,15 @@ class CommitDataWriter(path: String, ddl: String, partitionId: Int, taskId: Long
           // allowNonNumericNumbers JSON option)
           case DoubleType  => val v = row.getDouble(i); noteD(i0, v); b.append(v)
           case BooleanType => b.append(row.getBoolean(i))
-          case StringType  => b.append('"').append(esc(row.getUTF8String(i).toString)).append('"')
+          case StringType  =>
+            val u = row.getUTF8String(i)
+            // width facts note the LOGICAL UTF-8 length, not the escaped
+            // JSON rendering — parity with the parquet branch
+            if (statKind(i0) == 's') noteS(i0, u.numBytes)
+            b.append('"').append(esc(u.toString)).append('"')
           case t => sys.error(s"unreachable: $t validated at build()")
         }
-      }
+      } else if (statKind(i0) == 's') widNulls(i0) += 1
     }
     out.write(b.append('}').toString)
     out.newLine()

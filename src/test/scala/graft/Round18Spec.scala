@@ -147,12 +147,16 @@ class Round18Spec extends AnyFunSuite {
       (0L until 200L).count(i => i * 10 + (if (i % 2 == 0) 1 else 0) <= 1500))
   }
 
-  test("o48: refusal matrix — partition source, live eq-delete key, existing target") {
+  test("o48: refusal matrix — live eq-delete key, existing target") {
     val (cat, root) = scopedCat("rename_refuse")
+    // (r19 lifted the partition-source refusal: the rename rewrites the
+    // spec's source reference in the same commit — Round19Spec pins
+    // pruning/grouping/$partitions surviving it. DROP of a spec source
+    // still refuses.)
     spark.sql(s"CREATE TABLE $cat.`default`.p (ts TIMESTAMP_NTZ, v BIGINT) " +
       "USING `graft-commit` PARTITIONED BY (days(ts))")
     val e1 = intercept[Exception](
-      spark.sql(s"ALTER TABLE $cat.`default`.p RENAME COLUMN ts TO t2"))
+      spark.sql(s"ALTER TABLE $cat.`default`.p DROP COLUMN ts"))
     assert(msgChain(e1).contains("partition spec's source"), msgChain(e1))
     // live equality delete keyed on the column
     val path = s"$root/default/u"
