@@ -221,24 +221,38 @@ object Curation {
     * asserts the kept corpus has zero cross-split pairs left. */
   def p14DecontamQuarantine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tagged = Dedup.corpusWithCopies(Tables.documents(spark, dir))
-      .select($"doc_id", md5($"text").as("h"), splitOf($"doc_id").as("split"))
+    val docs = Tables.documents(spark, dir)
     val nearEval = Dedup.d18MinHashMapSide(spark, dir)
       .withColumn("sp1", splitOf($"id1"))
       .withColumn("sp2", splitOf($"id2"))
       .filter(($"sp1" === "train") =!= ($"sp2" === "train"))
       .select(when($"sp1" === "train", $"id2").otherwise($"id1").as("doc_id"))
-    val trainH = tagged.filter($"split" === "train").select($"h").distinct()
-    val exactEval = tagged.filter($"split" =!= "train")
-      .join(trainH, Seq("h"), "left_semi")
-      .select($"doc_id")
+    // r19: exact cross-split hits in ONE pass over the hashed corpus —
+    // per-hash train flag + eval-doc list in a single h-keyed agg. The
+    // trainH-distinct + semi-join form this replaces ran the corpus md5
+    // projection twice and shuffled it twice.
+    val exactEval = Dedup.corpusWithCopies(docs)
+      .select($"doc_id", md5($"text").as("h"), splitOf($"doc_id").as("split"))
+      .groupBy($"h")
+      .agg(max(when($"split" === "train", 1).otherwise(0)).as("has_train"),
+        collect_list(when($"split" =!= "train", $"doc_id")).as("eval_docs"))
+      .filter($"has_train" === 1)
+      .select(explode($"eval_docs").as("doc_id"))
     val quarantined = nearEval.unionByName(exactEval).distinct()
-      .withColumn("q", lit(1))
-    tagged.join(quarantined, Seq("doc_id"), "left")
-      .groupBy($"split".as("orig_split"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when($"q".isNotNull, 1L).otherwise(0L)).as("n_quarantined"),
-        sum(when($"q".isNull, 1L).otherwise(0L)).as("n_kept"))
+    // r19: split is a pure map-side function of doc_id, so the rollup
+    // joins NOTHING corpus-sized — doc counts per split and quarantined
+    // counts per split are two tiny aggs (the third md5 pass + doc_id
+    // join of the previous form is gone); kept = docs − quarantined.
+    val counts = Dedup.corpusWithCopies(docs)
+      .select(splitOf($"doc_id").as("orig_split"))
+      .groupBy($"orig_split").agg(count(lit(1)).as("n_docs"))
+    val quarCounts = quarantined
+      .select(splitOf($"doc_id").as("orig_split"))
+      .groupBy($"orig_split").agg(count(lit(1)).as("n_quarantined"))
+    counts.join(quarCounts, Seq("orig_split"), "left")
+      .select($"orig_split", $"n_docs",
+        coalesce($"n_quarantined", lit(0L)).as("n_quarantined"),
+        ($"n_docs" - coalesce($"n_quarantined", lit(0L))).as("n_kept"))
   }
 
   /** p15: corpus drift monitor — the release-over-release distribution
@@ -481,12 +495,30 @@ object Curation {
       .unionByName(docs.filter($"doc_id" % 10 === 0)
         .select(lit("mirror").as("source"), md5($"text").as("h")))
       .distinct()
-    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("n"))
-    sh.as("a").join(sh.as("b"), $"a.h" === $"b.h" && $"a.source" < $"b.source")
-      .groupBy($"a.source".as("src1"), $"b.source".as("src2"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(sizes.select($"source".as("src1"), $"n".as("n1"))), "src1")
-      .join(broadcast(sizes.select($"source".as("src2"), $"n".as("n2"))), "src2")
+    // r19: ONE h-keyed agg collects each hash's sorted source set, and
+    // ONE map-side generator emits both the ordered source pairs AND
+    // per-source singletons (src2 = null) from that tiny array — so the
+    // md5 + distinct subtree is evaluated exactly once (the h self-join
+    // form computed it once per join side, plus a third pass for
+    // sizes). The one combined (src1,src2) agg is source²-cardinality;
+    // it is pinned via the bounded-materialize shim so the pair and
+    // size consumers below cannot re-trigger the corpus pass.
+    val perH = sh.groupBy($"h").agg(sort_array(collect_set($"source")).as("srcs"))
+    val counts = graft.Tables.materialize(perH
+      .select(explode(expr(
+        """concat(
+             transform(srcs, s1 -> named_struct('src1', s1, 'src2', CAST(NULL AS STRING))),
+             flatten(transform(srcs, (s1, i) ->
+               transform(slice(srcs, i + 2, size(srcs)), s2 ->
+                 named_struct('src1', s1, 'src2', s2)))))""")).as("p"))
+      .select($"p.src1".as("src1"), $"p.src2".as("src2"))
+      .groupBy($"src1", $"src2").agg(count(lit(1)).as("cnt")))
+    val pairs = counts.filter($"src2".isNotNull)
+      .select($"src1", $"src2", $"cnt".as("n_shared"))
+    val sizes = counts.filter($"src2".isNull).select($"src1".as("source"), $"cnt")
+    pairs
+      .join(broadcast(sizes.select($"source".as("src1"), $"cnt".as("n1"))), "src1")
+      .join(broadcast(sizes.select($"source".as("src2"), $"cnt".as("n2"))), "src2")
       .select($"src1", $"src2", $"n_shared", $"n1", $"n2",
         ($"n_shared".cast("double") / ($"n1" + $"n2" - $"n_shared")).as("jaccard"))
   }

@@ -874,6 +874,15 @@ object Dedup {
       .filter(!($"doc_id" % 97 === 0 && $"doc_id" < 1000000L))
     // map-side probe of the constant sketch; empty benchmark ⇒ no bloom
     // ⇒ no candidates (d11 degenerates identically)
+    //
+    // NOTE (r19, measured): folding the probe into a per-doc
+    // collect_list agg (one shingle pass for both counts and
+    // candidates) does NOT share the pass — column pruning splits the
+    // two consumers into a count HashAggregate and a collect_list
+    // ObjectHashAggregate over separate Generates, so the corpus was
+    // still shingled twice plus the object-agg cost (1.58 → 2.34 s).
+    // The two direct passes are kept: the candidate path is a pure
+    // map-side filter (no agg), the count path collapses map-side.
     val candidates =
       if (bf == null) corpus.limit(0)
       else corpus.filter(
@@ -1038,11 +1047,16 @@ object Dedup {
     val corpus = base.unionByName(noised)
       .select($"doc_id", md5($"text".cast("binary")).as("raw_h"),
         md5(normalizeText($"text").cast("binary")).as("norm_h"))
-    val byNorm = corpus.groupBy($"norm_h")
-      .agg(count(lit(1)).as("n_same_norm"),
-        countDistinct($"raw_h").as("n_raw_variants"),
-        min($"doc_id").as("keeper"))
-    corpus.join(byNorm, "norm_h")
+    // r19: per-group stats as WINDOW functions over the one norm_h
+    // shuffle instead of a groupBy + join-back — the join form computed
+    // the corpus subtree (normalize regex chain + two md5s over full
+    // text) twice, once per join side. Same rows, one exchange.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"norm_h")
+    corpus
+      .withColumn("n_same_norm", count(lit(1)).over(w))
+      .withColumn("n_raw_variants",
+        size(collect_set($"raw_h").over(w)).cast("long"))
+      .withColumn("keeper", min($"doc_id").over(w))
       .select($"doc_id", $"n_same_norm", $"n_raw_variants",
         ($"doc_id" === $"keeper").as("is_keeper"))
   }

@@ -226,18 +226,39 @@ object Multimodal {
       .withColumn("b", explode(sequence(lit(0L), expr(s"(len + ${B - 1}) div $B") - 1)))
       .select($"doc_id",
         md5(expr(s"substring(text, CAST(b * $B + 1 AS INT), $B)")).as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"h").orderBy($"doc_id")
-    blocks.withColumn("rn", row_number().over(w))
-      .withColumn("cls",
-        when($"doc_id" >= 2000000L, "shifted_copy")
-          .when($"doc_id" >= 1000000L, "exact_copy")
-          .otherwise("original"))
+    def clsOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(id >= 2000000L, "shifted_copy")
+        .when(id >= 1000000L, "exact_copy")
+        .otherwise("original")
+    // r19: the per-hash "first blob wins" bookkeeping as a HASH
+    // aggregation (per-h class counts + the min doc_id, whose class owns
+    // the unique block — ties share a doc_id, hence a class, exactly as
+    // the old row_number tie-break) instead of a window: the full sort
+    // of every block row by h and the second corpus-wide cls shuffle are
+    // gone; what shuffles after the h-agg is one row per distinct block.
+    // n_blobs needs no block rows at all — every doc emits ≥ 1 block, so
+    // the per-class blob count is a doc-level count over the corpus.
+    val perH = blocks.groupBy($"h").agg(
+      min($"doc_id").as("min_doc"),
+      count(when($"doc_id" < 1000000L, 1)).as("n_orig"),
+      count(when($"doc_id" >= 1000000L && $"doc_id" < 2000000L, 1)).as("n_exact"),
+      count(when($"doc_id" >= 2000000L, 1)).as("n_shift"))
+    val rolled = perH
+      .select(clsOf($"min_doc").as("first_cls"), explode(array(
+        struct(lit("original").as("cls"), $"n_orig".as("cnt")),
+        struct(lit("exact_copy").as("cls"), $"n_exact".as("cnt")),
+        struct(lit("shifted_copy").as("cls"), $"n_shift".as("cnt")))).as("e"))
+      .select($"first_cls", $"e.cls".as("cls"), $"e.cnt".as("cnt"))
+      .filter($"cnt" > 0)
       .groupBy($"cls")
-      .agg(countDistinct($"doc_id").as("n_blobs"),
-        count(lit(1)).as("total_blocks"),
-        sum(when($"rn" === 1, 1L).otherwise(0L)).as("unique_blocks"),
-        (sum(when($"rn" > 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+      .agg(sum($"cnt").as("total_blocks"),
+        sum(when($"first_cls" === $"cls", 1L).otherwise(0L)).as("unique_blocks"))
+    val blobs = corpus.filter($"text".isNotNull)
+      .select(clsOf($"doc_id").as("cls"))
+      .groupBy($"cls").agg(count(lit(1)).as("n_blobs"))
+    blobs.join(rolled, "cls")
+      .select($"cls", $"n_blobs", $"total_blocks", $"unique_blocks",
+        (($"total_blocks" - $"unique_blocks").cast("double") / $"total_blocks")
           .as("reclaim_ratio"))
   }
 

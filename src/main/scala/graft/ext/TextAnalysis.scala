@@ -421,6 +421,12 @@ object TextAnalysis {
     val docs = Tables.documents(spark, dir)
     val tok = tokenized(docs).select($"doc_id", $"tok".as("term"))
     val tf = tok.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    // NOTE (r19, measured): deriving df FROM tf (per-term row count of
+    // the (doc,term) agg) does NOT share tf's exchange — Catalyst prunes
+    // the unused count, the df branch canonicalizes to a distinct
+    // aggregate, and the subtrees stop matching, so the corpus explode
+    // ran twice anyway plus an extra two-level agg (1.32 → 1.59 s).
+    // Kept the direct per-term distinct-count form.
     val df = tok.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id")
@@ -528,11 +534,23 @@ object TextAnalysis {
     * (doc) agg; N/avgdl broadcast as a 1-row cross join. */
   def t15Bm25(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = tokenized(Tables.documents(spark, dir)).select($"doc_id", $"tok".as("term"))
+    val docs = Tables.documents(spark, dir)
+    val tok = tokenized(docs).select($"doc_id", $"tok".as("term"))
     val qt = tok.filter($"term".isin(Bm25QueryTerms: _*))
     val tf = qt.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dfs = qt.groupBy($"term").agg(countDistinct($"doc_id").as("df"))
-    val lens = tok.groupBy($"doc_id").agg(count(lit(1)).as("len"))
+    // df derived from tf (t09's device): shares tf's exchange instead of
+    // re-running the corpus explode for a second per-term agg (r19)
+    val dfs = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // doc length as a map-side array size — the exploded per-doc count
+    // agg this replaces re-tokenized the whole corpus and shuffled every
+    // token by doc_id just to count them (r19). Same rows: tokenized()
+    // drops empty tokens and docs with zero tokens emit no rows, so the
+    // size counts non-empty tokens and the >0 filter matches the
+    // explode's implicit drop of token-less docs.
+    val lens = docs
+      .select($"doc_id",
+        size(filter(tokens($"text"), t => t =!= "")).cast("long").as("len"))
+      .filter($"len" > 0)
     val scalars = lens.agg(
       count(lit(1)).as("n_docs"),
       (sum($"len").cast("double") / count(lit(1))).as("avgdl"))
@@ -635,6 +653,13 @@ object TextAnalysis {
         slice($"t", lit(1), size($"t") - 1), slice($"t", lit(2), size($"t") - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("z"))
       .select($"z.w1".as("w1"), $"z.w2".as("w2"))
+    // NOTE (r19, measured): deriving the margins/total FROM nab
+    // (sum(n_ab) by w1 / by w2 / overall) does not reuse nab's exchange
+    // at execution — each consumer re-planned its own copy of the
+    // (w1,w2) agg and the corpus explode still ran four times, now with
+    // two extra two-level aggs on top (1.42 → 1.95 s measured). The
+    // four direct partial-agg passes are kept: each collapses map-side
+    // to vocab-sized partials before its exchange.
     val nab = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_ab"))
     val na = bg.groupBy($"w1").agg(count(lit(1)).as("n_a"))
     val nb = bg.groupBy($"w2").agg(count(lit(1)).as("n_b"))

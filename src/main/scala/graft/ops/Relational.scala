@@ -200,17 +200,32 @@ object Relational {
               $"next_key")
   }
 
-  /** Set operations: INTERSECT / EXCEPT / UNION on key sets, tagged. */
+  /** Set operations: INTERSECT / EXCEPT / UNION on key sets, tagged.
+    * r19 shape: the three set operations are evaluated as boolean flags
+    * over ONE full-outer join of the two distinct key sets (custkey is
+    * unique on both sides), and the tag rows fall out of a map-side
+    * explode — 2 exchanges (buyers' distinct, customer's join shuffle)
+    * instead of the per-branch intersect/except/union-distinct plans
+    * that re-shuffled the same key sets once per branch. Row set is
+    * identical (oracle-pinned): intersect ⇔ b∧p, except ⇔ p∧¬b,
+    * union-distinct ⇔ r∨b over unique keys. */
   def q13SetOps(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val buyers   = Tables.orders(spark, dir).select($"o_custkey".as("custkey")).distinct()
-    val positive = Tables.customer(spark, dir).filter($"c_acctbal" > 0)
-      .select($"c_custkey".as("custkey"))
-    val rich     = Tables.customer(spark, dir).filter($"c_acctbal" > 900)
-      .select($"c_custkey".as("custkey"))
-    buyers.intersect(positive).withColumn("tag", lit("buyer_positive"))
-      .unionByName(positive.except(buyers).withColumn("tag", lit("positive_nonbuyer")))
-      .unionByName(rich.union(buyers).distinct().withColumn("tag", lit("rich_or_buyer")))
+    val buyers = Tables.orders(spark, dir).select($"o_custkey".as("custkey"))
+      .distinct().withColumn("is_buyer", lit(true))
+    val cust = Tables.customer(spark, dir)
+      .select($"c_custkey".as("custkey"),
+        ($"c_acctbal" > 0).as("is_positive"), ($"c_acctbal" > 900).as("is_rich"))
+    cust.join(buyers, Seq("custkey"), "full_outer")
+      .select($"custkey",
+        coalesce($"is_buyer", lit(false)).as("b"),
+        coalesce($"is_positive", lit(false)).as("p"),
+        coalesce($"is_rich", lit(false)).as("r"))
+      .select($"custkey", explode(array(
+        when($"b" && $"p", "buyer_positive"),
+        when($"p" && !$"b", "positive_nonbuyer"),
+        when($"r" || $"b", "rich_or_buyer"))).as("tag"))
+      .filter($"tag".isNotNull)
       .select($"tag", $"custkey")
   }
 

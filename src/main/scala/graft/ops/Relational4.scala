@@ -115,22 +115,32 @@ object Relational4 {
 
   /** Ordered funnel: signup → first click strictly after it → first
     * purchase strictly after that, per user; one row of stage counts.
-    * Each stage is a keyed min-agg + an equi-join on user — no window
-    * over the event stream, no cross-stage shuffle beyond the user key. */
+    * ONE shuffle total (r19): a single per-user aggregation collects the
+    * min signup time plus the click/purchase time lists, the
+    * strictly-after stage times fall out of map-side array arithmetic
+    * (`array_min(filter(...))`), and the three stage counts are one
+    * 1-row rollup. The staged min-agg + equi-join form this replaces
+    * shuffled the event stream three times and re-joined it twice —
+    * same rows (oracle-pinned), 6 exchanges → 1. Per-user time lists
+    * are bounded by per-user activity, the same boundedness q52's
+    * resample grid already assumes. */
   def q56Funnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-    val s = ev.filter($"event_type" === "signup")
-      .groupBy($"user_id").agg(min($"ts").as("t1"))
-    val c = ev.filter($"event_type" === "click").join(s, "user_id")
-      .filter($"ts" > $"t1")
-      .groupBy($"user_id").agg(min($"ts").as("t2"))
-    val p = ev.filter($"event_type" === "purchase").join(c, "user_id")
-      .filter($"ts" > $"t2")
-      .groupBy($"user_id").agg(min($"ts").as("t3"))
-    s.agg(count(lit(1)).as("n_signup"))
-      .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
-      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+      .filter($"event_type".isin("signup", "click", "purchase"))
+      .select($"user_id", $"event_type", $"ts")
+    ev.groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", $"ts")).as("t1"),
+        collect_list(when($"event_type" === "click", $"ts")).as("clicks"),
+        collect_list(when($"event_type" === "purchase", $"ts")).as("purchases"))
+      .withColumn("t2",
+        array_min(filter($"clicks", c => $"t1".isNotNull && c > $"t1")))
+      .withColumn("t3",
+        array_min(filter($"purchases", p => $"t2".isNotNull && p > $"t2")))
+      .agg(count($"t1").as("n_signup"),
+        count($"t2").as("n_click_after"),
+        count($"t3").as("n_purchase_after"))
   }
 
   /** Cohort retention: users cohorted by the week of their first event;

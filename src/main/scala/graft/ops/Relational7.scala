@@ -176,19 +176,29 @@ object Relational7 {
     * pin the equivalence. */
   def q89WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val joined = Tables.lineitem(spark, dir)
+    // r19 shape: the fact⋈orders join is computed ONCE — per-(order,
+    // supplier) late counts first (the join's l_orderkey partitioning
+    // already satisfies the grouping, so the agg adds no exchange), the
+    // per-order distinct-supplier counts as a window over that
+    // order-keyed frame, never a second fact join. The previous form
+    // built the join twice and re-joined the per-order agg back on
+    // orderkey. numwait still counts late line items (sum of per-pair
+    // late counts), oracle-pinned against the EXISTS form.
+    val perOS = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir).filter($"o_orderstatus" === "F"),
         $"l_orderkey" === $"o_orderkey")
-      .withColumn("late", $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
-    val perOrder = joined.groupBy($"l_orderkey".as("ok"))
-      .agg(countDistinct($"l_suppkey").as("n_supp"),
-        countDistinct(when($"late", $"l_suppkey")).as("n_late_supp"))
-    joined.filter($"late")
-      .join(perOrder, $"l_orderkey" === $"ok")
-      .filter($"n_supp" > 1 && $"n_late_supp" === 1)
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum(when($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+        1L).otherwise(0L)).as("n_late_items"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    perOS
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late_supp",
+        sum(when($"n_late_items" > 0, 1L).otherwise(0L)).over(w))
+      .filter($"n_late_items" > 0 && $"n_supp" > 1 && $"n_late_supp" === 1)
       .join(broadcast(Tables.supplier(spark, dir)), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum($"n_late_items").as("numwait"))
   }
 
   /** q90: idle high-balance customers (TPC-H Q22 shape) — customers above
