@@ -468,17 +468,34 @@ object Curation {
     * and the leaking-hash set is tiny, so it broadcasts back. */
   def p07HashSplit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tagged = Dedup.corpusWithCopies(Tables.documents(spark, dir)).select(
-      $"doc_id", length($"text").as("n_chars"), md5($"text").as("h"),
-      splitOf($"doc_id").as("split"))
-    val leaking = tagged.groupBy($"h")
-      .agg(countDistinct($"split").as("ns")).filter($"ns" > 1)
-      .select($"h", lit(1).as("leak"))
-    tagged.join(broadcast(leaking), Seq("h"), "left")
+    val base = Dedup.corpusWithCopies(Tables.documents(spark, dir))
+    // r19: split totals need no hash at all (split is a map-side
+    // function of doc_id), and the leak accounting needs exactly ONE
+    // md5 pass — per-hash split counts in one h-keyed agg, leaking
+    // hashes' counts rolled up per split map-side. The previous form
+    // ran the corpus md5 projection twice (leak-set agg + join-back)
+    // and paid a countDistinct expand per hash.
+    val perSplit = base
+      .select(splitOf($"doc_id").as("split"),
+        length($"text").cast("long").as("n_chars"))
       .groupBy($"split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum($"n_chars".cast("long")).as("total_chars"),
-        sum(when($"leak".isNotNull, 1L).otherwise(0L)).as("n_leaked"))
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    val leaked = base
+      .select(md5($"text").as("h"), splitOf($"doc_id").as("split"))
+      .groupBy($"h")
+      .agg(count(when($"split" === "train", 1)).as("n_tr"),
+        count(when($"split" === "val", 1)).as("n_va"),
+        count(when($"split" === "test", 1)).as("n_te"))
+      .filter(($"n_tr" > 0).cast("int") + ($"n_va" > 0).cast("int") +
+        ($"n_te" > 0).cast("int") > 1)
+      .select(explode(array(
+        struct(lit("train").as("split"), $"n_tr".as("c")),
+        struct(lit("val").as("split"), $"n_va".as("c")),
+        struct(lit("test").as("split"), $"n_te".as("c")))).as("e"))
+      .groupBy($"e.split".as("split")).agg(sum($"e.c").as("n_leaked"))
+    perSplit.join(leaked, Seq("split"), "left")
+      .select($"split", $"n_docs", $"total_chars",
+        coalesce($"n_leaked", lit(0L)).as("n_leaked"))
   }
 
   /** p08: cross-source content-overlap matrix — which sources feed the

@@ -1111,13 +1111,22 @@ object Dedup {
         array($"tok"),
         expr("transform(sequence(0, length(tok) - 1), i -> concat(substr(tok, 1, i), substr(tok, i + 2)))")
       ))).as("variant"))
-    val big = vars.groupBy($"variant")
-      .agg(count(lit(1)).as("n_toks")).filter($"n_toks" > 100)
-      .select($"variant")
-    val kept = vars.join(big, Seq("variant"), "left_anti")
-    kept.as("a").join(kept.as("b"),
-        $"a.variant" === $"b.variant" && $"a.tok" < $"b.tok")
-      .groupBy($"a.tok".as("t1"), $"b.tok".as("t2"))
+    // r19: ONE variant-keyed agg collects each block's (distinct) token
+    // set, the >100 degenerate-block cap becomes a size filter on that
+    // set, and the ordered token pairs are generated MAP-SIDE from the
+    // array (p08's device) — replacing the count-agg + anti-join + self
+    // join chain that computed the variant explode three times and
+    // shuffled it three times. Pair rows are identical: the self-join
+    // emitted one row per (variant, t1 < t2), exactly this generator.
+    val pairExpr = expr(
+      """flatten(transform(toks, x ->
+           transform(filter(toks, y -> y > x), y ->
+             named_struct('t1', x, 't2', y))))""")
+    vars.groupBy($"variant").agg(collect_set($"tok").as("toks"))
+      .filter(size($"toks") <= 100)
+      .select(explode(pairExpr).as("p"))
+      .select($"p.t1".as("t1"), $"p.t2".as("t2"))
+      .groupBy($"t1", $"t2")
       .agg(count(lit(1)).as("n_shared_variants"))
       .filter(levenshtein($"t1", $"t2") <= 1)
   }

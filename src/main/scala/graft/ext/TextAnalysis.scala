@@ -510,17 +510,23 @@ object TextAnalysis {
     import spark.implicits._
     val tok = tokenized(Tables.documents(spark, dir)).select($"doc_id", $"tok".as("term"))
     val tf = tok.groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    // r19: df/total_tf as UNBOUNDED window aggregates over the same
+    // term-keyed sort the rank window already pays — the separate
+    // per-term agg + join-back re-ran the corpus explode and the
+    // (term,doc) aggregation a second time (the no-exchange-reuse
+    // lesson), and its join added one more term exchange.
     val w = Window.partitionBy($"term").orderBy($"tf".desc, $"doc_id")
-    val posts = tf.withColumn("rnk", row_number().over(w))
+    val wAll = Window.partitionBy($"term")
+    tf.withColumn("rnk", row_number().over(w))
+      .withColumn("df", count(lit(1)).over(wAll))
+      .withColumn("total_tf", sum($"tf").over(wAll))
       .filter($"rnk" <= 100)
       .groupBy($"term")
       // joined to one string: the driver's content hash digests scalar
       // columns only (round-5 finding: the ARRAY<BIGINT> form errs)
-      .agg(array_join(transform(array_sort(collect_list(struct($"rnk", $"doc_id"))),
-        x => x.getField("doc_id").cast("string")), ",").as("postings"))
-    tf.groupBy($"term")
-      .agg(count(lit(1)).as("df"), sum($"tf").as("total_tf"))
-      .join(posts, "term")
+      .agg(min($"df").as("df"), min($"total_tf").as("total_tf"),
+        array_join(transform(array_sort(collect_list(struct($"rnk", $"doc_id"))),
+          x => x.getField("doc_id").cast("string")), ",").as("postings"))
       .select($"term", $"df", $"total_tf", $"postings")
   }
 

@@ -150,13 +150,20 @@ object Relational4 {
   def q57CohortRetention(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
-    val cohort = ev.groupBy($"user_id")
-      .agg(date_trunc("week", min($"ts")).cast("date").as("cohort_week"))
-    ev.select($"user_id", date_trunc("week", $"ts").cast("date").as("event_week"))
-      .join(broadcast(cohort), "user_id")
+    // r19: ONE user-keyed agg computes the cohort week AND the user's
+    // distinct active weeks together; offsets explode map-side, and the
+    // (user, week_no) rows are distinct by construction (weeks is a
+    // set, week ↦ week_no injective per user), so the retention count
+    // is a plain count. The previous form re-scanned the event stream
+    // for a broadcast join against the cohort table and paid a
+    // countDistinct expand in the final agg.
+    ev.groupBy($"user_id")
+      .agg(date_trunc("week", min($"ts")).cast("date").as("cohort_week"),
+        collect_set(date_trunc("week", $"ts").cast("date")).as("weeks"))
+      .select($"cohort_week", explode($"weeks").as("event_week"))
       .withColumn("week_no", expr("datediff(event_week, cohort_week) div 7").cast("int"))
       .groupBy($"cohort_week", $"week_no")
-      .agg(countDistinct($"user_id").as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
   }
 
   /** q100: exponentially-weighted moving average (α = 1/2) over each

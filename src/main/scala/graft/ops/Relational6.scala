@@ -408,12 +408,17 @@ object Relational6 {
         $"l_orderkey", $"l_linenumber")
     val ord = Window.partitionBy($"l_returnflag")
       .orderBy($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-    val cum = li.withColumn("cw",
-      sum($"l_quantity").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = li.groupBy($"l_returnflag")
-      .agg(sum($"l_quantity").as("tw"), count(lit(1)).as("n"))
-    cum.join(broadcast(tot), "l_returnflag")
-      .filter($"cw" * 2 >= $"tw")
+    // r19: group totals as UNBOUNDED window aggregates over the same
+    // returnflag-keyed sort the running sum already pays — the separate
+    // groupBy + broadcast join-back scanned the fact table a second
+    // time (no exchange reuse across the two consumers).
+    val wAll = Window.partitionBy($"l_returnflag")
+    val cum = li
+      .withColumn("cw",
+        sum($"l_quantity").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tw", sum($"l_quantity").over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+    cum.filter($"cw" * 2 >= $"tw")
       .groupBy($"l_returnflag")
       // cw is nondecreasing along the price sort, so the min price among
       // rows at/past the half-weight crossing IS the crossing row's price

@@ -101,34 +101,46 @@ object Relational7 {
         $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
       .groupBy($"l_suppkey")
       .agg(dsum(revenue).as("total_revenue"))
-    val mx = rev.agg(max($"total_revenue").as("mx"))
+    // r19: the global max as an unpartitioned window over the
+    // supplier-cardinality revenue frame — the scalar-agg + cross-join
+    // form re-ran the fact filter+agg a second time to produce it (no
+    // exchange reuse). The single-partition window holds (suppkey,
+    // revenue) pairs only, the s18-style bounded scalar shape.
+    val mx = org.apache.spark.sql.expressions.Window.partitionBy()
     Tables.supplier(spark, dir)
-      .join(rev, $"s_suppkey" === $"l_suppkey")
-      .crossJoin(broadcast(mx))
+      .join(rev.withColumn("mx", max($"total_revenue").over(mx)),
+        $"s_suppkey" === $"l_suppkey")
       .filter($"total_revenue" === $"mx")
       .select($"s_suppkey", $"s_name", $"total_revenue")
   }
 
   /** q86: small-quantity-order revenue (TPC-H Q17 shape) — lineitems of
-    * one brand under 20% of their part's average quantity. Exercises the
-    * correlated scalar aggregate subquery through the SQL entry point;
-    * Catalyst rewrites it to a per-part aggregate + join, which is the
-    * plan you'd hand-write at scale (never a per-row probe). The
-    * per-part average uses the davg identity so the 0.2·avg threshold is
-    * bit-identical across engines. */
+    * one brand under 20% of their part's average quantity. The r19 form
+    * hand-applies the rewrite Catalyst's decorrelation stops short of:
+    * the correlated average is only ever probed for the one brand's
+    * parts, so the brand filter (a broadcast semi-reduction of part)
+    * lands on the fact table BEFORE the per-part average — the
+    * per-part agg shuffles ~1/1000 of lineitem instead of all of it,
+    * and no second full fact scan feeds the subquery. The average is
+    * unchanged per part (it reads every lineitem OF THAT PART — part
+    * membership, not the WHERE, defines its input), so the result is
+    * row-identical; the oracle keeps the correlated-subquery SQL to pin
+    * the equivalence. The 0.2·avg threshold keeps the davg identity so
+    * the doubles are bit-identical across engines. */
   def q86SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(spark, dir).createOrReplaceTempView("li_q86")
-    Tables.part(spark, dir).createOrReplaceTempView("part_q86")
-    spark.sql(
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0
-                  AS avg_yearly,
-                COUNT(*) AS n_items
-         FROM li_q86 JOIN part_q86 ON p_partkey = l_partkey
-         WHERE p_brand = 'Brand#11'
-           AND l_quantity < 0.2 * (
-             SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                      / COUNT(l_quantity)
-             FROM li_q86 l2 WHERE l2.l_partkey = p_partkey)""")
+    import spark.implicits._
+    val brandParts = Tables.part(spark, dir)
+      .filter($"p_brand" === "Brand#11").select($"p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+    val avgQ = li.groupBy($"l_partkey".as("pk"))
+      .agg((sum(dec($"l_quantity")).cast("double") / count($"l_quantity"))
+        .as("avg_qty"))
+    li.join(broadcast(avgQ), $"l_partkey" === $"pk")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg((dsum($"l_extendedprice") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
   }
 
   /** q87: large-volume customers (TPC-H Q18 shape) — orders whose total
