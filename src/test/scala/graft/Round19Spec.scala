@@ -500,4 +500,68 @@ class Round19Spec extends AnyFunSuite {
     val e = intercept[Exception](rowsAt("not-a-time"))
     assert(msgChain(e).contains("accepted forms"), msgChain(e))
   }
+
+  // --- r19 OPTIMIZATION plan-shape pins ---------------------------------
+  //
+  // Each pin guards the structural property the r19 rewrite bought
+  // (OPTIMIZATION_r19.md). Results themselves are oracle-checked by the
+  // driver; these keep the plan shape from silently regressing.
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private val sfPlans = "/root/testdata/sf0.001"
+
+  test("r19 q56 funnel: ONE exchange — the single per-user agg serves all three stages") {
+    val p = planOf(ops.Relational4.q56Funnel(spark, sfPlans))
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex == 1, s"expected the lone user_id exchange, got $ex:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "the staged-join form must not come back")
+  }
+
+  test("r19 q13 set ops: one full-outer join, no per-branch intersect/except plans") {
+    val p = planOf(ops.Relational.q13SetOps(spark, sfPlans))
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r.findAllIn(p).size
+    assert(joins == 1, s"expected exactly the one key-set join, got $joins:\n$p")
+    assert(p.contains("FullOuter"), "the flags frame joins full-outer")
+  }
+
+  test("r19 d31 fuzzy join: no self-join — pairs generate map-side from the variant sets") {
+    val p = planOf(ext.Dedup.d31FuzzyJoin(spark, sfPlans))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the variant self-join must stay retired:\n$p")
+  }
+
+  test("r19 q86: the per-part average aggregates only the brand's lineitems") {
+    val p = planOf(ops.Relational7.q86SmallQtyRevenue(spark, sfPlans))
+    // both fact passes sit UNDER a broadcast join against the filtered
+    // part side — the full-fact per-part aggregate of the correlated
+    // rewrite (exchange over all of lineitem keyed by partkey) is gone
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 1, s"only the brand-slice per-part agg may exchange, got $ex:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "brand filter and avg table must both broadcast")
+  }
+
+  test("r19 t14/q80: group totals ride the existing window sort — no agg+join-back") {
+    val pT = planOf(ext.TextAnalysis.t14InvertedIndex(spark, sfPlans))
+    assert(!pT.contains("SortMergeJoin") && !pT.contains("BroadcastHashJoin"),
+      s"t14's df/total_tf join-back must stay retired:\n$pT")
+    val pQ = planOf(ops.Relational6.q80WeightedMedian(spark, sfPlans))
+    assert(!pQ.contains("Join"), s"q80's totals join-back must stay retired:\n$pQ")
+    val ex = "Exchange hashpartitioning".r.findAllIn(pQ).size
+    assert(ex == 1, s"q80: one l_returnflag exchange serves both windows, got $ex")
+  }
+
+  test("r19 p14: one md5 corpus pass (exact-hit agg); the split rollup is hash-free") {
+    val p = ext.Curation.queries("p14_decontam_quarantine")(spark, sfPlans)
+      .queryExecution.optimizedPlan.toString
+    // projection pushdown clones the md5 into each of corpusWithCopies'
+    // three union branches — one logical pass = at most 3 sites (the
+    // trainH + semi-join + rollup form carried three passes = 9)
+    val md5s = "md5\\(".r.findAllIn(p).size
+    assert(md5s <= 3, s"p14 must hash the corpus exactly once, got $md5s sites:\n$p")
+  }
 }
